@@ -1,0 +1,62 @@
+"""Table catalog over the driver's parquet test data.
+
+The reference registers tables via SQL DDL (``tableEnv.executeSql(CREATE
+TABLE ...)``, format/.../csv/Csv2Csv.java:24-39) or temp views
+(``tEnv.createTemporaryView``, FlinkIdeaDemo/src/main/java/
+NCFlinkTableAPITableFunction.java:37). Our analog: parquet-backed DataFrames
+registered as temp views so every SURVEY §2 SQL path works unchanged.
+
+Parquet scans get predicate pushdown + column pruning from Catalyst for free —
+at 100 TB this is the difference between scanning a column subset of a few TB
+and the full dataset.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: dimension tables small enough to broadcast at ANY scale factor (region has 5
+#: rows, nation 25 at every TPC-H SF; supplier/part grow with SF but stay far
+#: below fact tables).
+BROADCAST_DIMS = ("region", "nation")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one test table. ``sf_dir`` like /root/testdata/sf0.01.
+
+    `events` ships a TIMESTAMP(NANOS) column that Spark's parquet reader
+    rejects by default; we read it as raw nanos (legacy conf, runtime-
+    settable) and convert to a microsecond TIMESTAMP_NTZ (integer div —
+    double division would round at µs scale), matching DuckDB's ns→µs
+    truncation.
+    """
+    if name == "events":
+        from pyspark.sql import functions as F
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> dict[str, DataFrame]:
+    """Register each table as a temp view; returns name → DataFrame."""
+    out = {}
+    for name in tables:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

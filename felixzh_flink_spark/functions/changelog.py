@@ -1,0 +1,176 @@
+"""Changelog / CDC library: canal-json + debezium-json decoding, changelog
+normalization, and upsert materialization.
+
+Reference parity (the single most non-trivial element per SURVEY.md §1.2):
+- F3 canal-json decode — format/src/main/java/com/felixzh/flink/format/
+  canal_json/Kafka2Print.java:25-39; envelope sample at :63-103 (`data[]`,
+  `old[]`, `type` INSERT/UPDATE/DELETE, `pkNames`).
+- F4 debezium-json decode — format/.../debezium_json/Kafka2Print.java:25-39
+  (`before`/`after`/`op` c|u|d|r).
+- Changelog ops `+I/-U/+U/-D` — observable in the reference's captured
+  outputs, canal_json/Kafka2Print.java:126-127 and
+  debezium_json/MySqlCDC2Print.java:94-101.
+
+Spark has no retraction-aware DataFrames, so the changelog becomes an explicit
+`op: string` column with the flattened row fields. An UPDATE expands to a
+(-U old, +U new) pair exactly like Flink's changelog stream. Materialization
+to current-state tables is `upsert_latest` (batch/window dedup by primary key,
+newest wins, deletes drop) — the foreachBatch MERGE analog that works on plain
+parquet.
+
+All decoding is `from_json` + explode + JVM expressions — no Python UDFs, so
+CDC decode at 100 TB is a scan-shaped, shuffle-free job.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F, types as T
+
+#: changelog op tags, matching Flink RowKind short strings
+OP_INSERT = "+I"
+OP_UPDATE_BEFORE = "-U"
+OP_UPDATE_AFTER = "+U"
+OP_DELETE = "-D"
+
+
+def canal_envelope_schema(row_schema: T.StructType) -> T.StructType:
+    """Schema of a Canal JSON envelope carrying rows of `row_schema`
+    (field inventory from the reference's captured sample payload,
+    canal_json/Kafka2Print.java:65-102)."""
+    return T.StructType([
+        T.StructField("data", T.ArrayType(row_schema), True),
+        T.StructField("old", T.ArrayType(row_schema), True),
+        T.StructField("type", T.StringType(), True),
+        T.StructField("database", T.StringType(), True),
+        T.StructField("table", T.StringType(), True),
+        T.StructField("pkNames", T.ArrayType(T.StringType()), True),
+        T.StructField("es", T.LongType(), True),
+        T.StructField("ts", T.LongType(), True),
+        T.StructField("isDdl", T.BooleanType(), True),
+    ])
+
+
+def decode_canal_json(df: DataFrame, value_col: str, row_schema: T.StructType,
+                      ignore_parse_errors: bool = True) -> DataFrame:
+    """F3: Canal envelope JSON strings → changelog rows (op + row fields).
+
+    Semantics (matching flink-json's CanalJsonDeserializationSchema, which the
+    reference configures via 'format'='canal-json'):
+    - type=INSERT  → one +I per element of data[]
+    - type=DELETE  → one -D per element of data[]
+    - type=UPDATE  → per index i: -U from old[i] merged over data[i] (Canal's
+      old[] holds only the *changed* fields; unchanged fields come from
+      data[i]), then +U from data[i]
+    - isDdl=true or unparseable → dropped when ignore_parse_errors
+      ('canal-json.ignore-parse-errors', Kafka2Print.java:36).
+    """
+    env = df.withColumn("_env", F.from_json(F.col(value_col), canal_envelope_schema(row_schema)))
+    env = env.filter(F.col("_env").isNotNull() & (~F.coalesce(F.col("_env.isDdl"), F.lit(False))))
+    if not ignore_parse_errors:
+        env = df.withColumn("_env", F.from_json(F.col(value_col), canal_envelope_schema(row_schema)))
+
+    fields = [f.name for f in row_schema.fields]
+    # pair data[i] with old[i] positionally for UPDATE old-field merging
+    paired = env.select(
+        "_env.type", "_env.es",
+        F.posexplode("_env.data").alias("_i", "_new"),
+        F.col("_env.old").alias("_olds"),
+    ).withColumn("_old", F.col("_olds")[F.col("_i")])
+
+    def rowcols(src: str, merge_old: bool = False) -> list[Column]:
+        if not merge_old:
+            return [F.col(f"{src}.{f}").alias(f) for f in fields]
+        # old[] has only changed fields (others null) → coalesce over new
+        return [F.coalesce(F.col(f"_old.{f}"), F.col(f"_new.{f}")).alias(f) for f in fields]
+
+    inserts = paired.filter(F.col("type") == "INSERT").select(
+        F.lit(OP_INSERT).alias("op"), F.col("es").alias("ts_ms"), *rowcols("_new"))
+    deletes = paired.filter(F.col("type") == "DELETE").select(
+        F.lit(OP_DELETE).alias("op"), F.col("es").alias("ts_ms"), *rowcols("_new"))
+    upd = paired.filter(F.col("type") == "UPDATE")
+    upd_before = upd.select(
+        F.lit(OP_UPDATE_BEFORE).alias("op"), F.col("es").alias("ts_ms"),
+        *rowcols("_old", merge_old=True))
+    upd_after = upd.select(
+        F.lit(OP_UPDATE_AFTER).alias("op"), F.col("es").alias("ts_ms"), *rowcols("_new"))
+    return inserts.unionByName(upd_before).unionByName(upd_after).unionByName(deletes)
+
+
+def debezium_envelope_schema(row_schema: T.StructType) -> T.StructType:
+    """Debezium JSON envelope (flat, schema-exclude mode — the reference's
+    debezium_json DDL assumes `'debezium-json.schema-include'=false` default;
+    Kafka2Print.java:25-39)."""
+    return T.StructType([
+        T.StructField("before", row_schema, True),
+        T.StructField("after", row_schema, True),
+        T.StructField("op", T.StringType(), True),
+        T.StructField("ts_ms", T.LongType(), True),
+    ])
+
+
+def decode_debezium_json(df: DataFrame, value_col: str, row_schema: T.StructType,
+                         ignore_parse_errors: bool = True) -> DataFrame:
+    """F4: Debezium envelope JSON → changelog rows.
+
+    op mapping (flink-json DebeziumJsonDeserializationSchema semantics):
+    c (create) / r (snapshot read) → +I from after;
+    u (update) → -U from before, +U from after;
+    d (delete) → -D from before.
+    """
+    env = df.withColumn("_env", F.from_json(F.col(value_col),
+                                            debezium_envelope_schema(row_schema)))
+    if ignore_parse_errors:
+        env = env.filter(F.col("_env").isNotNull() & F.col("_env.op").isNotNull())
+    fields = [f.name for f in row_schema.fields]
+
+    def rowcols(src: str) -> list[Column]:
+        return [F.col(f"_env.{src}.{f}").alias(f) for f in fields]
+
+    inserts = env.filter(F.col("_env.op").isin("c", "r")).select(
+        F.lit(OP_INSERT).alias("op"), F.col("_env.ts_ms").alias("ts_ms"), *rowcols("after"))
+    upd = env.filter(F.col("_env.op") == "u")
+    upd_before = upd.select(
+        F.lit(OP_UPDATE_BEFORE).alias("op"), F.col("_env.ts_ms").alias("ts_ms"), *rowcols("before"))
+    upd_after = upd.select(
+        F.lit(OP_UPDATE_AFTER).alias("op"), F.col("_env.ts_ms").alias("ts_ms"), *rowcols("after"))
+    deletes = env.filter(F.col("_env.op") == "d").select(
+        F.lit(OP_DELETE).alias("op"), F.col("_env.ts_ms").alias("ts_ms"), *rowcols("before"))
+    return inserts.unionByName(upd_before).unionByName(upd_after).unionByName(deletes)
+
+
+def upsert_latest(changelog: DataFrame, pk: list[str], order_col: str = "ts_ms",
+                  seq_col: Column | None = None) -> DataFrame:
+    """Materialize a changelog into current state: newest row per PK wins;
+    rows whose newest op is -D (or -U with no matching +U) drop out.
+
+    This is the foreachBatch-MERGE analog for plain storage: a windowed
+    dedup (one shuffle on pk) instead of a point-update table. At scale,
+    partition the state table by pk hash so each micro-batch merge touches
+    only matching partitions.
+    """
+    order = seq_col if seq_col is not None else F.col(order_col)
+    # -U is ordered before its paired +U at equal ts so the update survives
+    op_rank = (
+        F.when(F.col("op") == OP_UPDATE_BEFORE, 0)
+        .when(F.col("op") == OP_INSERT, 1)
+        .when(F.col("op") == OP_UPDATE_AFTER, 2)
+        .when(F.col("op") == OP_DELETE, 3)
+    )
+    w = Window.partitionBy(*pk).orderBy(order.desc(), op_rank.desc())
+    latest = changelog.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    return latest.filter(F.col("op").isin(OP_INSERT, OP_UPDATE_AFTER)).drop("_rn", "op", "ts_ms")
+
+
+def encode_debezium_json(df: DataFrame, fields: list[str], op: str = "c") -> DataFrame:
+    """Emit debezium-style envelopes from plain rows (the reference *rejects*
+    canal/debezium as sink formats — captured UnsupportedOperationException,
+    canal_json/MySqlCDC2Kafka.java:115-118; we support emission as a
+    documented improvement). Returns a single `value` JSON string column."""
+    after = F.struct(*[F.col(f) for f in fields])
+    return df.select(
+        F.to_json(F.struct(
+            after.alias("after"),
+            F.lit(op).alias("op"),
+        )).alias("value")
+    )

@@ -1,0 +1,87 @@
+"""Keyed aggregation operators — SURVEY.md §2.3.
+
+Reference parity:
+- A1 keyBy            — DataSkew/src/main/java/SocketAppV1.java:24-28.
+- A2 reduce (running sum) — SocketAppV1.java:29-36.
+- A3 sum(field)       — ExecutionModes/src/main/java/ExecutionMode.java:27.
+- A4 AggregateFunction partial+final — DataSkew/src/main/java/MyCountAggregate.java:7-45;
+  Spark's HashAggregate(partial) → shuffle → HashAggregate(final) is the same
+  combiner contract, automatic.
+- A5 WeightedAvg UDAF — UserDefinedFunctions/.../MyAggregateFunctionsForWeightedAvg.java:6-42.
+- A7 partitionCustom  — FlinkIdeaDemo/.../NCFlinkPartitionCustomIdea.java:24,31-43.
+- A8 two-stage salted agg — DataSkew/src/main/java/SocketAppV2.java:23-67.
+
+Scale notes: every groupBy here is one hash shuffle with map-side partial
+aggregation; at 100 TB the partial agg collapses per-partition cardinality
+before the exchange, so shuffle volume ∝ distinct keys, not rows. Skew is
+handled by AQE by default; `salted_count` is the explicit recipe for the
+extreme-streaming-skew case the reference targets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_sum(col: Column | str, scale: int = 4, alias: str | None = None) -> Column:
+    """Sum of a double expression made order-insensitive by casting each
+    element to DECIMAL(30, scale) before summing, then back to double.
+
+    Plain double summation is order-dependent (shuffle/partition order varies
+    run to run and engine to engine); the decimal path is exact and therefore
+    deterministic, which is what the DuckDB-oracle value-hash requires. Cost
+    is one decimal conversion per row — still codegen'd JVM-side.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.sum(c.cast(f"decimal(30,{scale})")).cast("double")
+    return out.alias(alias) if alias else out
+
+
+def keyed_count(df: DataFrame, *keys: str, alias: str = "cnt") -> DataFrame:
+    """A1+A4: keyBy → distributive count (MyCountAggregate.java semantics —
+    count per key with partial/final merge)."""
+    return df.groupBy(*keys).agg(F.count("*").alias(alias))
+
+
+def keyed_sum(df: DataFrame, key: str, value: str, alias: str = "total") -> DataFrame:
+    """A2/A3: keyBy(key).sum(value) (ExecutionMode.java:26-27, running sum per
+    key). Batch semantics = final value of the running sum."""
+    return df.groupBy(key).agg(exact_sum(value, alias=alias))
+
+
+def weighted_avg(df: DataFrame, key: str, value: str, weight: str, alias: str = "wavg") -> DataFrame:
+    """A5/A6: the reference's WeightedAvg UDAF
+    (MyAggregateFunctionsForWeightedAvg.java:6-42 — accumulate sum(v*w) and
+    sum(w), result sum/count) as pure expressions: no UDAF object needed, and
+    Spark still does partial aggregation on both sums.
+
+    The reference's `retract()` hook exists for changelog inputs; our CDC
+    library recomputes aggregates from materialized upsert state instead
+    (functions/changelog.py), which is the Spark-idiomatic equivalent.
+    """
+    num = F.sum((F.col(value) * F.col(weight)).cast("decimal(30,6)")).cast("double")
+    den = F.sum(F.col(weight).cast("decimal(30,6)")).cast("double")
+    return df.groupBy(key).agg((num / den).alias(alias))
+
+
+def repartition_by_key(df: DataFrame, num_partitions: int, *keys: str) -> DataFrame:
+    """A7 partitionCustom analog: hash-partition rows by key into N partitions
+    (NCFlinkPartitionCustomIdea.java uses hashCode()%n — Spark's HashPartitioning
+    is the same contract; arbitrary placement is intentionally not exposed)."""
+    return df.repartition(num_partitions, *[F.col(k) for k in keys])
+
+
+def salted_two_phase_count(df: DataFrame, key: str, salt_buckets: int = 50,
+                           alias: str = "cnt") -> DataFrame:
+    """A8: explicit two-stage skew-busting count, the SocketAppV2.java:23-67
+    recipe — salt the key with a random bucket, partial-count per (key, salt),
+    strip the salt, final-sum.
+
+    On batch Spark this is usually unnecessary (AQE + partial aggregation),
+    but it is the documented recipe for extreme skew; results are identical to
+    a plain keyed count.
+    """
+    salted = df.withColumn("_salt", (F.rand(seed=42) * salt_buckets).cast("int"))
+    partial = salted.groupBy(key, "_salt").agg(F.count("*").alias("_partial"))
+    return partial.groupBy(key).agg(F.sum("_partial").alias(alias))

@@ -1,0 +1,222 @@
+"""Deduplication operators for training-data pipelines.
+
+Beyond-reference capability (the reference has no dedup). Five strategies,
+ordered by cost:
+
+1. exact           — hash-groupBy on a normalized fingerprint. One shuffle on
+   the 32-char md5; at 100 TB, shuffle volume = one hash + id per row.
+2. ngram_jaccard   — exact n-gram-shingle Jaccard on candidate pairs found by
+   shingle equi-join. Exact but quadratic in worst case → always run on
+   LSH-bucketed candidates at scale.
+3. minhash_lsh     — MinHash signatures + banded LSH: candidate pairs cost
+   O(rows × perms), join only within bands. The scale path.
+4. simhash         — 64-bit sign-of-weighted-sum fingerprint; near-dups differ
+   in few bits. Hamming-ball lookup via band exact-match.
+5. embedding near-dup — cosine > threshold via random-hyperplane LSH buckets
+   (see similarity.py for the ANN machinery).
+
+All built from explode/groupBy/join — no Python in the hot path except where
+noted. Hash primitive is xxhash64(col, seed) (Spark built-in, JVM-side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from felixzh_flink_spark.operators.text import fingerprint_md5
+
+
+# ---------------------------------------------------------------- exact
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: keep the min-id representative per normalized-text md5.
+    Returns (fingerprint, keep_id, n_dupes)."""
+    fp = fingerprint_md5(df, text_col)
+    return fp.groupBy("fingerprint").agg(
+        F.min(id_col).alias("keep_id"),
+        F.count("*").alias("n_dupes"),
+    )
+
+
+# ---------------------------------------------------------------- shingles
+
+def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+             n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (id, shingle).
+
+    Tokens are lower-cased whitespace splits; shingle = n consecutive tokens
+    joined by single spaces. Built with transform over a token array —
+    JVM-side, no UDF.
+    """
+    tokens = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    n_tok = F.size(tokens)
+    idx = F.sequence(F.lit(0), F.greatest(n_tok - n, F.lit(0)))
+    sh = F.when(
+        n_tok >= n,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n))),
+    ).otherwise(F.array(F.concat_ws(" ", tokens)))
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                        n: int = 3, threshold: float = 0.8) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs: self-join distinct shingles,
+    jaccard = |∩| / (|A| + |B| − |∩|). Returns (id_a, id_b, jaccard) with
+    id_a < id_b.
+
+    Scale: the shingle self-join shuffles on the shingle string. At 100 TB run
+    it only on minhash-LSH candidates (see `minhash_lsh_candidates`) — this
+    exact version is the verifier, not the scanner.
+    """
+    sh = shingles(df, text_col, id_col, n).cache()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------- minhash
+
+def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                       n: int = 3, num_perm: int = 64) -> DataFrame:
+    """MinHash signature per doc: sig[i] = min over shingles of
+    xxhash64(shingle, seed=i). Returns (id, sig: array<bigint>).
+
+    One explode + one groupBy with num_perm min-aggregates — partial
+    aggregation collapses each partition to one row per doc before the
+    shuffle.
+    """
+    sh = shingles(df, text_col, id_col, n)
+    aggs = [F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}") for i in range(num_perm)]
+    sigs = sh.groupBy("id").agg(*aggs)
+    return sigs.select("id", F.array(*[f"h{i}" for i in range(num_perm)]).alias("sig"))
+
+
+def minhash_lsh_candidates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                           n: int = 3, num_perm: int = 64, bands: int = 16) -> DataFrame:
+    """Banded LSH over MinHash signatures → candidate near-dup pairs.
+
+    bands×rows = num_perm; docs agreeing on all rows of any band collide.
+    Band key = xxhash64 of the band's slice → equi-join groupBy band bucket.
+    Returns distinct (id_a, id_b), id_a < id_b.
+    """
+    rows = num_perm // bands
+    sigs = minhash_signatures(df, text_col, id_col, n, num_perm)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(F.concat_ws(",", *[
+                F.col("sig")[b * rows + r].cast("string") for r in range(rows)
+            ])).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    banded = sigs.select("id", F.explode(F.array(*band_cols)).alias("bk")) \
+                 .select("id", "bk.band", "bk.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                        n: int = 3, num_perm: int = 64, bands: int = 16,
+                        threshold: float = 0.8) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates → exact Jaccard verify.
+    This is the 100 TB shape: cheap candidate generation, exact check only on
+    collisions."""
+    cand = minhash_lsh_candidates(df, text_col, id_col, n, num_perm, bands)
+    exact = ngram_jaccard_pairs(df, text_col, id_col, n, threshold=0.0)
+    return (
+        cand.join(exact, ["id_a", "id_b"])
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------- simhash
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = 64) -> DataFrame:
+    """SimHash fingerprint: per token, xxhash64 → for each bit position sum
+    (+1 if set else −1) over tokens; fingerprint bit = sign of the sum.
+
+    Expressed as one explode + one groupBy with `bits` conditional sums —
+    stays columnar/codegen'd; no 64× row blowup. Returns (id, simhash:
+    bigint).
+    """
+    tok = (
+        df.select(F.col(id_col).alias("id"),
+                  F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"))
+        .filter(F.length("tok") > 0)
+        .withColumn("h", F.xxhash64("tok"))
+    )
+    aggs = [
+        F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1))
+        .alias(f"b{i}")
+        for i in range(bits)
+    ]
+    sums = tok.groupBy("id").agg(*aggs)
+    fp = F.lit(0).cast("bigint")
+    for i in range(bits):
+        fp = fp + F.when(F.col(f"b{i}") > 0, F.lit(1).cast("bigint") * (2 ** i if i < 63 else -(2 ** 63))).otherwise(0)
+    return sums.select("id", fp.alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                       max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs: band the 64-bit fingerprint into
+    (max_hamming+1) 16-bit chunks — by pigeonhole, any pair within
+    `max_hamming` bits agrees on at least one chunk → equi-join per chunk,
+    then exact Hamming filter via bit_count(xor)."""
+    n_chunks = max_hamming + 1
+    chunk_bits = 64 // n_chunks
+    fps = simhash(df, text_col, id_col)
+    chunks = fps.select(
+        "id", "simhash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftrightunsigned(F.col("simhash"), c * chunk_bits)
+                .bitwiseAND(F.lit((1 << chunk_bits) - 1)).alias("val"),
+            )
+            for c in range(n_chunks)
+        ])).alias("ck"),
+    ).select("id", "simhash", "ck.chunk", "ck.val")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
+               & (F.col("a.val") == F.col("b.val"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.col("a.simhash").alias("sh_a"), F.col("b.simhash").alias("sh_b"))
+        .distinct()
+    )
+    return (
+        pairs.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

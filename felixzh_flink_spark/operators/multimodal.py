@@ -1,0 +1,133 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Beyond-reference capability. Media payloads are opaque `binary` columns with
+a typed metadata struct; decode/feature steps run as Arrow-batched
+`mapInPandas` operators so the Spark-side contract (schema, partitioning,
+batch shape) is real even though the actual codecs (PIL/librosa/ffmpeg) are
+NOT in this container — the decode kernels are stubbed behind
+`require_codec()` and a deterministic fake used by tests.
+
+Scale notes: media rows are large → repartition by byte-size budget, not row
+count (`repartition_for_media`), so a 100 MB-video partition doesn't OOM an
+executor while thumbnail rows starve the others.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+#: metadata struct carried next to every media binary column.
+MEDIA_META_SCHEMA = T.StructType([
+    T.StructField("media_type", T.StringType(), False),   # image|audio|video
+    T.StructField("format", T.StringType(), True),         # png|wav|mp4|...
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("duration_ms", T.LongType(), True),
+    T.StructField("size_bytes", T.LongType(), True),
+])
+
+FEATURE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("media_type", T.StringType(), True),
+    T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    T.StructField("n_bytes", T.LongType(), True),
+])
+
+
+def require_codec(name: str):
+    """Import a media codec library or raise a clearly-marked stub error.
+    The container ships none of these; real deployments install them on
+    executors and this function starts returning modules."""
+    try:
+        return __import__(name)
+    except ImportError as exc:  # pragma: no cover - exercised via fake path
+        raise NotImplementedError(
+            f"media codec '{name}' not available in this environment; "
+            "multimodal decode is stubbed (deterministic fake features only)"
+        ) from exc
+
+
+def attach_media_meta(df: DataFrame, binary_col: str, media_type: str,
+                      fmt: str) -> DataFrame:
+    """Wrap a binary column with the typed metadata struct."""
+    return df.withColumn(
+        "media_meta",
+        F.struct(
+            F.lit(media_type).alias("media_type"),
+            F.lit(fmt).alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.length(F.col(binary_col)).cast("long").alias("size_bytes"),
+        ),
+    )
+
+
+def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
+    """Deterministic fake 'decoder': byte-histogram-ish feature from the
+    payload — stands in for image-embedding / mel-spectrogram kernels so the
+    distributed plumbing is testable without codecs."""
+    if payload is None:
+        return [0.0] * dim
+    acc = [0] * dim
+    for i, b in enumerate(payload):
+        acc[i % dim] = (acc[i % dim] + b) % 997
+    return [float(x) / 997.0 for x in acc]
+
+
+def extract_features(df: DataFrame, id_col: str = "doc_id",
+                     binary_col: str = "payload", dim: int = 8,
+                     use_real_codec: bool = False) -> DataFrame:
+    """Decode + featurize media binaries via Arrow-batched mapInPandas.
+
+    With `use_real_codec=True` this raises NotImplementedError until codec
+    libraries exist on executors; the fake path exercises identical Spark
+    plumbing (schema, batching, null handling).
+    """
+    media_type_col = "media_meta" if "media_meta" in df.columns else None
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if use_real_codec:
+            require_codec("PIL")  # raises the documented stub error
+        for pdf in batches:
+            feats = [_fake_feature(p, dim) for p in pdf[binary_col]]
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col],
+                "media_type": (
+                    [m["media_type"] if m is not None else None for m in pdf[media_type_col]]
+                    if media_type_col else [None] * len(pdf)
+                ),
+                "feature": feats,
+                "n_bytes": [len(p) if p is not None else 0 for p in pdf[binary_col]],
+            })
+
+    return df.mapInPandas(kernel, schema=FEATURE_SCHEMA)
+
+
+def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling *plan*: one output row per (doc, frame_ts) via
+    sequence+explode on duration metadata — the expensive frame decode itself
+    would be a mapInPandas kernel over (payload, frame_ts) rows. Fully
+    JVM-side; demonstrates the fan-out shape without codecs."""
+    return df.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"),
+                       F.coalesce(F.col("media_meta.duration_ms"), F.lit(0)),
+                       F.lit(every_ms).cast("long"))
+        ).alias("frame_ts_ms"),
+    )
+
+
+def repartition_for_media(df: DataFrame, target_partition_bytes: int = 128 << 20,
+                          size_col: str = "media_meta.size_bytes") -> DataFrame:
+    """Repartition media rows so each partition holds ~target bytes, using the
+    metadata size column — row-count-based splits are wrong when row sizes
+    span 4 orders of magnitude."""
+    total = df.select(F.sum(F.col(size_col)).alias("s")).head()["s"] or 0
+    n = max(1, int(total // target_partition_bytes) + 1)
+    return df.repartition(n)

@@ -1,0 +1,129 @@
+"""Similarity search over embedding columns (array<float>).
+
+Beyond-reference capability. Two tiers:
+
+- `cosine_topk_bruteforce` — exact top-k against a query vector. One scan,
+  per-row dot product via zip_with/aggregate (JVM higher-order functions, no
+  Python), distributed TakeOrdered for the top-k. The correctness baseline.
+- `lsh_bucketed_topk` — random-hyperplane LSH: b sign-bits per vector from
+  deterministic pseudo-random hyperplanes (hash-derived, no model state to
+  broadcast); probe only the query's bucket ring (Hamming ≤ r). The scale
+  path: at 100 TB, bucket pruning turns a full scan into a few-percent scan.
+- `embedding_near_dup_pairs` — all-pairs cosine ≥ threshold via the same LSH
+  buckets (for embedding-level dedup).
+
+Dot products are computed in double (floats upcast exactly), summed in
+element order — deterministic across runs and engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk_bruteforce(df: DataFrame, query_vec: list[float], k: int = 10,
+                           id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k by cosine against a literal query vector.
+    Returns (id, cosine_sim) ordered desc, ties broken by id asc."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = df.select(
+        F.col(id_col).alias("id"),
+        cosine(F.col(vec_col), q).alias("cosine_sim"),
+    )
+    return scored.orderBy(F.desc("cosine_sim"), F.asc("id")).limit(k)
+
+
+# ------------------------------------------------------- hyperplane LSH
+
+def _hyperplane_bit(vec: Column, plane: int, dim: int) -> Column:
+    """Sign bit of the projection onto pseudo-random hyperplane `plane`.
+
+    Hyperplane coefficients are xxhash64(plane, dim_index) scaled to [-1, 1] —
+    deterministic, generated inline on executors, nothing broadcast.
+    """
+    coeffs = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: (F.xxhash64(F.lit(plane), i).cast("double") / F.lit(float(2 ** 63))),
+    )
+    proj = F.aggregate(
+        F.zip_with(vec, coeffs, lambda x, c: x.cast("double") * c),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (proj >= 0).cast("int")
+
+
+def add_lsh_bucket(df: DataFrame, vec_col: str = "embedding", n_planes: int = 8,
+                   dim: int = 64, alias: str = "bucket") -> DataFrame:
+    """Append an LSH bucket id (int in [0, 2^n_planes)) per row."""
+    bucket = F.lit(0)
+    for p in range(n_planes):
+        bucket = bucket + _hyperplane_bit(F.col(vec_col), p, dim) * (1 << p)
+    return df.withColumn(alias, bucket)
+
+
+def lsh_bucketed_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      n_planes: int = 8, max_hamming: int = 1) -> DataFrame:
+    """Approximate top-k: score only vectors whose LSH bucket is within
+    `max_hamming` bits of the query's bucket.
+
+    At scale, write the table bucketed/partitioned by `bucket` so the probe
+    prunes partitions instead of filtering a full scan.
+    """
+    dim = len(query_vec)
+    bucketed = add_lsh_bucket(df, vec_col, n_planes, dim)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q_row = add_lsh_bucket(
+        df.sparkSession.range(1).select(q.alias("qv")), "qv", n_planes, dim
+    )
+    q_bucket = q_row.head()["bucket"]
+    cand = bucketed.filter(
+        F.bit_count(F.col("bucket").bitwiseXOR(F.lit(int(q_bucket)))) <= max_hamming
+    )
+    scored = cand.select(
+        F.col(id_col).alias("id"),
+        cosine(F.col(vec_col), q).alias("cosine_sim"),
+    )
+    return scored.orderBy(F.desc("cosine_sim"), F.asc("id")).limit(k)
+
+
+def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
+                             id_col: str = "vec_id", vec_col: str = "embedding",
+                             n_planes: int = 8, dim: int = 64) -> DataFrame:
+    """All-pairs cosine ≥ threshold, bucket-pruned: pairs must share an LSH
+    bucket (self-join on bucket), then exact cosine filter.
+    Returns (id_a, id_b, cosine_sim), id_a < id_b."""
+    bucketed = add_lsh_bucket(df, vec_col, n_planes, dim).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "bucket"
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cosine(F.col("a.v"), F.col("b.v")).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )

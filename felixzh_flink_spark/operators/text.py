@@ -1,0 +1,147 @@
+"""Text-analysis operators over document tables (LLM-training-data pipeline).
+
+Beyond-reference operators (the reference has no text analytics; its only
+string work is tokenize/lower/length — ExecutionMode.java:50,
+MyTableFunction.java:11-13). All hot paths are built-in Spark SQL functions
+(regexp, split, length) — zero Python UDFs, so they run inside whole-stage
+codegen and scale linearly with input: at 100 TB these are embarrassingly
+parallel scan+project jobs with no shuffle at all (per-document outputs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: language marker (stopword) sets for the n-gram/stopword language heuristic.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "den", "von"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "des", "dans", "pour"],
+    "es": ["el", "la", "los", "las", "es", "un", "una", "de", "que", "por"],
+    "zh": ["de5", "shi4", "le5", "zai4", "you3", "wo3", "ta1", "zhe4", "bu4", "ren2"],
+}
+
+TOKEN_RE = r"\s+"
+
+
+def token_count(text: Column | str, alias: str = "n_tokens") -> Column:
+    """Whitespace token count. size(split) counts empty leading/trailing
+    fields, so trim first and special-case the empty string."""
+    c = F.col(text) if isinstance(text, str) else text
+    t = F.trim(c)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, TOKEN_RE))
+    ).cast("bigint").alias(alias)
+
+
+def bpe_ish_token_count(text: Column | str, alias: str = "n_subtokens") -> Column:
+    """BPE-approximating token count: word-piece regex (runs of letters,
+    digits, or single punctuation) — a deterministic proxy for tokenizer cost
+    estimation without shipping a tokenizer model to executors."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"), F.lit(0))) \
+        .cast("bigint").alias(alias)
+
+
+def punct_ratio(text: Column | str, alias: str = "punct_ratio") -> Column:
+    """Punctuation chars / total chars (0 for empty docs)."""
+    c = F.col(text) if isinstance(text, str) else text
+    n_punct = F.size(F.regexp_extract_all(c, F.lit(r"[^\w\s]"), F.lit(0)))
+    return F.when(F.length(c) == 0, F.lit(0.0)).otherwise(
+        n_punct.cast("double") / F.length(c).cast("double")
+    ).alias(alias)
+
+
+def stopword_ratio(text: Column | str, lang: str = "en", alias: str = "stopword_ratio") -> Column:
+    """Stopword tokens / total tokens for one language's marker set."""
+    c = F.col(text) if isinstance(text, str) else text
+    markers = LANG_MARKERS[lang]
+    pattern = r"\b(" + "|".join(markers) + r")\b"
+    n_stop = F.size(F.regexp_extract_all(F.lower(c), F.lit(pattern), F.lit(0)))
+    n_tok = token_count(c, alias="_")
+    # strip the alias wrapper from token_count by rebuilding the expression
+    t = F.trim(c)
+    n_tok = F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, TOKEN_RE)))
+    return F.when(n_tok == 0, F.lit(0.0)).otherwise(
+        n_stop.cast("double") / n_tok.cast("double")
+    ).alias(alias)
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features: char length, token count, mean token
+    length, punctuation ratio, English-stopword ratio, and a composite score.
+    All ratios are deterministic arithmetic → oracle-checkable."""
+    c = F.col(text_col)
+    t = F.trim(c)
+    n_tok = F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, TOKEN_RE)))
+    out = df.select(
+        "doc_id",
+        F.length(c).cast("bigint").alias("n_chars_calc"),
+        n_tok.cast("bigint").alias("n_tokens"),
+        F.when(n_tok == 0, F.lit(0.0))
+        .otherwise(F.length(t).cast("double") / n_tok.cast("double"))
+        .alias("mean_token_len"),
+        punct_ratio(c),
+        stopword_ratio(c, "en"),
+    )
+    return out.withColumn(
+        "quality",
+        (
+            F.least(F.col("n_tokens").cast("double") / 100.0, F.lit(1.0)) * 0.5
+            + (1.0 - F.least(F.col("punct_ratio") * 5.0, F.lit(1.0))) * 0.3
+            + F.least(F.col("stopword_ratio") * 4.0, F.lit(1.0)) * 0.2
+        ),
+    )
+
+
+def lang_scores(text: Column | str) -> list[Column]:
+    """Per-language marker-hit counts (one column per language)."""
+    c = F.col(text) if isinstance(text, str) else text
+    cols = []
+    for lang, markers in LANG_MARKERS.items():
+        pattern = r"\b(" + "|".join(markers) + r")\b"
+        cols.append(
+            F.size(F.regexp_extract_all(F.lower(c), F.lit(pattern), F.lit(0)))
+            .alias(f"score_{lang}")
+        )
+    return cols
+
+
+def lang_id(df: DataFrame, text_col: str = "text", alias: str = "lang_pred") -> DataFrame:
+    """Heuristic language ID: argmax of marker-word hit counts, 'und' when no
+    marker hits at all. Deterministic tie-break by language-code order."""
+    scored = df.select("*", *lang_scores(text_col))
+    langs = list(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{lg}") for lg in langs])
+    pred = F.when(best == 0, F.lit("und"))
+    for lg in sorted(langs):
+        pred = pred.when(F.col(f"score_{lg}") == best, F.lit(lg))
+    return scored.withColumn(alias, pred)
+
+
+def fingerprint_md5(df: DataFrame, text_col: str = "text", alias: str = "fingerprint") -> DataFrame:
+    """Document fingerprint: md5 of whitespace-normalized lower-cased text.
+    Used by exact dedup; md5 is identical across Spark and DuckDB → oracle."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return df.withColumn(alias, F.md5(norm))
+
+
+def fingerprint_rolling(df: DataFrame, text_col: str = "text",
+                        alias: str = "rolling_fp") -> DataFrame:
+    """Polynomial rolling-hash fingerprint over tokens:
+    fp = fold(tokens, 0, (acc*31 + (xxhash64(token) mod 2^32)) mod 2^31.
+    Order-sensitive (unlike md5-of-all), so near-identical docs with swapped
+    token order differ. Modular form keeps every intermediate < 2^37 so the
+    fold is ANSI-overflow-safe. xxhash64 is Spark-specific → pytest-verified,
+    no SQL oracle (driver records rows-only)."""
+    tokens = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    fp = F.aggregate(
+        tokens,
+        F.lit(0).cast("bigint"),
+        lambda acc, t: F.pmod(
+            acc * F.lit(31).cast("bigint") + F.pmod(F.xxhash64(t), F.lit(2 ** 32).cast("bigint")),
+            F.lit(2 ** 31).cast("bigint"),
+        ),
+    )
+    return df.withColumn(alias, fp)

@@ -1,0 +1,910 @@
+"""Oracle-checked query inventory — the driver contract surface.
+
+Every entry pairs a Spark DataFrame query (built from the engine's operators)
+with an equivalent ANSI-SQL oracle that DuckDB runs over the same parquet
+tables. Names/aliases match exactly between both sides (the driver sorts
+columns by name and value-hashes).
+
+Determinism policy for floating-point aggregates: double summation is
+order-dependent, so every SUM over doubles casts elements to DECIMAL first
+(exact, associative) and casts the final sum back to double —
+`operators.aggregations.exact_sum`. Scalar double arithmetic (a*b, a/b,
+least/greatest chains) is IEEE-deterministic and mirrored expression-for-
+expression in the oracle SQL.
+
+Coverage map (SURVEY.md §2): each query's docstring cites the reference
+operator(s) it exercises.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F, types as T
+
+from felixzh_flink_spark.catalog import load_table
+from felixzh_flink_spark.functions.changelog import (
+    decode_canal_json,
+    decode_debezium_json,
+    upsert_latest,
+)
+from felixzh_flink_spark.functions.formats import csv_roundtrip, json_roundtrip
+from felixzh_flink_spark.operators import transforms as TR
+from felixzh_flink_spark.operators.aggregations import (
+    exact_sum,
+    repartition_by_key,
+    salted_two_phase_count,
+    weighted_avg,
+)
+from felixzh_flink_spark.operators import dedup as DD
+from felixzh_flink_spark.operators import multimodal as MM
+from felixzh_flink_spark.operators import similarity as SIM
+from felixzh_flink_spark.operators import text as TX
+from felixzh_flink_spark.operators.relational import (
+    join_dim,
+    top_k_per_group,
+)
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _ms(col: str):
+    """epoch millis from a TIMESTAMP_NTZ column (cast through session-UTC)."""
+    return F.unix_millis(F.col(col).cast("timestamp"))
+
+
+# =====================================================================
+# Relational core (SURVEY §2.2 T4, §2.3 A1-A8, §2.7 fills)
+# =====================================================================
+
+@q("q1_pricing_summary", """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,6))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""")
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: the flagship scan+groupBy+multi-agg (A1-A4; filter is
+    the §2.2 WHERE fill). Partial aggregation collapses 60k rows → 6 groups
+    before the shuffle."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        exact_sum("l_quantity", 2, "sum_qty"),
+        exact_sum("l_extendedprice", 2, "sum_base_price"),
+        exact_sum(disc_price, 4, "sum_disc_price"),
+        exact_sum(charge, 6, "sum_charge"),
+        (exact_sum("l_quantity", 2) / F.count("*")).alias("avg_qty"),
+        (exact_sum("l_extendedprice", 2) / F.count("*")).alias("avg_price"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@q("revenue_by_nation", """
+SELECT n.n_name,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,4))) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""")
+def revenue_by_nation(spark, sf_dir):
+    """Fact⋈fact⋈dim⋈broadcast-dim star join + keyed agg (§2.7 join fill +
+    A1-A3). nation is broadcast (25 rows at every SF) — no shuffle for the
+    dim side."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    joined = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+    )
+    joined = join_dim(joined, n, joined.c_nationkey == n.n_nationkey)
+    return joined.groupBy("n_name").agg(
+        exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4, "revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+@q("q3_top_unshipped", """
+SELECT o.o_orderkey,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,4))) AS DOUBLE) AS revenue,
+       o.o_orderdate, o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+""")
+def q3_top_unshipped(spark, sf_dir):
+    """TPC-H Q3 shape: selective join + agg + global top-k (TakeOrdered — no
+    full sort). Deterministic: exact revenue + orderkey tie-break."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4, "revenue"))
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@q("q5_local_supplier_volume", """
+SELECT n.n_name,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,4))) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND s.s_nationkey = c.c_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+""")
+def q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: 6-table join with broadcast dims (nation/region) and a
+    local-supplier equality across branches."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    joined = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(s, (F.col("l_suppkey") == F.col("s_suppkey"))
+              & (F.col("s_nationkey") == F.col("c_nationkey")))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return joined.groupBy("n_name").agg(
+        exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4, "revenue"))
+
+
+@q("filter_projection", """
+SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
+FROM lineitem
+WHERE l_returnflag = 'R' AND l_quantity >= 10 AND l_quantity <= 20
+""")
+def filter_projection(spark, sf_dir):
+    """T4 projection + WHERE: both pushed into the parquet scan (PushedFilters
+    + pruned ReadSchema in the physical plan)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return TR.where(
+        TR.project(l, "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice",
+                   "l_returnflag"),
+        (F.col("l_returnflag") == "R")
+        & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 20),
+    ).drop("l_returnflag")
+
+
+@q("market_segment_stats", """
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE) AS total_acctbal,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE) / COUNT(*) AS avg_acctbal
+FROM customer
+GROUP BY c_mktsegment
+""")
+def market_segment_stats(spark, sf_dir):
+    """A1-A4 keyed multi-agg on a dimension table."""
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        exact_sum("c_acctbal", 2, "total_acctbal"),
+        (exact_sum("c_acctbal", 2) / F.count("*")).alias("avg_acctbal"),
+    )
+
+
+@q("weighted_avg_price", """
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+       / CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS wavg
+FROM lineitem
+GROUP BY l_returnflag
+""")
+def weighted_avg_price(spark, sf_dir):
+    """A5/A6: the reference's WeightedAvg UDAF
+    (MyAggregateFunctionsForWeightedAvg.java:6-42) as pure expressions."""
+    return weighted_avg(_t(spark, sf_dir, "lineitem"),
+                        "l_returnflag", "l_extendedprice", "l_quantity")
+
+
+@q("salted_event_counts", """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM events GROUP BY event_type
+""")
+def salted_event_counts(spark, sf_dir):
+    """A8: the two-stage salted skew-buster (SocketAppV2.java:23-67 recipe);
+    result identical to a plain keyed count — the oracle proves it."""
+    return salted_two_phase_count(_t(spark, sf_dir, "events"), "event_type")
+
+
+@q("repartitioned_user_counts", """
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM events GROUP BY user_id
+""")
+def repartitioned_user_counts(spark, sf_dir):
+    """A7 partitionCustom analog: explicit hash repartition by key, then a
+    keyed count (placement-invariant result)."""
+    e = repartition_by_key(_t(spark, sf_dir, "events"), 8, "user_id")
+    return e.groupBy("user_id").agg(F.count("*").alias("cnt"))
+
+
+@q("top_orders_per_customer", """
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+              ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+  FROM orders
+) WHERE rn <= 3
+""")
+def top_orders_per_customer(spark, sf_dir):
+    """§2.7 analytic-window fill: top-3 per group via row_number (one shuffle
+    on the group key, no global sort). Unique orderkey tie-break."""
+    o = _t(spark, sf_dir, "orders")
+    return top_k_per_group(
+        o.select("o_custkey", "o_orderkey", "o_totalprice"),
+        ["o_custkey"], [F.desc("o_totalprice"), F.asc("o_orderkey")], 3,
+    )
+
+
+@q("running_quantity_by_supplier", """
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) OVER (
+            PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+       ) AS DOUBLE) AS running_qty
+FROM lineitem
+""")
+def running_quantity_by_supplier(spark, sf_dir):
+    """§2.7 fill: running sum per key (decimal-exact, unique frame order)."""
+    w = Window.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    return _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_orderkey", "l_linenumber",
+        F.sum(F.col("l_quantity").cast("decimal(30,2)")).over(w)
+        .cast("double").alias("running_qty"),
+    )
+
+
+@q("nations_with_both", """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey FROM supplier
+""")
+def nations_with_both(spark, sf_dir):
+    """§2.7 set-op fill: INTERSECT (distinct semantics both engines)."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@q("nations_customers_only", """
+SELECT c_nationkey AS nationkey FROM customer
+EXCEPT
+SELECT s_nationkey FROM supplier
+""")
+def nations_customers_only(spark, sf_dir):
+    """§2.7 set-op fill: EXCEPT."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)
+
+
+@q("rollup_pricing", """
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+""")
+def rollup_pricing(spark, sf_dir):
+    """§2.7 fill: ROLLUP subtotals."""
+    return _t(spark, sf_dir, "lineitem").rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), exact_sum("l_quantity", 2, "sum_qty"))
+
+
+@q("cube_order_status", """
+SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+""")
+def cube_order_status(spark, sf_dir):
+    """§2.7 fill: CUBE over two keys."""
+    return _t(spark, sf_dir, "orders").cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"))
+
+
+@q("distinct_parts_per_supplier", """
+SELECT l_suppkey, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts
+FROM lineitem GROUP BY l_suppkey
+""")
+def distinct_parts_per_supplier(spark, sf_dir):
+    """§2.7 fill: exact distinct aggregation (expands to two-phase agg)."""
+    return _t(spark, sf_dir, "lineitem").groupBy("l_suppkey").agg(
+        F.countDistinct("l_partkey").alias("n_parts"))
+
+
+# =====================================================================
+# Transforms / UDF surface (T1-T2, F1-F2, S5/U3)
+# =====================================================================
+
+@q("word_count", """
+SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+  SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS word
+  FROM documents
+) WHERE length(word) > 0
+GROUP BY word
+""")
+def word_count(spark, sf_dir):
+    """T2 flatMap word count — the reference's hello-world
+    (ExecutionMode.java:44-59): tokenize → keyBy → count."""
+    d = _t(spark, sf_dir, "documents")
+    return TR.tokenize(d, "text").groupBy("word").agg(F.count("*").alias("cnt"))
+
+
+@q("udtf_split_words", """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id < 50),
+e AS (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM d)
+SELECT doc_id, CAST(i - 1 AS INT) AS pos, t[i] AS word,
+       CAST(length(t[i]) AS INT) AS length
+FROM e
+""")
+def udtf_split_words(spark, sf_dir):
+    """F2 UDTF: LATERAL TABLE(SplitFunction(...)) → (word, length) rows
+    (MyTableFunction.java:8-16) via posexplode — JVM-side, no Python UDTF."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return TR.split_words_udtf(d, "text", keep_cols=["doc_id"])
+
+
+@q("scalar_concat", """
+SELECT c_custkey, c_name || '_checked' AS tagged FROM customer
+""")
+def scalar_concat(spark, sf_dir):
+    """T1/F1 scalar map: string-append (MyScalarFunction.java:5-9,
+    MyMapFunction.java:5-11) as a JVM concat, not a Python UDF."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return TR.map_append(c, "c_name", "_checked", out="tagged").drop("c_name")
+
+
+# =====================================================================
+# Formats (F5-F6)
+# =====================================================================
+
+_PART_CSV_SCHEMA = T.StructType([
+    T.StructField("p_partkey", T.LongType()),
+    T.StructField("p_name", T.StringType()),
+    T.StructField("p_brand", T.StringType()),
+    T.StructField("p_size", T.IntegerType()),
+])
+
+
+@q("csv_roundtrip_part", """
+SELECT p_partkey, p_name, p_brand, p_size FROM part
+""")
+def csv_roundtrip_part(spark, sf_dir):
+    """F5: csv encode→decode roundtrip with '|' delimiter (the Csv2Csv
+    pipeline, csv.field-delimiter='|' — Csv2Csv.java:35-38); identity
+    proves both directions."""
+    p = _t(spark, sf_dir, "part")
+    return csv_roundtrip(p, ["p_partkey", "p_name", "p_brand", "p_size"],
+                         _PART_CSV_SCHEMA, field_delimiter="|")
+
+
+_ORDERS_JSON_SCHEMA = T.StructType([
+    T.StructField("o_orderkey", T.LongType()),
+    T.StructField("o_orderstatus", T.StringType()),
+    T.StructField("o_totalprice", T.DoubleType()),
+    T.StructField("o_orderdate", T.TimestampType()),
+])
+
+
+@q("json_roundtrip_orders", """
+SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate FROM orders
+""")
+def json_roundtrip_orders(spark, sf_dir):
+    """F6: json encode→decode roundtrip (Json2Json pipeline), incl. timestamp
+    and double fidelity."""
+    o = _t(spark, sf_dir, "orders")
+    return json_roundtrip(o, ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"],
+                          _ORDERS_JSON_SCHEMA)
+
+
+@q("events_json_extract", """
+SELECT event_type,
+       CAST(SUM(json_extract(props, '$.k')::INT) AS BIGINT) AS sum_k,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY event_type
+""")
+def events_json_extract(spark, sf_dir):
+    """F6 json field extraction from a string column + keyed agg."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("int")).cast("bigint").alias("sum_k"),
+        F.count("*").alias("n"),
+    )
+
+
+# =====================================================================
+# Event-time windows (W2/W3 batch analog) + sessionization
+# =====================================================================
+
+@q("events_hourly", """
+SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+""")
+def events_hourly(spark, sf_dir):
+    """W2/W3: keyed tumbling event-time window (1h), batch analog of
+    `keyBy().window(Tumbling...).aggregate()` (SocketAppV2.java:41). Uses
+    F.window — identical alignment to date_trunc for hour-aligned windows."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), exact_sum("value", 6, "sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+@q("user_sessions", """
+WITH ev AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts,
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM sess GROUP BY user_id, session_id
+""")
+def user_sessions(spark, sf_dir):
+    """Sessionization (beyond-reference; session_window's batch analog):
+    lag-gap > 30 min starts a new session; cumulative-sum session ids."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    gap_us = (F.unix_micros(F.col("ts").cast("timestamp"))
+              - F.unix_micros(prev.cast("timestamp")))
+    flagged = e.withColumn(
+        "new_sess",
+        F.when(F.lag("ts").over(w).isNull() | (gap_us > 1800 * 1000 * 1000), 1).otherwise(0),
+    )
+    sess = flagged.withColumn("session_id", F.sum("new_sess").over(w).cast("bigint"))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+# =====================================================================
+# Changelog / CDC (F3-F4, S9-S10 decode path, A5 retraction analog)
+# =====================================================================
+
+_ORDERS_CDC_SCHEMA = T.StructType([
+    T.StructField("o_orderkey", T.LongType()),
+    T.StructField("o_custkey", T.LongType()),
+    T.StructField("o_totalprice", T.DoubleType()),
+])
+
+
+def _orders_canal_envelopes(spark, sf_dir):
+    """Deterministic Canal envelopes from the orders table: status O→INSERT,
+    F→UPDATE (old holds a +100 totalprice), P→DELETE."""
+    o = _t(spark, sf_dir, "orders")
+    row = F.struct("o_orderkey", "o_custkey", "o_totalprice")
+    old_row = F.struct(
+        F.lit(None).cast("bigint").alias("o_orderkey"),
+        F.lit(None).cast("bigint").alias("o_custkey"),
+        (F.col("o_totalprice") + 100.0).alias("o_totalprice"),
+    )
+    ctype = (
+        F.when(F.col("o_orderstatus") == "O", "INSERT")
+        .when(F.col("o_orderstatus") == "F", "UPDATE")
+        .otherwise("DELETE")
+    )
+    return o.select(
+        F.to_json(F.struct(
+            F.array(row).alias("data"),
+            F.when(F.col("o_orderstatus") == "F", F.array(old_row)).alias("old"),
+            ctype.alias("type"),
+            F.lit("testdb").alias("database"),
+            F.lit("orders").alias("table"),
+            F.array(F.lit("o_orderkey")).alias("pkNames"),
+            _ms("o_orderdate").alias("es"),
+            _ms("o_orderdate").alias("ts"),
+            F.lit(False).alias("isDdl"),
+        )).alias("value")
+    )
+
+
+@q("canal_decode", """
+SELECT '+I' AS op, epoch_ms(o_orderdate) AS ts_ms, o_orderkey, o_custkey, o_totalprice
+FROM orders WHERE o_orderstatus = 'O'
+UNION ALL
+SELECT '-U', epoch_ms(o_orderdate), o_orderkey, o_custkey, o_totalprice + 100.0
+FROM orders WHERE o_orderstatus = 'F'
+UNION ALL
+SELECT '+U', epoch_ms(o_orderdate), o_orderkey, o_custkey, o_totalprice
+FROM orders WHERE o_orderstatus = 'F'
+UNION ALL
+SELECT '-D', epoch_ms(o_orderdate), o_orderkey, o_custkey, o_totalprice
+FROM orders WHERE o_orderstatus = 'P'
+""")
+def canal_decode(spark, sf_dir):
+    """F3: canal-json envelope → changelog rows (+I/-U/+U/-D), including the
+    UPDATE old-field merge (Canal old[] holds only changed fields —
+    canal_json/Kafka2Print.java:63-103). Envelopes built deterministically
+    from orders; decode must reproduce the oracle's per-status expansion."""
+    env = _orders_canal_envelopes(spark, sf_dir)
+    return decode_canal_json(env, "value", _ORDERS_CDC_SCHEMA)
+
+
+_EVENTS_CDC_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("value", T.DoubleType()),
+])
+
+
+def _events_debezium_envelopes(spark, sf_dir):
+    """Debezium envelopes from events: view/purchase→c, signup→r, click→u
+    (before = value+1.0), error→d."""
+    e = _t(spark, sf_dir, "events")
+    row = F.struct("event_id", "user_id", "value")
+    before_u = F.struct(
+        F.col("event_id"), F.col("user_id"), (F.col("value") + 1.0).alias("value"))
+    op = (
+        F.when(F.col("event_type").isin("view", "purchase"), "c")
+        .when(F.col("event_type") == "signup", "r")
+        .when(F.col("event_type") == "click", "u")
+        .otherwise("d")
+    )
+    before = F.when(op == "u", before_u).when(op == "d", row)
+    after = F.when(op.isin("c", "r", "u"), row)
+    return e.select(
+        F.to_json(F.struct(
+            before.alias("before"), after.alias("after"),
+            op.alias("op"), _ms("ts").alias("ts_ms"),
+        )).alias("value")
+    )
+
+
+@q("debezium_decode", """
+SELECT '+I' AS op, epoch_ms(ts) AS ts_ms, event_id, user_id, value
+FROM events WHERE event_type IN ('view', 'purchase', 'signup')
+UNION ALL
+SELECT '-U', epoch_ms(ts), event_id, user_id, value + 1.0
+FROM events WHERE event_type = 'click'
+UNION ALL
+SELECT '+U', epoch_ms(ts), event_id, user_id, value
+FROM events WHERE event_type = 'click'
+UNION ALL
+SELECT '-D', epoch_ms(ts), event_id, user_id, value
+FROM events WHERE event_type = 'error'
+""")
+def debezium_decode(spark, sf_dir):
+    """F4: debezium-json envelope (before/after/op c|r|u|d) → changelog rows
+    (debezium_json/Kafka2Print.java:25-39 semantics)."""
+    env = _events_debezium_envelopes(spark, sf_dir)
+    return decode_debezium_json(env, "value", _EVENTS_CDC_SCHEMA)
+
+
+@q("upsert_materialize", """
+SELECT o_orderkey, o_custkey,
+       CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 2.0 ELSE o_totalprice END AS o_totalprice
+FROM orders WHERE o_orderstatus <> 'P'
+""")
+def upsert_materialize(spark, sf_dir):
+    """Changelog → current state (the foreachBatch-MERGE analog; A5 retraction
+    semantics): +I for all orders, +U (price×2) for F at ts+1, -D for P at
+    ts+1; newest-per-PK wins, deletes drop."""
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        F.lit("+I").alias("op"), _ms("o_orderdate").alias("ts_ms"),
+        "o_orderkey", "o_custkey", "o_totalprice")
+    updates = o.filter(F.col("o_orderstatus") == "F").select(
+        F.lit("+U").alias("op"), (_ms("o_orderdate") + 1).alias("ts_ms"),
+        "o_orderkey", "o_custkey",
+        (F.col("o_totalprice") * 2.0).alias("o_totalprice"))
+    deletes = o.filter(F.col("o_orderstatus") == "P").select(
+        F.lit("-D").alias("op"), (_ms("o_orderdate") + 1).alias("ts_ms"),
+        "o_orderkey", "o_custkey", "o_totalprice")
+    changelog = base.unionByName(updates).unionByName(deletes)
+    return upsert_latest(changelog, ["o_orderkey"])
+
+
+# =====================================================================
+# Text analysis (LLM-pipeline operators)
+# =====================================================================
+
+@q("token_counts", r"""
+SELECT doc_id,
+       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_subtokens
+FROM documents
+""")
+def token_counts(spark, sf_dir):
+    """Token counting: whitespace tokens + BPE-ish word-piece regex count."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.token_count("text"),
+        TX.bpe_ish_token_count("text"),
+    )
+
+
+@q("doc_quality", r"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars_calc,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
+         CASE WHEN length(text) = 0 THEN 0.0
+              ELSE CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
+                   / CAST(length(text) AS DOUBLE) END AS punct_ratio,
+         length(trim(text)) AS trim_len,
+         len(regexp_extract_all(lower(text),
+             '\b(the|and|of|to|in|is|that|it|for|with)\b')) AS n_stop
+  FROM documents
+), feat AS (
+  SELECT doc_id, n_chars_calc,
+         CAST(n_tok AS BIGINT) AS n_tokens,
+         CASE WHEN n_tok = 0 THEN 0.0
+              ELSE CAST(trim_len AS DOUBLE) / CAST(n_tok AS DOUBLE) END AS mean_token_len,
+         punct_ratio,
+         CASE WHEN n_tok = 0 THEN 0.0
+              ELSE CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE) END AS stopword_ratio
+  FROM base
+)
+SELECT doc_id, n_chars_calc, n_tokens, mean_token_len, punct_ratio, stopword_ratio,
+       least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5
+       + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.3
+       + least(stopword_ratio * 4.0, 1.0) * 0.2 AS quality
+FROM feat
+""")
+def doc_quality(spark, sf_dir):
+    """Quality scoring: length/punct/stopword features + composite score
+    (scalar IEEE arithmetic, mirrored expression-for-expression)."""
+    return TX.quality_score(_t(spark, sf_dir, "documents"))
+
+
+@q("lang_id_pred", r"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|it|for|with)\b')) AS score_en,
+         len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|ein|mit|den|von)\b')) AS score_de,
+         len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|un|une|des|dans|pour)\b')) AS score_fr,
+         len(regexp_extract_all(lower(text), '\b(el|la|los|las|es|un|una|de|que|por)\b')) AS score_es,
+         len(regexp_extract_all(lower(text), '\b(de5|shi4|le5|zai4|you3|wo3|ta1|zhe4|bu4|ren2)\b')) AS score_zh
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN greatest(score_en, score_de, score_fr, score_es, score_zh) = 0 THEN 'und'
+            WHEN score_de = greatest(score_en, score_de, score_fr, score_es, score_zh) THEN 'de'
+            WHEN score_en = greatest(score_en, score_de, score_fr, score_es, score_zh) THEN 'en'
+            WHEN score_es = greatest(score_en, score_de, score_fr, score_es, score_zh) THEN 'es'
+            WHEN score_fr = greatest(score_en, score_de, score_fr, score_es, score_zh) THEN 'fr'
+            ELSE 'zh' END AS lang_pred
+FROM scored
+""")
+def lang_id_pred(spark, sf_dir):
+    """Language-ID heuristic: argmax of stopword-marker hits per language
+    ('und' when no hits; deterministic alphabetical tie-break)."""
+    d = _t(spark, sf_dir, "documents")
+    return TX.lang_id(d).select("doc_id", "lang", "lang_pred")
+
+
+@q("fingerprint_docs", r"""
+SELECT doc_id,
+       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+FROM documents
+""")
+def fingerprint_docs(spark, sf_dir):
+    """Document fingerprinting: md5 over normalized text."""
+    return TX.fingerprint_md5(_t(spark, sf_dir, "documents")).select("doc_id", "fingerprint")
+
+
+@q("dedup_exact_docs", r"""
+SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+       CAST(COUNT(*) AS BIGINT) AS n_dupes
+FROM documents
+GROUP BY 1
+""")
+def dedup_exact_docs(spark, sf_dir):
+    """Exact dedup: hash-groupBy on the md5 fingerprint, min-id representative."""
+    return DD.dedup_exact(_t(spark, sf_dir, "documents"))
+
+
+@q("rolling_fingerprint")  # xxhash64 is Spark-specific — rows-only check
+def rolling_fingerprint(spark, sf_dir):
+    """Order-sensitive rolling-hash fingerprint (fold over tokens). No SQL
+    oracle (xxhash64 not in DuckDB); verified by unit tests."""
+    return TX.fingerprint_rolling(_t(spark, sf_dir, "documents")).select("doc_id", "rolling_fp")
+
+
+# =====================================================================
+# Dedup: n-gram Jaccard (oracle), MinHash/SimHash (rows-only; xxhash64)
+# =====================================================================
+
+@q("ngram_jaccard_pairs", r"""
+WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+toks AS (SELECT doc_id AS id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM docs),
+idx AS (SELECT id, t, unnest(generate_series(1, len(t) - 4)) AS i FROM toks WHERE len(t) >= 5),
+sh AS (
+  SELECT DISTINCT id, array_to_string(t[i:i+4], ' ') AS shingle FROM idx
+  UNION
+  SELECT id, array_to_string(t, ' ') FROM toks WHERE len(t) < 5
+),
+sizes AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT i.id_a, i.id_b,
+       CAST(i.n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.id_a = sa.id
+JOIN sizes sb ON i.id_b = sb.id
+WHERE CAST(i.n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) >= 0.2
+""")
+def ngram_jaccard_pairs_q(spark, sf_dir):
+    """Exact 5-gram Jaccard near-dup pairs on a doc_id<200 slice (the exact
+    verifier stage of the dedup pipeline; at scale it only runs on LSH
+    candidates)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return DD.ngram_jaccard_pairs(d, n=5, threshold=0.2)
+
+
+@q("minhash_lsh_pairs")  # rows-only: xxhash64 signatures have no DuckDB analog
+def minhash_lsh_pairs(spark, sf_dir):
+    """MinHash(64 perms) + 16-band LSH candidate pairs — the scale path for
+    near-dup detection. Deterministic (seeded xxhash64); verified by unit
+    tests (LSH ⊇ high-Jaccard pairs)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return DD.minhash_lsh_candidates(d, n=5, num_perm=64, bands=16)
+
+
+@q("simhash_fingerprints")  # rows-only
+def simhash_fingerprints(spark, sf_dir):
+    """64-bit SimHash per document (xxhash64 token hashes → signed bit sums)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return DD.simhash(d)
+
+
+# =====================================================================
+# Similarity search over embeddings
+# =====================================================================
+
+def _query_vec(spark, sf_dir) -> list[float]:
+    row = (
+        _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0)
+        .select("embedding").head()
+    )
+    return list(row["embedding"])
+
+
+@q("cosine_topk", """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+sums AS (
+  SELECT e.vec_id AS id,
+         list_reduce(list_transform(generate_series(1, 64),
+             i -> e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE), (x, y) -> x + y) AS dot,
+         list_reduce(list_transform(generate_series(1, 64),
+             i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE), (x, y) -> x + y) AS na,
+         list_reduce(list_transform(generate_series(1, 64),
+             i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE), (x, y) -> x + y) AS nb
+  FROM embeddings e, q
+)
+SELECT id, dot / (sqrt(na) * sqrt(nb)) AS cosine_sim
+FROM sums
+ORDER BY cosine_sim DESC, id
+LIMIT 10
+""")
+def cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-10 against vec_id=0's embedding.
+
+    Determinism: both engines left-fold the per-element double products in
+    identical element order (Spark F.aggregate ≡ DuckDB list_reduce), so the
+    doubles are bit-identical and the ranking matches exactly — verified in
+    the dev checker. operators.similarity.cosine uses the same fold."""
+    e = _t(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    qcol = F.array(*[F.lit(float(x)) for x in qv])
+    scored = e.select(
+        F.col("vec_id").alias("id"),
+        SIM.cosine(F.col("embedding"), qcol).alias("cosine_sim"),
+    )
+    return scored.orderBy(F.desc("cosine_sim"), F.asc("id")).limit(10)
+
+
+@q("ann_lsh_topk")  # rows-only: approximate by construction
+def ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed approximate top-10 (random-hyperplane signs, Hamming≤1
+    probe ring). Recall vs brute force is asserted in unit tests."""
+    e = _t(spark, sf_dir, "embeddings")
+    return SIM.lsh_bucketed_topk(e, _query_vec(spark, sf_dir), k=10)
+
+
+@q("embedding_near_dup")  # rows-only: LSH-pruned pair generation
+def embedding_near_dup(spark, sf_dir):
+    """Embedding near-dup pairs (cosine ≥ 0.95) with LSH bucket pruning."""
+    e = _t(spark, sf_dir, "embeddings")
+    return SIM.embedding_near_dup_pairs(e, threshold=0.95)
+
+
+# =====================================================================
+# Multimodal plumbing
+# =====================================================================
+
+@q("multimodal_meta", """
+SELECT doc_id, 'image' AS media_type, CAST(strlen(text) AS BIGINT) AS n_bytes
+FROM documents
+""")
+def multimodal_meta(spark, sf_dir):
+    """Multimodal plumbing: text bytes stand in for media payloads; the
+    Arrow-batched mapInPandas feature kernel reports byte sizes the oracle
+    can verify (decode itself is stubbed — no codecs in this container)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload"))
+    d = MM.attach_media_meta(d, "payload", "image", "png")
+    feats = MM.extract_features(d, id_col="doc_id", binary_col="payload")
+    return feats.select("doc_id", "media_type", "n_bytes")
+
+
+@q("approx_distinct_parts")  # rows-only: approximate by definition
+def approx_distinct_parts(spark, sf_dir):
+    """approx_count_distinct (HLL++) per supplier — §2.7 approximate-agg fill;
+    exactness not oracle-comparable by design."""
+    return _t(spark, sf_dir, "lineitem").groupBy("l_suppkey").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"))

@@ -1,0 +1,80 @@
+"""First-party sink wrappers (SURVEY.md §2.5 K1, K8, K9 + parquet).
+
+- K1 Kafka sink: Spark's kafka writer is at-least-once (no transactional EOS
+  like Flink's DeliveryGuarantee.EXACTLY_ONCE, Kafka2Kafka.java:45-46);
+  effective exactly-once comes from idempotent keys + checkpointLocation —
+  documented delta, not hidden.
+- K8 print/console sink: Flink `.print()` → console format / df.show().
+- K9 format-encoded Kafka sink: to_csv/to_json/to_avro then kafka writer
+  (the reference rejects canal/debezium as *sink* formats —
+  canal_json/MySqlCDC2Kafka.java:115-118 — we allow debezium-style emission
+  via functions.changelog.encode_debezium_json as an improvement).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+
+def kafka_sink(df: DataFrame, bootstrap_servers: str, topic: str, *,
+               checkpoint_location: str, key_col: str | None = None,
+               value_col: str = "value", trigger_seconds: int | None = None) -> StreamingQuery:
+    """K1: write a streaming DataFrame to Kafka. `value_col` must be
+    string/binary; set `key_col` for idempotent/keyed writes (the
+    effectively-once recipe)."""
+    cols = [F.col(value_col).cast("string").alias("value")]
+    if key_col:
+        cols.insert(0, F.col(key_col).cast("string").alias("key"))
+    writer = (
+        df.select(*cols).writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint_location)
+    )
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
+def console_sink(df: DataFrame, *, mode: str = "append", num_rows: int = 20,
+                 checkpoint_location: str | None = None) -> StreamingQuery:
+    """K8: streaming print sink (`.print()` / 'connector'='print')."""
+    writer = (
+        df.writeStream.format("console").outputMode(mode)
+        .option("numRows", str(num_rows)).option("truncate", "false")
+    )
+    if checkpoint_location:
+        writer = writer.option("checkpointLocation", checkpoint_location)
+    return writer.start()
+
+
+def memory_sink(df: DataFrame, query_name: str, *, mode: str = "append") -> StreamingQuery:
+    """Test sink: results land in an in-memory table named `query_name`."""
+    return (
+        df.writeStream.format("memory").queryName(query_name)
+        .outputMode(mode).start()
+    )
+
+
+def parquet_sink(df: DataFrame, path: str, *, checkpoint_location: str,
+                 partition_by: list[str] | None = None) -> StreamingQuery:
+    """Durable columnar sink. Partition by a low-cardinality time/tenant key
+    at scale so downstream scans prune."""
+    writer = (
+        df.writeStream.format("parquet").option("path", path)
+        .option("checkpointLocation", checkpoint_location)
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    return writer.start()
+
+
+def batch_parquet_write(df: DataFrame, path: str, *,
+                        partition_by: list[str] | None = None,
+                        mode: str = "overwrite") -> None:
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

@@ -1,0 +1,131 @@
+"""Count windows + hybrid count/time triggers — the reference's custom-trigger
+family (SURVEY.md §2.4 W4-W6), as stateful Pandas operators.
+
+Reference parity:
+- W4 countWindowAll(5): fire & purge every 5 elements —
+  MyWindowTrigger/src/main/java/CountWindowDemo.java:15-22.
+- W5 time window + CountTrigger.of(5) —
+  TimeWindowAddCountTriggerDemo.java:24-34.
+- W6 MyCountTrigger: ReducingState counter, onElement fires+purges at maxCount
+  OR window end; clear() drops state —
+  MyWindowTrigger/src/main/java/MyCountTrigger.java:12-92.
+
+Spark has no trigger concept, so these are keyed stateful operators via
+``applyInPandasWithState``: state = buffered count/values per key; emit + clear
+at N elements (W4), or at N elements OR timeout (W5/W6 — fire-and-purge on
+whichever comes first, timeout via GroupStateTimeout.ProcessingTimeTimeout).
+
+State per key is O(1) (counts + small aggregates, NOT buffered raw rows), so
+executor state stores stay bounded at any scale.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F, types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+COUNT_WINDOW_OUTPUT = T.StructType([
+    T.StructField("key", T.StringType()),
+    T.StructField("window_seq", T.LongType()),   # nth fired window per key
+    T.StructField("cnt", T.LongType()),
+    T.StructField("sum_value", T.DoubleType()),
+    T.StructField("fired_by", T.StringType()),   # 'count' | 'timeout'
+])
+
+COUNT_WINDOW_STATE = T.StructType([
+    T.StructField("buf_cnt", T.LongType()),
+    T.StructField("buf_sum", T.DoubleType()),
+    T.StructField("fired", T.LongType()),
+])
+
+
+def make_count_window_fn(max_count: int, timeout_ms: int | None = None,
+                         emit_partial_on_timeout: bool = True):
+    """Build the applyInPandasWithState function implementing
+    MyCountTrigger.java:36-71 semantics: accumulate per key; when the buffer
+    reaches `max_count` → FIRE_AND_PURGE; when the processing-time timeout
+    expires with a non-empty buffer → FIRE_AND_PURGE (the window-end path).
+
+    W4 (pure count window): timeout_ms=None.
+    W5/W6 (hybrid): timeout_ms = window length.
+    """
+
+    def fn(key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            buf_cnt, buf_sum, fired = state.get
+            state.remove()
+            if emit_partial_on_timeout and buf_cnt > 0:
+                yield pd.DataFrame([{
+                    "key": key[0], "window_seq": fired, "cnt": buf_cnt,
+                    "sum_value": buf_sum, "fired_by": "timeout",
+                }])
+            return
+
+        buf_cnt, buf_sum, fired = state.get if state.exists else (0, 0.0, 0)
+        out = []
+        for pdf in pdf_iter:
+            for v in pdf["value"]:
+                buf_cnt += 1
+                buf_sum += float(v)
+                if buf_cnt >= max_count:
+                    out.append({
+                        "key": key[0], "window_seq": fired, "cnt": buf_cnt,
+                        "sum_value": buf_sum, "fired_by": "count",
+                    })
+                    fired += 1
+                    buf_cnt, buf_sum = 0, 0.0
+        state.update((buf_cnt, buf_sum, fired))
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
+        if out:
+            yield pd.DataFrame(out)
+
+    return fn
+
+
+def count_window(df: DataFrame, key_col: str, value_col: str, max_count: int,
+                 timeout_ms: int | None = None) -> DataFrame:
+    """W4-W6 entry point: keyed count window over a streaming DataFrame.
+
+    Input: any schema with `key_col` (string-castable) and `value_col`
+    (numeric). Output: one row per fired window (COUNT_WINDOW_OUTPUT).
+    """
+    prepared = df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return prepared.groupBy("key").applyInPandasWithState(
+        make_count_window_fn(max_count, timeout_ms),
+        outputStructType=COUNT_WINDOW_OUTPUT,
+        stateStructType=COUNT_WINDOW_STATE,
+        outputMode="append",
+        timeoutConf=timeout,
+    )
+
+
+def count_window_batch(df: DataFrame, key_col: str, value_col: str,
+                       max_count: int, order_col: str) -> DataFrame:
+    """Batch-mode count window (U4 unified-execution analog): assign each row
+    a window_seq = floor(rank/max_count) per key by `order_col`, then
+    aggregate. Deterministic given a unique order column; pure built-ins."""
+    from pyspark.sql import Window
+    w = Window.partitionBy(key_col).orderBy(order_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w) - 1)
+        .withColumn("window_seq", (F.col("_rn") / max_count).cast("bigint"))
+        .groupBy(F.col(key_col).alias("key"), "window_seq")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col(value_col).cast("double")).alias("sum_value"),
+        )
+    )
