@@ -1,0 +1,72 @@
+"""Benchmark runner — driver contract: ONE JSON line on stdout.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS]. Each query is forced through full execution with
+the `noop` sink (no driver-side collect of big results; count() shortcuts are
+avoided). Per-query wall seconds + total reported.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from felixzh_flink_spark.queries import QUERIES  # noqa: E402
+from felixzh_flink_spark.session import get_spark  # noqa: E402
+
+#: headline set: one per operator family (scan-agg, star join, top-k join,
+#: multi-join, window-analytic, sessionization, text, dedup-exact, minhash,
+#: jaccard, similarity, CDC decode, upsert, formats).
+HEADLINE = [
+    "q1_pricing_summary",
+    "revenue_by_nation",
+    "q3_top_unshipped",
+    "q5_local_supplier_volume",
+    "top_orders_per_customer",
+    "user_sessions",
+    "events_hourly",
+    "word_count",
+    "dedup_exact_docs",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "cosine_topk",
+    "canal_decode",
+    "upsert_materialize",
+    "json_roundtrip_orders",
+]
+
+
+def force(df) -> None:
+    """Execute the full plan without materializing results on the driver."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    spark = get_spark("bench")
+    timings: dict[str, float] = {}
+    # one warmup action so JVM/codegen startup isn't billed to the first query
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        force(QUERIES[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

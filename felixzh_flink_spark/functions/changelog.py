@@ -67,8 +67,6 @@ def decode_canal_json(df: DataFrame, value_col: str, row_schema: T.StructType,
     """
     env = df.withColumn("_env", F.from_json(F.col(value_col), canal_envelope_schema(row_schema)))
     env = env.filter(F.col("_env").isNotNull() & (~F.coalesce(F.col("_env.isDdl"), F.lit(False))))
-    if not ignore_parse_errors:
-        env = df.withColumn("_env", F.from_json(F.col(value_col), canal_envelope_schema(row_schema)))
 
     fields = [f.name for f in row_schema.fields]
     # pair data[i] with old[i] positionally for UPDATE old-field merging
@@ -78,23 +76,29 @@ def decode_canal_json(df: DataFrame, value_col: str, row_schema: T.StructType,
         F.col("_env.old").alias("_olds"),
     ).withColumn("_old", F.col("_olds")[F.col("_i")])
 
-    def rowcols(src: str, merge_old: bool = False) -> list[Column]:
-        if not merge_old:
-            return [F.col(f"{src}.{f}").alias(f) for f in fields]
-        # old[] has only changed fields (others null) → coalesce over new
-        return [F.coalesce(F.col(f"_old.{f}"), F.col(f"_new.{f}")).alias(f) for f in fields]
+    new_row = F.struct(*[F.col(f"_new.{f}").alias(f) for f in fields])
+    # old[] has only changed fields (others null) → coalesce over new
+    merged_old = F.struct(*[
+        F.coalesce(F.col(f"_old.{f}"), F.col(f"_new.{f}")).alias(f) for f in fields
+    ])
 
-    inserts = paired.filter(F.col("type") == "INSERT").select(
-        F.lit(OP_INSERT).alias("op"), F.col("es").alias("ts_ms"), *rowcols("_new"))
-    deletes = paired.filter(F.col("type") == "DELETE").select(
-        F.lit(OP_DELETE).alias("op"), F.col("es").alias("ts_ms"), *rowcols("_new"))
-    upd = paired.filter(F.col("type") == "UPDATE")
-    upd_before = upd.select(
-        F.lit(OP_UPDATE_BEFORE).alias("op"), F.col("es").alias("ts_ms"),
-        *rowcols("_old", merge_old=True))
-    upd_after = upd.select(
-        F.lit(OP_UPDATE_AFTER).alias("op"), F.col("es").alias("ts_ms"), *rowcols("_new"))
-    return inserts.unionByName(upd_before).unionByName(upd_after).unionByName(deletes)
+    def tagged(op: str, row: Column) -> Column:
+        return F.struct(F.lit(op).alias("op"), row.alias("row"))
+
+    # Single-pass: one (op,row) array per record, exploded once — the
+    # branch-and-union formulation would rescan/re-parse the source 4× .
+    ops = (
+        F.when(F.col("type") == "INSERT", F.array(tagged(OP_INSERT, new_row)))
+        .when(F.col("type") == "DELETE", F.array(tagged(OP_DELETE, new_row)))
+        .when(F.col("type") == "UPDATE",
+              F.array(tagged(OP_UPDATE_BEFORE, merged_old),
+                      tagged(OP_UPDATE_AFTER, new_row)))
+    )
+    return (
+        paired.select(F.col("es").alias("ts_ms"), F.explode(ops).alias("_t"))
+        .select(F.col("_t.op").alias("op"), "ts_ms",
+                *[F.col(f"_t.row.{f}").alias(f) for f in fields])
+    )
 
 
 def debezium_envelope_schema(row_schema: T.StructType) -> T.StructType:
@@ -124,19 +128,24 @@ def decode_debezium_json(df: DataFrame, value_col: str, row_schema: T.StructType
         env = env.filter(F.col("_env").isNotNull() & F.col("_env.op").isNotNull())
     fields = [f.name for f in row_schema.fields]
 
-    def rowcols(src: str) -> list[Column]:
-        return [F.col(f"_env.{src}.{f}").alias(f) for f in fields]
+    before = F.struct(*[F.col(f"_env.before.{f}").alias(f) for f in fields])
+    after = F.struct(*[F.col(f"_env.after.{f}").alias(f) for f in fields])
 
-    inserts = env.filter(F.col("_env.op").isin("c", "r")).select(
-        F.lit(OP_INSERT).alias("op"), F.col("_env.ts_ms").alias("ts_ms"), *rowcols("after"))
-    upd = env.filter(F.col("_env.op") == "u")
-    upd_before = upd.select(
-        F.lit(OP_UPDATE_BEFORE).alias("op"), F.col("_env.ts_ms").alias("ts_ms"), *rowcols("before"))
-    upd_after = upd.select(
-        F.lit(OP_UPDATE_AFTER).alias("op"), F.col("_env.ts_ms").alias("ts_ms"), *rowcols("after"))
-    deletes = env.filter(F.col("_env.op") == "d").select(
-        F.lit(OP_DELETE).alias("op"), F.col("_env.ts_ms").alias("ts_ms"), *rowcols("before"))
-    return inserts.unionByName(upd_before).unionByName(upd_after).unionByName(deletes)
+    def tagged(op: str, row: Column) -> Column:
+        return F.struct(F.lit(op).alias("op"), row.alias("row"))
+
+    # Single-pass (see decode_canal_json): one exploded (op,row) array.
+    ops = (
+        F.when(F.col("_env.op").isin("c", "r"), F.array(tagged(OP_INSERT, after)))
+        .when(F.col("_env.op") == "u",
+              F.array(tagged(OP_UPDATE_BEFORE, before), tagged(OP_UPDATE_AFTER, after)))
+        .when(F.col("_env.op") == "d", F.array(tagged(OP_DELETE, before)))
+    )
+    return (
+        env.select(F.col("_env.ts_ms").alias("ts_ms"), F.explode(ops).alias("_t"))
+        .select(F.col("_t.op").alias("op"), "ts_ms",
+                *[F.col(f"_t.row.{f}").alias(f) for f in fields])
+    )
 
 
 def upsert_latest(changelog: DataFrame, pk: list[str], order_col: str = "ts_ms",

@@ -1,0 +1,43 @@
+from pyspark.sql import functions as F
+
+from felixzh_flink_spark.operators.aggregations import (
+    exact_sum,
+    keyed_count,
+    keyed_sum,
+    salted_two_phase_count,
+    weighted_avg,
+)
+
+
+def test_keyed_count_and_sum(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 4.0)], "k string, v double")
+    counts = {r["k"]: r["cnt"] for r in keyed_count(df, "k").collect()}
+    assert counts == {"a": 2, "b": 1}
+    sums = {r["k"]: r["total"] for r in keyed_sum(df, "k", "v").collect()}
+    assert sums == {"a": 3.0, "b": 4.0}
+
+
+def test_weighted_avg_matches_reference_udaf_semantics(spark):
+    # WeightedAvgAccumulator semantics: sum(v*w)/sum(w)
+    df = spark.createDataFrame(
+        [("k", 10.0, 2.0), ("k", 20.0, 6.0)], "k string, v double, w double")
+    got = weighted_avg(df, "k", "v", "w").head()["wavg"]
+    assert abs(got - (10 * 2 + 20 * 6) / 8.0) < 1e-12
+
+
+def test_salted_two_phase_equals_plain_count(spark, sf_dir):
+    from felixzh_flink_spark.catalog import load_table
+    events = load_table(spark, sf_dir, "events").select("event_type")
+    plain = {r["event_type"]: r["count"] for r in events.groupBy("event_type").count().collect()}
+    salted = {r["event_type"]: r["cnt"]
+              for r in salted_two_phase_count(events, "event_type").collect()}
+    assert salted == plain
+
+
+def test_exact_sum_is_order_insensitive(spark):
+    # doubles whose naive sum differs by order; decimal path must not
+    vals = [(1e15,), (1.0,), (-1e15,), (1.0,)]
+    df = spark.createDataFrame(vals, "v double")
+    assert df.agg(exact_sum("v", 4, "s")).head()["s"] == 2.0
+    assert df.repartition(4).agg(exact_sum("v", 4, "s")).head()["s"] == 2.0

@@ -1,0 +1,86 @@
+from pyspark.sql import functions as F
+
+from felixzh_flink_spark.operators import dedup as DD
+from felixzh_flink_spark.operators import similarity as SIM
+
+
+def _docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = "the quick brown fox jumps over the lazy dog again and again tonight"
+    far = "completely different words in this tiny document about spark engines"
+    return spark.createDataFrame(
+        [(1, base), (2, near), (3, far), (4, base)], "doc_id long, text string")
+
+
+def test_dedup_exact_groups_identical_docs(spark):
+    out = DD.dedup_exact(_docs(spark))
+    by_keep = {r["keep_id"]: r["n_dupes"] for r in out.collect()}
+    assert by_keep[1] == 2  # docs 1 and 4 identical
+    assert by_keep[2] == 1 and by_keep[3] == 1
+
+
+def test_shingles_short_doc_fallback(spark):
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    rows = DD.shingles(df, n=3).collect()
+    assert [(r["id"], r["shingle"]) for r in rows] == [(1, "a b")]
+
+
+def test_ngram_jaccard_finds_near_dupes(spark):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in DD.ngram_jaccard_pairs(_docs(spark), n=3, threshold=0.5).collect()}
+    assert (1, 4) in pairs and pairs[(1, 4)] == 1.0   # identical
+    assert (1, 2) in pairs and 0.5 <= pairs[(1, 2)] < 1.0  # near-dup
+    assert not any(3 in p for p in pairs)
+
+
+def test_minhash_lsh_catches_what_jaccard_catches(spark):
+    docs = _docs(spark)
+    exact = {(r["id_a"], r["id_b"])
+             for r in DD.ngram_jaccard_pairs(docs, n=3, threshold=0.8).collect()}
+    cand = {(r["id_a"], r["id_b"])
+            for r in DD.minhash_lsh_candidates(docs, n=3, num_perm=64, bands=16).collect()}
+    assert exact <= cand  # LSH candidates ⊇ high-jaccard pairs
+
+
+def test_minhash_dedup_pipeline_end_to_end(spark):
+    out = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in DD.minhash_dedup_pairs(_docs(spark), n=3, threshold=0.9).collect()}
+    assert (1, 4) in out and out[(1, 4)] == 1.0
+
+
+def test_simhash_identical_docs_same_fingerprint(spark):
+    fps = {r["id"]: r["simhash"] for r in DD.simhash(_docs(spark)).collect()}
+    assert fps[1] == fps[4]
+    assert fps[1] != fps[3]
+
+
+def test_simhash_near_pairs_includes_identical(spark):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in DD.simhash_near_pairs(_docs(spark), max_hamming=6).collect()}
+    assert pairs.get((1, 4)) == 0
+
+
+def test_cosine_topk_bruteforce_self_is_top(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = list(e.filter(F.col("vec_id") == 5).head()["embedding"])
+    top = SIM.cosine_topk_bruteforce(e, qv, k=3).collect()
+    assert top[0]["id"] == 5
+    assert abs(top[0]["cosine_sim"] - 1.0) < 1e-9
+
+
+def test_lsh_topk_contains_query_vector(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = list(e.filter(F.col("vec_id") == 5).head()["embedding"])
+    approx = SIM.lsh_bucketed_topk(e, qv, k=5)
+    ids = [r["id"] for r in approx.collect()]
+    assert 5 in ids  # the vector itself always lands in the query's bucket
+
+
+def test_lsh_recall_vs_bruteforce(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = list(e.filter(F.col("vec_id") == 0).head()["embedding"])
+    exact_ids = {r["id"] for r in SIM.cosine_topk_bruteforce(e, qv, k=10).collect()}
+    # widen the probe ring → recall grows; at hamming<=8 of 8 planes the scan
+    # is exhaustive so recall is 1.0 by construction
+    full = {r["id"] for r in SIM.lsh_bucketed_topk(e, qv, k=10, max_hamming=8).collect()}
+    assert full == exact_ids

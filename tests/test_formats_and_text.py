@@ -1,0 +1,106 @@
+import pytest
+
+from pyspark.sql import functions as F, types as T
+
+from felixzh_flink_spark.functions import formats as FMT
+from felixzh_flink_spark.functions.generators import datagen_batch
+from felixzh_flink_spark.functions.registry import load_callable, register_udf
+from felixzh_flink_spark.operators import multimodal as MM
+from felixzh_flink_spark.operators import text as TX
+
+
+SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("name", T.StringType()),
+])
+
+
+def test_csv_roundtrip_with_pipe_delimiter(spark):
+    df = spark.createDataFrame([(1, "a|b"), (2, "plain")], SCHEMA)
+    out = FMT.csv_roundtrip(df, ["id", "name"], SCHEMA, field_delimiter="|")
+    got = {r["id"]: r["name"] for r in out.collect()}
+    assert got == {1: "a|b", 2: "plain"}  # quoting survives the delimiter
+
+
+def test_csv_decode_ignore_parse_errors(spark):
+    df = spark.createDataFrame([("1|x",), ("not-a-long|y",)], "line string")
+    parsed = df.select(FMT.decode_csv("line", SCHEMA, field_delimiter="|").alias("r"))
+    rows = parsed.select("r.id", "r.name").collect()
+    by_name = {r["name"]: r["id"] for r in rows}
+    assert by_name["x"] == 1 and by_name["y"] is None  # malformed field → null
+
+
+def test_json_decode_missing_field_null(spark):
+    df = spark.createDataFrame([('{"id": 5}',)], "line string")
+    parsed = df.select(FMT.decode_json("line", SCHEMA).alias("r")).select("r.id", "r.name")
+    row = parsed.head()
+    assert row["id"] == 5 and row["name"] is None
+
+
+def test_avro_stubbed_without_package(spark):
+    if not FMT.HAS_AVRO:
+        with pytest.raises(NotImplementedError):
+            FMT.decode_avro("c", "{}")
+
+
+def test_registry_dotted_path_and_sql_use(spark):
+    register_udf(spark, "py_capwords", "string.capwords", "string")
+    spark.createDataFrame([("abc def",)], "s string").createOrReplaceTempView("t_reg")
+    assert spark.sql("SELECT py_capwords(s) AS u FROM t_reg").head()["u"] == "Abc Def"
+    import string as string_mod
+    assert load_callable("string:capwords") is string_mod.capwords
+
+
+def test_datagen_deterministic_payload(spark):
+    a = datagen_batch(spark, 5, payload_bytes=16).collect()
+    b = datagen_batch(spark, 5, payload_bytes=16).collect()
+    assert [r["payload"] for r in a] == [r["payload"] for r in b]
+    assert all(len(r["payload"]) == 16 for r in a)
+    assert all(33 <= ord(ch) <= 126 for r in a for ch in r["payload"])
+
+
+def test_lang_id_und_for_no_markers(spark):
+    df = spark.createDataFrame([(1, "xyzzy qwerty", "en")],
+                               "doc_id long, text string, lang string")
+    assert TX.lang_id(df).head()["lang_pred"] == "und"
+
+
+def test_token_count_empty_and_whitespace(spark):
+    df = spark.createDataFrame([(1, ""), (2, "   "), (3, "a b")],
+                               "doc_id long, text string")
+    got = {r["doc_id"]: r["n_tokens"]
+           for r in df.select("doc_id", TX.token_count("text")).collect()}
+    assert got == {1: 0, 2: 0, 3: 2}
+
+
+def test_rolling_fingerprint_is_order_sensitive(spark):
+    df = spark.createDataFrame([(1, "a b c"), (2, "c b a")], "doc_id long, text string")
+    fps = {r["doc_id"]: r["rolling_fp"] for r in TX.fingerprint_rolling(df).collect()}
+    assert fps[1] != fps[2]
+    assert all(0 <= v < 2 ** 31 for v in fps.values())
+
+
+def test_multimodal_fake_features_and_meta(spark):
+    df = spark.createDataFrame([(1, "hello")], "doc_id long, text string") \
+        .select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    df = MM.attach_media_meta(df, "payload", "image", "png")
+    row = MM.extract_features(df).head()
+    assert row["media_type"] == "image"
+    assert row["n_bytes"] == 5
+    assert len(row["feature"]) == 8
+
+
+def test_multimodal_real_codec_stubbed(spark):
+    df = spark.createDataFrame([(1, b"x")], "doc_id long, payload binary")
+    with pytest.raises(Exception) as exc_info:
+        MM.extract_features(df, use_real_codec=True).collect()
+    assert "NotImplementedError" in str(exc_info.value) or isinstance(
+        exc_info.value, NotImplementedError)
+
+
+def test_frame_sample_plan(spark):
+    df = spark.createDataFrame([(1, b"v")], "doc_id long, payload binary")
+    df = MM.attach_media_meta(df, "payload", "video", "mp4")
+    df = df.withColumn("media_meta", F.col("media_meta").withField("duration_ms", F.lit(3500).cast("long")))
+    frames = MM.frame_sample_plan(df, every_ms=1000)
+    assert [r["frame_ts_ms"] for r in frames.collect()] == [0, 1000, 2000, 3000]

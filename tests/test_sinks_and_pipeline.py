@@ -1,0 +1,107 @@
+import time
+
+import pytest
+
+from felixzh_flink_spark.plans.pipeline import PipelineSpec, load_properties
+from felixzh_flink_spark.sinks.buffered import BufferedBulkWriter, FlushPolicy
+
+
+class CollectingWriter:
+    def __init__(self, fail_times: int = 0):
+        self.chunks = []
+        self.fail_times = fail_times
+
+    def __call__(self, chunk):
+        if self.fail_times > 0:
+            self.fail_times -= 1
+            raise IOError("transient")
+        self.chunks.append(list(chunk))
+
+
+def test_flush_by_action_count():
+    sink = CollectingWriter()
+    w = BufferedBulkWriter(sink, FlushPolicy(max_actions=3, max_interval_ms=10**9))
+    for i in range(7):
+        w.add({"i": i})
+    w.close()
+    assert [len(c) for c in sink.chunks] == [3, 3, 1]
+    assert w.written == 7
+
+
+def test_flush_by_bytes():
+    sink = CollectingWriter()
+    w = BufferedBulkWriter(sink, FlushPolicy(max_actions=10**6, max_bytes=10,
+                                             max_interval_ms=10**9),
+                           sizer=lambda r: 6)
+    w.add("aaaaaa")
+    assert sink.chunks == []          # 6 < 10
+    w.add("bbbbbb")                   # 12 ≥ 10 → flush
+    assert [len(c) for c in sink.chunks] == [2]
+
+
+def test_flush_by_interval():
+    sink = CollectingWriter()
+    w = BufferedBulkWriter(sink, FlushPolicy(max_actions=10**6, max_interval_ms=50))
+    w.add({"i": 0})
+    time.sleep(0.08)
+    w.add({"i": 1})                   # interval elapsed → flush both
+    assert [len(c) for c in sink.chunks] == [2]
+
+
+def test_retry_with_constant_backoff_then_success():
+    sink = CollectingWriter(fail_times=2)
+    w = BufferedBulkWriter(sink, FlushPolicy(max_actions=1, max_retries=3, backoff_ms=1))
+    w.add({"i": 0})
+    assert [len(c) for c in sink.chunks] == [1]
+
+
+def test_error_latch_after_retries_exhausted():
+    sink = CollectingWriter(fail_times=10)
+    w = BufferedBulkWriter(sink, FlushPolicy(max_actions=1, max_retries=2, backoff_ms=1))
+    with pytest.raises(IOError):
+        w.add({"i": 0})
+    with pytest.raises(RuntimeError, match="previously failed"):
+        w.add({"i": 1})  # latch rethrow, HBaseSinkFunction failureThrowable contract
+
+
+def test_load_properties(tmp_path):
+    p = tmp_path / "job.properties"
+    p.write_text("# comment\nsource.type=parquet\nsink.type = console\n\nbad-line\n")
+    props = load_properties(p)
+    assert props == {"source.type": "parquet", "sink.type": "console"}
+
+
+def test_pipeline_batch_parquet_wordcount(spark, sf_dir, tmp_path):
+    # U4/U8: properties-driven batch pipeline over a parquet source
+    src = tmp_path / "in"
+    spark.createDataFrame([("a b a",), ("b c",)], "value string") \
+        .write.parquet(str(src))
+    spec = PipelineSpec({
+        "env.runtime.mode": "BATCH",
+        "source.type": "parquet",
+        "source.path": str(src),
+        "transform.chain": "word_count",
+    })
+    out = {r["word"]: r["count"] for r in spec.run_batch(spark).collect()}
+    assert out == {"a": 2, "b": 2, "c": 1}
+
+
+def test_pipeline_stream_memory_sink(spark, tmp_path):
+    # STREAMING mode over a file source → memory sink, deterministic drain
+    src = tmp_path / "stream_in"
+    spark.createDataFrame([("x y",), ("y",)], "value string").write.parquet(str(src))
+    spec = PipelineSpec({
+        "env.runtime.mode": "STREAMING",
+        "source.type": "parquet",
+        "source.path": str(src),
+        "transform.chain": "word_count",
+        "sink.type": "memory",
+        "sink.memory.name": "pipe_out",
+        "sink.output.mode": "complete",
+        "env.checkpoint.location": str(tmp_path / "ckpt"),
+    })
+    q = spec.run(spark)
+    q.processAllAvailable()
+    q.stop()
+    out = {r["word"]: r["count"] for r in spark.sql("SELECT * FROM pipe_out").collect()}
+    assert out == {"x": 1, "y": 2}

@@ -1,0 +1,113 @@
+"""Streaming-layer tests: event-time windows + watermarks, count triggers
+(W1-W7), driven deterministically via file sources + processAllAvailable."""
+
+import pytest
+
+from pyspark.sql import functions as F, types as T
+
+from felixzh_flink_spark.sources.builders import file_stream_source
+from felixzh_flink_spark.streaming.triggers import count_window, count_window_batch
+from felixzh_flink_spark.streaming.windows import (
+    session_window_agg,
+    sliding_window_agg,
+    tumbling_window_agg,
+    with_watermark,
+)
+
+SCHEMA = T.StructType([
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("key", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+])
+
+
+def _write_events(spark, path, rows):
+    spark.createDataFrame(rows, SCHEMA).write.parquet(str(path))
+
+
+def _drain(df, name, mode="append"):
+    q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+
+
+def test_tumbling_window_streaming_with_watermark(spark, tmp_path):
+    # Two files → two micro-batches (maxFilesPerTrigger=1): the second batch
+    # advances the watermark past the first windows so append mode emits them.
+    import datetime as dt
+    import time
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    batch1 = [
+        (base + dt.timedelta(seconds=1), "a", 1.0),
+        (base + dt.timedelta(seconds=2), "a", 2.0),
+        (base + dt.timedelta(seconds=7), "a", 10.0),
+        (base + dt.timedelta(seconds=8), "b", 20.0),
+    ]
+    batch2 = [(base + dt.timedelta(seconds=60), "a", 0.0)]
+    spark.createDataFrame(batch1, SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(str(tmp_path / "in"))
+    time.sleep(1.1)  # distinct mtimes → deterministic file order
+    spark.createDataFrame(batch2, SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(str(tmp_path / "in"))
+    stream = file_stream_source(spark, str(tmp_path / "in"), SCHEMA,
+                                max_files_per_trigger=1)
+    win = tumbling_window_agg(
+        stream, "ts", "5 seconds", ["key"],
+        [F.count("*").alias("n"), F.sum("value").alias("total")],
+        watermark="5 seconds",
+    )
+    _drain(win, "tumble_out", mode="append")
+    got = {(r["window_start"].second, r["key"]): (r["n"], r["total"])
+           for r in spark.sql("SELECT * FROM tumble_out").collect()}
+    assert got[(0, "a")] == (2, 3.0)
+    assert got[(5, "a")] == (1, 10.0)
+    assert got[(5, "b")] == (1, 20.0)
+
+
+def test_sliding_and_session_windows_batch_mode(spark):
+    import datetime as dt
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(base + dt.timedelta(minutes=m), "k", 1.0) for m in (0, 1, 10)], SCHEMA)
+    slid = sliding_window_agg(df, "ts", "10 minutes", "5 minutes", ["key"],
+                              [F.count("*").alias("n")])
+    assert slid.count() >= 3  # each row lands in 2 sliding windows
+    sess = session_window_agg(df, "ts", "5 minutes", ["key"],
+                              [F.count("*").alias("n")])
+    ns = sorted(r["n"] for r in sess.collect())
+    assert ns == [1, 2]  # minutes 0-1 merge; minute 10 is its own session
+
+
+def test_count_window_streaming_fire_and_purge(spark, tmp_path):
+    # W4 countWindowAll(5) semantics (CountWindowDemo.java:15-22): emit one
+    # aggregate per 5 elements per key, leftover buffered (no timeout set).
+    import datetime as dt
+    base = dt.datetime(2024, 1, 1)
+    # constant values: arrival order across partitions is nondeterministic,
+    # so assert the count/fire contract, not which elements landed where
+    rows = [(base + dt.timedelta(seconds=i), "k", 1.0) for i in range(12)]
+    _write_events(spark, tmp_path / "in", rows)
+    stream = file_stream_source(spark, str(tmp_path / "in"), SCHEMA)
+    fired = count_window(stream, "key", "value", max_count=5)
+    _drain(fired, "cw_out")
+    got = sorted(spark.sql("SELECT * FROM cw_out").collect(),
+                 key=lambda r: r["window_seq"])
+    assert [r["cnt"] for r in got] == [5, 5]          # 12 → two full windows
+    assert [r["fired_by"] for r in got] == ["count", "count"]
+    assert [r["sum_value"] for r in got] == [5.0, 5.0]
+    assert [r["window_seq"] for r in got] == [0, 1]
+
+
+def test_count_window_batch_analog(spark):
+    df = spark.createDataFrame(
+        [(i, "k", float(i)) for i in range(7)], "ord long, key string, value double")
+    out = sorted(count_window_batch(df, "key", "value", 3, "ord").collect(),
+                 key=lambda r: r["window_seq"])
+    assert [r["cnt"] for r in out] == [3, 3, 1]
+
+
+def test_watermark_set(spark, tmp_path):
+    _write_events(spark, tmp_path / "in", [])
+    stream = file_stream_source(spark, str(tmp_path / "in"), SCHEMA)
+    wm = with_watermark(stream, "ts", "5 seconds")
+    assert wm.isStreaming

@@ -1,0 +1,46 @@
+from pyspark.sql import functions as F
+
+from felixzh_flink_spark.operators import transforms as TR
+
+
+def test_tokenize_lowercases_splits_and_drops_empties(spark):
+    df = spark.createDataFrame([("Hello  World foo",), ("  ",), ("A-b_c",)], "text string")
+    words = [r["word"] for r in TR.tokenize(df, "text").collect()]
+    # [^a-z0-9]+ splits on '-' and '_' alike
+    assert sorted(words) == ["a", "b", "c", "foo", "hello", "world"]
+
+
+def test_word_count_reference_hello_world(spark):
+    # ExecutionMode.java:21 fromElements("1 2 3 4 1 2 3") → keyed counts
+    df = spark.createDataFrame([("1 2 3 4 1 2 3",)], "value string")
+    out = dict(
+        (r["word"], r["cnt"])
+        for r in TR.tokenize(df, "value").groupBy("word").agg(F.count("*").alias("cnt")).collect()
+    )
+    assert out == {"1": 2, "2": 2, "3": 2, "4": 1}
+
+
+def test_split_words_udtf_matches_reference_semantics(spark):
+    # MyTableFunction.java:8-16: split on space → Row(word, length)
+    df = spark.createDataFrame([("hello felixzh",), ("FelixZh ok",)], "myField string")
+    rows = TR.split_words_udtf(df, "myField").collect()
+    got = {(r["pos"], r["word"], r["length"]) for r in rows}
+    assert (0, "hello", 5) in got and (1, "felixzh", 7) in got
+    assert (0, "FelixZh", 7) in got and (1, "ok", 2) in got
+
+
+def test_map_append(spark):
+    df = spark.createDataFrame([("x",)], "value string")
+    assert TR.map_append(df, "value", "_suffix").head()["value"] == "x_suffix"
+
+
+def test_map_with_rowkey_schema(spark):
+    df = spark.createDataFrame([("payload",)], "value string")
+    row = TR.map_with_rowkey(df, "value").head()
+    assert set(row.asDict()) == {"row_key", "column_family", "qualifier", "data"}
+    assert bytes(row["data"]) == b"payload"
+
+
+def test_identity_process_is_noop(spark):
+    df = spark.createDataFrame([(1,)], "a int")
+    assert TR.identity_process(df) is df
