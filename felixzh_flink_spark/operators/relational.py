@@ -62,6 +62,89 @@ def top_k_per_group(df: DataFrame, group: list[str], order: list[Column], k: int
     )
 
 
+def asof_join(left: DataFrame, right: DataFrame, key: str,
+              left_ts: str, right_ts: str,
+              right_cols: list[str], suffix: str = "_r") -> DataFrame:
+    """As-of join (Spark has no native one): for each left row, the latest
+    right row with right_ts ≤ left_ts on the same key. Left rows without a
+    match keep nulls (ASOF LEFT JOIN semantics).
+
+    Implementation is the union+window composition — one shuffle on the key,
+    no per-group Python:
+      1. tag and union both sides (right rows sort before left at equal ts,
+         so ties match inclusively like DuckDB's `ON l.ts >= r.ts`);
+      2. per key, ordered by (ts, side), carry the last non-null right values
+         forward with last(..., ignorenulls=True);
+      3. keep only left rows.
+
+    At 100 TB this is strictly better than a per-key applyInPandas
+    merge_asof: no Python serialization, and the single sort-shuffle is the
+    same cost as any keyed window.
+    """
+    lcols = [c for c in left.columns]
+    tagged_r = right.select(
+        F.col(key).alias("_k"), F.col(right_ts).alias("_ts"), F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+    )
+    tagged_l = left.select(
+        F.col(key).alias("_k"), F.col(left_ts).alias("_ts"), F.lit(1).alias("_side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}") for c in right_cols],
+        *lcols,
+    )
+    unioned = tagged_r.unionByName(tagged_l)
+    w = (
+        Window.partitionBy("_k").orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.select(
+        "*",
+        *[F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"_m_{c}") for c in right_cols],
+    )
+    return carried.filter(F.col("_side") == 1).select(
+        *lcols, *[F.col(f"_m_{c}").alias(f"{c}{suffix}") for c in right_cols])
+
+
+def range_join_bucketed(left: DataFrame, right: DataFrame, key: str,
+                        left_ts: str, right_ts: str, lower_us: int,
+                        upper_us: int, bucket_us: int | None = None) -> DataFrame:
+    """Interval/range join: left ⋈ right on same key with right_ts ∈
+    [left_ts + lower_us, left_ts + upper_us] (µs offsets, lower ≤ upper).
+
+    A naive theta-join is quadratic per key; bucketizing the time axis turns
+    it into an equi-join on (key, bucket) with right rows exploded into the
+    ⌈span/bucket⌉+1 buckets they can match, then an exact range filter. At
+    scale the equi-join shuffles hash-uniformly instead of nested-looping.
+    """
+    span = upper_us - lower_us
+    bucket_us = bucket_us or max(span, 1)
+    lus = F.unix_micros(F.col(left_ts).cast("timestamp"))
+    rus = F.unix_micros(F.col(right_ts).cast("timestamp"))
+    n_buckets = span // bucket_us + 1
+    l2 = left.withColumn("_lus", lus).withColumn(
+        "_bucket", ((F.col("_lus") + lower_us) / bucket_us).cast("bigint"))
+    r2 = right.withColumn("_rus", rus).withColumn(
+        "_rbucket", (F.col("_rus") / bucket_us).cast("bigint"))
+    # right row matches left buckets rbucket-n_buckets .. rbucket
+    r_exp = r2.withColumn(
+        "_bucket", F.explode(F.array(*[F.col("_rbucket") - i for i in range(n_buckets + 1)])))
+    joined = l2.join(r_exp, [key, "_bucket"])
+    return joined.filter(
+        (F.col("_rus") >= F.col("_lus") + lower_us)
+        & (F.col("_rus") <= F.col("_lus") + upper_us)
+    ).drop("_lus", "_rus", "_bucket", "_rbucket")
+
+
+def pivot_agg(df: DataFrame, group: str, pivot_col: str, values: list[str],
+              agg: Column, prefix: str = "") -> DataFrame:
+    """Pivot with explicit value list (required at scale — value discovery is
+    an extra job) and deterministic output column names."""
+    out = df.groupBy(group).pivot(pivot_col, values).agg(agg)
+    for v in values:
+        out = out.withColumnRenamed(str(v), f"{prefix}{v}")
+    return out
+
+
 def rollup_agg(df: DataFrame, keys: list[str], aggs: list[Column]) -> DataFrame:
     """GROUP BY ROLLUP — hierarchical subtotals (beyond-reference fill)."""
     return df.rollup(*keys).agg(*aggs)

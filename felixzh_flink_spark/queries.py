@@ -42,7 +42,10 @@ from felixzh_flink_spark.operators import multimodal as MM
 from felixzh_flink_spark.operators import similarity as SIM
 from felixzh_flink_spark.operators import text as TX
 from felixzh_flink_spark.operators.relational import (
+    asof_join,
     join_dim,
+    pivot_agg,
+    range_join_bucketed,
     top_k_per_group,
 )
 
@@ -362,6 +365,125 @@ def distinct_parts_per_supplier(spark, sf_dir):
     """§2.7 fill: exact distinct aggregation (expands to two-phase agg)."""
     return _t(spark, sf_dir, "lineitem").groupBy("l_suppkey").agg(
         F.countDistinct("l_partkey").alias("n_parts"))
+
+
+@q("asof_purchase_view", """
+WITH ev AS (SELECT event_id, user_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts
+            FROM events)
+SELECT l.user_id, l.event_id AS purchase_event_id, l.ts AS purchase_ts,
+       r.ts AS view_ts, r.value AS view_value
+FROM (SELECT * FROM ev WHERE event_type = 'purchase') l
+ASOF LEFT JOIN (SELECT * FROM ev WHERE event_type = 'view') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+""")
+def asof_purchase_view(spark, sf_dir):
+    """As-of join (custom operator — Spark lacks one): each purchase matched
+    to the user's latest preceding view. Union+window composition, one keyed
+    shuffle, no Python (operators.relational.asof_join)."""
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_event_id"),
+        F.col("ts").alias("purchase_ts"))
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("view_ts_src"), F.col("value").alias("view_value_src"))
+    out = asof_join(purchases, views, "user_id", "purchase_ts", "view_ts_src",
+                    ["view_ts_src", "view_value_src"], suffix="")
+    return out.select(
+        "user_id", "purchase_event_id", "purchase_ts",
+        F.col("view_ts_src").alias("view_ts"),
+        F.col("view_value_src").alias("view_value"))
+
+
+@q("range_join_recent_views", """
+WITH ev AS (SELECT event_id, user_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts
+            FROM events)
+SELECT l.event_id AS purchase_event_id,
+       CAST(COUNT(*) AS BIGINT) AS n_recent_views
+FROM (SELECT * FROM ev WHERE event_type = 'purchase') l
+JOIN (SELECT * FROM ev WHERE event_type = 'view') r
+  ON l.user_id = r.user_id
+ AND epoch_us(r.ts) >= epoch_us(l.ts) - 1800000000
+ AND epoch_us(r.ts) <= epoch_us(l.ts)
+GROUP BY l.event_id
+""")
+def range_join_recent_views(spark, sf_dir):
+    """Range/interval join (custom operator): views of the same user within
+    the 30 min before each purchase, counted. Bucketed equi-join + exact
+    range filter — hash shuffle instead of a per-key theta join
+    (operators.relational.range_join_bucketed)."""
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_event_id"),
+        F.col("ts").alias("p_ts"))
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("v_ts"))
+    joined = range_join_bucketed(purchases, views, "user_id", "p_ts", "v_ts",
+                                 lower_us=-1800 * 1000 * 1000, upper_us=0)
+    return joined.groupBy("purchase_event_id").agg(
+        F.count("*").alias("n_recent_views"))
+
+
+@q("pivot_order_status", """
+SELECT o_orderpriority,
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_O,
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_F,
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_P
+FROM orders GROUP BY o_orderpriority
+""")
+def pivot_order_status(spark, sf_dir):
+    """§2.7 pivot fill with explicit value list (no discovery job)."""
+    return pivot_agg(_t(spark, sf_dir, "orders"), "o_orderpriority",
+                     "o_orderstatus", ["O", "F", "P"],
+                     F.count(F.lit(1)), prefix="n_")
+
+
+@q("quantiles_by_flag", """
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.5) AS median_qty,
+       quantile_cont(l_quantity, 0.9) AS p90_qty
+FROM lineitem GROUP BY l_returnflag
+""")
+def quantiles_by_flag(spark, sf_dir):
+    """Exact continuous percentiles (linear interpolation — identical
+    definition in Spark `percentile` and DuckDB `quantile_cont`)."""
+    return _t(spark, sf_dir, "lineitem").groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.5)).alias("median_qty"),
+        F.percentile("l_quantity", F.lit(0.9)).alias("p90_qty"))
+
+
+@q("argmax_order_per_segment", """
+SELECT c_mktsegment, o_orderkey AS top_orderkey, o_totalprice AS top_price
+FROM (
+  SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment
+             ORDER BY o.o_totalprice DESC, o.o_orderkey DESC) AS rn
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+) WHERE rn = 1
+""")
+def argmax_order_per_segment(spark, sf_dir):
+    """max_by/arg_max with a composite (price, key) tie-break — deterministic
+    argmax per group."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey).groupBy("c_mktsegment").agg(
+        F.max_by("o_orderkey", F.struct("o_totalprice", "o_orderkey")).alias("top_orderkey"),
+        F.max("o_totalprice").alias("top_price"))
+
+
+@q("grouping_sets_pricing", """
+SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+""")
+def grouping_sets_pricing(spark, sf_dir):
+    """§2.7 fill: explicit GROUPING SETS (disjoint single-key sets)."""
+    l = _t(spark, sf_dir, "lineitem")
+    l.createOrReplaceTempView("_gs_lineitem")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """)
 
 
 # =====================================================================

@@ -13,7 +13,17 @@ Reference parity:
 Spark has no trigger concept, so these are keyed stateful operators via
 ``applyInPandasWithState``: state = buffered count/values per key; emit + clear
 at N elements (W4), or at N elements OR timeout (W5/W6 — fire-and-purge on
-whichever comes first, timeout via GroupStateTimeout.ProcessingTimeTimeout).
+whichever comes first).
+
+The timeout path uses **event-time timers** (GroupStateTimeout.EventTimeTimeout
++ watermark), mirroring MyCountTrigger's `registerEventTimeTimer(window
+maxTimestamp)` / `onEventTime` branch (MyCountTrigger.java:30-34, 55-63): the
+partial buffer fires when the watermark passes (last-set watermark +
+timeout_ms), i.e. the "window end" analog. The reference's processing-time
+branch (`onProcessingTime`, MyCountTrigger.java:47-53) is intentionally NOT
+offered: Structured Streaming's ProcessingTimeTimeout is wall-clock-dependent
+(non-deterministic under replay) — and event-time timers give the same
+fire-and-purge guarantee deterministically.
 
 State per key is O(1) (counts + small aggregates, NOT buffered raw rows), so
 executor state stores stay bounded at any scale.
@@ -48,11 +58,11 @@ def make_count_window_fn(max_count: int, timeout_ms: int | None = None,
                          emit_partial_on_timeout: bool = True):
     """Build the applyInPandasWithState function implementing
     MyCountTrigger.java:36-71 semantics: accumulate per key; when the buffer
-    reaches `max_count` → FIRE_AND_PURGE; when the processing-time timeout
-    expires with a non-empty buffer → FIRE_AND_PURGE (the window-end path).
+    reaches `max_count` → FIRE_AND_PURGE; when the event-time timer expires
+    with a non-empty buffer → FIRE_AND_PURGE (the window-end path).
 
     W4 (pure count window): timeout_ms=None.
-    W5/W6 (hybrid): timeout_ms = window length.
+    W5/W6 (hybrid): timeout_ms = window length past the current watermark.
     """
 
     def fn(key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
@@ -81,7 +91,9 @@ def make_count_window_fn(max_count: int, timeout_ms: int | None = None,
                     buf_cnt, buf_sum = 0, 0.0
         state.update((buf_cnt, buf_sum, fired))
         if timeout_ms is not None:
-            state.setTimeoutDuration(timeout_ms)
+            # fire when the watermark advances timeout_ms past where it is
+            # now — the event-time "window end" for this buffer
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + timeout_ms)
         if out:
             yield pd.DataFrame(out)
 
@@ -89,21 +101,30 @@ def make_count_window_fn(max_count: int, timeout_ms: int | None = None,
 
 
 def count_window(df: DataFrame, key_col: str, value_col: str, max_count: int,
-                 timeout_ms: int | None = None) -> DataFrame:
+                 timeout_ms: int | None = None,
+                 event_time_col: str | None = None,
+                 watermark_delay: str = "1 second") -> DataFrame:
     """W4-W6 entry point: keyed count window over a streaming DataFrame.
 
     Input: any schema with `key_col` (string-castable) and `value_col`
-    (numeric). Output: one row per fired window (COUNT_WINDOW_OUTPUT).
+    (numeric). With `timeout_ms`, `event_time_col` must name the event-time
+    timestamp column used for the watermark that drives the window-end timer.
+    Output: one row per fired window (COUNT_WINDOW_OUTPUT).
     """
-    prepared = df.select(
+    cols = [
         F.col(key_col).cast("string").alias("key"),
         F.col(value_col).cast("double").alias("value"),
-    )
-    timeout = (
-        GroupStateTimeout.ProcessingTimeTimeout
-        if timeout_ms is not None
-        else GroupStateTimeout.NoTimeout
-    )
+    ]
+    if timeout_ms is not None:
+        if event_time_col is None:
+            raise ValueError("timeout_ms requires event_time_col (event-time "
+                             "timers are watermark-driven)")
+        prepared = df.select(*cols, F.col(event_time_col).alias("_ts")) \
+            .withWatermark("_ts", watermark_delay)
+        timeout = GroupStateTimeout.EventTimeTimeout
+    else:
+        prepared = df.select(*cols)
+        timeout = GroupStateTimeout.NoTimeout
     return prepared.groupBy("key").applyInPandasWithState(
         make_count_window_fn(max_count, timeout_ms),
         outputStructType=COUNT_WINDOW_OUTPUT,

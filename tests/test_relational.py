@@ -1,0 +1,74 @@
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from felixzh_flink_spark.operators.relational import (
+    anti_join,
+    asof_join,
+    pivot_agg,
+    range_join_bucketed,
+    semi_join,
+    top_k,
+    top_k_per_group,
+)
+
+BASE = dt.datetime(2024, 1, 1)
+
+
+def _ts(s):
+    return BASE + dt.timedelta(seconds=s)
+
+
+def test_asof_join_matches_latest_preceding(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(10), "p1"), (1, _ts(30), "p2"), (2, _ts(5), "p3")],
+        "k long, lts timestamp, lbl string")
+    right = spark.createDataFrame(
+        [(1, _ts(8), 100.0), (1, _ts(25), 200.0), (1, _ts(31), 300.0)],
+        "k long, rts timestamp, rv double")
+    out = {r["lbl"]: (r["rv_r"], r["rts_r"])
+           for r in asof_join(left, right, "k", "lts", "rts", ["rv", "rts"]).collect()}
+    assert out["p1"] == (100.0, _ts(8))    # latest ≤ 10 is 8
+    assert out["p2"] == (200.0, _ts(25))   # 31 is in the future
+    assert out["p3"] == (None, None)       # no right rows for key 2
+
+
+def test_asof_join_equal_ts_is_inclusive(spark):
+    left = spark.createDataFrame([(1, _ts(10), "p")], "k long, lts timestamp, lbl string")
+    right = spark.createDataFrame([(1, _ts(10), 7.0)], "k long, rts timestamp, rv double")
+    row = asof_join(left, right, "k", "lts", "rts", ["rv"]).head()
+    assert row["rv_r"] == 7.0  # ts >= ts ⇒ match
+
+
+def test_range_join_window_bounds(spark):
+    left = spark.createDataFrame([(1, _ts(100), "p")], "k long, lts timestamp, lbl string")
+    right = spark.createDataFrame(
+        [(1, _ts(s)) for s in (69, 70, 99, 100, 101)], "k long, rts timestamp")
+    out = range_join_bucketed(left, right, "k", "lts", "rts",
+                              lower_us=-30 * 10**6, upper_us=0)
+    secs = sorted(r["rts"].second for r in out.collect())
+    assert secs == [10, 39, 40]  # 70,99,100 (inclusive both ends); 69 and 101 out
+
+
+def test_semi_anti_join(spark):
+    a = spark.createDataFrame([(1,), (2,), (3,)], "k long")
+    b = spark.createDataFrame([(2,), (3,), (4,)], "k long")
+    assert sorted(r["k"] for r in semi_join(a, b, "k").collect()) == [2, 3]
+    assert sorted(r["k"] for r in anti_join(a, b, "k").collect()) == [1]
+
+
+def test_top_k_global_and_per_group(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 5), ("a", 3), ("b", 9)], "g string, v long")
+    assert [r["v"] for r in top_k(df, 2, F.desc("v")).collect()] == [9, 5]
+    per = top_k_per_group(df, ["g"], [F.desc("v")], 1)
+    assert {(r["g"], r["v"]) for r in per.collect()} == {("a", 5), ("b", 9)}
+
+
+def test_pivot_agg_explicit_values(spark):
+    df = spark.createDataFrame(
+        [("p1", "O"), ("p1", "O"), ("p1", "F"), ("p2", "P")], "g string, s string")
+    out = {r["g"]: (r["n_O"], r["n_F"], r["n_P"])
+           for r in pivot_agg(df, "g", "s", ["O", "F", "P"],
+                              F.count(F.lit(1)), prefix="n_").collect()}
+    assert out["p1"] == (2, 1, None) and out["p2"] == (None, None, 1)

@@ -1,0 +1,81 @@
+"""Checkpoint-resume (U5) and hybrid count+timeout trigger (W5/W6) tests."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F, types as T
+
+from felixzh_flink_spark.sources.builders import file_stream_source
+from felixzh_flink_spark.streaming.triggers import count_window
+
+SCHEMA = T.StructType([
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("key", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+])
+
+BASE = dt.datetime(2024, 1, 1)
+
+
+def _rows(keys, n, start=0):
+    return [(BASE + dt.timedelta(seconds=start + i), k, 1.0)
+            for i in range(n) for k in keys]
+
+
+def test_checkpoint_resume_no_reprocessing(spark, tmp_path):
+    """U5: restart from checkpointLocation resumes past committed offsets —
+    the flush-on-checkpoint contract (micro-batch boundary = durable write)."""
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    spark.createDataFrame(_rows(["a"], 3), SCHEMA).write.mode("append").parquet(src)
+
+    def run_once():
+        q = (file_stream_source(spark, src, SCHEMA)
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt).start())
+        q.processAllAvailable()
+        q.stop()
+
+    run_once()
+    assert spark.read.parquet(out).count() == 3
+    # new data arrives while the query is down
+    spark.createDataFrame(_rows(["a"], 2, start=100), SCHEMA) \
+        .write.mode("append").parquet(src)
+    run_once()
+    # exactly 3 + 2 — the first batch was not reprocessed after restart
+    assert spark.read.parquet(out).count() == 5
+
+
+def test_hybrid_count_timeout_trigger(spark, tmp_path):
+    """W5/W6 (MyCountTrigger.java:36-71): fire at max_count OR when the
+    watermark passes the window end — fire-and-purge both ways. Event-time
+    timers (MyCountTrigger's registerEventTimeTimer/onEventTime branch),
+    driven deterministically by later-timestamped batches."""
+    src = str(tmp_path / "src")
+    # key 'a': only 3 elements (< max_count 5) → will be flushed by timer
+    spark.createDataFrame(_rows(["a"], 3), SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(src)
+    stream = file_stream_source(spark, src, SCHEMA, max_files_per_trigger=1)
+    fired = count_window(stream, "key", "value", max_count=5,
+                         timeout_ms=2000, event_time_col="ts")
+    q = (fired.writeStream.format("memory").queryName("hybrid_out")
+         .outputMode("append").start())
+    q.processAllAvailable()           # batch 1: 'a' buffers 3, sets timer
+    # batch 2, much later event time: advances the watermark past 'a's
+    # window end, firing its partial buffer; 'b' itself fires by count (6 ≥ 5)
+    spark.createDataFrame(_rows(["b"], 6, start=500), SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(src)
+    q.processAllAvailable()
+    # batch 3 advances the watermark again so 'b's leftover element times out
+    spark.createDataFrame(_rows(["c"], 1, start=1000), SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM hybrid_out").collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r["key"], []).append(r)
+    # 'b' fired by count (6 ≥ 5 → one full window of 5)
+    assert any(r["fired_by"] == "count" and r["cnt"] == 5 for r in by_key["b"])
+    # 'a' fired by event-time timeout with its partial buffer of 3
+    assert any(r["fired_by"] == "timeout" and r["cnt"] == 3 for r in by_key.get("a", []))
+    # 'b's leftover 1 element flushed by the next watermark advance
+    assert any(r["fired_by"] == "timeout" and r["cnt"] == 1 for r in by_key["b"])
