@@ -64,15 +64,23 @@ def decode_canal_json(df: DataFrame, value_col: str, row_schema: T.StructType,
       data[i]), then +U from data[i]
     - isDdl=true or unparseable → dropped when ignore_parse_errors
       ('canal-json.ignore-parse-errors', Kafka2Print.java:36).
+
+    Validity is folded into the exploded expressions instead of a Filter node:
+    a pre-explode `.filter` on parsed fields gets pushed below the parse
+    projection with the `from_json` alias substituted into every condition —
+    the JSON would be parsed 4-5× per row. `when(valid, ...)` + explode's
+    drop-null/empty behavior keeps exactly ONE from_json per row in the
+    physical plan (verified via executedPlan().count("from_json")).
     """
-    env = df.withColumn("_env", F.from_json(F.col(value_col), canal_envelope_schema(row_schema)))
-    env = env.filter(F.col("_env").isNotNull() & (~F.coalesce(F.col("_env.isDdl"), F.lit(False))))
+    env = df.select(F.from_json(F.col(value_col), canal_envelope_schema(row_schema)).alias("_env"))
 
     fields = [f.name for f in row_schema.fields]
+    valid = F.col("_env").isNotNull() & (~F.coalesce(F.col("_env.isDdl"), F.lit(False)))
     # pair data[i] with old[i] positionally for UPDATE old-field merging
     paired = env.select(
-        "_env.type", "_env.es",
-        F.posexplode("_env.data").alias("_i", "_new"),
+        F.when(valid, F.col("_env.type")).alias("type"),
+        F.col("_env.es").alias("es"),
+        F.posexplode(F.when(valid, F.col("_env.data"))).alias("_i", "_new"),
         F.col("_env.old").alias("_olds"),
     ).withColumn("_old", F.col("_olds")[F.col("_i")])
 
@@ -121,11 +129,14 @@ def decode_debezium_json(df: DataFrame, value_col: str, row_schema: T.StructType
     c (create) / r (snapshot read) → +I from after;
     u (update) → -U from before, +U from after;
     d (delete) → -D from before.
+
+    Unparseable / op-less records fall through the when-chain to a null ops
+    array, which explode drops — no Filter node, so the plan parses each
+    record exactly once (see decode_canal_json for why a filter would
+    multiply the from_json).
     """
-    env = df.withColumn("_env", F.from_json(F.col(value_col),
-                                            debezium_envelope_schema(row_schema)))
-    if ignore_parse_errors:
-        env = env.filter(F.col("_env").isNotNull() & F.col("_env.op").isNotNull())
+    env = df.select(F.from_json(F.col(value_col),
+                                debezium_envelope_schema(row_schema)).alias("_env"))
     fields = [f.name for f in row_schema.fields]
 
     before = F.struct(*[F.col(f"_env.before.{f}").alias(f) for f in fields])
