@@ -38,6 +38,25 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def dedup_exact_stream(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", ts_col: str = "ts",
+                       watermark: str = "10 minutes") -> DataFrame:
+    """Streaming exact dedup: first occurrence of each normalized-text
+    fingerprint passes; duplicates arriving within the watermark window are
+    dropped (dropDuplicatesWithinWatermark — state for a fingerprint is
+    evictable once the watermark passes it, so state size is bounded by the
+    dedup horizon, not the stream's lifetime).
+
+    Batch analog is `dedup_exact`; this is the U4-unified streaming side.
+    """
+    fp = fingerprint_md5(df, text_col)
+    return (
+        fp.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["fingerprint"])
+        .select(ts_col, id_col, "fingerprint")
+    )
+
+
 # ---------------------------------------------------------------- shingles
 
 def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -146,12 +165,27 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
                         n: int = 3, num_perm: int = 64, bands: int = 16,
                         threshold: float = 0.8) -> DataFrame:
     """Full near-dup pipeline: LSH candidates → exact Jaccard verify.
-    This is the 100 TB shape: cheap candidate generation, exact check only on
-    collisions."""
+
+    This is the 100 TB shape: cheap candidate generation, exact check ONLY on
+    colliding pairs — each doc's distinct shingle set is attached to the
+    candidate pair (two hash joins on doc id) and the intersection computed
+    with array_intersect, so exact-verification cost is
+    O(candidates × shingles/doc), never the all-pairs shingle self-join
+    (`ngram_jaccard_pairs` remains the exact-but-global verifier for small
+    slices)."""
     cand = minhash_lsh_candidates(df, text_col, id_col, n, num_perm, bands)
-    exact = ngram_jaccard_pairs(df, text_col, id_col, n, threshold=0.0)
+    sets = (
+        shingles(df, text_col, id_col, n)
+        .groupBy("id").agg(F.collect_set("shingle").alias("sh_set"))
+    )
+    sa = sets.select(F.col("id").alias("id_a"), F.col("sh_set").alias("sh_a"))
+    sb = sets.select(F.col("id").alias("id_b"), F.col("sh_set").alias("sh_b"))
+    paired = cand.join(sa, "id_a").join(sb, "id_b")
+    n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = n_inter.cast("double") / (
+        F.size("sh_a") + F.size("sh_b") - n_inter).cast("double")
     return (
-        cand.join(exact, ["id_a", "id_b"])
+        paired.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

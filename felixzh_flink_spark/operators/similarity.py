@@ -108,6 +108,69 @@ def lsh_bucketed_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     return scored.orderBy(F.desc("cosine_sim"), F.asc("id")).limit(k)
 
 
+# ------------------------------------------------------- IVF (inverted file)
+
+def ivf_centroids(df: DataFrame, n_centroids: int = 16,
+                  id_col: str = "vec_id", vec_col: str = "embedding") -> list[list[float]]:
+    """Deterministic centroid pick: the n rows with the smallest xxhash64(id)
+    — a seeded uniform sample that needs no training job. Real IVF would
+    k-means these; hash-sampling gives the same partition-pruning structure
+    with zero iterations, which is the right trade at ingest time.
+
+    Returns driver-side vectors (n_centroids × dim — tiny; broadcast as
+    literals into the assignment expression)."""
+    rows = (
+        df.select(F.col(vec_col).alias("v"), F.xxhash64(F.col(id_col)).alias("_h"))
+        .orderBy("_h").limit(n_centroids).collect()
+    )
+    return [list(r["v"]) for r in rows]
+
+
+def _nearest_centroid(vec: Column, cents: list[list[float]]) -> Column:
+    """1-based index of the max-cosine centroid for `vec` (JVM expressions:
+    a literal C×D array, transform to similarity, array_position of max)."""
+    cent_arr = F.array(*[
+        F.array(*[F.lit(float(x)) for x in c]) for c in cents
+    ])
+    sims = F.transform(cent_arr, lambda cv: _dot(vec, cv) / (_norm(vec) * _norm(cv)))
+    return F.array_position(sims, F.array_max(sims)).cast("int")
+
+
+def ivf_assign(df: DataFrame, cents: list[list[float]],
+               vec_col: str = "embedding", alias: str = "ivf_cell") -> DataFrame:
+    """Assign each row to its nearest centroid cell. At scale this runs once
+    at ingest and the table is written partitioned/bucketed by the cell id,
+    so probes become partition pruning instead of a filter over a full scan."""
+    return df.withColumn(alias, _nearest_centroid(F.col(vec_col), cents))
+
+
+def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+             n_centroids: int = 16, n_probe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF approximate top-k: score only rows in the `n_probe` cells whose
+    centroids are most similar to the query. Probe cells are computed
+    driver-side (n_centroids dot products); the scan filters to the probed
+    cells, then exact cosine top-k within them."""
+    cents = ivf_centroids(df, n_centroids, id_col, vec_col)
+
+    def cos(a: list[float], b: list[float]) -> float:
+        dot = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(y * y for y in b) ** 0.5
+        return dot / (na * nb) if na and nb else 0.0
+
+    ranked = sorted(range(len(cents)), key=lambda i: -cos(query_vec, cents[i]))
+    probe = [i + 1 for i in ranked[:n_probe]]  # 1-based cells
+    assigned = ivf_assign(df, cents, vec_col)
+    cand = assigned.filter(F.col("ivf_cell").isin(probe))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = cand.select(
+        F.col(id_col).alias("id"),
+        cosine(F.col(vec_col), q).alias("cosine_sim"),
+    )
+    return scored.orderBy(F.desc("cosine_sim"), F.asc("id")).limit(k)
+
+
 def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                              id_col: str = "vec_id", vec_col: str = "embedding",
                              n_planes: int = 8, dim: int = 64) -> DataFrame:

@@ -608,6 +608,34 @@ def events_hourly(spark, sf_dir):
     )
 
 
+@q("events_sliding_windows", """
+WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+cand AS (
+  SELECT ts, value,
+         CAST(to_timestamp((CAST(floor(epoch(ts) / 300) AS BIGINT) - s) * 300)
+              AT TIME ZONE 'UTC' AS TIMESTAMP) AS window_start
+  FROM ev, (SELECT unnest([0, 1]) AS s)
+)
+SELECT window_start, window_start + INTERVAL 10 MINUTE AS window_end,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+FROM cand
+WHERE ts >= window_start AND ts < window_start + INTERVAL 10 MINUTE
+GROUP BY window_start
+""")
+def events_sliding_windows(spark, sf_dir):
+    """Sliding event-time window (10 min, slide 5 min) — beyond-reference
+    §2.4 extension, native F.window. Each event lands in exactly two windows;
+    the oracle reconstructs the assignment arithmetically."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), exact_sum("value", 6, "sum_value"))
+        .select(F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"), "n", "sum_value")
+    )
+
+
 @q("user_sessions", """
 WITH ev AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
 flagged AS (
@@ -937,6 +965,16 @@ def minhash_lsh_pairs(spark, sf_dir):
     return DD.minhash_lsh_candidates(d, n=5, num_perm=64, bands=16)
 
 
+@q("minhash_dedup_verified")  # rows-only: LSH candidate set is xxhash-specific
+def minhash_dedup_verified(spark, sf_dir):
+    """Full near-dup pipeline: MinHash-LSH candidates → exact Jaccard
+    verification computed only on colliding pairs (array_intersect of
+    per-doc shingle sets — never an all-pairs join). Unit tests assert the
+    verified set equals the exact-Jaccard set on known dup clusters."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return DD.minhash_dedup_pairs(d, n=5, num_perm=64, bands=16, threshold=0.4)
+
+
 @q("simhash_fingerprints")  # rows-only
 def simhash_fingerprints(spark, sf_dir):
     """64-bit SimHash per document (xxhash64 token hashes → signed bit sums)."""
@@ -996,6 +1034,16 @@ def ann_lsh_topk(spark, sf_dir):
     probe ring). Recall vs brute force is asserted in unit tests."""
     e = _t(spark, sf_dir, "embeddings")
     return SIM.lsh_bucketed_topk(e, _query_vec(spark, sf_dir), k=10)
+
+
+@q("ann_ivf_topk")  # rows-only: approximate by construction
+def ann_ivf_topk(spark, sf_dir):
+    """IVF approximate top-10: hash-sampled centroids, nearest-cell
+    assignment, probe the 4 closest of 16 cells. The scale path writes the
+    table partitioned by cell so probes prune partitions."""
+    e = _t(spark, sf_dir, "embeddings")
+    return SIM.ivf_topk(e, _query_vec(spark, sf_dir), k=10,
+                        n_centroids=16, n_probe=4)
 
 
 @q("embedding_near_dup")  # rows-only: LSH-pruned pair generation

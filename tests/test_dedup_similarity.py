@@ -84,3 +84,28 @@ def test_lsh_recall_vs_bruteforce(spark, sf_dir):
     # is exhaustive so recall is 1.0 by construction
     full = {r["id"] for r in SIM.lsh_bucketed_topk(e, qv, k=10, max_hamming=8).collect()}
     assert full == exact_ids
+
+
+def test_minhash_verified_only_scores_candidates(spark):
+    """The verified pipeline must equal exact Jaccard on pairs LSH catches —
+    and with 16 bands / 4 rows identical docs always collide."""
+    docs = _docs(spark)
+    verified = {(r["id_a"], r["id_b"]): r["jaccard"]
+                for r in DD.minhash_dedup_pairs(docs, n=3, threshold=0.5).collect()}
+    exact = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in DD.ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()}
+    assert set(verified) <= set(exact)
+    for p, j in verified.items():
+        assert abs(j - exact[p]) < 1e-12
+
+
+def test_ivf_topk_finds_self_and_matches_bruteforce_head(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = list(e.filter(F.col("vec_id") == 7).head()["embedding"])
+    top = SIM.ivf_topk(e, qv, k=5, n_centroids=8, n_probe=2).collect()
+    assert top[0]["id"] == 7              # own cell is always probed first
+    assert abs(top[0]["cosine_sim"] - 1.0) < 1e-9
+    # probing every cell == brute force
+    exact = [r["id"] for r in SIM.cosine_topk_bruteforce(e, qv, k=5).collect()]
+    full = [r["id"] for r in SIM.ivf_topk(e, qv, k=5, n_centroids=8, n_probe=8).collect()]
+    assert full == exact

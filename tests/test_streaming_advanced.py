@@ -79,3 +79,29 @@ def test_hybrid_count_timeout_trigger(spark, tmp_path):
     assert any(r["fired_by"] == "timeout" and r["cnt"] == 3 for r in by_key.get("a", []))
     # 'b's leftover 1 element flushed by the next watermark advance
     assert any(r["fired_by"] == "timeout" and r["cnt"] == 1 for r in by_key["b"])
+
+
+def test_streaming_exact_dedup_within_watermark(spark, tmp_path):
+    """Streaming dedup: duplicate texts in the same watermark window are
+    dropped; first occurrence wins (dropDuplicatesWithinWatermark state is
+    bounded by the horizon)."""
+    from felixzh_flink_spark.operators.dedup import dedup_exact_stream
+    src = str(tmp_path / "src")
+    doc_schema = T.StructType([
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    rows = [(BASE + dt.timedelta(seconds=i), i, txt) for i, txt in
+            enumerate(["hello world", "hello  WORLD", "other doc", "hello world"])]
+    spark.createDataFrame(rows, doc_schema).coalesce(1).write.parquet(src)
+    stream = file_stream_source(spark, src, doc_schema)
+    out = dedup_exact_stream(stream, "text", "doc_id", "ts", watermark="1 minute")
+    q = (out.writeStream.format("memory").queryName("dedup_out")
+         .outputMode("append").start())
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT doc_id FROM dedup_out").collect()
+    ids = sorted(r["doc_id"] for r in got)
+    # 'hello world' variants normalize to one fingerprint → one survivor (+ 'other doc')
+    assert len(ids) == 2 and 2 in ids
