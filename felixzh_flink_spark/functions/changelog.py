@@ -160,14 +160,17 @@ def decode_debezium_json(df: DataFrame, value_col: str, row_schema: T.StructType
 
 
 def upsert_latest(changelog: DataFrame, pk: list[str], order_col: str = "ts_ms",
-                  seq_col: Column | None = None) -> DataFrame:
+                  seq_col: Column | None = None,
+                  keep_order_col: bool = False) -> DataFrame:
     """Materialize a changelog into current state: newest row per PK wins;
     rows whose newest op is -D (or -U with no matching +U) drop out.
 
     This is the foreachBatch-MERGE analog for plain storage: a windowed
     dedup (one shuffle on pk) instead of a point-update table. At scale,
     partition the state table by pk hash so each micro-batch merge touches
-    only matching partitions.
+    only matching partitions. `keep_order_col=True` retains the winning
+    row's order value — required when the output is itself merged against
+    later batches (changelog_upsert_sink).
     """
     order = seq_col if seq_col is not None else F.col(order_col)
     # -U is ordered before its paired +U at equal ts so the update survives
@@ -179,7 +182,50 @@ def upsert_latest(changelog: DataFrame, pk: list[str], order_col: str = "ts_ms",
     )
     w = Window.partitionBy(*pk).orderBy(order.desc(), op_rank.desc())
     latest = changelog.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
-    return latest.filter(F.col("op").isin(OP_INSERT, OP_UPDATE_AFTER)).drop("_rn", "op", "ts_ms")
+    alive = latest.filter(F.col("op").isin(OP_INSERT, OP_UPDATE_AFTER)).drop("_rn", "op")
+    return alive if keep_order_col else alive.drop(order_col)
+
+
+def changelog_upsert_sink(state_dir: str, pk: list[str], order_col: str = "ts_ms"):
+    """foreachBatch writer materializing a streaming changelog into a
+    continuously-updated parquet state table — the S9/S10 CDC→table pipeline
+    end-to-end (MySqlCDC2Print.java:24-46 renders the same stream; we
+    additionally maintain queryable current state).
+
+    Per micro-batch: reduce the batch to newest-per-PK, merge with the
+    previous state (state rows carry their own `order_col`, so a late batch
+    with older timestamps cannot clobber newer state), write the new state,
+    atomically swap. Tombstones are compacted away once applied — a
+    later-arriving change older than the applied delete is dropped with the
+    rest of the pre-delete history (document retention if replays can be
+    that late).
+
+    Local parquet + directory swap stands in for the transactional MERGE a
+    lakehouse table provides; at scale this function body is one Delta/
+    Iceberg MERGE INTO keyed on `pk` and the swap goes away.
+    """
+    import os
+    import shutil
+
+    current = os.path.join(state_dir, "current")
+    staging = os.path.join(state_dir, "staging")
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        merged = batch_df
+        if os.path.exists(current):
+            old = spark.read.parquet(current).withColumn("op", F.lit(OP_INSERT))
+            merged = old.unionByName(batch_df.select(*old.columns))
+        new_state = upsert_latest(merged, pk, order_col, keep_order_col=True)
+        shutil.rmtree(staging, ignore_errors=True)
+        new_state.write.mode("overwrite").parquet(staging)
+        old_dir = os.path.join(state_dir, f"_old_{epoch_id}")
+        if os.path.exists(current):
+            os.rename(current, old_dir)
+        os.rename(staging, current)
+        shutil.rmtree(old_dir, ignore_errors=True)
+
+    return sink
 
 
 def encode_debezium_json(df: DataFrame, fields: list[str], op: str = "c") -> DataFrame:

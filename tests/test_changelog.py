@@ -10,6 +10,7 @@ import json
 
 from pyspark.sql import types as T
 
+from felixzh_flink_spark.sources.builders import file_stream_source
 from felixzh_flink_spark.functions.changelog import (
     decode_canal_json,
     decode_debezium_json,
@@ -135,3 +136,52 @@ def test_encode_debezium_json_roundtrip(spark):
     encoded = encode_debezium_json(df, ["id", "name", "description"])
     payload = json.loads(encoded.head()["value"])
     assert payload["op"] == "c" and payload["after"]["name"] == "n"
+
+
+def test_streaming_cdc_upsert_end_to_end(spark, tmp_path):
+    """S9-analog end-to-end: canal envelopes stream in over two micro-batches;
+    foreachBatch merges each into a parquet state table. Final state must
+    equal the batch upsert over the full changelog — including a cross-batch
+    UPDATE and DELETE, and a late (older-ts) update that must NOT clobber."""
+    import json as _json
+
+    from felixzh_flink_spark.functions.changelog import changelog_upsert_sink
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+    ])
+
+    def env(typ, data, old=None, ts=0):
+        return _json.dumps({"data": data, "old": old, "type": typ,
+                            "pkNames": ["id"], "es": ts, "isDdl": False})
+
+    batch1 = [
+        env("INSERT", [{"id": 1, "name": "a"}, {"id": 2, "name": "b"}], ts=10),
+        env("INSERT", [{"id": 3, "name": "c"}], ts=10),
+    ]
+    batch2 = [
+        env("UPDATE", [{"id": 1, "name": "a2"}], old=[{"name": "a"}], ts=20),
+        env("DELETE", [{"id": 2, "name": "b"}], ts=20),
+        env("UPDATE", [{"id": 3, "name": "stale"}], old=[{"name": "?"}], ts=5),  # late, loses
+    ]
+    spark.createDataFrame([(v,) for v in batch1], "value string") \
+        .coalesce(1).write.mode("append").parquet(src)
+
+    stream = file_stream_source(
+        spark, src, T.StructType([T.StructField("value", T.StringType())]),
+        max_files_per_trigger=1)
+    decoded = decode_canal_json(stream, "value", schema)
+    q = (decoded.writeStream.foreachBatch(changelog_upsert_sink(state, ["id"]))
+         .option("checkpointLocation", str(tmp_path / "ckpt")).start())
+    q.processAllAvailable()
+    spark.createDataFrame([(v,) for v in batch2], "value string") \
+        .coalesce(1).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+
+    got = {r["id"]: r["name"]
+           for r in spark.read.parquet(f"{state}/current").collect()}
+    assert got == {1: "a2", 3: "c"}  # 1 updated, 2 deleted, 3 kept (late update lost)

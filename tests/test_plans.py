@@ -1,0 +1,68 @@
+"""Physical-plan regression tests — the scale properties the engine promises.
+
+Correctness tests prove the rows are right; these prove the PLAN is right:
+filters and projections reach the parquet scan, small dims broadcast, keyed
+aggregations shuffle exactly once, and CDC decode parses each record exactly
+once. A change that silently degrades one of these would still pass the
+oracle, so they are asserted here against the executed-plan string.
+"""
+
+from felixzh_flink_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_and_projection_pushed_to_scan(spark):
+    p = plan_of(spark, "filter_projection")
+    assert "PushedFilters: [" in p and "IsNotNull" in p
+    # column pruning: untouched wide columns never leave the scan
+    assert "l_comment" not in p and "l_shipdate" not in p
+    # no shuffle for a scan-shaped query
+    assert "Exchange hashpartitioning" not in p
+
+
+def test_star_join_broadcasts_dims_single_shuffle(spark):
+    p = plan_of(spark, "revenue_by_nation")
+    assert p.count("BroadcastHashJoin") >= 1          # nation always broadcast
+    assert "SortMergeJoin" not in p                   # no sort-merge at this SF
+    # exactly one hash exchange: the groupBy(n_name) agg
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_q1_partial_then_final_aggregation(spark):
+    p = plan_of(spark, "q1_pricing_summary")
+    # combiner contract (A4): partial HashAggregate before the exchange,
+    # final after — shuffle volume ∝ groups, not rows
+    assert p.count("HashAggregate") >= 2
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_asof_join_is_one_keyed_shuffle(spark):
+    p = plan_of(spark, "asof_purchase_view")
+    # union + window composition: a single hash exchange on the key,
+    # no join node at all
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "SortMergeJoin" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_cdc_decode_parses_each_record_once(spark):
+    for name in ("canal_decode", "debezium_decode"):
+        p = plan_of(spark, name)
+        assert p.count("from_json") == 1, name
+
+
+def test_broadcast_dim_in_argmax(spark):
+    p = plan_of(spark, "argmax_order_per_segment")
+    assert p.count("BroadcastHashJoin") >= 1
+    assert p.count("Exchange hashpartitioning") == 1  # only the groupBy
+
+
+def test_range_join_is_equi_join_not_nested_loop(spark):
+    p = plan_of(spark, "range_join_recent_views")
+    # bucketing turns the interval predicate into a hash-joinable key
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
