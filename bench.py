@@ -30,11 +30,15 @@ HEADLINE = [
     "top_orders_per_customer",
     "user_sessions",
     "events_hourly",
+    "events_sliding_windows",
+    "asof_purchase_view",
+    "range_join_recent_views",
     "word_count",
     "dedup_exact_docs",
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
     "cosine_topk",
+    "ann_ivf_topk",
     "canal_decode",
     "upsert_materialize",
     "json_roundtrip_orders",

@@ -518,6 +518,27 @@ def udtf_split_words(spark, sf_dir):
     return TR.split_words_udtf(d, "text", keep_cols=["doc_id"])
 
 
+@q("udtf_python_lateral", """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id < 50),
+e AS (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM d)
+SELECT doc_id, t[i] AS word, CAST(length(t[i]) AS INT) AS length
+FROM e WHERE len(t[i]) > 0
+""")
+def udtf_python_lateral(spark, sf_dir):
+    """F2 via a REAL Python UDTF (Spark 4 @udtf, Arrow-batched) invoked with
+    SQL LATERAL — the general table-function mechanism for logic expressions
+    can't cover. Same semantics as MyTableFunction.java:8-16; the expression
+    path (`udtf_split_words`) remains the hot path."""
+    from felixzh_flink_spark.functions.python_udtf import register_python_udtfs
+    register_python_udtfs(spark)
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    d.createOrReplaceTempView("_udtf_docs")
+    return spark.sql("""
+        SELECT d.doc_id, w.word, w.length
+        FROM _udtf_docs d, LATERAL split_words_py(d.text) w
+    """)
+
+
 @q("scalar_concat", """
 SELECT c_custkey, c_name || '_checked' AS tagged FROM customer
 """)
