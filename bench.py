@@ -55,8 +55,21 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     spark = get_spark("bench")
     timings: dict[str, float] = {}
-    # one warmup action so JVM/codegen startup isn't billed to the first query
+    # warmup actions so JVM/codegen startup (incl. the decimal HashAggregate
+    # and window-function paths every query family hits) isn't billed to the
+    # first measured query — synthetic data, never the bench tables
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.range(100_000).selectExpr("id % 7 AS k", "cast(id AS double) AS v") \
+        .createOrReplaceTempView("_warm")
+    spark.sql("""
+        SELECT COUNT(*) FROM (
+          SELECT k, CAST(SUM(CAST(v AS DECIMAL(30,4))) AS DOUBLE) s
+          FROM _warm GROUP BY k)
+    """).collect()
+    spark.sql("""
+        SELECT COUNT(*) FROM (
+          SELECT k, ROW_NUMBER() OVER (PARTITION BY k ORDER BY v) rn FROM _warm)
+    """).collect()
     for name in HEADLINE:
         t0 = time.perf_counter()
         force(QUERIES[name](spark, sf_dir))

@@ -20,6 +20,8 @@ extreme-streaming-skew case the reference targets.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -63,6 +65,30 @@ def weighted_avg(df: DataFrame, key: str, value: str, weight: str, alias: str = 
     num = F.sum((F.col(value) * F.col(weight)).cast("decimal(30,6)")).cast("double")
     den = F.sum(F.col(weight).cast("decimal(30,6)")).cast("double")
     return df.groupBy(key).agg((num / den).alias(alias))
+
+
+def weighted_avg_pandas(df: DataFrame, key: str, value: str, weight: str,
+                        alias: str = "wavg") -> DataFrame:
+    """A5 as a REAL Python UDAF — Arrow-batched pandas grouped-agg, the
+    mechanism for aggregation logic expressions can't cover (the expression
+    form `weighted_avg` stays the hot path; pandas grouped-aggs have no
+    partial aggregation, so all rows of a group cross the shuffle).
+
+    Uses math.fsum (exact float summation) so the result is deterministic
+    under any row order — the same property the expression form gets from
+    decimal casting.
+    """
+    import math
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _wavg(v: pd.Series, w: pd.Series) -> float:
+        num = math.fsum((xv * xw) for xv, xw in zip(v, w))
+        den = math.fsum(w)
+        return num / den if den else float("nan")
+
+    return df.groupBy(key).agg(_wavg(F.col(value), F.col(weight)).alias(alias))
 
 
 def repartition_by_key(df: DataFrame, num_partitions: int, *keys: str) -> DataFrame:

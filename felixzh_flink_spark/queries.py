@@ -486,6 +486,84 @@ def grouping_sets_pricing(spark, sf_dir):
     """)
 
 
+@q("q6_forecast_revenue", """
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(30,4))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+""")
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: pure filter+scan-agg — every predicate pushes to the
+    parquet scan, no shuffle at all (global agg is a single-partition
+    reduce of partial sums)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.filter(
+        (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(exact_sum(F.col("l_extendedprice") * F.col("l_discount"), 4, "revenue"))
+
+
+@q("q10_returned_items", """
+SELECT c.c_custkey, c.c_name, n.n_name,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,4))) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""")
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: 4-way join filtered on returnflag, revenue per
+    customer, top-20. The returnflag filter pushes into the lineitem scan
+    before the join; nation broadcasts."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    joined = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    )
+    rev = joined.groupBy("c_custkey", "c_name", "n_name").agg(
+        exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4, "revenue"))
+    return rev.orderBy(F.desc("revenue"), F.asc("c_custkey")).limit(20)
+
+
+@q("q18_large_orders", """
+WITH big AS (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(30,2))) > 150
+)
+SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS total_qty
+FROM orders o
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+GROUP BY o.o_orderkey, o.o_custkey, o.o_totalprice
+""")
+def q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: HAVING subquery (large-quantity orders) semi-joined
+    back — the aggregated key set stays distributed (left_semi), never
+    collected."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    big = l.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(30,2)")).alias("_q")
+    ).filter(F.col("_q") > 150).select("l_orderkey")
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderkey", "o_custkey", "o_totalprice")
+        .agg(exact_sum("l_quantity", 2, "total_qty"))
+    )
+
+
 # =====================================================================
 # Transforms / UDF surface (T1-T2, F1-F2, S5/U3)
 # =====================================================================
@@ -692,6 +770,39 @@ def user_sessions(spark, sf_dir):
         F.count("*").alias("n_events"),
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
+    )
+
+
+@q("session_window_native", """
+WITH ev AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM sess GROUP BY user_id, session_id
+""")
+def session_window_native(spark, sf_dir):
+    """Native F.session_window (30 min gap) — the streaming-capable session
+    operator; the oracle reconstructs identical sessions with the lag-gap
+    formulation (session_window's end = last event + gap)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"), "n_events")
     )
 
 

@@ -41,3 +41,20 @@ def test_exact_sum_is_order_insensitive(spark):
     df = spark.createDataFrame(vals, "v double")
     assert df.agg(exact_sum("v", 4, "s")).head()["s"] == 2.0
     assert df.repartition(4).agg(exact_sum("v", 4, "s")).head()["s"] == 2.0
+
+
+def test_weighted_avg_pandas_matches_expression_form(spark, sf_dir):
+    from felixzh_flink_spark.operators.aggregations import (
+        weighted_avg,
+        weighted_avg_pandas,
+    )
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    expr_form = {r["l_returnflag"]: r["wavg"]
+                 for r in weighted_avg(l, "l_returnflag", "l_extendedprice",
+                                       "l_quantity").collect()}
+    udaf_form = {r["l_returnflag"]: r["wavg"]
+                 for r in weighted_avg_pandas(l, "l_returnflag", "l_extendedprice",
+                                              "l_quantity").collect()}
+    assert set(expr_form) == set(udaf_form)
+    for k in expr_form:
+        assert abs(expr_form[k] - udaf_form[k]) / abs(expr_form[k]) < 1e-9
