@@ -1204,6 +1204,26 @@ def multimodal_meta(spark, sf_dir):
     return feats.select("doc_id", "media_type", "n_bytes")
 
 
+@q("multimodal_frame_plan", """
+SELECT doc_id,
+       unnest(generate_series(0, strlen(text) % 5000, 1000)) AS frame_ts_ms
+FROM documents
+""")
+def multimodal_frame_plan(spark, sf_dir):
+    """Video frame-sampling plan: one row per (doc, frame_ts) fanned out
+    JVM-side from duration metadata (sequence+explode); the per-frame decode
+    kernel would be mapInPandas over these rows. Synthetic duration =
+    byte-size mod 5s keeps it oracle-checkable."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload"))
+    d = MM.attach_media_meta(d, "payload", "video", "mp4")
+    d = d.withColumn(
+        "media_meta",
+        F.col("media_meta").withField(
+            "duration_ms", F.pmod(F.col("media_meta.size_bytes"), F.lit(5000))))
+    return MM.frame_sample_plan(d, every_ms=1000)
+
+
 @q("approx_distinct_parts")  # rows-only: approximate by definition
 def approx_distinct_parts(spark, sf_dir):
     """approx_count_distinct (HLL++) per supplier — §2.7 approximate-agg fill;
