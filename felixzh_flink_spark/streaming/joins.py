@@ -1,0 +1,47 @@
+"""Streaming joins — stream⋈static enrichment and stream⋈stream interval
+joins (beyond-reference extensions; the reference has no joins at all,
+SURVEY.md §2.7, but any streaming engine surface needs them).
+
+- `enrich_with_dim`: per-micro-batch join against a static/slowly-changing
+  dimension. The dim side is broadcast when small; with a lakehouse table
+  the dim is re-read each batch, giving slowly-changing enrichment for free.
+  This is the idiomatic replacement for the reference's per-record HBase
+  lookups (Kafka2HBase's sink-side point writes inverted into a join).
+- `interval_join_streams`: stream-stream inner join on a key with an
+  event-time bound — both sides watermarked so Spark can evict join state;
+  state size is bounded by (watermark delay + interval span) × arrival rate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def enrich_with_dim(stream: DataFrame, dim: DataFrame, on: Column | list[str],
+                    how: str = "left", broadcast_dim: bool = True) -> DataFrame:
+    """Stream-static join; broadcast the dim side when it fits (no shuffle of
+    the stream, no state store)."""
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return stream.join(d, on, how)
+
+
+def interval_join_streams(left: DataFrame, right: DataFrame, key: str,
+                          left_ts: str, right_ts: str,
+                          lower_s: int, upper_s: int,
+                          watermark: str = "30 seconds") -> DataFrame:
+    """Stream-stream join: rows match when keys are equal and
+    right_ts ∈ [left_ts + lower_s, left_ts + upper_s] (seconds).
+
+    Both inputs get watermarks; the time-bound predicate lets the engine
+    drop join state once the watermark passes the bound — without it,
+    stream-stream state grows forever.
+    """
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {lower_s} SECONDS"))
+        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {upper_s} SECONDS"))
+    )
+    return l.join(r, cond)

@@ -105,3 +105,52 @@ def test_streaming_exact_dedup_within_watermark(spark, tmp_path):
     ids = sorted(r["doc_id"] for r in got)
     # 'hello world' variants normalize to one fingerprint → one survivor (+ 'other doc')
     assert len(ids) == 2 and 2 in ids
+
+
+def test_stream_static_enrichment_broadcast(spark, tmp_path):
+    """Stream⋈static dim join: each micro-batch row enriched from a broadcast
+    dimension (the engine's replacement for per-record KV lookups)."""
+    from felixzh_flink_spark.streaming.joins import enrich_with_dim
+    src = str(tmp_path / "src")
+    spark.createDataFrame(_rows(["u1", "u2"], 2), SCHEMA).coalesce(1) \
+        .write.parquet(src)
+    dim = spark.createDataFrame(
+        [("u1", "gold"), ("u2", "basic")], "key string, tier string")
+    stream = file_stream_source(spark, src, SCHEMA)
+    out = enrich_with_dim(stream, dim, ["key"])
+    q = (out.writeStream.format("memory").queryName("enriched")
+         .outputMode("append").start())
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT key, tier FROM enriched").collect()
+    assert len(rows) == 4
+    assert all((r["key"], r["tier"]) in {("u1", "gold"), ("u2", "basic")} for r in rows)
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Stream⋈stream with event-time bounds: views join purchases of the same
+    user within the following 60 s; watermarks bound the join state."""
+    from felixzh_flink_spark.streaming.joins import interval_join_streams
+    psrc, vsrc = str(tmp_path / "p"), str(tmp_path / "v")
+    p_schema = T.StructType([
+        T.StructField("pts", T.TimestampType()),
+        T.StructField("user", T.StringType()),
+    ])
+    v_schema = T.StructType([
+        T.StructField("vts", T.TimestampType()),
+        T.StructField("user", T.StringType()),
+    ])
+    views = [(BASE + dt.timedelta(seconds=s), "u1") for s in (0, 30, 200)]
+    purchases = [(BASE + dt.timedelta(seconds=50), "u1")]
+    spark.createDataFrame(views, v_schema).coalesce(1).write.parquet(vsrc)
+    spark.createDataFrame(purchases, p_schema).coalesce(1).write.parquet(psrc)
+    v = file_stream_source(spark, vsrc, v_schema)
+    p = file_stream_source(spark, psrc, p_schema)
+    # purchase within [vts, vts+60s] → views at 0s and 30s match, 200s doesn't
+    joined = interval_join_streams(v, p, "user", "vts", "pts", 0, 60)
+    q = (joined.writeStream.format("memory").queryName("ssj")
+         .outputMode("append").start())
+    q.processAllAvailable()
+    q.stop()
+    secs = sorted(r["vts"].second for r in spark.sql("SELECT vts FROM ssj").collect())
+    assert secs == [0, 30]
