@@ -486,10 +486,109 @@ def grouping_sets_pricing(spark, sf_dir):
     """)
 
 
+@q("q4_order_priority", """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+GROUP BY o_orderpriority
+""")
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS correlated subquery -> left_semi join (the
+    lineitem predicate is pushed to its scan; the semi join never widens
+    orders)."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+    )
+
+
+@q("q12_returnflag_priority", """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag
+""")
+def q12_returnflag_priority(spark, sf_dir):
+    """TPC-H Q12 shape: join + conditional counts (CASE inside SUM -- one
+    pass, no pivot)."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("l_returnflag").agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@q("q14_promo_revenue", """
+SELECT CAST(100.0 * CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,4))
+                ELSE CAST(0 AS DECIMAL(30,4)) END) AS DOUBLE)
+       / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,4))) AS DOUBLE)
+       AS DOUBLE) AS promo_revenue_pct
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+""")
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: ratio of conditional revenue (part is the broadcast
+    side), one aggregate pass."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(30,4)")
+    promo = F.when(F.col("p_type").like("PROMO%"), disc).otherwise(F.lit(0).cast("decimal(30,4)"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg((F.lit(100.0) * F.sum(promo).cast("double")
+              / F.sum(disc).cast("double")).cast("double").alias("promo_revenue_pct"))
+    )
+
+
+@q("price_change_lag", """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       o_totalprice - lag(o_totalprice) OVER
+           (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS price_delta
+FROM orders
+""")
+def price_change_lag(spark, sf_dir):
+    """OVER-window lead/lag fill: per-customer order-to-order price delta."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey", "o_orderkey", "o_totalprice",
+        (F.col("o_totalprice") - F.lag("o_totalprice").over(w)).alias("price_delta"))
+
+
+@q("acctbal_quartiles", """
+SELECT c_custkey, c_acctbal,
+       CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS INT) AS quartile
+FROM customer
+""")
+def acctbal_quartiles(spark, sf_dir):
+    """OVER-window ntile fill: account-balance quartiles (deterministic
+    tie-break on custkey)."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return c.select("c_custkey", "c_acctbal",
+                    F.ntile(4).over(w).cast("int").alias("quartile"))
+
+
 @q("q6_forecast_revenue", """
 SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(30,4))) AS DOUBLE) AS revenue
 FROM lineitem
-WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-01'
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
   AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
 """)
 def q6_forecast_revenue(spark, sf_dir):
@@ -498,8 +597,8 @@ def q6_forecast_revenue(spark, sf_dir):
     reduce of partial sums)."""
     l = _t(spark, sf_dir, "lineitem")
     return l.filter(
-        (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
         & (F.col("l_quantity") < 24)
     ).agg(exact_sum(F.col("l_extendedprice") * F.col("l_discount"), 4, "revenue"))
