@@ -154,3 +154,30 @@ def test_stream_stream_interval_join(spark, tmp_path):
     q.stop()
     secs = sorted(r["vts"].second for r in spark.sql("SELECT vts FROM ssj").collect())
     assert secs == [0, 30]
+
+
+def test_update_mode_running_sum_per_key(spark, tmp_path):
+    """A2/A3 streaming semantics (SocketAppV1.java:29-36 keyed reduce): the
+    running sum per key updates as new micro-batches arrive — Spark's
+    update-mode streaming aggregation. The memory sink accumulates one row
+    per (key, update); the LAST update per key is the running total."""
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(BASE, "a", 1.0), (BASE, "a", 2.0), (BASE, "b", 5.0)], SCHEMA
+    ).coalesce(1).write.parquet(src)
+    stream = file_stream_source(spark, src, SCHEMA, max_files_per_trigger=1)
+    sums = stream.groupBy("key").agg(F.sum("value").alias("total"))
+    q = (sums.writeStream.format("memory").queryName("running")
+         .outputMode("update").start())
+    q.processAllAvailable()
+    spark.createDataFrame([(BASE, "a", 4.0)], SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM running").collect()
+    # batch1 emitted a=3, b=5; batch2 re-emitted a=7 (update semantics)
+    got = {}
+    for r in rows:
+        got.setdefault(r["key"], []).append(r["total"])
+    assert 3.0 in got["a"] and 7.0 in got["a"]
+    assert got["b"] == [5.0]
