@@ -98,6 +98,24 @@ def repartition_by_key(df: DataFrame, num_partitions: int, *keys: str) -> DataFr
     return df.repartition(num_partitions, *[F.col(k) for k in keys])
 
 
+def salted_skew_join(left: DataFrame, right: DataFrame, key: str,
+                     salt_buckets: int = 16) -> DataFrame:
+    """A8 extended to JOIN skew, the companion of the reference's salted-agg
+    recipe (DataSkew/src/main/java/SocketAppV2.java:23-67): when one join key
+    dominates, salt the big (left) side with rand%N and replicate the small
+    (right) side N× with every salt value, then equi-join on (key, salt) —
+    the hot key spreads over N reducers instead of one.
+
+    Results are identical to `left.join(right, key)` (inner). Prefer AQE's
+    skew-join splitting (on by default in session.py) — this is the explicit
+    recipe for when runtime stats are unavailable (e.g. streaming joins).
+    """
+    l = left.withColumn("_salt", (F.rand(seed=42) * salt_buckets).cast("int"))
+    r = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)])))
+    return l.join(r, [key, "_salt"]).drop("_salt")
+
+
 def salted_two_phase_count(df: DataFrame, key: str, salt_buckets: int = 50,
                            alias: str = "cnt") -> DataFrame:
     """A8: explicit two-stage skew-busting count, the SocketAppV2.java:23-67

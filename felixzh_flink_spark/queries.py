@@ -1323,6 +1323,48 @@ def multimodal_frame_plan(spark, sf_dir):
     return MM.frame_sample_plan(d, every_ms=1000)
 
 
+@q("deterministic_split_counts", """
+WITH b AS (
+  SELECT CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+  FROM orders
+)
+SELECT CASE WHEN bucket < 10 THEN 'test' ELSE 'train' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM b GROUP BY 1
+""")
+def deterministic_split_counts(spark, sf_dir):
+    """Training-pipeline splitting: hash-stable train/test split at the
+    customer-key level (no leakage — every order of a customer lands on one
+    side; identical row assignment on any engine/partitioning, which is what
+    the md5 oracle proves)."""
+    from felixzh_flink_spark.operators.sampling import train_test_split
+    o = _t(spark, sf_dir, "orders")
+    train, test = train_test_split(o, "o_custkey", test_pct=10)
+    return train.select(F.lit("train").alias("split")).unionAll(
+        test.select(F.lit("test").alias("split"))
+    ).groupBy("split").agg(F.count("*").alias("n"))
+
+
+@q("profile_lineitem", """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS l_quantity_nulls,
+       MIN(l_quantity) AS l_quantity_min,
+       MAX(l_quantity) AS l_quantity_max,
+       CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS l_quantity_distinct,
+       CAST(SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS l_discount_nulls,
+       MIN(l_discount) AS l_discount_min,
+       MAX(l_discount) AS l_discount_max,
+       CAST(COUNT(DISTINCT l_discount) AS BIGINT) AS l_discount_distinct
+FROM lineitem
+""")
+def profile_lineitem(spark, sf_dir):
+    """Single-pass data-quality profile (nulls/min/max/distinct per column,
+    one shuffle for the whole profile)."""
+    from felixzh_flink_spark.operators.profiling import profile_numeric
+    return profile_numeric(_t(spark, sf_dir, "lineitem"),
+                           ["l_quantity", "l_discount"])
+
+
 @q("approx_distinct_parts")  # rows-only: approximate by definition
 def approx_distinct_parts(spark, sf_dir):
     """approx_count_distinct (HLL++) per supplier — §2.7 approximate-agg fill;
