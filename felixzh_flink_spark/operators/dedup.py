@@ -191,6 +191,45 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     )
 
 
+def dup_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
+    """Resolve near-dup pairs into clusters: connected components by
+    iterative min-label propagation. Returns (id, cluster_id) where
+    cluster_id = min doc id of the component — pick `id == cluster_id` as
+    the representative to keep.
+
+    Each iteration is two shuffles (propagate min over edges, merge); it
+    converges in O(component diameter) iterations — near-dup graphs are
+    dense clumps with tiny diameters, so `max_iter=10` is generous. The
+    loop stops early when an iteration changes no label (a driver-side
+    count of a sparse diff, not a collect of data).
+    """
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    labels = edges.select(F.col("src").alias("id")).distinct() \
+        .withColumn("cluster_id", F.col("id"))
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src").agg(F.min("cluster_id").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id")))
+                .alias("cluster_id"),
+                (F.col("nmin") < F.col("cluster_id")).alias("_changed"),
+            )
+        )
+        updated = updated.localCheckpoint(eager=True)  # truncate the lineage per iteration
+        n_changed = updated.filter(F.col("_changed")).count()
+        labels = updated.drop("_changed")
+        if n_changed == 0:
+            break
+    return labels
+
+
 # ---------------------------------------------------------------- simhash
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",

@@ -1063,6 +1063,42 @@ def token_counts(spark, sf_dir):
     )
 
 
+@q("top_bigrams", r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+  FROM documents WHERE length(trim(text)) > 0
+),
+bg AS (
+  SELECT t[i] || ' ' || t[i+1] AS bigram
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+  WHERE len(t) >= 2
+)
+SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+FROM bg GROUP BY bigram
+ORDER BY n DESC, bigram
+LIMIT 20
+""")
+def top_bigrams(spark, sf_dir):
+    """Corpus n-gram statistics: top-20 word bigrams (tokenize → transform
+    to bigrams → explode → count → deterministic top-k). The shuffle carries
+    (bigram, partial count) — partial aggregation collapses per-partition
+    duplicates first."""
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)),
+        ),
+    )
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram").agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram")).limit(20)
+    )
+
+
 @q("doc_quality", r"""
 WITH base AS (
   SELECT doc_id,

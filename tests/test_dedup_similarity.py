@@ -109,3 +109,20 @@ def test_ivf_topk_finds_self_and_matches_bruteforce_head(spark, sf_dir):
     exact = [r["id"] for r in SIM.cosine_topk_bruteforce(e, qv, k=5).collect()]
     full = [r["id"] for r in SIM.ivf_topk(e, qv, k=5, n_centroids=8, n_probe=8).collect()]
     assert full == exact
+
+
+def test_dup_clusters_transitive_closure(spark):
+    """Pairs (1,2),(2,3) and (5,6) → components {1,2,3} and {5,6}, labeled
+    by min id; 2-hop chain needs >1 propagation iteration."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long")
+    got = {r["id"]: r["cluster_id"] for r in DD.dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+
+
+def test_dup_clusters_long_chain(spark):
+    """A 6-node path graph exercises multi-iteration convergence."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], "id_a long, id_b long")
+    got = {r["id"]: r["cluster_id"] for r in DD.dup_clusters(pairs).collect()}
+    assert got == {i: 1 for i in range(1, 7)}
