@@ -834,6 +834,45 @@ def events_sliding_windows(spark, sf_dir):
     )
 
 
+@q("hourly_top_events", """
+WITH hourly AS (
+  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start
+             ORDER BY n DESC, event_type) AS rnk
+  FROM hourly
+)
+SELECT window_start, event_type, n, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= 3
+""")
+def hourly_top_events(spark, sf_dir):
+    """Windowed top-k: top-3 event types per hour — tumbling window agg
+    composed with per-group ranking (the streaming 'trending items' shape;
+    in streaming mode the ranking runs per micro-batch via foreachBatch)."""
+    e = _t(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    w = Window.partitionBy("window_start").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        hourly.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@q("approx_quantile_price")  # rows-only: approximate by definition
+def approx_quantile_price(spark, sf_dir):
+    """approx_percentile (GK sketch) — the 100 TB path for quantiles; exact
+    counterpart is `quantiles_by_flag`."""
+    return _t(spark, sf_dir, "lineitem").groupBy("l_returnflag").agg(
+        F.expr("approx_percentile(l_extendedprice, array(0.5, 0.99), 1000)")
+        .alias("p50_p99"))
+
+
 @q("user_sessions", """
 WITH ev AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
 flagged AS (

@@ -71,6 +71,30 @@ def parquet_sink(df: DataFrame, path: str, *, checkpoint_location: str,
     return writer.start()
 
 
+def fanout_foreach_batch(*writers):
+    """Multi-sink fanout: one streaming query feeding N sinks without
+    recomputing the batch — the batch DataFrame is persisted once, every
+    writer (batch_df → None) runs against the cached data, then it is
+    unpersisted. The alternative (N independent streaming queries) reads
+    and computes the source N times and commits N divergent offsets.
+
+    Usage::
+
+        q = df.writeStream.foreachBatch(fanout_foreach_batch(
+                lambda b: b.write.mode("append").parquet(p1),
+                lambda b: b.filter(...).write.mode("append").parquet(p2),
+            )).option("checkpointLocation", ckpt).start()
+    """
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.persist()
+        try:
+            for w in writers:
+                w(batch_df)
+        finally:
+            batch_df.unpersist()
+    return sink
+
+
 def batch_parquet_write(df: DataFrame, path: str, *,
                         partition_by: list[str] | None = None,
                         mode: str = "overwrite") -> None:

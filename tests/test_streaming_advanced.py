@@ -181,3 +181,22 @@ def test_update_mode_running_sum_per_key(spark, tmp_path):
         got.setdefault(r["key"], []).append(r["total"])
     assert 3.0 in got["a"] and 7.0 in got["a"]
     assert got["b"] == [5.0]
+
+
+def test_fanout_two_sinks_single_compute(spark, tmp_path):
+    """One streaming query feeds two sinks from a single persisted batch:
+    full copy + filtered copy stay consistent with one set of offsets."""
+    from felixzh_flink_spark.sinks.writers import fanout_foreach_batch
+    src, full, errors = (str(tmp_path / d) for d in ("src", "full", "errors"))
+    rows = [(BASE, "ok", 1.0), (BASE, "err", 2.0), (BASE, "ok", 3.0)]
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(src)
+    stream = file_stream_source(spark, src, SCHEMA)
+    q = (stream.writeStream.foreachBatch(fanout_foreach_batch(
+            lambda b: b.write.mode("append").parquet(full),
+            lambda b: b.filter(F.col("key") == "err").write.mode("append").parquet(errors),
+        )).option("checkpointLocation", str(tmp_path / "ck")).start())
+    q.processAllAvailable()
+    q.stop()
+    assert spark.read.parquet(full).count() == 3
+    err_rows = spark.read.parquet(errors).collect()
+    assert len(err_rows) == 1 and err_rows[0]["value"] == 2.0
