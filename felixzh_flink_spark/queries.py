@@ -1354,9 +1354,11 @@ def ann_ivf_topk(spark, sf_dir):
 
 @q("embedding_near_dup")  # rows-only: LSH-pruned pair generation
 def embedding_near_dup(spark, sf_dir):
-    """Embedding near-dup pairs (cosine ≥ 0.95) with LSH bucket pruning."""
+    """Embedding near-dup pairs with LSH bucket pruning. Threshold 0.4 /
+    4 planes on the synthetic random vectors (no true dups exist there;
+    real corpora use ~0.95 with more planes — same plan shape)."""
     e = _t(spark, sf_dir, "embeddings")
-    return SIM.embedding_near_dup_pairs(e, threshold=0.95)
+    return SIM.embedding_near_dup_pairs(e, threshold=0.4, n_planes=4)
 
 
 # =====================================================================

@@ -200,3 +200,33 @@ def test_fanout_two_sinks_single_compute(spark, tmp_path):
     assert spark.read.parquet(full).count() == 3
     err_rows = spark.read.parquet(errors).collect()
     assert len(err_rows) == 1 and err_rows[0]["value"] == 2.0
+
+
+def test_streaming_windowed_topk_via_foreach_batch(spark, tmp_path):
+    """Streaming 'trending items': windowed counts in complete mode, ranked
+    per micro-batch inside foreachBatch — the streaming form of
+    hourly_top_events."""
+    from pyspark.sql import Window
+
+    src, out = str(tmp_path / "src"), str(tmp_path / "out")
+    rows = ([(BASE + dt.timedelta(minutes=i), "view", 1.0) for i in range(4)]
+            + [(BASE + dt.timedelta(minutes=i), "click", 1.0) for i in range(2)]
+            + [(BASE + dt.timedelta(minutes=1), "buy", 1.0)])
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(src)
+    stream = file_stream_source(spark, src, SCHEMA)
+    counts = stream.groupBy(F.window("ts", "1 hour").alias("w"), "key") \
+        .agg(F.count("*").alias("n"))
+
+    def rank_and_write(batch_df, epoch_id):
+        w = Window.partitionBy("w").orderBy(F.desc("n"), F.asc("key"))
+        top2 = batch_df.withColumn("rnk", F.row_number().over(w)) \
+            .filter(F.col("rnk") <= 2)
+        top2.select("key", "n", "rnk").write.mode("overwrite").parquet(out)
+
+    q = (counts.writeStream.outputMode("complete")
+         .foreachBatch(rank_and_write)
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    q.processAllAvailable()
+    q.stop()
+    got = {(r["key"], r["rnk"]) for r in spark.read.parquet(out).collect()}
+    assert got == {("view", 1), ("click", 2)}  # buy (n=1) ranked out
