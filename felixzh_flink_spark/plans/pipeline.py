@@ -118,6 +118,12 @@ class PipelineSpec:
         ckpt = self.props.get("env.checkpoint.location")
         if ckpt:
             writer = writer.option("checkpointLocation", ckpt)
+        # micro-batch cadence — maps the reference's smallest batching window
+        # (50 ms ES bulk window, ContainerKill/src/main/java/Kafka2ES.java:34)
+        # and checkpoint-interval knobs onto the processing-time trigger
+        trig = self.props.get("env.trigger.processing.time")
+        if trig:
+            writer = writer.trigger(processingTime=trig)
         return writer.start()
 
     def run(self, spark: SparkSession):

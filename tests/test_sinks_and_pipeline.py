@@ -105,3 +105,25 @@ def test_pipeline_stream_memory_sink(spark, tmp_path):
     q.stop()
     out = {r["word"]: r["count"] for r in spark.sql("SELECT * FROM pipe_out").collect()}
     assert out == {"x": 1, "y": 2}
+
+
+def test_pipeline_trigger_interval_config(spark, tmp_path):
+    """env.trigger.processing.time → processing-time trigger (the 50 ms
+    micro-window analog)."""
+    import time as _time
+
+    src = str(tmp_path / "psrc")
+    spark.range(3).selectExpr("CAST(id AS STRING) AS value").write.parquet(src)
+    spec = PipelineSpec({
+        "source.type": "parquet",
+        "source.path": src,
+        "transform.chain": "identity",
+        "sink.type": "memory",
+        "sink.memory.name": "trig_out",
+        "env.runtime.mode": "STREAMING",
+        "env.trigger.processing.time": "50 milliseconds",
+    })
+    q = spec.run(spark)
+    q.processAllAvailable()
+    q.stop()
+    assert spark.sql("SELECT COUNT(*) n FROM trig_out").head()["n"] == 3
