@@ -52,7 +52,8 @@ def canal_envelope_schema(row_schema: T.StructType) -> T.StructType:
 
 
 def decode_canal_json(df: DataFrame, value_col: str, row_schema: T.StructType,
-                      ignore_parse_errors: bool = True) -> DataFrame:
+                      ignore_parse_errors: bool = True,
+                      parallelism: int | None = None) -> DataFrame:
     """F3: Canal envelope JSON strings → changelog rows (op + row fields).
 
     Semantics (matching flink-json's CanalJsonDeserializationSchema, which the
@@ -72,6 +73,12 @@ def decode_canal_json(df: DataFrame, value_col: str, row_schema: T.StructType,
     drop-null/empty behavior keeps exactly ONE from_json per row in the
     physical plan (verified via executedPlan().count("from_json")).
     """
+    if parallelism:
+        # JSON parse is CPU-bound; when the source has fewer partitions than
+        # cores (single files, low-partition Kafka topics) spread the raw
+        # strings first. Leave None when the source is already well-split —
+        # the shuffle would only move bytes that the scan parallelizes anyway.
+        df = df.repartition(parallelism)
     env = df.select(F.from_json(F.col(value_col), canal_envelope_schema(row_schema)).alias("_env"))
 
     fields = [f.name for f in row_schema.fields]
@@ -122,7 +129,8 @@ def debezium_envelope_schema(row_schema: T.StructType) -> T.StructType:
 
 
 def decode_debezium_json(df: DataFrame, value_col: str, row_schema: T.StructType,
-                         ignore_parse_errors: bool = True) -> DataFrame:
+                         ignore_parse_errors: bool = True,
+                         parallelism: int | None = None) -> DataFrame:
     """F4: Debezium envelope JSON → changelog rows.
 
     op mapping (flink-json DebeziumJsonDeserializationSchema semantics):
@@ -135,6 +143,8 @@ def decode_debezium_json(df: DataFrame, value_col: str, row_schema: T.StructType
     record exactly once (see decode_canal_json for why a filter would
     multiply the from_json).
     """
+    if parallelism:
+        df = df.repartition(parallelism)  # see decode_canal_json
     env = df.select(F.from_json(F.col(value_col),
                                 debezium_envelope_schema(row_schema)).alias("_env"))
     fields = [f.name for f in row_schema.fields]

@@ -1004,7 +1004,8 @@ def canal_decode(spark, sf_dir):
     canal_json/Kafka2Print.java:63-103). Envelopes built deterministically
     from orders; decode must reproduce the oracle's per-status expansion."""
     env = _orders_canal_envelopes(spark, sf_dir)
-    return decode_canal_json(env, "value", _ORDERS_CDC_SCHEMA)
+    return decode_canal_json(env, "value", _ORDERS_CDC_SCHEMA,
+                             parallelism=spark.sparkContext.defaultParallelism)
 
 
 _EVENTS_CDC_SCHEMA = T.StructType([
@@ -1054,7 +1055,8 @@ def debezium_decode(spark, sf_dir):
     """F4: debezium-json envelope (before/after/op c|r|u|d) → changelog rows
     (debezium_json/Kafka2Print.java:25-39 semantics)."""
     env = _events_debezium_envelopes(spark, sf_dir)
-    return decode_debezium_json(env, "value", _EVENTS_CDC_SCHEMA)
+    return decode_debezium_json(env, "value", _EVENTS_CDC_SCHEMA,
+                                parallelism=spark.sparkContext.defaultParallelism)
 
 
 @q("upsert_materialize", """
