@@ -238,6 +238,26 @@ def changelog_upsert_sink(state_dir: str, pk: list[str], order_col: str = "ts_ms
     return sink
 
 
+def changelog_sum(changelog: DataFrame, keys: list[str], value_col: str,
+                  alias: str = "total") -> DataFrame:
+    """Retract-aware aggregation over a changelog — the Flink
+    `AggregateFunction.retract()` semantic (UserDefinedFunctions/.../
+    MyAggregateFunctionsForWeightedAvg.java:26-29) as pure expressions:
+    +I/+U rows add, -U/-D rows subtract, so the grouped sum equals the sum
+    over the materialized current state WITHOUT building that state.
+
+    One pass, one shuffle, partial aggregation applies — on a CDC stream
+    this is dramatically cheaper than upsert-then-aggregate when only the
+    aggregate (not the row-level state) is needed. Decimal-cast per element
+    for order-independent determinism (see operators.aggregations.exact_sum).
+    """
+    sign = F.when(F.col("op").isin(OP_INSERT, OP_UPDATE_AFTER), F.lit(1.0)) \
+        .otherwise(F.lit(-1.0))
+    signed = (F.col(value_col) * sign).cast("decimal(30,6)")
+    return changelog.groupBy(*keys).agg(
+        F.sum(signed).cast("double").alias(alias))
+
+
 def encode_debezium_json(df: DataFrame, fields: list[str], op: str = "c") -> DataFrame:
     """Emit debezium-style envelopes from plain rows (the reference *rejects*
     canal/debezium as sink formats — captured UnsupportedOperationException,

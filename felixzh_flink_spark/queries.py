@@ -25,6 +25,7 @@ from pyspark.sql import functions as F, types as T
 
 from felixzh_flink_spark.catalog import load_table
 from felixzh_flink_spark.functions.changelog import (
+    changelog_sum,
     decode_canal_json,
     decode_debezium_json,
     upsert_latest,
@@ -1081,6 +1082,33 @@ def upsert_materialize(spark, sf_dir):
         "o_orderkey", "o_custkey", "o_totalprice")
     changelog = base.unionByName(updates).unionByName(deletes)
     return upsert_latest(changelog, ["o_orderkey"])
+
+
+@q("changelog_retract_sum", """
+WITH ch AS (
+  SELECT o_custkey, CAST(o_totalprice AS DECIMAL(30,6)) AS v
+  FROM orders WHERE o_orderstatus = 'O'
+  UNION ALL
+  SELECT o_custkey, -CAST(o_totalprice + 100.0 AS DECIMAL(30,6))
+  FROM orders WHERE o_orderstatus = 'F'
+  UNION ALL
+  SELECT o_custkey, CAST(o_totalprice AS DECIMAL(30,6))
+  FROM orders WHERE o_orderstatus = 'F'
+  UNION ALL
+  SELECT o_custkey, -CAST(o_totalprice AS DECIMAL(30,6))
+  FROM orders WHERE o_orderstatus = 'P'
+)
+SELECT o_custkey, CAST(SUM(v) AS DOUBLE) AS net_total
+FROM ch GROUP BY o_custkey
+""")
+def changelog_retract_sum(spark, sf_dir):
+    """A5 retract semantics end-to-end: canal envelopes -> changelog ->
+    retract-aware sum (+I/+U add, -U/-D subtract) per customer, one pass,
+    no materialized state. The oracle replays the identical signed stream."""
+    env = _orders_canal_envelopes(spark, sf_dir)
+    ch = decode_canal_json(env, "value", _ORDERS_CDC_SCHEMA,
+                           parallelism=spark.sparkContext.defaultParallelism)
+    return changelog_sum(ch, ["o_custkey"], "o_totalprice", alias="net_total")
 
 
 # =====================================================================

@@ -185,3 +185,24 @@ def test_streaming_cdc_upsert_end_to_end(spark, tmp_path):
     got = {r["id"]: r["name"]
            for r in spark.read.parquet(f"{state}/current").collect()}
     assert got == {1: "a2", 3: "c"}  # 1 updated, 2 deleted, 3 kept (late update lost)
+
+
+def test_changelog_sum_equals_sum_over_materialized_state(spark):
+    """Retract-aware sum (A5 retract analog) must equal aggregating the
+    upserted current state when the changelog is consistent (every -U/-D
+    retracts a previously-added value)."""
+    from felixzh_flink_spark.functions.changelog import changelog_sum
+
+    ch = spark.createDataFrame(
+        [
+            ("+I", 1, 100, 10.0),   # k=100 inserted
+            ("+I", 1, 200, 20.0),   # k=200 inserted
+            ("-U", 2, 100, 10.0),   # k=100 updated 10 → 15
+            ("+U", 2, 100, 15.0),
+            ("-D", 3, 200, 20.0),   # k=200 deleted
+        ],
+        "op string, ts_ms long, k long, v double")
+    retract = changelog_sum(ch.withColumnRenamed("k", "g"), [], "v", "total").head()["total"]
+    state = upsert_latest(ch, ["k"])
+    materialized = state.agg({"v": "sum"}).head()[0]
+    assert retract == materialized == 15.0
