@@ -230,3 +230,60 @@ def test_streaming_windowed_topk_via_foreach_batch(spark, tmp_path):
     q.stop()
     got = {(r["key"], r["rnk"]) for r in spark.read.parquet(out).collect()}
     assert got == {("view", 1), ("click", 2)}  # buy (n=1) ranked out
+
+
+def test_streaming_session_window_with_watermark(spark, tmp_path):
+    """session_window on a real stream (append mode): sessions close when
+    the watermark passes their gap; two bursts 40 min apart → two sessions
+    for the key once the watermark advances."""
+    src = str(tmp_path / "src")
+    burst1 = [(BASE + dt.timedelta(minutes=m), "u1", 1.0) for m in (0, 5)]
+    spark.createDataFrame(burst1, SCHEMA).coalesce(1).write.parquet(src)
+    stream = (file_stream_source(spark, src, SCHEMA, max_files_per_trigger=1)
+              .withWatermark("ts", "1 minute"))
+    sessions = (stream.groupBy(F.session_window("ts", "30 minutes").alias("w"), "key")
+                .agg(F.count("*").alias("n")))
+    q = (sessions.writeStream.format("memory").queryName("sess_out")
+         .outputMode("append").start())
+    q.processAllAvailable()
+    # second burst 40 min later closes session 1; third burst closes session 2
+    spark.createDataFrame(
+        [(BASE + dt.timedelta(minutes=45), "u1", 1.0)], SCHEMA
+    ).coalesce(1).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    spark.createDataFrame(
+        [(BASE + dt.timedelta(minutes=200), "u2", 1.0)], SCHEMA
+    ).coalesce(1).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT key, n FROM sess_out").collect()
+    got = sorted((r["key"], r["n"]) for r in rows)
+    assert ("u1", 2) in got      # first burst: one session of 2 events
+    assert ("u1", 1) in got      # second burst: separate session
+
+
+def test_dim_refresh_between_batches(spark, tmp_path):
+    """Slowly-changing dimension: re-reading the dim table inside
+    foreachBatch picks up dim updates between micro-batches."""
+    src, dim_path, out = (str(tmp_path / d) for d in ("src", "dim", "out"))
+    spark.createDataFrame([("u1", "bronze")], "key string, tier string") \
+        .write.parquet(dim_path)
+    spark.createDataFrame(_rows(["u1"], 1), SCHEMA).coalesce(1).write.parquet(src)
+    stream = file_stream_source(spark, src, SCHEMA, max_files_per_trigger=1)
+
+    def enrich(batch_df, epoch_id):
+        dim = F.broadcast(spark.read.parquet(dim_path))
+        batch_df.join(dim, "key").write.mode("append").parquet(out)
+
+    q = (stream.writeStream.foreachBatch(enrich)
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    q.processAllAvailable()
+    # dim changes while the query runs
+    spark.createDataFrame([("u1", "gold")], "key string, tier string") \
+        .write.mode("overwrite").parquet(dim_path)
+    spark.createDataFrame(_rows(["u1"], 1, start=100), SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    tiers = sorted(r["tier"] for r in spark.read.parquet(out).collect())
+    assert tiers == ["bronze", "gold"]
