@@ -136,6 +136,29 @@ def _nearest_centroid(vec: Column, cents: list[list[float]]) -> Column:
     return F.array_position(sims, F.array_max(sims)).cast("int")
 
 
+def ivf_refine_centroids(df: DataFrame, cents: list[list[float]],
+                         vec_col: str = "embedding",
+                         iterations: int = 1) -> list[list[float]]:
+    """Lloyd refinement: assign → per-cell mean → new centroids, repeated
+    `iterations` times. Each iteration is one distributed pass + one small
+    collect (n_centroids × dim); deterministic given the hash-sampled init.
+    One or two iterations tighten cells enough to cut probe misses — full
+    k-means convergence buys little for IVF routing and costs scans."""
+    dim = len(cents[0])
+    for _ in range(iterations):
+        assigned = ivf_assign(df, cents, vec_col)
+        means = assigned.groupBy("ivf_cell").agg(
+            *[F.avg(F.col(vec_col)[i].cast("double")).alias(f"m{i}")
+              for i in range(dim)])
+        by_cell = {
+            r["ivf_cell"]: [r[f"m{i}"] for i in range(dim)]
+            for r in means.collect()
+        }
+        # empty cells keep their previous centroid
+        cents = [by_cell.get(i + 1, cents[i]) for i in range(len(cents))]
+    return cents
+
+
 def ivf_assign(df: DataFrame, cents: list[list[float]],
                vec_col: str = "embedding", alias: str = "ivf_cell") -> DataFrame:
     """Assign each row to its nearest centroid cell. At scale this runs once

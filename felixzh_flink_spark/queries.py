@@ -334,6 +334,31 @@ def nations_customers_only(spark, sf_dir):
     return c.subtract(s)
 
 
+@q("nation_customers_vs_suppliers", """
+WITH c AS (SELECT c_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_cust
+           FROM customer GROUP BY 1),
+s AS (SELECT s_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_supp
+      FROM supplier GROUP BY 1)
+SELECT COALESCE(c.nk, s.nk) AS nationkey,
+       COALESCE(n_cust, 0) AS n_cust,
+       COALESCE(n_supp, 0) AS n_supp
+FROM c FULL OUTER JOIN s ON c.nk = s.nk
+""")
+def nation_customers_vs_suppliers(spark, sf_dir):
+    """§2.7 outer-join fill: FULL OUTER of two keyed aggregates with
+    COALESCE null handling (nations may have customers, suppliers, or
+    both)."""
+    c = _t(spark, sf_dir, "customer").groupBy(
+        F.col("c_nationkey").alias("nk_c")).agg(F.count("*").alias("n_cust"))
+    s = _t(spark, sf_dir, "supplier").groupBy(
+        F.col("s_nationkey").alias("nk_s")).agg(F.count("*").alias("n_supp"))
+    j = c.join(s, c.nk_c == s.nk_s, "full_outer")
+    return j.select(
+        F.coalesce("nk_c", "nk_s").alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"))
+
+
 @q("rollup_pricing", """
 SELECT l_returnflag, l_linestatus,
        CAST(COUNT(*) AS BIGINT) AS n,

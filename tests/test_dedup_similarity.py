@@ -126,3 +126,24 @@ def test_dup_clusters_long_chain(spark):
         [(i, i + 1) for i in range(1, 6)], "id_a long, id_b long")
     got = {r["id"]: r["cluster_id"] for r in DD.dup_clusters(pairs).collect()}
     assert got == {i: 1 for i in range(1, 7)}
+
+
+def test_ivf_refined_centroids_improve_or_match_recall(spark, sf_dir):
+    """One Lloyd iteration must keep cells valid: refined top-k still finds
+    the query vector, and probing all cells still equals brute force."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = list(e.filter(F.col("vec_id") == 3).head()["embedding"])
+    init = SIM.ivf_centroids(e, n_centroids=8)
+    refined = SIM.ivf_refine_centroids(e, init, iterations=1)
+    assert len(refined) == 8 and len(refined[0]) == len(init[0])
+    assigned = SIM.ivf_assign(e, refined)
+    # every row lands in a valid cell
+    cells = {r["ivf_cell"] for r in assigned.select("ivf_cell").distinct().collect()}
+    assert cells <= set(range(1, 9))
+    # exhaustive probe over refined cells == brute force
+    q = F.array(*[F.lit(float(x)) for x in qv])
+    scored = assigned.select(F.col("vec_id").alias("id"),
+                             SIM.cosine(F.col("embedding"), q).alias("cosine_sim"))
+    full = [r["id"] for r in scored.orderBy(F.desc("cosine_sim"), F.asc("id")).limit(5).collect()]
+    exact = [r["id"] for r in SIM.cosine_topk_bruteforce(e, qv, k=5).collect()]
+    assert full == exact
