@@ -44,6 +44,66 @@ def bpe_ish_token_count(text: Column | str, alias: str = "n_subtokens") -> Colum
         .cast("bigint").alias(alias)
 
 
+def chunk_documents(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", chunk_tokens: int = 64,
+                    overlap_tokens: int = 8) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the context-
+    window preparation step of a training pipeline. Stride = chunk − overlap;
+    the final partial window is kept. Pure JVM (split → sequence →
+    transform → explode): one scan, no shuffle, output rows ∝ tokens.
+
+    Returns (id, chunk_idx, chunk_text, n_chunk_tokens).
+    """
+    stride = chunk_tokens - overlap_tokens
+    toks = F.split(F.lower(F.trim(F.col(text_col))), TOKEN_RE)
+    n = F.size(toks)
+    n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
+        F.ceil((n - F.lit(chunk_tokens)).cast("double") / stride).cast("int") + 1)
+    idx = F.sequence(F.lit(0), n_chunks - 1)
+    chunks = F.transform(
+        idx,
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_idx"),
+            F.concat_ws(" ", F.slice(toks, i * stride + 1, chunk_tokens)).alias("chunk_text"),
+            F.least(F.lit(chunk_tokens), n - i * stride).cast("bigint").alias("n_chunk_tokens"),
+        ),
+    )
+    return (
+        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.col(id_col).alias("id"), F.explode(chunks).alias("c"))
+        .select("id", "c.chunk_idx", "c.chunk_text", "c.n_chunk_tokens")
+    )
+
+
+#: training-data scrubbing patterns (emails, URLs) — the common pretraining
+#: cleanup pass; extend per-deployment.
+REDACT_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[^\s]+",
+}
+
+
+def redact_text(text: Column | str, replacement: str = "[REDACTED]") -> Column:
+    """Scrub emails and URLs from a text column (regexp_replace chain —
+    codegen'd, no Python). Order: URLs first so mailto-ish tails don't leave
+    fragments."""
+    c = F.col(text) if isinstance(text, str) else text
+    out = F.regexp_replace(c, REDACT_PATTERNS["url"], replacement)
+    return F.regexp_replace(out, REDACT_PATTERNS["email"], replacement)
+
+
+def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Test-set decontamination: drop corpus docs whose normalized-text
+    fingerprint appears in the benchmark set — an anti-join on md5
+    fingerprints (one shuffle on the hash; the benchmark side is tiny in
+    practice → broadcast)."""
+    corpus_fp = fingerprint_md5(corpus, text_col)
+    bench_fp = fingerprint_md5(benchmark, text_col).select("fingerprint").distinct()
+    return corpus_fp.join(F.broadcast(bench_fp), "fingerprint", "left_anti") \
+        .drop("fingerprint")
+
+
 def punct_ratio(text: Column | str, alias: str = "punct_ratio") -> Column:
     """Punctuation chars / total chars (0 for empty docs)."""
     c = F.col(text) if isinstance(text, str) else text

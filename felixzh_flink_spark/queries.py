@@ -1193,6 +1193,68 @@ def top_bigrams(spark, sf_dir):
     )
 
 
+@q("chunk_docs", r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+  FROM documents WHERE length(trim(text)) > 0
+),
+sized AS (SELECT doc_id, t, len(t) AS n FROM toks),
+counted AS (
+  SELECT doc_id, t, n,
+         CASE WHEN n <= 64 THEN 1
+              ELSE CAST(ceil((n - 64) / 56.0) AS INT) + 1 END AS n_chunks
+  FROM sized
+),
+expanded AS (
+  SELECT doc_id, t, n, unnest(generate_series(0, n_chunks - 1)) AS i FROM counted
+)
+SELECT doc_id AS id, CAST(i AS INT) AS chunk_idx,
+       array_to_string(t[i*56+1 : i*56+64], ' ') AS chunk_text,
+       CAST(least(64, n - i*56) AS BIGINT) AS n_chunk_tokens
+FROM expanded
+""")
+def chunk_docs(spark, sf_dir):
+    """Training-pipeline chunking: 64-token windows with 8-token overlap,
+    final partial window kept. One scan, zero shuffles (operators.text.
+    chunk_documents)."""
+    return TX.chunk_documents(_t(spark, sf_dir, "documents"),
+                              chunk_tokens=64, overlap_tokens=8)
+
+
+@q("redact_docs", r"""
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(text, 'https?://[^\s]+', '[REDACTED]', 'g'),
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[REDACTED]', 'g'
+       ) AS clean_text
+FROM documents
+""")
+def redact_docs(spark, sf_dir):
+    """Pretraining scrub pass: emails and URLs replaced (regexp chain —
+    codegen'd, no Python; operators.text.redact_text)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.redact_text("text").alias("clean_text"))
+
+
+@q("decontaminated_counts", r"""
+WITH bench AS (
+  SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+  FROM documents WHERE doc_id % 97 = 0
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_clean
+FROM documents d
+WHERE md5(regexp_replace(lower(trim(d.text)), '\s+', ' ', 'g')) NOT IN (SELECT fp FROM bench)
+""")
+def decontaminated_counts(spark, sf_dir):
+    """Test-set decontamination: corpus docs whose normalized fingerprint
+    matches a benchmark doc are dropped (broadcast anti-join on md5 —
+    operators.text.decontaminate). Benchmark stand-in: every 97th doc."""
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    clean = TX.decontaminate(d, bench)
+    return clean.agg(F.count("*").alias("n_clean"))
+
+
 @q("doc_quality", r"""
 WITH base AS (
   SELECT doc_id,
