@@ -41,6 +41,8 @@ HEADLINE = [
     "ann_ivf_topk",
     "canal_decode",
     "upsert_materialize",
+    "changelog_retract_sum",
+    "chunk_docs",
     "json_roundtrip_orders",
 ]
 
