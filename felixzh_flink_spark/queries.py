@@ -611,6 +611,48 @@ def acctbal_quartiles(spark, sf_dir):
                     F.ntile(4).over(w).cast("int").alias("quartile"))
 
 
+@q("q17_small_quantity_revenue", """
+SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) / 7.0 AS avg_yearly
+FROM lineitem l
+JOIN (
+  SELECT l_partkey, 0.5 * AVG(l_quantity) AS threshold
+  FROM lineitem GROUP BY l_partkey
+) t ON l.l_partkey = t.l_partkey
+WHERE l.l_quantity < t.threshold
+""")
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average) as an
+    aggregate-then-join — the decorrelation Catalyst performs on the SQL
+    form, written directly. The per-part agg shuffles once on partkey and
+    joins back on the same key."""
+    l = _t(spark, sf_dir, "lineitem")
+    thresholds = l.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (F.lit(0.5) * F.avg("l_quantity")).alias("threshold"))
+    return (
+        l.join(thresholds, l.l_partkey == thresholds.t_partkey)
+        .filter(F.col("l_quantity") < F.col("threshold"))
+        .agg((F.sum(F.col("l_extendedprice").cast("decimal(30,2)")).cast("double")
+              / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+@q("moving_avg_order_price", """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       AVG(o_totalprice) OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_avg
+FROM orders
+""")
+def moving_avg_order_price(spark, sf_dir):
+    """OVER-window frame fill: 3-order moving average per customer
+    (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)."""
+    o = _t(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(-2, Window.currentRow))
+    return o.select("o_custkey", "o_orderkey", "o_totalprice",
+                    F.avg("o_totalprice").over(w).alias("moving_avg"))
+
+
 @q("q6_forecast_revenue", """
 SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(30,4))) AS DOUBLE) AS revenue
 FROM lineitem
