@@ -449,6 +449,69 @@ def range_join_recent_views(spark, sf_dir):
         F.count("*").alias("n_recent_views"))
 
 
+@q("purchase_conversion_rate", """
+WITH ev AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+            FROM events),
+m AS (
+  SELECT l.event_id, r.ts AS view_ts, l.ts AS p_ts
+  FROM (SELECT * FROM ev WHERE event_type = 'purchase') l
+  ASOF LEFT JOIN (SELECT * FROM ev WHERE event_type = 'view') r
+    ON l.user_id = r.user_id AND l.ts >= r.ts
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(COUNT(*) FILTER (WHERE view_ts IS NOT NULL
+            AND epoch_us(p_ts) - epoch_us(view_ts) <= 3600000000) AS BIGINT)
+           AS n_converted_1h
+FROM m
+""")
+def purchase_conversion_rate(spark, sf_dir):
+    """Funnel analysis composed from the as-of join: purchases preceded by a
+    view of the same user within 1 h. One keyed shuffle total."""
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("pe"), F.col("ts").alias("p_ts"))
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("v_ts"))
+    m = asof_join(purchases, views, "user_id", "p_ts", "v_ts", ["v_ts"], suffix="")
+    within_1h = (
+        F.col("v_ts").isNotNull()
+        & (F.unix_micros(F.col("p_ts").cast("timestamp"))
+           - F.unix_micros(F.col("v_ts").cast("timestamp")) <= 3600 * 1000 * 1000)
+    )
+    return m.agg(
+        F.count("*").alias("n_purchases"),
+        F.sum(F.when(within_1h, 1).otherwise(0)).alias("n_converted_1h"))
+
+
+@q("q15_top_supplier", """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) AS DOUBLE)
+             AS total_revenue
+  FROM lineitem GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+""")
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: revenue per supplier, filter to the global max via a
+    scalar-subquery-as-broadcast-join (the 1-row max side broadcasts; the
+    revenue agg is computed once and reused for both sides of the
+    comparison)."""
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    rev = l.groupBy("l_suppkey").agg(
+        exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                  4, "total_revenue"))
+    top = rev.agg(F.max("total_revenue").alias("max_rev"))
+    return (
+        s.join(rev, s.s_suppkey == rev.l_suppkey)
+        .join(F.broadcast(top), F.col("total_revenue") == F.col("max_rev"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
 @q("pivot_order_status", """
 SELECT o_orderpriority,
        CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_O,
