@@ -24,7 +24,7 @@ CDC decode at 100 TB is a scan-shaped, shuffle-free job.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F, types as T
 
 #: changelog op tags, matching Flink RowKind short strings
@@ -34,13 +34,53 @@ OP_UPDATE_AFTER = "+U"
 OP_DELETE = "-D"
 
 
+def _stringly(row_schema: T.StructType) -> T.StructType:
+    """String-typed twin of `row_schema` for lenient envelope parsing.
+
+    Real Canal payloads serialize every MySQL value as a JSON *string*
+    ("id": "111", "weight": "5.18" — see the reference's captured sample,
+    canal_json/Kafka2Print.java:65-102), while hand-written fixtures and
+    some Debezium configs emit native JSON numbers. Spark's `from_json`
+    does NOT coerce quoted strings into long/double (the whole record
+    nulls out), unlike Flink's lenient JsonToRowDataConverters — so we
+    parse the row payload as all-strings (from_json accepts both quoted
+    and unquoted scalars into StringType) and `cast` each field to its
+    target type afterwards, which is exactly Flink's convert-then-cast
+    behavior."""
+    return T.StructType([
+        T.StructField(f.name, T.StringType(), True) for f in row_schema.fields
+    ])
+
+
+def _maybe_spread(df: DataFrame, parallelism: int | None) -> DataFrame:
+    """Repartition the raw-string source ONLY when it is under-partitioned.
+
+    JSON parse is CPU-bound; when the source has fewer partitions than the
+    requested parallelism (single files, low-partition Kafka topics) spread
+    the raw strings first. When the source is already well-split, a forced
+    repartition would move every raw byte through a shuffle that buys
+    nothing — at 100 TB that shuffle IS the job, so it must be conditional.
+    Streaming sources can't be introspected cheaply; they repartition only
+    if explicitly asked.
+    """
+    if not parallelism:
+        return df
+    if df.isStreaming:
+        return df.repartition(parallelism)
+    if df.rdd.getNumPartitions() < parallelism:
+        return df.repartition(parallelism)
+    return df
+
+
 def canal_envelope_schema(row_schema: T.StructType) -> T.StructType:
     """Schema of a Canal JSON envelope carrying rows of `row_schema`
     (field inventory from the reference's captured sample payload,
-    canal_json/Kafka2Print.java:65-102)."""
+    canal_json/Kafka2Print.java:65-102). Row payloads are parsed as
+    strings (see `_stringly`) and cast to `row_schema` types post-parse."""
+    row_strings = _stringly(row_schema)
     return T.StructType([
-        T.StructField("data", T.ArrayType(row_schema), True),
-        T.StructField("old", T.ArrayType(row_schema), True),
+        T.StructField("data", T.ArrayType(row_strings), True),
+        T.StructField("old", T.ArrayType(row_strings), True),
         T.StructField("type", T.StringType(), True),
         T.StructField("database", T.StringType(), True),
         T.StructField("table", T.StringType(), True),
@@ -63,8 +103,12 @@ def decode_canal_json(df: DataFrame, value_col: str, row_schema: T.StructType,
     - type=UPDATE  → per index i: -U from old[i] merged over data[i] (Canal's
       old[] holds only the *changed* fields; unchanged fields come from
       data[i]), then +U from data[i]
-    - isDdl=true or unparseable → dropped when ignore_parse_errors
-      ('canal-json.ignore-parse-errors', Kafka2Print.java:36).
+    - isDdl=true → dropped; unparseable → dropped when ignore_parse_errors
+      ('canal-json.ignore-parse-errors', Kafka2Print.java:36), FAILFAST
+      raise otherwise (the Flink ignore-parse-errors=false semantic).
+
+    Row values are parsed as strings and cast (quoted "111" and unquoted 111
+    both decode — see `_stringly`).
 
     Validity is folded into the exploded expressions instead of a Filter node:
     a pre-explode `.filter` on parsed fields gets pushed below the parse
@@ -73,13 +117,10 @@ def decode_canal_json(df: DataFrame, value_col: str, row_schema: T.StructType,
     drop-null/empty behavior keeps exactly ONE from_json per row in the
     physical plan (verified via executedPlan().count("from_json")).
     """
-    if parallelism:
-        # JSON parse is CPU-bound; when the source has fewer partitions than
-        # cores (single files, low-partition Kafka topics) spread the raw
-        # strings first. Leave None when the source is already well-split —
-        # the shuffle would only move bytes that the scan parallelizes anyway.
-        df = df.repartition(parallelism)
-    env = df.select(F.from_json(F.col(value_col), canal_envelope_schema(row_schema)).alias("_env"))
+    df = _maybe_spread(df, parallelism)
+    mode = {"mode": "PERMISSIVE" if ignore_parse_errors else "FAILFAST"}
+    env = df.select(F.from_json(F.col(value_col), canal_envelope_schema(row_schema),
+                                mode).alias("_env"))
 
     fields = [f.name for f in row_schema.fields]
     valid = F.col("_env").isNotNull() & (~F.coalesce(F.col("_env.isDdl"), F.lit(False)))
@@ -109,20 +150,29 @@ def decode_canal_json(df: DataFrame, value_col: str, row_schema: T.StructType,
               F.array(tagged(OP_UPDATE_BEFORE, merged_old),
                       tagged(OP_UPDATE_AFTER, new_row)))
     )
+    if not ignore_parse_errors:
+        # Flink's canal deserializer throws on unknown operation types when
+        # ignore-parse-errors=false; rows reaching this branch carried data[]
+        # but none of INSERT/DELETE/UPDATE.
+        ops = ops.otherwise(F.raise_error(
+            F.concat(F.lit("canal-json: unknown operation type "), F.col("type"))))
+    types = {f.name: f.dataType for f in row_schema.fields}
     return (
         paired.select(F.col("es").alias("ts_ms"), F.explode(ops).alias("_t"))
         .select(F.col("_t.op").alias("op"), "ts_ms",
-                *[F.col(f"_t.row.{f}").alias(f) for f in fields])
+                *[F.col(f"_t.row.{f}").cast(types[f]).alias(f) for f in fields])
     )
 
 
 def debezium_envelope_schema(row_schema: T.StructType) -> T.StructType:
     """Debezium JSON envelope (flat, schema-exclude mode — the reference's
     debezium_json DDL assumes `'debezium-json.schema-include'=false` default;
-    Kafka2Print.java:25-39)."""
+    Kafka2Print.java:25-39). Row payloads parse as strings and cast post-
+    parse (see `_stringly`) so quoted-numeric values decode like Flink's."""
+    row_strings = _stringly(row_schema)
     return T.StructType([
-        T.StructField("before", row_schema, True),
-        T.StructField("after", row_schema, True),
+        T.StructField("before", row_strings, True),
+        T.StructField("after", row_strings, True),
         T.StructField("op", T.StringType(), True),
         T.StructField("ts_ms", T.LongType(), True),
     ])
@@ -138,15 +188,18 @@ def decode_debezium_json(df: DataFrame, value_col: str, row_schema: T.StructType
     u (update) → -U from before, +U from after;
     d (delete) → -D from before.
 
-    Unparseable / op-less records fall through the when-chain to a null ops
-    array, which explode drops — no Filter node, so the plan parses each
-    record exactly once (see decode_canal_json for why a filter would
-    multiply the from_json).
+    With ignore_parse_errors (default), unparseable / op-less records fall
+    through the when-chain to a null ops array, which explode drops — no
+    Filter node, so the plan parses each record exactly once (see
+    decode_canal_json for why a filter would multiply the from_json). With
+    ignore_parse_errors=False, malformed JSON raises (FAILFAST) and unknown
+    ops hit a raise_error branch — Flink's fail-fast semantic.
     """
-    if parallelism:
-        df = df.repartition(parallelism)  # see decode_canal_json
+    df = _maybe_spread(df, parallelism)
+    mode = {"mode": "PERMISSIVE" if ignore_parse_errors else "FAILFAST"}
     env = df.select(F.from_json(F.col(value_col),
-                                debezium_envelope_schema(row_schema)).alias("_env"))
+                                debezium_envelope_schema(row_schema),
+                                mode).alias("_env"))
     fields = [f.name for f in row_schema.fields]
 
     before = F.struct(*[F.col(f"_env.before.{f}").alias(f) for f in fields])
@@ -162,10 +215,15 @@ def decode_debezium_json(df: DataFrame, value_col: str, row_schema: T.StructType
               F.array(tagged(OP_UPDATE_BEFORE, before), tagged(OP_UPDATE_AFTER, after)))
         .when(F.col("_env.op") == "d", F.array(tagged(OP_DELETE, before)))
     )
+    if not ignore_parse_errors:
+        ops = ops.otherwise(F.raise_error(F.concat(
+            F.lit("debezium-json: unknown op "),
+            F.coalesce(F.col("_env.op"), F.lit("<null>")))))
+    types = {f.name: f.dataType for f in row_schema.fields}
     return (
         env.select(F.col("_env.ts_ms").alias("ts_ms"), F.explode(ops).alias("_t"))
         .select(F.col("_t.op").alias("op"), "ts_ms",
-                *[F.col(f"_t.row.{f}").alias(f) for f in fields])
+                *[F.col(f"_t.row.{f}").cast(types[f]).alias(f) for f in fields])
     )
 
 
@@ -196,44 +254,131 @@ def upsert_latest(changelog: DataFrame, pk: list[str], order_col: str = "ts_ms",
     return alive if keep_order_col else alive.drop(order_col)
 
 
-def changelog_upsert_sink(state_dir: str, pk: list[str], order_col: str = "ts_ms"):
+#: partition-directory column for the bucketed upsert state (must NOT start
+#: with '_' — Spark's path filter hides underscore-prefixed dirs from reads)
+_BUCKET_COL = "pk_bucket"
+
+
+def _bucket_expr(pk: list[str], n_buckets: int) -> Column:
+    return F.pmod(F.xxhash64(*[F.col(c) for c in pk]), F.lit(n_buckets)).cast("int")
+
+
+def _read_manifest(state_dir: str) -> dict:
+    import json
+    import os
+
+    path = os.path.join(state_dir, "manifest.json")
+    if not os.path.exists(path):
+        return {"buckets": {}}
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def read_upsert_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Assemble the current upsert state from the bucket manifest: the union
+    of each live bucket's committed epoch directory."""
+    man = _read_manifest(state_dir)
+    paths = [e["path"] for e in man["buckets"].values() if e.get("path")]
+    if not paths:
+        raise FileNotFoundError(f"no committed upsert state under {state_dir}")
+    return spark.read.parquet(*paths)
+
+
+def changelog_upsert_sink(state_dir: str, pk: list[str], order_col: str = "ts_ms",
+                          n_buckets: int = 8):
     """foreachBatch writer materializing a streaming changelog into a
-    continuously-updated parquet state table — the S9/S10 CDC→table pipeline
-    end-to-end (MySqlCDC2Print.java:24-46 renders the same stream; we
-    additionally maintain queryable current state).
+    continuously-updated, **hash-partitioned** parquet state table — the
+    S9/S10 CDC→table pipeline end-to-end (MySqlCDC2Print.java:24-46 renders
+    the same stream; we additionally maintain queryable current state).
 
-    Per micro-batch: reduce the batch to newest-per-PK, merge with the
-    previous state (state rows carry their own `order_col`, so a late batch
-    with older timestamps cannot clobber newer state), write the new state,
-    atomically swap. Tombstones are compacted away once applied — a
-    later-arriving change older than the applied delete is dropped with the
-    rest of the pre-delete history (document retention if replays can be
-    that late).
+    State layout: ``state_dir/buckets/pk_bucket=N/e=<epoch>/`` plus a
+    ``manifest.json`` mapping each bucket to its committed epoch directory.
+    Per micro-batch:
 
-    Local parquet + directory swap stands in for the transactional MERGE a
+    1. bucket the batch by ``xxhash64(pk) % n_buckets`` and collect the
+       touched bucket ids (≤ n_buckets ints — bounded driver traffic);
+    2. read ONLY the touched buckets' committed state, merge with the batch
+       via `upsert_latest` (state rows carry their own `order_col`, so a
+       late batch with older timestamps cannot clobber newer state);
+    3. write the new versions of just those buckets under a fresh epoch dir;
+    4. commit by atomically renaming a new manifest over the old one, then
+       garbage-collect superseded epoch dirs.
+
+    A batch therefore rewrites O(touched state), not O(total state), and a
+    crash at ANY point before the manifest rename leaves the previous
+    manifest — and thus the previous consistent state — fully intact (the
+    orphaned epoch dirs are swept on the next successful batch). This is
+    the crash-atomicity the old current/staging directory swap lacked.
+
+    Tombstones are compacted away once applied — a later-arriving change
+    older than the applied delete is dropped with the rest of the pre-delete
+    history (document retention if replays can be that late).
+
+    Local parquet + manifest stands in for the transactional MERGE a
     lakehouse table provides; at scale this function body is one Delta/
-    Iceberg MERGE INTO keyed on `pk` and the swap goes away.
+    Iceberg MERGE INTO keyed on `pk` (both maintain exactly this kind of
+    manifest natively) and `n_buckets` becomes the table's partitioning.
     """
+    import json
     import os
     import shutil
 
-    current = os.path.join(state_dir, "current")
-    staging = os.path.join(state_dir, "staging")
-
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        merged = batch_df
-        if os.path.exists(current):
-            old = spark.read.parquet(current).withColumn("op", F.lit(OP_INSERT))
-            merged = old.unionByName(batch_df.select(*old.columns))
+        batch = batch_df.withColumn(_BUCKET_COL, _bucket_expr(pk, n_buckets))
+        touched = sorted(r[_BUCKET_COL]
+                         for r in batch.select(_BUCKET_COL).distinct().collect())
+        if not touched:
+            return
+        man = _read_manifest(state_dir)
+        old_paths = [man["buckets"][str(b)]["path"] for b in touched
+                     if man["buckets"].get(str(b), {}).get("path")]
+        merged = batch
+        if old_paths:
+            old = (spark.read.parquet(*old_paths)
+                   .withColumn("op", F.lit(OP_INSERT))
+                   .withColumn(_BUCKET_COL, _bucket_expr(pk, n_buckets)))
+            merged = old.unionByName(batch.select(*old.columns))
         new_state = upsert_latest(merged, pk, order_col, keep_order_col=True)
+
+        # sweep stale staging dirs from crashed earlier batches (single
+        # writer — foreachBatch serializes epochs)
+        if os.path.isdir(state_dir):
+            for d in os.listdir(state_dir):
+                if d.startswith("staging_e"):
+                    shutil.rmtree(os.path.join(state_dir, d), ignore_errors=True)
+        staging = os.path.join(state_dir, f"staging_e{epoch_id}")
+        new_state.write.partitionBy(_BUCKET_COL).mode("overwrite").parquet(staging)
+
+        buckets_root = os.path.join(state_dir, "buckets")
+        for b in touched:
+            src = os.path.join(staging, f"{_BUCKET_COL}={b}")
+            entry = {"epoch": epoch_id, "path": None}
+            if os.path.exists(src):  # bucket may have no surviving rows
+                dst_parent = os.path.join(buckets_root, f"{_BUCKET_COL}={b}")
+                os.makedirs(dst_parent, exist_ok=True)
+                dst = os.path.join(dst_parent, f"e={epoch_id}")
+                shutil.rmtree(dst, ignore_errors=True)  # replay of same epoch
+                os.rename(src, dst)
+                entry["path"] = dst
+            man["buckets"][str(b)] = entry
         shutil.rmtree(staging, ignore_errors=True)
-        new_state.write.mode("overwrite").parquet(staging)
-        old_dir = os.path.join(state_dir, f"_old_{epoch_id}")
-        if os.path.exists(current):
-            os.rename(current, old_dir)
-        os.rename(staging, current)
-        shutil.rmtree(old_dir, ignore_errors=True)
+
+        # atomic commit: single rename of the manifest
+        tmp = os.path.join(state_dir, ".manifest.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(man, fh)
+        os.replace(tmp, os.path.join(state_dir, "manifest.json"))
+
+        # GC: epoch dirs no longer referenced by the committed manifest
+        live = {e["path"] for e in man["buckets"].values() if e.get("path")}
+        if os.path.isdir(buckets_root):
+            for bdir in os.listdir(buckets_root):
+                parent = os.path.join(buckets_root, bdir)
+                for edir in os.listdir(parent):
+                    full = os.path.join(parent, edir)
+                    if full not in live:
+                        shutil.rmtree(full, ignore_errors=True)
 
     return sink
 
