@@ -82,6 +82,11 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
     same cost as any keyed window.
     """
     lcols = [c for c in left.columns]
+    # deterministic tie-breaker among right rows sharing (key, ts): order by
+    # the right row's own values (struct comparison) so the max-by-value row
+    # is the one carried — without it, which duplicate wins would depend on
+    # partition/row order and flake against order-insensitive oracles.
+    r_tie = F.struct(*[F.col(f"{c}{suffix}") for c in right_cols])
     tagged_r = right.select(
         F.col(key).alias("_k"), F.col(right_ts).alias("_ts"), F.lit(0).alias("_side"),
         *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
@@ -92,17 +97,20 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}") for c in right_cols],
         *lcols,
     )
-    unioned = tagged_r.unionByName(tagged_l)
+    unioned = tagged_r.unionByName(tagged_l).withColumn("_tie", r_tie)
     w = (
-        Window.partitionBy("_k").orderBy("_ts", "_side")
+        Window.partitionBy("_k").orderBy("_ts", "_side", "_tie")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # carry the whole right row as ONE struct (atomic): per-column last()
+    # could stitch fields from different right rows when values are null
     carried = unioned.select(
         "*",
-        *[F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"_m_{c}") for c in right_cols],
+        F.last(F.when(F.col("_side") == 0, F.col("_tie")), ignorenulls=True)
+        .over(w).alias("_m"),
     )
     return carried.filter(F.col("_side") == 1).select(
-        *lcols, *[F.col(f"_m_{c}").alias(f"{c}{suffix}") for c in right_cols])
+        *lcols, *[F.col(f"_m.{c}{suffix}").alias(f"{c}{suffix}") for c in right_cols])
 
 
 def range_join_bucketed(left: DataFrame, right: DataFrame, key: str,

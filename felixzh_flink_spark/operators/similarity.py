@@ -55,30 +55,48 @@ def cosine_topk_bruteforce(df: DataFrame, query_vec: list[float], k: int = 10,
 
 # ------------------------------------------------------- hyperplane LSH
 
-def _hyperplane_bit(vec: Column, plane: int, dim: int) -> Column:
-    """Sign bit of the projection onto pseudo-random hyperplane `plane`.
+#: (n_planes, dim) → list of per-plane coefficient lists, computed once
+_PLANE_CACHE: dict[tuple[int, int], list[list[float]]] = {}
 
-    Hyperplane coefficients are xxhash64(plane, dim_index) scaled to [-1, 1] —
-    deterministic, generated inline on executors, nothing broadcast.
-    """
-    coeffs = F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda i: (F.xxhash64(F.lit(plane), i).cast("double") / F.lit(float(2 ** 63))),
-    )
-    proj = F.aggregate(
-        F.zip_with(vec, coeffs, lambda x, c: x.cast("double") * c),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    return (proj >= 0).cast("int")
+
+def _hyperplane_coeffs(spark, n_planes: int, dim: int) -> list[list[float]]:
+    """Driver-side hyperplane coefficients: xxhash64(plane, dim_index) scaled
+    to [-1, 1] — the same deterministic values the previous inline-expression
+    form produced, but computed ONCE (one 1-row job, n_planes × dim doubles)
+    and embedded as literal arrays. The inline form re-hashed O(planes × dim)
+    per row at scan time — pure wasted CPU on every scanned vector."""
+    key = (n_planes, dim)
+    if key not in _PLANE_CACHE:
+        arr = F.array(*[
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i, p=p: (F.xxhash64(F.lit(p), i).cast("double")
+                                / F.lit(float(2 ** 63))),
+            )
+            for p in range(n_planes)
+        ])
+        row = spark.range(1).select(arr.alias("c")).head()
+        _PLANE_CACHE[key] = [list(plane) for plane in row["c"]]
+    return _PLANE_CACHE[key]
 
 
 def add_lsh_bucket(df: DataFrame, vec_col: str = "embedding", n_planes: int = 8,
                    dim: int = 64, alias: str = "bucket") -> DataFrame:
-    """Append an LSH bucket id (int in [0, 2^n_planes)) per row."""
+    """Append an LSH bucket id (int in [0, 2^n_planes)) per row.
+
+    Per-row cost is n_planes dot products against literal coefficient
+    arrays (JVM higher-order functions, codegen'd) — no per-row hashing."""
+    planes = _hyperplane_coeffs(df.sparkSession, n_planes, dim)
+    vec = F.col(vec_col)
     bucket = F.lit(0)
-    for p in range(n_planes):
-        bucket = bucket + _hyperplane_bit(F.col(vec_col), p, dim) * (1 << p)
+    for p, coeffs in enumerate(planes):
+        lit_coeffs = F.array(*[F.lit(float(c)) for c in coeffs])
+        proj = F.aggregate(
+            F.zip_with(vec, lit_coeffs, lambda x, c: x.cast("double") * c),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + (proj >= 0).cast("int") * (1 << p)
     return df.withColumn(alias, bucket)
 
 

@@ -68,12 +68,21 @@ def make_count_window_fn(max_count: int, timeout_ms: int | None = None,
     def fn(key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         if state.hasTimedOut:
             buf_cnt, buf_sum, fired = state.get
-            state.remove()
             if emit_partial_on_timeout and buf_cnt > 0:
+                # keep window_seq monotonic per key: a timeout fire consumes a
+                # sequence number exactly like a count fire, so state keeps the
+                # advanced counter instead of being removed (removing it reset
+                # the next window to seq 0 → duplicate (key, seq) pairs).
+                state.update((0, 0.0, fired + 1))
                 yield pd.DataFrame([{
                     "key": key[0], "window_seq": fired, "cnt": buf_cnt,
                     "sum_value": buf_sum, "fired_by": "timeout",
                 }])
+            else:
+                # empty buffer: keep the fired counter (removing state would
+                # restart seq at 0 when the key sees data again); no new
+                # timer — the next arriving batch re-arms it.
+                state.update((0, 0.0, fired))
             return
 
         buf_cnt, buf_sum, fired = state.get if state.exists else (0, 0.0, 0)

@@ -72,3 +72,23 @@ def test_pivot_agg_explicit_values(spark):
            for r in pivot_agg(df, "g", "s", ["O", "F", "P"],
                               F.count(F.lit(1)), prefix="n_").collect()}
     assert out["p1"] == (2, 1, None) and out["p2"] == (None, None, 1)
+
+
+def test_asof_join_deterministic_on_duplicate_right_ts(spark):
+    """Multiple right rows sharing (key, ts): the carried row must be chosen
+    deterministically (greatest-by-value struct) and atomically (whole row,
+    never a column mix of two duplicates)."""
+    from felixzh_flink_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame([(1, 100)], "k long, lts long")
+    right = spark.createDataFrame(
+        [(1, 50, "x", 10.0), (1, 50, "a", 99.0)],  # same (k, ts), two rows
+        "k long, rts long, tag string, px double")
+    outs = set()
+    for n in (1, 7):  # different partitionings must not change the answer
+        r = asof_join(left, right.repartition(n), "k", "lts", "rts",
+                      ["tag", "px"])
+        row = r.head()
+        outs.add((row["tag_r"], row["px_r"]))
+    # greatest struct (tag, px): ("x", 10.0) > ("a", 99.0) lexicographically
+    assert outs == {("x", 10.0)}

@@ -287,3 +287,76 @@ def test_dim_refresh_between_batches(spark, tmp_path):
     q.stop()
     tiers = sorted(r["tier"] for r in spark.read.parquet(out).collect())
     assert tiers == ["bronze", "gold"]
+
+
+def test_count_window_seq_monotonic_across_timeout(spark, tmp_path):
+    """A timeout fire consumes a window_seq like a count fire: the key's next
+    window continues the sequence instead of restarting at 0 (duplicate
+    (key, seq) pairs would break the 'nth fired window per key' contract)."""
+    src = str(tmp_path / "src")
+    # batch 1: 'a' buffers 2 (< max_count 5), sets its event-time timer
+    spark.createDataFrame(_rows(["a"], 2), SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(src)
+    stream = file_stream_source(spark, src, SCHEMA, max_files_per_trigger=1)
+    fired = count_window(stream, "key", "value", max_count=5,
+                         timeout_ms=2000, event_time_col="ts")
+    q = (fired.writeStream.format("memory").queryName("seq_out")
+         .outputMode("append").start())
+    q.processAllAvailable()
+    # batch 2: watermark jumps far past 'a's timer → timeout fire (seq 0)
+    spark.createDataFrame(_rows(["z"], 1, start=500), SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(src)
+    q.processAllAvailable()
+    # batch 3: 'a' gets 5 more → count fire must take seq 1, not 0
+    spark.createDataFrame(_rows(["a"], 5, start=1000), SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    a_rows = sorted(
+        ((r["window_seq"], r["fired_by"], r["cnt"])
+         for r in spark.sql("SELECT * FROM seq_out WHERE key='a'").collect()))
+    assert (0, "timeout", 2) in a_rows
+    assert (1, "count", 5) in a_rows
+    seqs = [s for s, _, _ in a_rows]
+    assert len(seqs) == len(set(seqs)), f"duplicate window_seq: {a_rows}"
+
+
+def test_proc_time_trigger_micro_batch_bulk_write(spark, tmp_path):
+    """W1 (proc-time tumbling window, SocketApp.java windowAll analog) +
+    the Kafka2ES 50 ms bulk-window semantic (Kafka2ES.java:34-36): with the
+    processing-time trigger knob set, every record accumulated in a trigger
+    interval is written as ONE bulk micro-batch — observable as a single
+    batch whose numInputRows equals the whole file, not per-record writes."""
+    import time
+
+    from felixzh_flink_spark.plans.pipeline import PipelineSpec
+
+    src = str(tmp_path / "src")
+    rows = [(BASE + dt.timedelta(seconds=i), "w", 1.0) for i in range(40)]
+    spark.createDataFrame(rows, SCHEMA).selectExpr("CAST(key AS STRING) AS value") \
+        .coalesce(1).write.parquet(src)
+
+    spec = PipelineSpec({
+        "source.type": "parquet",
+        "source.path": src,
+        "transform.chain": "word_count",
+        "sink.type": "memory",
+        "sink.memory.name": "bulk_out",
+        "sink.output.mode": "complete",
+        "env.trigger.processing.time": "50 milliseconds",
+    })
+    q = spec.run_stream(spark)
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        q.processAllAvailable()
+        if any(p["numInputRows"] > 0 for p in q.recentProgress):
+            break
+        time.sleep(0.1)
+    q.stop()
+    # the 40 records arrived as one bulk batch (50 ms window accumulation),
+    # and the proc-time windowed aggregate saw all of them
+    bulk = [p["numInputRows"] for p in q.recentProgress if p["numInputRows"] > 0]
+    assert bulk and max(bulk) == 40
+    got = {r["word"]: r["count"]
+           for r in spark.sql("SELECT * FROM bulk_out").collect()}
+    assert got == {"w": 40}
