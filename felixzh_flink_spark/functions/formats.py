@@ -68,21 +68,26 @@ def encode_json(cols: list[str]) -> Column:
 
 
 def decode_avro(col: Column | str, avro_schema_json: str) -> Column:
-    """F7: avro bytes → struct (requires the spark-avro package on the
-    classpath; stubbed via HAS_AVRO in this container)."""
+    """F7: avro bytes → struct via the JVM spark-avro expression. When the
+    spark-avro artifact is absent (this container), use the pure-Python
+    fallback in `functions.avro_codec` (decode_avro_python /
+    avro_roundtrip) instead — same wire format, Arrow-batched slow path."""
     if not HAS_AVRO:  # pragma: no cover
         raise NotImplementedError(
             "spark-avro not on the classpath; add org.apache.spark:spark-avro "
-            "to spark.jars.packages in deployment"
+            "to spark.jars.packages, or use functions.avro_codec (pure-Python "
+            "binary codec, slow path)"
         )
     c = F.col(col) if isinstance(col, str) else col
     return from_avro(c, avro_schema_json)
 
 
 def encode_avro(col: Column | str) -> Column:
-    """F7: struct → avro bytes (same classpath caveat)."""
+    """F7: struct → avro bytes (same classpath caveat and same
+    functions.avro_codec fallback)."""
     if not HAS_AVRO:  # pragma: no cover
-        raise NotImplementedError("spark-avro not on the classpath")
+        raise NotImplementedError("spark-avro not on the classpath; "
+                                  "use functions.avro_codec")
     c = F.col(col) if isinstance(col, str) else col
     return to_avro(c)
 

@@ -900,6 +900,25 @@ def json_roundtrip_orders(spark, sf_dir):
                           _ORDERS_JSON_SCHEMA)
 
 
+@q("avro_roundtrip_orders", """
+SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate FROM orders
+""")
+def avro_roundtrip_orders(spark, sf_dir):
+    """F7: avro binary encode→decode roundtrip (the Avro2Avro pipeline,
+    format/.../avro/Avro2Avro.java:25-45; writer schema shape from
+    Constant.java:10-17). Uses the pure-Python wire codec
+    (functions.avro_codec — validated against the JVM org.apache.avro
+    reader) since spark-avro isn't on this classpath; identity on the
+    projected columns proves both directions including timestamp-micros
+    and double fidelity."""
+    from felixzh_flink_spark.functions.avro_codec import avro_roundtrip
+
+    o = _t(spark, sf_dir, "orders")
+    return avro_roundtrip(
+        o, ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"],
+        o.schema)
+
+
 @q("events_json_extract", """
 SELECT event_type,
        CAST(SUM(json_extract(props, '$.k')::INT) AS BIGINT) AS sum_k,

@@ -104,3 +104,83 @@ def test_frame_sample_plan(spark):
     df = df.withColumn("media_meta", F.col("media_meta").withField("duration_ms", F.lit(3500).cast("long")))
     frames = MM.frame_sample_plan(df, every_ms=1000)
     assert [r["frame_ts_ms"] for r in frames.collect()] == [0, 1000, 2000, 3000]
+
+
+# ---------------------------------------------------------------- avro (F7)
+
+def test_avro_golden_bytes():
+    """Hand-computed Avro binary encoding: nullable-union record
+    {id: 3 (long), name: "ab"} → branch(1) zigzag(3) branch(1) len(2) 'ab'."""
+    from felixzh_flink_spark.functions.avro_codec import (
+        decode_record, encode_record)
+
+    payload = encode_record([3, "ab"], ["long", "string"])
+    assert payload == bytes([0x02, 0x06, 0x02, 0x04, 0x61, 0x62])
+    assert decode_record(payload, ["long", "string"]) == [3, "ab"]
+
+
+def test_avro_null_and_negative_roundtrip():
+    from felixzh_flink_spark.functions.avro_codec import (
+        decode_record, encode_record)
+
+    kinds = ["long", "string", "double", "boolean"]
+    for row in ([None, None, None, None],
+                [-1, "", -0.5, True],
+                [2**62, "héllo", 1e300, False],
+                [-(2**62), "x", float("inf"), True]):
+        assert decode_record(encode_record(row, kinds), kinds) == row
+
+
+def test_avro_bytes_match_jvm_avro_reader(spark):
+    """Wire-format compliance: bytes from the Python encoder must decode
+    with the reference implementation (org.apache.avro, on Spark's own
+    classpath) against the generated schema."""
+    import json
+
+    from pyspark.sql import types as T
+
+    from felixzh_flink_spark.functions.avro_codec import (
+        avro_schema_of, encode_record)
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("price", T.DoubleType()),
+    ])
+    jvm = spark.sparkContext._jvm
+    asch = jvm.org.apache.avro.Schema.Parser().parse(
+        json.dumps(avro_schema_of(schema)))
+    reader = jvm.org.apache.avro.generic.GenericDatumReader(asch)
+    payload = encode_record([42, "scooter", 5.18], ["long", "string", "double"])
+    bais = jvm.java.io.ByteArrayInputStream(bytes(payload))
+    dec = jvm.org.apache.avro.io.DecoderFactory.get().binaryDecoder(bais, None)
+    rec = reader.read(None, dec)
+    assert rec.get("id") == 42
+    assert str(rec.get("name")) == "scooter"
+    assert rec.get("price") == 5.18
+
+
+def test_avro_roundtrip_dataframe_identity(spark):
+    """avro_roundtrip is the identity on a DataFrame with nulls, timestamps
+    and doubles — the Avro2Avro pipeline contract."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from felixzh_flink_spark.functions.avro_codec import avro_roundtrip
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("price", T.DoubleType()),
+        T.StructField("ts", T.TimestampNTZType()),
+    ])
+    rows = [
+        (1, "a", 1.5, dt.datetime(2024, 1, 1, 12, 0, 0, 123456)),
+        (2, None, None, None),
+        (None, "", -0.0, dt.datetime(1969, 12, 31, 23, 59, 59)),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    out = avro_roundtrip(df, ["id", "name", "price", "ts"], schema)
+    assert out.schema == df.schema
+    assert sorted(out.collect(), key=str) == sorted(df.collect(), key=str)
