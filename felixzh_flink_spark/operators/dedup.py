@@ -64,16 +64,22 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     """Distinct word n-gram shingles per doc: (id, shingle).
 
     Tokens are lower-cased whitespace splits; shingle = n consecutive tokens
-    joined by single spaces. Built with transform over a token array —
-    JVM-side, no UDF.
+    joined by single spaces. Built by zip_with-folding n shifted slices of
+    the token array — JVM-side, no UDF, and O(tokens) per document. (The
+    naive `transform(idx, i -> slice(tokens, i+1, n))` form is O(tokens²):
+    Catalyst inlines the split() into every slice call.)
     """
+    from functools import reduce
+
     tokens = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     n_tok = F.size(tokens)
-    idx = F.sequence(F.lit(0), F.greatest(n_tok - n, F.lit(0)))
-    sh = F.when(
-        n_tok >= n,
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n))),
-    ).otherwise(F.array(F.concat_ws(" ", tokens)))
+    m = n_tok - (n - 1)  # shingle count when n_tok >= n
+    shifted = [F.slice(tokens, i + 1, m) for i in range(n)]
+    folded = reduce(
+        lambda acc, p: F.zip_with(acc, p, lambda a, b: F.concat_ws(" ", a, b)),
+        shifted)
+    sh = F.when(n_tok >= n, folded) \
+        .otherwise(F.array(F.concat_ws(" ", tokens)))
     return (
         df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
         .distinct()

@@ -1319,11 +1319,15 @@ def top_bigrams(spark, sf_dir):
     duplicates first."""
     d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    # zip_with over two slices, NOT element_at(toks, i) inside a transform:
+    # Catalyst inlines the split() into every element_at call, turning the
+    # bigram build O(tokens²) per document (measured 7 s → 0.4 s at sf0.1)
     bigrams = F.when(
         F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 2),
-            lambda i: F.concat_ws(" ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)),
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
         ),
     )
     return (
