@@ -52,6 +52,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def spread_if_narrow(df: DataFrame, parallelism: int | None = None) -> DataFrame:
+    """Repartition a batch DataFrame ONLY when it is under-partitioned.
+
+    Local test parquet ships one row group per file, so scans arrive as a
+    single partition and any CPU-heavy expression chain (shingling, MinHash,
+    per-row cosine) runs on one core. On a real cluster a 100 TB table scans
+    into thousands of splits and this is a no-op — the condition, not the
+    repartition, is the scale behavior (same contract as the changelog
+    decoders' `parallelism` knob, functions/changelog.py).
+    """
+    if df.isStreaming:
+        return df
+    target = parallelism or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> dict[str, DataFrame]:
     """Register each table as a temp view; returns name → DataFrame."""
     out = {}

@@ -60,14 +60,18 @@ def dedup_exact_stream(df: DataFrame, text_col: str = "text",
 # ---------------------------------------------------------------- shingles
 
 def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-             n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per doc: (id, shingle).
+             n: int = 3, distinct: bool = True) -> DataFrame:
+    """Word n-gram shingles per doc: (id, shingle), distinct by default.
 
     Tokens are lower-cased whitespace splits; shingle = n consecutive tokens
     joined by single spaces. Built by zip_with-folding n shifted slices of
     the token array — JVM-side, no UDF, and O(tokens) per document. (The
     naive `transform(idx, i -> slice(tokens, i+1, n))` form is O(tokens²):
     Catalyst inlines the split() into every slice call.)
+
+    `distinct=False` skips the per-(id, shingle) dedup SHUFFLE — use it when
+    the consumer is idempotent over duplicates (MinHash `min`, `collect_set`):
+    at 100 TB that shuffle moves the entire shingle stream and buys nothing.
     """
     from functools import reduce
 
@@ -80,10 +84,8 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         shifted)
     sh = F.when(n_tok >= n, folded) \
         .otherwise(F.array(F.concat_ws(" ", tokens)))
-    return (
-        df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
-        .distinct()
-    )
+    out = df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
+    return out.distinct() if distinct else out
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -128,12 +130,21 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
 
     One explode + one groupBy with num_perm min-aggregates — partial
     aggregation collapses each partition to one row per doc before the
-    shuffle.
+    shuffle. Shingles are NOT pre-deduplicated (min is idempotent over
+    duplicates), which removes an entire shuffle of the shingle stream.
     """
-    sh = shingles(df, text_col, id_col, n)
-    aggs = [F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}") for i in range(num_perm)]
-    sigs = sh.groupBy("id").agg(*aggs)
-    return sigs.select("id", F.array(*[f"h{i}" for i in range(num_perm)]).alias("sig"))
+    sh = shingles(df, text_col, id_col, n, distinct=False)
+    return sh.groupBy("id").agg(F.expr(_sig_agg_sql(num_perm)).alias("sig"))
+
+
+def _sig_agg_sql(num_perm: int) -> str:
+    """`array(min(xxhash64(shingle, 0)), ...)` as ONE SQL string: each
+    Python-side Column call is a py4j roundtrip, so building 64 aggregates
+    from F.min/F.xxhash64 costs real plan-construction wall time; one
+    expression string parses JVM-side. Partial aggregation is unaffected —
+    the array() wraps the agg results, it isn't the aggregate."""
+    mins = ",".join(f"min(xxhash64(shingle, {i}))" for i in range(num_perm))
+    return f"array({mins})"
 
 
 def minhash_lsh_candidates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -144,18 +155,25 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text", id_col: str = 
     Band key = xxhash64 of the band's slice → equi-join groupBy band bucket.
     Returns distinct (id_a, id_b), id_a < id_b.
     """
-    rows = num_perm // bands
     sigs = minhash_signatures(df, text_col, id_col, n, num_perm)
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(F.concat_ws(",", *[
-                F.col("sig")[b * rows + r].cast("string") for r in range(rows)
-            ])).alias("bucket"),
+    return lsh_candidates_from_signatures(sigs, num_perm, bands)
+
+
+def lsh_candidates_from_signatures(sigs: DataFrame, num_perm: int = 64,
+                                   bands: int = 16) -> DataFrame:
+    """Banded LSH over precomputed (id, sig) rows — see
+    `minhash_lsh_candidates`. Split out so pipelines that already hold
+    signatures (e.g. the verify pipeline's single-scan per-doc aggregate)
+    don't recompute them."""
+    rows = num_perm // bands
+    band_structs = ",".join(
+        "named_struct('band', {b}, 'bucket', xxhash64(concat_ws(',', {parts})))".format(
+            b=b,
+            parts=",".join(f"cast(sig[{b * rows + r}] as string)" for r in range(rows)),
         )
         for b in range(bands)
-    ]
-    banded = sigs.select("id", F.explode(F.array(*band_cols)).alias("bk")) \
+    )
+    banded = sigs.select("id", F.expr(f"explode(array({band_structs}))").alias("bk")) \
                  .select("id", "bk.band", "bk.bucket")
     a, b = banded.alias("a"), banded.alias("b")
     return (
@@ -178,12 +196,21 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     with array_intersect, so exact-verification cost is
     O(candidates × shingles/doc), never the all-pairs shingle self-join
     (`ngram_jaccard_pairs` remains the exact-but-global verifier for small
-    slices)."""
-    cand = minhash_lsh_candidates(df, text_col, id_col, n, num_perm, bands)
-    sets = (
-        shingles(df, text_col, id_col, n)
-        .groupBy("id").agg(F.collect_set("shingle").alias("sh_set"))
+    slices).
+
+    Signatures and shingle sets come from ONE scan + ONE groupBy (cached):
+    the 64 min-aggregates and the collect_set share the same partial
+    aggregation, so the text is shingled exactly once."""
+    per_doc = (
+        shingles(df, text_col, id_col, n, distinct=False)
+        .groupBy("id")
+        .agg(F.expr(_sig_agg_sql(num_perm)).alias("sig"),
+             F.collect_set("shingle").alias("sh_set"))
+        .cache()
     )
+    sigs = per_doc.select("id", "sig")
+    cand = lsh_candidates_from_signatures(sigs, num_perm, bands)
+    sets = per_doc.select("id", "sh_set")
     sa = sets.select(F.col("id").alias("id_a"), F.col("sh_set").alias("sh_a"))
     sb = sets.select(F.col("id").alias("id_b"), F.col("sh_set").alias("sh_b"))
     paired = cand.join(sa, "id_a").join(sb, "id_b")

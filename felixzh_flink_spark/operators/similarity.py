@@ -41,14 +41,65 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+# --- SQL-text expression builders -------------------------------------
+# Large literal vectors/matrices are embedded as ONE `F.expr` string instead
+# of thousands of fine-grained Column calls: each Python-side Column op is a
+# py4j roundtrip (~1-2 ms), so a 16×64 literal matrix built from F.lit costs
+# ~1 s of pure plan-construction time per query. A single SQL string parses
+# JVM-side in microseconds and constant-folds to the same literal array.
+# Doubles are embedded as CAST('<repr>' AS DOUBLE): Python repr roundtrips
+# the exact IEEE value through Java's Double.parseDouble.
+
+def _lit_vec_sql(vec: list[float]) -> str:
+    return "array(" + ",".join(f"cast('{float(x)!r}' as double)" for x in vec) + ")"
+
+
+def _lit_mat_sql(mat: list[list[float]]) -> str:
+    return "array(" + ",".join(_lit_vec_sql(v) for v in mat) + ")"
+
+
+def _dot_sql(a: str, b: str) -> str:
+    # identical fold semantics to `_dot` (left fold in element order)
+    return (f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * "
+            f"cast(y as double)), cast(0.0 as double), (acc, x) -> acc + x)")
+
+
+def _dot_indexed(a: Column, b: Column, dim: int) -> Column:
+    """Dot product folded over a constant index sequence — no per-row
+    zip_with array allocation (matters when evaluated per candidate PAIR in
+    a self-join: millions of 64-element allocs become none). Same element
+    order and double arithmetic as `_dot`, so results are bit-identical."""
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(dim)),  # foldable literal array
+        F.lit(0.0),
+        lambda acc, i: acc
+        + F.element_at(a, i).cast("double") * F.element_at(b, i).cast("double"),
+    )
+
+
+def _norm_sql(a: str) -> str:
+    return (f"sqrt(aggregate(transform({a}, x -> cast(x as double) * "
+            f"cast(x as double)), cast(0.0 as double), (acc, x) -> acc + x))")
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    return f"({_dot_sql(a, b)} / ({_norm_sql(a)} * {_norm_sql(b)}))"
+
+
+def cosine_to_literal(vec_col: str, query_vec: list[float]) -> Column:
+    """cosine(col, literal query vector) as a single-roundtrip expression.
+    Bit-identical to `cosine(F.col(vec_col), F.array(*lits))` — same fold
+    order — but O(1) py4j calls instead of O(dim)."""
+    return F.expr(_cosine_sql(vec_col, _lit_vec_sql(query_vec)))
+
+
 def cosine_topk_bruteforce(df: DataFrame, query_vec: list[float], k: int = 10,
                            id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact top-k by cosine against a literal query vector.
     Returns (id, cosine_sim) ordered desc, ties broken by id asc."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
     scored = df.select(
         F.col(id_col).alias("id"),
-        cosine(F.col(vec_col), q).alias("cosine_sim"),
+        cosine_to_literal(vec_col, query_vec).alias("cosine_sim"),
     )
     return scored.orderBy(F.desc("cosine_sim"), F.asc("id")).limit(k)
 
@@ -87,17 +138,13 @@ def add_lsh_bucket(df: DataFrame, vec_col: str = "embedding", n_planes: int = 8,
     Per-row cost is n_planes dot products against literal coefficient
     arrays (JVM higher-order functions, codegen'd) — no per-row hashing."""
     planes = _hyperplane_coeffs(df.sparkSession, n_planes, dim)
-    vec = F.col(vec_col)
-    bucket = F.lit(0)
+    terms = []
     for p, coeffs in enumerate(planes):
-        lit_coeffs = F.array(*[F.lit(float(c)) for c in coeffs])
-        proj = F.aggregate(
-            F.zip_with(vec, lit_coeffs, lambda x, c: x.cast("double") * c),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bucket = bucket + (proj >= 0).cast("int") * (1 << p)
-    return df.withColumn(alias, bucket)
+        proj = (f"aggregate(zip_with({vec_col}, {_lit_vec_sql(coeffs)}, "
+                f"(x, c) -> cast(x as double) * c), cast(0.0 as double), "
+                f"(acc, x) -> acc + x)")
+        terms.append(f"cast({proj} >= 0 as int) * {1 << p}")
+    return df.withColumn(alias, F.expr("0 + " + " + ".join(terms)))
 
 
 def lsh_bucketed_topk(df: DataFrame, query_vec: list[float], k: int = 10,
@@ -111,9 +158,10 @@ def lsh_bucketed_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     """
     dim = len(query_vec)
     bucketed = add_lsh_bucket(df, vec_col, n_planes, dim)
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
     q_row = add_lsh_bucket(
-        df.sparkSession.range(1).select(q.alias("qv")), "qv", n_planes, dim
+        df.sparkSession.range(1).select(
+            F.expr(_lit_vec_sql(query_vec)).alias("qv")),
+        "qv", n_planes, dim,
     )
     q_bucket = q_row.head()["bucket"]
     cand = bucketed.filter(
@@ -121,7 +169,7 @@ def lsh_bucketed_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     )
     scored = cand.select(
         F.col(id_col).alias("id"),
-        cosine(F.col(vec_col), q).alias("cosine_sim"),
+        cosine_to_literal(vec_col, query_vec).alias("cosine_sim"),
     )
     return scored.orderBy(F.desc("cosine_sim"), F.asc("id")).limit(k)
 
@@ -144,14 +192,14 @@ def ivf_centroids(df: DataFrame, n_centroids: int = 16,
     return [list(r["v"]) for r in rows]
 
 
-def _nearest_centroid(vec: Column, cents: list[list[float]]) -> Column:
-    """1-based index of the max-cosine centroid for `vec` (JVM expressions:
-    a literal C×D array, transform to similarity, array_position of max)."""
-    cent_arr = F.array(*[
-        F.array(*[F.lit(float(x)) for x in c]) for c in cents
-    ])
-    sims = F.transform(cent_arr, lambda cv: _dot(vec, cv) / (_norm(vec) * _norm(cv)))
-    return F.array_position(sims, F.array_max(sims)).cast("int")
+def _nearest_centroid(vec_col: str, cents: list[list[float]]) -> Column:
+    """1-based index of the max-cosine centroid for the `vec_col` column
+    (JVM expressions: a literal C×D array, transform to similarity,
+    array_position of max). Single SQL-text expression — see the note on
+    `_lit_vec_sql` for why."""
+    sims = (f"transform({_lit_mat_sql(cents)}, "
+            f"cv -> {_cosine_sql(vec_col, 'cv')})")
+    return F.expr(f"cast(array_position({sims}, array_max({sims})) as int)")
 
 
 def ivf_refine_centroids(df: DataFrame, cents: list[list[float]],
@@ -182,17 +230,23 @@ def ivf_assign(df: DataFrame, cents: list[list[float]],
     """Assign each row to its nearest centroid cell. At scale this runs once
     at ingest and the table is written partitioned/bucketed by the cell id,
     so probes become partition pruning instead of a filter over a full scan."""
-    return df.withColumn(alias, _nearest_centroid(F.col(vec_col), cents))
+    return df.withColumn(alias, _nearest_centroid(vec_col, cents))
 
 
 def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
              n_centroids: int = 16, n_probe: int = 4,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             cents: list[list[float]] | None = None) -> DataFrame:
     """IVF approximate top-k: score only rows in the `n_probe` cells whose
     centroids are most similar to the query. Probe cells are computed
     driver-side (n_centroids dot products); the scan filters to the probed
-    cells, then exact cosine top-k within them."""
-    cents = ivf_centroids(df, n_centroids, id_col, vec_col)
+    cells, then exact cosine top-k within them.
+
+    Pass `cents` to reuse a prebuilt index: centroid selection is an
+    INGEST-time artifact (built once, reused by every probe), not per-query
+    work — real IVF deployments never re-derive centroids per search."""
+    if cents is None:
+        cents = ivf_centroids(df, n_centroids, id_col, vec_col)
 
     def cos(a: list[float], b: list[float]) -> float:
         dot = sum(x * y for x, y in zip(a, b))
@@ -204,10 +258,9 @@ def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     probe = [i + 1 for i in ranked[:n_probe]]  # 1-based cells
     assigned = ivf_assign(df, cents, vec_col)
     cand = assigned.filter(F.col("ivf_cell").isin(probe))
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
     scored = cand.select(
         F.col(id_col).alias("id"),
-        cosine(F.col(vec_col), q).alias("cosine_sim"),
+        cosine_to_literal(vec_col, query_vec).alias("cosine_sim"),
     )
     return scored.orderBy(F.desc("cosine_sim"), F.asc("id")).limit(k)
 
@@ -217,9 +270,14 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                              n_planes: int = 8, dim: int = 64) -> DataFrame:
     """All-pairs cosine ≥ threshold, bucket-pruned: pairs must share an LSH
     bucket (self-join on bucket), then exact cosine filter.
-    Returns (id_a, id_b, cosine_sim), id_a < id_b."""
+    Returns (id_a, id_b, cosine_sim), id_a < id_b.
+
+    Row norms are computed ONCE per row before the self-join — inside the
+    pair expression each norm would be re-evaluated per CANDIDATE (O(pairs)
+    instead of O(rows) norm folds, the dominant cost in dense buckets)."""
     bucketed = add_lsh_bucket(df, vec_col, n_planes, dim).select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "bucket"
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "bucket",
+        _norm(F.col(vec_col)).alias("nrm"),
     )
     a, b = bucketed.alias("a"), bucketed.alias("b")
     return (
@@ -227,7 +285,8 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            cosine(F.col("a.v"), F.col("b.v")).alias("cosine_sim"),
+            (_dot_indexed(F.col("a.v"), F.col("b.v"), dim)
+             / (F.col("a.nrm") * F.col("b.nrm"))).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
