@@ -830,6 +830,431 @@ def q18_large_orders(spark, sf_dir):
     )
 
 
+@q("q7_volume_shipping", """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS INT) AS l_year,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,4))) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  AND l.l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                       AND TIMESTAMP '1997-12-31 00:00:00'
+GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+""")
+def q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: bilateral trade volume between two nations by year.
+    Both nation dims broadcast (twice, under different aliases); the
+    disjunctive nation-pair predicate filters after the joins; one shuffle
+    for the final 3-key aggregate."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between("1996-01-01", "1997-12-31"))
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    n1 = F.broadcast(n.select(F.col("n_nationkey").alias("nk1"),
+                              F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(n.select(F.col("n_nationkey").alias("nk2"),
+                              F.col("n_name").alias("cust_nation")))
+    j = (
+        l.join(s, l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n1, F.col("s_nationkey") == F.col("nk1"))
+        .join(n2, F.col("c_nationkey") == F.col("nk2"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")))
+    )
+    return j.groupBy("supp_nation", "cust_nation",
+                     F.year("l_shipdate").alias("l_year")).agg(
+        exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4, "revenue"))
+
+
+@q("q8_market_share", """
+WITH all_sales AS (
+  SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+         CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,4)) AS volume,
+         n2.n_name AS supp_nation
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n1.n_regionkey
+  JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+  WHERE r.r_name = 'ASIA' AND p.p_type = 'STANDARD'
+)
+SELECT o_year,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN volume
+                     ELSE CAST(0 AS DECIMAL(30,4)) END) AS DOUBLE)
+       / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+FROM all_sales GROUP BY o_year
+""")
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one nation's share of regional revenue per year —
+    conditional aggregation over an 8-table join (decimal-exact numerator
+    and denominator, single final divide in double)."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = n.select(F.col("n_nationkey").alias("nk1"), F.col("n_regionkey").alias("rk1"))
+    n2 = n.select(F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("supp_nation"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("nk1"))
+        .join(F.broadcast(r), F.col("rk1") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("nk2"))
+    )
+    dec = vol.cast("decimal(30,4)")
+    zero = F.lit(0).cast("decimal(30,4)")
+    return (
+        j.select(F.year("o_orderdate").alias("o_year"),
+                 dec.alias("volume"), "supp_nation")
+        .groupBy("o_year")
+        .agg((F.sum(F.when(F.col("supp_nation") == "NATION_5", F.col("volume"))
+                    .otherwise(zero)).cast("double")
+              / F.sum("volume").cast("double")).alias("mkt_share"))
+    )
+
+
+@q("q9_product_profit", """
+SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS o_year,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                     - 0.5 * p.p_retailprice * l.l_quantity
+                AS DECIMAL(30,6))) AS DOUBLE) AS sum_profit
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE p.p_name LIKE '%bolt%'
+GROUP BY n.n_name, year(o.o_orderdate)
+""")
+def q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape: profit by supplier nation and year for parts matching
+    a name pattern. The synthetic schema has no partsupp, so supply cost is
+    proxied as half the part retail price — the join/agg shape (5-way join,
+    LIKE filter pushed to the part scan, 2-key agg) is Q9's."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    amount = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+              - 0.5 * F.col("p_retailprice") * F.col("l_quantity"))
+    j = (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return j.groupBy(F.col("n_name").alias("nation"),
+                     F.year("o_orderdate").alias("o_year")).agg(
+        exact_sum(amount, 6, "sum_profit"))
+
+
+@q("q13_customer_distribution", """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
+  SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c
+  LEFT OUTER JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+) GROUP BY c_count
+""")
+def q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13: order-count distribution over customers, INCLUDING
+    zero-order customers — left outer join with an extra join predicate
+    (not a WHERE: the filter must not drop unmatched customers), then a
+    double aggregation."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, (c.c_custkey == o.o_custkey)
+               & (o.o_orderpriority != "1-URGENT"), "left_outer")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@q("q19_disjunctive_revenue", """
+SELECT CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,4))) AS DOUBLE) AS revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 10 AND 25 AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 20 AND 35 AND l.l_quantity BETWEEN 20 AND 30)
+""")
+def q19_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: OR-of-ANDs predicate spanning both join sides.
+    Catalyst derives the common single-side conjuncts (brand/size on part,
+    quantity on lineitem) and pushes them below the join as pre-filters —
+    the full disjunction then applies post-join."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = l.join(p, l.l_partkey == p.p_partkey)
+    pred = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(10, 25)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(20, 35)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return j.filter(pred).agg(
+        exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4, "revenue"))
+
+
+@q("q2_min_cost_supplier", """
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+eu AS (
+  SELECT ps.l_partkey, s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+  FROM ps
+  JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  WHERE r.r_name = 'EUROPE'
+)
+SELECT e.s_acctbal, e.s_name, e.n_name, p.p_partkey, p.p_name
+FROM part p JOIN eu e ON e.l_partkey = p.p_partkey
+WHERE p.p_size = 15
+  AND e.s_acctbal = (SELECT MIN(e2.s_acctbal) FROM eu e2
+                     WHERE e2.l_partkey = p.p_partkey)
+""")
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: per-part argmin supplier via a CORRELATED scalar
+    subquery, run through the engine's SQL path so Catalyst decorrelates it
+    (rewritten to an aggregate + join — visible in the plan as a
+    min-aggregate on l_partkey joined back). The synthetic schema has no
+    partsupp/supplycost; supplier acctbal stands in and lineitem's distinct
+    (part, supp) pairs are the catalog."""
+    for name in ("lineitem", "supplier", "nation", "region", "part"):
+        _t(spark, sf_dir, name).createOrReplaceTempView(f"_q2_{name}")
+    return spark.sql("""
+        WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM _q2_lineitem),
+        eu AS (
+          SELECT ps.l_partkey, s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+          FROM ps
+          JOIN _q2_supplier s ON s.s_suppkey = ps.l_suppkey
+          JOIN _q2_nation n ON n.n_nationkey = s.s_nationkey
+          JOIN _q2_region r ON r.r_regionkey = n.n_regionkey
+          WHERE r.r_name = 'EUROPE'
+        )
+        SELECT e.s_acctbal, e.s_name, e.n_name, p.p_partkey, p.p_name
+        FROM _q2_part p JOIN eu e ON e.l_partkey = p.p_partkey
+        WHERE p.p_size = 15
+          AND e.s_acctbal = (SELECT MIN(e2.s_acctbal) FROM eu e2
+                             WHERE e2.l_partkey = p.p_partkey)
+    """)
+
+
+@q("q11_important_stock", """
+WITH v AS (
+  SELECT l.l_partkey,
+         SUM(CAST(l.l_quantity * l.l_extendedprice AS DECIMAL(30,4))) AS val
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  WHERE n.n_name = 'NATION_3'
+  GROUP BY l.l_partkey
+)
+SELECT l_partkey, CAST(val AS DOUBLE) AS part_value
+FROM v
+WHERE CAST(val AS DOUBLE) >
+      (SELECT CAST(SUM(val) AS DOUBLE) * 0.001 FROM v)
+""")
+def q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape: per-part inventory value for one nation, kept only
+    when above a fraction of the nation's total — the uncorrelated scalar
+    subquery becomes a 1-row broadcast join against the reused aggregate
+    (value computed once; no partsupp in the synthetic schema, so quantity ×
+    price over lineitem stands in)."""
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    val = (F.col("l_quantity") * F.col("l_extendedprice")).cast("decimal(30,4)")
+    per_part = (
+        l.join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("l_partkey").agg(F.sum(val).alias("val"))
+    )
+    total = per_part.agg(
+        (F.sum("val").cast("double") * 0.001).alias("threshold"))
+    return (
+        per_part.join(F.broadcast(total),
+                      F.col("val").cast("double") > F.col("threshold"))
+        .select("l_partkey", F.col("val").cast("double").alias("part_value"))
+    )
+
+
+@q("q16_supplier_part_counts", """
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(COUNT(DISTINCT ps.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM ps JOIN part p ON p.p_partkey = ps.l_partkey
+WHERE p.p_brand <> 'Brand#45' AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+  AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type, p.p_size
+""")
+def q16_supplier_part_counts(spark, sf_dir):
+    """TPC-H Q16 shape: distinct supplier counts per part attribute group,
+    excluding a supplier denylist — NOT IN over a non-nullable key is a
+    left_anti join (no null-aware complication); distinct (part, supp)
+    pairs from lineitem stand in for partsupp."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45") & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+    bad = _t(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0).select("s_suppkey")
+    ps = l.select("l_partkey", "l_suppkey").distinct()
+    return (
+        ps.join(F.broadcast(bad), ps.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@q("q20_part_shippers", """
+SELECT s.s_name, s.s_acctbal
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE n.n_name = 'NATION_7'
+  AND s.s_suppkey IN (
+    SELECT l.l_suppkey
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_name LIKE 'small%'
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l.l_suppkey
+    HAVING SUM(CAST(l.l_quantity AS DECIMAL(30,2))) > 50
+  )
+""")
+def q20_part_shippers(spark, sf_dir):
+    """TPC-H Q20 shape: suppliers of one nation who shipped a meaningful
+    volume of matching parts in a window — IN over a HAVING-filtered
+    aggregate, expressed as a left_semi join (the aggregate stays
+    distributed; availqty has no analog without partsupp)."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01"))
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    shippers = (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(30,2)")).alias("_qty"))
+        .filter(F.col("_qty") > 50).select("l_suppkey")
+    )
+    return (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(shippers, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+    )
+
+
+@q("q21_waiting_supplier", """
+SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R' AND n.n_name = 'NATION_2'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s.s_name
+""")
+def q21_waiting_supplier(spark, sf_dir):
+    """TPC-H Q21 shape: the sole at-fault supplier per multi-supplier order —
+    correlated EXISTS + NOT EXISTS with inequality correlation, run through
+    the SQL path so Catalyst plans the null-aware anti/semi joins (no
+    receipt/commit dates in the synthetic schema; returnflag='R' marks the
+    fault)."""
+    for name in ("supplier", "lineitem", "orders", "nation"):
+        _t(spark, sf_dir, name).createOrReplaceTempView(f"_q21_{name}")
+    return spark.sql("""
+        SELECT s.s_name, COUNT(*) AS numwait
+        FROM _q21_supplier s
+        JOIN _q21_lineitem l1 ON l1.l_suppkey = s.s_suppkey
+        JOIN _q21_orders o ON o.o_orderkey = l1.l_orderkey
+        JOIN _q21_nation n ON n.n_nationkey = s.s_nationkey
+        WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+          AND n.n_name = 'NATION_2'
+          AND EXISTS (SELECT 1 FROM _q21_lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM _q21_lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_returnflag = 'R')
+        GROUP BY s.s_name
+    """)
+
+
+@q("q22_global_sales_opportunity", """
+WITH pos AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE) / COUNT(*) AS avg_bal
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT cntrycode, CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(SUM(CAST(acctbal AS DECIMAL(30,2))) AS DOUBLE) AS totacctbal
+FROM (
+  SELECT CAST(c.c_custkey % 10 AS INT) AS cntrycode, c.c_acctbal AS acctbal
+  FROM customer c, pos
+  WHERE c.c_acctbal > pos.avg_bal
+    AND CAST(c.c_custkey % 10 AS INT) IN (1, 3, 5, 7)
+    AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+) GROUP BY cntrycode
+""")
+def q22_global_sales_opportunity(spark, sf_dir):
+    """TPC-H Q22 shape: above-average-balance customers with NO urgent
+    orders, bucketed by a derived country code (custkey digit stands in for
+    the phone prefix; in the synthetic data every customer has SOME order,
+    so the no-orders predicate is narrowed to urgent ones to keep the
+    anti-join selective, not empty). The global average is a 1-row
+    broadcast (decimal-exact sum / count, so the threshold is
+    deterministic)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        (exact_sum("c_acctbal", 2) / F.count("*")).alias("avg_bal"))
+    code = (F.col("c_custkey") % 10).cast("int")
+    cand = (
+        c.select("c_custkey", "c_acctbal", code.alias("cntrycode"))
+        .filter(F.col("cntrycode").isin(1, 3, 5, 7))
+        .join(F.broadcast(avg_bal), F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o.filter(F.col("o_orderpriority") == "1-URGENT")
+              .select("o_custkey"),
+              F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+    )
+    return cand.groupBy("cntrycode").agg(
+        F.count("*").alias("numcust"),
+        exact_sum("c_acctbal", 2, "totacctbal"))
+
+
 # =====================================================================
 # Transforms / UDF surface (T1-T2, F1-F2, S5/U3)
 # =====================================================================
@@ -1740,6 +2165,11 @@ _DRIVER_ORDER = [
     "deterministic_split_counts", "profile_lineitem",
     # new this round
     "avro_roundtrip_orders",
+    "q2_min_cost_supplier", "q7_volume_shipping", "q8_market_share",
+    "q9_product_profit", "q11_important_stock", "q13_customer_distribution",
+    "q16_supplier_part_counts", "q19_disjunctive_revenue",
+    "q20_part_shippers", "q21_waiting_supplier",
+    "q22_global_sales_opportunity",
     # rows-only but in-window on purpose: round 1 recorded `err` for this
     # query (array output crashed the driver canonicalizer); the fix (two
     # scalar columns) needs a clean driver row to land as evidence
