@@ -1,0 +1,122 @@
+"""Sequence packing for LLM training pipelines.
+
+Beyond-reference capability: group documents into fixed token-budget
+training sequences/shards. Two tiers, mirroring what a 100 TB corpus
+actually needs:
+
+1. `assign_token_shards` — deterministic shard assignment by cumulative
+   token offset: order docs by id, exclusive running token sum, shard =
+   floor(offset / shard_budget). Pure window expression (one shuffle for
+   the global ordering), SQL-expressible, and the standard way to cut a
+   corpus into ~equal-token shards for downstream parallel work. A shard
+   may slightly exceed the budget (a doc can straddle the boundary) — the
+   budget is a target, not a cap.
+
+2. `pack_greedy` — TRUE greedy first-fit packing (cap, not target): within
+   each shard, walk docs in id order and start a new pack whenever adding
+   the next doc would exceed `pack_budget` (an oversized doc gets its own
+   pack). Greedy packing is inherently sequential, so the scale design is
+   hierarchical: the distributed shard pass bounds each sequential unit,
+   then packs are built per-shard in parallel via applyInPandas (Arrow
+   batches; thousands of shards pack concurrently on a cluster). Packs
+   never span shards — the cost is at most one under-filled pack per
+   shard, bought for full parallelism.
+
+Token semantics match operators.text.token_count (whitespace tokens).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F, types as T
+
+from felixzh_flink_spark.operators.text import token_count
+
+PACKED_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("n_tokens", T.LongType()),
+    T.StructField("shard_id", T.LongType()),
+    T.StructField("pack_seq", T.LongType()),
+    T.StructField("pack_tokens", T.LongType()),
+])
+
+
+def _exclusive_cumsum(df: DataFrame, val_col: str, order_col: str,
+                      out: str = "cum") -> DataFrame:
+    """Scale-safe global exclusive running sum in `order_col` order.
+
+    `Window.orderBy` with no partitionBy moves ALL rows to one task — the
+    classic global-window scale-killer. Instead: range-partition by the
+    order key, run the cumsum per partition, and add each partition's
+    prefix offset (a numPartitions-row aggregate, broadcast back). Range
+    boundaries are sample-based and may vary, but the result doesn't —
+    offset + local cumsum is the same global prefix sum wherever the
+    splits land."""
+    nparts = max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    ranged = (df.repartitionByRange(nparts, F.col(order_col))
+              .withColumn("_pid", F.spark_partition_id()))
+    w = (Window.partitionBy("_pid").orderBy(order_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    local = ranged.withColumn(
+        "_local", F.coalesce(F.sum(val_col).over(w), F.lit(0).cast("bigint")))
+    # numPartitions rows: the only global window runs over ~dozens of rows
+    wo = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        local.groupBy("_pid").agg(F.sum(val_col).alias("_ptot"))
+        .withColumn("_off", F.coalesce(F.sum("_ptot").over(wo),
+                                       F.lit(0).cast("bigint")))
+        .select("_pid", "_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out, (F.col("_local") + F.col("_off")).cast("bigint"))
+        .drop("_pid", "_local")
+    )
+
+
+def assign_token_shards(df: DataFrame, shard_budget: int,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_tokens, shard_id) with shard = floor(exclusive-cumulative
+    tokens / shard_budget) in doc-id order. No per-row Python; the global
+    prefix sum uses the two-phase range-partitioned form above."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), token_count(text_col))
+    cum = _exclusive_cumsum(toks, "n_tokens", "doc_id")
+    return cum.select(
+        "doc_id", "n_tokens",
+        (F.col("cum") / F.lit(shard_budget)).cast("bigint").alias("shard_id"),
+    )
+
+
+def pack_greedy(df: DataFrame, pack_budget: int, shard_budget: int | None = None,
+                text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Greedy first-fit packing: (doc_id, n_tokens, shard_id, pack_seq,
+    pack_tokens) where pack_seq numbers packs within a shard and
+    pack_tokens is the pack's total (≤ pack_budget unless a single doc
+    exceeds the budget alone).
+
+    Deterministic: shard assignment is order-defined, and the per-shard
+    walk is in doc_id order inside a sorted Arrow batch."""
+    shard_budget = shard_budget or pack_budget * 64
+    sharded = assign_token_shards(df, shard_budget, text_col, id_col)
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        seqs, totals = [], []
+        seq, running = 0, 0
+        for n in pdf["n_tokens"]:
+            if running > 0 and running + n > pack_budget:
+                seq += 1
+                running = 0
+            running += int(n)
+            seqs.append(seq)
+            totals.append(running)
+        pdf["pack_seq"] = pd.Series(seqs, dtype="int64")
+        # pack_tokens = final total of the pack each row landed in
+        totals = pd.Series(totals, dtype="int64")
+        pdf["pack_tokens"] = totals.groupby(
+            pd.Series(seqs)).transform("max").astype("int64")
+        return pdf[["doc_id", "n_tokens", "shard_id", "pack_seq", "pack_tokens"]]
+
+    return sharded.groupBy("shard_id").applyInPandas(pack, PACKED_SCHEMA)

@@ -1769,6 +1769,76 @@ def top_bigrams(spark, sf_dir):
     )
 
 
+@q("token_shards", r"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+            ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+       ), 0) / 32768.0) AS BIGINT) AS shard_id
+FROM toks
+""")
+def token_shards(spark, sf_dir):
+    """Sequence packing stage 1: deterministic token-budget shard assignment
+    (exclusive cumulative token offset / 32768-token shards). Pure window
+    expression — the distributed half of the hierarchical packing design in
+    operators/packing.py."""
+    import felixzh_flink_spark.operators.packing as PK
+    return PK.assign_token_shards(_t(spark, sf_dir, "documents"), 32768)
+
+
+@q("pack_sequences", r"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+  FROM documents
+),
+sharded AS (
+  SELECT doc_id, n_tokens,
+         CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+              ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) / 32768.0) AS BIGINT) AS shard_id
+  FROM toks
+),
+numbered AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY shard_id ORDER BY doc_id) AS rn
+  FROM sharded
+),
+rec AS (
+  WITH RECURSIVE walk AS (
+    SELECT shard_id, doc_id, n_tokens, rn,
+           CAST(0 AS BIGINT) AS pack_seq, n_tokens AS running
+    FROM numbered WHERE rn = 1
+    UNION ALL
+    SELECT n.shard_id, n.doc_id, n.n_tokens, n.rn,
+           CASE WHEN w.running > 0 AND w.running + n.n_tokens > 512
+                THEN w.pack_seq + 1 ELSE w.pack_seq END,
+           CASE WHEN w.running > 0 AND w.running + n.n_tokens > 512
+                THEN n.n_tokens ELSE w.running + n.n_tokens END
+    FROM walk w JOIN numbered n
+      ON n.shard_id = w.shard_id AND n.rn = w.rn + 1
+  )
+  SELECT * FROM walk
+)
+SELECT doc_id, n_tokens, shard_id, pack_seq,
+       MAX(running) OVER (PARTITION BY shard_id, pack_seq) AS pack_tokens
+FROM rec
+""")
+def pack_sequences(spark, sf_dir):
+    """Sequence packing stage 2: greedy first-fit packs of ≤512 tokens
+    within each 32768-token shard (operators/packing.py). Greedy packing is
+    inherently sequential, so the engine packs per-shard in parallel via
+    Arrow-batched applyInPandas — the one deliberate Python stage in the
+    inventory; the oracle replays the same walk as a recursive CTE."""
+    import felixzh_flink_spark.operators.packing as PK
+    return PK.pack_greedy(_t(spark, sf_dir, "documents"), 512, 32768)
+
+
 @q("chunk_docs", r"""
 WITH toks AS (
   SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
@@ -2170,6 +2240,7 @@ _DRIVER_ORDER = [
     "q16_supplier_part_counts", "q19_disjunctive_revenue",
     "q20_part_shippers", "q21_waiting_supplier",
     "q22_global_sales_opportunity",
+    "token_shards", "pack_sequences",
     # rows-only but in-window on purpose: round 1 recorded `err` for this
     # query (array output crashed the driver canonicalizer); the fix (two
     # scalar columns) needs a clean driver row to land as evidence
