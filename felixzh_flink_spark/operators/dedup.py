@@ -59,19 +59,14 @@ def dedup_exact_stream(df: DataFrame, text_col: str = "text",
 
 # ---------------------------------------------------------------- shingles
 
-def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-             n: int = 3, distinct: bool = True) -> DataFrame:
-    """Word n-gram shingles per doc: (id, shingle), distinct by default.
+def shingle_array(text_col: str, n: int = 3):
+    """Column: the document's word n-gram shingle array (with duplicates).
 
     Tokens are lower-cased whitespace splits; shingle = n consecutive tokens
     joined by single spaces. Built by zip_with-folding n shifted slices of
     the token array — JVM-side, no UDF, and O(tokens) per document. (The
     naive `transform(idx, i -> slice(tokens, i+1, n))` form is O(tokens²):
     Catalyst inlines the split() into every slice call.)
-
-    `distinct=False` skips the per-(id, shingle) dedup SHUFFLE — use it when
-    the consumer is idempotent over duplicates (MinHash `min`, `collect_set`):
-    at 100 TB that shuffle moves the entire shingle stream and buys nothing.
     """
     from functools import reduce
 
@@ -82,9 +77,34 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     folded = reduce(
         lambda acc, p: F.zip_with(acc, p, lambda a, b: F.concat_ws(" ", a, b)),
         shifted)
-    sh = F.when(n_tok >= n, folded) \
+    return F.when(n_tok >= n, folded) \
         .otherwise(F.array(F.concat_ws(" ", tokens)))
-    out = df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
+
+
+def with_shingle_array(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """(id, sh: array<string>) — one row per doc, shingle array MATERIALIZED
+    behind a Generate barrier: `explode(array(sh))` emits the array as a
+    plan attribute, so downstream expressions that use it many times (the 64
+    MinHash mins) reference it instead of having Catalyst's project-collapse
+    inline (and recompute) the whole shingle build per use — the same trap
+    as from_json refolding, see functions/changelog.py."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array(shingle_array(text_col, n))).alias("sh"),
+    )
+
+
+def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+             n: int = 3, distinct: bool = True) -> DataFrame:
+    """Word n-gram shingles per doc: (id, shingle), distinct by default.
+
+    `distinct=False` skips the per-(id, shingle) dedup SHUFFLE — use it when
+    the consumer is idempotent over duplicates (MinHash `min`, `collect_set`):
+    at 100 TB that shuffle moves the entire shingle stream and buys nothing.
+    """
+    out = df.select(F.col(id_col).alias("id"),
+                    F.explode(shingle_array(text_col, n)).alias("shingle"))
     return out.distinct() if distinct else out
 
 
@@ -128,23 +148,38 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     """MinHash signature per doc: sig[i] = min over shingles of
     xxhash64(shingle, seed=i). Returns (id, sig: array<bigint>).
 
-    One explode + one groupBy with num_perm min-aggregates — partial
-    aggregation collapses each partition to one row per doc before the
-    shuffle. Shingles are NOT pre-deduplicated (min is idempotent over
-    duplicates), which removes an entire shuffle of the shingle stream.
-    """
-    sh = shingles(df, text_col, id_col, n, distinct=False)
-    return sh.groupBy("id").agg(F.expr(_sig_agg_sql(num_perm)).alias("sig"))
+    ZERO-shuffle row-wise form: the shingle array stays a per-row array
+    column and each signature slot is `array_min(transform(sh, s ->
+    xxhash64(s, i)))` — no explode, no groupBy. Identical values to the
+    explode+groupBy formulation (min over the same multiset), stream-safe
+    (pure per-row expressions), and the whole signature job is one scan.
+    Built as ONE SQL string — 64 separate Column builds pay a py4j
+    roundtrip each (~1 ms/call of plan-construction wall time)."""
+    return with_shingle_array(df, text_col, id_col, n).select(
+        "id", F.expr(_sig_array_sql(num_perm)).alias("sig"))
 
 
-def _sig_agg_sql(num_perm: int) -> str:
-    """`array(min(xxhash64(shingle, 0)), ...)` as ONE SQL string: each
-    Python-side Column call is a py4j roundtrip, so building 64 aggregates
-    from F.min/F.xxhash64 costs real plan-construction wall time; one
-    expression string parses JVM-side. Partial aggregation is unaffected —
-    the array() wraps the agg results, it isn't the aggregate."""
-    mins = ",".join(f"min(xxhash64(shingle, {i}))" for i in range(num_perm))
+def _sig_array_sql(num_perm: int, sh_col: str = "sh") -> str:
+    mins = ",".join(
+        f"array_min(transform({sh_col}, s -> xxhash64(s, {i})))"
+        for i in range(num_perm))
     return f"array({mins})"
+
+
+def band_explode_sql(num_perm: int, bands: int, sig_col: str = "sig") -> str:
+    """`explode(array(struct(band, bucket), ...))` over a signature column —
+    one (band, bucket) row per band; bucket = xxhash64 of the band's slice.
+    Shared by the batch candidate join and the streaming near-dup keying."""
+    rows = num_perm // bands
+    band_structs = ",".join(
+        "named_struct('band', {b}, 'bucket', xxhash64(concat_ws(',', {parts})))".format(
+            b=b,
+            parts=",".join(f"cast({sig_col}[{b * rows + r}] as string)"
+                           for r in range(rows)),
+        )
+        for b in range(bands)
+    )
+    return f"explode(array({band_structs}))"
 
 
 def minhash_lsh_candidates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -165,16 +200,9 @@ def lsh_candidates_from_signatures(sigs: DataFrame, num_perm: int = 64,
     `minhash_lsh_candidates`. Split out so pipelines that already hold
     signatures (e.g. the verify pipeline's single-scan per-doc aggregate)
     don't recompute them."""
-    rows = num_perm // bands
-    band_structs = ",".join(
-        "named_struct('band', {b}, 'bucket', xxhash64(concat_ws(',', {parts})))".format(
-            b=b,
-            parts=",".join(f"cast(sig[{b * rows + r}] as string)" for r in range(rows)),
-        )
-        for b in range(bands)
-    )
-    banded = sigs.select("id", F.expr(f"explode(array({band_structs}))").alias("bk")) \
-                 .select("id", "bk.band", "bk.bucket")
+    banded = sigs.select(
+        "id", F.expr(band_explode_sql(num_perm, bands)).alias("bk")) \
+        .select("id", "bk.band", "bk.bucket")
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -198,14 +226,14 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     (`ngram_jaccard_pairs` remains the exact-but-global verifier for small
     slices).
 
-    Signatures and shingle sets come from ONE scan + ONE groupBy (cached):
-    the 64 min-aggregates and the collect_set share the same partial
-    aggregation, so the text is shingled exactly once."""
+    Signatures and shingle sets come from ONE zero-shuffle scan (cached —
+    the per-doc row feeds the band join and both sides of the verify
+    join): sig slots and `array_distinct` read the same materialized
+    shingle array, so the text is shingled exactly once."""
     per_doc = (
-        shingles(df, text_col, id_col, n, distinct=False)
-        .groupBy("id")
-        .agg(F.expr(_sig_agg_sql(num_perm)).alias("sig"),
-             F.collect_set("shingle").alias("sh_set"))
+        with_shingle_array(df, text_col, id_col, n)
+        .select("id", F.expr(_sig_array_sql(num_perm)).alias("sig"),
+                F.array_distinct("sh").alias("sh_set"))
         .cache()
     )
     sigs = per_doc.select("id", "sig")

@@ -225,6 +225,30 @@ def ivf_refine_centroids(df: DataFrame, cents: list[list[float]],
     return cents
 
 
+def ivf_train(df: DataFrame, n_centroids: int = 16, max_iter: int = 10,
+              tol: float = 1e-4, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> list[list[float]]:
+    """Full k-means-style IVF index training: hash-sampled init, Lloyd
+    iterations until the max centroid movement (L2) drops below `tol` or
+    `max_iter` is hit. Each iteration is ONE distributed pass (assign +
+    per-cell mean via partial aggregation) and a tiny driver collect
+    (n_centroids × dim doubles) — the standard IVF build loop; at 100 TB
+    you'd train on a uniform sample, which is what the hash-sampled init
+    already models. Deterministic: init, assignment ties, and means are all
+    order-independent."""
+    cents = ivf_centroids(df, n_centroids, id_col, vec_col)
+    for _ in range(max_iter):
+        new = ivf_refine_centroids(df, cents, vec_col, iterations=1)
+        shift = max(
+            sum((a - b) ** 2 for a, b in zip(c_old, c_new)) ** 0.5
+            for c_old, c_new in zip(cents, new)
+        )
+        cents = new
+        if shift < tol:
+            break
+    return cents
+
+
 def ivf_assign(df: DataFrame, cents: list[list[float]],
                vec_col: str = "embedding", alias: str = "ivf_cell") -> DataFrame:
     """Assign each row to its nearest centroid cell. At scale this runs once
@@ -263,6 +287,46 @@ def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
         cosine_to_literal(vec_col, query_vec).alias("cosine_sim"),
     )
     return scored.orderBy(F.desc("cosine_sim"), F.asc("id")).limit(k)
+
+
+def semantic_dedup(df: DataFrame, threshold: float = 0.9,
+                   n_centroids: int = 16, train_iter: int = 2,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   cents: list[list[float]] | None = None) -> DataFrame:
+    """SemDedup-style semantic deduplication: cluster embeddings into IVF
+    cells, then drop within-cell cosine near-duplicates, keeping the
+    smallest id of each duplicate group.
+
+    Returns (id, ivf_cell, keep) — `keep=false` rows are semantic dups of
+    an earlier (smaller-id) row in the same cell.
+
+    Scale shape: the pair search is confined to cells (self-join on the
+    cell id — never all-pairs), exactly the published SemDedup recipe where
+    k-means cells bound the O(n²) term to O(Σ cell²). Cross-cell dups are
+    missed by construction; more centroids trade recall for cost. Norms are
+    precomputed per row; the dup verdict is a left_semi against the pair
+    set."""
+    if cents is None:
+        cents = ivf_train(df, n_centroids, max_iter=train_iter,
+                          id_col=id_col, vec_col=vec_col)
+    assigned = ivf_assign(df, cents, vec_col).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "ivf_cell",
+        _norm(F.col(vec_col)).alias("nrm"),
+    )
+    dim = len(cents[0])
+    a, b = assigned.alias("a"), assigned.alias("b")
+    dup_ids = (
+        a.join(b, (F.col("a.ivf_cell") == F.col("b.ivf_cell"))
+               & (F.col("a.id") < F.col("b.id")))
+        .filter(_dot_indexed(F.col("a.v"), F.col("b.v"), dim)
+                / (F.col("a.nrm") * F.col("b.nrm")) >= threshold)
+        .select(F.col("b.id").alias("id"))   # the larger id is the dup
+        .distinct()
+    )
+    return (
+        assigned.join(dup_ids.withColumn("_dup", F.lit(True)), "id", "left")
+        .select("id", "ivf_cell", F.coalesce(~F.col("_dup"), F.lit(True)).alias("keep"))
+    )
 
 
 def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,

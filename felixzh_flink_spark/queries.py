@@ -2050,6 +2050,15 @@ def minhash_dedup_verified(spark, sf_dir):
 #: per-query work; caching mirrors a real deployment's prebuilt ANN index.
 _VEC_CACHE: dict[str, list[float]] = {}
 _IVF_CACHE: dict[tuple[str, int], list[list[float]]] = {}
+_IVF_TRAINED_CACHE: dict[tuple[str, int], list[list[float]]] = {}
+
+
+def _ivf_trained(spark, sf_dir, n_centroids: int = 16) -> list[list[float]]:
+    key = (sf_dir, n_centroids)
+    if key not in _IVF_TRAINED_CACHE:
+        e = _t(spark, sf_dir, "embeddings")
+        _IVF_TRAINED_CACHE[key] = SIM.ivf_train(e, n_centroids, max_iter=3)
+    return _IVF_TRAINED_CACHE[key]
 
 
 def _query_vec(spark, sf_dir) -> list[float]:
@@ -2114,6 +2123,18 @@ def ann_ivf_topk(spark, sf_dir):
     return SIM.ivf_topk(e, _query_vec(spark, sf_dir), k=10,
                         n_centroids=16, n_probe=4,
                         cents=_ivf_index(spark, sf_dir, 16))
+
+
+@q("semantic_dedup_keep")  # rows-only: kmeans cells are hash-seed-specific
+def semantic_dedup_keep(spark, sf_dir):
+    """SemDedup-style semantic dedup: k-means-trained IVF cells bound the
+    pair search; within-cell cosine ≥ 0.5 marks the larger id a dup.
+    Returns every vector with (ivf_cell, keep) — row count equals the
+    table, so the rows-only check pins cardinality. Threshold 0.5 suits
+    the synthetic random vectors (real corpora: ~0.9+)."""
+    e = _t_wide(spark, sf_dir, "embeddings")
+    return SIM.semantic_dedup(e, threshold=0.5,
+                              cents=_ivf_trained(spark, sf_dir, 16))
 
 
 @q("embedding_near_dup")  # rows-only: LSH-pruned pair generation
@@ -2269,7 +2290,8 @@ _DRIVER_ORDER = [
     "top_orders_per_customer",
     # rows-only (approximate / hash-specific by construction) — last
     "minhash_lsh_pairs", "minhash_dedup_verified",
-    "ann_ivf_topk", "embedding_near_dup", "approx_distinct_parts",
+    "ann_ivf_topk", "embedding_near_dup", "semantic_dedup_keep",
+    "approx_distinct_parts",
 ]
 
 assert set(_DRIVER_ORDER) == set(QUERIES), (

@@ -147,3 +147,45 @@ def test_ivf_refined_centroids_improve_or_match_recall(spark, sf_dir):
     full = [r["id"] for r in scored.orderBy(F.desc("cosine_sim"), F.asc("id")).limit(5).collect()]
     exact = [r["id"] for r in SIM.cosine_topk_bruteforce(e, qv, k=5).collect()]
     assert full == exact
+
+
+def test_ivf_train_converges_and_deterministic(spark, sf_dir):
+    """Lloyd training: deterministic across runs, and a further refinement
+    step moves centroids less than the first one did (monotone-ish
+    convergence on the synthetic vectors)."""
+    from felixzh_flink_spark.operators import similarity as SIM
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = SIM.ivf_train(e, n_centroids=8, max_iter=3)
+    b = SIM.ivf_train(e, n_centroids=8, max_iter=3)
+    assert a == b
+
+    def shift(c1, c2):
+        return max(sum((x - y) ** 2 for x, y in zip(u, v)) ** 0.5
+                   for u, v in zip(c1, c2))
+
+    init = SIM.ivf_centroids(e, 8)
+    one = SIM.ivf_refine_centroids(e, init, iterations=1)
+    two = SIM.ivf_refine_centroids(e, one, iterations=1)
+    assert shift(one, two) < shift(init, one)
+
+
+def test_semantic_dedup_drops_known_dups(spark):
+    """Identical vectors land in one cell; the larger ids are marked dups and
+    the smallest id survives. Distinct vectors all survive."""
+    from felixzh_flink_spark.operators import similarity as SIM
+    import random
+    rng = random.Random(7)
+    base = [rng.uniform(-1, 1) for _ in range(8)]
+    other = [rng.uniform(-1, 1) for _ in range(8)]
+    rows = ([(1, base), (2, base), (3, base)]
+            + [(10 + i, [x * (1 + 0.001 * i) for x in other]) for i in range(3)]
+            + [(50, [rng.uniform(-1, 1) for _ in range(8)])])
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["id"]: r["keep"] for r in
+           SIM.semantic_dedup(df, threshold=0.999, n_centroids=2,
+                              train_iter=1).collect()}
+    assert out[1] is True and out[2] is False and out[3] is False
+    # scaled copies of `other` are cosine-identical → near-dups of id 10
+    assert out[10] is True and out[11] is False and out[12] is False
+    assert out[50] is True
+    assert len(out) == 7

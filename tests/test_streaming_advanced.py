@@ -360,3 +360,73 @@ def test_proc_time_trigger_micro_batch_bulk_write(spark, tmp_path):
     got = {r["word"]: r["count"]
            for r in spark.sql("SELECT * FROM bulk_out").collect()}
     assert got == {"w": 40}
+
+
+def test_streaming_near_dup_candidates(spark, tmp_path):
+    """Streaming MinHash-LSH near-dup: near-identical docs arriving within
+    the horizon collide on a band bucket and are emitted against the first-
+    seen representative; unrelated docs never pair."""
+    from felixzh_flink_spark.streaming.neardup import near_dup_stream
+    src = str(tmp_path / "src")
+    doc_schema = T.StructType([
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    base_text = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (BASE, 1, base_text),
+        (BASE + dt.timedelta(seconds=1), 2, base_text),                 # exact dup
+        (BASE + dt.timedelta(seconds=2), 3, base_text + " tail"),      # near dup
+        (BASE + dt.timedelta(seconds=3), 4,
+         "completely different words about spark structured streaming state"),
+    ]
+    spark.createDataFrame(rows, doc_schema).coalesce(1).write.parquet(src)
+    stream = file_stream_source(spark, src, doc_schema)
+    out = near_dup_stream(stream, n=3, num_perm=32, bands=16,
+                          watermark_delay="1 second", horizon_ms=600_000)
+    q = (out.writeStream.format("memory").queryName("neardup_out")
+         .outputMode("append").start())
+    q.processAllAvailable()
+    q.stop()
+    pairs = {(r["doc_id"], r["dup_of"]) for r in
+             spark.sql("SELECT * FROM neardup_out").collect()}
+    assert (2, 1) in pairs                       # exact dup always collides
+    assert (3, 1) in pairs or (3, 2) in pairs    # near dup shares ≥1 band
+    assert not any(4 in p for p in pairs)        # unrelated doc stays clean
+
+
+def test_streaming_near_dup_state_eviction(spark, tmp_path):
+    """Bucket representatives expire once the watermark passes the horizon:
+    a duplicate arriving after eviction is NOT flagged (it becomes the new
+    representative), keeping state bounded by the dedup horizon."""
+    from felixzh_flink_spark.streaming.neardup import near_dup_stream
+    src = str(tmp_path / "src")
+    doc_schema = T.StructType([
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    text = "some repeated document body that will show up twice much later"
+    spark.createDataFrame([(BASE, 1, text)], doc_schema) \
+        .coalesce(1).write.mode("append").parquet(src)
+    stream = file_stream_source(spark, src, doc_schema)
+    out = near_dup_stream(stream, n=3, num_perm=32, bands=16,
+                          watermark_delay="1 second", horizon_ms=5_000)
+    q = (out.writeStream.format("memory").queryName("neardup_evict")
+         .outputMode("append").start())
+    q.processAllAvailable()
+    # advance the watermark far past horizon (evicts doc 1's buckets), then
+    # replay the same text as doc 9
+    spark.createDataFrame(
+        [(BASE + dt.timedelta(hours=1), 5, "watermark mover unrelated text")],
+        doc_schema).coalesce(1).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    spark.createDataFrame(
+        [(BASE + dt.timedelta(hours=1, seconds=10), 9, text)],
+        doc_schema).coalesce(1).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    got = {(r["doc_id"], r["dup_of"]) for r in
+           spark.sql("SELECT * FROM neardup_evict").collect()}
+    assert (9, 1) not in got      # representative was evicted in between
