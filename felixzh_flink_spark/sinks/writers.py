@@ -102,3 +102,57 @@ def batch_parquet_write(df: DataFrame, path: str, *,
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def exactly_once_parquet_sink(df: DataFrame, path: str, *,
+                              checkpoint_location: str):
+    """K1 EOS analog for file sinks: batchId-idempotent foreachBatch writes.
+
+    Flink's Kafka EOS (DeliveryGuarantee.EXACTLY_ONCE,
+    Kafka2Kafka.java:45-46) rides Kafka transactions; Spark has no
+    transactional Kafka producer, but for FILE sinks Structured Streaming's
+    replay contract ("a micro-batch may be re-executed with the SAME
+    batchId after failure") makes exactly-once reachable with idempotent
+    commits:
+
+    1. each batch writes to ``{path}/batch_id=<id>/`` (overwrite mode — a
+       replay of the same batchId clobbers its own partial output, never
+       another batch's),
+    2. a replayed batchId is first checked against the committed marker and
+       skipped entirely if present,
+    3. the marker file is written AFTER the data — written-but-unmarked
+       output from a crash is overwritten by the replay before it becomes
+       visible via the marker.
+
+    Readers take committed batches only: ``read.parquet(path +
+    "/batch_id=N")`` for N in the marker set, or a view over the marker
+    list. Returns the started StreamingQuery.
+    """
+    import os
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(path, f"_committed_{batch_id}")
+        if os.path.exists(marker):       # replayed after successful commit
+            return
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(path, f"batch_id={batch_id}"))
+        with open(marker, "w") as fh:
+            fh.write("ok")
+
+    return (
+        df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_location)
+        .start()
+    )
+
+
+def read_exactly_once_output(spark, path: str) -> DataFrame:
+    """Committed-batches reader for `exactly_once_parquet_sink` output."""
+    import os
+
+    ids = sorted(int(f.rsplit("_", 1)[1]) for f in os.listdir(path)
+                 if f.startswith("_committed_"))
+    if not ids:
+        raise FileNotFoundError(f"no committed batches under {path}")
+    return spark.read.parquet(
+        *[os.path.join(path, f"batch_id={i}") for i in ids])

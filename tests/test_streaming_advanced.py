@@ -430,3 +430,35 @@ def test_streaming_near_dup_state_eviction(spark, tmp_path):
     got = {(r["doc_id"], r["dup_of"]) for r in
            spark.sql("SELECT * FROM neardup_evict").collect()}
     assert (9, 1) not in got      # representative was evicted in between
+
+
+def test_exactly_once_parquet_sink_idempotent_replay(spark, tmp_path):
+    """K1 EOS analog: a replayed batchId is skipped when already committed,
+    and a crash between data write and marker (unmarked dir) is healed by
+    the replay's overwrite — reader sees each input row exactly once."""
+    import os
+    import shutil
+    from felixzh_flink_spark.sinks.writers import (
+        exactly_once_parquet_sink, read_exactly_once_output)
+    src, out = str(tmp_path / "src"), str(tmp_path / "out")
+    ckpt1, ckpt2, ckpt3 = (str(tmp_path / c) for c in ("c1", "c2", "c3"))
+    spark.createDataFrame(_rows(["a"], 3), SCHEMA).coalesce(1).write.parquet(src)
+
+    def run(ckpt):
+        q = exactly_once_parquet_sink(
+            file_stream_source(spark, src, SCHEMA), out,
+            checkpoint_location=ckpt)
+        q.processAllAvailable()
+        q.stop()
+
+    run(ckpt1)
+    assert read_exactly_once_output(spark, out).count() == 3
+    # replay the same data as batchId 0 via a fresh checkpoint: the
+    # committed marker short-circuits the write - still exactly 3 rows
+    run(ckpt2)
+    assert read_exactly_once_output(spark, out).count() == 3
+    # crash between data and marker: drop the marker, leave (stale) data;
+    # the next replay overwrites the dir and re-commits
+    os.remove(os.path.join(out, "_committed_0"))
+    run(ckpt3)
+    assert read_exactly_once_output(spark, out).count() == 3
