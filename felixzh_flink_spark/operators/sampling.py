@@ -36,3 +36,22 @@ def train_test_split(df: DataFrame, key: str, test_pct: int = 10,
     key land on the same side (no leakage between splits)."""
     b = hash_bucket(F.col(key), buckets)
     return df.filter(b >= test_pct), df.filter(b < test_pct)
+
+
+def stratified_sample(df: DataFrame, key: str, strata_col: str,
+                      fractions: dict[str, float],
+                      default_fraction: float = 0.0,
+                      buckets: int = 10_000) -> DataFrame:
+    """Deterministic per-stratum sampling — the domain-mixing primitive of a
+    training-data pipeline (keep 100% of wiki, 10% of crawl, ...).
+
+    Row kept iff hash_bucket(key) < fraction[stratum] × buckets. Unlike
+    `df.sampleBy`, the decision is a pure function of (key, stratum), so
+    mixes are reproducible across engines/runs and a key keeps the same
+    fate when fractions of OTHER strata change. Single scan, no shuffle —
+    the filter is a CASE over the stratum column."""
+    frac = F.lit(default_fraction)
+    for k, v in sorted(fractions.items()):
+        frac = F.when(F.col(strata_col) == k, F.lit(v)).otherwise(frac)
+    return df.filter(
+        hash_bucket(F.col(key), buckets) < (frac * buckets).cast("bigint"))

@@ -187,6 +187,39 @@ def fingerprint_md5(df: DataFrame, text_col: str = "text", alias: str = "fingerp
     return df.withColumn(alias, F.md5(norm))
 
 
+def corpus_pipeline(df: DataFrame, benchmark: DataFrame,
+                    min_tokens: int = 10, max_punct: float = 0.3,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """End-to-end training-corpus cleaning: quality gate → exact dedup →
+    test-set decontamination, composed from the standalone operators.
+
+    1. quality gate: ≥ `min_tokens` whitespace tokens AND punctuation ratio
+       < `max_punct` (pure expressions, evaluated in the scan stage);
+    2. exact dedup: smallest id per normalized-md5 fingerprint survives
+       (keyed window — one shuffle on the fingerprint);
+    3. decontamination: fingerprints present in `benchmark` dropped via
+       broadcast anti-join.
+
+    The fingerprint is computed ONCE and drives both dedup and decon. At
+    100 TB this is one scan + one fingerprint shuffle + one broadcast —
+    no stage reads the text twice."""
+    from pyspark.sql import Window
+
+    c = F.col(text_col)
+    t = F.trim(c)
+    n_tok = F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, TOKEN_RE)))
+    gated = df.filter((n_tok >= min_tokens) & (punct_ratio(c) < max_punct))
+    fp = fingerprint_md5(gated, text_col)
+    w = Window.partitionBy("fingerprint")
+    kept = (fp.withColumn("_min_id", F.min(id_col).over(w))
+            .filter(F.col(id_col) == F.col("_min_id")).drop("_min_id"))
+    bench_fp = fingerprint_md5(benchmark, text_col) \
+        .select("fingerprint").distinct()
+    return kept.join(F.broadcast(bench_fp), "fingerprint", "left_anti") \
+        .drop("fingerprint")
+
+
 def fingerprint_rolling(df: DataFrame, text_col: str = "text",
                         alias: str = "rolling_fp") -> DataFrame:
     """Polynomial rolling-hash fingerprint over tokens:

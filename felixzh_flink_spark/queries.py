@@ -2185,6 +2185,67 @@ def multimodal_frame_plan(spark, sf_dir):
     return MM.frame_sample_plan(d, every_ms=1000)
 
 
+@q("stratified_sample_counts", """
+WITH b AS (
+  SELECT lang,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+             % 10000 AS bucket
+  FROM documents
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept
+FROM b
+WHERE bucket < CAST((CASE lang WHEN 'en' THEN 1.0 WHEN 'de' THEN 0.5
+                     WHEN 'fr' THEN 0.25 WHEN 'es' THEN 0.1
+                     ELSE 0.0 END) * 10000 AS BIGINT)
+GROUP BY lang
+""")
+def stratified_sample_counts(spark, sf_dir):
+    """Domain mixing: deterministic per-language sampling fractions
+    (en 100%, de 50%, fr 25%, es 10%, zh 0%) — the keep decision is a pure
+    function of (doc_id, lang), reproducible on any engine/partitioning,
+    which the md5 oracle proves. Single scan, no shuffle before the count."""
+    from felixzh_flink_spark.operators.sampling import stratified_sample
+    d = _t(spark, sf_dir, "documents")
+    kept = stratified_sample(
+        d, "doc_id", "lang",
+        {"en": 1.0, "de": 0.5, "fr": 0.25, "es": 0.1})
+    return kept.groupBy("lang").agg(F.count("*").alias("n_kept"))
+
+
+@q("corpus_pipeline_counts", r"""
+WITH gated AS (
+  SELECT doc_id, lang,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+  FROM documents
+  WHERE (CASE WHEN length(trim(text)) = 0 THEN 0
+          ELSE len(regexp_split_to_array(trim(text), '\s+')) END) >= 10
+    AND (CASE WHEN length(text) = 0 THEN 0.0
+          ELSE CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
+               / CAST(length(text) AS DOUBLE) END) < 0.3
+),
+kept AS (
+  SELECT doc_id, lang, fp FROM gated
+  QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY fp)
+),
+bench AS (
+  SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+  FROM documents WHERE doc_id % 97 = 0
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept
+FROM kept WHERE fp NOT IN (SELECT fp FROM bench)
+GROUP BY lang
+""")
+def corpus_pipeline_counts(spark, sf_dir):
+    """End-to-end corpus cleaning (operators.text.corpus_pipeline): quality
+    gate → exact dedup (min-id survivor per md5 fingerprint) → test-set
+    decontamination (benchmark = every 97th doc), counted per language.
+    One scan + one fingerprint shuffle + one broadcast anti-join."""
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    clean = TX.corpus_pipeline(d, bench, min_tokens=10, max_punct=0.3)
+    return clean.groupBy("lang").agg(F.count("*").alias("n_kept"))
+
+
 @q("deterministic_split_counts", """
 WITH b AS (
   SELECT CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
@@ -2262,6 +2323,7 @@ _DRIVER_ORDER = [
     "q20_part_shippers", "q21_waiting_supplier",
     "q22_global_sales_opportunity",
     "token_shards", "pack_sequences",
+    "stratified_sample_counts", "corpus_pipeline_counts",
     # rows-only but in-window on purpose: round 1 recorded `err` for this
     # query (array output crashed the driver canonicalizer); the fix (two
     # scalar columns) needs a clean driver row to land as evidence

@@ -45,3 +45,45 @@ def test_decontaminate_drops_benchmark_matches(spark):
     bench = spark.createDataFrame([(9, "test question")], "doc_id long, text string")
     kept = sorted(r["doc_id"] for r in decontaminate(corpus, bench).collect())
     assert kept == [1, 3]  # normalization catches case/whitespace variants
+
+
+def test_stratified_sample_deterministic_and_independent(spark, sf_dir):
+    """Per-stratum keep decisions are stable and independent of OTHER
+    strata's fractions; boundary fractions keep all / none."""
+    from felixzh_flink_spark.operators.sampling import stratified_sample
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kept = stratified_sample(d, "doc_id", "lang",
+                             {"en": 1.0, "de": 0.5, "zh": 0.0})
+    by_lang = {r["lang"]: r["n"] for r in
+               kept.groupBy("lang").agg(__import__("pyspark").sql.functions
+                                        .count("*").alias("n")).collect()}
+    totals = {r["lang"]: r["n"] for r in
+              d.groupBy("lang").agg(__import__("pyspark").sql.functions
+                                    .count("*").alias("n")).collect()}
+    assert by_lang["en"] == totals["en"]          # fraction 1.0 keeps all
+    assert "zh" not in by_lang                    # fraction 0.0 keeps none
+    assert 0 < by_lang["de"] < totals["de"]
+    # de's keep-set does not move when en's fraction changes
+    de_a = {r["doc_id"] for r in kept.filter("lang = 'de'").collect()}
+    kept2 = stratified_sample(d, "doc_id", "lang", {"en": 0.2, "de": 0.5})
+    de_b = {r["doc_id"] for r in kept2.filter("lang = 'de'").collect()}
+    assert de_a == de_b
+
+
+def test_corpus_pipeline_invariants(spark, sf_dir):
+    """Survivors pass the quality gate, are fingerprint-unique, and share no
+    fingerprint with the benchmark."""
+    from pyspark.sql import functions as F
+    from felixzh_flink_spark.operators.text import (
+        corpus_pipeline, fingerprint_md5, punct_ratio, token_count)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    clean = corpus_pipeline(d, bench, min_tokens=10, max_punct=0.3)
+    feats = clean.select("doc_id", token_count("text"), punct_ratio("text"))
+    assert feats.filter("n_tokens < 10 OR punct_ratio >= 0.3").count() == 0
+    fps = fingerprint_md5(clean)
+    assert fps.groupBy("fingerprint").count().filter("count > 1").count() == 0
+    bench_fps = {r["fingerprint"] for r in
+                 fingerprint_md5(bench).select("fingerprint").collect()}
+    got = {r["fingerprint"] for r in fps.select("fingerprint").collect()}
+    assert not (got & bench_fps)
