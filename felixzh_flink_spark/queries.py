@@ -2328,21 +2328,24 @@ _DRIVER_ORDER = [
     # query (array output crashed the driver canonicalizer); the fix (two
     # scalar columns) needs a clean driver row to land as evidence
     "approx_quantile_price",
-    # operator coverage (changed-this-round members: canal/debezium decode,
-    # asof join, acctbal_quartiles, and the merged dual-impl queries)
-    "filter_projection", "market_segment_stats", "weighted_avg_price",
-    "salted_event_counts", "repartitioned_user_counts", "word_count",
-    "scalar_concat", "udtf_lateral", "csv_roundtrip_part",
-    "json_roundtrip_orders", "canal_decode", "debezium_decode",
-    "events_hourly", "user_sessions", "asof_purchase_view",
-    "range_join_recent_views", "acctbal_quartiles", "set_ops_nations",
+    # changed since the round-1 driver check or never checked (merged
+    # dual-impl entries, lenient CDC decode, deterministic asof,
+    # scale-safe quartiles)
+    "udtf_lateral", "canal_decode", "debezium_decode",
+    "asof_purchase_view", "acctbal_quartiles", "set_ops_nations",
     "grouping_pricing", "order_window_analytics",
-    # TPC-H suite (all green in round 1, unchanged plans)
+    # round-1-green re-verification (remaining window slots)
+    "filter_projection", "market_segment_stats", "weighted_avg_price",
+    "salted_event_counts", "repartitioned_user_counts",
+    "events_hourly", "user_sessions", "range_join_recent_views",
+    # ---- position 50 boundary ----
+    # oracle-backed, round-1-green, unchanged — past the window
+    "word_count", "scalar_concat", "csv_roundtrip_part",
+    "json_roundtrip_orders",
     "q1_pricing_summary", "revenue_by_nation", "q3_top_unshipped",
     "q4_order_priority", "q5_local_supplier_volume", "q6_forecast_revenue",
     "q10_returned_items", "q12_returnflag_priority", "q14_promo_revenue",
     "q15_top_supplier", "q17_small_quantity_revenue", "q18_large_orders",
-    # ---- position 50 boundary ----
     # oracle-backed, round-1-green, unchanged — past the round-1 window
     "nation_customers_vs_suppliers", "cube_order_status",
     "pivot_order_status", "distinct_parts_per_supplier",
