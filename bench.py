@@ -44,6 +44,17 @@ HEADLINE = [
     "changelog_retract_sum",
     "chunk_docs",
     "json_roundtrip_orders",
+    # round 2 additions: decorrelated-subquery TPC-H shapes, sequence
+    # packing (incl. the deliberate applyInPandas stage), domain mixing,
+    # the composed corpus pipeline, and semantic dedup
+    "q9_product_profit",
+    "q13_customer_distribution",
+    "q19_disjunctive_revenue",
+    "token_shards",
+    "pack_sequences",
+    "stratified_sample_counts",
+    "corpus_pipeline_counts",
+    "semantic_dedup_keep",
 ]
 
 
