@@ -66,3 +66,28 @@ def test_range_join_is_equi_join_not_nested_loop(spark):
     p = plan_of(spark, "range_join_recent_views")
     # bucketing turns the interval predicate into a hash-joinable key
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Bucketed-by-key tables join with ZERO shuffle: the ingest-time bucket
+    write replaces both runtime Exchanges — the co-located join contract
+    (sinks/bucketing.py) that makes repeated fact-fact joins affordable at
+    100 TB."""
+    from felixzh_flink_spark.sinks.bucketing import colocated_join, write_bucketed
+    a = spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS va")
+    b = spark.range(0, 1000).selectExpr("id AS k", "id * 3 AS vb")
+    write_bucketed(a, "bkt_a", "k", 4, path=str(tmp_path / "a"))
+    write_bucketed(b, "bkt_b", "k", 4, path=str(tmp_path / "b"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # forbid broadcast so the no-Exchange plan is the bucketing's doing
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = colocated_join(spark, "bkt_a", "bkt_b", "k")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "SortMergeJoin" in plan
+        assert j.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
