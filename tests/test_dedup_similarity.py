@@ -189,3 +189,29 @@ def test_semantic_dedup_drops_known_dups(spark):
     assert out[10] is True and out[11] is False and out[12] is False
     assert out[50] is True
     assert len(out) == 7
+
+
+def test_quantized_cosine_close_to_exact(spark, sf_dir):
+    """int8 quantization: dequantized cosine within 2% of exact on the
+    synthetic vectors; values stay in [-127, 127]."""
+    from pyspark.sql import functions as F
+    from felixzh_flink_spark.operators import similarity as SIM
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(50)
+    q = SIM.quantize_embeddings(e)
+    r = q.select(
+        F.array_min("qvec").alias("mn"), F.array_max("qvec").alias("mx"),
+    ).agg(F.min("mn").alias("mn"), F.max("mx").alias("mx")).head()
+    assert -127 <= r["mn"] and r["mx"] <= 127
+    rows = q.select("vec_id", "embedding", "qvec", "qscale").collect()
+    probe = list(rows[0]["embedding"])
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(y * y for y in b) ** 0.5
+        return dot / (na * nb) if na and nb else 0.0
+
+    for row in rows[1:10]:
+        exact = cos(probe, list(row["embedding"]))
+        deq = [x * row["qscale"] for x in row["qvec"]]
+        assert abs(cos(probe, deq) - exact) < 0.02
