@@ -129,3 +129,46 @@ def salted_two_phase_count(df: DataFrame, key: str, salt_buckets: int = 50,
     salted = df.withColumn("_salt", (F.rand(seed=42) * salt_buckets).cast("int"))
     partial = salted.groupBy(key, "_salt").agg(F.count("*").alias("_partial"))
     return partial.groupBy(key).agg(F.sum("_partial").alias(alias))
+
+
+def cascade_time_rollup(df: DataFrame, ts_col: str, key_col: str,
+                        value_col: str,
+                        levels: tuple[str, ...] = ("minute", "hour", "day")) -> DataFrame:
+    """Multi-resolution time rollup (the hypertable / continuous-aggregate
+    pattern): aggregate raw rows ONCE at the finest resolution, then derive
+    every coarser level by re-aggregating the previous level's partials —
+    count-of-counts, sum-of-sums (decimal-exact), min-of-mins, max-of-maxs.
+
+    At 100 TB the raw table is scanned exactly once; each coarser level
+    reads the (tiny) finer aggregate, which is how a real rollup cascade
+    stays O(raw + Σ aggregate sizes) instead of levels × raw-scan. All four
+    partials re-aggregate losslessly, so every level equals a direct
+    aggregate of the raw rows (the oracle checks each level against the raw
+    table).
+
+    Returns (level, bucket_start, <key_col>, cnt, total, vmin, vmax).
+    """
+    fine, *coarser = levels
+    v = F.col(value_col).cast("double")
+    cur = (
+        df.groupBy(F.date_trunc(fine, F.col(ts_col)).alias("bucket_start"),
+                   F.col(key_col))
+        .agg(F.count("*").alias("cnt"),
+             F.sum(v.cast("decimal(30,4)")).alias("_total"),
+             F.min(v).alias("vmin"), F.max(v).alias("vmax"))
+    )
+    out = cur.select(F.lit(fine).alias("level"), "bucket_start", key_col,
+                     "cnt", F.col("_total").cast("double").alias("total"),
+                     "vmin", "vmax")
+    for level in coarser:
+        cur = (
+            cur.groupBy(F.date_trunc(level, F.col("bucket_start"))
+                        .alias("bucket_start"), F.col(key_col))
+            .agg(F.sum("cnt").alias("cnt"), F.sum("_total").alias("_total"),
+                 F.min("vmin").alias("vmin"), F.max("vmax").alias("vmax"))
+        )
+        out = out.unionByName(
+            cur.select(F.lit(level).alias("level"), "bucket_start", key_col,
+                       "cnt", F.col("_total").cast("double").alias("total"),
+                       "vmin", "vmax"))
+    return out

@@ -1397,6 +1397,39 @@ def events_json_extract(spark, sf_dir):
 # Event-time windows (W2/W3 batch analog) + sessionization
 # =====================================================================
 
+@q("events_rollup_cascade", """
+WITH raw AS (
+  SELECT CAST(ts AS TIMESTAMP) AS ts, event_type,
+         CAST(value AS DOUBLE) AS v
+  FROM events
+)
+SELECT 'minute' AS level, date_trunc('minute', ts) AS bucket_start, event_type,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(CAST(v AS DECIMAL(30,4))) AS DOUBLE) AS total,
+       MIN(v) AS vmin, MAX(v) AS vmax
+FROM raw GROUP BY 2, 3
+UNION ALL
+SELECT 'hour', date_trunc('hour', ts), event_type,
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CAST(v AS DECIMAL(30,4))) AS DOUBLE), MIN(v), MAX(v)
+FROM raw GROUP BY 2, 3
+UNION ALL
+SELECT 'day', date_trunc('day', ts), event_type,
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CAST(v AS DECIMAL(30,4))) AS DOUBLE), MIN(v), MAX(v)
+FROM raw GROUP BY 2, 3
+""")
+def events_rollup_cascade(spark, sf_dir):
+    """Hypertable-style continuous-aggregate cascade: minute → hour → day,
+    each coarser level re-aggregated from the FINER level's partials
+    (count-of-counts, decimal sum-of-sums, min/max) — the raw table is
+    scanned once. The oracle aggregates each level directly from raw rows,
+    proving the cascade is lossless."""
+    from felixzh_flink_spark.operators.aggregations import cascade_time_rollup
+    e = _t(spark, sf_dir, "events")
+    return cascade_time_rollup(e, "ts", "event_type", "value")
+
+
 @q("events_hourly", """
 SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
        CAST(COUNT(*) AS BIGINT) AS n,
@@ -2358,7 +2391,7 @@ _DRIVER_ORDER = [
     "q22_global_sales_opportunity",
     "token_shards", "pack_sequences",
     "stratified_sample_counts", "corpus_pipeline_counts",
-    "quantized_embedding_checksums",
+    "quantized_embedding_checksums", "events_rollup_cascade",
     # rows-only but in-window on purpose: round 1 recorded `err` for this
     # query (array output crashed the driver canonicalizer); the fix (two
     # scalar columns) needs a clean driver row to land as evidence
@@ -2370,12 +2403,12 @@ _DRIVER_ORDER = [
     "asof_purchase_view", "acctbal_quartiles", "set_ops_nations",
     "grouping_pricing", "order_window_analytics",
     # round-1-green re-verification (remaining window slots)
-    "filter_projection", "market_segment_stats", "weighted_avg_price",
+    "market_segment_stats", "weighted_avg_price",
     "salted_event_counts", "repartitioned_user_counts",
     "events_hourly", "user_sessions",
     # ---- position 50 boundary ----
     # oracle-backed, round-1-green, unchanged — past the window
-    "range_join_recent_views",
+    "filter_projection", "range_join_recent_views",
     "word_count", "scalar_concat", "csv_roundtrip_part",
     "json_roundtrip_orders",
     "q1_pricing_summary", "revenue_by_nation", "q3_top_unshipped",
