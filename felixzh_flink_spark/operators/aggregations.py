@@ -146,6 +146,12 @@ def cascade_time_rollup(df: DataFrame, ts_col: str, key_col: str,
     aggregate of the raw rows (the oracle checks each level against the raw
     table).
 
+    Every level is `.cache()`d — that IS the continuous-aggregate
+    materialization, and it is what makes the union's branches reuse the
+    finer level instead of re-deriving it from raw (Spark's exchange-reuse
+    does NOT fire across the separately-built union branches; without the
+    cache the plan re-scans raw once per level).
+
     Returns (level, bucket_start, <key_col>, cnt, total, vmin, vmax).
     """
     fine, *coarser = levels
@@ -156,6 +162,7 @@ def cascade_time_rollup(df: DataFrame, ts_col: str, key_col: str,
         .agg(F.count("*").alias("cnt"),
              F.sum(v.cast("decimal(30,4)")).alias("_total"),
              F.min(v).alias("vmin"), F.max(v).alias("vmax"))
+        .cache()
     )
     out = cur.select(F.lit(fine).alias("level"), "bucket_start", key_col,
                      "cnt", F.col("_total").cast("double").alias("total"),
@@ -166,6 +173,7 @@ def cascade_time_rollup(df: DataFrame, ts_col: str, key_col: str,
                         .alias("bucket_start"), F.col(key_col))
             .agg(F.sum("cnt").alias("cnt"), F.sum("_total").alias("_total"),
                  F.min("vmin").alias("vmin"), F.max("vmax").alias("vmax"))
+            .cache()
         )
         out = out.unionByName(
             cur.select(F.lit(level).alias("level"), "bucket_start", key_col,
