@@ -89,6 +89,24 @@ def assign_token_shards(df: DataFrame, shard_budget: int,
     )
 
 
+def greedy_walk(tokens: list[int], budget: int) -> tuple[list[int], list[int]]:
+    """The sequential first-fit walk: returns (pack_seq per doc, running
+    total per doc). A new pack starts when adding the next doc would exceed
+    `budget` and the current pack is non-empty, so an oversized doc gets a
+    pack of its own (zero-token docs never open a pack — they ride along
+    wherever the walk stands). Pure function — property-tested directly."""
+    seqs, totals = [], []
+    seq, running = 0, 0
+    for n in tokens:
+        if running > 0 and running + n > budget:
+            seq += 1
+            running = 0
+        running += int(n)
+        seqs.append(seq)
+        totals.append(running)
+    return seqs, totals
+
+
 def pack_greedy(df: DataFrame, pack_budget: int, shard_budget: int | None = None,
                 text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Greedy first-fit packing: (doc_id, n_tokens, shard_id, pack_seq,
@@ -103,15 +121,7 @@ def pack_greedy(df: DataFrame, pack_budget: int, shard_budget: int | None = None
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id").reset_index(drop=True)
-        seqs, totals = [], []
-        seq, running = 0, 0
-        for n in pdf["n_tokens"]:
-            if running > 0 and running + n > pack_budget:
-                seq += 1
-                running = 0
-            running += int(n)
-            seqs.append(seq)
-            totals.append(running)
+        seqs, totals = greedy_walk(list(pdf["n_tokens"]), pack_budget)
         pdf["pack_seq"] = pd.Series(seqs, dtype="int64")
         # pack_tokens = final total of the pack each row landed in
         totals = pd.Series(totals, dtype="int64")

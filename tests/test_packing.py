@@ -81,3 +81,39 @@ def test_oversized_doc_gets_own_pack(spark):
     assert packed[3]["pack_seq"] != packed[2]["pack_seq"]
     # doc 4 shares no pack with the oversized doc 3
     assert packed[4]["pack_seq"] == packed[3]["pack_seq"] + 1
+
+
+# ---- property tests on the pure walk (no Spark) ----
+
+from hypothesis import given, strategies as st
+
+from felixzh_flink_spark.operators.packing import greedy_walk
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2000), max_size=200),
+       st.integers(min_value=1, max_value=1024))
+def test_greedy_walk_properties(tokens, budget):
+    seqs, totals = greedy_walk(tokens, budget)
+    assert len(seqs) == len(totals) == len(tokens)
+    if not tokens:
+        return
+    # pack ids start at 0 and advance by at most 1
+    assert seqs[0] == 0
+    assert all(b - a in (0, 1) for a, b in zip(seqs, seqs[1:]))
+    # per-pack sum respects budget unless the pack holds ONE oversized doc
+    # (zero-token docs may ride along in any pack — they contribute nothing)
+    sums, biggest, nonzero = {}, {}, {}
+    for n, s in zip(tokens, seqs):
+        sums[s] = sums.get(s, 0) + n
+        biggest[s] = max(biggest.get(s, 0), n)
+        nonzero[s] = nonzero.get(s, 0) + (n > 0)
+    for s, tot in sums.items():
+        assert tot <= budget or (biggest[s] > budget and nonzero[s] == 1)
+    # greedy is maximal: a doc opens a new pack ONLY because it wouldn't fit
+    boundaries = [i for i in range(1, len(seqs)) if seqs[i] != seqs[i - 1]]
+    for i in boundaries:
+        assert sums[seqs[i - 1]] + tokens[i] > budget
+    # running totals are consistent with pack membership
+    for i, (n, s, t) in enumerate(zip(tokens, seqs, totals)):
+        prev = totals[i - 1] if i and seqs[i - 1] == s else 0
+        assert t == prev + n
