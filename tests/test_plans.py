@@ -91,3 +91,18 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_headline_queries_have_no_python_stages(spark):
+    """Every headline query except the deliberate applyInPandas packing
+    stage compiles to pure JVM plans — Python in a hot path is a 10-100x
+    regression at 100 TB, so this is a hard gate, not a guideline."""
+    import bench
+    PY_NODES = ("ArrowEvalPython", "FlatMapGroupsInPandas", "MapInPandas",
+                "BatchEvalPython")
+    allowed = {"pack_sequences"}
+    for name in bench.HEADLINE:
+        if name in allowed:
+            continue
+        p = plan_of(spark, name)
+        assert not any(n in p for n in PY_NODES), f"python stage in {name}"
