@@ -383,6 +383,26 @@ def changelog_upsert_sink(state_dir: str, pk: list[str], order_col: str = "ts_ms
     return sink
 
 
+def cdc_bootstrap_state(snapshot: DataFrame, state_dir: str, pk: list[str],
+                        order_col: str = "ts_ms", n_buckets: int = 8,
+                        snapshot_order_value: int = 0) -> None:
+    """S9/S10 bootstrap: materialize an initial table SNAPSHOT as committed
+    upsert state, so a CDC stream into `changelog_upsert_sink` on the same
+    `state_dir` converges to source state — the Debezium snapshot-then-
+    stream pattern (snapshot rows are op='r' reads, SURVEY §7 item 6's
+    "JDBC-snapshot + stream union").
+
+    Snapshot rows are stamped +I at `snapshot_order_value`, which must
+    PRE-DATE every streamed change's `order_col` — a change captured while
+    the snapshot ran then still wins the per-key ordering, exactly the
+    at-least-once overlap contract CDC connectors give. Idempotent: re-runs
+    rewrite the same bootstrap epoch."""
+    batch = snapshot.withColumn("op", F.lit(OP_INSERT))
+    if order_col not in snapshot.columns:
+        batch = batch.withColumn(order_col, F.lit(snapshot_order_value).cast("long"))
+    changelog_upsert_sink(state_dir, pk, order_col, n_buckets)(batch, -1)
+
+
 def changelog_sum(changelog: DataFrame, keys: list[str], value_col: str,
                   alias: str = "total") -> DataFrame:
     """Retract-aware aggregation over a changelog — the Flink

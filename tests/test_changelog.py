@@ -338,3 +338,49 @@ def test_upsert_sink_crash_recovery(spark, tmp_path):
     assert got == {1: "a2", 2: "b"}
     assert not any(d.startswith("staging_e") for d in os.listdir(state))
     assert orphan is None or not os.path.exists(orphan)
+
+
+def test_cdc_bootstrap_snapshot_then_stream(spark, tmp_path):
+    """SURVEY §7's snapshot-then-stream bootstrap: the initial table
+    snapshot is materialized as committed upsert state; the CDC stream then
+    updates/deletes/inserts against it. Bootstrap is idempotent and
+    snapshot rows lose to any streamed change (snapshot order pre-dates the
+    stream)."""
+    import json as _json
+
+    from felixzh_flink_spark.functions.changelog import (
+        cdc_bootstrap_state, changelog_upsert_sink, read_upsert_state)
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+    ])
+    snapshot = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, name string")
+    cdc_bootstrap_state(snapshot, state, ["id"])
+    cdc_bootstrap_state(snapshot, state, ["id"])   # idempotent re-run
+    assert {r["id"]: r["name"] for r in read_upsert_state(spark, state).collect()} \
+        == {1: "a", 2: "b", 3: "c"}
+
+    def env(typ, data, old=None, ts=0):
+        return _json.dumps({"data": data, "old": old, "type": typ,
+                            "pkNames": ["id"], "es": ts, "isDdl": False})
+
+    changes = [
+        env("UPDATE", [{"id": 1, "name": "a2"}], old=[{"name": "a"}], ts=20),
+        env("DELETE", [{"id": 2, "name": "b"}], ts=20),
+        env("INSERT", [{"id": 9, "name": "new"}], ts=20),
+    ]
+    spark.createDataFrame([(v,) for v in changes], "value string") \
+        .coalesce(1).write.mode("append").parquet(src)
+    stream = file_stream_source(
+        spark, src, T.StructType([T.StructField("value", T.StringType())]))
+    decoded = decode_canal_json(stream, "value", schema)
+    q = (decoded.writeStream.foreachBatch(changelog_upsert_sink(state, ["id"]))
+         .option("checkpointLocation", str(tmp_path / "ckpt")).start())
+    q.processAllAvailable()
+    q.stop()
+    got = {r["id"]: r["name"] for r in read_upsert_state(spark, state).collect()}
+    assert got == {1: "a2", 3: "c", 9: "new"}
