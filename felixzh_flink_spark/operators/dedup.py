@@ -183,7 +183,8 @@ def band_explode_sql(num_perm: int, bands: int, sig_col: str = "sig") -> str:
 
 
 def minhash_lsh_candidates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                           n: int = 3, num_perm: int = 64, bands: int = 16) -> DataFrame:
+                           n: int = 3, num_perm: int = 64, bands: int = 16,
+                           max_bucket_size: int | None = None) -> DataFrame:
     """Banded LSH over MinHash signatures → candidate near-dup pairs.
 
     bands×rows = num_perm; docs agreeing on all rows of any band collide.
@@ -191,18 +192,34 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text", id_col: str = 
     Returns distinct (id_a, id_b), id_a < id_b.
     """
     sigs = minhash_signatures(df, text_col, id_col, n, num_perm)
-    return lsh_candidates_from_signatures(sigs, num_perm, bands)
+    return lsh_candidates_from_signatures(sigs, num_perm, bands,
+                                          max_bucket_size)
 
 
 def lsh_candidates_from_signatures(sigs: DataFrame, num_perm: int = 64,
-                                   bands: int = 16) -> DataFrame:
+                                   bands: int = 16,
+                                   max_bucket_size: int | None = None) -> DataFrame:
     """Banded LSH over precomputed (id, sig) rows — see
     `minhash_lsh_candidates`. Split out so pipelines that already hold
     signatures (e.g. the verify pipeline's single-scan per-doc aggregate)
-    don't recompute them."""
+    don't recompute them.
+
+    `max_bucket_size` is the hot-bucket guard: a bucket with B members
+    yields B² candidate pairs, so one degenerate bucket (boilerplate text,
+    empty docs, a constant signature slice) can dominate the whole job at
+    corpus scale. Buckets larger than the cap are dropped before the
+    self-join (the standard "stop bucket" trade: bounded work, and the
+    docs inside a mega-bucket are near-dups of thousands of others —
+    they're caught by their OTHER bands or by exact dedup)."""
     banded = sigs.select(
         "id", F.expr(band_explode_sql(num_perm, bands)).alias("bk")) \
         .select("id", "bk.band", "bk.bucket")
+    if max_bucket_size is not None:
+        small = (banded.groupBy("band", "bucket")
+                 .agg(F.count("*").alias("_n"))
+                 .filter(F.col("_n") <= max_bucket_size)
+                 .drop("_n"))
+        banded = banded.join(small, ["band", "bucket"], "left_semi")
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(b, (F.col("a.band") == F.col("b.band"))

@@ -357,18 +357,28 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.9,
 
 def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                              id_col: str = "vec_id", vec_col: str = "embedding",
-                             n_planes: int = 8, dim: int = 64) -> DataFrame:
+                             n_planes: int = 8, dim: int = 64,
+                             max_bucket_size: int | None = None) -> DataFrame:
     """All-pairs cosine ≥ threshold, bucket-pruned: pairs must share an LSH
     bucket (self-join on bucket), then exact cosine filter.
     Returns (id_a, id_b, cosine_sim), id_a < id_b.
 
     Row norms are computed ONCE per row before the self-join — inside the
     pair expression each norm would be re-evaluated per CANDIDATE (O(pairs)
-    instead of O(rows) norm folds, the dominant cost in dense buckets)."""
+    instead of O(rows) norm folds, the dominant cost in dense buckets).
+
+    `max_bucket_size` drops over-dense buckets before the self-join (a
+    B-member bucket costs B² pairs — one degenerate bucket, e.g. the
+    zero-vector bucket, can dominate the job at corpus scale); see the
+    stop-bucket note on dedup.lsh_candidates_from_signatures."""
     bucketed = add_lsh_bucket(df, vec_col, n_planes, dim).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "bucket",
         _norm(F.col(vec_col)).alias("nrm"),
     )
+    if max_bucket_size is not None:
+        small = (bucketed.groupBy("bucket").agg(F.count("*").alias("_n"))
+                 .filter(F.col("_n") <= max_bucket_size).drop("_n"))
+        bucketed = bucketed.join(small, "bucket", "left_semi")
     a, b = bucketed.alias("a"), bucketed.alias("b")
     return (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))

@@ -215,3 +215,21 @@ def test_quantized_cosine_close_to_exact(spark, sf_dir):
         exact = cos(probe, list(row["embedding"]))
         deq = [x * row["qscale"] for x in row["qvec"]]
         assert abs(cos(probe, deq) - exact) < 0.02
+
+
+def test_lsh_hot_bucket_guard(spark):
+    """Stop-bucket cap: a degenerate mega-bucket (identical boilerplate in
+    many docs) is dropped from candidate generation while normal near-dup
+    pairs survive; without the cap the same data yields quadratic pairs."""
+    from felixzh_flink_spark.operators.dedup import minhash_lsh_candidates
+    boiler = [(i, "lorem ipsum dolor sit amet over and over") for i in range(40)]
+    pair = [(100, "a unique document about spark shuffles and state"),
+            (101, "a unique document about spark shuffles and state too")]
+    df = spark.createDataFrame(boiler + pair, ["doc_id", "text"])
+    uncapped = minhash_lsh_candidates(df, n=3, num_perm=32, bands=16)
+    capped = minhash_lsh_candidates(df, n=3, num_perm=32, bands=16,
+                                    max_bucket_size=10)
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (100, 101) in got                      # real near-dup survives
+    assert not any(a < 40 and b < 40 for a, b in got)   # mega-bucket dropped
+    assert uncapped.count() > capped.count()      # the cap actually cut work
