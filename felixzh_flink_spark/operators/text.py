@@ -187,6 +187,35 @@ def fingerprint_md5(df: DataFrame, text_col: str = "text", alias: str = "fingerp
     return df.withColumn(alias, F.md5(norm))
 
 
+def repetition_metrics(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition signals per doc: (id, n_tok, repeated_frac,
+    top_token_frac) where repeated_frac = fraction of tokens whose token
+    TYPE occurs more than once and top_token_frac = the most frequent
+    token's share. High values mark boilerplate/spam (published
+    repetition-filter heuristics).
+
+    Linear shape: explode → per-(doc, token) count → per-doc aggregate (one
+    shuffle; partial aggregation collapses duplicates before it). The
+    tempting pure-array form (`transform(distinct, t -> size(filter(...)))`)
+    is O(tokens × types) per doc — quadratic on long docs — so it is
+    deliberately not used. Empty docs are dropped (no tokens to measure)."""
+    t = F.trim(F.lower(F.col(text_col)))
+    toks = df.filter(F.length(t) > 0).select(
+        F.col(id_col).alias("id"), F.explode(F.split(t, TOKEN_RE)).alias("tok"))
+    per_tok = toks.groupBy("id", "tok").agg(F.count("*").alias("n"))
+    return (
+        per_tok.groupBy("id")
+        .agg(F.sum("n").alias("n_tok"),
+             F.max("n").alias("_top"),
+             F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(F.lit(0)))
+             .alias("_rep"))
+        .select("id", "n_tok",
+                (F.col("_rep").cast("double") / F.col("n_tok")).alias("repeated_frac"),
+                (F.col("_top").cast("double") / F.col("n_tok")).alias("top_token_frac"))
+    )
+
+
 def corpus_pipeline(df: DataFrame, benchmark: DataFrame,
                     min_tokens: int = 10, max_punct: float = 0.3,
                     text_col: str = "text",

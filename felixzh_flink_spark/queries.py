@@ -2313,6 +2313,27 @@ def corpus_pipeline_counts(spark, sf_dir):
     return clean.groupBy("lang").agg(F.count("*").alias("n_kept"))
 
 
+@q("doc_repetition", r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+  FROM documents WHERE length(trim(lower(text))) > 0
+),
+cnt AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(SUM(n) AS BIGINT) AS n_tok,
+       CAST(SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS DOUBLE) / SUM(n) AS repeated_frac,
+       CAST(MAX(n) AS DOUBLE) / SUM(n) AS top_token_frac
+FROM cnt GROUP BY doc_id
+""")
+def doc_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals: fraction of tokens with a
+    repeated token type + the top token's share — boilerplate/spam markers.
+    Linear explode→count→aggregate shape (see operators.text.
+    repetition_metrics for why the pure-array form is rejected)."""
+    d = _t(spark, sf_dir, "documents")
+    return TX.repetition_metrics(d).withColumnRenamed("id", "doc_id")
+
+
 @q("deterministic_split_counts", """
 WITH b AS (
   SELECT CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
@@ -2392,6 +2413,7 @@ _DRIVER_ORDER = [
     "token_shards", "pack_sequences",
     "stratified_sample_counts", "corpus_pipeline_counts",
     "quantized_embedding_checksums", "events_rollup_cascade",
+    "doc_repetition",
     # rows-only but in-window on purpose: round 1 recorded `err` for this
     # query (array output crashed the driver canonicalizer); the fix (two
     # scalar columns) needs a clean driver row to land as evidence
@@ -2405,10 +2427,10 @@ _DRIVER_ORDER = [
     # round-1-green re-verification (remaining window slots)
     "market_segment_stats", "weighted_avg_price",
     "salted_event_counts", "repartitioned_user_counts",
-    "events_hourly", "user_sessions",
+    "events_hourly",
     # ---- position 50 boundary ----
     # oracle-backed, round-1-green, unchanged — past the window
-    "filter_projection", "range_join_recent_views",
+    "user_sessions", "filter_projection", "range_join_recent_views",
     "word_count", "scalar_concat", "csv_roundtrip_part",
     "json_roundtrip_orders",
     "q1_pricing_summary", "revenue_by_nation", "q3_top_unshipped",
