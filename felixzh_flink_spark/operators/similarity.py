@@ -308,10 +308,10 @@ def quantize_embeddings(df: DataFrame, vec_col: str = "embedding",
                     .cast("tinyint")))
 
 
-def dequantize_cosine(qa: Column, sa: Column, qb: Column, sb: Column) -> Column:
-    """Cosine over two quantized vectors (scales cancel in cosine, so this
-    is cosine of the int arrays — cheap integer math until the final
-    normalize)."""
+def quantized_cosine(qa: Column, qb: Column) -> Column:
+    """Cosine over two int8-quantized vectors. Per-vector scales cancel:
+    cos(sa·qa, sb·qb) = cos(qa, qb), so no scale columns are needed —
+    cheap integer multiplies until the final normalize."""
     return cosine(qa, qb)
 
 
