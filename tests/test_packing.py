@@ -117,3 +117,43 @@ def test_greedy_walk_properties(tokens, budget):
     for i, (n, s, t) in enumerate(zip(tokens, seqs, totals)):
         prev = totals[i - 1] if i and seqs[i - 1] == s else 0
         assert t == prev + n
+
+
+def test_streaming_pack_continues_across_batches(spark, tmp_path):
+    """U4 unified packing: the streaming packer's state (open pack seq +
+    running total) carries across micro-batches, and the final assignment
+    equals the batch greedy walk over the same per-key arrival order."""
+    from pyspark.sql import types as T
+    from felixzh_flink_spark.operators.packing import greedy_walk
+    from felixzh_flink_spark.sources.builders import file_stream_source
+    from felixzh_flink_spark.streaming.packing import pack_stream
+
+    src = str(tmp_path / "src")
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("text", T.StringType()),
+    ])
+    batch1 = [(1, "s1", "a " * 300), (2, "s1", "b " * 300),
+              (3, "s2", "c " * 100)]
+    batch2 = [(4, "s1", "d " * 300), (5, "s2", "e " * 100)]
+    spark.createDataFrame(batch1, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+    q = (pack_stream(file_stream_source(spark, src, schema), 512)
+         .writeStream.format("memory").queryName("packed_stream")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt")).start())
+    q.processAllAvailable()
+    spark.createDataFrame(batch2, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    got = {r["doc_id"]: (r["key"], r["pack_seq"]) for r in
+           spark.sql("SELECT * FROM packed_stream").collect()}
+    # per-key reference walks over doc-id arrival order
+    s1_seqs, _ = greedy_walk([300, 300, 300], 512)   # docs 1, 2, 4
+    s2_seqs, _ = greedy_walk([100, 100], 512)        # docs 3, 5
+    assert got[1] == ("s1", s1_seqs[0]) and got[2] == ("s1", s1_seqs[1])
+    assert got[4] == ("s1", s1_seqs[2])              # state crossed batches
+    assert got[3] == ("s2", s2_seqs[0]) and got[5] == ("s2", s2_seqs[1])
+    assert got[4][1] == 2                            # 300+300>512 twice over
