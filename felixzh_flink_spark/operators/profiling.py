@@ -27,3 +27,42 @@ def profile_numeric(df: DataFrame, cols: list[str]) -> DataFrame:
             F.countDistinct(c).alias(f"{c}_distinct"),
         ]
     return df.agg(*aggs)
+
+
+def metadata_stats(spark, path: str, cols: list[str]):
+    """MIN/MAX/COUNT per column answered from parquet FOOTER metadata — no
+    row reads. At 100 TB this turns a full-table profile prelude into a
+    footer-only scan (milliseconds per file): Spark's DataSource-V2 parquet
+    reader pushes the aggregate into the scan (`PushedAggregation` in the
+    plan) when `spark.sql.parquet.aggregatePushdown` is on.
+
+    Both required confs are scoped here and restored: the V2 reader is NOT
+    the engine default (V1 keeps the rest of the inventory's plan shapes),
+    and the job is executed EAGERLY inside the scope — the stats are an
+    ingest/catalog-time artifact, like the IVF index.
+
+    Returns (col_name, min_value, max_value, n_rows) with min/max
+    stringified (mixed column types in one result), plus the executed
+    plan texts for plan assertions."""
+    conf = spark.conf
+    saved = {k: conf.get(k) for k in
+             ("spark.sql.parquet.aggregatePushdown",
+              "spark.sql.sources.useV1SourceList")}
+    try:
+        conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        conf.set("spark.sql.sources.useV1SourceList", "")
+        df = spark.read.parquet(path)
+        rows, plans = [], []
+        for c in cols:
+            agg = df.select(c).agg(
+                F.min(c).alias("mn"), F.max(c).alias("mx"),
+                F.count(F.lit(1)).alias("n"))
+            plans.append(agg._jdf.queryExecution().executedPlan().toString())
+            r = agg.head()
+            rows.append((c, str(r["mn"]), str(r["mx"]), int(r["n"])))
+        out = spark.createDataFrame(
+            rows, "col_name string, min_value string, max_value string, n_rows long")
+        return out, plans
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)

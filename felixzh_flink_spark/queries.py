@@ -2313,6 +2313,30 @@ def corpus_pipeline_counts(spark, sf_dir):
     return clean.groupBy("lang").agg(F.count("*").alias("n_kept"))
 
 
+@q("lineitem_meta_stats", """
+SELECT 'l_orderkey' AS col_name, CAST(MIN(l_orderkey) AS VARCHAR) AS min_value,
+       CAST(MAX(l_orderkey) AS VARCHAR) AS max_value, CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+UNION ALL
+SELECT 'l_partkey', CAST(MIN(l_partkey) AS VARCHAR),
+       CAST(MAX(l_partkey) AS VARCHAR), CAST(COUNT(*) AS BIGINT) FROM lineitem
+UNION ALL
+SELECT 'l_suppkey', CAST(MIN(l_suppkey) AS VARCHAR),
+       CAST(MAX(l_suppkey) AS VARCHAR), CAST(COUNT(*) AS BIGINT) FROM lineitem
+""")
+def lineitem_meta_stats(spark, sf_dir):
+    """Footer-metadata profiling: MIN/MAX/COUNT per key column answered
+    from parquet footers via DataSource-V2 aggregate pushdown
+    (`PushedAggregation` — plan-asserted in tests), no row reads. Executed
+    eagerly inside a scoped conf block (operators.profiling.metadata_stats)
+    — an ingest/catalog-time stats job, so the returned frame is the
+    materialized result."""
+    from felixzh_flink_spark.operators.profiling import metadata_stats
+    out, _ = metadata_stats(spark, f"{sf_dir}/lineitem.parquet",
+                            ["l_orderkey", "l_partkey", "l_suppkey"])
+    return out
+
+
 @q("doc_repetition", r"""
 WITH tok AS (
   SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
@@ -2413,7 +2437,7 @@ _DRIVER_ORDER = [
     "token_shards", "pack_sequences",
     "stratified_sample_counts", "corpus_pipeline_counts",
     "quantized_embedding_checksums", "events_rollup_cascade",
-    "doc_repetition",
+    "doc_repetition", "lineitem_meta_stats",
     # rows-only but in-window on purpose: round 1 recorded `err` for this
     # query (array output crashed the driver canonicalizer); the fix (two
     # scalar columns) needs a clean driver row to land as evidence
@@ -2427,10 +2451,10 @@ _DRIVER_ORDER = [
     # round-1-green re-verification (remaining window slots)
     "market_segment_stats", "weighted_avg_price",
     "salted_event_counts", "repartitioned_user_counts",
-    "events_hourly",
     # ---- position 50 boundary ----
     # oracle-backed, round-1-green, unchanged — past the window
-    "user_sessions", "filter_projection", "range_join_recent_views",
+    "events_hourly", "user_sessions", "filter_projection",
+    "range_join_recent_views",
     "word_count", "scalar_concat", "csv_roundtrip_part",
     "json_roundtrip_orders",
     "q1_pricing_summary", "revenue_by_nation", "q3_top_unshipped",

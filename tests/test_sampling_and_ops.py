@@ -64,3 +64,21 @@ def test_profile_numeric_stats(spark):
     row = profile_numeric(df, ["x"]).head()
     assert row["n_rows"] == 4 and row["x_nulls"] == 1
     assert row["x_min"] == 1.0 and row["x_max"] == 2.0 and row["x_distinct"] == 2
+
+
+def test_metadata_stats_pushes_aggregate_to_footer(spark, sf_dir):
+    """DSv2 aggregate pushdown: the MIN/MAX/COUNT job reads parquet footers
+    (PushedAggregation in every plan), matches a plain aggregate, and the
+    scoped confs are restored afterwards."""
+    from felixzh_flink_spark.operators.profiling import metadata_stats
+    before = spark.conf.get("spark.sql.sources.useV1SourceList")
+    out, plans = metadata_stats(spark, f"{sf_dir}/lineitem.parquet",
+                                ["l_orderkey", "l_suppkey"])
+    assert all("PushedAggregation: [MIN" in p or "PushedAggregation: [Min" in p
+               for p in plans), plans[0][:500]
+    got = {r["col_name"]: r for r in out.collect()}
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    exp = l.agg({"l_orderkey": "min"}).head()[0]
+    assert got["l_orderkey"]["min_value"] == str(exp)
+    assert got["l_orderkey"]["n_rows"] == l.count()
+    assert spark.conf.get("spark.sql.sources.useV1SourceList") == before
