@@ -15,7 +15,7 @@ bucket counts).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 def write_bucketed(df: DataFrame, table: str, key: str, buckets: int,
@@ -38,3 +38,18 @@ def colocated_join(spark: SparkSession, left_table: str, right_table: str,
     """Join two same-bucketed tables on their bucket key — no Exchange in
     the physical plan when bucket specs are compatible."""
     return spark.table(left_table).join(spark.table(right_table), key, how)
+
+
+def write_time_partitioned(df: DataFrame, path: str, ts_col: str,
+                           granularity: str = "day") -> None:
+    """Directory-partition a table by a derived time bucket so time-range
+    scans PRUNE partitions instead of filtering a full scan — the
+    complement to bucketing: bucketing kills the join shuffle, directory
+    partitioning kills the scan itself (`PartitionFilters` in the plan,
+    untouched directories never opened). Low-cardinality key on purpose —
+    one directory per day/hour, never per high-cardinality value."""
+    out = df.withColumn(
+        "part_bucket", F.date_format(F.col(ts_col).cast("timestamp"),
+                                     {"day": "yyyy-MM-dd",
+                                      "hour": "yyyy-MM-dd-HH"}[granularity]))
+    out.write.mode("overwrite").partitionBy("part_bucket").parquet(path)
