@@ -355,6 +355,41 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.9,
     )
 
 
+def write_ivf_index(df: DataFrame, path: str, cents: list[list[float]],
+                    vec_col: str = "embedding") -> None:
+    """Materialize the IVF index: the table written directory-partitioned
+    by nearest-centroid cell. This is the ingest step the probe docstrings
+    promise — after it, `ivf_topk_from_index` probes become partition
+    pruning (only the probed cells' directories are opened), not a filter
+    over a full scan."""
+    ivf_assign(df, cents, vec_col).write.mode("overwrite") \
+        .partitionBy("ivf_cell").parquet(path)
+
+
+def ivf_topk_from_index(spark, path: str, cents: list[list[float]],
+                        query_vec: list[float], k: int = 10, n_probe: int = 4,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """IVF top-k against a materialized index: the `ivf_cell IN (probes)`
+    predicate is a PARTITION filter on the index layout (plan-asserted in
+    tests), so non-probed cells are never read."""
+
+    def cos(a: list[float], b: list[float]) -> float:
+        dot = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(y * y for y in b) ** 0.5
+        return dot / (na * nb) if na and nb else 0.0
+
+    ranked = sorted(range(len(cents)), key=lambda i: -cos(query_vec, cents[i]))
+    probe = [i + 1 for i in ranked[:n_probe]]
+    cand = spark.read.parquet(path).filter(F.col("ivf_cell").isin(probe))
+    scored = cand.select(
+        F.col(id_col).alias("id"),
+        cosine_to_literal(vec_col, query_vec).alias("cosine_sim"),
+    )
+    return scored.orderBy(F.desc("cosine_sim"), F.asc("id")).limit(k)
+
+
 def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                              id_col: str = "vec_id", vec_col: str = "embedding",
                              n_planes: int = 8, dim: int = 64,

@@ -233,3 +233,23 @@ def test_lsh_hot_bucket_guard(spark):
     assert (100, 101) in got                      # real near-dup survives
     assert not any(a < 40 and b < 40 for a, b in got)   # mega-bucket dropped
     assert uncapped.count() > capped.count()      # the cap actually cut work
+
+
+def test_ivf_index_probe_prunes_partitions_and_matches_inline(spark, sf_dir, tmp_path):
+    """The materialized IVF index: probing reads only the probed cells'
+    directories (PartitionFilters on ivf_cell) and returns exactly the
+    inline ivf_topk result for the same centroids/probes."""
+    from pyspark.sql import functions as F
+    from felixzh_flink_spark.operators import similarity as SIM
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = SIM.ivf_centroids(e, 8)
+    path = str(tmp_path / "ivf_index")
+    SIM.write_ivf_index(e, path, cents)
+    qv = list(e.filter(F.col("vec_id") == 0).head()["embedding"])
+    from_index = SIM.ivf_topk_from_index(spark, path, cents, qv, k=10, n_probe=3)
+    plan = from_index._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "ivf_cell" in \
+        plan.split("PartitionFilters:")[1][:300]
+    inline = SIM.ivf_topk(e, qv, k=10, n_centroids=8, n_probe=3, cents=cents)
+    assert [(r["id"], r["cosine_sim"]) for r in from_index.collect()] == \
+        [(r["id"], r["cosine_sim"]) for r in inline.collect()]
