@@ -2313,6 +2313,50 @@ def corpus_pipeline_counts(spark, sf_dir):
     return clean.groupBy("lang").agg(F.count("*").alias("n_kept"))
 
 
+@q("source_token_stats", r"""
+WITH t AS (
+  SELECT source,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tok
+  FROM documents
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       CAST(MIN(n_tok) AS BIGINT) AS min_tokens,
+       CAST(MAX(n_tok) AS BIGINT) AS max_tokens
+FROM t GROUP BY source
+""")
+def source_token_stats(spark, sf_dir):
+    """Per-source token budget diagnostics — the input to domain-mixing
+    decisions (docs, total/min/max tokens per source). Integer sums are
+    order-independent; one partial-aggregated shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("source", TX.token_count("text")).groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"))
+
+
+@q("dup_size_histogram", r"""
+WITH fp AS (
+  SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f,
+         CAST(COUNT(*) AS BIGINT) AS n_dupes
+  FROM documents GROUP BY 1
+)
+SELECT n_dupes, CAST(COUNT(*) AS BIGINT) AS n_groups
+FROM fp GROUP BY n_dupes
+""")
+def dup_size_histogram(spark, sf_dir):
+    """Exact-dup cluster-size histogram (how much of the corpus is
+    duplicated, and how heavily): group sizes per normalized fingerprint,
+    then a distribution over sizes — double aggregation, both partial-
+    aggregable."""
+    d = _t(spark, sf_dir, "documents")
+    groups = DD.dedup_exact(d)
+    return groups.groupBy("n_dupes").agg(F.count("*").alias("n_groups"))
+
+
 @q("lineitem_meta_stats", """
 SELECT 'l_orderkey' AS col_name, CAST(MIN(l_orderkey) AS VARCHAR) AS min_value,
        CAST(MAX(l_orderkey) AS VARCHAR) AS max_value, CAST(COUNT(*) AS BIGINT) AS n_rows
@@ -2438,6 +2482,7 @@ _DRIVER_ORDER = [
     "stratified_sample_counts", "corpus_pipeline_counts",
     "quantized_embedding_checksums", "events_rollup_cascade",
     "doc_repetition", "lineitem_meta_stats",
+    "source_token_stats", "dup_size_histogram",
     # rows-only but in-window on purpose: round 1 recorded `err` for this
     # query (array output crashed the driver canonicalizer); the fix (two
     # scalar columns) needs a clean driver row to land as evidence
@@ -2450,9 +2495,9 @@ _DRIVER_ORDER = [
     "grouping_pricing", "order_window_analytics",
     # round-1-green re-verification (remaining window slots)
     "market_segment_stats", "weighted_avg_price",
-    "salted_event_counts", "repartitioned_user_counts",
     # ---- position 50 boundary ----
     # oracle-backed, round-1-green, unchanged — past the window
+    "salted_event_counts", "repartitioned_user_counts",
     "events_hourly", "user_sessions", "filter_projection",
     "range_join_recent_views",
     "word_count", "scalar_concat", "csv_roundtrip_part",
