@@ -37,18 +37,25 @@ BROADCAST_DIMS = ("region", "nation")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one test table. ``sf_dir`` like /root/testdata/sf0.01.
 
-    `events` ships a TIMESTAMP(NANOS) column that Spark's parquet reader
-    rejects by default; we read it as raw nanos (legacy conf, runtime-
-    settable) and convert to a microsecond TIMESTAMP_NTZ (integer div —
-    double division would round at µs scale), matching DuckDB's ns→µs
-    truncation.
+    `events` has shipped its `ts` column as either TIMESTAMP(NANOS) —
+    which Spark's parquet reader rejects by default — or a plain µs
+    timestamp, depending on the generator version. Handle both: set the
+    legacy nanos-as-long conf (runtime-settable), then convert ONLY if the
+    column actually arrived as raw nanos (LongType). Nanos are truncated
+    to µs with integer div (double division would round at µs scale),
+    matching DuckDB's ns→µs truncation; a µs column passes through with
+    just the NTZ cast.
     """
     if name == "events":
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"))
+        if isinstance(df.schema["ts"].dataType, LongType):
+            return df.withColumn(
+                "ts",
+                F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"))
+        return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

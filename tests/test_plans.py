@@ -113,9 +113,8 @@ def test_time_partitioned_scan_prunes_directories(spark, tmp_path, sf_dir):
     as a PartitionFilter and only that day's files are read — the scan-side
     complement to the bucketed-join test."""
     from felixzh_flink_spark.sinks.bucketing import write_time_partitioned
-    events = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-        "ts", __import__("pyspark").sql.functions.timestamp_micros(
-            __import__("pyspark").sql.functions.expr("ts div 1000")))
+    from felixzh_flink_spark.catalog import load_table
+    events = load_table(spark, sf_dir, "events")
     path = str(tmp_path / "events_by_day")
     write_time_partitioned(events, path, "ts", "day")
     part = spark.read.parquet(path)
