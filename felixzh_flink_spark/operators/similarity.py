@@ -192,14 +192,26 @@ def ivf_centroids(df: DataFrame, n_centroids: int = 16,
     return [list(r["v"]) for r in rows]
 
 
-def _nearest_centroid(vec_col: str, cents: list[list[float]]) -> Column:
-    """1-based index of the max-cosine centroid for the `vec_col` column
-    (JVM expressions: a literal C×D array, transform to similarity,
-    array_position of max). Single SQL-text expression — see the note on
-    `_lit_vec_sql` for why."""
-    sims = (f"transform({_lit_mat_sql(cents)}, "
-            f"cv -> {_cosine_sql(vec_col, 'cv')})")
-    return F.expr(f"cast(array_position({sims}, array_max({sims})) as int)")
+def _normalized_cents(cents: list[list[float]]) -> list[list[float]]:
+    """L2-normalize centroids driver-side (C×D doubles — trivial). A
+    zero-norm centroid stays all-zero (its dot with anything is 0.0, never
+    NaN, so it can't spuriously win the argmax)."""
+    out = []
+    for cv in cents:
+        nrm = sum(float(x) * float(x) for x in cv) ** 0.5
+        out.append([float(x) / nrm for x in cv] if nrm > 0 else [0.0] * len(cv))
+    return out
+
+
+def _cell_sims(vec_col: str, cents: list[list[float]]) -> Column:
+    """Per-row array of scores against each centroid: `dot(vec, ĉ_i)` over
+    the pre-normalized centroid matrix. Ranking-equivalent to cosine:
+    `cos(v, c) = dot(v, ĉ) / ||v||` and `||v||` is a positive per-row
+    constant, so it cannot change which centroid wins — dropping it removes
+    every per-row norm fold (the old form re-folded `norm(vec)` once per
+    centroid per row). Single SQL-text expression — see `_lit_vec_sql`."""
+    return F.expr(f"transform({_lit_mat_sql(_normalized_cents(cents))}, "
+                  f"cv -> {_dot_sql(vec_col, 'cv')})")
 
 
 def ivf_refine_centroids(df: DataFrame, cents: list[list[float]],
@@ -251,10 +263,26 @@ def ivf_train(df: DataFrame, n_centroids: int = 16, max_iter: int = 10,
 
 def ivf_assign(df: DataFrame, cents: list[list[float]],
                vec_col: str = "embedding", alias: str = "ivf_cell") -> DataFrame:
-    """Assign each row to its nearest centroid cell. At scale this runs once
-    at ingest and the table is written partitioned/bucketed by the cell id,
-    so probes become partition pruning instead of a filter over a full scan."""
-    return df.withColumn(alias, _nearest_centroid(vec_col, cents))
+    """Assign each row to its nearest centroid cell (1-based argmax of
+    `_cell_sims`). At scale this runs once at ingest and the table is
+    written partitioned/bucketed by the cell id, so probes become partition
+    pruning instead of a filter over a full scan.
+
+    Single-evaluation shape: the sims array is projected into a NAMED
+    intermediate column and the argmax (`array_position` of `array_max`)
+    reads that column from a separate projection. Catalyst's CollapseProject
+    refuses to inline non-cheap expressions referenced more than once, so
+    the C×D transform is evaluated once per row — the old one-expression
+    form (`array_position({sims}, array_max({sims}))`) embedded the whole
+    literal-matrix transform TWICE and re-folded `norm(vec)` per centroid,
+    which is what regressed the round-2 ann bench 2.4×."""
+    tmp = "__ivf_sims"
+    return (
+        df.withColumn(tmp, _cell_sims(vec_col, cents))
+        .withColumn(alias, F.expr(
+            f"cast(array_position({tmp}, array_max({tmp})) as int)"))
+        .drop(tmp)
+    )
 
 
 def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
@@ -318,7 +346,8 @@ def quantized_cosine(qa: Column, qb: Column) -> Column:
 def semantic_dedup(df: DataFrame, threshold: float = 0.9,
                    n_centroids: int = 16, train_iter: int = 2,
                    id_col: str = "vec_id", vec_col: str = "embedding",
-                   cents: list[list[float]] | None = None) -> DataFrame:
+                   cents: list[list[float]] | None = None,
+                   max_cell_size: int | None = None) -> DataFrame:
     """SemDedup-style semantic deduplication: cluster embeddings into IVF
     cells, then drop within-cell cosine near-duplicates, keeping the
     smallest id of each duplicate group.
@@ -331,7 +360,17 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.9,
     k-means cells bound the O(n²) term to O(Σ cell²). Cross-cell dups are
     missed by construction; more centroids trade recall for cost. Norms are
     precomputed per row; the dup verdict is a left_semi against the pair
-    set."""
+    set.
+
+    `max_cell_size` is the hot-cell guard (same trade as
+    `embedding_near_dup_pairs.max_bucket_size`): a B-member cell costs B²
+    pairs, and one degenerate k-means cell — e.g. near-zero vectors
+    collapsing onto a single centroid — makes the within-cell term
+    quadratic at corpus scale. Cells over the cap are excluded from the
+    pair search entirely (their rows come back `keep=true`): a cell that
+    big means the centroid structure failed there, and bounded work beats
+    a quadratic stall; rerun those rows with more centroids if they
+    matter."""
     if cents is None:
         cents = ivf_train(df, n_centroids, max_iter=train_iter,
                           id_col=id_col, vec_col=vec_col)
@@ -339,8 +378,13 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.9,
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "ivf_cell",
         _norm(F.col(vec_col)).alias("nrm"),
     )
+    pairable = assigned
+    if max_cell_size is not None:
+        small = (assigned.groupBy("ivf_cell").agg(F.count("*").alias("_n"))
+                 .filter(F.col("_n") <= max_cell_size).drop("_n"))
+        pairable = assigned.join(small, "ivf_cell", "left_semi")
     dim = len(cents[0])
-    a, b = assigned.alias("a"), assigned.alias("b")
+    a, b = pairable.alias("a"), pairable.alias("b")
     dup_ids = (
         a.join(b, (F.col("a.ivf_cell") == F.col("b.ivf_cell"))
                & (F.col("a.id") < F.col("b.id")))

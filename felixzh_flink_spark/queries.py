@@ -2112,6 +2112,24 @@ def _ivf_index(spark, sf_dir, n_centroids: int = 16) -> list[list[float]]:
     return _IVF_CACHE[key]
 
 
+#: per-sf_dir path of the MATERIALIZED cell-partitioned IVF index — built
+#: once per process (an ingest-time artifact, like any real ANN index) so
+#: every probe is partition pruning over the written layout, never an
+#: assign-the-whole-table-at-query-time scan.
+_IVF_INDEX_PATH: dict[tuple[str, int], str] = {}
+
+
+def _ivf_index_path(spark, sf_dir, n_centroids: int = 16) -> str:
+    key = (sf_dir, n_centroids)
+    if key not in _IVF_INDEX_PATH:
+        import tempfile
+        path = tempfile.mkdtemp(prefix="spark_graft_ivf_")
+        SIM.write_ivf_index(_t(spark, sf_dir, "embeddings"), path,
+                            _ivf_index(spark, sf_dir, n_centroids))
+        _IVF_INDEX_PATH[key] = path
+    return _IVF_INDEX_PATH[key]
+
+
 @q("cosine_topk", """
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
 sums AS (
@@ -2149,13 +2167,17 @@ def cosine_topk(spark, sf_dir):
 
 @q("ann_ivf_topk")  # rows-only: approximate by construction
 def ann_ivf_topk(spark, sf_dir):
-    """IVF approximate top-10: hash-sampled centroids, nearest-cell
-    assignment, probe the 4 closest of 16 cells. The scale path writes the
-    table partitioned by cell so probes prune partitions."""
-    e = _t_wide(spark, sf_dir, "embeddings")
-    return SIM.ivf_topk(e, _query_vec(spark, sf_dir), k=10,
-                        n_centroids=16, n_probe=4,
-                        cents=_ivf_index(spark, sf_dir, 16))
+    """IVF approximate top-10 against the MATERIALIZED cell-partitioned
+    index: built once per sf_dir (`write_ivf_index` — an ingest artifact,
+    same lifecycle as a real ANN deployment's index build), probed via
+    `ivf_topk_from_index`, whose `ivf_cell IN (4 closest of 16)` predicate
+    is a PARTITION filter on the written layout — non-probed cells are
+    never read (plan-asserted in tests/test_plans.py). Exact cosine then
+    ranks only the probed cells' rows."""
+    cents = _ivf_index(spark, sf_dir, 16)
+    path = _ivf_index_path(spark, sf_dir, 16)
+    return SIM.ivf_topk_from_index(spark, path, cents,
+                                   _query_vec(spark, sf_dir), k=10, n_probe=4)
 
 
 @q("quantized_embedding_checksums", """
@@ -2198,10 +2220,15 @@ def semantic_dedup_keep(spark, sf_dir):
     pair search; within-cell cosine ≥ 0.5 marks the larger id a dup.
     Returns every vector with (ivf_cell, keep) — row count equals the
     table, so the rows-only check pins cardinality. Threshold 0.5 suits
-    the synthetic random vectors (real corpora: ~0.9+)."""
+    the synthetic random vectors (real corpora: ~0.9+).
+
+    `max_cell_size=10_000` is the hot-cell guard — a no-op on this data
+    (cells average rows/16) but bounds the within-cell pair term if
+    k-means ever collapses a cell at corpus scale."""
     e = _t_wide(spark, sf_dir, "embeddings")
     return SIM.semantic_dedup(e, threshold=0.5,
-                              cents=_ivf_trained(spark, sf_dir, 16))
+                              cents=_ivf_trained(spark, sf_dir, 16),
+                              max_cell_size=10_000)
 
 
 @q("embedding_near_dup")  # rows-only: LSH-pruned pair generation

@@ -191,6 +191,39 @@ def test_semantic_dedup_drops_known_dups(spark):
     assert len(out) == 7
 
 
+def test_semantic_dedup_hot_cell_guard(spark):
+    """`max_cell_size`: a degenerate cell (every vector identical → one
+    k-means cell) is excluded from the pair search — its rows come back
+    keep=true and contribute ZERO candidate pairs — while a small cell's
+    dups are still caught. Without the cap the same data marks the
+    degenerate cell's larger ids as dups (quadratic pair work)."""
+    from felixzh_flink_spark.operators import similarity as SIM
+    import random
+    rng = random.Random(11)
+    collapsed = [rng.uniform(-1, 1) for _ in range(8)]
+    other = [rng.uniform(-1, 1) for _ in range(8)]
+    # 30 identical vectors (one degenerate cell) + a 2-member near-dup cell
+    rows = ([(i, collapsed) for i in range(30)]
+            + [(100, other), (101, [x * 1.0001 for x in other])])
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [collapsed, other]  # fixed centroids: deterministic 2-cell split
+    uncapped = {r["id"]: r["keep"] for r in
+                SIM.semantic_dedup(df, threshold=0.999,
+                                   cents=cents).collect()}
+    capped = {r["id"]: r["keep"] for r in
+              SIM.semantic_dedup(df, threshold=0.999, cents=cents,
+                                 max_cell_size=10).collect()}
+    # uncapped: degenerate cell pays B² pairs and marks 29 dups
+    assert uncapped[0] is True
+    assert all(uncapped[i] is False for i in range(1, 30))
+    # capped: over-cap cell skipped entirely — all keep=true, bounded work
+    assert all(capped[i] is True for i in range(30))
+    # the small cell is under the cap: its dup is still caught either way
+    assert capped[100] is True and capped[101] is False
+    assert uncapped[100] is True and uncapped[101] is False
+    assert len(capped) == 32
+
+
 def test_quantized_cosine_close_to_exact(spark, sf_dir):
     """int8 quantization: dequantized cosine within 2% of exact on the
     synthetic vectors; values stay in [-127, 127]."""
