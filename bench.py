@@ -83,15 +83,27 @@ def main() -> None:
         SELECT COUNT(*) FROM (
           SELECT k, ROW_NUMBER() OVER (PARTITION BY k ORDER BY v) rn FROM _warm)
     """).collect()
+    plan_s: dict[str, float] = {}
+    exec_s: dict[str, float] = {}
     for name in HEADLINE:
         # best of 2: the first run pays per-plan codegen compile and any GC
         # pause; the min is the stable per-query cost and is what makes
-        # round-over-round comparisons meaningful on a shared machine
+        # round-over-round comparisons meaningful on a shared machine.
+        # plan/exec are split so expression-bloat regressions (giant literal
+        # matrices, py4j-heavy Column construction — driver-side cost that
+        # does NOT scale with data) are diagnosable separately from the
+        # distributed execution cost that does.
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
-            force(QUERIES[name](spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
+            df = QUERIES[name](spark, sf_dir)
+            t1 = time.perf_counter()
+            force(df)
+            t2 = time.perf_counter()
+            if t2 - t0 < best:
+                best = t2 - t0
+                plan_s[name] = round(t1 - t0, 3)
+                exec_s[name] = round(t2 - t1, 3)
         timings[name] = round(best, 3)
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -99,6 +111,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "plan_s": plan_s,
+        "exec_s": exec_s,
         "sf": sf,
     }))
     spark.stop()
