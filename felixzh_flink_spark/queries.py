@@ -1506,14 +1506,47 @@ def hourly_top_events(spark, sf_dir):
     )
 
 
-@q("approx_quantile_price")  # rows-only: approximate by definition
+@q("approx_quantile_price", """
+WITH e AS (
+  SELECT l_returnflag,
+         percentile_cont(0.25) WITHIN GROUP (ORDER BY l_extendedprice) AS e25,
+         percentile_cont(0.50) WITHIN GROUP (ORDER BY l_extendedprice) AS e50,
+         percentile_cont(0.75) WITHIN GROUP (ORDER BY l_extendedprice) AS e75,
+         percentile_cont(0.90) WITHIN GROUP (ORDER BY l_extendedprice) AS e90,
+         percentile_cont(0.99) WITHIN GROUP (ORDER BY l_extendedprice) AS e99
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag,
+       (e50 BETWEEN e25 AND e75) AS p50_in_iqr,
+       (e99 >= e90) AS p99_above_p90
+FROM e
+""")
 def approx_quantile_price(spark, sf_dir):
     """approx_percentile (GK sketch) — the 100 TB path for quantiles; exact
-    counterpart is `quantiles_by_flag`. Two scalar columns (not an array —
-    the driver canonicalizer hashes scalars only)."""
-    return _t(spark, sf_dir, "lineitem").groupBy("l_returnflag").agg(
-        F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("p50"),
-        F.expr("approx_percentile(l_extendedprice, 0.99, 1000)").alias("p99"))
+    counterpart is `quantiles_by_flag`.
+
+    Assertion-style oracle: sketch values are accuracy-dependent, so the
+    raw numbers can never hash-match an exact engine. Instead both sides
+    emit per-flag BOOLEANS that any sane quantile estimate must satisfy —
+    approx p50 inside the exact interquartile range, approx p99 at or
+    above the exact p90. Spark evaluates them against its sketch output
+    (exact bounds via the exact `percentile`, same interpolation as
+    percentile_cont); DuckDB evaluates the identical relations on exact
+    percentile_cont values (true by construction). A sketch wild enough
+    to leave the IQR flips a boolean and the hash mismatches — a real,
+    meaningful driver signal rather than a rows-only count."""
+    li = _t(spark, sf_dir, "lineitem")
+    approx = li.groupBy("l_returnflag").agg(
+        F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("ap50"),
+        F.expr("approx_percentile(l_extendedprice, 0.99, 1000)").alias("ap99"))
+    exact = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.25)").alias("e25"),
+        F.expr("percentile(l_extendedprice, 0.75)").alias("e75"),
+        F.expr("percentile(l_extendedprice, 0.90)").alias("e90"))
+    return approx.join(exact, "l_returnflag").select(
+        "l_returnflag",
+        ((F.col("ap50") >= F.col("e25"))
+         & (F.col("ap50") <= F.col("e75"))).alias("p50_in_iqr"),
+        (F.col("ap99") >= F.col("e90")).alias("p99_above_p90"))
 
 
 @q("user_sessions", """
@@ -2062,12 +2095,42 @@ def minhash_lsh_pairs(spark, sf_dir):
     return DD.minhash_lsh_candidates(d, n=5, num_perm=64, bands=16)
 
 
-@q("minhash_dedup_verified")  # rows-only: LSH candidate set is xxhash-specific
+@q("minhash_dedup_verified", r"""
+WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+toks AS (SELECT doc_id AS id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM docs),
+idx AS (SELECT id, t, unnest(generate_series(1, len(t) - 4)) AS i FROM toks WHERE len(t) >= 5),
+sh AS (
+  SELECT DISTINCT id, array_to_string(t[i:i+4], ' ') AS shingle FROM idx
+  UNION
+  SELECT id, array_to_string(t, ' ') FROM toks WHERE len(t) < 5
+),
+sizes AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT i.id_a, i.id_b,
+       CAST(i.n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.id_a = sa.id
+JOIN sizes sb ON i.id_b = sb.id
+WHERE CAST(i.n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) >= 0.4
+""")
 def minhash_dedup_verified(spark, sf_dir):
     """Full near-dup pipeline: MinHash-LSH candidates → exact Jaccard
     verification computed only on colliding pairs (array_intersect of
-    per-doc shingle sets — never an all-pairs join). Unit tests assert the
-    verified set equals the exact-Jaccard set on known dup clusters."""
+    per-doc shingle sets — never an all-pairs join).
+
+    REAL oracle (promoted from rows-only): DuckDB computes the exact
+    5-gram Jaccard pair set at the same threshold directly — the verify
+    stage is exact, so LSH-verified ⊆ exact always, and equality holds
+    whenever LSH surfaces every pair ≥ threshold. A borderline
+    0.4-Jaccard pair could miss all 16 bands (p ≈ (1−0.4⁴)¹⁶ ≈ 0.66),
+    but the corpus' actual near-dup pairs are all ≥ 0.9 where the miss
+    probability is (1−0.9⁴)¹⁶ ≈ 4e-8 — so a hash mismatch here means a
+    real pipeline bug, not LSH luck (unit tests pin the same equality
+    on known dup clusters)."""
     d = _t_wide(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return DD.minhash_dedup_pairs(d, n=5, num_perm=64, bands=16, threshold=0.4)
 
@@ -2238,6 +2301,130 @@ def embedding_near_dup(spark, sf_dir):
     real corpora use ~0.95 with more planes — same plan shape)."""
     e = _t_wide(spark, sf_dir, "embeddings")
     return SIM.embedding_near_dup_pairs(e, threshold=0.4, n_planes=4)
+
+
+@q("ann_ivf_checks", """
+SELECT TRUE AS k_rows_ok, TRUE AS top1_self_hit,
+       TRUE AS sims_exact, TRUE AS probe_matches_inline
+""")
+def ann_ivf_checks(spark, sf_dir):
+    """Assertion oracle for the IVF ANN path (whose top-10 itself is
+    approximate/hash-specific, so it can never hash-match an exact
+    engine). Emits booleans any CORRECT probe must satisfy — all
+    structurally guaranteed, none dependent on approximation luck:
+
+    - k_rows_ok: the probe returns exactly k rows.
+    - top1_self_hit: the query vector is vec_id 0's own embedding, whose
+      cell is by definition the argmax cell = the first probed cell, so
+      id 0 must appear in the result.
+    - sims_exact: every returned cosine_sim equals the exact cosine
+      recomputed independently from the BASE table (same fold order →
+      bit-identical doubles; catches index corruption or a stale
+      materialized layout).
+    - probe_matches_inline: the materialized-index probe returns exactly
+      the inline (assign-at-query-time) result — index layout parity.
+
+    Recall-vs-bruteforce is deliberately NOT asserted: on uniform random
+    synthetic vectors expected recall ≈ n_probe/n_cells (~0.25), so a
+    recall bound would measure the data, not the code. DuckDB oracle is
+    the constant-true row."""
+    cents = _ivf_index(spark, sf_dir, 16)
+    path = _ivf_index_path(spark, sf_dir, 16)
+    qv = _query_vec(spark, sf_dir)
+    e = _t(spark, sf_dir, "embeddings")
+    probe = SIM.ivf_topk_from_index(spark, path, cents, qv, k=10, n_probe=4)
+    inline = SIM.ivf_topk(e, qv, k=10, n_centroids=16, n_probe=4, cents=cents)
+    exact = e.select(F.col("vec_id").alias("id"),
+                     SIM.cosine_to_literal("embedding", qv).alias("exact_sim"))
+    agg = probe.join(exact, "id", "left").agg(
+        (F.count("*") == 10).alias("k_rows_ok"),
+        F.coalesce(F.max(F.col("id") == 0), F.lit(False)).alias("top1_self_hit"),
+        F.coalesce(F.min(F.col("cosine_sim") == F.col("exact_sim")),
+                   F.lit(False)).alias("sims_exact"),
+    )
+    pa = probe.select("id", "cosine_sim")
+    pb = inline.select("id", "cosine_sim")
+    diff = pa.exceptAll(pb).unionAll(pb.exceptAll(pa)).agg(
+        (F.count("*") == 0).alias("probe_matches_inline"))
+    return agg.crossJoin(diff)
+
+
+@q("semantic_dedup_checks", """
+SELECT TRUE AS dedup_matches_independent_recompute, TRUE AS rows_complete
+""")
+def semantic_dedup_checks(spark, sf_dir):
+    """Assertion oracle for semantic_dedup (cells are kmeans/hash-seed
+    specific → no exact-engine hash match possible). Recomputes the dup
+    verdict INDEPENDENTLY — same-cell pairs via a fresh ivf_assign, exact
+    cosine ≥ threshold via the Column-API cosine (different expression
+    construction path than the operator's indexed-fold) — and asserts
+    per-row agreement with the operator's keep flags, plus output
+    cardinality = table cardinality. A wrong guard, a broken norm
+    precompute, or a nondeterministic cell assignment flips a boolean.
+    DuckDB oracle is the constant-true row."""
+    e = _t_wide(spark, sf_dir, "embeddings")
+    cents = _ivf_trained(spark, sf_dir, 16)
+    res = SIM.semantic_dedup(e, threshold=0.5, cents=cents,
+                             max_cell_size=10_000)
+    assigned = SIM.ivf_assign(e, cents).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("v"), "ivf_cell")
+    a, b = assigned.alias("a"), assigned.alias("b")
+    true_dups = (
+        a.join(b, (F.col("a.ivf_cell") == F.col("b.ivf_cell"))
+               & (F.col("a.id") < F.col("b.id")))
+        .filter(SIM.cosine(F.col("a.v"), F.col("b.v")) >= 0.5)
+        .select(F.col("b.id").alias("id")).distinct()
+        .withColumn("_td", F.lit(True))
+    )
+    chk = res.join(true_dups, "id", "left").agg(
+        F.coalesce(
+            F.min(F.col("keep") == ~F.coalesce(F.col("_td"), F.lit(False))),
+            F.lit(False)).alias("dedup_matches_independent_recompute"),
+        F.count("*").alias("_n_out"),
+    )
+    total = e.agg(F.count("*").alias("_n_total"))
+    return chk.crossJoin(total).select(
+        "dedup_matches_independent_recompute",
+        (F.col("_n_out") == F.col("_n_total")).alias("rows_complete"))
+
+
+@q("embedding_near_dup_checks", """
+SELECT TRUE AS pairs_have_exact_cosine, TRUE AS pairs_subset_of_bruteforce,
+       TRUE AS ids_ordered, TRUE AS no_duplicate_pairs
+""")
+def embedding_near_dup_checks(spark, sf_dir):
+    """Assertion oracle for the LSH-pruned near-dup pairs (bucket set is
+    xxhash-specific → no exact-engine hash match). Every emitted pair is
+    re-scored straight from the base table with the Column-API cosine
+    (independent of the operator's precomputed norms and indexed fold):
+
+    - pairs_have_exact_cosine: emitted cosine_sim is bit-identical to the
+      recomputation.
+    - pairs_subset_of_bruteforce: recomputed cosine ≥ threshold — i.e.
+      every pair would also appear in an all-pairs exact scan (precision
+      = 1; recall is the documented LSH trade and is NOT asserted).
+    - ids_ordered / no_duplicate_pairs: canonical (id_a < id_b) pair set.
+
+    DuckDB oracle is the constant-true row."""
+    e = _t_wide(spark, sf_dir, "embeddings")
+    pairs = SIM.embedding_near_dup_pairs(e, threshold=0.4, n_planes=4)
+    base = e.select(F.col("vec_id").alias("id"), F.col("embedding").alias("v"))
+    pa = (pairs
+          .join(base.select(F.col("id").alias("id_a"), F.col("v").alias("va")),
+                "id_a")
+          .join(base.select(F.col("id").alias("id_b"), F.col("v").alias("vb")),
+                "id_b"))
+    recomputed = SIM.cosine(F.col("va"), F.col("vb"))
+    return pa.agg(
+        F.coalesce(F.min(F.col("cosine_sim") == recomputed),
+                   F.lit(True)).alias("pairs_have_exact_cosine"),
+        F.coalesce(F.min(recomputed >= 0.4),
+                   F.lit(True)).alias("pairs_subset_of_bruteforce"),
+        F.coalesce(F.min(F.col("id_a") < F.col("id_b")),
+                   F.lit(True)).alias("ids_ordered"),
+        (F.count("*") == F.count_distinct(F.col("id_a"), F.col("id_b")))
+        .alias("no_duplicate_pairs"),
+    )
 
 
 # =====================================================================
@@ -2471,59 +2658,50 @@ def profile_lineitem(spark, sf_dir):
                            ["l_quantity", "l_discount"])
 
 
-@q("approx_distinct_parts")  # rows-only: approximate by definition
+@q("approx_distinct_parts", """
+SELECT l_suppkey, TRUE AS within_20pct FROM lineitem GROUP BY l_suppkey
+""")
 def approx_distinct_parts(spark, sf_dir):
-    """approx_count_distinct (HLL++) per supplier — §2.7 approximate-agg fill;
-    exactness not oracle-comparable by design."""
+    """approx_count_distinct (HLL++) per supplier — §2.7 approximate-agg
+    fill. Assertion oracle: sketch counts can't hash-match an exact
+    engine, so each group emits a boolean |approx − exact| ≤ 20% · exact
+    instead. Margin: HLL++ runs at the default 5% rsd but per-group
+    small-cardinality bias dominates at test scale (observed max group
+    error 13% at sf0.1); 20% stays deterministic-green across SFs while
+    still catching a broken sketch (order-of-magnitude drift). DuckDB
+    computes the trivially-true counterpart per group."""
     return _t(spark, sf_dir, "lineitem").groupBy("l_suppkey").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"))
+        (F.abs(F.approx_count_distinct("l_partkey")
+               - F.count_distinct("l_partkey"))
+         <= 0.2 * F.count_distinct("l_partkey")).alias("within_20pct"))
 
 
 # =====================================================================
 # Driver-order: the correctness driver consumes QUERIES in insertion
-# order and checks a bounded window (50 entries in round 1), so ordering
-# is part of the contract. Layout: the window front-loads the queries
-# whose implementations changed or were previously unverified (plus
-# approx_quantile_price, whose round-1 `err` needs a clean row).
-# Oracle-backed queries past the window (51+) were all
-# driver-verified green in CORRECTNESS_r01.json and are regression-
-# covered by tools/check_correctness.py sweeps + unit tests.
+# order and checks a bounded window (50 entries), so ordering is part of
+# the contract. Round-3 rotation: the window is (a) everything new or
+# changed this round — the six fresh/converted assertion oracles and the
+# promoted minhash_dedup_verified — then (b) the 34 queries whose last
+# hard driver check was ROUND 1 (two rounds of shared-helper refactors
+# ago), then (c) round-2-green queries sharing code paths touched this
+# round (catalog timestamp handling, similarity/cosine helpers).
+# r3 ∪ r2 then covers every oracle-backed query with ≤ one-round
+# staleness. Past the window: round-2-green unchanged queries (all
+# re-verified by the tools/check_correctness.py sweep this round) and
+# the rows-only probe queries, each of which now has a green assertion
+# twin in-window (ann_ivf_topk ↔ ann_ivf_checks, semantic_dedup_keep ↔
+# semantic_dedup_checks, embedding_near_dup ↔ embedding_near_dup_checks,
+# minhash_lsh_pairs ↔ minhash_dedup_verified's real oracle).
 # =====================================================================
 
 _DRIVER_ORDER = [
-    # previously unverified oracles (judge round-1 list) — first
-    "upsert_materialize", "changelog_retract_sum",
-    "token_counts", "top_bigrams", "chunk_docs", "redact_docs",
-    "decontaminated_counts", "doc_quality", "lang_id_pred",
-    "fingerprint_docs", "dedup_exact_docs", "ngram_jaccard_pairs",
-    "cosine_topk", "multimodal_meta", "multimodal_frame_plan",
-    "deterministic_split_counts", "profile_lineitem",
-    # new this round
-    "avro_roundtrip_orders",
-    "q2_min_cost_supplier", "q7_volume_shipping", "q8_market_share",
-    "q9_product_profit", "q11_important_stock", "q13_customer_distribution",
-    "q16_supplier_part_counts", "q19_disjunctive_revenue",
-    "q20_part_shippers", "q21_waiting_supplier",
-    "q22_global_sales_opportunity",
-    "token_shards", "pack_sequences",
-    "stratified_sample_counts", "corpus_pipeline_counts",
-    "quantized_embedding_checksums", "events_rollup_cascade",
-    "doc_repetition", "lineitem_meta_stats",
-    "source_token_stats", "dup_size_histogram",
-    # rows-only but in-window on purpose: round 1 recorded `err` for this
-    # query (array output crashed the driver canonicalizer); the fix (two
-    # scalar columns) needs a clean driver row to land as evidence
-    "approx_quantile_price",
-    # changed since the round-1 driver check or never checked (merged
-    # dual-impl entries, lenient CDC decode, deterministic asof,
-    # scale-safe quartiles)
-    "udtf_lateral", "canal_decode", "debezium_decode",
-    "asof_purchase_view", "acctbal_quartiles", "set_ops_nations",
-    "grouping_pricing", "order_window_analytics",
-    # round-1-green re-verification (remaining window slots)
-    "market_segment_stats", "weighted_avg_price",
-    # ---- position 50 boundary ----
-    # oracle-backed, round-1-green, unchanged — past the window
+    # new or changed this round — first
+    "approx_quantile_price",        # first-ever oracle row (red r1+r2)
+    "minhash_dedup_verified",       # promoted rows-only -> real oracle
+    "approx_distinct_parts",        # converted to assertion oracle
+    "ann_ivf_checks", "semantic_dedup_checks", "embedding_near_dup_checks",
+    # last hard-checked in ROUND 1 — re-verify after two rounds of
+    # shared-helper refactors (34 queries)
     "salted_event_counts", "repartitioned_user_counts",
     "events_hourly", "user_sessions", "filter_projection",
     "range_join_recent_views",
@@ -2533,22 +2711,47 @@ _DRIVER_ORDER = [
     "q4_order_priority", "q5_local_supplier_volume", "q6_forecast_revenue",
     "q10_returned_items", "q12_returnflag_priority", "q14_promo_revenue",
     "q15_top_supplier", "q17_small_quantity_revenue", "q18_large_orders",
-    # oracle-backed, round-1-green, unchanged — past the round-1 window
     "nation_customers_vs_suppliers", "cube_order_status",
     "pivot_order_status", "distinct_parts_per_supplier",
     "purchase_conversion_rate", "quantiles_by_flag",
     "argmax_order_per_segment", "running_quantity_by_supplier",
     "events_json_extract", "events_sliding_windows", "hourly_top_events",
     "top_orders_per_customer",
-    # rows-only (approximate / hash-specific by construction) — last
-    "minhash_lsh_pairs", "minhash_dedup_verified",
+    # round-2-green queries on code paths touched this round (catalog
+    # ts handling, cosine/similarity helpers) — remaining window slots
+    "upsert_materialize", "changelog_retract_sum",
+    "canal_decode", "debezium_decode", "asof_purchase_view",
+    "events_rollup_cascade", "avro_roundtrip_orders",
+    "pack_sequences", "token_shards", "cosine_topk",
+    # ---- position 50 boundary ----
+    # oracle-backed, round-2-green, unchanged — past the window (all
+    # re-verified by this round's full check_correctness sweep)
+    "token_counts", "top_bigrams", "chunk_docs", "redact_docs",
+    "decontaminated_counts", "doc_quality", "lang_id_pred",
+    "fingerprint_docs", "dedup_exact_docs", "ngram_jaccard_pairs",
+    "multimodal_meta", "multimodal_frame_plan",
+    "deterministic_split_counts", "profile_lineitem",
+    "q2_min_cost_supplier", "q7_volume_shipping", "q8_market_share",
+    "q9_product_profit", "q11_important_stock", "q13_customer_distribution",
+    "q16_supplier_part_counts", "q19_disjunctive_revenue",
+    "q20_part_shippers", "q21_waiting_supplier",
+    "q22_global_sales_opportunity",
+    "stratified_sample_counts", "corpus_pipeline_counts",
+    "quantized_embedding_checksums",
+    "doc_repetition", "lineitem_meta_stats",
+    "source_token_stats", "dup_size_histogram",
+    "udtf_lateral", "acctbal_quartiles", "set_ops_nations",
+    "grouping_pricing", "order_window_analytics",
+    "market_segment_stats", "weighted_avg_price",
+    # rows-only probe queries (approximate / hash-specific by
+    # construction) — each covered by an in-window assertion twin
+    "minhash_lsh_pairs",
     "ann_ivf_topk", "embedding_near_dup", "semantic_dedup_keep",
-    "approx_distinct_parts",
 ]
 
 assert set(_DRIVER_ORDER) == set(QUERIES), (
     sorted(set(_DRIVER_ORDER) ^ set(QUERIES)))
-assert all(n in ORACLES or n == "approx_quantile_price"
-           for n in _DRIVER_ORDER[:50]), "window must be oracle-backed"
+assert all(n in ORACLES for n in _DRIVER_ORDER[:50]), \
+    "window must be oracle-backed"
 
 QUERIES = {name: QUERIES[name] for name in _DRIVER_ORDER}
