@@ -200,16 +200,33 @@ def encode_avro_python(df: DataFrame, cols: list[str],
     kinds = [_kind(f["type"]) for f in avro["fields"]]
     names = [f["name"] for f in avro["fields"]]
 
+    # Integral columns cross the Arrow boundary as STRINGS: an int/long
+    # column containing ANY null otherwise lands in pandas as float64
+    # (NaN-for-null), silently rounding values above 2^53 before encoding —
+    # a lossy roundtrip for large ids/timestamp-micros. Decimal strings
+    # parse back to exact Python ints at negligible cost for a Python codec.
+    wire_int = {n for n, k in zip(names, kinds) if k in ("int", "long")}
+
     @pandas_udf(T.BinaryType())
     def enc(rows: pd.DataFrame) -> pd.Series:
         data = rows[names]
-        out = [encode_record([None if pd.isna(v) else v for v in tup], kinds)
+
+        def conv(name: str, v):
+            if v is None or pd.isna(v):
+                return None
+            return int(v) if name in wire_int else v
+
+        out = [encode_record([conv(n, v) for n, v in zip(names, tup)], kinds)
                for tup in data.itertuples(index=False, name=None)]
         return pd.Series(out, dtype=object)
 
     proj = df.select(*[
         F.unix_micros(F.col(c).cast("timestamp")).alias(c)
         if c in _ts_cols(schema) else F.col(c)
+        for c in cols
+    ])
+    proj = proj.select(*[
+        F.col(c).cast("string").alias(c) if c in wire_int else F.col(c)
         for c in cols
     ])
     return proj.select(enc(F.struct(*cols)).alias("value"))
@@ -223,10 +240,22 @@ def decode_avro_python(df: DataFrame, value_col: str,
     kinds = [_kind(f["type"]) for f in avro["fields"]]
     wire = _wire_schema(schema)
 
+    names = [f.name for f in wire.fields]
+
     @pandas_udf(wire)
     def dec(vals: pd.Series) -> pd.DataFrame:
         rows = [decode_record(b, kinds) for b in vals]
-        return pd.DataFrame(rows, columns=[f.name for f in wire.fields])
+        # Build integral columns as nullable Int64 extension arrays:
+        # pd.DataFrame(rows) would infer float64 for an int column with
+        # any None, rounding values above 2^53 before Arrow re-converts
+        # to long — the mirror of the encode-side hazard.
+        by_col = list(zip(*rows)) if rows else [[] for _ in names]
+        return pd.DataFrame({
+            name: (pd.array(vals_c, dtype="Int64")
+                   if kind in ("int", "long")
+                   else pd.Series(list(vals_c), dtype=object))
+            for name, kind, vals_c in zip(names, kinds, by_col)
+        })
 
     out = df.select(dec(F.col(value_col)).alias("r")).select("r.*")
     ts = set(_ts_cols(schema))

@@ -357,8 +357,18 @@ def changelog_upsert_sink(state_dir: str, pk: list[str], order_col: str = "ts_ms
             if os.path.exists(src):  # bucket may have no surviving rows
                 dst_parent = os.path.join(buckets_root, f"{_BUCKET_COL}={b}")
                 os.makedirs(dst_parent, exist_ok=True)
+                # A replay of an already-committed epoch (crash after the
+                # manifest rename but before the streaming checkpoint
+                # commit) must NEVER delete a directory the live manifest
+                # still references — a crash mid-replace would leave the
+                # committed manifest pointing at nothing. Write the replay
+                # under a distinct attempt-suffixed name and only retarget
+                # the manifest; the superseded dir is GC'd after commit.
                 dst = os.path.join(dst_parent, f"e={epoch_id}")
-                shutil.rmtree(dst, ignore_errors=True)  # replay of same epoch
+                attempt = 0
+                while os.path.exists(dst):
+                    attempt += 1
+                    dst = os.path.join(dst_parent, f"e={epoch_id}.{attempt}")
                 os.rename(src, dst)
                 entry["path"] = dst
             man["buckets"][str(b)] = entry

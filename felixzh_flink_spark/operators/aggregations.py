@@ -152,6 +152,15 @@ def cascade_time_rollup(df: DataFrame, ts_col: str, key_col: str,
     does NOT fire across the separately-built union branches; without the
     cache the plan re-scans raw once per level).
 
+    Cache ownership: the entries outlive this call (they back the returned
+    lazy plan, so they cannot be unpersisted here). Re-invoking with the
+    same input lineage does NOT grow storage — Spark's CacheManager matches
+    cached plans by canonicalized form and reuses the existing entries
+    (bench loops and repeated driver runs hit the same three entries) —
+    but they are never dropped automatically: a caller that is done with a
+    given input should `spark.catalog.clearCache()` or unpersist via its
+    own references.
+
     Returns (level, bucket_start, <key_col>, cnt, total, vmin, vmax).
     """
     fine, *coarser = levels

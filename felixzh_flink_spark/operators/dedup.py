@@ -118,6 +118,9 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     it only on minhash-LSH candidates (see `minhash_lsh_candidates`) — this
     exact version is the verifier, not the scanner.
     """
+    # cached: feeds sizes + both self-join sides. Same ownership contract
+    # as minhash_dedup_pairs — CacheManager dedupes identical plans, the
+    # caller releases via clearCache() when done with the corpus.
     sh = shingles(df, text_col, id_col, n).cache()
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
@@ -246,7 +249,13 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     Signatures and shingle sets come from ONE zero-shuffle scan (cached —
     the per-doc row feeds the band join and both sides of the verify
     join): sig slots and `array_distinct` read the same materialized
-    shingle array, so the text is shingled exactly once."""
+    shingle array, so the text is shingled exactly once.
+
+    Cache ownership: the per-doc entry backs the returned lazy plan and
+    survives this call. Identical re-invocations reuse the same
+    CacheManager entry (plan-canonicalization match — no growth across
+    bench/driver loops); release is the caller's: `spark.catalog
+    .clearCache()` when done with a corpus."""
     per_doc = (
         with_shingle_array(df, text_col, id_col, n)
         .select("id", F.expr(_sig_array_sql(num_perm)).alias("sig"),

@@ -127,17 +127,24 @@ def exactly_once_parquet_sink(df: DataFrame, path: str, *,
     Readers take committed batches only: ``read.parquet(path +
     "/batch_id=N")`` for N in the marker set, or a view over the marker
     list. Returns the started StreamingQuery.
+
+    Marker IO goes through the Hadoop FileSystem API resolved FROM the
+    sink path, so markers land on the same filesystem as the data
+    (HDFS/S3A/local alike) — driver-local ``os.path`` checks would
+    silently void the guarantee the moment the sink points anywhere but
+    the driver's own disk.
     """
-    import os
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        marker = os.path.join(path, f"_committed_{batch_id}")
-        if os.path.exists(marker):       # replayed after successful commit
+        fs, hpath = _hadoop_fs(batch_df.sparkSession, path)
+        marker = hpath(f"{path}/_committed_{batch_id}")
+        if fs.exists(marker):            # replayed after successful commit
             return
         batch_df.write.mode("overwrite").parquet(
-            os.path.join(path, f"batch_id={batch_id}"))
-        with open(marker, "w") as fh:
-            fh.write("ok")
+            f"{path}/batch_id={batch_id}")
+        out = fs.create(marker, True)    # flag-file commit point
+        out.write(bytearray(b"ok"))
+        out.close()
 
     return (
         df.writeStream.foreachBatch(write_batch)
@@ -146,13 +153,27 @@ def exactly_once_parquet_sink(df: DataFrame, path: str, *,
     )
 
 
-def read_exactly_once_output(spark, path: str) -> DataFrame:
-    """Committed-batches reader for `exactly_once_parquet_sink` output."""
-    import os
+def _hadoop_fs(spark, path: str):
+    """(FileSystem, Path-constructor) for `path`, via the JVM gateway —
+    the filesystem is resolved from the path's scheme + Hadoop conf, so
+    file:/, hdfs:/ and s3a:/ all behave identically. foreachBatch hooks
+    run on the driver, where the gateway is always available."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jvm.org.apache.hadoop.fs.Path
 
-    ids = sorted(int(f.rsplit("_", 1)[1]) for f in os.listdir(path)
-                 if f.startswith("_committed_"))
+
+def read_exactly_once_output(spark, path: str) -> DataFrame:
+    """Committed-batches reader for `exactly_once_parquet_sink` output.
+    Lists markers through the Hadoop FileSystem API (same-filesystem
+    contract as the writer)."""
+    fs, hpath = _hadoop_fs(spark, path)
+    ids = sorted(
+        int(st.getPath().getName().rsplit("_", 1)[1])
+        for st in fs.listStatus(hpath(path))
+        if st.getPath().getName().startswith("_committed_"))
     if not ids:
         raise FileNotFoundError(f"no committed batches under {path}")
     return spark.read.parquet(
-        *[os.path.join(path, f"batch_id={i}") for i in ids])
+        *[f"{path}/batch_id={i}" for i in ids])

@@ -60,14 +60,19 @@ def make_near_dup_fn(horizon_ms: int):
             state.remove()
             return
         first_id = state.get[0] if state.exists else None
+        # Accumulate EVERY Arrow chunk before sorting: a group that spans
+        # multiple chunks within a micro-batch would otherwise pick its
+        # representative per-chunk, making first_id depend on chunk order
+        # and breaking replay determinism. Groups are bucket-sized, so the
+        # buffer is small by construction.
+        ids = [int(x) for pdf in pdf_iter for x in pdf["id"]]
         out = []
-        for pdf in pdf_iter:
-            for doc_id in sorted(int(x) for x in pdf["id"]):
-                if first_id is None:
-                    first_id = doc_id
-                elif doc_id != first_id:
-                    out.append({"doc_id": doc_id, "dup_of": first_id,
-                                "band": int(key[0])})
+        for doc_id in sorted(ids):
+            if first_id is None:
+                first_id = doc_id
+            elif doc_id != first_id:
+                out.append({"doc_id": doc_id, "dup_of": first_id,
+                            "band": int(key[0])})
         state.update((first_id,))
         state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + horizon_ms)
         if out:

@@ -47,9 +47,16 @@ def make_pack_fn(pack_budget: int):
            state: GroupState) -> Iterator[pd.DataFrame]:
         seq, running = state.get if state.exists else (0, 0)
         out = []
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values("doc_id")
-            for doc_id, n in zip(pdf["doc_id"], pdf["n_tokens"]):
+        # Concatenate ALL Arrow chunks before the single sort: a per-chunk
+        # sort_values makes the walk order (and thus pack assignment)
+        # depend on how the micro-batch happened to split into chunks,
+        # breaking replay determinism. The group buffer is one key's slice
+        # of a micro-batch — bounded by the trigger, not the stream.
+        chunks = list(pdf_iter)
+        whole = pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
+        if len(whole):
+            whole = whole.sort_values("doc_id")
+            for doc_id, n in zip(whole["doc_id"], whole["n_tokens"]):
                 n = int(n)
                 if running > 0 and running + n > pack_budget:
                     seq += 1

@@ -340,6 +340,40 @@ def test_upsert_sink_crash_recovery(spark, tmp_path):
     assert orphan is None or not os.path.exists(orphan)
 
 
+def test_upsert_sink_replay_never_deletes_committed_dirs(spark, tmp_path):
+    """Replaying an ALREADY-COMMITTED epoch (crash after the manifest
+    rename but before the streaming checkpoint commit) must never delete
+    a directory the live manifest references: the replay lands under an
+    attempt-suffixed name and only the manifest retargets, so a crash at
+    any point mid-replay still leaves readable committed state."""
+    import os
+
+    from felixzh_flink_spark.functions.changelog import (
+        _read_manifest, changelog_upsert_sink, read_upsert_state)
+
+    state = str(tmp_path / "state")
+    sink = changelog_upsert_sink(state, ["id"], n_buckets=2)
+    batch = spark.createDataFrame(
+        [("+I", 1, 1, "a"), ("+I", 1, 2, "b")],
+        "op string, ts_ms long, id long, val string")
+    sink(batch, 0)
+    committed = {b: e["path"] for b, e in
+                 _read_manifest(state)["buckets"].items() if e["path"]}
+
+    sink(batch, 0)  # replay of the committed epoch
+    man = _read_manifest(state)["buckets"]
+    for b, old_path in committed.items():
+        new_path = man[b]["path"]
+        # the replay wrote a DIFFERENT directory and retargeted the
+        # manifest — the previously-committed dir was never clobbered
+        # pre-commit (post-commit GC may have swept it)
+        assert new_path != old_path
+        assert os.path.basename(new_path).startswith("e=0.")
+        assert os.path.isdir(new_path)
+    got = {r["id"]: r["val"] for r in read_upsert_state(spark, state).collect()}
+    assert got == {1: "a", 2: "b"}
+
+
 def test_cdc_bootstrap_snapshot_then_stream(spark, tmp_path):
     """SURVEY §7's snapshot-then-stream bootstrap: the initial table
     snapshot is materialized as committed upsert state; the CDC stream then

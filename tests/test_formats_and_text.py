@@ -236,3 +236,19 @@ def test_avro_roundtrip_dataframe_identity(spark):
     out = avro_roundtrip(df, ["id", "name", "price", "ts"], schema)
     assert out.schema == df.schema
     assert sorted(out.collect(), key=str) == sorted(df.collect(), key=str)
+
+
+def test_avro_roundtrip_big_longs_with_nulls(spark):
+    """A nullable long column with nulls IN THE SAME Arrow batch must not
+    round values above 2^53 (Arrow's NaN-for-null float64 coercion).
+    Values straddle 2^53 and ±2^62; coalesce(1) forces one batch."""
+    from pyspark.sql import types as T
+
+    from felixzh_flink_spark.functions.avro_codec import avro_roundtrip
+
+    schema = T.StructType([T.StructField("id", T.LongType())])
+    vals = [2**53 + 1, -(2**53) - 1, 2**62 + 3, -(2**62) - 3, None, 0]
+    df = spark.createDataFrame([(v,) for v in vals], schema).coalesce(1)
+    out = avro_roundtrip(df, ["id"], schema)
+    assert sorted((r["id"] for r in out.collect()), key=str) == \
+        sorted(vals, key=str)
