@@ -89,8 +89,23 @@ def _cosine_sql(a: str, b: str) -> str:
 def cosine_to_literal(vec_col: str, query_vec: list[float]) -> Column:
     """cosine(col, literal query vector) as a single-roundtrip expression.
     Bit-identical to `cosine(F.col(vec_col), F.array(*lits))` — same fold
-    order — but O(1) py4j calls instead of O(dim)."""
-    return F.expr(_cosine_sql(vec_col, _lit_vec_sql(query_vec)))
+    order — but O(1) py4j calls instead of O(dim).
+
+    The query vector's norm is a CONSTANT, computed driver-side with the
+    exact fold the SQL form would run (left-to-right double adds, then a
+    correctly-rounded sqrt — both IEEE-deterministic) and embedded as a
+    literal: Catalyst does not constant-fold higher-order-function folds
+    over literal arrays, so the SQL-side form re-ran a dim-element fold
+    per scanned row for a value that never changes."""
+    import math
+
+    acc = 0.0
+    for x in query_vec:
+        acc += float(x) * float(x)
+    q_norm = math.sqrt(acc)
+    return F.expr(
+        f"({_dot_sql(vec_col, _lit_vec_sql(query_vec))} / "
+        f"({_norm_sql(vec_col)} * cast('{q_norm!r}' as double)))")
 
 
 def cosine_topk_bruteforce(df: DataFrame, query_vec: list[float], k: int = 10,
@@ -347,7 +362,8 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.9,
                    n_centroids: int = 16, train_iter: int = 2,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    cents: list[list[float]] | None = None,
-                   max_cell_size: int | None = None) -> DataFrame:
+                   max_cell_size: int | None = None,
+                   cell_counts: dict[int, int] | None = None) -> DataFrame:
     """SemDedup-style semantic deduplication: cluster embeddings into IVF
     cells, then drop within-cell cosine near-duplicates, keeping the
     smallest id of each duplicate group.
@@ -370,7 +386,16 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.9,
     pair search entirely (their rows come back `keep=true`): a cell that
     big means the centroid structure failed there, and bounded work beats
     a quadratic stall; rerun those rows with more centroids if they
-    matter."""
+    matter.
+
+    `cell_counts` ({cell_id: rows}, 1-based) makes the guard FREE: cell
+    population is an ingest-time statistic — the k-means training loop
+    already aggregates per-cell counts every iteration, and a materialized
+    index knows its partition sizes — so a deployment passes it in and the
+    guard folds to a literal NOT-IN filter (zero extra scans, zero
+    shuffles). Without it the counts are computed here via a broadcast
+    semi-join against a ≤ n_centroids-row aggregate: correct anywhere,
+    but one extra evaluation of the scan+assignment."""
     if cents is None:
         cents = ivf_train(df, n_centroids, max_iter=train_iter,
                           id_col=id_col, vec_col=vec_col)
@@ -380,9 +405,17 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.9,
     )
     pairable = assigned
     if max_cell_size is not None:
-        small = (assigned.groupBy("ivf_cell").agg(F.count("*").alias("_n"))
-                 .filter(F.col("_n") <= max_cell_size).drop("_n"))
-        pairable = assigned.join(small, "ivf_cell", "left_semi")
+        if cell_counts is not None:
+            over = sorted(c for c, n in cell_counts.items()
+                          if n > max_cell_size)
+            if over:
+                pairable = assigned.filter(~F.col("ivf_cell").isin(over))
+        else:
+            small = (assigned.groupBy("ivf_cell")
+                     .agg(F.count("*").alias("_n"))
+                     .filter(F.col("_n") <= max_cell_size).drop("_n"))
+            pairable = assigned.join(F.broadcast(small), "ivf_cell",
+                                     "left_semi")
     dim = len(cents[0])
     a, b = pairable.alias("a"), pairable.alias("b")
     dup_ids = (

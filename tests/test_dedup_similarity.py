@@ -222,6 +222,14 @@ def test_semantic_dedup_hot_cell_guard(spark):
     assert capped[100] is True and capped[101] is False
     assert uncapped[100] is True and uncapped[101] is False
     assert len(capped) == 32
+    # precomputed-counts path (ingest-time stats → literal filter) must
+    # decide identically to the computed path
+    counts = {1: 30, 2: 2}
+    lit = {r["id"]: r["keep"] for r in
+           SIM.semantic_dedup(df, threshold=0.999, cents=cents,
+                              max_cell_size=10,
+                              cell_counts=counts).collect()}
+    assert lit == capped
 
 
 def test_quantized_cosine_close_to_exact(spark, sf_dir):
