@@ -238,6 +238,51 @@ def test_avro_roundtrip_dataframe_identity(spark):
     assert sorted(out.collect(), key=str) == sorted(df.collect(), key=str)
 
 
+def test_avro_record_roundtrip_property():
+    """Property: decode(encode(row)) == row for every nullable field kind
+    the codec supports, across the full int64 range, unicode strings
+    (incl. astral plane / embedded NULs), raw bytes, and double bit
+    patterns (±inf, subnormals; NaN compared by bit identity)."""
+    import math
+    import struct
+
+    from hypothesis import given, settings, strategies as st
+
+    from felixzh_flink_spark.functions.avro_codec import (
+        decode_record, encode_record)
+
+    kinds = ["long", "int", "string", "bytes", "double", "boolean", "float"]
+    row_st = st.tuples(
+        st.none() | st.integers(min_value=-2**63, max_value=2**63 - 1),
+        st.none() | st.integers(min_value=-2**31, max_value=2**31 - 1),
+        st.none() | st.text(max_size=40),
+        st.none() | st.binary(max_size=40),
+        st.none() | st.floats(allow_nan=True, allow_infinity=True),
+        st.none() | st.booleans(),
+        st.none() | st.floats(allow_nan=False, allow_infinity=True,
+                              width=32),
+    )
+
+    def bits(v):
+        if isinstance(v, float):
+            return struct.pack("<d", v)
+        return v
+
+    @settings(max_examples=200, deadline=None)
+    @given(row_st)
+    def check(row):
+        row = list(row)
+        out = decode_record(encode_record(row, kinds), kinds)
+        assert len(out) == len(row)
+        for got, want in zip(out, row):
+            if isinstance(want, float) and math.isnan(want):
+                assert isinstance(got, float) and math.isnan(got)
+            else:
+                assert bits(got) == bits(want), (got, want)
+
+    check()
+
+
 def test_avro_roundtrip_big_longs_with_nulls(spark):
     """A nullable long column with nulls IN THE SAME Arrow batch must not
     round values above 2^53 (Arrow's NaN-for-null float64 coercion).
