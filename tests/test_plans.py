@@ -108,6 +108,18 @@ def test_headline_queries_have_no_python_stages(spark):
         assert not any(n in p for n in PY_NODES), f"python stage in {name}"
 
 
+def test_headline_ann_probe_is_partition_pruned(spark):
+    """The HEADLINE ann_ivf_topk (not just the operator unit) must probe
+    the materialized index via partition pruning: its scan carries a
+    PartitionFilter on ivf_cell and reads zero non-probed cells — the
+    round-2 regression was this query silently running the
+    assign-at-query-time full scan instead."""
+    p = plan_of(spark, "ann_ivf_topk")
+    assert "PartitionFilters: [" in p
+    assert "ivf_cell" in p.split("PartitionFilters:")[1][:300]
+    assert "Exchange" not in p          # probe is scan→project→top-k
+
+
 def test_time_partitioned_scan_prunes_directories(spark, tmp_path, sf_dir):
     """Directory partitioning by day: a one-day predicate reaches the scan
     as a PartitionFilter and only that day's files are read — the scan-side
