@@ -104,6 +104,39 @@ def decontaminate(corpus: DataFrame, benchmark: DataFrame,
         .drop("fingerprint")
 
 
+def decontaminate_ngrams(corpus: DataFrame, benchmark: DataFrame, n: int = 13,
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """N-gram-overlap decontamination — the published-training-run rule
+    (13-gram overlap) rather than whole-document fingerprint equality:
+    drop every corpus doc sharing at least one word n-gram with the
+    benchmark set, catching partial quotes and embedded eval items that
+    `decontaminate`'s exact-fingerprint match misses.
+
+    Scale shape: benchmark shingles are DISTINCT and BROADCAST (eval sets
+    are small by definition — thousands of items against a 100 TB corpus);
+    the corpus side explodes shingles map-side into a broadcast left-semi
+    join, so finding contaminated ids never shuffles corpus data. Only the
+    tiny contaminated-id set is distinct'd (one shuffle of matched ids)
+    before the final left-anti join back to whole docs.
+
+    Docs shorter than `n` tokens fall back to a whole-text shingle on both
+    sides (same rule as `dedup.shingle_array`), so a short eval item still
+    contaminates its verbatim copies."""
+    from felixzh_flink_spark.operators.dedup import shingle_array
+
+    bench_sh = (benchmark
+                .select(F.explode(shingle_array(text_col, n)).alias("sh"))
+                .distinct())
+    contaminated = (
+        corpus.select(F.col(id_col),
+                      F.explode(shingle_array(text_col, n)).alias("sh"))
+        .join(F.broadcast(bench_sh), "sh", "left_semi")
+        .select(id_col).distinct()
+    )
+    return corpus.join(contaminated, id_col, "left_anti")
+
+
 def punct_ratio(text: Column | str, alias: str = "punct_ratio") -> Column:
     """Punctuation chars / total chars (0 for empty docs)."""
     c = F.col(text) if isinstance(text, str) else text

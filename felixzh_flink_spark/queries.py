@@ -1967,6 +1967,44 @@ def decontaminated_counts(spark, sf_dir):
     return clean.agg(F.count("*").alias("n_clean"))
 
 
+@q("decontaminate_ngram_survivors", r"""
+WITH train AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+ev AS (SELECT text FROM documents WHERE doc_id BETWEEN 100 AND 199),
+etoks AS (SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM ev),
+esh AS (
+  SELECT DISTINCT array_to_string(t[i:i+12], ' ') AS sh
+  FROM (SELECT t, unnest(generate_series(1, len(t) - 12)) AS i
+        FROM etoks WHERE len(t) >= 13)
+  UNION
+  SELECT array_to_string(t, ' ') FROM etoks WHERE len(t) < 13
+),
+ttoks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+          FROM train),
+tsh AS (
+  SELECT doc_id, array_to_string(t[i:i+12], ' ') AS sh
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 12)) AS i
+        FROM ttoks WHERE len(t) >= 13)
+  UNION ALL
+  SELECT doc_id, array_to_string(t, ' ') FROM ttoks WHERE len(t) < 13
+)
+SELECT doc_id FROM train
+WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM tsh
+                     WHERE sh IN (SELECT sh FROM esh))
+""")
+def decontaminate_ngram_survivors(spark, sf_dir):
+    """13-gram-overlap decontamination (the published-training-run rule,
+    `text.decontaminate_ngrams`): train = docs < 100, eval stand-in =
+    docs 100-199; a train doc sharing ANY 13-gram with the eval slice is
+    dropped. The corpus' planted near-dup pairs straddle the split, so
+    real contamination is caught (not a vacuous all-survive oracle).
+    DuckDB mirrors the shingle rule exactly, incl. the whole-text
+    fallback for sub-13-token docs."""
+    d = _t_wide(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") < 100)
+    ev = d.filter(F.col("doc_id").between(100, 199))
+    return TX.decontaminate_ngrams(train, ev, n=13).select("doc_id")
+
+
 @q("doc_quality", r"""
 WITH base AS (
   SELECT doc_id,
@@ -2771,6 +2809,7 @@ _DRIVER_ORDER = [
     "approx_distinct_parts",        # converted to assertion oracle
     "ann_ivf_checks", "semantic_dedup_checks", "embedding_near_dup_checks",
     "multimodal_dims",              # new: real PNG/JPEG header parsing
+    "decontaminate_ngram_survivors",  # new: 13-gram decontamination
     # last hard-checked in ROUND 1 — re-verify after two rounds of
     # shared-helper refactors (34 queries)
     "salted_event_counts", "repartitioned_user_counts",
@@ -2793,11 +2832,11 @@ _DRIVER_ORDER = [
     "upsert_materialize", "changelog_retract_sum",
     "canal_decode", "debezium_decode", "asof_purchase_view",
     "events_rollup_cascade", "avro_roundtrip_orders",
-    "pack_sequences", "cosine_topk",
+    "cosine_topk",
     # ---- position 50 boundary ----
     # oracle-backed, round-2-green, unchanged — past the window (all
     # re-verified by this round's full check_correctness sweep)
-    "token_shards",
+    "pack_sequences", "token_shards",
     "token_counts", "top_bigrams", "chunk_docs", "redact_docs",
     "decontaminated_counts", "doc_quality", "lang_id_pred",
     "fingerprint_docs", "dedup_exact_docs", "ngram_jaccard_pairs",

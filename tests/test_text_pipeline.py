@@ -5,6 +5,7 @@ from pyspark.sql import functions as F
 from felixzh_flink_spark.operators.text import (
     chunk_documents,
     decontaminate,
+    decontaminate_ngrams,
     redact_text,
 )
 
@@ -45,6 +46,31 @@ def test_decontaminate_drops_benchmark_matches(spark):
     bench = spark.createDataFrame([(9, "test question")], "doc_id long, text string")
     kept = sorted(r["doc_id"] for r in decontaminate(corpus, bench).collect())
     assert kept == [1, 3]  # normalization catches case/whitespace variants
+
+
+def test_decontaminate_ngrams_catches_partial_quotes(spark):
+    """The n-gram rule drops a doc that EMBEDS an eval item mid-text —
+    exactly what fingerprint-equality decontamination misses — while
+    unrelated docs survive; short eval items use the whole-text
+    fallback."""
+    eval_q = "what is the capital of france"
+    corpus = spark.createDataFrame(
+        [(1, f"some long preamble then {eval_q} and a trailing answer"),
+         (2, "a perfectly clean training document about spark shuffles"),
+         (3, "tiny doc"),
+         (4, eval_q)],
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(9, eval_q), (10, "tiny doc")], "doc_id long, text string")
+    # n=6 == len(eval item): doc 1 embeds it, doc 4 IS it, doc 3 matches
+    # the short-doc whole-text fallback; only doc 2 survives
+    kept = sorted(r["doc_id"] for r in
+                  decontaminate_ngrams(corpus, bench, n=6).collect())
+    assert kept == [2]
+    # fingerprint decontamination misses the embedded quote (doc 1 kept)
+    fp_kept = sorted(r["doc_id"] for r in
+                     decontaminate(corpus, bench).collect())
+    assert 1 in fp_kept
 
 
 def test_stratified_sample_deterministic_and_independent(spark, sf_dir):
