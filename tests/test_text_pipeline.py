@@ -73,6 +73,28 @@ def test_decontaminate_ngrams_catches_partial_quotes(spark):
     assert 1 in fp_kept
 
 
+def test_tfidf_top_terms_ranks_distinctive_terms(spark):
+    """A term unique to one doc outranks corpus-wide terms (whose idf is
+    ln(1) = 0); ties fall to term order; k bounds rows per doc."""
+    from felixzh_flink_spark.operators.text import tf_idf_top_terms
+    df = spark.createDataFrame(
+        [(1, "spark spark shuffle common"),
+         (2, "flink state common"),
+         (3, "duckdb vector common")],
+        "doc_id long, text string")
+    rows = tf_idf_top_terms(df, k=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["term"], r["tfidf"]))
+    assert all(len(v) == 2 for v in by_doc.values())
+    # doc 1: 'spark' (tf=2, unique) is the top term; 'common' never ranks
+    # above a unique term because ln(3/3) = 0
+    assert by_doc[1][0][0] == "spark"
+    assert all(terms[0][0] != "common" for terms in by_doc.values())
+    # scores are positive for unique terms, 0 for corpus-wide ones
+    assert by_doc[1][0][1] > 0
+
+
 def test_stratified_sample_deterministic_and_independent(spark, sf_dir):
     """Per-stratum keep decisions are stable and independent of OTHER
     strata's fractions; boundary fractions keep all / none."""
