@@ -130,10 +130,13 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count("*").alias("n_inter"))
     )
+    # per-doc size table: one row per doc in the (small, by contract)
+    # slice this exact verifier runs on — broadcast both sides so the
+    # size lookups cost zero shuffles of the intersection counts
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
-        inter.join(sa, "id_a").join(sb, "id_b")
+        inter.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
         .withColumn(
             "jaccard",
             F.col("n_inter").cast("double")
