@@ -86,6 +86,33 @@ def test_pipeline_batch_parquet_wordcount(spark, sf_dir, tmp_path):
     assert out == {"a": 2, "b": 2, "c": 1}
 
 
+def test_cli_main_runs_batch_job_to_parquet(spark, tmp_path):
+    """`python -m felixzh_flink_spark job.properties` — the reference's
+    runnable-main surface: batch job from a properties file, result
+    written to the configured parquet sink."""
+    from felixzh_flink_spark.__main__ import main
+
+    src = tmp_path / "in"
+    dst = tmp_path / "out"
+    spark.createDataFrame([("a b a",), ("b c",)], "value string") \
+        .write.parquet(str(src))
+    props = tmp_path / "job.properties"
+    props.write_text("\n".join([
+        "env.runtime.mode=BATCH",
+        "env.job.name=cli-test",
+        "source.type=parquet",
+        f"source.path={src}",
+        "transform.chain=word_count",
+        "sink.type=parquet",
+        f"sink.path={dst}",
+    ]))
+    assert main([str(props)]) == 0
+    out = {r["word"]: r["count"]
+           for r in spark.read.parquet(str(dst)).collect()}
+    assert out == {"a": 2, "b": 2, "c": 1}
+    assert main([]) == 2   # usage error, no crash
+
+
 def test_pipeline_stream_memory_sink(spark, tmp_path):
     # STREAMING mode over a file source → memory sink, deterministic drain
     src = tmp_path / "stream_in"
