@@ -413,6 +413,50 @@ def cdc_bootstrap_state(snapshot: DataFrame, state_dir: str, pk: list[str],
     changelog_upsert_sink(state_dir, pk, order_col, n_buckets)(batch, -1)
 
 
+def snapshot_diff_changelog(old: DataFrame, new: DataFrame,
+                            pk: list[str]) -> DataFrame:
+    """Diff two table snapshots into a changelog — the INVERSE of upsert
+    materialization, completing the library's round trip (decode →
+    materialize → aggregate → EMIT): rows only in `new` become +I, rows
+    only in `old` become -D, changed rows emit the -U/+U retract pair,
+    unchanged rows emit nothing. Output is `op` + the row columns — the
+    same shape `changelog_sum`/`upsert_latest` consume, and
+    `encode_debezium_json` can serialize.
+
+    One full-outer join on the pk (single shuffle per side, AQE handles
+    pk skew); change detection compares the non-pk columns as a struct,
+    null-safe. This is how you CDC a source that only gives you periodic
+    snapshots (the classic nightly-dump-to-changelog problem)."""
+    cols = old.columns
+    if cols != new.columns:
+        raise ValueError(f"snapshot schemas differ: {cols} vs {new.columns}")
+    data_cols = [c for c in cols if c not in pk]
+    o = old.alias("o")
+    n = new.alias("n")
+    cond = [F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}")) for k in pk]
+    joined = o.join(n, cond, "full_outer")
+    in_old = F.col(f"o.{pk[0]}").isNotNull()
+    in_new = F.col(f"n.{pk[0]}").isNotNull()
+    changed = ~F.struct(*[F.col(f"o.{c}") for c in data_cols]).eqNullSafe(
+        F.struct(*[F.col(f"n.{c}") for c in data_cols]))
+
+    def tagged(op: str, side: str) -> Column:
+        return F.struct(F.lit(op).alias("op"),
+                        *[F.col(f"{side}.{c}").alias(c) for c in cols])
+
+    # unchanged rows fall through every when() → null, and explode(null)
+    # emits zero rows — no otherwise() branch needed
+    events = (
+        F.when(in_old & ~in_new, F.array(tagged(OP_DELETE, "o")))
+        .when(~in_old & in_new, F.array(tagged(OP_INSERT, "n")))
+        .when(in_old & in_new & changed,
+              F.array(tagged(OP_UPDATE_BEFORE, "o"),
+                      tagged(OP_UPDATE_AFTER, "n")))
+    )
+    exploded = joined.select(F.explode(events).alias("e"))
+    return exploded.select("e.op", *[F.col(f"e.{c}").alias(c) for c in cols])
+
+
 def changelog_sum(changelog: DataFrame, keys: list[str], value_col: str,
                   alias: str = "total") -> DataFrame:
     """Retract-aware aggregation over a changelog — the Flink

@@ -28,6 +28,7 @@ from felixzh_flink_spark.functions.changelog import (
     changelog_sum,
     decode_canal_json,
     decode_debezium_json,
+    snapshot_diff_changelog,
     upsert_latest,
 )
 from felixzh_flink_spark.functions.formats import csv_roundtrip, json_roundtrip
@@ -1774,6 +1775,46 @@ def changelog_retract_sum(spark, sf_dir):
     return changelog_sum(ch, ["o_custkey"], "o_totalprice", alias="net_total")
 
 
+@q("snapshot_diff", """
+WITH old AS (
+  SELECT o_orderkey, o_custkey, o_totalprice
+  FROM orders WHERE o_orderkey % 5 <> 0
+), new AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 7 <> 0
+)
+SELECT '-D' AS op, o.o_orderkey, o.o_custkey, o.o_totalprice
+FROM old o WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM new)
+UNION ALL
+SELECT '+I', n.o_orderkey, n.o_custkey, n.o_totalprice
+FROM new n WHERE n.o_orderkey NOT IN (SELECT o_orderkey FROM old)
+UNION ALL
+SELECT '-U', o.o_orderkey, o.o_custkey, o.o_totalprice
+FROM old o JOIN new n ON o.o_orderkey = n.o_orderkey
+WHERE o.o_totalprice <> n.o_totalprice OR o.o_custkey <> n.o_custkey
+UNION ALL
+SELECT '+U', n.o_orderkey, n.o_custkey, n.o_totalprice
+FROM old o JOIN new n ON o.o_orderkey = n.o_orderkey
+WHERE o.o_totalprice <> n.o_totalprice OR o.o_custkey <> n.o_custkey
+""")
+def snapshot_diff(spark, sf_dir):
+    """Snapshot-to-changelog diff (`changelog.snapshot_diff_changelog`) —
+    the nightly-dump CDC problem: two deterministic snapshot variants of
+    orders (disjoint deletions/insertions by modulus, price bumps on a
+    third) diffed into +I/-D/-U/+U rows. One full-outer join on the pk;
+    DuckDB mirrors with anti/inner-join branches."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    old = o.filter(F.col("o_orderkey") % 5 != 0)
+    new = o.filter(F.col("o_orderkey") % 7 != 0).withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") + 1.0)
+        .otherwise(F.col("o_totalprice")))
+    return snapshot_diff_changelog(old, new, ["o_orderkey"])
+
+
 # =====================================================================
 # Text analysis (LLM-pipeline operators)
 # =====================================================================
@@ -2845,6 +2886,7 @@ _DRIVER_ORDER = [
     "multimodal_dims",              # new: real PNG/JPEG header parsing
     "decontaminate_ngram_survivors",  # new: 13-gram decontamination
     "tfidf_top_terms",                # new: characteristic-terms stat
+    "snapshot_diff",                  # new: snapshot-to-changelog CDC
     # last hard-checked in ROUND 1 — re-verify after two rounds of
     # shared-helper refactors (34 queries)
     "salted_event_counts", "repartitioned_user_counts",
@@ -2862,15 +2904,18 @@ _DRIVER_ORDER = [
     "argmax_order_per_segment", "running_quantity_by_supplier",
     "events_json_extract", "events_sliding_windows", "hourly_top_events",
     "top_orders_per_customer",
-    # round-2-green queries on code paths touched this round (catalog
-    # ts handling, cosine/similarity helpers) — remaining window slots
+    # round-2-green queries on code paths touched this round (avro int64
+    # fix, cosine norm hoist, changelog library, CDC decode) — remaining
+    # window slots
     "upsert_materialize", "changelog_retract_sum",
-    "canal_decode", "debezium_decode", "asof_purchase_view",
-    "events_rollup_cascade", "avro_roundtrip_orders",
+    "canal_decode", "debezium_decode",
+    "avro_roundtrip_orders", "cosine_topk",
     # ---- position 50 boundary ----
     # oracle-backed, round-2-green, unchanged — past the window (all
-    # re-verified by this round's full check_correctness sweep)
-    "cosine_topk", "pack_sequences", "token_shards",
+    # re-verified by this round's full check_correctness sweep at
+    # sf0.001, sf0.01 AND sf0.1)
+    "asof_purchase_view", "events_rollup_cascade",
+    "pack_sequences", "token_shards",
     "token_counts", "top_bigrams", "chunk_docs", "redact_docs",
     "decontaminated_counts", "doc_quality", "lang_id_pred",
     "fingerprint_docs", "dedup_exact_docs", "ngram_jaccard_pairs",

@@ -374,6 +374,37 @@ def test_upsert_sink_replay_never_deletes_committed_dirs(spark, tmp_path):
     assert got == {1: "a", 2: "b"}
 
 
+def test_snapshot_diff_changelog_all_ops(spark):
+    """Diffing two snapshots yields exactly +I (new-only), -D (old-only),
+    -U/+U pairs (changed, incl. null↔value transitions), and NOTHING for
+    unchanged rows (incl. null-equal data)."""
+    from felixzh_flink_spark.functions.changelog import (
+        snapshot_diff_changelog)
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, "c", 30.0), (4, "d", 40.0)],
+        "id long, name string, price double")
+    new = spark.createDataFrame(
+        [(1, "a", 10.0),        # unchanged → no rows
+         (2, "b", 20.0),        # null → value → -U/+U
+         (3, None, 30.0),       # value → null → -U/+U
+         (5, "e", 50.0)],       # new-only → +I; id 4 old-only → -D
+        "id long, name string, price double")
+    rows = sorted(
+        (r["op"], r["id"], r["name"], r["price"])
+        for r in snapshot_diff_changelog(old, new, ["id"]).collect())
+    assert rows == sorted([
+        ("-D", 4, "d", 40.0),
+        ("+I", 5, "e", 50.0),
+        ("-U", 2, "b", None), ("+U", 2, "b", 20.0),
+        ("-U", 3, "c", 30.0), ("+U", 3, None, 30.0),
+    ])
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        snapshot_diff_changelog(old, new.select("id", "price", "name"),
+                                ["id"])
+
+
 def test_cdc_bootstrap_snapshot_then_stream(spark, tmp_path):
     """SURVEY §7's snapshot-then-stream bootstrap: the initial table
     snapshot is materialized as committed upsert state; the CDC stream then
