@@ -1,0 +1,72 @@
+"""CEP-lite: ordered-pattern (subsequence) matching over keyed event rows.
+
+Beyond-reference capability in the Flink MATCH_RECOGNIZE workload family
+(the reference itself ships no CEP job): per key, how far does the event
+sequence progress through an ordered list of stage conditions, where each
+stage must match on an event strictly after the previous stage's match?
+
+Spark-first design — no Python, no joins, ONE shuffle:
+
+1. sort-aggregate each key's events into an array of structs
+   (`array_sort(collect_list(struct(order_cols..., payload...)))` —
+   struct ordering gives a total, engine-stable order);
+2. run a generated `aggregate` fold over the array: the accumulator is
+   the current stage index, and a CASE chain advances it when the next
+   stage's condition matches the element. O(events) per key inside
+   whole-stage codegen.
+
+Greedy advancement (take the FIRST event matching each next stage) is
+COMPLETE for plain subsequence existence: if any witness subsequence
+exists, the greedy one exists too. (A `WITHIN t` whole-pattern time bound
+is deliberately NOT offered here: greedy-first anchoring is not complete
+under time bounds — a later stage-0 match could succeed where the first
+fails — and a correct bounded matcher needs NFA-style multi-candidate
+state, a different operator.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def sequence_stages(df: DataFrame, key_cols: list[str],
+                    order_cols: list[str], conditions: list[str],
+                    payload_cols: list[str] | None = None,
+                    alias: str = "stage") -> DataFrame:
+    """Per key: the number of pattern stages completed in order.
+
+    `conditions` are SQL boolean expressions over a row alias ``e``
+    (e.g. ``"e.event_type = 'view'"``); stage i+1 can only match on an
+    element after the one that matched stage i. `order_cols` define the
+    event order (prefix with a unique id for a total order);
+    `payload_cols` are the columns the conditions read (defaults to every
+    non-key column). Returns key_cols + `alias` (int in [0, len(conditions)]).
+    """
+    if not conditions:
+        raise ValueError("conditions must be non-empty")
+    payload = payload_cols
+    if payload is None:
+        payload = [c for c in df.columns if c not in key_cols]
+    struct_cols = list(dict.fromkeys([*order_cols, *payload]))
+    per_key = df.groupBy(*key_cols).agg(
+        F.array_sort(F.collect_list(F.struct(*struct_cols))).alias("_evs"))
+    branches = "\n".join(
+        f"WHEN st = {i} AND ({cond}) THEN {i + 1}"
+        for i, cond in enumerate(conditions))
+    fold = F.expr(
+        f"aggregate(_evs, 0, (st, e) -> CASE {branches} ELSE st END)")
+    return per_key.select(*key_cols, fold.alias(alias))
+
+
+def funnel_counts(df: DataFrame, key_cols: list[str], order_cols: list[str],
+                  conditions: list[str],
+                  payload_cols: list[str] | None = None) -> DataFrame:
+    """One-row funnel summary over `sequence_stages`: total keys plus how
+    many reached each stage (reached_1 ⊇ reached_2 ⊇ ...)."""
+    staged = sequence_stages(df, key_cols, order_cols, conditions,
+                             payload_cols)
+    aggs = [F.count("*").alias("n_keys")]
+    for i in range(1, len(conditions) + 1):
+        aggs.append(F.sum((F.col("stage") >= i).cast("long"))
+                    .alias(f"reached_{i}"))
+    return staged.agg(*aggs)

@@ -1628,26 +1628,18 @@ def funnel_view_click_purchase(spark, sf_dir):
     genuinely different algorithms agreeing on the hash. (The two could
     only diverge on duplicate per-user timestamps — verified absent at
     every test SF; real deployments would tie-break ts explicitly.)"""
+    from felixzh_flink_spark.operators.cep import funnel_counts
     ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id",
                                             "event_type")
-    per_user = ev.groupBy("user_id").agg(
-        F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type")))
-        .alias("evs"))
-    stage = F.expr("""
-        aggregate(
-          evs, 0,
-          (st, e) -> CASE
-            WHEN st = 0 AND e.event_type = 'view' THEN 1
-            WHEN st = 1 AND e.event_type = 'click' THEN 2
-            WHEN st = 2 AND e.event_type = 'purchase' THEN 3
-            ELSE st END)
-    """)
-    staged = per_user.select(stage.alias("stage"))
-    return staged.agg(
-        F.count("*").alias("n_users"),
-        F.sum((F.col("stage") >= 1).cast("long")).alias("reached_view"),
-        F.sum((F.col("stage") >= 2).cast("long")).alias("reached_click"),
-        F.sum((F.col("stage") >= 3).cast("long")).alias("completed_funnel"))
+    out = funnel_counts(
+        ev, ["user_id"], ["ts", "event_id"],
+        ["e.event_type = 'view'", "e.event_type = 'click'",
+         "e.event_type = 'purchase'"])
+    return out.select(
+        F.col("n_keys").alias("n_users"),
+        F.col("reached_1").alias("reached_view"),
+        F.col("reached_2").alias("reached_click"),
+        F.col("reached_3").alias("completed_funnel"))
 
 
 @q("user_sessions", """

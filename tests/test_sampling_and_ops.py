@@ -82,3 +82,43 @@ def test_metadata_stats_pushes_aggregate_to_footer(spark, sf_dir):
     assert got["l_orderkey"]["min_value"] == str(exp)
     assert got["l_orderkey"]["n_rows"] == l.count()
     assert spark.conf.get("spark.sql.sources.useV1SourceList") == before
+
+
+# ---------------------------------------------------------------- CEP-lite
+
+def test_sequence_stages_strict_order_and_greedy_complete(spark):
+    """Stage i+1 must match strictly AFTER stage i: a user with the right
+    event types in the wrong order does not complete; out-of-order input
+    rows are irrelevant (the operator sorts); conditions can read any
+    payload column, not just the type."""
+    from felixzh_flink_spark.operators.cep import (
+        funnel_counts, sequence_stages)
+    rows = [
+        # u1: a-b-c in order (interleaved noise) → stage 3
+        (1, 1, "a", 0.0), (1, 2, "x", 0.0), (1, 3, "b", 0.0), (1, 4, "c", 0.0),
+        # u2: c first, then a, b — subsequence a..b..c absent → stage 2
+        (2, 1, "c", 0.0), (2, 2, "a", 0.0), (2, 3, "b", 0.0),
+        # u3: only a → stage 1
+        (3, 5, "a", 0.0),
+        # u4: a then b with value gate failing on the first b, passing on
+        # a later one → greedy still completes (takes the passing b)
+        (4, 1, "a", 0.0), (4, 2, "b", 0.5), (4, 3, "b", 2.0), (4, 4, "c", 0.0),
+    ]
+    df = spark.createDataFrame(rows, "uid long, ts long, typ string, v double")
+    conds = ["e.typ = 'a'", "e.typ = 'b' AND e.v > 1.0", "e.typ = 'c'"]
+    got = {r["uid"]: r["stage"] for r in
+           sequence_stages(df, ["uid"], ["ts"], conds).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 3}  # u1's b has v=0 → fails gate
+    # plain type-only pattern
+    conds2 = ["e.typ = 'a'", "e.typ = 'b'", "e.typ = 'c'"]
+    got2 = {r["uid"]: r["stage"] for r in
+            sequence_stages(df, ["uid"], ["ts"], conds2).collect()}
+    assert got2 == {1: 3, 2: 2, 3: 1, 4: 3}
+    f = funnel_counts(df, ["uid"], ["ts"], conds2).head()
+    assert (f["n_keys"], f["reached_1"], f["reached_2"], f["reached_3"]) \
+        == (4, 4, 3, 2)
+    # the plan is pure JVM: no Python eval nodes
+    plan = sequence_stages(df, ["uid"], ["ts"], conds2) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert not any(n in plan for n in
+                   ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"))
