@@ -55,6 +55,13 @@ HEADLINE = [
     "stratified_sample_counts",
     "corpus_pipeline_counts",
     "semantic_dedup_keep",
+    # round 3 additions: 13-gram decontamination, TF-IDF terms,
+    # snapshot-to-changelog diff, cohort retention, CEP-lite funnel
+    "decontaminate_ngram_survivors",
+    "tfidf_top_terms",
+    "snapshot_diff",
+    "weekly_retention_cohorts",
+    "funnel_view_click_purchase",
 ]
 
 

@@ -163,7 +163,11 @@ def tf_idf_top_terms(df: DataFrame, k: int = 3, text_col: str = "text",
         .alias("term"),
     ).filter(F.col("term") != "")
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("n_td"))
-    doc_len = toks.groupBy(id_col).agg(F.count("*").alias("len_d"))
+    # doc length and term document-frequency both derive from the (doc,
+    # term) counts — aggregating tf (small) instead of re-exploding the
+    # raw token stream (big) halves the explode work and drops a shuffle
+    # of raw occurrences
+    doc_len = tf.groupBy(id_col).agg(F.sum("n_td").alias("len_d"))
     df_t = tf.groupBy("term").agg(F.count("*").alias("df_t"))
     n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
     scored = (

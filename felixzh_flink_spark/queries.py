@@ -2145,8 +2145,8 @@ WITH toks AS (
 ), toks_ne AS (SELECT doc_id, term FROM toks WHERE term <> ''),
 tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS n_td
        FROM toks_ne GROUP BY doc_id, term),
-dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS len_d
-       FROM toks_ne GROUP BY doc_id),
+dl AS (SELECT doc_id, CAST(SUM(n_td) AS BIGINT) AS len_d
+       FROM tf GROUP BY doc_id),
 dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df_t FROM tf GROUP BY term),
 n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM documents),
 scored AS (
