@@ -163,27 +163,31 @@ def tf_idf_top_terms(df: DataFrame, k: int = 3, text_col: str = "text",
         .alias("term"),
     ).filter(F.col("term") != "")
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("n_td"))
-    # doc length and term document-frequency both derive from the (doc,
-    # term) counts — aggregating tf (small) instead of re-exploding the
-    # raw token stream (big) halves the explode work and drops a shuffle
-    # of raw occurrences
-    doc_len = tf.groupBy(id_col).agg(F.sum("n_td").alias("len_d"))
     df_t = tf.groupBy("term").agg(F.count("*").alias("df_t"))
     n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
+    idf = F.log(F.col("n_docs").cast("double") / F.col("df_t").cast("double"))
+    # Ranking key is n_td · idf, NOT the final score: len_d is a positive
+    # per-doc constant, so dividing by it cannot change the within-doc
+    # order — and the undivided product is bit-stable across engines
+    # while (n_td/len_d)·idf could rank-flip on a division ulp. Doc
+    # length comes from a window SUM over the same partitioning the
+    # ranking needs, so both ride ONE exchange (the earlier groupBy form
+    # cost two extra shuffles of the tf table).
     scored = (
-        tf.join(doc_len, id_col).join(df_t, "term")
-        .crossJoin(F.broadcast(n_docs))
-        .withColumn(
-            "_score",
-            (F.col("n_td").cast("double") / F.col("len_d").cast("double"))
-            * F.log(F.col("n_docs").cast("double") / F.col("df_t").cast("double")))
+        tf.join(df_t, "term").crossJoin(F.broadcast(n_docs))
+        .withColumn("_rank_key", F.col("n_td").cast("double") * idf)
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("_score"), F.asc("term"))
+    w = Window.partitionBy(id_col)
+    wo = w.orderBy(F.desc("_rank_key"), F.asc("term"))
     return (
-        scored.withColumn("_rn", F.row_number().over(w))
+        scored
+        .withColumn("len_d", F.sum("n_td").over(w))
+        .withColumn("_rn", F.row_number().over(wo))
         .filter(F.col("_rn") <= k)
-        .select(id_col, "term",
-                F.round(F.col("_score"), round_digits).alias("tfidf"))
+        .select(
+            id_col, "term",
+            F.round(F.col("_rank_key") / F.col("len_d").cast("double"),
+                    round_digits).alias("tfidf"))
     )
 
 

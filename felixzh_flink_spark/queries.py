@@ -2145,23 +2145,22 @@ WITH toks AS (
 ), toks_ne AS (SELECT doc_id, term FROM toks WHERE term <> ''),
 tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS n_td
        FROM toks_ne GROUP BY doc_id, term),
-dl AS (SELECT doc_id, CAST(SUM(n_td) AS BIGINT) AS len_d
-       FROM tf GROUP BY doc_id),
 dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df_t FROM tf GROUP BY term),
 n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM documents),
 scored AS (
   SELECT tf.doc_id, tf.term,
-         (CAST(tf.n_td AS DOUBLE) / CAST(dl.len_d AS DOUBLE))
-         * ln(CAST(n.n_docs AS DOUBLE) / CAST(dft.df_t AS DOUBLE)) AS s
-  FROM tf JOIN dl ON tf.doc_id = dl.doc_id
-  JOIN dft ON tf.term = dft.term CROSS JOIN n
+         CAST(tf.n_td AS DOUBLE)
+         * ln(CAST(n.n_docs AS DOUBLE) / CAST(dft.df_t AS DOUBLE)) AS rk,
+         SUM(tf.n_td) OVER (PARTITION BY tf.doc_id) AS len_d
+  FROM tf JOIN dft ON tf.term = dft.term CROSS JOIN n
 ), ranked AS (
-  SELECT doc_id, term, s,
+  SELECT doc_id, term, rk, len_d,
          row_number() OVER (PARTITION BY doc_id
-                            ORDER BY s DESC, term ASC) AS rn
+                            ORDER BY rk DESC, term ASC) AS rn
   FROM scored
 )
-SELECT doc_id, term, round(s, 9) AS tfidf FROM ranked WHERE rn <= 3
+SELECT doc_id, term, round(rk / CAST(len_d AS DOUBLE), 9) AS tfidf
+FROM ranked WHERE rn <= 3
 """)
 def tfidf_top_terms(spark, sf_dir):
     """Per-doc top-3 TF-IDF terms (`text.tf_idf_top_terms`) — the classic
