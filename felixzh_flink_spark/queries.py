@@ -39,6 +39,7 @@ from felixzh_flink_spark.operators.aggregations import (
     salted_two_phase_count,
     weighted_avg,
 )
+from felixzh_flink_spark.operators import bloom as BLOOM
 from felixzh_flink_spark.operators import dedup as DD
 from felixzh_flink_spark.operators import multimodal as MM
 from felixzh_flink_spark.operators import similarity as SIM
@@ -2100,6 +2101,34 @@ def decontaminated_counts(spark, sf_dir):
     return clean.agg(F.count("*").alias("n_clean"))
 
 
+@q("decontaminate_bloom_survivors", r"""
+WITH bench AS (
+  SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+  FROM documents WHERE doc_id % 97 = 0
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_clean,
+       CAST(SUM(d.doc_id) AS BIGINT) AS id_sum,
+       CAST(SUM(d.n_chars) AS BIGINT) AS char_sum
+FROM documents d
+WHERE md5(regexp_replace(lower(trim(d.text)), '\s+', ' ', 'g')) NOT IN (SELECT fp FROM bench)
+""")
+def decontaminate_bloom_survivors(spark, sf_dir):
+    """Bloom-prefiltered decontamination (`operators.bloom.
+    decontaminate_bloom`): identical survivors to the exact anti-join —
+    false positives are exact-confirmed, false negatives are impossible —
+    but the corpus-side shuffle is O(matches): rows missing the broadcast
+    bit set are decided map-side inside codegen. The scale path for eval
+    sets too big to broadcast-hash-join (bloom is ~80× smaller than a
+    join relation). Oracle = the plain anti-join over survivor count,
+    id checksum, and char checksum."""
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    clean = BLOOM.decontaminate_bloom(d, bench)
+    return clean.agg(F.count("*").alias("n_clean"),
+                     F.sum("doc_id").alias("id_sum"),
+                     F.sum("n_chars").alias("char_sum"))
+
+
 @q("decontaminate_ngram_survivors", r"""
 WITH train AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
 ev AS (SELECT text FROM documents WHERE doc_id BETWEEN 100 AND 199),
@@ -2976,6 +3005,7 @@ _DRIVER_ORDER = [
     "ann_ivf_checks", "semantic_dedup_checks", "embedding_near_dup_checks",
     "multimodal_dims",              # new: real PNG/JPEG header parsing
     "decontaminate_ngram_survivors",  # new: 13-gram decontamination
+    "decontaminate_bloom_survivors",  # new: bloom runtime-filter decon
     "tfidf_top_terms",                # new: characteristic-terms stat
     "snapshot_diff",                  # new: snapshot-to-changelog CDC
     "weekly_retention_cohorts",       # new: cohort-retention analytics
