@@ -303,6 +303,61 @@ def repetition_metrics(df: DataFrame, text_col: str = "text",
     )
 
 
+def remove_boilerplate_blocks(df: DataFrame, text_col: str = "text",
+                              id_col: str = "doc_id", block_tokens: int = 3,
+                              min_docs: int = 3) -> DataFrame:
+    """Corpus-wide boilerplate removal, C4-style: any token block (the
+    line/paragraph analog for corpora without layout) appearing in at
+    least `min_docs` DISTINCT documents is navigation/footer/licence
+    boilerplate and is cut from EVERY document; documents are reassembled
+    from their surviving blocks in order, and docs that were pure
+    boilerplate disappear.
+
+    Blocks are non-overlapping `block_tokens`-token windows of the
+    whitespace-normalized text (final partial block kept) — pure JVM
+    (split → sequence → slice → concat_ws → posexplode).
+
+    Scale shape at 100 TB: two shuffles total — one on the block text to
+    count distinct containing docs (partial aggregation applies), one on
+    the doc id to reassemble. The hot-block set is inherently small (each
+    entry repeats ≥ min_docs times, so |hot| ≤ corpus_blocks/min_docs and
+    in practice ~thousands) → broadcast anti-join; if a corpus ever blows
+    past the broadcast threshold, compose with `operators.bloom` the way
+    `decontaminate_bloom` does.
+
+    Returns (id, text, n_blocks_removed).
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    toks = F.split(norm, " ")
+    n_blocks = F.ceil(F.size(toks) / F.lit(float(block_tokens))).cast("int")
+    blocks = F.transform(
+        F.sequence(F.lit(0), n_blocks - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * block_tokens + 1, block_tokens)),
+    )
+    # the per-doc block total rides along the explode as a constant column,
+    # so no second per-doc aggregation + join is needed for the removed count
+    exploded = (df
+                .where(F.length(F.trim(F.col(text_col))) > 0)
+                .select(F.col(id_col), n_blocks.cast("bigint").alias("_total"),
+                        F.posexplode(blocks).alias("idx", "block")))
+    hot = (exploded.groupBy("block")
+           .agg(F.countDistinct(id_col).alias("_nd"))
+           .filter(F.col("_nd") >= min_docs)
+           .select("block"))
+    kept = exploded.join(F.broadcast(hot), "block", "left_anti")
+    return (kept.groupBy(id_col)
+            .agg(F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(F.struct("idx", "block"))),
+                         lambda s: s["block"]),
+                     " ").alias(text_col),
+                 F.count("*").alias("_kept"),
+                 F.first("_total").alias("_total"))
+            .select(F.col(id_col), F.col(text_col),
+                    (F.col("_total") - F.col("_kept")).cast("bigint")
+                    .alias("n_blocks_removed")))
+
+
 def corpus_pipeline(df: DataFrame, benchmark: DataFrame,
                     min_tokens: int = 10, max_punct: float = 0.3,
                     text_col: str = "text",

@@ -2129,6 +2129,40 @@ def decontaminate_bloom_survivors(spark, sf_dir):
                      F.sum("n_chars").alias("char_sum"))
 
 
+@q("boilerplate_block_removal", r"""
+WITH t AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+  FROM documents WHERE length(trim(text)) > 0
+),
+tok AS (SELECT doc_id, string_split(nt, ' ') AS toks FROM t),
+blocks AS (
+  SELECT doc_id, i AS idx,
+         array_to_string(toks[i*2+1:i*2+2], ' ') AS block
+  FROM tok, UNNEST(range(CAST(ceil(len(toks)/2.0) AS BIGINT))) AS r(i)
+),
+hot AS (
+  SELECT block FROM blocks GROUP BY block HAVING COUNT(DISTINCT doc_id) >= 20
+),
+kept AS (
+  SELECT doc_id, idx, block FROM blocks
+  WHERE block NOT IN (SELECT block FROM hot)
+),
+tot AS (SELECT doc_id, COUNT(*) AS total FROM blocks GROUP BY doc_id)
+SELECT k.doc_id, string_agg(k.block, ' ' ORDER BY k.idx) AS text,
+       CAST(any_value(t.total) - COUNT(*) AS BIGINT) AS n_blocks_removed
+FROM kept k JOIN tot t USING (doc_id)
+GROUP BY k.doc_id
+""")
+def boilerplate_block_removal(spark, sf_dir):
+    """C4-style corpus-wide boilerplate removal (`text.
+    remove_boilerplate_blocks`): 2-token blocks appearing in >= 20
+    distinct docs are cut everywhere, docs reassembled from surviving
+    blocks in order. Two shuffles (block-count, doc reassembly); the hot
+    set broadcasts. Oracle replays the full reassembled text verbatim."""
+    d = _t_wide(spark, sf_dir, "documents")
+    return TX.remove_boilerplate_blocks(d, block_tokens=2, min_docs=20)
+
+
 @q("decontaminate_ngram_survivors", r"""
 WITH train AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
 ev AS (SELECT text FROM documents WHERE doc_id BETWEEN 100 AND 199),
@@ -3006,6 +3040,7 @@ _DRIVER_ORDER = [
     "multimodal_dims",              # new: real PNG/JPEG header parsing
     "decontaminate_ngram_survivors",  # new: 13-gram decontamination
     "decontaminate_bloom_survivors",  # new: bloom runtime-filter decon
+    "boilerplate_block_removal",      # new: C4-style block dedup
     "tfidf_top_terms",                # new: characteristic-terms stat
     "snapshot_diff",                  # new: snapshot-to-changelog CDC
     "weekly_retention_cohorts",       # new: cohort-retention analytics

@@ -135,3 +135,46 @@ def test_corpus_pipeline_invariants(spark, sf_dir):
                  fingerprint_md5(bench).select("fingerprint").collect()}
     got = {r["fingerprint"] for r in fps.select("fingerprint").collect()}
     assert not (got & bench_fps)
+
+
+def test_boilerplate_blocks_removed_corpus_wide(spark):
+    """A block shared by >= min_docs docs is cut from every doc; unique
+    content survives in order; pure-boilerplate docs disappear."""
+    from pyspark.sql import Row
+    from felixzh_flink_spark.operators.text import remove_boilerplate_blocks
+    boiler = "subscribe to our newsletter"  # 4 tokens = one block + tail
+    rows = [Row(doc_id=i, text=f"unique words {i} alpha {boiler}")
+            for i in range(3)]
+    rows.append(Row(doc_id=99, text="totally different content here body"))
+    df = spark.createDataFrame(rows)
+    out = remove_boilerplate_blocks(df, block_tokens=4, min_docs=3)
+    got = {r["doc_id"]: (r["text"], r["n_blocks_removed"]) for r in out.collect()}
+    # the shared 4-token block "subscribe to our newsletter" is removed; the
+    # leading unique block (4 toks) and the per-doc remainder survive
+    for i in range(3):
+        assert boiler not in got[i][0]
+        assert f"unique words {i} alpha" == got[i][0]
+        assert got[i][1] == 1
+    assert got[99] == ("totally different content here body", 0)
+
+
+def test_boilerplate_pure_doc_disappears_and_order_kept(spark):
+    from pyspark.sql import Row
+    from felixzh_flink_spark.operators.text import remove_boilerplate_blocks
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text="nav bar") for i in range(3)]
+        + [Row(doc_id=7, text="one two nav bar three four five six seven")])
+    out = remove_boilerplate_blocks(df, block_tokens=2, min_docs=3)
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert set(got) == {7}
+    # blocks: [one two][nav bar][three four][five six][seven]
+    assert got[7] == "one two three four five six seven"
+
+
+def test_boilerplate_empty_text_dropped(spark):
+    from pyspark.sql import Row
+    from felixzh_flink_spark.operators.text import remove_boilerplate_blocks
+    df = spark.createDataFrame([Row(doc_id=1, text="  "), Row(doc_id=2, text="a b c")])
+    out = remove_boilerplate_blocks(df, block_tokens=2, min_docs=2)
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert got == {2: "a b c"}
