@@ -303,6 +303,61 @@ def repetition_metrics(df: DataFrame, text_col: str = "text",
     )
 
 
+def train_unigram_lm(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Train a unigram language model over the corpus: (term, logp) with
+    logp = ln(count / total_tokens). The CCNet-style quality signal's model
+    half — in production you train on a trusted reference corpus (e.g.
+    Wikipedia) and score the crawl with it.
+
+    Scale shape: one partial-aggregated shuffle on the term (output rows =
+    vocabulary size, not token occurrences); the total is a scalar
+    broadcast. Pure JVM."""
+    toks = (df.select(F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), TOKEN_RE)).alias("term"))
+            .filter(F.col("term") != ""))
+    counts = toks.groupBy("term").agg(F.count("*").alias("c"))
+    total = counts.agg(F.sum("c").alias("n_total"))
+    return (counts.crossJoin(F.broadcast(total))
+            .select("term",
+                    F.log(F.col("c").cast("double") /
+                          F.col("n_total").cast("double")).alias("logp")))
+
+
+def unigram_nll_score(df: DataFrame, lm: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", oov_logp: float = -20.0,
+                      round_digits: int = 9) -> DataFrame:
+    """Score documents by mean negative log-likelihood under a unigram LM
+    (perplexity = exp(nll)): the CCNet quality-bucketing signal — docs far
+    from the reference distribution (high nll) are tail-quality. Returns
+    (id, n_tokens, nll).
+
+    Out-of-vocabulary tokens get `oov_logp` (a floor, not smoothing — the
+    LM side stays renormalization-free). Per-term contributions are summed
+    via the decimal exact-sum path so the result is fold-order-free; the
+    final mean is rounded (ln is within-1-ulp across engines).
+
+    Scale shape: per-(doc,term) counts shuffle once partial-aggregated;
+    the LM (vocabulary-sized) broadcasts — for web-scale vocabularies drop
+    the broadcast hint and let the term join shuffle."""
+    from felixzh_flink_spark.operators.aggregations import exact_sum
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), TOKEN_RE)).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("n_td"))
+    scored = (tf.join(F.broadcast(lm), "term", "left")
+              .withColumn("_contrib",
+                          -F.col("n_td").cast("double")
+                          * F.coalesce(F.col("logp"), F.lit(oov_logp))))
+    return (scored.groupBy(id_col)
+            .agg(F.sum("n_td").alias("n_tokens"),
+                 exact_sum("_contrib", scale=15, alias="_nll_sum"))
+            .select(F.col(id_col), F.col("n_tokens"),
+                    F.round(F.col("_nll_sum") / F.col("n_tokens").cast("double"),
+                            round_digits).alias("nll")))
+
+
 def remove_boilerplate_blocks(df: DataFrame, text_col: str = "text",
                               id_col: str = "doc_id", block_tokens: int = 3,
                               min_docs: int = 3) -> DataFrame:

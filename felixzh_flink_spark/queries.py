@@ -2163,6 +2163,36 @@ def boilerplate_block_removal(spark, sf_dir):
     return TX.remove_boilerplate_blocks(d, block_tokens=2, min_docs=20)
 
 
+@q("unigram_doc_nll", r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS term
+  FROM documents
+),
+toks2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+counts AS (SELECT term, COUNT(*) AS c FROM toks2 GROUP BY term),
+total AS (SELECT SUM(c) AS n_total FROM counts),
+lm AS (SELECT term, ln(CAST(c AS DOUBLE) / CAST(n_total AS DOUBLE)) AS logp
+       FROM counts, total),
+tf AS (SELECT doc_id, term, COUNT(*) AS n_td FROM toks2 GROUP BY doc_id, term)
+SELECT tf.doc_id,
+       CAST(SUM(n_td) AS BIGINT) AS n_tokens,
+       ROUND(CAST(SUM(CAST(-CAST(n_td AS DOUBLE) * logp AS DECIMAL(30,15))) AS DOUBLE)
+             / CAST(SUM(n_td) AS DOUBLE), 9) AS nll
+FROM tf JOIN lm USING (term)
+GROUP BY tf.doc_id
+""")
+def unigram_doc_nll(spark, sf_dir):
+    """CCNet-style LM quality signal (`text.train_unigram_lm` +
+    `unigram_nll_score`): per-doc mean negative log-likelihood under the
+    corpus unigram LM (perplexity bucketing head/middle/tail). One term
+    shuffle to train, one (doc,term) shuffle to score, LM broadcast.
+    Decimal exact-sum + rounded mean keep the doubles hash-matchable."""
+    d = _t_wide(spark, sf_dir, "documents")
+    lm = TX.train_unigram_lm(d)
+    return TX.unigram_nll_score(d, lm)
+
+
 @q("decontaminate_ngram_survivors", r"""
 WITH train AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
 ev AS (SELECT text FROM documents WHERE doc_id BETWEEN 100 AND 199),
@@ -3041,6 +3071,7 @@ _DRIVER_ORDER = [
     "decontaminate_ngram_survivors",  # new: 13-gram decontamination
     "decontaminate_bloom_survivors",  # new: bloom runtime-filter decon
     "boilerplate_block_removal",      # new: C4-style block dedup
+    "unigram_doc_nll",                # new: CCNet-style LM quality signal
     "tfidf_top_terms",                # new: characteristic-terms stat
     "snapshot_diff",                  # new: snapshot-to-changelog CDC
     "weekly_retention_cohorts",       # new: cohort-retention analytics

@@ -178,3 +178,38 @@ def test_boilerplate_empty_text_dropped(spark):
     out = remove_boilerplate_blocks(df, block_tokens=2, min_docs=2)
     got = {r["doc_id"]: r["text"] for r in out.collect()}
     assert got == {2: "a b c"}
+
+
+def test_unigram_lm_uniform_corpus_nll_is_log_vocab(spark):
+    import math
+    from pyspark.sql import Row
+    from felixzh_flink_spark.operators.text import train_unigram_lm, unigram_nll_score
+    df = spark.createDataFrame([Row(doc_id=1, text="a b"), Row(doc_id=2, text="c d")])
+    lm = train_unigram_lm(df)
+    out = {r["doc_id"]: (r["n_tokens"], r["nll"])
+           for r in unigram_nll_score(df, lm).collect()}
+    for i in (1, 2):
+        assert out[i][0] == 2
+        assert abs(out[i][1] - math.log(4)) < 1e-9
+
+
+def test_unigram_lm_oov_floor_and_rare_token_penalty(spark):
+    from pyspark.sql import Row
+    from felixzh_flink_spark.operators.text import train_unigram_lm, unigram_nll_score
+    train = spark.createDataFrame(
+        [Row(doc_id=i, text="common common common words") for i in range(5)])
+    lm = train_unigram_lm(train)
+    score_df = spark.createDataFrame(
+        [Row(doc_id=100, text="common words"), Row(doc_id=101, text="unseen zork")])
+    out = {r["doc_id"]: r["nll"] for r in unigram_nll_score(score_df, lm).collect()}
+    assert out[101] == 20.0  # pure-OOV doc sits exactly at the floor
+    assert out[100] < out[101]  # in-distribution doc scores better
+
+
+def test_unigram_nll_partitioning_invariant(spark, sf_dir):
+    from felixzh_flink_spark.operators.text import train_unigram_lm, unigram_nll_score
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lm = train_unigram_lm(d)
+    a = sorted(unigram_nll_score(d, lm).collect())
+    b = sorted(unigram_nll_score(d.repartition(13), lm).collect())
+    assert a == b
