@@ -29,6 +29,35 @@ def profile_numeric(df: DataFrame, cols: list[str]) -> DataFrame:
     return df.agg(*aggs)
 
 
+def heavy_hitters(df: DataFrame, col: str, support: float = 0.01) -> list:
+    """Approximate heavy hitters via `DataFrame.stat.freqItems` — Spark's
+    single-pass merged-partials frequent-items sketch (Karp/Misra-Gries
+    family). Guarantee: the returned list is a SUPERSET of every value with
+    frequency > support·N (false positives possible, false negatives not).
+    One scan, no shuffle beyond the sketch-merge; the result is bounded by
+    ~1/support values, i.e. driver-safe by construction at any corpus
+    size. Verify candidates exactly afterwards when exact counts matter —
+    the sketch's job is shrinking the candidate set, same contract as the
+    bloom/LSH pruning primitives."""
+    return list(df.stat.freqItems([col], support).head()[0])
+
+
+def heavy_hitters_verified(df: DataFrame, col: str,
+                           support: float = 0.01) -> DataFrame:
+    """Exact heavy hitters with the sketch as a pre-check: returns
+    (value, cnt, in_sketch) for every value whose exact frequency exceeds
+    support·N. `in_sketch` must be TRUE for each (the sketch's
+    no-false-negative guarantee) — a broken sketch shows up as FALSE.
+    Cost: the sketch pass + one partial-aggregated count shuffle whose
+    output is bounded by the value cardinality."""
+    items = heavy_hitters(df, col, support)
+    total = df.count()
+    return (df.groupBy(col).agg(F.count("*").alias("cnt"))
+            .filter(F.col("cnt") > support * total)
+            .select(F.col(col), F.col("cnt"),
+                    F.col(col).isin(items).alias("in_sketch")))
+
+
 def metadata_stats(spark, path: str, cols: list[str]):
     """MIN/MAX/COUNT per column answered from parquet FOOTER metadata — no
     row reads. At 100 TB this turns a full-table profile prelude into a

@@ -3025,6 +3025,24 @@ def profile_lineitem(spark, sf_dir):
                            ["l_quantity", "l_discount"])
 
 
+@q("heavy_hitter_langs", """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS cnt, TRUE AS in_sketch
+FROM documents GROUP BY lang
+HAVING COUNT(*) > 0.2 * (SELECT COUNT(*) FROM documents)
+""")
+def heavy_hitter_langs(spark, sf_dir):
+    """Heavy hitters over documents.lang (en ~44% passes the 20% support,
+    the other four langs at ~13-15% are excluded — the threshold
+    discriminates): exact counts gated by the freqItems sketch's
+    no-false-negative guarantee (`profiling.heavy_hitters_verified`).
+    Assertion half: in_sketch must be TRUE for every exact heavy hitter —
+    a sketch that dropped one flips it FALSE and breaks the hash. Exact
+    half (value, cnt) is a hard oracle."""
+    from felixzh_flink_spark.operators.profiling import heavy_hitters_verified
+    return heavy_hitters_verified(_t(spark, sf_dir, "documents"),
+                                  "lang", support=0.2)
+
+
 @q("approx_distinct_parts", """
 SELECT l_suppkey, TRUE AS within_20pct FROM lineitem GROUP BY l_suppkey
 """)
@@ -3072,6 +3090,7 @@ _DRIVER_ORDER = [
     "decontaminate_bloom_survivors",  # new: bloom runtime-filter decon
     "boilerplate_block_removal",      # new: C4-style block dedup
     "unigram_doc_nll",                # new: CCNet-style LM quality signal
+    "heavy_hitter_langs",             # new: freqItems heavy hitters
     "tfidf_top_terms",                # new: characteristic-terms stat
     "snapshot_diff",                  # new: snapshot-to-changelog CDC
     "weekly_retention_cohorts",       # new: cohort-retention analytics

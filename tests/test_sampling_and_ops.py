@@ -122,3 +122,18 @@ def test_sequence_stages_strict_order_and_greedy_complete(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert not any(n in plan for n in
                    ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"))
+
+
+def test_heavy_hitters_superset_guarantee(spark):
+    from pyspark.sql import Row
+    from felixzh_flink_spark.operators.profiling import (
+        heavy_hitters, heavy_hitters_verified)
+    rows = ([Row(k="hot") for _ in range(60)]
+            + [Row(k="warm") for _ in range(30)]
+            + [Row(k=f"cold{i}") for i in range(10)])
+    df = spark.createDataFrame(rows)
+    items = heavy_hitters(df, "k", support=0.2)
+    assert "hot" in items and "warm" in items  # > 20% must be present
+    out = heavy_hitters_verified(df, "k", support=0.2).collect()
+    got = {r["k"]: (r["cnt"], r["in_sketch"]) for r in out}
+    assert got == {"hot": (60, True), "warm": (30, True)}
