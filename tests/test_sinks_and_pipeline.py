@@ -154,3 +154,51 @@ def test_pipeline_trigger_interval_config(spark, tmp_path):
     q.processAllAvailable()
     q.stop()
     assert spark.sql("SELECT COUNT(*) n FROM trig_out").head()["n"] == 3
+
+
+def test_zorder_interleave_known_values(spark):
+    from pyspark.sql import Row, functions as F
+    from felixzh_flink_spark.sinks.layout import interleave_bits
+    df = spark.createDataFrame([Row(a=3, b=5)])  # 0b011, 0b101
+    # interleave: a bits at even positions, b at odd:
+    # a=011 -> 0b010101 contribution at 2i; b=101 -> bit0->pos1? b bit i -> 2i+1
+    # a: bits (0,1)=1 -> pos 0,2 ; b: bits(0,2)=1 -> pos 1,5 => 0b100111 = 39
+    got = df.select(interleave_bits(F.col("a"), F.col("b"), bits=3).alias("z")).head()["z"]
+    assert got == 39
+
+
+def test_zorder_roundtrip_and_skippability(spark, tmp_path):
+    """Z-ordered layout: row parity, and a 2-D box query must skip more
+    files (by footer min/max) than a single-column-sorted layout."""
+    from pyspark.sql import functions as F
+    from felixzh_flink_spark.sinks.layout import (
+        file_bounding_boxes, files_intersecting_box, write_zordered)
+    n = 20_000
+    df = spark.range(n).select(
+        (F.xxhash64("id", F.lit(1)) % 1000).alias("x"),
+        (F.xxhash64("id", F.lit(2)) % 1000).alias("y"))
+    zpath = str(tmp_path / "zorder")
+    spath = str(tmp_path / "sorted")
+    write_zordered(df, zpath, "x", "y", bits=8, num_files=16)
+    df.repartitionByRange(16, "x").sortWithinPartitions("x") \
+        .write.mode("overwrite").parquet(spath)
+    # parity
+    assert spark.read.parquet(zpath).count() == n
+    assert (spark.read.parquet(zpath).agg(F.sum("x"), F.sum("y")).head()
+            == df.agg(F.sum("x"), F.sum("y")).head())
+    zboxes = file_bounding_boxes(zpath, "x", "y")
+    sboxes = file_bounding_boxes(spath, "x", "y")
+    assert len(zboxes) >= 8 and len(sboxes) >= 8
+    full = (-1000, 1000)
+    narrow_y = (0, 20)  # ~1% of the y domain
+    # y-only predicate: the x-sorted layout cannot prune AT ALL (y is
+    # unclustered, every file's y-range spans the domain); z-order bounds
+    # every file in BOTH dims, so most files are skipped
+    zn_y = files_intersecting_box(zboxes, "x", "y", full, narrow_y)
+    sn_y = files_intersecting_box(sboxes, "x", "y", full, narrow_y)
+    assert sn_y == len(sboxes)          # sorted layout reads everything
+    assert zn_y <= len(zboxes) // 2     # z-order skips the majority
+    # x-only predicate: z-order gives up SOME single-dim pruning vs a
+    # perfect x-sort (the documented tradeoff) but must still prune
+    zn_x = files_intersecting_box(zboxes, "x", "y", (0, 20), full)
+    assert zn_x <= len(zboxes) // 2
