@@ -65,7 +65,13 @@ def make_near_dup_fn(horizon_ms: int):
         # representative per-chunk, making first_id depend on chunk order
         # and breaking replay determinism. Groups are bucket-sized, so the
         # buffer is small by construction.
-        ids = [int(x) for pdf in pdf_iter for x in pdf["id"]]
+        ids = []
+        last_ms = 0
+        for pdf in pdf_iter:
+            ids.extend(int(x) for x in pdf["id"])
+            m = pdf["_ts"].max()
+            if m is not None:
+                last_ms = max(last_ms, int(m.timestamp() * 1000))
         out = []
         for doc_id in sorted(ids):
             if first_id is None:
@@ -74,7 +80,13 @@ def make_near_dup_fn(horizon_ms: int):
                 out.append({"doc_id": doc_id, "dup_of": first_id,
                             "band": int(key[0])})
         state.update((first_id,))
-        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + horizon_ms)
+        # anchor the eviction timer on the bucket's LAST ACTIVITY (max event
+        # time in this batch), not the current watermark: in the first
+        # micro-batch the watermark is still 0, and a watermark-relative
+        # timer would land in 1970 and purge every bucket at the next batch,
+        # silently missing any cross-batch duplicate within the horizon
+        state.setTimeoutTimestamp(
+            max(last_ms, state.getCurrentWatermarkMs()) + horizon_ms)
         if out:
             yield pd.DataFrame(out)
 

@@ -87,7 +87,12 @@ def make_count_window_fn(max_count: int, timeout_ms: int | None = None,
 
         buf_cnt, buf_sum, fired = state.get if state.exists else (0, 0.0, 0)
         out = []
+        last_ms = 0
         for pdf in pdf_iter:
+            if timeout_ms is not None and len(pdf):
+                m = pdf["_ts"].max()
+                if m is not None:
+                    last_ms = max(last_ms, int(m.timestamp() * 1000))
             for v in pdf["value"]:
                 buf_cnt += 1
                 buf_sum += float(v)
@@ -100,9 +105,13 @@ def make_count_window_fn(max_count: int, timeout_ms: int | None = None,
                     buf_cnt, buf_sum = 0, 0.0
         state.update((buf_cnt, buf_sum, fired))
         if timeout_ms is not None:
-            # fire when the watermark advances timeout_ms past where it is
-            # now — the event-time "window end" for this buffer
-            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + timeout_ms)
+            # window end = timeout_ms past the buffer's last event time (or
+            # the watermark if it is already ahead). Anchoring on the
+            # watermark ALONE would put the first batch's timer at
+            # 1970+timeout (watermark is 0 until a batch completes) and
+            # fire every partial buffer one batch early.
+            state.setTimeoutTimestamp(
+                max(last_ms, state.getCurrentWatermarkMs()) + timeout_ms)
         if out:
             yield pd.DataFrame(out)
 

@@ -462,3 +462,33 @@ def test_exactly_once_parquet_sink_idempotent_replay(spark, tmp_path):
     os.remove(os.path.join(out, "_committed_0"))
     run(ckpt3)
     assert read_exactly_once_output(spark, out).count() == 3
+
+
+def test_streaming_near_dup_across_batches_within_horizon(spark, tmp_path):
+    """Regression: a duplicate arriving in a LATER micro-batch but inside
+    the horizon must still be flagged — the eviction timer anchors on the
+    bucket's last activity, not on the first batch's 0 watermark (which
+    would purge every bucket at the next batch)."""
+    from felixzh_flink_spark.streaming.neardup import near_dup_stream
+    src = str(tmp_path / "src")
+    doc_schema = T.StructType([
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    text = "a body of text that reappears in the very next micro batch run"
+    spark.createDataFrame([(BASE, 1, text)], doc_schema) \
+        .coalesce(1).write.mode("append").parquet(src)
+    stream = file_stream_source(spark, src, doc_schema, max_files_per_trigger=1)
+    out = near_dup_stream(stream, n=3, num_perm=32, bands=16,
+                          watermark_delay="1 second", horizon_ms=600_000)
+    q = (out.writeStream.format("memory").queryName("neardup_xbatch")
+         .outputMode("append").start())
+    q.processAllAvailable()
+    spark.createDataFrame([(BASE + dt.timedelta(seconds=30), 2, text)],
+                          doc_schema).coalesce(1).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    pairs = {(r["doc_id"], r["dup_of"]) for r in
+             spark.sql("SELECT * FROM neardup_xbatch").collect()}
+    assert (2, 1) in pairs
