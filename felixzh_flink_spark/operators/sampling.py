@@ -55,3 +55,55 @@ def stratified_sample(df: DataFrame, key: str, strata_col: str,
         frac = F.when(F.col(strata_col) == k, F.lit(v)).otherwise(frac)
     return df.filter(
         hash_bucket(F.col(key), buckets) < (frac * buckets).cast("bigint"))
+
+
+def temperature_resample(df: DataFrame, key: str, domain_col: str,
+                         target_total: int,
+                         buckets: int = 10_000) -> DataFrame:
+    """Temperature-weighted domain resampling — the multilingual /
+    multi-domain mixture recipe (sampling probability ∝ N_d^α with α < 1,
+    so small domains are up-weighted relative to their natural share; the
+    mixture used by multilingual-pretraining pipelines).
+
+    α is fixed at 0.5 and DISCRETIZED through the integer square root:
+    weight s_d = isqrt(N_d), per-row acceptance threshold
+    ``t_d = (target_total · buckets · s_d) div (Σs · N_d)`` and a row is
+    kept iff ``hash_bucket(key) < t_d``. Every step after the exact domain
+    counts is INTEGER arithmetic, so the kept set is a pure deterministic
+    function of the data — reproducible across engines, partitionings and
+    runs, and oracle-checkable (float `pow` is not correctly rounded and
+    may differ across libms; `sqrt` is IEEE-correctly-rounded everywhere,
+    and floor(sqrt(double)) == isqrt exactly for counts < 2^50).
+
+    Expected kept rows per domain ≈ target_total · s_d / Σs, capped at the
+    full domain (t_d is clamped to `buckets` — a small domain asked for
+    more rows than it has keeps everything; temperature sampling
+    without-replacement saturates exactly like this).
+
+    Scale shape: one scan for the counts (partial-aggregated, #domains
+    rows), the threshold table is broadcast back, and the keep decision is
+    a scan-local filter — no shuffle of the corpus itself. `target_total ·
+    buckets · s_d` stays in int64 for any corpus below ~2^63/buckets
+    tokens — beyond that, lower `buckets`."""
+    counts = df.groupBy(domain_col).agg(F.count("*").alias("_n"))
+    weights = counts.withColumn(
+        "_s", F.floor(F.sqrt(F.col("_n"))).cast("bigint"))
+    # total derives from weights, so the cross join is a self-join — alias
+    # both sides to keep `_s` references unambiguous
+    total = weights.agg(F.sum("_s").alias("_S"))
+    thresholds = (
+        weights.alias("w").crossJoin(F.broadcast(total).alias("t"))
+        .select(
+            f"w.{domain_col}",
+            F.least(
+                F.expr(f"({target_total} * {buckets} * w._s)"
+                       " div (t._S * w._n)"),
+                F.lit(buckets).cast("bigint"),
+            ).alias("_thresh"),
+        )
+    )
+    return (
+        df.join(F.broadcast(thresholds), domain_col)
+        .filter(hash_bucket(F.col(key), buckets) < F.col("_thresh"))
+        .drop("_thresh")
+    )

@@ -2903,6 +2903,36 @@ def stratified_sample_counts(spark, sf_dir):
     return kept.groupBy("lang").agg(F.count("*").alias("n_kept"))
 
 
+@q("temperature_mix_counts", """
+WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+w AS (SELECT source, n, CAST(FLOOR(SQRT(n)) AS BIGINT) AS s FROM c),
+t AS (SELECT w.source,
+             LEAST((250 * 10000 * w.s)
+                   // (CAST((SELECT SUM(s) FROM w) AS BIGINT) * w.n),
+                   10000) AS thresh
+      FROM w),
+b AS (SELECT d.source,
+             CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 10000 AS bucket
+      FROM documents d)
+SELECT b.source, CAST(COUNT(*) AS BIGINT) AS n_kept
+FROM b JOIN t ON b.source = t.source
+WHERE b.bucket < t.thresh
+GROUP BY b.source
+""")
+def temperature_mix_counts(spark, sf_dir):
+    """Temperature-weighted domain mixing (`sampling.temperature_resample`,
+    α=0.5 via integer-sqrt weights): resample documents toward a
+    250-row target so small sources are up-weighted — the multilingual-
+    mixture recipe. Every post-count step is integer arithmetic, so kept
+    rows are a pure function of the data and the md5 hash (the oracle
+    recomputes weights, thresholds and the kept set independently)."""
+    from felixzh_flink_spark.operators.sampling import temperature_resample
+    d = _t(spark, sf_dir, "documents")
+    kept = temperature_resample(d, "doc_id", "source", target_total=250)
+    return kept.groupBy("source").agg(F.count("*").alias("n_kept"))
+
+
 @q("corpus_pipeline_counts", r"""
 WITH gated AS (
   SELECT doc_id, lang,
@@ -3137,6 +3167,7 @@ _DRIVER_ORDER = [
     "tfidf_top_terms",                # new: characteristic-terms stat
     "snapshot_diff",                  # new: snapshot-to-changelog CDC
     "incremental_agg_view",           # new: incremental view maintenance
+    "temperature_mix_counts",         # new: α=0.5 temperature domain mix
     "weekly_retention_cohorts",       # new: cohort-retention analytics
     "funnel_view_click_purchase",     # new: CEP-lite sequence matching
     # last hard-checked in ROUND 1 — re-verify after two rounds of
@@ -3144,8 +3175,7 @@ _DRIVER_ORDER = [
     "salted_event_counts", "repartitioned_user_counts",
     "events_hourly", "user_sessions", "filter_projection",
     "range_join_recent_views",
-    "word_count", "csv_roundtrip_part",
-    "json_roundtrip_orders",
+    "word_count", "json_roundtrip_orders",
     "q1_pricing_summary", "revenue_by_nation", "q3_top_unshipped",
     "q4_order_priority", "q5_local_supplier_volume", "q6_forecast_revenue",
     "q10_returned_items", "q12_returnflag_priority", "q14_promo_revenue",
@@ -3166,9 +3196,10 @@ _DRIVER_ORDER = [
     # re-verified by this round's full check_correctness sweep at
     # sf0.001, sf0.01 AND sf0.1)
     # displaced from the r1 re-check block by this round's new queries:
-    # trivial single-operator paths (registered-UDF concat) whose code was
-    # untouched since r1 and which the local sweep re-verified at 3 SFs
-    "scalar_concat",
+    # trivial single-operator paths (registered-UDF concat, csv codec
+    # roundtrip) whose code was untouched since r1 and which the local
+    # sweep re-verified at 3 SFs
+    "scalar_concat", "csv_roundtrip_part",
     "canal_decode", "debezium_decode",
     "asof_purchase_view", "events_rollup_cascade",
     "pack_sequences", "token_shards",

@@ -137,3 +137,29 @@ def test_heavy_hitters_superset_guarantee(spark):
     out = heavy_hitters_verified(df, "k", support=0.2).collect()
     got = {r["k"]: (r["cnt"], r["in_sketch"]) for r in out}
     assert got == {"hot": (60, True), "warm": (30, True)}
+
+
+def test_temperature_resample_upweights_small_domains(spark):
+    """α=0.5 property: a domain 16× larger gets only ~4× the rows (sqrt
+    weighting), so the SMALL domain's keep-rate is higher; tiny domains
+    saturate at 100% instead of over-sampling. Kept set is a pure function
+    of the data — invariant under repartitioning."""
+    from felixzh_flink_spark.operators.sampling import temperature_resample
+
+    rows = ([("big", i) for i in range(1600)]
+            + [("small", 10_000 + i) for i in range(100)])
+    df = spark.createDataFrame(rows, "domain string, id long")
+    kept = temperature_resample(df, "id", "domain", target_total=500)
+    counts = {r["domain"]: r["cnt"] for r in
+              kept.groupBy("domain").agg(F.count("*").alias("cnt")).collect()}
+    # weights: s_big=40, s_small=10, S=50 → expected big 400, small 100
+    rate_big = counts["big"] / 1600
+    rate_small = counts["small"] / 100
+    assert rate_small > rate_big                    # up-weighted
+    assert counts["small"] == 100                   # saturated: keeps all
+    assert 300 <= counts["big"] <= 500              # ≈ 400 expected
+
+    again = temperature_resample(df.repartition(7, "domain"), "id",
+                                 "domain", target_total=500)
+    assert sorted(r["id"] for r in kept.collect()) \
+        == sorted(r["id"] for r in again.collect())
