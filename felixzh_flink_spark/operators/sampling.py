@@ -13,7 +13,7 @@ splitting, available in every engine; xxhash64 is faster but Spark-specific.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -55,6 +55,33 @@ def stratified_sample(df: DataFrame, key: str, strata_col: str,
         frac = F.when(F.col(strata_col) == k, F.lit(v)).otherwise(frac)
     return df.filter(
         hash_bucket(F.col(key), buckets) < (frac * buckets).cast("bigint"))
+
+
+def epoch_shuffle(df: DataFrame, key: str, seed: str,
+                  n_shards: int = 64,
+                  shard_col: str = "shard",
+                  pos_col: str = "pos") -> DataFrame:
+    """Deterministic training-order shuffle: assign every row a (shard,
+    position) that is a pure function of (key, seed) — the per-epoch
+    reshuffle of a training-data pipeline, reproducible on any engine and
+    resumable mid-epoch (position IS the cursor).
+
+    Shard = stable md5 bucket of the key; position = rank of
+    md5(seed ‖ key) WITHIN the shard (ties broken by key). Changing the
+    seed permutes both shard-internal order and nothing else — epochs
+    differ, reruns don't. The sort is per-shard (`row_number` partitioned
+    by shard), NOT a global total order: at 100 TB a global sort is one
+    range-partitioned total-order shuffle per epoch, while the shard-local
+    form shuffles once on the shard id and sorts shards independently —
+    readers consume shards in any order, which is exactly how a
+    data-loader fans out."""
+    k = F.col(key).cast("string")
+    h = F.md5(F.concat(F.lit(seed), F.lit("-"), k))
+    w = Window.partitionBy(shard_col).orderBy(h, F.col(key))
+    return (
+        df.withColumn(shard_col, hash_bucket(F.col(key), n_shards))
+        .withColumn(pos_col, F.row_number().over(w))
+    )
 
 
 def temperature_resample(df: DataFrame, key: str, domain_col: str,

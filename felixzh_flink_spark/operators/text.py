@@ -44,6 +44,36 @@ def bpe_ish_token_count(text: Column | str, alias: str = "n_subtokens") -> Colum
         .cast("bigint").alias(alias)
 
 
+def length_histogram(df: DataFrame, text_col: str = "text",
+                     group_col: str = "source") -> DataFrame:
+    """Sequence-length distribution per group: power-of-two histogram of
+    whitespace-token counts — the length profile a packing/curriculum
+    stage reads before choosing sequence budgets.
+
+    Bucket = bit width of the token count (`length(bin(n))`, i.e.
+    floor(log2 n)+1; 0 for empty docs) — INTEGER arithmetic, because
+    `floor(log2(x))` through float log is not correctly rounded and can
+    land on the wrong side of a power of two on some libm. Emits per
+    (group, bucket): doc count, token sum, and the bucket's inclusive
+    lower bound 2^(b-1). One partial-aggregated shuffle on
+    (group, bucket) — scan-shaped at any scale."""
+    n = token_count(text_col)
+    bucket = F.when(F.col("n_tokens") == 0, F.lit(0)) \
+        .otherwise(F.length(F.bin(F.col("n_tokens")))).cast("int")
+    return (
+        df.select(F.col(group_col), n)
+        .withColumn("len_bucket", bucket)
+        .groupBy(group_col, "len_bucket")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_tokens").alias("total_tokens"))
+        .withColumn(
+            "bucket_min",
+            F.when(F.col("len_bucket") == 0, F.lit(0))
+            .otherwise(F.expr("shiftleft(1, len_bucket - 1)"))
+            .cast("bigint"))
+    )
+
+
 def chunk_documents(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id", chunk_tokens: int = 64,
                     overlap_tokens: int = 8) -> DataFrame:

@@ -2933,6 +2933,62 @@ def temperature_mix_counts(spark, sf_dir):
     return kept.groupBy("source").agg(F.count("*").alias("n_kept"))
 
 
+@q("length_histogram_sources", r"""
+WITH t AS (
+  SELECT source,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+              AS BIGINT) AS n_tokens
+  FROM documents
+),
+b AS (
+  SELECT source, n_tokens,
+         CAST(CASE WHEN n_tokens = 0 THEN 0
+              ELSE length(bin(n_tokens)) END AS INT) AS len_bucket
+  FROM t
+)
+SELECT source, len_bucket,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(CASE WHEN len_bucket = 0 THEN 0
+            ELSE 1 << (len_bucket - 1) END AS BIGINT) AS bucket_min
+FROM b GROUP BY source, len_bucket
+""")
+def length_histogram_sources(spark, sf_dir):
+    """Per-source sequence-length distribution (`text.length_histogram`):
+    power-of-two buckets of whitespace-token counts — the length profile a
+    packing/curriculum stage reads. Buckets come from the INTEGER bit
+    width (`length(bin(n))`), not float log2, so both engines land every
+    count in the same bucket."""
+    return TX.length_histogram(_t(spark, sf_dir, "documents"))
+
+
+@q("epoch_shuffle_docs", """
+WITH s AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+             % 64 AS shard
+  FROM documents
+)
+SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+       CAST(ROW_NUMBER() OVER (
+           PARTITION BY shard
+           ORDER BY md5('e1-' || CAST(doc_id AS VARCHAR)), doc_id)
+         AS INT) AS pos
+FROM s
+""")
+def epoch_shuffle_docs(spark, sf_dir):
+    """Deterministic epoch shuffle (`sampling.epoch_shuffle`): every doc
+    gets a (shard, position) that is a pure function of (doc_id, seed) —
+    the per-epoch training-order permutation, shard-local so no global
+    total-order sort is needed. The oracle independently recomputes the
+    same permutation from md5."""
+    d = _t(spark, sf_dir, "documents")
+    from felixzh_flink_spark.operators.sampling import epoch_shuffle
+    return epoch_shuffle(d, "doc_id", seed="e1").select(
+        "doc_id", "shard", "pos")
+
+
 @q("corpus_pipeline_counts", r"""
 WITH gated AS (
   SELECT doc_id, lang,
@@ -3168,6 +3224,8 @@ _DRIVER_ORDER = [
     "snapshot_diff",                  # new: snapshot-to-changelog CDC
     "incremental_agg_view",           # new: incremental view maintenance
     "temperature_mix_counts",         # new: α=0.5 temperature domain mix
+    "length_histogram_sources",       # new: pow-2 length histogram
+    "epoch_shuffle_docs",             # new: deterministic epoch shuffle
     "weekly_retention_cohorts",       # new: cohort-retention analytics
     "funnel_view_click_purchase",     # new: CEP-lite sequence matching
     # last hard-checked in ROUND 1 — re-verify after two rounds of
@@ -3176,7 +3234,7 @@ _DRIVER_ORDER = [
     "events_hourly", "user_sessions", "filter_projection",
     "range_join_recent_views",
     "word_count", "json_roundtrip_orders",
-    "q1_pricing_summary", "revenue_by_nation", "q3_top_unshipped",
+    "revenue_by_nation", "q3_top_unshipped",
     "q4_order_priority", "q5_local_supplier_volume", "q6_forecast_revenue",
     "q10_returned_items", "q12_returnflag_priority", "q14_promo_revenue",
     "q15_top_supplier", "q17_small_quantity_revenue", "q18_large_orders",
@@ -3196,10 +3254,10 @@ _DRIVER_ORDER = [
     # re-verified by this round's full check_correctness sweep at
     # sf0.001, sf0.01 AND sf0.1)
     # displaced from the r1 re-check block by this round's new queries:
-    # trivial single-operator paths (registered-UDF concat, csv codec
-    # roundtrip) whose code was untouched since r1 and which the local
-    # sweep re-verified at 3 SFs
-    "scalar_concat", "csv_roundtrip_part",
+    # paths untouched since r1 (registered-UDF concat, csv codec
+    # roundtrip) or bench-exercised every round (q1), all re-verified by
+    # the local sweep at 3 SFs
+    "scalar_concat", "csv_roundtrip_part", "q1_pricing_summary",
     "canal_decode", "debezium_decode",
     "asof_purchase_view", "events_rollup_cascade",
     "pack_sequences", "token_shards",

@@ -297,3 +297,16 @@ def test_avro_roundtrip_big_longs_with_nulls(spark):
     out = avro_roundtrip(df, ["id"], schema)
     assert sorted((r["id"] for r in out.collect()), key=str) == \
         sorted(vals, key=str)
+
+
+def test_length_histogram_bucket_edges(spark):
+    """Bit-width bucketing: 0→bucket 0; 1→1; 2,3→2; 4..7→3; bucket_min is
+    the inclusive power-of-two lower bound."""
+    from felixzh_flink_spark.operators.text import length_histogram
+
+    docs = [("s", ""), ("s", "a"), ("s", "a b"), ("s", "a b c"),
+            ("s", "a b c d"), ("s", "a b c d e f g")]
+    df = spark.createDataFrame(docs, "source string, text string")
+    got = {r["len_bucket"]: (r["n_docs"], r["total_tokens"], r["bucket_min"])
+           for r in length_histogram(df).collect()}
+    assert got == {0: (1, 0, 0), 1: (1, 1, 1), 2: (2, 5, 2), 3: (2, 11, 4)}

@@ -163,3 +163,21 @@ def test_temperature_resample_upweights_small_domains(spark):
                                  "domain", target_total=500)
     assert sorted(r["id"] for r in kept.collect()) \
         == sorted(r["id"] for r in again.collect())
+
+
+def test_epoch_shuffle_deterministic_and_seed_dependent(spark):
+    from felixzh_flink_spark.operators.sampling import epoch_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "id long")
+    e1 = epoch_shuffle(df, "id", seed="e1", n_shards=4)
+    e1b = epoch_shuffle(df.repartition(5), "id", seed="e1", n_shards=4)
+    e2 = epoch_shuffle(df, "id", seed="e2", n_shards=4)
+    key = lambda rows: sorted((r["id"], r["shard"], r["pos"]) for r in rows)  # noqa: E731
+    assert key(e1.collect()) == key(e1b.collect())      # partition-invariant
+    assert key(e1.collect()) != key(e2.collect())       # seed changes order
+    # positions are a contiguous 1..N ranking within every shard
+    for (_, rows) in __import__("itertools").groupby(
+            sorted(e1.collect(), key=lambda r: (r["shard"], r["pos"])),
+            key=lambda r: r["shard"]):
+        ps = [r["pos"] for r in rows]
+        assert ps == list(range(1, len(ps) + 1))
