@@ -62,6 +62,9 @@ HEADLINE = [
     "snapshot_diff",
     "weekly_retention_cohorts",
     "funnel_view_click_purchase",
+    "incremental_agg_view",
+    "temperature_mix_counts",
+    "epoch_shuffle_docs",
 ]
 
 

@@ -532,31 +532,27 @@ def incremental_agg_apply(state: DataFrame, delta: DataFrame,
     delta-merge over materialized state.
 
     SUM and COUNT are self-maintainable under inserts AND deletes (each
-    delta row carries its own contribution), so the merge is one
-    full-outer join on the keys: new_total = old + Δ, keys whose count
+    delta row carries its own contribution), so the merge is a UNION of
+    the two partial-state row sets re-aggregated per key — the same
+    "merge partial aggregation states" shape Spark's own
+    HashAggregate(partial→final) uses. One shuffle of (|state| + |delta|)
+    one-row-per-key records, no join: a full-outer join on null-safe keys
+    would cost an extra exchange per side (null-safe join keys don't
+    match the aggs' hash partitioning) and handle null grouping keys
+    worse than groupBy, which groups them natively. Keys whose count
     reaches zero drop out of the view (every contributing row deleted).
     AVG comes free as total/n. MIN/MAX are NOT maintainable under deletes
     without auxiliary per-key structures — out of scope, documented.
 
-    Cost: O(|state| + |delta|) with one shuffle per side; at scale the
-    state lives bucketed by key hash (`incremental_agg_sink`) so a batch
-    reads and rewrites only touched buckets, never the whole view."""
-    s = state.alias("s")
-    d = delta.alias("d")
-    cond = [F.col(f"s.{k}").eqNullSafe(F.col(f"d.{k}")) for k in keys]
-    zero = F.lit(0).cast("decimal(30,6)")
+    At scale the state lives bucketed by key hash
+    (`incremental_agg_sink`) so a batch reads and rewrites only touched
+    buckets, never the whole view."""
+    cols = [*keys, sum_col, cnt_col]
     return (
-        s.join(d, cond, "full_outer")
-        .select(
-            *[F.coalesce(F.col(f"s.{k}"), F.col(f"d.{k}")).alias(k)
-              for k in keys],
-            (F.coalesce(F.col(f"s.{sum_col}"), zero)
-             + F.coalesce(F.col(f"d.{sum_col}"), zero))
-            .cast("decimal(30,6)").alias(sum_col),
-            (F.coalesce(F.col(f"s.{cnt_col}"), F.lit(0))
-             + F.coalesce(F.col(f"d.{cnt_col}"), F.lit(0)))
-            .cast("long").alias(cnt_col),
-        )
+        state.select(*cols).unionByName(delta.select(*cols))
+        .groupBy(*keys)
+        .agg(F.sum(sum_col).cast("decimal(30,6)").alias(sum_col),
+             F.sum(cnt_col).cast("long").alias(cnt_col))
         .filter(F.col(cnt_col) > 0)
     )
 
