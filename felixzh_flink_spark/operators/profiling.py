@@ -95,3 +95,28 @@ def metadata_stats(spark, path: str, cols: list[str]):
     finally:
         for k, v in saved.items():
             conf.set(k, v)
+
+
+def hll_daily_sketches(df: DataFrame, ts_col: str, key_col: str,
+                       lg_k: int = 12) -> DataFrame:
+    """Per-day HyperLogLog sketches of `key_col` (Apache DataSketches HLL,
+    built into Spark as `hll_sketch_agg`) — the MERGEABLE distinct-count
+    state a 100 TB pipeline materializes at ingest: one small binary per
+    (day,) that any coarser rollup unions, instead of re-scanning raw
+    data per question. lg_k=12 → ~1.6 KB per sketch, ~2% relative error."""
+    day = F.date_trunc("day", F.col(ts_col).cast("timestamp")).alias("day")
+    return df.groupBy(day).agg(
+        F.hll_sketch_agg(F.col(key_col), F.lit(lg_k)).alias("sketch"),
+    )
+
+
+def hll_rollup_estimate(daily: DataFrame, to: str = "month") -> DataFrame:
+    """Roll daily sketches up to a coarser grain by UNIONING the sketches
+    (`hll_union_agg` — no raw-data rescan, the whole point of mergeable
+    sketch state) and estimate the distinct count per rolled-up bucket."""
+    bucket = F.date_trunc(to, F.col("day")).alias(to)
+    return (
+        daily.groupBy(bucket)
+        .agg(F.hll_union_agg("sketch").alias("merged"))
+        .select(to, F.hll_sketch_estimate("merged").alias("approx_distinct"))
+    )

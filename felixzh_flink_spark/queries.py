@@ -1451,6 +1451,34 @@ def events_hourly(spark, sf_dir):
     )
 
 
+@q("hll_user_rollup", """
+SELECT CAST(date_trunc('month', CAST(ts AS TIMESTAMP)) AS DATE) AS month,
+       TRUE AS within_5pct
+FROM events GROUP BY 1
+""")
+def hll_user_rollup(spark, sf_dir):
+    """Mergeable-sketch rollup (`profiling.hll_daily_sketches` +
+    `hll_rollup_estimate`): per-day DataSketches HLL sketches of user_id,
+    UNIONED up to month grain — distinct counts over any coarser window
+    without rescanning raw data, the 100 TB pattern for COUNT(DISTINCT)
+    over time. Sketch bytes are engine-specific, so the driver check is an
+    assertion oracle: the merged estimate must land within 5% of the exact
+    in-Spark distinct count per month (HLL lg_k=12 ≈ 2% error), mirrored
+    by a constant-true DuckDB row per month."""
+    from felixzh_flink_spark.operators.profiling import (
+        hll_daily_sketches, hll_rollup_estimate)
+    e = _t(spark, sf_dir, "events")
+    daily = hll_daily_sketches(e, "ts", "user_id")
+    rolled = hll_rollup_estimate(daily, "month")
+    exact = e.groupBy(
+        F.date_trunc("month", F.col("ts").cast("timestamp")).alias("month")
+    ).agg(F.count_distinct("user_id").alias("exact"))
+    return rolled.join(exact, "month").select(
+        F.to_date("month").alias("month"),
+        (F.abs(F.col("approx_distinct") - F.col("exact"))
+         <= 0.05 * F.col("exact")).alias("within_5pct"))
+
+
 @q("events_sliding_windows", """
 WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events),
 cand AS (
@@ -3226,6 +3254,7 @@ _DRIVER_ORDER = [
     "temperature_mix_counts",         # new: α=0.5 temperature domain mix
     "length_histogram_sources",       # new: pow-2 length histogram
     "epoch_shuffle_docs",             # new: deterministic epoch shuffle
+    "hll_user_rollup",                # new: mergeable HLL sketch rollup
     "weekly_retention_cohorts",       # new: cohort-retention analytics
     "funnel_view_click_purchase",     # new: CEP-lite sequence matching
     # last hard-checked in ROUND 1 — re-verify after two rounds of
@@ -3234,7 +3263,7 @@ _DRIVER_ORDER = [
     "events_hourly", "user_sessions", "filter_projection",
     "range_join_recent_views",
     "word_count", "json_roundtrip_orders",
-    "revenue_by_nation", "q3_top_unshipped",
+    "q3_top_unshipped",
     "q4_order_priority", "q5_local_supplier_volume", "q6_forecast_revenue",
     "q10_returned_items", "q12_returnflag_priority", "q14_promo_revenue",
     "q15_top_supplier", "q17_small_quantity_revenue", "q18_large_orders",
@@ -3258,6 +3287,7 @@ _DRIVER_ORDER = [
     # roundtrip) or bench-exercised every round (q1), all re-verified by
     # the local sweep at 3 SFs
     "scalar_concat", "csv_roundtrip_part", "q1_pricing_summary",
+    "revenue_by_nation",
     "canal_decode", "debezium_decode",
     "asof_purchase_view", "events_rollup_cascade",
     "pack_sequences", "token_shards",

@@ -181,3 +181,19 @@ def test_epoch_shuffle_deterministic_and_seed_dependent(spark):
             key=lambda r: r["shard"]):
         ps = [r["pos"] for r in rows]
         assert ps == list(range(1, len(ps) + 1))
+
+
+def test_hll_rollup_merges_without_rescan(spark):
+    """Union-of-sketches must see the union of keys: two days with
+    overlapping users roll up to the distinct count of the union, not the
+    sum of the dailies."""
+    from felixzh_flink_spark.operators.profiling import (
+        hll_daily_sketches, hll_rollup_estimate)
+    rows = ([("2024-01-01 10:00:00", u) for u in range(100)]
+            + [("2024-01-02 10:00:00", u) for u in range(50, 150)])
+    df = spark.createDataFrame(rows, "ts string, user_id long") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    daily = hll_daily_sketches(df, "ts", "user_id")
+    assert daily.count() == 2
+    est = hll_rollup_estimate(daily, "month").head()["approx_distinct"]
+    assert abs(est - 150) <= 0.05 * 150   # union is 150, sum would be 200
