@@ -467,6 +467,111 @@ def ivf_topk_from_index(spark, path: str, cents: list[list[float]],
     return scored.orderBy(F.desc("cosine_sim"), F.asc("id")).limit(k)
 
 
+# ------------------------------------------------- product quantization
+
+def _pq_slice_sql(vec_col: str, sub: int, subdim: int) -> str:
+    return f"slice({vec_col}, {sub * subdim + 1}, {subdim})"
+
+
+def _pq_score_array(sub_expr: str, cents: list[list[float]]) -> Column:
+    """Array of L2-equivalent scores of a subvector against a codebook:
+    argmin ‖v−c‖² == argmax (v·c − ‖c‖²/2), so each codebook entry is
+    embedded as a literal (vector, half_norm) struct and scored with one
+    dot per code — no per-row norm of v needed (it is constant across the
+    argmax)."""
+    entries = []
+    for cv in cents:
+        h = sum(float(x) * float(x) for x in cv) / 2.0
+        entries.append(f"named_struct('v', {_lit_vec_sql(cv)}, "
+                       f"'h', cast('{h!r}' as double))")
+    return F.expr(f"transform(array({','.join(entries)}), "
+                  f"s -> {_dot_sql(sub_expr, 's.v')} - s.h)")
+
+
+def pq_train(df: DataFrame, m: int = 8, code_k: int = 16, dim: int = 64,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             train_iter: int = 2) -> list[list[list[float]]]:
+    """Train product-quantization codebooks: split each vector into `m`
+    contiguous subvectors and k-means each subspace independently
+    (hash-sampled init + Lloyd refinement, L2 assignment). Returns
+    codebooks[sub][code] — m × code_k × (dim/m) doubles, a driver-side
+    constant (~8 KB) embedded as literals by encode/probe.
+
+    Ingest-time artifact, same lifecycle as the IVF centroids: train on a
+    sample once, reuse for every encode/probe. Each Lloyd iteration is one
+    distributed pass per subspace (assign + per-code mean via partial
+    aggregation)."""
+    subdim = dim // m
+    books: list[list[list[float]]] = []
+    for s in range(m):
+        sub = df.select(F.col(id_col).alias("id"),
+                        F.expr(_pq_slice_sql(vec_col, s, subdim)).alias("sub"))
+        cents = ivf_centroids(sub, code_k, "id", "sub")
+        for _ in range(train_iter):
+            assigned = sub.withColumn("_sc", _pq_score_array("sub", cents)) \
+                .withColumn("code", F.expr(
+                    "cast(array_position(_sc, array_max(_sc)) as int)"))
+            means = assigned.groupBy("code").agg(
+                *[F.avg(F.col("sub")[i].cast("double")).alias(f"m{i}")
+                  for i in range(subdim)])
+            by_code = {r["code"]: [r[f"m{i}"] for i in range(subdim)]
+                       for r in means.collect()}
+            cents = [by_code.get(i + 1, cents[i]) for i in range(code_k)]
+        books.append(cents)
+    return books
+
+
+def pq_encode(df: DataFrame, books: list[list[list[float]]],
+              vec_col: str = "embedding",
+              code_col: str = "pq_code") -> DataFrame:
+    """Encode each vector as `m` small code ints (argmin-L2 per subspace)
+    — an 8-byte-per-vector ANN representation (64 floats → 8 codes, 32×
+    smaller scan state). Pure expressions: per subspace one literal-
+    codebook score array + argmax, single named projection each so
+    nothing is double-evaluated (the lesson from the round-2 IVF
+    regression)."""
+    m = len(books)
+    subdim = len(books[0][0])
+    out = df
+    code_exprs = []
+    for s in range(m):
+        tmp = f"__pq_sc{s}"
+        out = out.withColumn(
+            tmp, _pq_score_array(_pq_slice_sql(vec_col, s, subdim), books[s]))
+        code_exprs.append(
+            f"cast(array_position({tmp}, array_max({tmp})) - 1 as int)")
+    out = out.withColumn(code_col, F.expr(f"array({','.join(code_exprs)})"))
+    return out.drop(*[f"__pq_sc{s}" for s in range(m)])
+
+
+def pq_topk(encoded: DataFrame, books: list[list[list[float]]],
+            query_vec: list[float], k: int = 10, rerank: int = 100,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            code_col: str = "pq_code") -> DataFrame:
+    """PQ approximate top-k with exact re-rank: ADC scoring — the query is
+    pre-multiplied into m lookup tables T[s][c] = dot(q_s, c) driver-side
+    (m × code_k doubles), so scanning a candidate costs m array lookups
+    instead of `dim` multiplies; the top `rerank` by ADC score are then
+    re-ranked by exact cosine on the float column. Standard IVF-PQ probe
+    economics: the cheap pass bounds the expensive pass."""
+    m = len(books)
+    subdim = len(books[0][0])
+    terms = []
+    for s in range(m):
+        table = [sum(float(query_vec[s * subdim + i]) * float(cv[i])
+                     for i in range(subdim)) for cv in books[s]]
+        terms.append(f"element_at({_lit_vec_sql(table)}, "
+                     f"element_at({code_col}, {s + 1}) + 1)")
+    adc = F.expr(" + ".join(terms))
+    cand = (encoded.withColumn("_adc", adc)
+            .orderBy(F.desc("_adc"), F.asc(id_col)).limit(rerank))
+    scored = cand.select(
+        F.col(id_col).alias("id"),
+        cosine_to_literal(vec_col, query_vec).alias("cosine_sim"),
+    )
+    return scored.orderBy(F.desc("cosine_sim"), F.asc("id")).limit(k)
+
+
 def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                              id_col: str = "vec_id", vec_col: str = "embedding",
                              n_planes: int = 8, dim: int = 64,

@@ -294,3 +294,42 @@ def test_ivf_index_probe_prunes_partitions_and_matches_inline(spark, sf_dir, tmp
     inline = SIM.ivf_topk(e, qv, k=10, n_centroids=8, n_probe=3, cents=cents)
     assert [(r["id"], r["cosine_sim"]) for r in from_index.collect()] == \
         [(r["id"], r["cosine_sim"]) for r in inline.collect()]
+
+
+def test_pq_encode_decode_recovers_clustered_neighbors(spark):
+    """PQ on well-clustered data: codes are valid and deterministic, the
+    ADC probe's top-k contains the true nearest neighbors of the query's
+    own cluster, and the encode/probe plans stay JVM-only."""
+    from felixzh_flink_spark.operators import similarity as SIM
+
+    # 4 tight clusters in 16-dim: cluster c = unit vector along axes
+    # 4c..4c+3 plus per-point jitter from a fixed integer pattern
+    rows = []
+    for c in range(4):
+        base = [0.0] * 16
+        for a in range(4):
+            base[4 * c + a] = 1.0
+        for i in range(50):
+            v = list(base)
+            v[(i * 7) % 16] += 0.01 * ((i % 5) - 2)
+            rows.append((c * 50 + i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    books = SIM.pq_train(df, m=4, code_k=8, dim=16, train_iter=2)
+    assert len(books) == 4 and all(len(b) == 8 for b in books)
+    enc = SIM.pq_encode(df, books)
+    codes = enc.select("pq_code").collect()
+    assert all(len(r["pq_code"]) == 4 and
+               all(0 <= x < 8 for x in r["pq_code"]) for r in codes)
+    # same input twice -> identical codes (deterministic train + encode)
+    enc2 = SIM.pq_encode(df, books)
+    assert sorted(map(tuple, (r["pq_code"] for r in codes))) == \
+        sorted(map(tuple, (r["pq_code"] for r in enc2.select("pq_code").collect())))
+
+    qv = [float(x) for x in df.filter("vec_id = 0").head()["embedding"]]
+    got = [r["id"] for r in SIM.pq_topk(enc, books, qv, k=10, rerank=60).collect()]
+    assert got[0] == 0                      # self is top-1 after re-rank
+    assert all(i < 50 for i in got)         # all hits from cluster 0
+    plan = SIM.pq_topk(enc, books, qv, k=10, rerank=60) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert not any(n in plan for n in
+                   ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"))
