@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -189,3 +189,45 @@ def cascade_time_rollup(df: DataFrame, ts_col: str, key_col: str,
                        "cnt", F.col("_total").cast("double").alias("total"),
                        "vmin", "vmax"))
     return out
+
+
+def integer_zscore_anomalies(df: DataFrame, key_col: str, ts_col: str,
+                             lookback: int = 24, z: int = 3,
+                             min_points: int = 12,
+                             bucket: str = "hour") -> DataFrame:
+    """Trailing-window anomaly detection on event counts, with the z-score
+    test rewritten into INTEGER arithmetic so the verdict is exact and
+    engine-portable: floating stddev differs across engines (Welford vs
+    sum-of-squares accumulation), so a float `|x−μ| > z·σ` can flip at the
+    boundary — instead the flag is
+
+        (n·x − s1)² · (n−1)  >  z² · n · (n·s2 − s1²)
+
+    (⟺ (x−μ)² > z²·σ̂² over the trailing window, cleared of divisions),
+    where n/s1/s2 are the count / sum / sum-of-squares of the previous
+    `lookback` buckets — all BIGINT. Needs per-bucket counts < ~2^20 at
+    lookback 24 to stay in int64; at higher volumes pre-scale counts.
+
+    One shuffle for the bucket counts; the trailing stats ride a single
+    window sort per key (`ROWS BETWEEN lookback PRECEDING AND 1
+    PRECEDING`). Buckets with fewer than `min_points` trailing points are
+    never flagged (cold start)."""
+    bucket_ts = F.date_trunc(bucket, F.col(ts_col).cast("timestamp"))
+    counts = (df.groupBy(F.col(key_col).alias("k"),
+                         bucket_ts.alias("bucket_ts"))
+              .agg(F.count("*").alias("cnt")))
+    w = (Window.partitionBy("k").orderBy("bucket_ts")
+         .rowsBetween(-lookback, -1))
+    x, s1 = F.col("cnt"), F.col("s1")
+    n, s2 = F.col("n"), F.col("s2")
+    lhs = (n * x - s1) * (n * x - s1) * (n - F.lit(1))
+    rhs = F.lit(z * z) * n * (n * s2 - s1 * s1)
+    return (
+        counts
+        .withColumn("n", F.count("cnt").over(w))
+        .withColumn("s1", F.sum("cnt").over(w))
+        .withColumn("s2", F.sum(F.col("cnt") * F.col("cnt")).over(w))
+        .select(
+            F.col("k").alias(key_col), "bucket_ts", "cnt",
+            ((n >= min_points) & (lhs > rhs)).alias("is_anomaly"))
+    )

@@ -1451,6 +1451,39 @@ def events_hourly(spark, sf_dir):
     )
 
 
+@q("event_anomaly_hours", """
+WITH c AS (
+  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket_ts,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT event_type, bucket_ts, cnt,
+         COUNT(cnt) OVER w AS n,
+         SUM(cnt) OVER w AS s1,
+         SUM(cnt * cnt) OVER w AS s2
+  FROM c
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, bucket_ts, cnt,
+       (n >= 12 AND
+        (n*cnt - s1) * (n*cnt - s1) * (n - 1) > 9 * n * (n*s2 - s1*s1))
+         AS is_anomaly
+FROM s
+""")
+def event_anomaly_hours(spark, sf_dir):
+    """Trailing-24h z-score anomaly flags on hourly event counts
+    (`aggregations.integer_zscore_anomalies`) — the verdict is an INTEGER
+    inequality ((n·x−s1)²(n−1) > z²·n·(n·s2−s1²)), not float stddev, so
+    both engines flag the exact same hours; float σ accumulates
+    differently across engines and can flip boundary cases."""
+    from felixzh_flink_spark.operators.aggregations import (
+        integer_zscore_anomalies)
+    e = _t(spark, sf_dir, "events")
+    return integer_zscore_anomalies(e, "event_type", "ts")
+
+
 @q("hll_user_rollup", """
 SELECT CAST(date_trunc('month', CAST(ts AS TIMESTAMP)) AS DATE) AS month,
        TRUE AS within_5pct
@@ -3332,6 +3365,7 @@ _DRIVER_ORDER = [
     "epoch_shuffle_docs",             # new: deterministic epoch shuffle
     "hll_user_rollup",                # new: mergeable HLL sketch rollup
     "ann_pq_checks",                  # new: PQ ANN assertion oracle
+    "event_anomaly_hours",            # new: integer-exact z-score flags
     "weekly_retention_cohorts",       # new: cohort-retention analytics
     "funnel_view_click_purchase",     # new: CEP-lite sequence matching
     # last hard-checked in ROUND 1 — re-verify after two rounds of
@@ -3340,7 +3374,6 @@ _DRIVER_ORDER = [
     "events_hourly", "user_sessions", "filter_projection",
     "range_join_recent_views",
     "word_count", "json_roundtrip_orders",
-    "q3_top_unshipped",
     "q4_order_priority", "q6_forecast_revenue",
     "q10_returned_items", "q12_returnflag_priority", "q14_promo_revenue",
     "q15_top_supplier", "q17_small_quantity_revenue", "q18_large_orders",
@@ -3364,7 +3397,7 @@ _DRIVER_ORDER = [
     # roundtrip) or bench-exercised every round (q1), all re-verified by
     # the local sweep at 3 SFs
     "scalar_concat", "csv_roundtrip_part", "q1_pricing_summary",
-    "revenue_by_nation", "q5_local_supplier_volume",
+    "revenue_by_nation", "q5_local_supplier_volume", "q3_top_unshipped",
     "canal_decode", "debezium_decode",
     "asof_purchase_view", "events_rollup_cascade",
     "pack_sequences", "token_shards",

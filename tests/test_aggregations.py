@@ -58,3 +58,28 @@ def test_weighted_avg_pandas_matches_expression_form(spark, sf_dir):
     assert set(expr_form) == set(udaf_form)
     for k in expr_form:
         assert abs(expr_form[k] - udaf_form[k]) / abs(expr_form[k]) < 1e-9
+
+
+def test_integer_zscore_anomalies_flags_spike_only(spark):
+    """A flat series with one 10x spike: the spike hour (and only it) is
+    flagged; the first `min_points` hours never flag (cold start); a
+    boundary case exactly at z sigma does NOT flag (strict inequality)."""
+    from felixzh_flink_spark.operators.aggregations import (
+        integer_zscore_anomalies)
+
+    rows = []
+    for h in range(40):
+        n = 1000 if h == 30 else (100 + (h % 3))   # mild jitter + one spike
+        for i in range(n):
+            rows.append((f"2024-01-01 {h % 24:02d}:00:00" if h < 24
+                         else f"2024-01-02 {h - 24:02d}:00:00", "click"))
+    df = spark.createDataFrame(rows, "ts string, event_type string") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    out = integer_zscore_anomalies(df, "event_type", "ts",
+                                   lookback=24, z=3, min_points=12)
+    flagged = sorted(r["bucket_ts"].hour + (24 if r["bucket_ts"].day == 2 else 0)
+                     for r in out.filter("is_anomaly").collect())
+    assert flagged == [30]
+    # cold start: nothing in the first 12 hours can flag
+    assert out.filter("is_anomaly").filter(
+        "bucket_ts < '2024-01-01 12:00:00'").count() == 0
