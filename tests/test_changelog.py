@@ -556,3 +556,55 @@ def test_incremental_agg_sink_replay_is_skipped(spark, tmp_path):
     got = {r["k"]: (float(r["total"]), r["n"])
            for r in read_upsert_state(spark, state).collect()}
     assert got == {1: (10.0, 1), 2: (5.0, 1)}
+
+
+def test_streaming_cdc_to_incremental_agg_view(spark, tmp_path):
+    """The full CDC→materialized-aggregate pipeline (Flink's signature
+    capability): canal envelopes stream in over two micro-batches, the
+    incremental sink maintains a per-key SUM/COUNT view, and the final
+    view equals aggregating the upserted current state."""
+    import json as _json
+
+    from felixzh_flink_spark.functions.changelog import (
+        decode_canal_json,
+        incremental_agg_sink,
+        read_upsert_state,
+    )
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("grp", T.LongType()),
+        T.StructField("amount", T.DoubleType()),
+    ])
+
+    def env(typ, data, old=None, ts=0):
+        return _json.dumps({"data": data, "old": old, "type": typ,
+                            "pkNames": ["id"], "es": ts, "isDdl": False})
+
+    b1 = [env("INSERT", [{"id": 1, "grp": 7, "amount": 10.0},
+                         {"id": 2, "grp": 7, "amount": 5.0},
+                         {"id": 3, "grp": 8, "amount": 2.0}], ts=10)]
+    b2 = [env("UPDATE", [{"id": 1, "grp": 7, "amount": 12.0}],
+              old=[{"amount": 10.0}], ts=20),
+          env("DELETE", [{"id": 3, "grp": 8, "amount": 2.0}], ts=20)]
+    spark.createDataFrame([(v,) for v in b1], "value string") \
+        .coalesce(1).write.mode("append").parquet(src)
+    stream = file_stream_source(
+        spark, src, T.StructType([T.StructField("value", T.StringType())]),
+        max_files_per_trigger=1)
+    decoded = decode_canal_json(stream, "value", schema)
+    q = (decoded.writeStream
+         .foreachBatch(incremental_agg_sink(state, ["grp"], "amount"))
+         .option("checkpointLocation", str(tmp_path / "ckpt")).start())
+    q.processAllAvailable()
+    spark.createDataFrame([(v,) for v in b2], "value string") \
+        .coalesce(1).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+
+    got = {r["grp"]: (float(r["total"]), r["n"])
+           for r in read_upsert_state(spark, state).collect()}
+    # grp 7: 12 + 5 over 2 rows (update applied); grp 8: fully deleted
+    assert got == {7: (17.0, 2)}
