@@ -164,6 +164,50 @@ def decode_canal_json(df: DataFrame, value_col: str, row_schema: T.StructType,
     )
 
 
+def decode_canal_json_quarantine(df: DataFrame, value_col: str,
+                                 row_schema: T.StructType,
+                                 parallelism: int | None = None
+                                 ) -> tuple[DataFrame, DataFrame]:
+    """Canal decode with a QUARANTINE side-channel — the operational middle
+    ground between the reference's two modes ('canal-json.ignore-parse-
+    errors' silently drops, FAILFAST kills the job): good envelopes decode
+    through the normal single-parse hot path, while records that cannot
+    produce changelog rows are routed to a second frame as
+    (raw value, reason) for replay/alerting, with reason ∈ 'unparseable'
+    (JSON didn't parse), 'ddl' (isDdl=true), 'no_data' (no data[] array),
+    'unknown_type' (type outside INSERT/UPDATE/DELETE).
+
+    Two scan-shaped passes over the raw source (one per returned frame):
+    the parse is stateless, so re-parsing at scan speed beats persisting
+    the raw bytes; neither pass shuffles. Callers that consume both
+    frames in one job may cache the source themselves."""
+    good = decode_canal_json(df, value_col, row_schema,
+                             ignore_parse_errors=True,
+                             parallelism=parallelism)
+    # PERMISSIVE from_json yields a null-FIELDED struct (not a null) for
+    # garbage input, so malformed JSON is detected the canonical way: a
+    # corrupt-record column that carries the raw string only on parse
+    # failure.
+    schema = canal_envelope_schema(row_schema).add("_corrupt", T.StringType())
+    env = F.from_json(F.col(value_col), schema,
+                      {"mode": "PERMISSIVE",
+                       "columnNameOfCorruptRecord": "_corrupt"})
+    parsed = _maybe_spread(df, parallelism).select(
+        F.col(value_col).alias("value"), env.alias("_env"))
+    reason = (
+        F.when(F.col("_env").isNull()
+               | F.col("_env._corrupt").isNotNull(), "unparseable")
+        .when(F.coalesce(F.col("_env.isDdl"), F.lit(False)), "ddl")
+        .when(F.col("_env.data").isNull(), "no_data")
+        .when(~F.col("_env.type").isin("INSERT", "UPDATE", "DELETE"),
+              "unknown_type")
+    )
+    bad = (parsed.withColumn("reason", reason)
+           .filter(F.col("reason").isNotNull())
+           .select("value", "reason"))
+    return good, bad
+
+
 def debezium_envelope_schema(row_schema: T.StructType) -> T.StructType:
     """Debezium JSON envelope (flat, schema-exclude mode — the reference's
     debezium_json DDL assumes `'debezium-json.schema-include'=false` default;

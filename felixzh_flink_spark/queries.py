@@ -1775,9 +1775,11 @@ _ORDERS_CDC_SCHEMA = T.StructType([
 ])
 
 
-def _orders_canal_envelopes(spark, sf_dir):
+def _orders_canal_envelopes(spark, sf_dir, keep_key: bool = False):
     """Deterministic Canal envelopes from the orders table: status O→INSERT,
-    F→UPDATE (old holds a +100 totalprice), P→DELETE."""
+    F→UPDATE (old holds a +100 totalprice), P→DELETE. `keep_key=True`
+    additionally carries o_orderkey (for deterministic corruption
+    injection in the quarantine query)."""
     o = _t(spark, sf_dir, "orders")
     row = F.struct("o_orderkey", "o_custkey", "o_totalprice")
     old_row = F.struct(
@@ -1790,7 +1792,7 @@ def _orders_canal_envelopes(spark, sf_dir):
         .when(F.col("o_orderstatus") == "F", "UPDATE")
         .otherwise("DELETE")
     )
-    return o.select(
+    cols = [
         F.to_json(F.struct(
             F.array(row).alias("data"),
             F.when(F.col("o_orderstatus") == "F", F.array(old_row)).alias("old"),
@@ -1802,7 +1804,10 @@ def _orders_canal_envelopes(spark, sf_dir):
             _ms("o_orderdate").alias("ts"),
             F.lit(False).alias("isDdl"),
         )).alias("value")
-    )
+    ]
+    if keep_key:
+        cols.insert(0, F.col("o_orderkey"))
+    return o.select(*cols)
 
 
 @q("canal_decode", """
@@ -1928,6 +1933,34 @@ def changelog_retract_sum(spark, sf_dir):
     ch = decode_canal_json(env, "value", _ORDERS_CDC_SCHEMA,
                            parallelism=spark.sparkContext.defaultParallelism)
     return changelog_sum(ch, ["o_custkey"], "o_totalprice", alias="net_total")
+
+
+@q("canal_quarantine_counts", """
+SELECT
+  CAST(SUM(CASE WHEN o_orderkey % 7 <> 0
+            THEN CASE WHEN o_orderstatus = 'F' THEN 2 ELSE 1 END
+            ELSE 0 END) AS BIGINT) AS n_ops,
+  CAST(SUM(CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_quarantined
+FROM orders
+""")
+def canal_quarantine_counts(spark, sf_dir):
+    """Quarantine decode (`changelog.decode_canal_json_quarantine`) — the
+    operational middle ground the reference's ignore-parse-errors option
+    implies (Kafka2Print.java:36): every 7th envelope is truncated to
+    malformed JSON; good rows must still decode (O/P → 1 op, F → -U/+U
+    pair) and every corrupted record must land in the quarantine frame
+    with a reason instead of silently vanishing."""
+    env = _orders_canal_envelopes(spark, sf_dir, keep_key=True)
+    corrupted = env.select(
+        F.when(F.col("o_orderkey") % 7 == 0,
+               F.substring("value", 1, 15))     # cut mid-JSON: unparseable
+        .otherwise(F.col("value")).alias("value"))
+    good, bad = CH.decode_canal_json_quarantine(
+        corrupted, "value", _ORDERS_CDC_SCHEMA,
+        parallelism=spark.sparkContext.defaultParallelism)
+    return good.agg(F.count("*").alias("n_ops")).crossJoin(
+        bad.agg(F.count("*").alias("n_quarantined")))
 
 
 @q("snapshot_diff", """
@@ -3366,6 +3399,7 @@ _DRIVER_ORDER = [
     "hll_user_rollup",                # new: mergeable HLL sketch rollup
     "ann_pq_checks",                  # new: PQ ANN assertion oracle
     "event_anomaly_hours",            # new: integer-exact z-score flags
+    "canal_quarantine_counts",        # new: CDC quarantine side-channel
     "weekly_retention_cohorts",       # new: cohort-retention analytics
     "funnel_view_click_purchase",     # new: CEP-lite sequence matching
     # last hard-checked in ROUND 1 — re-verify after two rounds of
@@ -3374,7 +3408,7 @@ _DRIVER_ORDER = [
     "events_hourly", "user_sessions", "filter_projection",
     "range_join_recent_views",
     "word_count", "json_roundtrip_orders",
-    "q4_order_priority", "q6_forecast_revenue",
+    "q6_forecast_revenue",
     "q10_returned_items", "q12_returnflag_priority", "q14_promo_revenue",
     "q15_top_supplier", "q17_small_quantity_revenue", "q18_large_orders",
     "nation_customers_vs_suppliers", "cube_order_status",
@@ -3398,6 +3432,7 @@ _DRIVER_ORDER = [
     # the local sweep at 3 SFs
     "scalar_concat", "csv_roundtrip_part", "q1_pricing_summary",
     "revenue_by_nation", "q5_local_supplier_volume", "q3_top_unshipped",
+    "q4_order_priority",
     "canal_decode", "debezium_decode",
     "asof_purchase_view", "events_rollup_cascade",
     "pack_sequences", "token_shards",

@@ -608,3 +608,24 @@ def test_streaming_cdc_to_incremental_agg_view(spark, tmp_path):
            for r in read_upsert_state(spark, state).collect()}
     # grp 7: 12 + 5 over 2 rows (update applied); grp 8: fully deleted
     assert got == {7: (17.0, 2)}
+
+
+def test_quarantine_reasons_cover_all_failure_modes(spark):
+    """Each failure class routes to quarantine with its reason; good
+    envelopes decode normally and nothing is double-counted."""
+    from felixzh_flink_spark.functions.changelog import (
+        decode_canal_json_quarantine)
+
+    schema = T.StructType([T.StructField("id", T.LongType())])
+    payloads = [
+        '{"data":[{"id":1}],"type":"INSERT","isDdl":false}',   # good
+        'not json at all',                                      # unparseable
+        '{"data":[{"id":2}],"type":"TRUNCATE","isDdl":false}',  # unknown_type
+        '{"type":"INSERT","isDdl":false}',                      # no_data
+        '{"data":[{"id":3}],"type":"INSERT","isDdl":true}',     # ddl
+    ]
+    df = spark.createDataFrame([(p,) for p in payloads], "value string")
+    good, bad = decode_canal_json_quarantine(df, "value", schema)
+    assert [(r["op"], r["id"]) for r in good.collect()] == [("+I", 1)]
+    reasons = sorted(r["reason"] for r in bad.collect())
+    assert reasons == ["ddl", "no_data", "unknown_type", "unparseable"]
