@@ -65,6 +65,10 @@ HEADLINE = [
     "incremental_agg_view",
     "temperature_mix_counts",
     "epoch_shuffle_docs",
+    "ann_pq_topk",
+    "hll_user_rollup",
+    "event_anomaly_hours",
+    "canal_quarantine_counts",
 ]
 
 
