@@ -18,7 +18,7 @@ element order — deterministic across runs and engines.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -465,6 +465,48 @@ def ivf_topk_from_index(spark, path: str, cents: list[list[float]],
         cosine_to_literal(vec_col, query_vec).alias("cosine_sim"),
     )
     return scored.orderBy(F.desc("cosine_sim"), F.asc("id")).limit(k)
+
+
+def cosine_topk_multi(df: DataFrame, queries: dict[int, list[float]],
+                      k: int = 10, id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k for a BATCH of query vectors in one scan — the serving
+    shape of batch ANN (N queries amortize one pass over the corpus
+    instead of N passes). Returns (query_id, id, cosine_sim), per-query
+    top-k, ordered desc with id tiebreak.
+
+    The query matrix embeds as one literal array (queries are broadcast-
+    sized by definition); each corpus row computes a sims ARRAY (row norm
+    folded ONCE and reused across queries — 1/q of the naive per-query
+    norm cost), posexplodes to (query_idx, sim), and a per-query window
+    takes the top k. One scan + one shuffle on query_id; at 100 TB this
+    beats per-query scans by the query count."""
+    import math
+
+    qids = sorted(queries)
+    mat = _lit_mat_sql([queries[q] for q in qids])
+    qnorms = []
+    for q in qids:
+        acc = 0.0
+        for x in queries[q]:
+            acc += float(x) * float(x)
+        qnorms.append(math.sqrt(acc))
+    sims = (f"transform(zip_with({mat}, {_lit_vec_sql(qnorms)}, "
+            f"(qv, qn) -> named_struct('v', qv, 'n', qn)), "
+            f"s -> {_dot_sql(vec_col, 's.v')} / (__rnorm * s.n))")
+    qid_lit = ("array(" + ",".join(str(int(q)) for q in qids) + ")")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("id"))
+    return (
+        df.withColumn("__rnorm", _norm(F.col(vec_col)))
+        .select(F.col(id_col).alias("id"),
+                F.posexplode(F.expr(sims)).alias("_qi", "cosine_sim"))
+        .select(F.expr(f"element_at({qid_lit}, _qi + 1)")
+                .cast("bigint").alias("query_id"),
+                "id", "cosine_sim")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k).drop("_rn")
+    )
 
 
 # ------------------------------------------------- product quantization

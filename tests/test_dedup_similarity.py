@@ -333,3 +333,21 @@ def test_pq_encode_decode_recovers_clustered_neighbors(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert not any(n in plan for n in
                    ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"))
+
+
+def test_cosine_topk_multi_matches_single_query(spark, sf_dir):
+    """One-scan batch form must return bit-identical per-query rankings to
+    the single-query brute force for every query in the batch."""
+    from felixzh_flink_spark.operators import similarity as SIM
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qrows = e.filter("vec_id IN (0, 1)").select("vec_id", "embedding").collect()
+    queries = {int(r["vec_id"]): list(r["embedding"]) for r in qrows}
+    multi = SIM.cosine_topk_multi(e, queries, k=5)
+    for qid, qv in queries.items():
+        single = [(r["id"], r["cosine_sim"])
+                  for r in SIM.cosine_topk_bruteforce(e, qv, k=5).collect()]
+        got = [(r["id"], r["cosine_sim"])
+               for r in multi.filter(F.col("query_id") == qid)
+               .orderBy(F.desc("cosine_sim"), F.asc("id")).collect()]
+        assert got == single
