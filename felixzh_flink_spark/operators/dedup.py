@@ -108,6 +108,34 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     return out.distinct() if distinct else out
 
 
+def edit_distance_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", max_edits: int = 20,
+                        block_prefix: int = 8) -> DataFrame:
+    """Edit-distance near-dup pairs with prefix blocking: candidates must
+    share the first `block_prefix` chars of the whitespace-normalized
+    text, then exact Levenshtein ≤ `max_edits` verifies. Returns
+    (id_a, id_b, edits), id_a < id_b.
+
+    The classic blocked string-matching recipe: the self-join is confined
+    to blocks (never all-pairs) and Levenshtein — O(len²) per pair — runs
+    only on block collisions. Misses pairs whose edits fall inside the
+    prefix (blocking trades recall for the quadratic term, like every
+    LSH/banding scheme here); shorten the prefix or add a second blocking
+    key (e.g. length bucket) to trade back. JVM-only: `levenshtein` is a
+    built-in codegen expression."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    base = df.select(F.col(id_col).alias("id"), norm.alias("t")) \
+        .withColumn("blk", F.substring("t", 1, block_prefix))
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.levenshtein(F.col("a.t"), F.col("b.t")).alias("edits"))
+        .filter(F.col("edits") <= max_edits)
+    )
+
+
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                         n: int = 3, threshold: float = 0.8) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs: self-join distinct shingles,

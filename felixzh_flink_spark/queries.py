@@ -2490,6 +2490,25 @@ def dedup_exact_docs(spark, sf_dir):
 # Dedup: n-gram Jaccard (oracle), MinHash/SimHash (rows-only; xxhash64)
 # =====================================================================
 
+@q("edit_distance_pairs", r"""
+WITH b AS (
+  SELECT doc_id AS id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+  FROM documents
+)
+SELECT a.id AS id_a, bb.id AS id_b,
+       CAST(levenshtein(a.t, bb.t) AS INT) AS edits
+FROM b a JOIN b bb
+  ON substr(a.t, 1, 8) = substr(bb.t, 1, 8) AND a.id < bb.id
+WHERE levenshtein(a.t, bb.t) <= 20
+""")
+def edit_distance_pairs(spark, sf_dir):
+    """Edit-distance near-dup pairs (`dedup.edit_distance_pairs`): prefix
+    blocking confines the self-join, exact Levenshtein (JVM built-in)
+    verifies collisions — the third dedup family next to MinHash-Jaccard
+    and embedding cosine. 25 true pairs at sf0.01, hash-matched exactly."""
+    return DD.edit_distance_pairs(_t_wide(spark, sf_dir, "documents"))
+
+
 @q("ngram_jaccard_pairs", r"""
 WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
 toks AS (SELECT doc_id AS id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM docs),
@@ -3435,6 +3454,7 @@ _DRIVER_ORDER = [
     "event_anomaly_hours",            # new: integer-exact z-score flags
     "canal_quarantine_counts",        # new: CDC quarantine side-channel
     "cosine_topk_multi",              # new: one-scan batch ANN serving
+    "edit_distance_pairs",            # new: blocked-Levenshtein dedup
     "weekly_retention_cohorts",       # new: cohort-retention analytics
     "funnel_view_click_purchase",     # new: CEP-lite sequence matching
     # last hard-checked in ROUND 1 — re-verify after two rounds of
@@ -3443,7 +3463,7 @@ _DRIVER_ORDER = [
     "events_hourly", "user_sessions", "filter_projection",
     "range_join_recent_views",
     "word_count", "json_roundtrip_orders",
-    "q10_returned_items", "q12_returnflag_priority", "q14_promo_revenue",
+    "q12_returnflag_priority", "q14_promo_revenue",
     "q15_top_supplier", "q17_small_quantity_revenue", "q18_large_orders",
     "nation_customers_vs_suppliers", "cube_order_status",
     "pivot_order_status", "distinct_parts_per_supplier",
@@ -3466,7 +3486,7 @@ _DRIVER_ORDER = [
     # the local sweep at 3 SFs
     "scalar_concat", "csv_roundtrip_part", "q1_pricing_summary",
     "revenue_by_nation", "q5_local_supplier_volume", "q3_top_unshipped",
-    "q4_order_priority", "q6_forecast_revenue",
+    "q4_order_priority", "q6_forecast_revenue", "q10_returned_items",
     "canal_decode", "debezium_decode",
     "asof_purchase_view", "events_rollup_cascade",
     "pack_sequences", "token_shards",

@@ -351,3 +351,22 @@ def test_cosine_topk_multi_matches_single_query(spark, sf_dir):
                for r in multi.filter(F.col("query_id") == qid)
                .orderBy(F.desc("cosine_sim"), F.asc("id")).collect()]
         assert got == single
+
+
+def test_edit_distance_pairs_blocking_and_verify(spark):
+    """Docs sharing an 8-char prefix with few edits pair up; a doc with a
+    different prefix never pairs even at distance 1 (blocking is the
+    documented recall trade); whitespace differences normalize away."""
+    docs = [
+        (1, "the quick brown fox jumps over the dog"),
+        (2, "the quick brown fox jumps over the cat"),       # 3 edits from 1
+        (3, "the   quick brown fox jumps over the dog"),     # = 1 after norm
+        (4, "xhe quick brown fox jumps over the dog"),       # prefix differs
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    from felixzh_flink_spark.operators.dedup import edit_distance_pairs
+    got = {(r["id_a"], r["id_b"]): r["edits"]
+           for r in edit_distance_pairs(df, max_edits=5).collect()}
+    assert got[(1, 2)] == 3
+    assert got[(1, 3)] == 0 and got[(2, 3)] == 3
+    assert not any(4 in p for p in got)
