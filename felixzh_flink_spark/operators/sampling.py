@@ -57,6 +57,21 @@ def stratified_sample(df: DataFrame, key: str, strata_col: str,
         hash_bucket(F.col(key), buckets) < (frac * buckets).cast("bigint"))
 
 
+def cap_per_group(df: DataFrame, key: str, group_col: str, cap: int,
+                  seed: str = "cap") -> DataFrame:
+    """Keep at most `cap` rows per group, chosen by deterministic md5 rank
+    — the "no domain may contribute more than N documents" guard of a
+    mixture pipeline, as a reproducible pseudo-random reservoir instead of
+    arrival-order `LIMIT` (which is partitioning-dependent) or `sample()`
+    (seed-and-partitioning dependent). One shuffle on the group; groups
+    under the cap pass through whole. Changing `seed` redraws the
+    reservoir; any engine replays the same choice."""
+    h = F.md5(F.concat(F.lit(seed), F.lit("-"), F.col(key).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(h, F.col(key))
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= cap).drop("_rn"))
+
+
 def epoch_shuffle(df: DataFrame, key: str, seed: str,
                   n_shards: int = 64,
                   shard_col: str = "shard",

@@ -3156,6 +3156,27 @@ def temperature_mix_counts(spark, sf_dir):
     return kept.groupBy("source").agg(F.count("*").alias("n_kept"))
 
 
+@q("capped_domain_sample", """
+WITH r AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5('cap-' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id, source FROM r WHERE rn <= 15
+""")
+def capped_domain_sample(spark, sf_dir):
+    """Per-domain contribution cap (`sampling.cap_per_group`): at most 15
+    docs per source, chosen by deterministic md5 rank — a reproducible
+    reservoir, not arrival-order LIMIT. The oracle replays the identical
+    rank."""
+    from felixzh_flink_spark.operators.sampling import cap_per_group
+    d = _t(spark, sf_dir, "documents")
+    return cap_per_group(d, "doc_id", "source", cap=15).select(
+        "doc_id", "source")
+
+
 @q("length_histogram_sources", r"""
 WITH t AS (
   SELECT source,
@@ -3455,6 +3476,7 @@ _DRIVER_ORDER = [
     "canal_quarantine_counts",        # new: CDC quarantine side-channel
     "cosine_topk_multi",              # new: one-scan batch ANN serving
     "edit_distance_pairs",            # new: blocked-Levenshtein dedup
+    "capped_domain_sample",           # new: per-domain reservoir cap
     "weekly_retention_cohorts",       # new: cohort-retention analytics
     "funnel_view_click_purchase",     # new: CEP-lite sequence matching
     # last hard-checked in ROUND 1 — re-verify after two rounds of
@@ -3463,7 +3485,7 @@ _DRIVER_ORDER = [
     "events_hourly", "user_sessions", "filter_projection",
     "range_join_recent_views",
     "word_count", "json_roundtrip_orders",
-    "q12_returnflag_priority", "q14_promo_revenue",
+    "q14_promo_revenue",
     "q15_top_supplier", "q17_small_quantity_revenue", "q18_large_orders",
     "nation_customers_vs_suppliers", "cube_order_status",
     "pivot_order_status", "distinct_parts_per_supplier",
@@ -3487,6 +3509,7 @@ _DRIVER_ORDER = [
     "scalar_concat", "csv_roundtrip_part", "q1_pricing_summary",
     "revenue_by_nation", "q5_local_supplier_volume", "q3_top_unshipped",
     "q4_order_priority", "q6_forecast_revenue", "q10_returned_items",
+    "q12_returnflag_priority",
     "canal_decode", "debezium_decode",
     "asof_purchase_view", "events_rollup_cascade",
     "pack_sequences", "token_shards",

@@ -197,3 +197,24 @@ def test_hll_rollup_merges_without_rescan(spark):
     assert daily.count() == 2
     est = hll_rollup_estimate(daily, "month").head()["approx_distinct"]
     assert abs(est - 150) <= 0.05 * 150   # union is 150, sum would be 200
+
+
+def test_cap_per_group_reservoir(spark):
+    """Groups over the cap shrink to exactly cap rows; under-cap groups
+    pass whole; the kept set is partition-invariant and seed-dependent."""
+    from felixzh_flink_spark.operators.sampling import cap_per_group
+
+    rows = ([("big", i) for i in range(100)]
+            + [("tiny", 1000 + i) for i in range(3)])
+    df = spark.createDataFrame(rows, "grp string, id long")
+    kept = cap_per_group(df, "id", "grp", cap=10)
+    counts = {r["grp"]: r["c"] for r in
+              kept.groupBy("grp").agg(F.count("*").alias("c")).collect()}
+    assert counts == {"big": 10, "tiny": 3}
+    ids = sorted(r["id"] for r in kept.collect())
+    again = sorted(r["id"] for r in
+                   cap_per_group(df.repartition(9), "id", "grp", cap=10).collect())
+    assert ids == again
+    other = sorted(r["id"] for r in
+                   cap_per_group(df, "id", "grp", cap=10, seed="B").collect())
+    assert ids != other
