@@ -492,3 +492,57 @@ def test_streaming_near_dup_across_batches_within_horizon(spark, tmp_path):
     pairs = {(r["doc_id"], r["dup_of"]) for r in
              spark.sql("SELECT * FROM neardup_xbatch").collect()}
     assert (2, 1) in pairs
+
+
+def test_anomaly_stream_matches_batch_detector(spark, tmp_path):
+    """Streaming flags must equal the batch integer z-score detector for
+    every closed bucket, across micro-batch boundaries: 40 one-second
+    buckets of jittered counts with a spike at bucket 30, split over two
+    batches, flushed by a far-future sentinel that closes everything."""
+    from pyspark.sql import functions as F, types as T
+
+    from felixzh_flink_spark.operators.aggregations import (
+        integer_zscore_anomalies)
+    from felixzh_flink_spark.sources.builders import file_stream_source
+    from felixzh_flink_spark.streaming.anomaly import anomaly_stream
+
+    def events(lo, hi):
+        rows = []
+        for s in range(lo, hi):
+            n = 50 if s == 30 else (5 + s % 3)
+            rows.extend(("k", f"2024-01-01 00:00:{s:02d}.500") for _ in range(n))
+        return rows
+
+    src = str(tmp_path / "src")
+    schema = T.StructType([T.StructField("key", T.StringType()),
+                           T.StructField("ts_s", T.StringType())])
+    b1, b2 = events(0, 20), events(20, 40)
+    flush = [("k", "2024-01-01 01:00:00.000")]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = file_stream_source(spark, src, schema, max_files_per_trigger=1) \
+        .withColumn("ts", F.col("ts_s").cast("timestamp"))
+    out = anomaly_stream(stream, "key", "ts", bucket="1 second",
+                         lookback=10, z=3, min_points=5)
+    q = (out.writeStream.format("memory").queryName("anom")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .outputMode("append").start())
+    q.processAllAvailable()
+    for extra in (b2, flush):
+        spark.createDataFrame(extra, schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+        q.processAllAvailable()
+    q.stop()
+
+    got = {r["bucket_ms"]: (r["cnt"], r["is_anomaly"])
+           for r in spark.sql("SELECT * FROM anom").collect()}
+    batch_df = spark.createDataFrame(b1 + b2, schema) \
+        .withColumn("ts", F.col("ts_s").cast("timestamp"))
+    exp = {int(r["bucket_ts"].timestamp() * 1000): (r["cnt"], r["is_anomaly"])
+           for r in integer_zscore_anomalies(
+               batch_df, "key", "ts", lookback=10, z=3, min_points=5,
+               bucket="second").collect()}
+    assert got == exp                       # every closed bucket, same verdict
+    assert any(v[1] for v in got.values())  # the spike was flagged
+    spike = [ms for ms, v in got.items() if v[1]]
+    assert spike == [1704067230000]  # 2024-01-01 00:00:30 UTC — bucket 30 only
