@@ -42,6 +42,24 @@ def map_with_rowkey(df: DataFrame, payload_col: str) -> DataFrame:
     )
 
 
+def salted_rowkey(key: Column | str, n_salts: int = 16,
+                  alias: str = "row_key") -> Column:
+    """Hot-spot-resistant rowkey for range-partitioned KV stores (the
+    HBase-sink concern behind Kafka2HBase's UUID rowkey and DataGen2ES's
+    no-id note, DataGen2ES.java:106): a monotonically-increasing natural
+    key would write every row to one region, so the key is PREFIXED with
+    a stable 2-hex-digit salt bucket — writes spread across `n_salts`
+    regions while a point read stays O(1) (recompute the salt from the
+    key). Deterministic (md5-derived), unlike the UUID variant — so it is
+    oracle-checkable and idempotent under replay, which also upgrades an
+    at-least-once sink to effectively-once on keyed stores."""
+    k = (F.col(key) if isinstance(key, str) else key).cast("string")
+    salt = F.lpad(
+        (F.conv(F.substring(F.md5(k), 1, 8), 16, 10).cast("bigint")
+         % n_salts).cast("string"), 2, "0")
+    return F.concat(salt, F.lit("|"), k).alias(alias)
+
+
 def tokenize(df: DataFrame, text_col: str, out: str = "word") -> DataFrame:
     """T2 flatMap: line → one row per lower-cased token
     (ExecutionMode.java:44-59 semantics: lowercase, split, drop empties)."""

@@ -1309,6 +1309,28 @@ def udtf_lateral(spark, sf_dir):
 
 
 
+@q("salted_rowkey_spread", """
+WITH k AS (
+  SELECT lpad(CAST(CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
+                         1, 8)) AS BIGINT) % 16 AS VARCHAR), 2, '0') AS salt
+  FROM orders
+)
+SELECT salt, CAST(COUNT(*) AS BIGINT) AS n FROM k GROUP BY salt
+""")
+def salted_rowkey_spread(spark, sf_dir):
+    """Hot-spot-resistant rowkeys (`transforms.salted_rowkey`) — the
+    deterministic alternative to Kafka2HBase's UUID rowkey
+    (Kafka2HBase.java:54-62): a monotone natural key prefixed with a
+    stable md5 salt bucket spreads writes across regions while keeping
+    point reads computable. Emits per-salt row counts; the oracle
+    recomputes the identical bucketing."""
+    o = _t(spark, sf_dir, "orders")
+    keyed = o.select(TR.salted_rowkey("o_orderkey", n_salts=16))
+    return keyed.groupBy(
+        F.substring("row_key", 1, 2).alias("salt")
+    ).agg(F.count("*").alias("n"))
+
+
 @q("scalar_concat", """
 SELECT c_custkey, c_name || '_checked' AS tagged FROM customer
 """)
@@ -3477,6 +3499,7 @@ _DRIVER_ORDER = [
     "cosine_topk_multi",              # new: one-scan batch ANN serving
     "edit_distance_pairs",            # new: blocked-Levenshtein dedup
     "capped_domain_sample",           # new: per-domain reservoir cap
+    "salted_rowkey_spread",           # new: deterministic salted rowkeys
     "weekly_retention_cohorts",       # new: cohort-retention analytics
     "funnel_view_click_purchase",     # new: CEP-lite sequence matching
     # last hard-checked in ROUND 1 — re-verify after two rounds of
@@ -3485,7 +3508,6 @@ _DRIVER_ORDER = [
     "events_hourly", "user_sessions", "filter_projection",
     "range_join_recent_views",
     "word_count", "json_roundtrip_orders",
-    "q14_promo_revenue",
     "q15_top_supplier", "q17_small_quantity_revenue", "q18_large_orders",
     "nation_customers_vs_suppliers", "cube_order_status",
     "pivot_order_status", "distinct_parts_per_supplier",
@@ -3509,7 +3531,7 @@ _DRIVER_ORDER = [
     "scalar_concat", "csv_roundtrip_part", "q1_pricing_summary",
     "revenue_by_nation", "q5_local_supplier_volume", "q3_top_unshipped",
     "q4_order_priority", "q6_forecast_revenue", "q10_returned_items",
-    "q12_returnflag_priority",
+    "q12_returnflag_priority", "q14_promo_revenue",
     "canal_decode", "debezium_decode",
     "asof_purchase_view", "events_rollup_cascade",
     "pack_sequences", "token_shards",

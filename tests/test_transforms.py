@@ -44,3 +44,24 @@ def test_map_with_rowkey_schema(spark):
 def test_identity_process_is_noop(spark):
     df = spark.createDataFrame([(1,)], "a int")
     assert TR.identity_process(df) is df
+
+
+def test_salted_rowkey_spreads_and_stays_point_readable(spark):
+    """Sequential keys spread across salt buckets (no single region takes
+    the monotone write load), the original key is recoverable after the
+    separator, and the same key always salts identically."""
+    from pyspark.sql import functions as F
+
+    from felixzh_flink_spark.operators.transforms import salted_rowkey
+
+    df = spark.range(1000).select(F.col("id").alias("k"))
+    keyed = df.select(salted_rowkey("k", n_salts=16), "k")
+    n_salts = keyed.select(F.substring("row_key", 1, 2)).distinct().count()
+    assert n_salts == 16
+    # recoverable + deterministic
+    back = keyed.withColumn("k2", F.split("row_key", r"\|")[1].cast("long"))
+    assert back.filter("k2 <> k").count() == 0
+    a = {r["k"]: r["row_key"] for r in keyed.collect()}
+    b = {r["k"]: r["row_key"]
+         for r in df.repartition(7).select(salted_rowkey("k", 16), "k").collect()}
+    assert a == b
