@@ -3199,6 +3199,62 @@ def capped_domain_sample(spark, sf_dir):
         "doc_id", "source")
 
 
+@q("mixture_pipeline_counts", r"""
+WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+w AS (SELECT source, n, CAST(FLOOR(SQRT(n)) AS BIGINT) AS s FROM c),
+t AS (SELECT w.source,
+             LEAST((250 * 10000 * w.s)
+                   // (CAST((SELECT SUM(s) FROM w) AS BIGINT) * w.n),
+                   10000) AS thresh
+      FROM w),
+kept AS (
+  SELECT d.* FROM documents d JOIN t ON d.source = t.source
+  WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+             AS BIGINT) % 10000 < t.thresh
+),
+capped AS (
+  SELECT * FROM (
+    SELECT kept.*, ROW_NUMBER() OVER (
+        PARTITION BY source
+        ORDER BY md5('cap-' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+    FROM kept) WHERE rn <= 20
+),
+deduped AS (
+  SELECT * FROM (
+    SELECT capped.*, ROW_NUMBER() OVER (
+        PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        ORDER BY doc_id) AS drn
+    FROM capped) WHERE drn = 1
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END)
+            AS BIGINT) AS total_tokens
+FROM deduped GROUP BY source
+""")
+def mixture_pipeline_counts(spark, sf_dir):
+    """Composed mixture pipeline — the round-3 sampling operators chained
+    end-to-end the way a real data-mixture build runs them: temperature
+    resample toward 250 docs (α=0.5, integer-exact) → per-source cap of
+    20 (md5 reservoir) → exact dedup (min-id per normalized-text
+    fingerprint) → per-source doc/token totals. Every stage is a pure
+    function of the data, so ONE DuckDB oracle replays the entire
+    pipeline. Plan: thresholds broadcast, one shuffle each for the cap
+    window, the dedup window and the final aggregate."""
+    from felixzh_flink_spark.operators.sampling import (
+        cap_per_group, temperature_resample)
+    d = _t(spark, sf_dir, "documents")
+    kept = temperature_resample(d, "doc_id", "source", target_total=250)
+    capped = cap_per_group(kept, "doc_id", "source", cap=20, seed="cap")
+    fp = TX.fingerprint_md5(capped)
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    dd = (fp.withColumn("_rn", F.row_number().over(w))
+          .filter(F.col("_rn") == 1))
+    return dd.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(TX.token_count("text")).alias("total_tokens"))
+
+
 @q("length_histogram_sources", r"""
 WITH t AS (
   SELECT source,
@@ -3500,6 +3556,7 @@ _DRIVER_ORDER = [
     "edit_distance_pairs",            # new: blocked-Levenshtein dedup
     "capped_domain_sample",           # new: per-domain reservoir cap
     "salted_rowkey_spread",           # new: deterministic salted rowkeys
+    "mixture_pipeline_counts",        # new: composed mixture pipeline
     "weekly_retention_cohorts",       # new: cohort-retention analytics
     "funnel_view_click_purchase",     # new: CEP-lite sequence matching
     # last hard-checked in ROUND 1 — re-verify after two rounds of
@@ -3508,7 +3565,7 @@ _DRIVER_ORDER = [
     "events_hourly", "user_sessions", "filter_projection",
     "range_join_recent_views",
     "word_count", "json_roundtrip_orders",
-    "q15_top_supplier", "q17_small_quantity_revenue", "q18_large_orders",
+    "q17_small_quantity_revenue", "q18_large_orders",
     "nation_customers_vs_suppliers", "cube_order_status",
     "pivot_order_status", "distinct_parts_per_supplier",
     "purchase_conversion_rate", "quantiles_by_flag",
@@ -3531,7 +3588,7 @@ _DRIVER_ORDER = [
     "scalar_concat", "csv_roundtrip_part", "q1_pricing_summary",
     "revenue_by_nation", "q5_local_supplier_volume", "q3_top_unshipped",
     "q4_order_priority", "q6_forecast_revenue", "q10_returned_items",
-    "q12_returnflag_priority", "q14_promo_revenue",
+    "q12_returnflag_priority", "q14_promo_revenue", "q15_top_supplier",
     "canal_decode", "debezium_decode",
     "asof_purchase_view", "events_rollup_cascade",
     "pack_sequences", "token_shards",
