@@ -69,6 +69,9 @@ HEADLINE = [
     "hll_user_rollup",
     "event_anomaly_hours",
     "canal_quarantine_counts",
+    "cosine_topk_multi",
+    "edit_distance_pairs",
+    "mixture_pipeline_counts",
 ]
 
 

@@ -125,11 +125,17 @@ def edit_distance_pairs(df: DataFrame, text_col: str = "text",
     built-in codegen expression."""
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     base = df.select(F.col(id_col).alias("id"), norm.alias("t")) \
-        .withColumn("blk", F.substring("t", 1, block_prefix))
+        .withColumn("blk", F.substring("t", 1, block_prefix)) \
+        .withColumn("len", F.length("t"))
     a, b = base.alias("a"), base.alias("b")
+    # length-difference bound: |len(a)−len(b)| > max_edits ⟹ distance >
+    # max_edits, so the O(len²) levenshtein never runs on pairs the
+    # lengths already rule out — evaluated as a cheap join-side predicate
+    # before the expensive verify (the dominant cost in dense blocks)
     return (
         a.join(b, (F.col("a.blk") == F.col("b.blk"))
-               & (F.col("a.id") < F.col("b.id")))
+               & (F.col("a.id") < F.col("b.id"))
+               & (F.abs(F.col("a.len") - F.col("b.len")) <= max_edits))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
                 F.levenshtein(F.col("a.t"), F.col("b.t")).alias("edits"))
         .filter(F.col("edits") <= max_edits)
