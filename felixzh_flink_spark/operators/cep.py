@@ -58,6 +58,57 @@ def sequence_stages(df: DataFrame, key_cols: list[str],
     return per_key.select(*key_cols, fold.alias(alias))
 
 
+def sequence_within(df: DataFrame, key_cols: list[str], ts_col: str,
+                    conditions: list[str], within_ms: int,
+                    payload_cols: list[str] | None = None,
+                    alias: str = "matched") -> DataFrame:
+    """Whole-pattern time bound — Flink CEP's `Pattern.within(t)`: does any
+    ordered witness of the stage conditions complete with
+    last_ts − first_ts ≤ within_ms?
+
+    Greedy-from-first-anchor is NOT complete under a time bound (a later
+    stage-0 event can succeed where the earliest fails), so this runs an
+    ANCHOR SCAN: for every event matching stage 0, greedily advance the
+    remaining stages among later events with ts ≤ anchor + within_ms —
+    greedy is complete PER ANCHOR (earliest matches maximize remaining
+    slack), so "∃ anchor that completes" is exact. O(anchors × events)
+    per key in the worst case, still one shuffle and pure codegen
+    expressions; keys are short event sequences in practice (bound them
+    upstream if not). Returns key_cols + boolean `alias` for every key
+    with ≥ 1 event.
+
+    `conditions` reference the row as ``e`` exactly like
+    `sequence_stages`; `ts_col` must be a timestamp column."""
+    if not conditions:
+        raise ValueError("conditions must be non-empty")
+    payload = payload_cols
+    if payload is None:
+        payload = [c for c in df.columns if c not in key_cols]
+    prepared = df.withColumn(
+        "_tms", (F.col(ts_col).cast("timestamp").cast("double") * 1000)
+        .cast("long"))
+    struct_cols = list(dict.fromkeys(["_tms", *payload]))
+    per_key = prepared.groupBy(*key_cols).agg(
+        F.array_sort(F.collect_list(F.struct(*struct_cols))).alias("_evs"))
+    n = len(conditions)
+    anchor_cond = conditions[0].replace("e.", "element_at(_evs, i).")
+    anchor_t = "element_at(_evs, i)._tms"
+    # accumulator (st, lt): stage reached + its event time; stages advance
+    # on STRICTLY later event times (ties don't chain — matches the
+    # relational a.ts < b.ts < c.ts witness definition)
+    branches = "\n".join(
+        f"WHEN acc.st = {j} AND e._tms > acc.lt AND "
+        f"e._tms <= {anchor_t} + {within_ms} AND ({cond}) "
+        f"THEN named_struct('st', {j + 1}, 'lt', e._tms)"
+        for j, cond in enumerate(conditions[1:], start=1))
+    fold = (f"aggregate(_evs, named_struct('st', 1, 'lt', {anchor_t}), "
+            f"(acc, e) -> CASE {branches} ELSE acc END)")
+    matched = F.expr(
+        f"exists(sequence(1, size(_evs)), i -> ({anchor_cond}) "
+        f"AND {fold}.st = {n})")
+    return per_key.select(*key_cols, matched.alias(alias))
+
+
 def funnel_counts(df: DataFrame, key_cols: list[str], order_cols: list[str],
                   conditions: list[str],
                   payload_cols: list[str] | None = None) -> DataFrame:

@@ -1671,6 +1671,35 @@ def weekly_retention_cohorts(spark, sf_dir):
     )
 
 
+@q("funnel_within_window", """
+WITH u AS (SELECT DISTINCT user_id FROM events)
+SELECT u.user_id,
+       EXISTS (
+         SELECT 1 FROM events a, events b, events c
+         WHERE a.user_id = u.user_id AND b.user_id = u.user_id
+           AND c.user_id = u.user_id
+           AND a.event_type = 'view' AND b.event_type = 'click'
+           AND c.event_type = 'purchase'
+           AND a.ts < b.ts AND b.ts < c.ts
+           AND epoch_ms(c.ts) - epoch_ms(a.ts) <= 7200000
+       ) AS matched
+FROM u
+""")
+def funnel_within_window(spark, sf_dir):
+    """Flink CEP `Pattern.within(t)` analog (`cep.sequence_within`): did
+    the user complete view→click→purchase with the WHOLE pattern inside
+    2 hours? Greedy-first anchoring is incomplete under a time bound, so
+    the operator anchor-scans every stage-0 candidate (complete, still
+    one shuffle + codegen folds). The oracle is the relational witness
+    definition — a strictly-ordered triple EXISTS join."""
+    from felixzh_flink_spark.operators.cep import sequence_within
+    e = _t(spark, sf_dir, "events")
+    conds = ["e.event_type = 'view'", "e.event_type = 'click'",
+             "e.event_type = 'purchase'"]
+    return sequence_within(e, ["user_id"], "ts", conds,
+                           within_ms=7_200_000)
+
+
 @q("funnel_view_click_purchase", """
 WITH seq AS (
   SELECT user_id,
@@ -3587,6 +3616,7 @@ _DRIVER_ORDER = [
     "capped_domain_sample",           # new: per-domain reservoir cap
     "salted_rowkey_spread",           # new: deterministic salted rowkeys
     "mixture_pipeline_counts",        # new: composed mixture pipeline
+    "funnel_within_window",           # new: CEP WITHIN time bound
     "weekly_retention_cohorts",       # new: cohort-retention analytics
     "funnel_view_click_purchase",     # new: CEP-lite sequence matching
     # last hard-checked in ROUND 1 — re-verify after two rounds of
@@ -3595,7 +3625,7 @@ _DRIVER_ORDER = [
     "events_hourly", "user_sessions", "filter_projection",
     "range_join_recent_views",
     "word_count", "json_roundtrip_orders",
-    "q17_small_quantity_revenue", "q18_large_orders",
+    "q18_large_orders",
     "nation_customers_vs_suppliers", "cube_order_status",
     "pivot_order_status", "distinct_parts_per_supplier",
     "purchase_conversion_rate", "quantiles_by_flag",
@@ -3619,6 +3649,7 @@ _DRIVER_ORDER = [
     "revenue_by_nation", "q5_local_supplier_volume", "q3_top_unshipped",
     "q4_order_priority", "q6_forecast_revenue", "q10_returned_items",
     "q12_returnflag_priority", "q14_promo_revenue", "q15_top_supplier",
+    "q17_small_quantity_revenue",
     "canal_decode", "debezium_decode",
     "asof_purchase_view", "events_rollup_cascade",
     "pack_sequences", "token_shards",

@@ -218,3 +218,31 @@ def test_cap_per_group_reservoir(spark):
     other = sorted(r["id"] for r in
                    cap_per_group(df, "id", "grp", cap=10, seed="B").collect())
     assert ids != other
+
+
+def test_sequence_within_anchor_scan_complete(spark):
+    """The case that breaks greedy-first anchoring: the earliest stage-0
+    match cannot finish inside the bound, a later one can — WITHIN must
+    still match (anchor scan is complete). Ties on ts never chain
+    (strict ordering), and an over-tight bound fails."""
+    from pyspark.sql import functions as F
+
+    from felixzh_flink_spark.operators.cep import sequence_within
+
+    def ev(uid, ms, typ):
+        return (uid, ms / 1000.0, typ)
+
+    rows = [
+        # u1: a@0 (greedy anchor, b/c too late for it), a@95, b@100, c@105
+        ev(1, 0, "a"), ev(1, 95, "a"), ev(1, 100, "b"), ev(1, 105, "c"),
+        # u2: full sequence but spread over 200ms > bound
+        ev(2, 0, "a"), ev(2, 150, "b"), ev(2, 200, "c"),
+        # u3: b and c share a timestamp — strict ordering: no chain
+        ev(3, 0, "a"), ev(3, 5, "b"), ev(3, 5, "c"),
+    ]
+    df = spark.createDataFrame(rows, "uid long, sec double, typ string") \
+        .select("uid", F.col("sec").cast("timestamp").alias("ts"), "typ")
+    conds = ["e.typ = 'a'", "e.typ = 'b'", "e.typ = 'c'"]
+    got = {r["uid"]: r["matched"] for r in
+           sequence_within(df, ["uid"], "ts", conds, within_ms=20).collect()}
+    assert got == {1: True, 2: False, 3: False}
