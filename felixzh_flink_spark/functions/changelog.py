@@ -318,10 +318,34 @@ def _read_manifest(state_dir: str) -> dict:
         return json.load(fh)
 
 
-def read_upsert_state(spark: SparkSession, state_dir: str) -> DataFrame:
-    """Assemble the current upsert state from the bucket manifest: the union
-    of each live bucket's committed epoch directory."""
-    man = _read_manifest(state_dir)
+def read_upsert_state(spark: SparkSession, state_dir: str,
+                      at_epoch: int | None = None) -> DataFrame:
+    """Assemble the upsert state from the bucket manifest: the union of
+    each live bucket's committed epoch directory.
+
+    `at_epoch` is TIME TRAVEL: read the state as of that committed epoch
+    (the newest snapshot manifest with epoch ≤ at_epoch). Snapshots exist
+    for the last `retain` epochs of the sink that wrote them (older
+    snapshot manifests and their unreferenced data dirs are GC'd) —
+    asking beyond retention raises. The current manifest is always
+    readable regardless of retention."""
+    import json
+    import os
+
+    if at_epoch is None:
+        man = _read_manifest(state_dir)
+    else:
+        snaps = sorted(
+            int(f[len("manifest-e"):-len(".json")])
+            for f in os.listdir(state_dir)
+            if f.startswith("manifest-e") and f.endswith(".json"))
+        ok = [e for e in snaps if e <= at_epoch]
+        if not ok:
+            raise FileNotFoundError(
+                f"no retained snapshot at or before epoch {at_epoch} "
+                f"under {state_dir} (retained: {snaps})")
+        with open(os.path.join(state_dir, f"manifest-e{ok[-1]}.json")) as fh:
+            man = json.load(fh)
     paths = [e["path"] for e in man["buckets"].values() if e.get("path")]
     if not paths:
         raise FileNotFoundError(f"no committed upsert state under {state_dir}")
