@@ -353,7 +353,7 @@ def read_upsert_state(spark: SparkSession, state_dir: str,
 
 
 def changelog_upsert_sink(state_dir: str, pk: list[str], order_col: str = "ts_ms",
-                          n_buckets: int = 8):
+                          n_buckets: int = 8, retain: int = 1):
     """foreachBatch writer materializing a streaming changelog into a
     continuously-updated, **hash-partitioned** parquet state table — the
     S9/S10 CDC→table pipeline end-to-end (MySqlCDC2Print.java:24-46 renders
@@ -404,14 +404,15 @@ def changelog_upsert_sink(state_dir: str, pk: list[str], order_col: str = "ts_ms
                    .withColumn(_BUCKET_COL, _bucket_expr(pk, n_buckets)))
             merged = old.unionByName(batch.select(*old.columns))
         new_state = upsert_latest(merged, pk, order_col, keep_order_col=True)
-        _commit_touched_buckets(state_dir, new_state, touched, epoch_id, man)
+        _commit_touched_buckets(state_dir, new_state, touched, epoch_id, man,
+                                retain)
 
     return sink
 
 
 def _commit_touched_buckets(state_dir: str, new_state: DataFrame,
                             touched: list[int], epoch_id: int,
-                            man: dict) -> None:
+                            man: dict, retain: int = 1) -> None:
     """Shared crash-atomic commit for bucketed state sinks
     (`changelog_upsert_sink`, `incremental_agg_sink`): write `new_state`
     (already carrying `_BUCKET_COL`) to a staging dir, move the touched
@@ -419,7 +420,14 @@ def _commit_touched_buckets(state_dir: str, new_state: DataFrame,
     manifest, then GC superseded epoch dirs. A crash at ANY point before
     the manifest rename leaves the previous committed state intact; a
     replay of a committed epoch writes attempt-suffixed dirs and never
-    deletes a manifest-referenced path before commit."""
+    deletes a manifest-referenced path before commit.
+
+    `retain` > 1 enables EPOCH TIME TRAVEL: each commit also writes an
+    immutable `manifest-e<epoch>.json` snapshot, the newest `retain`
+    snapshots are kept, and GC preserves every data dir any retained
+    snapshot references — `read_upsert_state(..., at_epoch=N)` then reads
+    the state as of epoch N. retain=1 (default) keeps only the current
+    snapshot, i.e. exactly the old behavior and storage footprint."""
     import json
     import os
     import shutil
@@ -457,14 +465,33 @@ def _commit_touched_buckets(state_dir: str, new_state: DataFrame,
         man["buckets"][str(b)] = entry
     shutil.rmtree(staging, ignore_errors=True)
 
-    # atomic commit: single rename of the manifest
+    # atomic commit: single rename of the manifest, then the immutable
+    # epoch snapshot (same content; written after the commit point so a
+    # crash between the two just loses one snapshot, never consistency)
     tmp = os.path.join(state_dir, ".manifest.tmp")
     with open(tmp, "w") as fh:
         json.dump(man, fh)
     os.replace(tmp, os.path.join(state_dir, "manifest.json"))
+    with open(tmp, "w") as fh:
+        json.dump(man, fh)
+    os.replace(tmp, os.path.join(state_dir, f"manifest-e{epoch_id}.json"))
 
-    # GC: epoch dirs no longer referenced by the committed manifest
-    live = {e["path"] for e in man["buckets"].values() if e.get("path")}
+    # retention: keep the newest `retain` snapshot manifests
+    snaps = sorted(
+        (int(f[len("manifest-e"):-len(".json")]), f)
+        for f in os.listdir(state_dir)
+        if f.startswith("manifest-e") and f.endswith(".json"))
+    retained = []
+    for _, f in snaps[-max(1, retain):]:
+        with open(os.path.join(state_dir, f)) as fh:
+            retained.append(json.load(fh))
+    for _, f in snaps[:-max(1, retain)]:
+        os.remove(os.path.join(state_dir, f))
+
+    # GC: epoch dirs referenced by neither the committed manifest nor any
+    # retained snapshot
+    live = {e["path"] for m in [man, *retained]
+            for e in m["buckets"].values() if e.get("path")}
     if os.path.isdir(buckets_root):
         for bdir in os.listdir(buckets_root):
             parent = os.path.join(buckets_root, bdir)
@@ -627,7 +654,8 @@ def incremental_agg_apply(state: DataFrame, delta: DataFrame,
 
 def incremental_agg_sink(state_dir: str, keys: list[str], value_col: str,
                          n_buckets: int = 8,
-                         sum_col: str = "total", cnt_col: str = "n"):
+                         sum_col: str = "total", cnt_col: str = "n",
+                         retain: int = 1):
     """foreachBatch writer maintaining a continuously-updated materialized
     aggregate view over a streaming changelog — the streaming face of
     `incremental_agg_apply`, sharing the upsert sink's crash-atomic
@@ -673,7 +701,8 @@ def incremental_agg_sink(state_dir: str, keys: list[str], value_col: str,
             incremental_agg_apply(state, delta.drop(_BUCKET_COL), keys,
                                   sum_col, cnt_col)
             .withColumn(_BUCKET_COL, _bucket_expr(keys, n_buckets)))
-        _commit_touched_buckets(state_dir, new_state, touched, epoch_id, man)
+        _commit_touched_buckets(state_dir, new_state, touched, epoch_id, man,
+                                retain)
 
     return sink
 

@@ -629,3 +629,32 @@ def test_quarantine_reasons_cover_all_failure_modes(spark):
     assert [(r["op"], r["id"]) for r in good.collect()] == [("+I", 1)]
     reasons = sorted(r["reason"] for r in bad.collect())
     assert reasons == ["ddl", "no_data", "unknown_type", "unparseable"]
+
+
+def test_upsert_state_epoch_time_travel(spark, tmp_path):
+    """retain=2: the previous epoch's state stays readable via at_epoch,
+    snapshots beyond retention are pruned (reads raise), and the current
+    state is unaffected."""
+    import pytest
+
+    from felixzh_flink_spark.functions.changelog import (
+        changelog_upsert_sink, read_upsert_state)
+
+    state = str(tmp_path / "state")
+    sink = changelog_upsert_sink(state, ["id"], retain=2)
+
+    def batch(rows, epoch):
+        df = spark.createDataFrame(rows, "op string, id long, name string, ts_ms long")
+        sink(df, epoch)
+
+    batch([("+I", 1, "a", 10), ("+I", 2, "b", 10)], 0)
+    batch([("+U", 1, "a2", 20), ("-D", 2, "b", 20)], 1)
+    batch([("+I", 3, "c", 30)], 2)
+
+    now = {r["id"]: r["name"] for r in read_upsert_state(spark, state).collect()}
+    assert now == {1: "a2", 3: "c"}
+    as_of_1 = {r["id"]: r["name"]
+               for r in read_upsert_state(spark, state, at_epoch=1).collect()}
+    assert as_of_1 == {1: "a2"}          # epoch 1: 2 deleted, 3 not yet there
+    with pytest.raises(FileNotFoundError):
+        read_upsert_state(spark, state, at_epoch=0)   # pruned by retention
