@@ -45,3 +45,51 @@ def interval_join_streams(left: DataFrame, right: DataFrame, key: str,
         & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {upper_s} SECONDS"))
     )
     return l.join(r, cond)
+
+
+def interval_left_join_streams(left: DataFrame, right: DataFrame, key: str,
+                               left_ts: str, right_ts: str,
+                               lower_s: int, upper_s: int,
+                               watermark: str = "30 seconds") -> DataFrame:
+    """LEFT OUTER stream-stream interval join: like
+    `interval_join_streams`, but a left row with no match inside its time
+    bound is still emitted (right side null-padded) — once the watermark
+    proves no match can arrive. The null-padded row therefore appears one
+    watermark advance AFTER the bound closes, not immediately; that
+    deferral IS the correctness (emitting earlier could contradict a
+    late-arriving match). Same bounded state as the inner form."""
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {lower_s} SECONDS"))
+        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {upper_s} SECONDS"))
+    )
+    return l.join(r, cond, "left_outer")
+
+
+def dynamic_rules_filter(rules_path: str, on: list[str],
+                         out_path: str):
+    """Flink's broadcast-state pattern (dynamic rules pushed to every task
+    without restarting the job), Spark-first: a foreachBatch sink that
+    RE-READS the rules table at every micro-batch and broadcast-joins the
+    batch against it — rule changes take effect on the next trigger, no
+    restart, no keyed state. Matching rows append to `out_path` with the
+    rule payload attached.
+
+    The per-batch re-read costs one small-table scan per trigger (rules
+    tables are broadcast-sized by definition); with a lakehouse table the
+    read is snapshot-consistent. This inverts Flink's push model
+    (broadcast stream → operator state) into a pull: simpler, and the
+    rules' system of record stays queryable."""
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            rules = spark.read.parquet(rules_path)
+        except Exception:
+            return   # no rules yet: drop everything (deny-by-default)
+        (batch_df.join(F.broadcast(rules), on, "inner")
+         .write.mode("append").parquet(out_path))
+
+    return sink

@@ -546,3 +546,74 @@ def test_anomaly_stream_matches_batch_detector(spark, tmp_path):
     assert any(v[1] for v in got.values())  # the spike was flagged
     spike = [ms for ms, v in got.items() if v[1]]
     assert spike == [1704067230000]  # 2024-01-01 00:00:30 UTC — bucket 30 only
+
+
+def test_stream_stream_left_outer_interval_join(spark, tmp_path):
+    """LEFT OUTER stream⋈stream: matched views pair with their purchase;
+    the unmatched view is STILL emitted null-padded once the watermark
+    proves no purchase can arrive inside its bound (driven here by a
+    late sentinel batch that advances the watermark)."""
+    from felixzh_flink_spark.streaming.joins import interval_left_join_streams
+
+    psrc, vsrc = str(tmp_path / "p"), str(tmp_path / "v")
+    p_schema = T.StructType([
+        T.StructField("pts", T.TimestampType()),
+        T.StructField("user", T.StringType()),
+    ])
+    v_schema = T.StructType([
+        T.StructField("vts", T.TimestampType()),
+        T.StructField("user", T.StringType()),
+    ])
+    views = [(BASE + dt.timedelta(seconds=s), "u1") for s in (0, 200)]
+    purchases = [(BASE + dt.timedelta(seconds=50), "u1")]
+    spark.createDataFrame(views, v_schema).coalesce(1).write.parquet(vsrc)
+    spark.createDataFrame(purchases, p_schema).coalesce(1).write.parquet(psrc)
+    v = file_stream_source(spark, vsrc, v_schema)
+    p = file_stream_source(spark, psrc, p_schema)
+    joined = interval_left_join_streams(v, p, "user", "vts", "pts", 0, 60,
+                                        watermark="5 seconds")
+    q = (joined.writeStream.format("memory").queryName("ssloj")
+         .outputMode("append").start())
+    q.processAllAvailable()
+    # watermark sentinel: far-future rows close every earlier bound
+    spark.createDataFrame(
+        [(BASE + dt.timedelta(seconds=10_000), "uX")], v_schema
+    ).coalesce(1).write.mode("append").parquet(vsrc)
+    spark.createDataFrame(
+        [(BASE + dt.timedelta(seconds=10_000), "uX")], p_schema
+    ).coalesce(1).write.mode("append").parquet(psrc)
+    q.processAllAvailable()
+    q.stop()
+    got = {(int((r["vts"] - BASE).total_seconds()), r["pts"] is not None)
+           for r in spark.sql("SELECT vts, pts FROM ssloj").collect()}
+    assert (0, True) in got         # view@0s matched its purchase
+    assert (200, False) in got      # view@200s emitted null-padded
+
+
+def test_dynamic_rules_update_between_batches(spark, tmp_path):
+    """Broadcast-state analog: the rules table is re-read every
+    micro-batch, so updating it mid-stream changes routing WITHOUT
+    restarting the query — batch 1 matches rule v1 keys, batch 2 the
+    replaced v2 keys."""
+    from felixzh_flink_spark.streaming.joins import dynamic_rules_filter
+
+    src, rules, out = (str(tmp_path / d) for d in ("src", "rules", "out"))
+    spark.createDataFrame([("a", "alert")], "key string, action string") \
+        .write.parquet(rules)
+    spark.createDataFrame(_rows(["a", "b"], 1), SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(src)
+    stream = file_stream_source(spark, src, SCHEMA, max_files_per_trigger=1)
+    q = (stream.writeStream
+         .foreachBatch(dynamic_rules_filter(rules, ["key"], out))
+         .option("checkpointLocation", str(tmp_path / "ckpt")).start())
+    q.processAllAvailable()
+    # rule update while the query runs: now only 'b' matches, action changes
+    spark.createDataFrame([("b", "page")], "key string, action string") \
+        .write.mode("overwrite").parquet(rules)
+    spark.createDataFrame(_rows(["a", "b"], 1, start=100), SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+
+    got = {(r["key"], r["action"]) for r in spark.read.parquet(out).collect()}
+    assert got == {("a", "alert"), ("b", "page")}
