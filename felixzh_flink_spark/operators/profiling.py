@@ -120,3 +120,61 @@ def hll_rollup_estimate(daily: DataFrame, to: str = "month") -> DataFrame:
         .agg(F.hll_union_agg("sketch").alias("merged"))
         .select(to, F.hll_sketch_estimate("merged").alias("approx_distinct"))
     )
+
+
+def constraint_report(df: DataFrame, *,
+                      unique: list[str] | None = None,
+                      not_null: list[str] | None = None,
+                      positive: list[str] | None = None,
+                      foreign_keys: list[tuple[str, DataFrame, str]] | None = None
+                      ) -> DataFrame:
+    """Declarative data-quality gate: evaluate constraint families over a
+    table and return one row per constraint — (constraint, violations,
+    passed) — the expectations layer a pipeline runs before promoting a
+    snapshot.
+
+    - unique: duplicate-key rows beyond the first (count − distinct);
+    - not_null: null rows per column;
+    - positive: rows ≤ 0;
+    - foreign_keys: (local_col, parent_df, parent_col) — child keys with
+      no parent (left anti join; broadcast when the parent is small,
+      Catalyst decides).
+
+    Single-table checks fold into ONE aggregate pass over the table; each
+    FK adds one anti-join. Violation COUNTS (not violating rows) keep the
+    report tiny at any scale — drill into failures with a filter on the
+    named constraint."""
+    aggs = []
+    names = []
+    for c in unique or []:
+        aggs.append((F.count(c) - F.count_distinct(F.col(c))).cast("bigint"))
+        names.append(f"unique({c})")
+    for c in not_null or []:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).cast("bigint"))
+        names.append(f"not_null({c})")
+    for c in positive or []:
+        aggs.append(F.sum((F.col(c) <= 0).cast("long")).cast("bigint"))
+        names.append(f"positive({c})")
+    spark = df.sparkSession
+    parts = []
+    if aggs:
+        row = df.agg(*[a.alias(f"_c{i}") for i, a in enumerate(aggs)])
+        parts.append(row.selectExpr(
+            "stack({n}, {args}) as (constraint, violations)".format(
+                n=len(aggs),
+                args=", ".join(f"'{names[i]}', _c{i}"
+                               for i in range(len(aggs))))))
+    for local, parent, pcol in foreign_keys or []:
+        orphans = (df.select(F.col(local)).filter(F.col(local).isNotNull())
+                   .join(parent.select(F.col(pcol).alias(local)),
+                         local, "left_anti")
+                   .agg(F.count("*").cast("bigint").alias("violations"))
+                   .select(F.lit(f"fk({local})").alias("constraint"),
+                           "violations"))
+        parts.append(orphans)
+    if not parts:
+        raise ValueError("no constraints given")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.withColumn("passed", F.col("violations") == 0)

@@ -246,3 +246,25 @@ def test_sequence_within_anchor_scan_complete(spark):
     got = {r["uid"]: r["matched"] for r in
            sequence_within(df, ["uid"], "ts", conds, within_ms=20).collect()}
     assert got == {1: True, 2: False, 3: False}
+
+
+def test_constraint_report_catches_violations(spark):
+    """Every constraint family fires on a crafted bad table and stays
+    quiet on a clean one; null FK values are not orphans."""
+    from felixzh_flink_spark.operators.profiling import constraint_report
+
+    child = spark.createDataFrame(
+        [(1, 10, 5.0), (1, 20, -1.0), (2, None, 3.0), (3, 99, 0.0)],
+        "id long, parent_id long, amt double")
+    parent = spark.createDataFrame([(10,), (20,)], "pid long")
+    rep = {r["constraint"]: (r["violations"], r["passed"])
+           for r in constraint_report(
+               child, unique=["id"], not_null=["parent_id"],
+               positive=["amt"],
+               foreign_keys=[("parent_id", parent, "pid")]).collect()}
+    assert rep["unique(id)"] == (1, False)        # id 1 twice
+    assert rep["not_null(parent_id)"] == (1, False)
+    assert rep["positive(amt)"] == (2, False)     # -1.0 and 0.0
+    assert rep["fk(parent_id)"] == (1, False)     # 99 orphaned; null skipped
+    clean = constraint_report(parent, unique=["pid"], not_null=["pid"])
+    assert all(r["passed"] for r in clean.collect())
