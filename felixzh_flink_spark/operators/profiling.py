@@ -178,3 +178,53 @@ def constraint_report(df: DataFrame, *,
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.withColumn("passed", F.col("violations") == 0)
+
+
+def hll_sketch_sink(state_dir: str, ts_col: str, key_col: str,
+                    lg_k: int = 12, n_buckets: int = 8):
+    """foreachBatch writer maintaining per-day HLL sketches CONTINUOUSLY —
+    streaming distinct-counts without ever storing raw keys: each batch
+    folds into per-day batch sketches (tiny), which merge into the stored
+    day sketches via `hll_union_agg` — the same union-and-reaggregate
+    merge the incremental-aggregate sink uses, because HLL sketches are
+    exactly a mergeable aggregation state. Layout/commit/replay-guard are
+    the changelog library's crash-atomic bucketed machinery.
+
+    Read back with `read_upsert_state` + `hll_sketch_estimate`, or roll
+    days up to any grain with `hll_rollup_estimate` — no raw-data rescan
+    at any point."""
+    from felixzh_flink_spark.functions.changelog import (
+        _BUCKET_COL,
+        _bucket_expr,
+        _commit_touched_buckets,
+        _read_manifest,
+    )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        man = _read_manifest(state_dir)
+        # sketch-merge replays are NOT idempotent (re-unioning a batch
+        # sketch re-adds its keys' registers — harmless for HLL max-merge
+        # semantics, but epoch skipping keeps the contract uniform)
+        if epoch_id <= man.get("last_epoch", -(2 ** 62)):
+            return
+        delta = (hll_daily_sketches(batch_df, ts_col, key_col, lg_k)
+                 .withColumn(_BUCKET_COL, _bucket_expr(["day"], n_buckets)))
+        touched = sorted(r[_BUCKET_COL]
+                         for r in delta.select(_BUCKET_COL).distinct().collect())
+        if not touched:
+            return
+        man["last_epoch"] = epoch_id
+        old_paths = [man["buckets"][str(b)]["path"] for b in touched
+                     if man["buckets"].get(str(b), {}).get("path")]
+        merged = delta.drop(_BUCKET_COL)
+        if old_paths:
+            merged = merged.unionByName(
+                spark.read.parquet(*old_paths).drop(_BUCKET_COL))
+        new_state = (
+            merged.groupBy("day")
+            .agg(F.hll_union_agg("sketch").alias("sketch"))
+            .withColumn(_BUCKET_COL, _bucket_expr(["day"], n_buckets)))
+        _commit_touched_buckets(state_dir, new_state, touched, epoch_id, man)
+
+    return sink

@@ -617,3 +617,41 @@ def test_dynamic_rules_update_between_batches(spark, tmp_path):
 
     got = {(r["key"], r["action"]) for r in spark.read.parquet(out).collect()}
     assert got == {("a", "alert"), ("b", "page")}
+
+
+def test_streaming_hll_sketch_maintenance(spark, tmp_path):
+    """Continuous distinct-counts: per-day sketches maintained across
+    micro-batches must estimate the same cardinalities as one-shot batch
+    sketches over all the data — including a day that receives
+    overlapping users from BOTH batches (union-merge, not double count)."""
+    from felixzh_flink_spark.functions.changelog import read_upsert_state
+    from felixzh_flink_spark.operators.profiling import (
+        hll_daily_sketches, hll_sketch_sink)
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    schema = T.StructType([T.StructField("ts", T.TimestampType()),
+                           T.StructField("user_id", T.LongType())])
+    d1, d2 = BASE, BASE + dt.timedelta(days=1)
+    b1 = [(d1, u) for u in range(100)] + [(d2, u) for u in range(30)]
+    b2 = [(d1, u) for u in range(50, 150)]       # day 1: 50 overlap, 50 new
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+    stream = file_stream_source(spark, src, schema, max_files_per_trigger=1)
+    q = (stream.writeStream
+         .foreachBatch(hll_sketch_sink(state, "ts", "user_id"))
+         .option("checkpointLocation", str(tmp_path / "ckpt")).start())
+    q.processAllAvailable()
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+
+    est = {r["day"]: r["n"] for r in
+           read_upsert_state(spark, state)
+           .select("day", F.hll_sketch_estimate("sketch").alias("n")).collect()}
+    batch = spark.createDataFrame(b1 + b2, schema)
+    exp = {r["day"]: r["n"] for r in
+           hll_daily_sketches(batch, "ts", "user_id")
+           .select("day", F.hll_sketch_estimate("sketch").alias("n")).collect()}
+    assert est == exp                      # streaming merge == batch sketch
+    day1 = [v for k, v in est.items() if k.day == 1][0]
+    assert abs(day1 - 150) <= 0.05 * 150   # union of 0..149, not 200
