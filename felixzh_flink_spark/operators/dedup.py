@@ -132,13 +132,17 @@ def edit_distance_pairs(df: DataFrame, text_col: str = "text",
     # max_edits, so the O(len²) levenshtein never runs on pairs the
     # lengths already rule out — evaluated as a cheap join-side predicate
     # before the expensive verify (the dominant cost in dense blocks)
+    # threshold'd levenshtein band-limits the DP to O(len × max_edits)
+    # instead of O(len²) and returns -1 past the budget — on ~300-char
+    # docs at a 20-edit budget that is ~15× less work per surviving pair
     return (
         a.join(b, (F.col("a.blk") == F.col("b.blk"))
                & (F.col("a.id") < F.col("b.id"))
                & (F.abs(F.col("a.len") - F.col("b.len")) <= max_edits))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                F.levenshtein(F.col("a.t"), F.col("b.t")).alias("edits"))
-        .filter(F.col("edits") <= max_edits)
+                F.levenshtein(F.col("a.t"), F.col("b.t"),
+                              max_edits).alias("edits"))
+        .filter(F.col("edits") >= 0)
     )
 
 
