@@ -194,13 +194,18 @@ def decode_canal_json_quarantine(df: DataFrame, value_col: str,
                        "columnNameOfCorruptRecord": "_corrupt"})
     parsed = _maybe_spread(df, parallelism).select(
         F.col(value_col).alias("value"), env.alias("_env"))
+    # every branch must be null-safe: a missing `type` makes isin() NULL
+    # (not false), and an empty data[] explodes to zero good rows — both
+    # must land in quarantine, not vanish from BOTH frames
     reason = (
         F.when(F.col("_env").isNull()
                | F.col("_env._corrupt").isNotNull(), "unparseable")
         .when(F.coalesce(F.col("_env.isDdl"), F.lit(False)), "ddl")
-        .when(F.col("_env.data").isNull(), "no_data")
-        .when(~F.col("_env.type").isin("INSERT", "UPDATE", "DELETE"),
-              "unknown_type")
+        .when(F.col("_env.data").isNull()
+              | (F.size("_env.data") == 0), "no_data")
+        .when(~F.coalesce(
+            F.col("_env.type").isin("INSERT", "UPDATE", "DELETE"),
+            F.lit(False)), "unknown_type")
     )
     bad = (parsed.withColumn("reason", reason)
            .filter(F.col("reason").isNotNull())
@@ -466,23 +471,25 @@ def _commit_touched_buckets(state_dir: str, new_state: DataFrame,
     shutil.rmtree(staging, ignore_errors=True)
 
     # atomic commit: single rename of the manifest, then the immutable
-    # epoch snapshot (same content; written after the commit point so a
-    # crash between the two just loses one snapshot, never consistency)
+    # epoch snapshot (a copy of the just-committed file — serialized once;
+    # written after the commit point so a crash between the two just
+    # loses one snapshot, never consistency)
     tmp = os.path.join(state_dir, ".manifest.tmp")
     with open(tmp, "w") as fh:
         json.dump(man, fh)
     os.replace(tmp, os.path.join(state_dir, "manifest.json"))
-    with open(tmp, "w") as fh:
-        json.dump(man, fh)
-    os.replace(tmp, os.path.join(state_dir, f"manifest-e{epoch_id}.json"))
+    shutil.copyfile(os.path.join(state_dir, "manifest.json"),
+                    os.path.join(state_dir, f"manifest-e{epoch_id}.json"))
 
-    # retention: keep the newest `retain` snapshot manifests
+    # retention: keep the newest `retain` snapshot manifests. The newest
+    # snapshot is `man` itself (already in memory) — only OLDER retained
+    # snapshots are read back for the GC live-set.
     snaps = sorted(
         (int(f[len("manifest-e"):-len(".json")]), f)
         for f in os.listdir(state_dir)
         if f.startswith("manifest-e") and f.endswith(".json"))
-    retained = []
-    for _, f in snaps[-max(1, retain):]:
+    retained = [man]
+    for _, f in snaps[-max(1, retain):-1]:
         with open(os.path.join(state_dir, f)) as fh:
             retained.append(json.load(fh))
     for _, f in snaps[:-max(1, retain)]:
@@ -490,7 +497,7 @@ def _commit_touched_buckets(state_dir: str, new_state: DataFrame,
 
     # GC: epoch dirs referenced by neither the committed manifest nor any
     # retained snapshot
-    live = {e["path"] for m in [man, *retained]
+    live = {e["path"] for m in retained
             for e in m["buckets"].values() if e.get("path")}
     if os.path.isdir(buckets_root):
         for bdir in os.listdir(buckets_root):

@@ -84,28 +84,36 @@ def sequence_within(df: DataFrame, key_cols: list[str], ts_col: str,
     payload = payload_cols
     if payload is None:
         payload = [c for c in df.columns if c not in key_cols]
+    # MICROsecond event times — Spark timestamps are µs-precise, and the
+    # relational witness definition (a.ts < b.ts) compares full precision;
+    # ms truncation would collide distinct sub-ms events and stop chains
+    # the oracle accepts
     prepared = df.withColumn(
-        "_tms", (F.col(ts_col).cast("timestamp").cast("double") * 1000)
-        .cast("long"))
+        "_tms", F.unix_micros(F.col(ts_col).cast("timestamp")))
+    within_us = int(within_ms) * 1000
     struct_cols = list(dict.fromkeys(["_tms", *payload]))
     per_key = prepared.groupBy(*key_cols).agg(
         F.array_sort(F.collect_list(F.struct(*struct_cols))).alias("_evs"))
     n = len(conditions)
-    anchor_cond = conditions[0].replace("e.", "element_at(_evs, i).")
-    anchor_t = "element_at(_evs, i)._tms"
+    # anchor times via a lambda-bound filter — conditions reference the
+    # bound variable `e` verbatim (no textual rewriting, which would
+    # corrupt 'e.' inside string literals)
+    anchors = f"transform(filter(_evs, e -> ({conditions[0]})), e -> e._tms)"
+    if n == 1:
+        matched = F.expr(f"exists(_evs, e -> ({conditions[0]}))")
+        return per_key.select(*key_cols, matched.alias(alias))
     # accumulator (st, lt): stage reached + its event time; stages advance
     # on STRICTLY later event times (ties don't chain — matches the
-    # relational a.ts < b.ts < c.ts witness definition)
+    # relational a.ts < b.ts < c.ts witness definition). The fold captures
+    # the outer lambda's anchor time t0 for the deadline.
     branches = "\n".join(
         f"WHEN acc.st = {j} AND e._tms > acc.lt AND "
-        f"e._tms <= {anchor_t} + {within_ms} AND ({cond}) "
+        f"e._tms <= t0 + {within_us} AND ({cond}) "
         f"THEN named_struct('st', {j + 1}, 'lt', e._tms)"
         for j, cond in enumerate(conditions[1:], start=1))
-    fold = (f"aggregate(_evs, named_struct('st', 1, 'lt', {anchor_t}), "
+    fold = (f"aggregate(_evs, named_struct('st', 1, 'lt', t0), "
             f"(acc, e) -> CASE {branches} ELSE acc END)")
-    matched = F.expr(
-        f"exists(sequence(1, size(_evs)), i -> ({anchor_cond}) "
-        f"AND {fold}.st = {n})")
+    matched = F.expr(f"exists({anchors}, t0 -> {fold}.st = {n})")
     return per_key.select(*key_cols, matched.alias(alias))
 
 

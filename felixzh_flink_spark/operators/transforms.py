@@ -54,9 +54,13 @@ def salted_rowkey(key: Column | str, n_salts: int = 16,
     oracle-checkable and idempotent under replay, which also upgrades an
     at-least-once sink to effectively-once on keyed stores."""
     k = (F.col(key) if isinstance(key, str) else key).cast("string")
+    # pad width must fit the largest salt: lpad TRUNCATES strings longer
+    # than the target width, which would silently collide buckets for
+    # n_salts > 10^width and break point-read recomputation
+    width = len(str(n_salts - 1))
     salt = F.lpad(
         (F.conv(F.substring(F.md5(k), 1, 8), 16, 10).cast("bigint")
-         % n_salts).cast("string"), 2, "0")
+         % n_salts).cast("string"), width, "0")
     return F.concat(salt, F.lit("|"), k).alias(alias)
 
 

@@ -1721,7 +1721,8 @@ SELECT u.user_id,
            AND a.event_type = 'view' AND b.event_type = 'click'
            AND c.event_type = 'purchase'
            AND a.ts < b.ts AND b.ts < c.ts
-           AND epoch_ms(c.ts) - epoch_ms(a.ts) <= 7200000
+           AND epoch_us(CAST(c.ts AS TIMESTAMP))
+               - epoch_us(CAST(a.ts AS TIMESTAMP)) <= 7200000000
        ) AS matched
 FROM u
 """)

@@ -29,7 +29,8 @@ def enrich_with_dim(stream: DataFrame, dim: DataFrame, on: Column | list[str],
 def interval_join_streams(left: DataFrame, right: DataFrame, key: str,
                           left_ts: str, right_ts: str,
                           lower_s: int, upper_s: int,
-                          watermark: str = "30 seconds") -> DataFrame:
+                          watermark: str = "30 seconds",
+                          how: str = "inner") -> DataFrame:
     """Stream-stream join: rows match when keys are equal and
     right_ts ∈ [left_ts + lower_s, left_ts + upper_s] (seconds).
 
@@ -44,7 +45,7 @@ def interval_join_streams(left: DataFrame, right: DataFrame, key: str,
         & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {lower_s} SECONDS"))
         & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {upper_s} SECONDS"))
     )
-    return l.join(r, cond)
+    return l.join(r, cond, how)
 
 
 def interval_left_join_streams(left: DataFrame, right: DataFrame, key: str,
@@ -58,14 +59,9 @@ def interval_left_join_streams(left: DataFrame, right: DataFrame, key: str,
     watermark advance AFTER the bound closes, not immediately; that
     deferral IS the correctness (emitting earlier could contradict a
     late-arriving match). Same bounded state as the inner form."""
-    l = left.withWatermark(left_ts, watermark).alias("l")
-    r = right.withWatermark(right_ts, watermark).alias("r")
-    cond = (
-        (F.col(f"l.{key}") == F.col(f"r.{key}"))
-        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {lower_s} SECONDS"))
-        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {upper_s} SECONDS"))
-    )
-    return l.join(r, cond, "left_outer")
+    return interval_join_streams(left, right, key, left_ts, right_ts,
+                                 lower_s, upper_s, watermark,
+                                 how="left_outer")
 
 
 def dynamic_rules_filter(rules_path: str, on: list[str],
@@ -84,11 +80,17 @@ def dynamic_rules_filter(rules_path: str, on: list[str],
     rules' system of record stays queryable."""
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        import os
+
         spark = batch_df.sparkSession
-        try:
-            rules = spark.read.parquet(rules_path)
-        except Exception:
-            return   # no rules yet: drop everything (deny-by-default)
+        # ONLY the rules-not-created-yet case is deny-by-default; any
+        # other read failure (transient IO, permissions, a non-atomic
+        # rules rewrite mid-swap) must propagate so the trigger retries —
+        # swallowing it would silently lose this batch's matches forever
+        # (the checkpoint advances on sink return).
+        if not os.path.exists(rules_path):
+            return
+        rules = spark.read.parquet(rules_path)
         (batch_df.join(F.broadcast(rules), on, "inner")
          .write.mode("append").parquet(out_path))
 

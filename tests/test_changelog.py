@@ -623,12 +623,18 @@ def test_quarantine_reasons_cover_all_failure_modes(spark):
         '{"data":[{"id":2}],"type":"TRUNCATE","isDdl":false}',  # unknown_type
         '{"type":"INSERT","isDdl":false}',                      # no_data
         '{"data":[{"id":3}],"type":"INSERT","isDdl":true}',     # ddl
+        '{"data":[{"id":4}],"isDdl":false}',                    # NULL type
+        '{"data":[],"type":"INSERT","isDdl":false}',            # empty data[]
     ]
     df = spark.createDataFrame([(p,) for p in payloads], "value string")
     good, bad = decode_canal_json_quarantine(df, "value", schema)
     assert [(r["op"], r["id"]) for r in good.collect()] == [("+I", 1)]
     reasons = sorted(r["reason"] for r in bad.collect())
-    assert reasons == ["ddl", "no_data", "unknown_type", "unparseable"]
+    # a null type is isin()-NULL (→ unknown_type), an empty data[]
+    # explodes to nothing (→ no_data) — both previously vanished from
+    # BOTH frames; they must quarantine
+    assert reasons == ["ddl", "no_data", "no_data", "unknown_type",
+                       "unknown_type", "unparseable"]
 
 
 def test_upsert_state_epoch_time_travel(spark, tmp_path):

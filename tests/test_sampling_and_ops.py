@@ -268,3 +268,24 @@ def test_constraint_report_catches_violations(spark):
     assert rep["fk(parent_id)"] == (1, False)     # 99 orphaned; null skipped
     clean = constraint_report(parent, unique=["pid"], not_null=["pid"])
     assert all(r["passed"] for r in clean.collect())
+
+
+def test_sequence_within_literal_dots_and_single_stage(spark):
+    """Conditions containing 'e.' inside a STRING LITERAL must not be
+    corrupted (dotted event names are routine), and a one-stage pattern
+    must work (previously a CASE-with-no-WHEN parse error)."""
+    from pyspark.sql import functions as F
+
+    from felixzh_flink_spark.operators.cep import sequence_within
+
+    rows = [(1, 0.0, "page.view"), (1, 1.0, "page.close"),
+            (2, 0.0, "other")]
+    df = spark.createDataFrame(rows, "uid long, sec double, typ string") \
+        .select("uid", F.col("sec").cast("timestamp").alias("ts"), "typ")
+    got = {r["uid"]: r["matched"] for r in sequence_within(
+        df, ["uid"], "ts", ["e.typ = 'page.view'", "e.typ = 'page.close'"],
+        within_ms=5000).collect()}
+    assert got == {1: True, 2: False}
+    one = {r["uid"]: r["matched"] for r in sequence_within(
+        df, ["uid"], "ts", ["e.typ = 'page.view'"], within_ms=1).collect()}
+    assert one == {1: True, 2: False}

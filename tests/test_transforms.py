@@ -65,3 +65,18 @@ def test_salted_rowkey_spreads_and_stays_point_readable(spark):
     b = {r["k"]: r["row_key"]
          for r in df.repartition(7).select(salted_rowkey("k", 16), "k").collect()}
     assert a == b
+
+
+def test_salted_rowkey_wide_salt_space_no_truncation(spark):
+    """n_salts > 100 needs a 3-char pad: every salt prefix must parse back
+    to its own bucket (lpad truncation would collide e.g. 123 into 12)."""
+    from pyspark.sql import functions as F
+
+    from felixzh_flink_spark.operators.transforms import salted_rowkey
+
+    keyed = spark.range(5000).select(salted_rowkey(F.col("id"), n_salts=256), "id")
+    parts = keyed.select(F.split("row_key", r"\|")[0].alias("salt")).distinct()
+    salts = sorted(int(r["salt"]) for r in parts.collect())
+    assert len(salts) == 256 and salts[-1] == 255
+    assert all(len(r["row_key"].split("|")[0]) == 3
+               for r in keyed.limit(50).collect())
