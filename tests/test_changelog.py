@@ -664,3 +664,26 @@ def test_upsert_state_epoch_time_travel(spark, tmp_path):
     assert as_of_1 == {1: "a2"}          # epoch 1: 2 deleted, 3 not yet there
     with pytest.raises(FileNotFoundError):
         read_upsert_state(spark, state, at_epoch=0)   # pruned by retention
+
+
+def test_canal_decode_schema_evolution(spark):
+    """CDC schema evolution: envelopes written BEFORE a column existed
+    decode under the widened schema with null for the new column, and
+    newer envelopes carry it — no reprocessing, no decoder change (the
+    all-strings parse makes unknown-to-old/missing-in-new fields
+    independent per record)."""
+    import json as _json
+
+    old_env = _json.dumps({"data": [{"id": 1, "name": "a"}],
+                           "type": "INSERT", "isDdl": False})
+    new_env = _json.dumps({"data": [{"id": 2, "name": "b", "tier": "gold"}],
+                           "type": "INSERT", "isDdl": False})
+    df = spark.createDataFrame([(old_env,), (new_env,)], "value string")
+    widened = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("tier", T.StringType()),   # added later
+    ])
+    got = {r["id"]: (r["name"], r["tier"])
+           for r in decode_canal_json(df, "value", widened).collect()}
+    assert got == {1: ("a", None), 2: ("b", "gold")}
