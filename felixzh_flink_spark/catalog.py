@@ -56,9 +56,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     matching DuckDB's ns→µs truncation; a µs column passes through with
     just the NTZ cast.
     """
-    key = (spark.sparkContext.applicationId, sf_dir, name)
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir, name)
     if key in _TABLE_CACHE:
         return _TABLE_CACHE[key]
+    # evict entries from stopped sessions: they pin DataFrames bound to a
+    # dead JVM context and would grow without bound in a process that
+    # cycles SparkSessions (test runs, notebooks, library use)
+    for stale in [k for k in _TABLE_CACHE if k[0] != app]:
+        del _TABLE_CACHE[stale]
     if name == "events":
         from pyspark.sql import functions as F
         from pyspark.sql.types import LongType
@@ -108,9 +114,13 @@ def spread_if_narrow(df: DataFrame, parallelism: int | None = None) -> DataFrame
 def _scan_partition_estimate(df: DataFrame) -> int | None:
     """Approximate scan partition count from leaf-file sizes (local files
     only — returns None otherwise, including post-shuffle/non-scan plans
-    where inputFiles is empty). Mirrors FilePartition packing: splits of
-    ~maxPartitionBytes with a per-file open cost, so many small files
-    coalesce instead of counting one partition each."""
+    where inputFiles is empty). Mirrors FilePartition packing INCLUDING
+    the bytesPerCore clamp: Spark's maxSplitBytes is
+    min(maxPartitionBytes, max(openCost, totalBytes/defaultParallelism)),
+    so tables smaller than maxPartitionBytes × cores already split near
+    core count — without the clamp the estimate undercounts and
+    spread_if_narrow would ADD a repartition shuffle the exact probe
+    avoided. Config values come from the session, not hardcoded."""
     import os
     from urllib.parse import unquote, urlparse
 
@@ -129,9 +139,25 @@ def _scan_partition_estimate(df: DataFrame) -> int | None:
             total += os.path.getsize(unquote(p.path))
         except OSError:
             return None
-    open_cost = 4 << 20       # spark.sql.files.openCostInBytes default
-    max_split = 128 << 20     # spark.sql.files.maxPartitionBytes default
-    return max(1, -(-(total + len(files) * open_cost) // max_split))
+
+    def _bytes_conf(key: str, default: int) -> int:
+        try:
+            v = df.sparkSession.conf.get(key)
+        except Exception:
+            return default
+        v = v.lower().rstrip("b")
+        for suf, mul in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30)):
+            if v.endswith(suf):
+                return int(float(v[:-1]) * mul)
+        return int(v)
+
+    open_cost = _bytes_conf("spark.sql.files.openCostInBytes", 4 << 20)
+    max_part = _bytes_conf("spark.sql.files.maxPartitionBytes", 128 << 20)
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    padded = total + len(files) * open_cost
+    bytes_per_core = padded // max(1, cores)
+    max_split = min(max_part, max(open_cost, bytes_per_core))
+    return max(1, -(-padded // max(1, max_split)))
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> dict[str, DataFrame]:

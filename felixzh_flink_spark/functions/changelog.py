@@ -548,12 +548,15 @@ def snapshot_diff_changelog(old: DataFrame, new: DataFrame,
     if cols != new.columns:
         raise ValueError(f"snapshot schemas differ: {cols} vs {new.columns}")
     data_cols = [c for c in cols if c not in pk]
-    o = old.alias("o")
-    n = new.alias("n")
+    # presence must come from literal per-side flags, NOT pk nullness:
+    # the join matches null pks via eqNullSafe, so a null-pk row's
+    # deletes/inserts would silently vanish under an isNotNull test
+    o = old.withColumn("_in_old", F.lit(True)).alias("o")
+    n = new.withColumn("_in_new", F.lit(True)).alias("n")
     cond = [F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}")) for k in pk]
     joined = o.join(n, cond, "full_outer")
-    in_old = F.col(f"o.{pk[0]}").isNotNull()
-    in_new = F.col(f"n.{pk[0]}").isNotNull()
+    in_old = F.coalesce(F.col("o._in_old"), F.lit(False))
+    in_new = F.coalesce(F.col("n._in_new"), F.lit(False))
     changed = ~F.struct(*[F.col(f"o.{c}") for c in data_cols]).eqNullSafe(
         F.struct(*[F.col(f"n.{c}") for c in data_cols]))
 
@@ -687,29 +690,37 @@ def incremental_agg_sink(state_dir: str, keys: list[str], value_col: str,
         # mark is a post-commit replay and must be skipped wholesale.
         if epoch_id <= man.get("last_epoch", -(2 ** 62)):
             return
+        # persist the delta: the touched-buckets collect AND the commit's
+        # state write both consume it — uncached, the whole per-batch
+        # groupBy (and source re-read) would execute twice per epoch
         delta = (incremental_agg_delta(batch_df, keys, value_col,
                                        sum_col, cnt_col)
-                 .withColumn(_BUCKET_COL, _bucket_expr(keys, n_buckets)))
-        touched = sorted(r[_BUCKET_COL]
-                         for r in delta.select(_BUCKET_COL).distinct().collect())
-        if not touched:
-            return
-        man["last_epoch"] = epoch_id
-        old_paths = [man["buckets"][str(b)]["path"] for b in touched
-                     if man["buckets"].get(str(b), {}).get("path")]
-        if old_paths:
-            state = spark.read.parquet(*old_paths).drop(_BUCKET_COL)
-        else:
-            state = spark.createDataFrame(
-                [], materialized_agg(
-                    batch_df.limit(0), keys, value_col, sum_col, cnt_col
-                ).schema)
-        new_state = (
-            incremental_agg_apply(state, delta.drop(_BUCKET_COL), keys,
-                                  sum_col, cnt_col)
-            .withColumn(_BUCKET_COL, _bucket_expr(keys, n_buckets)))
-        _commit_touched_buckets(state_dir, new_state, touched, epoch_id, man,
-                                retain)
+                 .withColumn(_BUCKET_COL, _bucket_expr(keys, n_buckets))
+                 .persist())
+        try:
+            touched = sorted(
+                r[_BUCKET_COL]
+                for r in delta.select(_BUCKET_COL).distinct().collect())
+            if not touched:
+                return
+            man["last_epoch"] = epoch_id
+            old_paths = [man["buckets"][str(b)]["path"] for b in touched
+                         if man["buckets"].get(str(b), {}).get("path")]
+            if old_paths:
+                state = spark.read.parquet(*old_paths).drop(_BUCKET_COL)
+            else:
+                state = spark.createDataFrame(
+                    [], materialized_agg(
+                        batch_df.limit(0), keys, value_col, sum_col, cnt_col
+                    ).schema)
+            new_state = (
+                incremental_agg_apply(state, delta.drop(_BUCKET_COL), keys,
+                                      sum_col, cnt_col)
+                .withColumn(_BUCKET_COL, _bucket_expr(keys, n_buckets)))
+            _commit_touched_buckets(state_dir, new_state, touched, epoch_id,
+                                    man, retain)
+        finally:
+            delta.unpersist()
 
     return sink
 

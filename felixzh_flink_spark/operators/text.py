@@ -187,11 +187,7 @@ def tf_idf_top_terms(df: DataFrame, k: int = 3, text_col: str = "text",
     a cross-engine flip would need two DISTINCT (tf, df) pairs landing
     within one ulp of each other. Exact-tie pairs (equal tf and df) get
     bit-equal scores in every engine and fall to the term tie-break."""
-    toks = df.select(
-        F.col(id_col),
-        F.explode(F.split(F.lower(F.trim(F.col(text_col))), TOKEN_RE))
-        .alias("term"),
-    ).filter(F.col("term") != "")
+    toks = doc_terms(df, text_col, id_col)
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("n_td"))
     df_t = tf.groupBy("term").agg(F.count("*").alias("df_t"))
     n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
@@ -333,6 +329,20 @@ def repetition_metrics(df: DataFrame, text_col: str = "text",
     )
 
 
+def doc_terms(df: DataFrame, text_col: str = "text",
+              id_col: str | None = None) -> DataFrame:
+    """Lower-cased whitespace terms, one row per occurrence (empty terms
+    dropped) — THE tokenizer every term-level operator shares
+    (TF-IDF, unigram-LM train AND score): the oracle hashes depend on all
+    of them tokenizing identically, so the definition lives once."""
+    cols = [F.col(id_col)] if id_col else []
+    return df.select(
+        *cols,
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), TOKEN_RE))
+        .alias("term"),
+    ).filter(F.col("term") != "")
+
+
 def train_unigram_lm(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Train a unigram language model over the corpus: (term, logp) with
     logp = ln(count / total_tokens). The CCNet-style quality signal's model
@@ -342,9 +352,7 @@ def train_unigram_lm(df: DataFrame, text_col: str = "text") -> DataFrame:
     Scale shape: one partial-aggregated shuffle on the term (output rows =
     vocabulary size, not token occurrences); the total is a scalar
     broadcast. Pure JVM."""
-    toks = (df.select(F.explode(
-                F.split(F.lower(F.trim(F.col(text_col))), TOKEN_RE)).alias("term"))
-            .filter(F.col("term") != ""))
+    toks = doc_terms(df, text_col)
     counts = toks.groupBy("term").agg(F.count("*").alias("c"))
     total = counts.agg(F.sum("c").alias("n_total"))
     return (counts.crossJoin(F.broadcast(total))
@@ -371,10 +379,7 @@ def unigram_nll_score(df: DataFrame, lm: DataFrame, text_col: str = "text",
     the broadcast hint and let the term join shuffle."""
     from felixzh_flink_spark.operators.aggregations import exact_sum
 
-    toks = df.select(
-        F.col(id_col),
-        F.explode(F.split(F.lower(F.trim(F.col(text_col))), TOKEN_RE)).alias("term"),
-    ).filter(F.col("term") != "")
+    toks = doc_terms(df, text_col, id_col)
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("n_td"))
     scored = (tf.join(F.broadcast(lm), "term", "left")
               .withColumn("_contrib",

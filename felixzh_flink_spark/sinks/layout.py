@@ -59,6 +59,10 @@ def zorder_value(df: DataFrame, col_a: str, col_b: str,
     """Attach the z-value for two numeric columns. One tiny min/max
     aggregate (collected: 4 scalars) scales each column to the grid."""
     r = df.agg(F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)).head()
+    if any(v is None for v in r):
+        raise ValueError(
+            f"cannot z-order on ({col_a}, {col_b}): input is empty or a "
+            f"layout column is entirely null (min/max: {tuple(r)})")
     za = _scaled(F.col(col_a), float(r[0]), float(r[1]), bits)
     zb = _scaled(F.col(col_b), float(r[2]), float(r[3]), bits)
     return df.withColumn(alias, interleave_bits(za, zb, bits))
@@ -103,7 +107,11 @@ def file_bounding_boxes(path: str, col_a: str, col_b: str) -> list[dict]:
                     st = c.statistics
                     mins[name] = min(mins.get(name, st.min), st.min)
                     maxs[name] = max(maxs.get(name, st.max), st.max)
-        if mins:
+        # a file counts only when BOTH columns have footer stats — stats
+        # for just one (all-null other column, stats disabled) would
+        # KeyError; such files are conservatively unprunable, so skip
+        # them here and let callers treat absent boxes as must-read
+        if all(c in mins for c in (col_a, col_b)):
             boxes.append({"file": os.path.basename(f),
                           col_a: (mins[col_a], maxs[col_a]),
                           col_b: (mins[col_b], maxs[col_b])})

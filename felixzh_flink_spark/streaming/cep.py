@@ -38,6 +38,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F, types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from felixzh_flink_spark.streaming.pdutil import chunk_max_ms
+
 
 def _output_schema(key_fields: list[T.StructField]) -> T.StructType:
     return T.StructType(list(key_fields) + [
@@ -56,7 +58,14 @@ def make_funnel_fn(n_stages: int, n_keys: int, horizon_ms: int):
             state.remove()
             return
         stage = state.get[0] if state.exists else 0
-        pdfs = [p for p in pdf_iter]
+        pdfs = [p for p in pdf_iter if len(p)]
+        if not pdfs:
+            # a chunkless invocation contributes no events: keep state,
+            # re-arm the idle timer off the watermark
+            state.update((stage,))
+            state.setTimeoutTimestamp(
+                state.getCurrentWatermarkMs() + horizon_ms)
+            return
         pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
         pdf = pdf.sort_values(["_ts", "_tie"], kind="mergesort")
         out = []
@@ -75,7 +84,7 @@ def make_funnel_fn(n_stages: int, n_keys: int, horizon_ms: int):
         # still 0 (it only advances after a batch), and a watermark-
         # relative timer would land in 1970 and purge every key at the
         # next batch
-        last_ms = int(pdf["_ts"].max().timestamp() * 1000)
+        last_ms = chunk_max_ms(pdf, "_ts")
         state.setTimeoutTimestamp(
             max(last_ms, state.getCurrentWatermarkMs()) + horizon_ms)
         if out:

@@ -36,6 +36,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F, types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from felixzh_flink_spark.streaming.pdutil import chunk_max_ms
+
 from felixzh_flink_spark.operators.dedup import (
     _sig_array_sql,
     band_explode_sql,
@@ -69,9 +71,7 @@ def make_near_dup_fn(horizon_ms: int):
         last_ms = 0
         for pdf in pdf_iter:
             ids.extend(int(x) for x in pdf["id"])
-            m = pdf["_ts"].max()
-            if m is not None:
-                last_ms = max(last_ms, int(m.timestamp() * 1000))
+            last_ms = chunk_max_ms(pdf, "_ts", last_ms)
         out = []
         for doc_id in sorted(ids):
             if first_id is None:

@@ -39,6 +39,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F, types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from felixzh_flink_spark.streaming.pdutil import chunk_max_ms
+
 COUNT_WINDOW_OUTPUT = T.StructType([
     T.StructField("key", T.StringType()),
     T.StructField("window_seq", T.LongType()),   # nth fired window per key
@@ -89,10 +91,8 @@ def make_count_window_fn(max_count: int, timeout_ms: int | None = None,
         out = []
         last_ms = 0
         for pdf in pdf_iter:
-            if timeout_ms is not None and len(pdf):
-                m = pdf["_ts"].max()
-                if m is not None:
-                    last_ms = max(last_ms, int(m.timestamp() * 1000))
+            if timeout_ms is not None:
+                last_ms = chunk_max_ms(pdf, "_ts", last_ms)
             for v in pdf["value"]:
                 buf_cnt += 1
                 buf_sum += float(v)

@@ -687,3 +687,25 @@ def test_canal_decode_schema_evolution(spark):
     got = {r["id"]: (r["name"], r["tier"])
            for r in decode_canal_json(df, "value", widened).collect()}
     assert got == {1: ("a", None), 2: ("b", "gold")}
+
+
+def test_snapshot_diff_null_pk_rows_not_lost(spark):
+    """Null-pk rows must diff like any other key (the join matches them
+    via eqNullSafe): a null-pk delete emits -D, a null-pk insert emits
+    +I — presence detection must not rely on pk nullness."""
+    from felixzh_flink_spark.functions.changelog import snapshot_diff_changelog
+
+    old = spark.createDataFrame(
+        [(None, "gone"), (1, "same")], "k long, v string")
+    new = spark.createDataFrame(
+        [(1, "same"), (None, "born")], "k long, v string")
+    # note: old's null-pk row and new's null-pk row JOIN (eqNullSafe) and
+    # differ in v -> they form a -U/+U pair, not -D/+I
+    got = sorted((r["op"], r["k"], r["v"])
+                 for r in snapshot_diff_changelog(old, new, ["k"]).collect())
+    assert got == [("+U", None, "born"), ("-U", None, "gone")]
+    # a null-pk row present only on one side must still emit
+    got2 = sorted((r["op"], r["v"]) for r in snapshot_diff_changelog(
+        old, spark.createDataFrame([(1, "same")], "k long, v string"),
+        ["k"]).collect())
+    assert got2 == [("-D", "gone")]
