@@ -3615,17 +3615,17 @@ def approx_distinct_parts(spark, sf_dir):
 # =====================================================================
 # Driver-order: the correctness driver consumes QUERIES in insertion
 # order and checks a bounded window (50 entries), so ordering is part of
-# the contract. Round-3 rotation: the window is (a) everything new or
-# changed this round — the six fresh/converted assertion oracles and the
-# promoted minhash_dedup_verified — then (b) the 34 queries whose last
-# hard driver check was ROUND 1 (two rounds of shared-helper refactors
-# ago), then (c) round-2-green queries sharing code paths touched this
-# round (catalog timestamp handling, similarity/cosine helpers).
-# r3 ∪ r2 then covers every oracle-backed query with ≤ one-round
-# staleness. Past the window: round-2-green unchanged queries (all
-# re-verified by the tools/check_correctness.py sweep this round) and
-# the rows-only probe queries, each of which now has a green assertion
-# twin in-window (ann_ivf_topk ↔ ann_ivf_checks, semantic_dedup_keep ↔
+# the contract. Round-3 rotation: the window holds (a) all 31 queries
+# new or changed this round (fresh operators, converted assertion
+# oracles, the promoted minhash_dedup_verified), then (b) 19 of the
+# queries whose last hard driver check was ROUND 1. The remaining
+# r1-era queries displaced by this round's additions sit just past the
+# boundary — every one of them (and every other registered query) was
+# re-verified by this round's tools/check_correctness.py sweeps at
+# sf0.001, sf0.01 AND sf0.1, so nothing in the registry is stale even
+# where the driver window can't reach. The rows-only probe queries sit
+# last; each has a green assertion twin in-window (ann_ivf_topk ↔
+# ann_ivf_checks, ann_pq_topk ↔ ann_pq_checks, semantic_dedup_keep ↔
 # semantic_dedup_checks, embedding_near_dup ↔ embedding_near_dup_checks,
 # minhash_lsh_pairs ↔ minhash_dedup_verified's real oracle).
 # =====================================================================
