@@ -222,3 +222,69 @@ def repartition_for_media(df: DataFrame, target_partition_bytes: int = 128 << 20
     total = df.select(F.sum(F.col(size_col)).alias("s")).head()["s"] or 0
     n = max(1, int(total // target_partition_bytes) + 1)
     return df.repartition(n)
+
+
+def audio_segment_plan(df: DataFrame, segment_ms: int = 10_000,
+                       sample_rate: int = 16_000,
+                       bytes_per_sample: int = 2,
+                       channels: int = 1) -> DataFrame:
+    """Audio segmentation *plan*: one output row per (doc, segment) with
+    the segment's time span AND its exact PCM byte range — the offsets a
+    decode kernel seeks to, so executors read only their segment's bytes
+    instead of materializing whole recordings (hour-long audio rows are
+    the multimodal OOM hazard; segment fan-out is the fix, exactly like
+    video frame sampling).
+
+    Byte math is pure integer arithmetic over the metadata duration:
+    offset = start_ms × rate × width × channels / 1000 (floor) — engine-
+    exact and oracle-checkable. The final partial segment is kept. Fully
+    JVM-side; the decode itself is the stubbed mapInPandas kernel."""
+    frame_bytes = sample_rate * bytes_per_sample * channels
+    dur = F.coalesce(F.col("media_meta.duration_ms"), F.lit(0))
+    n_seg = F.greatest(
+        F.lit(1),
+        F.ceil(dur.cast("double") / F.lit(float(segment_ms))).cast("int"))
+    seg = F.explode(F.sequence(F.lit(0), n_seg - 1)).alias("segment_idx")
+    start = F.col("segment_idx").cast("long") * segment_ms
+    end = F.least(start + segment_ms, F.col("_dur"))
+    return (
+        df.select("doc_id", dur.alias("_dur"), seg)
+        .select(
+            "doc_id", "segment_idx",
+            start.alias("start_ms"),
+            end.alias("end_ms"),
+            # frame_bytes is per SECOND; times are ms → ÷1000 (exact: the
+            # products stay far under 2^53, so the double division is an
+            # integer-valued double and the cast is lossless)
+            ((start * frame_bytes) / 1000).cast("long").alias("byte_offset"),
+            (((end - start) * frame_bytes) / 1000).cast("long")
+            .alias("byte_length"),
+        )
+    )
+
+
+def resize_plan(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
+    """Image resize *plan*: aspect-preserving fit-inside dimensions plus
+    letterbox padding — the geometry half of a resize, computed JVM-side
+    from metadata so the pixel kernel (stubbed; needs a codec) receives
+    explicit target boxes instead of re-deriving them per executor.
+
+    scale = min(target_w/w, target_h/h); out dims FLOOR (never rounds up
+    past the box, and floor — unlike round — has no half-to-even
+    cross-engine ambiguity, keeping the plan oracle-exact). Zero-area
+    inputs pass through with null geometry."""
+    w = F.col("media_meta.width").cast("double")
+    h = F.col("media_meta.height").cast("double")
+    scale = F.least(F.lit(float(target_w)) / w, F.lit(float(target_h)) / h)
+    out_w = F.floor(w * scale).cast("int")
+    out_h = F.floor(h * scale).cast("int")
+    ok = w.isNotNull() & h.isNotNull() & (w > 0) & (h > 0)
+    return df.select(
+        "doc_id",
+        F.col("media_meta.width").alias("src_w"),
+        F.col("media_meta.height").alias("src_h"),
+        F.when(ok, out_w).alias("out_w"),
+        F.when(ok, out_h).alias("out_h"),
+        F.when(ok, ((F.lit(target_w) - out_w) / 2).cast("int")).alias("pad_x"),
+        F.when(ok, ((F.lit(target_h) - out_h) / 2).cast("int")).alias("pad_y"),
+    )

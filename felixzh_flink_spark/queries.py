@@ -3221,6 +3221,75 @@ def multimodal_frame_plan(spark, sf_dir):
     return MM.frame_sample_plan(d, every_ms=1000)
 
 
+@q("audio_segment_plan", """
+WITH d AS (SELECT doc_id, CAST(strlen(text) % 35000 AS BIGINT) AS dur
+           FROM documents),
+s AS (SELECT doc_id, dur,
+             unnest(generate_series(
+                 0, CAST(GREATEST(1, CEIL(dur / 10000.0)) AS BIGINT) - 1))
+               AS seg
+      FROM d)
+SELECT doc_id, CAST(seg AS INT) AS segment_idx,
+       CAST(seg * 10000 AS BIGINT) AS start_ms,
+       CAST(LEAST(seg * 10000 + 10000, dur) AS BIGINT) AS end_ms,
+       CAST(seg * 10000 * 32000 // 1000 AS BIGINT) AS byte_offset,
+       CAST((LEAST(seg * 10000 + 10000, dur) - seg * 10000) * 32000 // 1000
+            AS BIGINT) AS byte_length
+FROM s
+""")
+def audio_segment_plan(spark, sf_dir):
+    """Audio segmentation plan (`multimodal.audio_segment_plan`): per-doc
+    segment fan-out with exact PCM byte ranges (16 kHz × 2 B × mono =
+    32 kB/s) so decode kernels seek instead of materializing whole
+    recordings. Synthetic duration = byte size mod 35 s keeps the pure-
+    integer byte math oracle-checkable."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload"))
+    d = MM.attach_media_meta(d, "payload", "audio", "wav")
+    d = d.withColumn(
+        "media_meta",
+        F.col("media_meta").withField(
+            "duration_ms",
+            F.pmod(F.col("media_meta.size_bytes"), F.lit(35000))))
+    return MM.audio_segment_plan(d, segment_ms=10_000, sample_rate=16_000,
+                                 bytes_per_sample=2, channels=1)
+
+
+@q("image_resize_plan", """
+WITH d AS (
+  SELECT doc_id,
+         CAST(100 + strlen(text) % 1800 AS DOUBLE) AS w,
+         CAST(100 + (strlen(text) * 7) % 1200 AS DOUBLE) AS h
+  FROM documents
+),
+s AS (SELECT doc_id, w, h, LEAST(512.0 / w, 512.0 / h) AS sc FROM d)
+SELECT doc_id, CAST(w AS INT) AS src_w, CAST(h AS INT) AS src_h,
+       CAST(FLOOR(w * sc) AS INT) AS out_w,
+       CAST(FLOOR(h * sc) AS INT) AS out_h,
+       CAST((512 - CAST(FLOOR(w * sc) AS INT)) // 2 AS INT) AS pad_x,
+       CAST((512 - CAST(FLOOR(h * sc) AS INT)) // 2 AS INT) AS pad_y
+FROM s
+""")
+def image_resize_plan(spark, sf_dir):
+    """Resize geometry plan (`multimodal.resize_plan`): aspect-preserving
+    fit into 512×512 plus letterbox padding, computed from metadata —
+    floor (not round) keeps the plan engine-exact (no half-to-even
+    ambiguity). Synthetic dimensions derive from byte sizes."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload"))
+    d = MM.attach_media_meta(d, "payload", "image", "png")
+    d = d.withColumn(
+        "media_meta",
+        F.col("media_meta")
+        .withField("width",
+                   (100 + F.pmod(F.col("media_meta.size_bytes"), F.lit(1800)))
+                   .cast("int"))
+        .withField("height",
+                   (100 + F.pmod(F.col("media_meta.size_bytes") * 7,
+                                 F.lit(1200))).cast("int")))
+    return MM.resize_plan(d, target_w=512, target_h=512)
+
+
 @q("stratified_sample_counts", """
 WITH b AS (
   SELECT lang,
@@ -3659,6 +3728,8 @@ _DRIVER_ORDER = [
     "mixture_pipeline_counts",        # new: composed mixture pipeline
     "funnel_within_window",           # new: CEP WITHIN time bound
     "data_quality_report",            # new: declarative constraint gate
+    "audio_segment_plan",             # new: audio PCM segment fan-out
+    "image_resize_plan",              # new: letterbox geometry plan
     "weekly_retention_cohorts",       # new: cohort-retention analytics
     "funnel_view_click_purchase",     # new: CEP-lite sequence matching
     # last hard-checked in ROUND 1 — re-verify after two rounds of
@@ -3667,7 +3738,6 @@ _DRIVER_ORDER = [
     "events_hourly", "user_sessions", "filter_projection",
     "range_join_recent_views",
     "word_count", "json_roundtrip_orders",
-    "nation_customers_vs_suppliers", "cube_order_status",
     "pivot_order_status", "distinct_parts_per_supplier",
     "purchase_conversion_rate", "quantiles_by_flag",
     "argmax_order_per_segment", "running_quantity_by_supplier",
@@ -3691,6 +3761,7 @@ _DRIVER_ORDER = [
     "q4_order_priority", "q6_forecast_revenue", "q10_returned_items",
     "q12_returnflag_priority", "q14_promo_revenue", "q15_top_supplier",
     "q17_small_quantity_revenue", "q18_large_orders",
+    "nation_customers_vs_suppliers", "cube_order_status",
     "canal_decode", "debezium_decode",
     "asof_purchase_view", "events_rollup_cascade",
     "pack_sequences", "token_shards",

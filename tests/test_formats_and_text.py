@@ -310,3 +310,51 @@ def test_length_histogram_bucket_edges(spark):
     got = {r["len_bucket"]: (r["n_docs"], r["total_tokens"], r["bucket_min"])
            for r in length_histogram(df).collect()}
     assert got == {0: (1, 0, 0), 1: (1, 1, 1), 2: (2, 5, 2), 3: (2, 11, 4)}
+
+
+def test_audio_segment_plan_byte_ranges(spark):
+    """Segments tile the duration exactly: contiguous byte ranges, final
+    partial segment clipped, zero-duration rows get one empty segment."""
+    from pyspark.sql import functions as F, types as T
+
+    from felixzh_flink_spark.operators.multimodal import audio_segment_plan
+
+    meta = T.StructType([T.StructField("duration_ms", T.LongType())])
+    df = spark.createDataFrame(
+        [(1, {"duration_ms": 25_000}), (2, {"duration_ms": 0})],
+        T.StructType([T.StructField("doc_id", T.LongType()),
+                      T.StructField("media_meta", meta)]))
+    rows = sorted(
+        audio_segment_plan(df, segment_ms=10_000, sample_rate=16_000,
+                           bytes_per_sample=2, channels=1).collect(),
+        key=lambda r: (r["doc_id"], r["segment_idx"]))
+    d1 = [(r["start_ms"], r["end_ms"], r["byte_offset"], r["byte_length"])
+          for r in rows if r["doc_id"] == 1]
+    # 25s at 32 kB/s: 10s, 10s, 5s — offsets contiguous, last one clipped
+    assert d1 == [(0, 10_000, 0, 320_000_000 // 1000),
+                  (10_000, 20_000, 320_000_000 // 1000 * 1, 320_000),
+                  (20_000, 25_000, 640_000_000 // 1000, 160_000)]
+    d2 = [(r["segment_idx"], r["byte_length"]) for r in rows if r["doc_id"] == 2]
+    assert d2 == [(0, 0)]
+
+
+def test_resize_plan_geometry(spark):
+    """Wide and tall sources scale on their constraining axis; padding
+    centers the other; degenerate dims yield null geometry."""
+    from pyspark.sql import types as T
+
+    from felixzh_flink_spark.operators.multimodal import resize_plan
+
+    meta = T.StructType([T.StructField("width", T.IntegerType()),
+                         T.StructField("height", T.IntegerType())])
+    df = spark.createDataFrame(
+        [(1, {"width": 1024, "height": 512}),
+         (2, {"width": 100, "height": 400}),
+         (3, {"width": 0, "height": 7})],
+        T.StructType([T.StructField("doc_id", T.LongType()),
+                      T.StructField("media_meta", meta)]))
+    got = {r["doc_id"]: (r["out_w"], r["out_h"], r["pad_x"], r["pad_y"])
+           for r in resize_plan(df, 512, 512).collect()}
+    assert got[1] == (512, 256, 0, 128)     # width-constrained
+    assert got[2] == (128, 512, 192, 0)     # height-constrained
+    assert got[3] == (None, None, None, None)
