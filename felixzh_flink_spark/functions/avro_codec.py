@@ -206,6 +206,13 @@ def encode_avro_python(df: DataFrame, cols: list[str],
     # a lossy roundtrip for large ids/timestamp-micros. Decimal strings
     # parse back to exact Python ints at negligible cost for a Python codec.
     wire_int = {n for n, k in zip(names, kinds) if k in ("int", "long")}
+    # float/double ALSO cross as strings: pandas represents null as NaN in
+    # a float64 column, so `pd.isna` cannot tell a genuine NaN measurement
+    # from a missing value — the codec would rewrite NaN to the null
+    # branch. Spark's double→string gives a uniquely-round-tripping repr
+    # ("NaN"/"Infinity" included) and Python float() recovers identical
+    # bits; nulls stay None in a string column.
+    wire_float = {n for n, k in zip(names, kinds) if k in ("float", "double")}
 
     @pandas_udf(T.BinaryType())
     def enc(rows: pd.DataFrame) -> pd.Series:
@@ -214,7 +221,11 @@ def encode_avro_python(df: DataFrame, cols: list[str],
         def conv(name: str, v):
             if v is None or pd.isna(v):
                 return None
-            return int(v) if name in wire_int else v
+            if name in wire_int:
+                return int(v)
+            if name in wire_float:
+                return float(v)
+            return v
 
         out = [encode_record([conv(n, v) for n, v in zip(names, tup)], kinds)
                for tup in data.itertuples(index=False, name=None)]
@@ -226,7 +237,8 @@ def encode_avro_python(df: DataFrame, cols: list[str],
         for c in cols
     ])
     proj = proj.select(*[
-        F.col(c).cast("string").alias(c) if c in wire_int else F.col(c)
+        F.col(c).cast("string").alias(c) if c in wire_int | wire_float
+        else F.col(c)
         for c in cols
     ])
     return proj.select(enc(F.struct(*cols)).alias("value"))
@@ -242,7 +254,29 @@ def decode_avro_python(df: DataFrame, value_col: str,
 
     names = [f.name for f in wire.fields]
 
-    @pandas_udf(wire)
+    # float/double leave the UDF as repr STRINGS cast back JVM-side:
+    # pandas→Arrow treats a float NaN as null (nan_as_null), so a decoded
+    # NaN datum would be silently rewritten to NULL at the Arrow boundary
+    # — the mirror of the encode-side transport.
+    float_cols = {n for n, k in zip(names, kinds) if k in ("float", "double")}
+    udf_schema = T.StructType([
+        T.StructField(f.name, T.StringType(), True)
+        if f.name in float_cols else f
+        for f in wire.fields
+    ])
+
+    def _fmt_float(v):
+        if v is None:
+            return None
+        if v != v:                    # NaN
+            return "NaN"
+        if v == float("inf"):
+            return "Infinity"
+        if v == float("-inf"):
+            return "-Infinity"
+        return repr(v)                # shortest round-trip decimal
+
+    @pandas_udf(udf_schema)
     def dec(vals: pd.Series) -> pd.DataFrame:
         rows = [decode_record(b, kinds) for b in vals]
         # Build integral columns as nullable Int64 extension arrays:
@@ -250,18 +284,24 @@ def decode_avro_python(df: DataFrame, value_col: str,
         # any None, rounding values above 2^53 before Arrow re-converts
         # to long — the mirror of the encode-side hazard.
         by_col = list(zip(*rows)) if rows else [[] for _ in names]
-        return pd.DataFrame({
-            name: (pd.array(vals_c, dtype="Int64")
-                   if kind in ("int", "long")
-                   else pd.Series(list(vals_c), dtype=object))
-            for name, kind, vals_c in zip(names, kinds, by_col)
-        })
+        out_cols = {}
+        for name, kind, vals_c in zip(names, kinds, by_col):
+            if kind in ("int", "long"):
+                out_cols[name] = pd.array(vals_c, dtype="Int64")
+            elif name in float_cols:
+                out_cols[name] = pd.Series(
+                    [_fmt_float(v) for v in vals_c], dtype=object)
+            else:
+                out_cols[name] = pd.Series(list(vals_c), dtype=object)
+        return pd.DataFrame(out_cols)
 
     out = df.select(dec(F.col(value_col)).alias("r")).select("r.*")
     ts = set(_ts_cols(schema))
     return out.select(*[
         F.timestamp_micros(F.col(f.name)).cast(schema[f.name].dataType).alias(f.name)
-        if f.name in ts else F.col(f.name)
+        if f.name in ts else
+        (F.col(f.name).cast(schema[f.name].dataType).alias(f.name)
+         if f.name in float_cols else F.col(f.name))
         for f in schema.fields if f.name in out.columns
     ])
 

@@ -26,6 +26,13 @@ except ImportError:  # pragma: no cover
     HAS_AVRO = False
 
 
+#: writer/reader NULL sentinel for the csv codec — with the default
+#: nullValue of "" an empty-string field decodes back as NULL, silently
+#: conflating two distinct values; the \\N convention (mysqldump/Hive)
+#: keeps the roundtrip an identity.
+CSV_NULL = "\\N"
+
+
 def _ddl(schema: T.StructType) -> str:
     return schema.simpleString()[7:-1]  # strip 'struct<' ... '>'
 
@@ -40,6 +47,10 @@ def decode_csv(col: Column | str, schema: T.StructType, *,
     options = {
         "sep": field_delimiter,
         "mode": "PERMISSIVE" if ignore_parse_errors else "FAILFAST",
+        # distinguish NULL from empty string: the default nullValue is ""
+        # so every empty field would decode as NULL — encode_csv writes
+        # this sentinel for NULLs and "" stays "" (roundtrip identity)
+        "nullValue": CSV_NULL,
     }
     if allow_comments:
         options["comment"] = "#"
@@ -47,8 +58,10 @@ def decode_csv(col: Column | str, schema: T.StructType, *,
 
 
 def encode_csv(cols: list[str], *, field_delimiter: str = ",") -> Column:
-    """F5: struct → csv line."""
-    return F.to_csv(F.struct(*[F.col(c) for c in cols]), {"sep": field_delimiter})
+    """F5: struct → csv line (NULLs written as the CSV_NULL sentinel so
+    decode can tell them from empty strings — see decode_csv)."""
+    return F.to_csv(F.struct(*[F.col(c) for c in cols]),
+                    {"sep": field_delimiter, "nullValue": CSV_NULL})
 
 
 def decode_json(col: Column | str, schema: T.StructType, *,

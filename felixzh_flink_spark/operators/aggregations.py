@@ -34,9 +34,18 @@ def exact_sum(col: Column | str, scale: int = 4, alias: str | None = None) -> Co
     run to run and engine to engine); the decimal path is exact and therefore
     deterministic, which is what the DuckDB-oracle value-hash requires. Cost
     is one decimal conversion per row — still codegen'd JVM-side.
-    """
+
+    Non-finite and overflowing inputs PROPAGATE as NaN instead of
+    silently vanishing: the decimal cast turns NaN/±Inf/|x| ≥ 10^(30−s)
+    into NULL, which F.sum would skip — returning a confidently wrong
+    "exact" total from corrupt data. A second tiny aggregate flags any
+    non-null input the cast lost and poisons the result, preserving
+    plain double-sum's corruption signal."""
     c = F.col(col) if isinstance(col, str) else col
-    out = F.sum(c.cast(f"decimal(30,{scale})")).cast("double")
+    d = c.cast(f"decimal(30,{scale})")
+    lost = F.max(F.when(c.isNotNull() & d.isNull(), True).otherwise(False))
+    out = F.when(lost, F.lit(float("nan"))) \
+        .otherwise(F.sum(d).cast("double"))
     return out.alias(alias) if alias else out
 
 
@@ -211,11 +220,31 @@ def integer_zscore_anomalies(df: DataFrame, key_col: str, ts_col: str,
     One shuffle for the bucket counts; the trailing stats ride a single
     window sort per key (`ROWS BETWEEN lookback PRECEDING AND 1
     PRECEDING`). Buckets with fewer than `min_points` trailing points are
-    never flagged (cold start)."""
+    never flagged (cold start).
+
+    The timeline is DENSIFIED per key (every bucket between the key's
+    first and last event, zero-filled) before the window: raw counts have
+    no rows for empty buckets, so a ROWS frame over them would silently
+    stitch pre-gap hours onto post-gap hours — "trailing 24 buckets"
+    spanning days — and the most dramatic anomaly of all, a count
+    collapsing to ZERO, could never be flagged because its bucket never
+    existed. Densification is one tiny per-key span aggregate + a
+    sequence explode (rows ∝ key-lifetime buckets, the same cardinality a
+    time-series store would hold)."""
     bucket_ts = F.date_trunc(bucket, F.col(ts_col).cast("timestamp"))
     counts = (df.groupBy(F.col(key_col).alias("k"),
                          bucket_ts.alias("bucket_ts"))
               .agg(F.count("*").alias("cnt")))
+    spans = counts.groupBy("k").agg(F.min("bucket_ts").alias("_lo"),
+                                    F.max("bucket_ts").alias("_hi"))
+    dense = spans.select(
+        "k",
+        F.explode(F.sequence(
+            F.col("_lo"), F.col("_hi"),
+            F.expr(f"INTERVAL 1 {bucket.upper()}"))).alias("bucket_ts"))
+    counts = (dense.join(counts, ["k", "bucket_ts"], "left")
+              .withColumn("cnt", F.coalesce(F.col("cnt"),
+                                            F.lit(0).cast("bigint"))))
     w = (Window.partitionBy("k").orderBy("bucket_ts")
          .rowsBetween(-lookback, -1))
     x, s1 = F.col("cnt"), F.col("s1")

@@ -330,6 +330,13 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
     dense clumps with tiny diameters, so `max_iter=10` is generous. The
     loop stops early when an iteration changes no label (a driver-side
     count of a sparse diff, not a collect of data).
+
+    Exhausting `max_iter` WITHOUT converging raises rather than returning
+    silently split components: a long chain (versioned docs where each
+    adjacent pair passes the threshold) whose diameter exceeds the budget
+    would otherwise emit several cluster ids for one true component — and
+    downstream keep-the-representative logic would retain duplicates with
+    no sign anything failed. Raise → rerun with a larger `max_iter`.
     """
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     edges = edges.unionByName(
@@ -354,8 +361,11 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
         n_changed = updated.filter(F.col("_changed")).count()
         labels = updated.drop("_changed")
         if n_changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"dup_clusters did not converge within max_iter={max_iter} "
+        f"({n_changed} labels still changing): a component's diameter "
+        f"exceeds the iteration budget — rerun with a larger max_iter")
 
 
 # ---------------------------------------------------------------- simhash

@@ -87,6 +87,11 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
     # is the one carried — without it, which duplicate wins would depend on
     # partition/row order and flake against order-insensitive oracles.
     r_tie = F.struct(*[F.col(f"{c}{suffix}") for c in right_cols])
+    # a right row with a NULL timestamp can never be "the latest right row
+    # at or before left_ts" — but ascending sort places nulls FIRST, so it
+    # would be carried as the match for every left row until a real right
+    # row appears; drop them up front
+    right = right.filter(F.col(right_ts).isNotNull())
     tagged_r = right.select(
         F.col(key).alias("_k"), F.col(right_ts).alias("_ts"), F.lit(0).alias("_side"),
         *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],

@@ -18,8 +18,16 @@ from pyspark.sql import functions as F
 
 
 def hash_bucket(key: Column, buckets: int = 100) -> Column:
-    """Stable bucket in [0, buckets) from md5 of the key's string form."""
-    return F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10) \
+    """Stable bucket in [0, buckets) from md5 of the key's string form.
+
+    NULL keys hash through a sentinel string instead of propagating NULL:
+    md5(NULL) is NULL, and a NULL bucket fails BOTH sides of any
+    threshold comparison — null-keyed rows would silently vanish from
+    every split/sample (neither train nor test), breaking the documented
+    disjoint-exhaustive contract. Mirror the sentinel in oracles when the
+    key column is nullable."""
+    s = F.coalesce(key.cast("string"), F.lit("\x00null"))
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10) \
         .cast("bigint") % buckets
 
 
@@ -53,8 +61,14 @@ def stratified_sample(df: DataFrame, key: str, strata_col: str,
     frac = F.lit(default_fraction)
     for k, v in sorted(fractions.items()):
         frac = F.when(F.col(strata_col) == k, F.lit(v)).otherwise(frac)
+    # round, don't truncate: float representation error puts many exact
+    # products just below the integer (0.043 × 10000 = 429.999…994), so a
+    # truncating cast systematically undershoots the requested fraction
+    # by one bucket — and can disagree with engines whose product lands
+    # on the other side
     return df.filter(
-        hash_bucket(F.col(key), buckets) < (frac * buckets).cast("bigint"))
+        hash_bucket(F.col(key), buckets)
+        < F.round(frac * buckets).cast("bigint"))
 
 
 def cap_per_group(df: DataFrame, key: str, group_col: str, cap: int,
@@ -66,7 +80,8 @@ def cap_per_group(df: DataFrame, key: str, group_col: str, cap: int,
     (seed-and-partitioning dependent). One shuffle on the group; groups
     under the cap pass through whole. Changing `seed` redraws the
     reservoir; any engine replays the same choice."""
-    h = F.md5(F.concat(F.lit(seed), F.lit("-"), F.col(key).cast("string")))
+    ks = F.coalesce(F.col(key).cast("string"), F.lit("\x00null"))
+    h = F.md5(F.concat(F.lit(seed), F.lit("-"), ks))
     w = Window.partitionBy(group_col).orderBy(h, F.col(key))
     return (df.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= cap).drop("_rn"))
@@ -89,8 +104,13 @@ def epoch_shuffle(df: DataFrame, key: str, seed: str,
     range-partitioned total-order shuffle per epoch, while the shard-local
     form shuffles once on the shard id and sorts shards independently —
     readers consume shards in any order, which is exactly how a
-    data-loader fans out."""
-    k = F.col(key).cast("string")
+    data-loader fans out.
+
+    `n_shards` is BOTH the layout unit and the sort-parallelism unit: a
+    shard is one window partition, i.e. one task's in-memory sort. Scale
+    it with the data (shards ≈ corpus / ~1 GB) — the test default of 64
+    on a 100 TB corpus would mean 64 single-task 1.5 TB sorts."""
+    k = F.coalesce(F.col(key).cast("string"), F.lit("\x00null"))
     h = F.md5(F.concat(F.lit(seed), F.lit("-"), k))
     w = Window.partitionBy(shard_col).orderBy(h, F.col(key))
     return (
@@ -144,8 +164,12 @@ def temperature_resample(df: DataFrame, key: str, domain_col: str,
             ).alias("_thresh"),
         )
     )
+    # null-safe join: the counts stage groups NULL domains into their own
+    # stratum, so the threshold lookup must match them too — a plain
+    # equi-join would silently drop every null-domain row
+    t = F.broadcast(thresholds).withColumnRenamed(domain_col, "_dom")
     return (
-        df.join(F.broadcast(thresholds), domain_col)
+        df.join(t, F.col(domain_col).eqNullSafe(F.col("_dom")))
         .filter(hash_bucket(F.col(key), buckets) < F.col("_thresh"))
-        .drop("_thresh")
+        .drop("_thresh", "_dom")
     )

@@ -1519,12 +1519,23 @@ WITH c AS (
          CAST(COUNT(*) AS BIGINT) AS cnt
   FROM events GROUP BY 1, 2
 ),
+span AS (SELECT event_type, MIN(bucket_ts) AS lo, MAX(bucket_ts) AS hi
+         FROM c GROUP BY 1),
+dense AS (
+  SELECT event_type,
+         unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_ts
+  FROM span
+),
+f AS (
+  SELECT d.event_type, d.bucket_ts, COALESCE(c.cnt, 0) AS cnt
+  FROM dense d LEFT JOIN c USING (event_type, bucket_ts)
+),
 s AS (
   SELECT event_type, bucket_ts, cnt,
          COUNT(cnt) OVER w AS n,
          SUM(cnt) OVER w AS s1,
          SUM(cnt * cnt) OVER w AS s2
-  FROM c
+  FROM f
   WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts
                ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
 )
@@ -3299,9 +3310,9 @@ WITH b AS (
 )
 SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept
 FROM b
-WHERE bucket < CAST((CASE lang WHEN 'en' THEN 1.0 WHEN 'de' THEN 0.5
-                     WHEN 'fr' THEN 0.25 WHEN 'es' THEN 0.1
-                     ELSE 0.0 END) * 10000 AS BIGINT)
+WHERE bucket < CAST(ROUND((CASE lang WHEN 'en' THEN 1.0 WHEN 'de' THEN 0.5
+                           WHEN 'fr' THEN 0.25 WHEN 'es' THEN 0.1
+                           ELSE 0.0 END) * 10000) AS BIGINT)
 GROUP BY lang
 """)
 def stratified_sample_counts(spark, sf_dir):

@@ -83,3 +83,40 @@ def test_integer_zscore_anomalies_flags_spike_only(spark):
     # cold start: nothing in the first 12 hours can flag
     assert out.filter("is_anomaly").filter(
         "bucket_ts < '2024-01-01 12:00:00'").count() == 0
+
+
+def test_exact_sum_propagates_nonfinite(spark):
+    """NaN/Inf inputs must poison the total (plain double-sum semantics),
+    not silently vanish through the decimal cast's NULL."""
+    from felixzh_flink_spark.operators.aggregations import exact_sum
+    import math
+
+    bad = spark.createDataFrame(
+        [(1.0,), (float("nan"),), (2.0,)], "v double")
+    assert math.isnan(bad.agg(exact_sum("v")).head()[0])
+    inf = spark.createDataFrame([(1.0,), (float("inf"),)], "v double")
+    assert math.isnan(inf.agg(exact_sum("v")).head()[0])
+    ok = spark.createDataFrame([(1.5,), (None,), (2.5,)], "v double")
+    assert ok.agg(exact_sum("v")).head()[0] == 4.0   # plain NULLs still skip
+
+
+def test_anomaly_detector_flags_count_collapse_across_gap(spark):
+    """Densified timeline: a key that goes completely dark after steady
+    traffic gets zero-filled buckets, and the collapse itself is flagged —
+    a ROWS frame over sparse counts could never see it."""
+    from felixzh_flink_spark.operators.aggregations import (
+        integer_zscore_anomalies)
+
+    rows = []
+    for h in range(20):                    # steady 100/hour for 20 hours
+        rows += [(f"2024-01-01 {h:02d}:00:00", "click")] * 100
+    rows += [("2024-01-02 06:00:00", "click")] * 100   # resumes much later
+    df = spark.createDataFrame(rows, "ts string, event_type string") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    out = integer_zscore_anomalies(df, "event_type", "ts",
+                                   lookback=12, z=3, min_points=6)
+    # the first dark hour (cnt 0 vs trailing ~100s) must flag
+    dark = out.filter("cnt = 0 AND is_anomaly").count()
+    assert dark >= 1
+    # and the timeline is dense: every hour between first and last exists
+    assert out.count() == 31               # 2024-01-01 00:00 .. 01-02 06:00

@@ -370,3 +370,19 @@ def test_edit_distance_pairs_blocking_and_verify(spark):
     assert got[(1, 2)] == 3
     assert got[(1, 3)] == 0 and got[(2, 3)] == 3
     assert not any(4 in p for p in got)
+
+
+def test_dup_clusters_raises_when_budget_exhausted(spark):
+    """A chain whose diameter exceeds max_iter must raise instead of
+    silently emitting a split component."""
+    import pytest
+
+    from felixzh_flink_spark.operators import dedup as DD
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 9)], "id_a long, id_b long")
+    ok = {r["id"]: r["cluster_id"] for r in
+          DD.dup_clusters(chain, max_iter=10).collect()}
+    assert set(ok.values()) == {1}
+    with pytest.raises(RuntimeError, match="did not converge"):
+        DD.dup_clusters(chain, max_iter=3)

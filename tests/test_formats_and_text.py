@@ -358,3 +358,40 @@ def test_resize_plan_geometry(spark):
     assert got[1] == (512, 256, 0, 128)     # width-constrained
     assert got[2] == (128, 512, 192, 0)     # height-constrained
     assert got[3] == (None, None, None, None)
+
+
+def test_csv_roundtrip_preserves_empty_vs_null(spark):
+    """Empty string and NULL are distinct values and must survive the
+    roundtrip distinctly (default csv nullValue='' conflated them)."""
+    from pyspark.sql import types as T
+
+    from felixzh_flink_spark.functions.formats import csv_roundtrip
+
+    df = spark.createDataFrame([("", 1), ("x", 2), (None, 3)],
+                               "s string, i long")
+    schema = T.StructType([T.StructField("s", T.StringType()),
+                           T.StructField("i", T.LongType())])
+    got = {r["i"]: r["s"] for r in csv_roundtrip(df, ["s", "i"], schema).collect()}
+    assert got == {1: "", 2: "x", 3: None}
+
+
+def test_avro_roundtrip_preserves_nan_vs_null(spark):
+    """A genuine NaN measurement must roundtrip as NaN, not be rewritten
+    to the Avro null branch (pandas represents null as NaN in float64
+    columns — the codec transports doubles as strings to distinguish)."""
+    import math
+
+    from pyspark.sql import types as T
+
+    from felixzh_flink_spark.functions.avro_codec import avro_roundtrip
+
+    df = spark.createDataFrame(
+        [(1, float("nan")), (2, 1.5), (3, None), (4, float("inf"))],
+        "id long, v double")
+    schema = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("v", T.DoubleType())])
+    got = {r["id"]: r["v"]
+           for r in avro_roundtrip(df, ["id", "v"], schema).collect()}
+    assert math.isnan(got[1])
+    assert got[2] == 1.5 and got[3] is None
+    assert math.isinf(got[4])

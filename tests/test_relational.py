@@ -92,3 +92,22 @@ def test_asof_join_deterministic_on_duplicate_right_ts(spark):
         outs.add((row["tag_r"], row["px_r"]))
     # greatest struct (tag, px): ("x", 10.0) > ("a", 99.0) lexicographically
     assert outs == {("x", 10.0)}
+
+
+def test_asof_join_ignores_null_right_timestamps(spark):
+    """A right row with a NULL timestamp can never be an as-of match —
+    ascending sort placed nulls first, so it used to be carried as the
+    match for every earlier left row."""
+    from felixzh_flink_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame([(1, 5)], "k long, lts long")
+    right = spark.createDataFrame(
+        [(1, None, 99.0), (1, 3, 7.0)], "k long, rts long, rv double")
+    out = asof_join(left, right, key="k", left_ts="lts", right_ts="rts",
+                    right_cols=["rv"]).head()
+    assert out["rv_r"] == 7.0       # the real ts=3 row, not the null-ts 99
+    only_null = spark.createDataFrame([(1, None, 99.0)],
+                                      "k long, rts long, rv double")
+    out2 = asof_join(left, only_null, key="k", left_ts="lts",
+                     right_ts="rts", right_cols=["rv"]).head()
+    assert out2["rv_r"] is None     # no valid right row -> no match

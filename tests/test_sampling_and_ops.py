@@ -289,3 +289,23 @@ def test_sequence_within_literal_dots_and_single_stage(spark):
     one = {r["uid"]: r["matched"] for r in sequence_within(
         df, ["uid"], "ts", ["e.typ = 'page.view'"], within_ms=1).collect()}
     assert one == {1: True, 2: False}
+
+
+def test_null_keys_survive_splits_and_domains(spark):
+    """NULL keys hash through a sentinel (md5(NULL) is NULL and fails both
+    split predicates — rows used to vanish from BOTH sides); NULL domains
+    keep their own temperature stratum (the inner join used to drop
+    them)."""
+    from felixzh_flink_spark.operators.sampling import (
+        temperature_resample, train_test_split)
+
+    df = spark.createDataFrame([(None,), (1,), (2,)], "k long")
+    train, test = train_test_split(df, "k", test_pct=50)
+    assert train.count() + test.count() == 3        # exhaustive incl. null
+
+    docs = spark.createDataFrame(
+        [(i, "a") for i in range(50)] + [(100 + i, None) for i in range(50)],
+        "id long, dom string")
+    kept = temperature_resample(docs, "id", "dom", target_total=100)
+    doms = {r["dom"] for r in kept.select("dom").distinct().collect()}
+    assert None in doms                              # null stratum sampled
