@@ -21,7 +21,7 @@ noted. Hash primitive is xxhash64(col, seed) (Spark built-in, JVM-side).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from felixzh_flink_spark.operators.text import fingerprint_md5
 
@@ -430,4 +430,97 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc
         pairs.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+# ----------------------------------------------------- exact-substring spans
+
+def span_hashes(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                w: int = 8) -> DataFrame:
+    """Every w-token window of every document, keyed by an md5 span hash —
+    the building block of exact-substring dedup (flagging verbatim runs
+    that repeat ACROSS documents, the "deduplicating training data"
+    recipe: find long token spans shared by ≥2 docs and cut them, even
+    when the documents as a whole are distinct).
+
+    Tokenization is whitespace-normalized single-space split so the hash
+    is a pure function of the token sequence (and reproducible in any
+    engine: md5 of the space-joined window). Returns (id, start, h) with
+    1-based token start positions. The window enumeration is a single
+    `transform(sequence(...))` + posexplode — linear work per token, no
+    shuffle, whole-stage codegen.
+
+    Scale shape: output is ~n_tokens rows per doc (same order as the
+    shingle explode used by MinHash); at 100 TB this is the dominant
+    intermediate, which is why downstream consumers aggregate it by hash
+    immediately rather than materializing it.
+    """
+    norm = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
+    toks = F.split(norm, " ")
+    windows = F.expr(
+        f"transform(sequence(1, greatest(size(_toks) - {w - 1}, 0)), "
+        f"i -> md5(concat_ws(' ', slice(_toks, i, {w}))))")
+    return (
+        df.select(F.col(id_col).alias("id"), toks.alias("_toks"))
+        .filter(F.size("_toks") >= w)
+        .select("id", F.posexplode(windows).alias("pos0", "h"))
+        .select("id", (F.col("pos0") + 1).alias("start"), "h")
+    )
+
+
+def repeated_span_stats(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", w: int = 8) -> DataFrame:
+    """Per-document exact-substring contamination stats: how many of the
+    doc's w-token windows also appear (verbatim) in at least one OTHER
+    document. Returns (doc_id, n_spans, n_dup_spans) for docs with at
+    least one cross-document duplicate span.
+
+    Plan: one explode (span_hashes), one partial-aggregated shuffle on the
+    span hash to find hashes spanning ≥2 distinct docs, then a shuffle
+    join back on hash and a final per-doc aggregate. The hash aggregate
+    carries two longs per distinct span (count, one retained doc id) —
+    never a list of doc ids, so a pathological span shared by millions of
+    docs stays O(1) state. This is the 100 TB-viable shape: every stage is
+    keyed by span hash or doc id, no all-pairs anything.
+
+    `min(id) != max(id)` detects "≥2 distinct docs" in one pass (ids
+    within one doc repeat only if the doc repeats the span internally —
+    internal repetition alone is deliberately NOT flagged; that is
+    `repetition_metrics`' job).
+    """
+    spans = span_hashes(df, text_col, id_col, w)
+    dup_h = (
+        spans.groupBy("h")
+        .agg(F.min("id").alias("_lo"), F.max("id").alias("_hi"))
+        .filter(F.col("_lo") != F.col("_hi"))
+        .select("h")
+    )
+    return (
+        spans.join(dup_h.hint("merge"), "h", "left_semi")
+        .groupBy(F.col("id").alias(id_col))
+        .agg(F.count("*").alias("n_dup_spans"))
+        .join(
+            spans.groupBy(F.col("id").alias(id_col))
+            .agg(F.count("*").alias("n_spans")),
+            id_col,
+        )
+        .select(id_col, "n_spans", "n_dup_spans")
+    )
+
+
+def keep_best_per_cluster(df: DataFrame, cluster_col: str,
+                          quality_col: str, id_col: str = "doc_id") -> DataFrame:
+    """Pick the highest-quality representative of each duplicate cluster
+    (ties broken by min id) — the keep-the-BEST-copy refinement of
+    min-id dedup: when near-dups differ (one truncated, one clean), the
+    pipeline should retain the clean one, not the numerically-first one.
+
+    One shuffle on the cluster key (window row_number). Returns the input
+    schema filtered to representatives.
+    """
+    wnd = Window.partitionBy(cluster_col).orderBy(
+        F.col(quality_col).desc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(wnd))
+        .filter(F.col("_rn") == 1).drop("_rn")
     )

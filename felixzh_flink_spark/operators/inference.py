@@ -1,0 +1,96 @@
+"""Model inference at corpus scale: hashed-feature linear classifiers.
+
+Beyond-reference capability (the reference has no ML surface): the
+quality-classifier step of a training-data pipeline — score every document
+with a fastText-style linear model over hashed bag-of-words features and
+keep/drop on the score. The model is tiny (a weight vector); the data is
+100 TB — so the right shape is "broadcast the weights into the expression,
+scan once, no shuffle", never "collect the docs to the model".
+
+Everything here is built-in Spark SQL expressions (split, md5, aggregate,
+element_at) — zero Python in the hot path, whole-stage codegen, linear in
+input tokens. Weights are INTEGER so scores are exact (bit-identical on any
+engine — what makes the oracle a hard hash match rather than a float
+tolerance); real-valued models are handled by fixed-point scaling the
+weights (e.g. ×10⁴) at export time, which changes nothing in the plan.
+
+The feature hash is md5-based (first 8 hex digits mod dim) to match the
+engine-portable recipe used across this repo (sampling.hash_bucket);
+xxhash64 is faster but Spark-specific.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def make_weights(dim: int = 256, seed: int = 1) -> list[int]:
+    """Deterministic pseudo-trained integer weight vector in [-500, 500].
+
+    Stand-in for an exported model (the container has no trainer); the
+    Knuth-multiplicative spread gives a sign-balanced, reproducible
+    vector any engine can regenerate from (dim, seed).
+    """
+    return [((i + seed) * 2654435761) % 1001 - 500 for i in range(dim)]
+
+
+def feature_bucket(token: Column, dim: int) -> Column:
+    """Stable feature id in [0, dim) — md5 of the token, first 8 hex
+    digits as an int. Engine-portable (mirrors sampling.hash_bucket)."""
+    return F.conv(F.substring(F.md5(token), 1, 8), 16, 10) \
+        .cast("bigint") % dim
+
+
+def hashed_linear_score(df: DataFrame, weights: list[int],
+                        text_col: str = "text", id_col: str = "doc_id",
+                        threshold: int = 0,
+                        carry: tuple[str, ...] = ()) -> DataFrame:
+    """Score every document with a linear model over hashed bag-of-words:
+    score(doc) = Σ_token W[h(token) mod dim]. Returns
+    (doc_id, n_tokens, score, keep) — keep = score > threshold.
+
+    Plan shape: the weight vector is a literal array folded into the
+    expression (the "broadcast the model" move — no join, no shuffle; a
+    W of 10⁶ entries would instead broadcast-join a (bucket, weight)
+    table against exploded tokens, same scan-dominated cost). The
+    per-document fold is `aggregate(tokens, 0L, acc + W[bucket+1])` —
+    one pass over the token array inside codegen. At 100 TB this is a
+    pure map job: partitions score independently, output is one row per
+    doc, and the filter on `keep` pushes into the same stage.
+    """
+    dim = len(weights)
+    warr = F.array(*[F.lit(int(w)).cast("long") for w in weights])
+    norm = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
+    toks = F.split(norm, " ")
+    score = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + F.element_at(
+            warr, (feature_bucket(t, dim) + 1).cast("int")),
+    )
+    return df.select(
+        F.col(id_col),
+        *[F.col(c) for c in carry],
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        score.alias("score"),
+        (score > F.lit(threshold)).alias("keep"),
+    )
+
+
+def classifier_keep_rates(df: DataFrame, weights: list[int],
+                          text_col: str = "text", id_col: str = "doc_id",
+                          group_col: str = "source",
+                          threshold: int = 0) -> DataFrame:
+    """Per-group classifier keep rates — the monitoring aggregate a
+    filtering stage emits so a corpus build can see WHICH sources the
+    quality model is discarding. One scan + one partial-aggregated
+    shuffle on the group key."""
+    scored = hashed_linear_score(df, weights, text_col, id_col, threshold,
+                                 carry=(group_col,))
+    return (
+        scored.groupBy(group_col)
+        .agg(F.count("*").alias("n_docs"),
+             F.sum(F.col("keep").cast("long")).alias("n_keep"),
+             F.sum("score").alias("score_sum"))
+        .orderBy(group_col)
+    )

@@ -173,3 +173,26 @@ def temperature_resample(df: DataFrame, key: str, domain_col: str,
         .filter(hash_bucket(F.col(key), buckets) < F.col("_thresh"))
         .drop("_thresh", "_dom")
     )
+
+
+def content_split(df: DataFrame, text_col: str = "text",
+                  test_pct: int = 10, buckets: int = 100,
+                  split_names: tuple[str, str] = ("train", "test")) -> DataFrame:
+    """Leakage-free train/test split: the split key is the CONTENT hash
+    (md5 of the normalized text), not the row id — so byte-identical
+    duplicates can never straddle the boundary. Row-keyed splits leak:
+    with ~10% exact dups (typical crawl), a doc_id split puts thousands
+    of test documents verbatim in train, silently inflating eval.
+
+    Adds `split`; single scan, zero shuffles (the hash is a projection).
+    Near-dup-safe splitting goes one step further — key by the dup
+    CLUSTER id from `dedup.dup_clusters` + `keep_best_per_cluster`,
+    which this composes with (pass the cluster id through `hash_bucket`
+    yourself); content hashing alone already closes the exact-dup hole
+    at zero cost.
+    """
+    fp = F.md5(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    b = hash_bucket(fp, buckets)
+    return df.withColumn(
+        "split",
+        F.when(b < test_pct, F.lit(split_names[1])).otherwise(F.lit(split_names[0])))

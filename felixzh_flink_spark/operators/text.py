@@ -499,3 +499,34 @@ def fingerprint_rolling(df: DataFrame, text_col: str = "text",
         ),
     )
     return df.withColumn(alias, fp)
+
+
+# ------------------------------------------------------------- web extract
+
+def strip_html(html: Column | str, alias: str = "clean_text") -> Column:
+    """Extract visible text from an HTML payload — the WET-extraction step
+    of a web-crawl pipeline, as pure regexp expressions (no HTML parser in
+    the hot path; a DOM parse of 100 TB of crawl is exactly the Python
+    stage this engine avoids).
+
+    Pipeline: drop <script>/<style> subtrees (non-greedy, dotall — their
+    CONTENT is code, not text), strip remaining tags, decode the five XML
+    entities plus &nbsp;, collapse whitespace. Each step is a regexp_replace
+    inside codegen; the whole chain is a single scan-local projection.
+
+    Deliberate limits (documented, not bugs): comments/CDATA fall to the
+    tag-stripper (their payload survives as text), entity decoding covers
+    the named five + nbsp only (numeric &#x; forms pass through), and
+    malformed nesting degrades to over-stripping a tag, never to losing
+    the document. For fidelity-critical extraction, run a real parser
+    OFFLINE to produce a gold set and diff it against this fast path.
+    """
+    c = F.col(html) if isinstance(html, str) else html
+    no_script = F.regexp_replace(c, r"(?is)<script[^>]*>.*?</script>", " ")
+    no_style = F.regexp_replace(no_script, r"(?is)<style[^>]*>.*?</style>", " ")
+    no_tags = F.regexp_replace(no_style, r"(?s)<[^>]+>", " ")
+    ent = no_tags
+    for pat, rep in [("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"),
+                     ("&gt;", ">"), ("&quot;", "\""), ("&#39;", "'")]:
+        ent = F.regexp_replace(ent, pat, rep)
+    return F.trim(F.regexp_replace(ent, r"\s+", " ")).alias(alias)

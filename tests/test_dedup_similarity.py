@@ -386,3 +386,46 @@ def test_dup_clusters_raises_when_budget_exhausted(spark):
     assert set(ok.values()) == {1}
     with pytest.raises(RuntimeError, match="did not converge"):
         DD.dup_clusters(chain, max_iter=3)
+
+
+# ------------------------------------------------- exact-substring spans
+
+def test_repeated_spans_flags_cross_doc_runs(spark):
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    df = spark.createDataFrame([
+        (1, shared + " one two three"),
+        (2, "x y z " + shared),
+        (3, "totally unrelated words here that never repeat anywhere else ok"),
+    ], "doc_id long, text string")
+    out = {r["doc_id"]: (r["n_spans"], r["n_dup_spans"])
+           for r in DD.repeated_span_stats(df, w=8).collect()}
+    # docs 1 and 2 share exactly the one 8-token window `shared`
+    assert out[1][1] == 1 and out[2][1] == 1
+    assert 3 not in out  # no cross-doc span
+    # span totals: doc1 has 11 tokens -> 4 windows; doc2 has 11 -> 4
+    assert out[1][0] == 4 and out[2][0] == 4
+
+
+def test_repeated_spans_ignores_internal_repetition(spark):
+    run = "a b c d e f g h"
+    df = spark.createDataFrame([
+        (1, run + " " + run),  # repeats internally only
+        (2, "nothing shared with the first document at all in any window"),
+    ], "doc_id long, text string")
+    assert DD.repeated_span_stats(df, w=8).count() == 0
+
+
+def test_repeated_spans_short_docs_dropped(spark):
+    df = spark.createDataFrame(
+        [(1, "too short"), (2, "too short")], "doc_id long, text string")
+    assert DD.repeated_span_stats(df, w=8).count() == 0
+
+
+def test_keep_best_per_cluster_prefers_quality_then_min_id(spark):
+    df = spark.createDataFrame([
+        (1, "c1", 1), (2, "c1", 5), (3, "c1", 5),  # best quality 5, tie -> id 2
+        (9, "c2", 0),
+    ], "doc_id long, cluster string, quality int")
+    out = {r["cluster"]: r["doc_id"]
+           for r in DD.keep_best_per_cluster(df, "cluster", "quality").collect()}
+    assert out == {"c1": 2, "c2": 9}

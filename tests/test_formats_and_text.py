@@ -395,3 +395,31 @@ def test_avro_roundtrip_preserves_nan_vs_null(spark):
     assert math.isnan(got[1])
     assert got[2] == 1.5 and got[3] is None
     assert math.isinf(got[4])
+
+
+# ----------------------------------------------------------- strip_html
+
+def test_strip_html_drops_script_style_and_tags(spark):
+    html = ('<html><head><style>p {color: red}</style></head><body>'
+            '<h1>Title</h1><p>Hello <b>world</b> &amp; friends</p>'
+            '<script>var x = "<p>not text</p>";</script>'
+            '<p>Bye&nbsp;now</p></body></html>')
+    df = spark.createDataFrame([(1, html)], "id long, html string")
+    out = df.select(TX.strip_html("html")).collect()[0]["clean_text"]
+    assert out == 'Title Hello world & friends Bye now'
+
+
+def test_strip_html_entities_and_plain_text(spark):
+    df = spark.createDataFrame(
+        [(1, "no tags &lt;here&gt; &quot;ok&quot; &#39;y&#39;"), (2, "")],
+        "id long, html string")
+    vals = [r["clean_text"] for r in
+            df.orderBy("id").select(TX.strip_html("html")).collect()]
+    assert vals[0] == 'no tags <here> "ok" \'y\''
+    assert vals[1] == ""
+
+
+def test_strip_html_multiline_script(spark):
+    html = "a<script type='x'>\nline1\nline2\n</script>b"
+    df = spark.createDataFrame([(1, html)], "id long, html string")
+    assert df.select(TX.strip_html("html")).collect()[0]["clean_text"] == "a b"

@@ -309,3 +309,32 @@ def test_null_keys_survive_splits_and_domains(spark):
     kept = temperature_resample(docs, "id", "dom", target_total=100)
     doms = {r["dom"] for r in kept.select("dom").distinct().collect()}
     assert None in doms                              # null stratum sampled
+
+
+def test_content_split_never_leaks_duplicate_text(spark):
+    from felixzh_flink_spark.operators.sampling import content_split
+    rows = [(i, f"unique doc number {i} words") for i in range(200)]
+    rows += [(1000 + i, f"unique doc number {i} words") for i in range(200)]  # dups
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = content_split(df)
+    # every text lands on exactly one side
+    leaks = (out.groupBy("text")
+             .agg(F.count_distinct("split").alias("n"))
+             .filter(F.col("n") > 1).count())
+    assert leaks == 0
+    # both splits populated and exhaustive
+    counts = {r["split"]: r["cnt"] for r in
+              out.groupBy("split").agg(F.count("*").alias("cnt")).collect()}
+    assert sum(counts.values()) == 400 and set(counts) == {"train", "test"}
+
+
+def test_content_split_whitespace_insensitive(spark):
+    from felixzh_flink_spark.operators.sampling import content_split
+    df = spark.createDataFrame(
+        [(1, "same words here"), (2, "  same   words here ")],
+        "doc_id long, text string")
+    assert out_splits(content_split(df)) == 1
+
+
+def out_splits(df):
+    return df.select("split").distinct().count()
