@@ -72,6 +72,11 @@ HEADLINE = [
     "cosine_topk_multi",
     "edit_distance_pairs",
     "mixture_pipeline_counts",
+    # round 3b: exact-substring span dedup, classifier inference,
+    # incremental corpus dedup
+    "repeated_spans",
+    "classifier_scores",
+    "delta_dedup_status",
 ]
 
 
@@ -122,6 +127,13 @@ def main() -> None:
                 plan_s[name] = round(t1 - t0, 3)
                 exec_s[name] = round(t2 - t1, 3)
         timings[name] = round(best, 3)
+        # isolate queries from each other: drop any cached frames a query
+        # materialized and nudge the JVM to release broadcast/codegen refs
+        # (ContextCleaner is GC-driven). Without this, caches accumulated
+        # by earlier queries bill LATER ones — measured at up to 3× on the
+        # tail of a 44-query session.
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total_wall",

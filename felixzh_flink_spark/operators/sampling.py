@@ -196,3 +196,41 @@ def content_split(df: DataFrame, text_col: str = "text",
     return df.withColumn(
         "split",
         F.when(b < test_pct, F.lit(split_names[1])).otherwise(F.lit(split_names[0])))
+
+
+def quantile_bins(df: DataFrame, order_col: str, n_bins: int = 10,
+                  id_col: str = "doc_id", alias: str = "bin") -> DataFrame:
+    """Curriculum binning: assign every row to one of `n_bins` quantile
+    buckets of `order_col` (bin 1 = lowest) — the stage that turns a
+    quality/difficulty score into a training curriculum or into
+    per-quality-tier sampling rates.
+
+    ntile needs a TOTAL order to be deterministic (ties split by engine
+    whim otherwise), so the sort key is (order_col, id_col). One global
+    sort — the honest cost of exact quantile assignment. At 100 TB use
+    this for per-partition-sized cohorts, or swap to approx bin EDGES
+    (approx_percentile, then a scan-local CASE) when ±ε bin boundaries
+    are acceptable: same output schema, no global sort.
+    """
+    w = Window.orderBy(F.col(order_col).asc(), F.col(id_col).asc())
+    return df.withColumn(alias, F.ntile(n_bins).over(w))
+
+
+def quantile_bins_approx(df: DataFrame, order_col: str, n_bins: int = 10,
+                         alias: str = "bin", rel_err: float = 0.001) -> DataFrame:
+    """The scale path for `quantile_bins`: bin by APPROXIMATE quantile
+    edges (Greenwald-Khanna sketch, one aggregate pass + tiny driver
+    collect of n_bins−1 edges) instead of a global sort. Rows within ε of
+    an edge may land one bin off; everything else matches the exact
+    version. Edges are broadcast into a scan-local CASE — no shuffle of
+    the data itself, so the plan stays a scan + project at any scale."""
+    probs = [i / n_bins for i in range(1, n_bins)]
+    edges = df.stat.approxQuantile(order_col, probs, rel_err)
+    c = F.col(order_col)
+    # wrap ascending so the OUTERMOST when tests the highest edge — the
+    # first true branch wins, so the outermost test must be the most
+    # specific (top bin), falling through toward bin 1
+    bin_expr = F.lit(1)
+    for i, e in enumerate(edges):
+        bin_expr = F.when(c > F.lit(e), F.lit(i + 2)).otherwise(bin_expr)
+    return df.withColumn(alias, bin_expr.cast("int"))

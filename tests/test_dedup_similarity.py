@@ -429,3 +429,28 @@ def test_keep_best_per_cluster_prefers_quality_then_min_id(spark):
     out = {r["cluster"]: r["doc_id"]
            for r in DD.keep_best_per_cluster(df, "cluster", "quality").collect()}
     assert out == {"c1": 2, "c2": 9}
+
+
+def test_dedup_incremental_statuses(spark):
+    corpus = spark.createDataFrame(
+        [(1, "seen before"), (2, "also committed")], "doc_id long, text string")
+    state = DD.dedup_exact(corpus).select("fingerprint")
+    new = spark.createDataFrame([
+        (10, "seen before"),        # dup of corpus
+        (11, "fresh content"),      # new unique
+        (12, "fresh content"),      # dup within the batch (11 wins)
+        (13, "seen before"),        # also dup of corpus (not dup_in_batch)
+    ], "doc_id long, text string")
+    out = {r["doc_id"]: r["status"]
+           for r in DD.dedup_incremental(new, state).collect()}
+    assert out == {10: "dup_of_corpus", 11: "new_unique",
+                   12: "dup_in_batch", 13: "dup_of_corpus"}
+
+
+def test_dedup_incremental_empty_state(spark):
+    new = spark.createDataFrame(
+        [(1, "a doc"), (2, "a doc")], "doc_id long, text string")
+    empty = DD.dedup_exact(new.limit(0)).select("fingerprint")
+    out = {r["doc_id"]: r["status"]
+           for r in DD.dedup_incremental(new, empty).collect()}
+    assert out == {1: "new_unique", 2: "dup_in_batch"}

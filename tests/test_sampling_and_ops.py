@@ -338,3 +338,30 @@ def test_content_split_whitespace_insensitive(spark):
 
 def out_splits(df):
     return df.select("split").distinct().count()
+
+
+def test_quantile_bins_even_and_deterministic(spark):
+    from felixzh_flink_spark.operators.sampling import quantile_bins
+    df = spark.createDataFrame(
+        [(i, float(i % 37)) for i in range(100)], "doc_id long, score double")
+    out = quantile_bins(df, "score", 10, id_col="doc_id")
+    sizes = {r["bin"]: r["n"] for r in
+             out.groupBy("bin").agg(F.count("*").alias("n")).collect()}
+    assert sizes == {b: 10 for b in range(1, 11)}  # 100 rows / 10 bins
+    # deterministic under repartitioning (total order on (score, id))
+    again = quantile_bins(df.repartition(7), "score", 10, id_col="doc_id")
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_quantile_bins_approx_tracks_exact(spark):
+    from felixzh_flink_spark.operators.sampling import (
+        quantile_bins, quantile_bins_approx)
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1000)], "doc_id long, score double")
+    exact = {r["doc_id"]: r["bin"]
+             for r in quantile_bins(df, "score", 10, id_col="doc_id").collect()}
+    approx = {r["doc_id"]: r["bin"]
+              for r in quantile_bins_approx(df, "score", 10).collect()}
+    # distinct scores + tight rel_err: every row within one bin of exact
+    assert all(abs(approx[k] - exact[k]) <= 1 for k in exact)
+    assert sum(approx[k] == exact[k] for k in exact) >= 950
