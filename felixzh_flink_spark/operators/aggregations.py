@@ -260,3 +260,51 @@ def integer_zscore_anomalies(df: DataFrame, key_col: str, ts_col: str,
             F.col("k").alias(key_col), "bucket_ts", "cnt",
             ((n >= min_points) & (lhs > rhs)).alias("is_anomaly"))
     )
+
+
+def global_ntile(df: DataFrame, order_cols: tuple[str, ...], n_bins: int,
+                 alias: str = "bin") -> DataFrame:
+    """Exact `ntile(n_bins) OVER (ORDER BY order_cols)` WITHOUT the
+    single-task global sort — the scale-safe form shared by the quartile
+    query and curriculum binning.
+
+    Recipe: range-repartition on the order key (global order ACROSS
+    partitions, parallel sort within), derive each partition's cumulative
+    row offset from a ≤`parts`-row count aggregate, add the
+    intra-partition row_number for an exact global rank, then compute the
+    ntile bucket arithmetically (first n MOD bins buckets get one extra
+    row — ANSI semantics). The range Exchange feeds both branches once
+    (ReusedExchange); the only SinglePartition exchange carries the tiny
+    per-partition count table, bounded by cluster parallelism, never by
+    data. Order must be TOTAL (include a tie-breaker id in `order_cols`)
+    or bin assignment is engine-dependent for tied rows.
+
+    Returns df + `alias` (int). Requires n_bins ≥ 1; rows < n_bins is
+    fine (the size-0 small-bucket branch is unreachable then, so the
+    `base` division never sees zero).
+    """
+    parts = df.sparkSession.sparkContext.defaultParallelism
+    ranged = (df.repartitionByRange(parts, *[F.col(c) for c in order_cols])
+              .withColumn("_pid", F.spark_partition_id()))
+    per = ranged.groupBy("_pid").agg(F.count("*").alias("_cnt"))
+    woff = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    wall = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    offsets = per.select(
+        "_pid",
+        F.coalesce(F.sum("_cnt").over(woff), F.lit(0)).alias("_off"),
+        F.sum("_cnt").over(wall).alias("_n"),
+    )
+    wpid = Window.partitionBy("_pid").orderBy(*order_cols)
+    ranked = (ranged.withColumn("_rn", F.row_number().over(wpid))
+              .join(F.broadcast(offsets), "_pid")
+              .withColumn("_rank", F.col("_rn") + F.col("_off")))
+    base = (F.col("_n") / n_bins).cast("bigint")
+    rem = F.col("_n") % n_bins
+    big = rem * (base + 1)  # rows covered by the size-(base+1) buckets
+    bucket = (
+        F.when(F.col("_rank") <= big, F.ceil(F.col("_rank") / (base + 1)))
+        .otherwise(rem + F.ceil((F.col("_rank") - big) / base))
+    )
+    return (ranked.withColumn(alias, bucket.cast("int"))
+            .drop("_pid", "_rn", "_off", "_n", "_rank"))

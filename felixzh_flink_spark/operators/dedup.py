@@ -476,12 +476,14 @@ def repeated_span_stats(df: DataFrame, text_col: str = "text",
     least one cross-document duplicate span.
 
     Plan: one explode (span_hashes), one partial-aggregated shuffle on the
-    span hash to find hashes spanning ≥2 distinct docs, then a shuffle
-    join back on hash and a final per-doc aggregate. The hash aggregate
-    carries two longs per distinct span (count, one retained doc id) —
-    never a list of doc ids, so a pathological span shared by millions of
-    docs stays O(1) state. This is the 100 TB-viable shape: every stage is
-    keyed by span hash or doc id, no all-pairs anything.
+    span hash to find hashes spanning ≥2 distinct docs, then ONE shuffle
+    join back on hash feeding a single per-doc aggregate (the dup flag
+    rides the join as a nullable marker, so n_spans and n_dup_spans come
+    out of the same count pass — no second aggregate, no doc-id join).
+    The hash aggregate carries two longs per distinct span (min/max doc
+    id) — never a list of doc ids, so a pathological span shared by
+    millions of docs stays O(1) state. This is the 100 TB-viable shape:
+    every stage is keyed by span hash or doc id, no all-pairs anything.
 
     `min(id) != max(id)` detects "≥2 distinct docs" in one pass (ids
     within one doc repeat only if the doc repeats the span internally —
@@ -493,17 +495,14 @@ def repeated_span_stats(df: DataFrame, text_col: str = "text",
         spans.groupBy("h")
         .agg(F.min("id").alias("_lo"), F.max("id").alias("_hi"))
         .filter(F.col("_lo") != F.col("_hi"))
-        .select("h")
+        .select("h", F.lit(True).alias("_dup"))
     )
     return (
-        spans.join(dup_h.hint("merge"), "h", "left_semi")
+        spans.join(dup_h, "h", "left")
         .groupBy(F.col("id").alias(id_col))
-        .agg(F.count("*").alias("n_dup_spans"))
-        .join(
-            spans.groupBy(F.col("id").alias(id_col))
-            .agg(F.count("*").alias("n_spans")),
-            id_col,
-        )
+        .agg(F.count("*").alias("n_spans"),
+             F.count("_dup").alias("n_dup_spans"))
+        .filter(F.col("n_dup_spans") > 0)
         .select(id_col, "n_spans", "n_dup_spans")
     )
 

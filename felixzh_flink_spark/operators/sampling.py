@@ -206,14 +206,14 @@ def quantile_bins(df: DataFrame, order_col: str, n_bins: int = 10,
     per-quality-tier sampling rates.
 
     ntile needs a TOTAL order to be deterministic (ties split by engine
-    whim otherwise), so the sort key is (order_col, id_col). One global
-    sort — the honest cost of exact quantile assignment. At 100 TB use
-    this for per-partition-sized cohorts, or swap to approx bin EDGES
-    (approx_percentile, then a scan-local CASE) when ±ε bin boundaries
-    are acceptable: same output schema, no global sort.
+    whim otherwise), so the sort key is (order_col, id_col). Exact
+    assignment is computed SCALE-SAFE via `aggregations.global_ntile`
+    (range-partitioned rank + broadcast offsets — no single-task global
+    sort). When even the range shuffle is too much, `quantile_bins_approx`
+    bins by sketch EDGES in a pure scan.
     """
-    w = Window.orderBy(F.col(order_col).asc(), F.col(id_col).asc())
-    return df.withColumn(alias, F.ntile(n_bins).over(w))
+    from felixzh_flink_spark.operators.aggregations import global_ntile
+    return global_ntile(df, (order_col, id_col), n_bins, alias)
 
 
 def quantile_bins_approx(df: DataFrame, order_col: str, n_bins: int = 10,

@@ -691,7 +691,8 @@ def acctbal_quartiles(spark, sf_dir):
     tie-break on custkey), computed SCALE-SAFE.
 
     A bare `ntile(4) OVER (ORDER BY ...)` is a single-task global sort —
-    correct but a scale-killer. Instead: range-repartition on the order key
+    correct but a scale-killer. Instead (`aggregations.global_ntile`, the
+    helper shared with curriculum binning): range-repartition on the order key
     (global order across partitions, parallel sort within), derive each
     partition's cumulative row offset from a 32-row aggregate, and add the
     intra-partition row_number — an exact global rank with no
@@ -700,34 +701,10 @@ def acctbal_quartiles(spark, sf_dir):
     computed once (ReusedExchange; range boundaries are deterministic).
     The plan's only SinglePartition exchange carries the ≤ `parts`-row
     count aggregate — bounded by cluster parallelism, not by data size."""
+    from felixzh_flink_spark.operators.aggregations import global_ntile
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
-    parts = spark.sparkContext.defaultParallelism
-    ranged = (c.repartitionByRange(parts, "c_acctbal", "c_custkey")
-              .withColumn("_pid", F.spark_partition_id()))
-    per = ranged.groupBy("_pid").agg(F.count("*").alias("_cnt"))
-    # cumulative offsets + total over ≤ `parts` rows — trivially small
-    woff = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    wall = Window.orderBy("_pid").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing)
-    offsets = per.select(
-        "_pid",
-        F.coalesce(F.sum("_cnt").over(woff), F.lit(0)).alias("_off"),
-        F.sum("_cnt").over(wall).alias("_n"),
-    )
-    wpid = Window.partitionBy("_pid").orderBy("c_acctbal", "c_custkey")
-    ranked = (ranged.withColumn("_rn", F.row_number().over(wpid))
-              .join(F.broadcast(offsets), "_pid")
-              .withColumn("_rank", F.col("_rn") + F.col("_off")))
-    # exact ntile(4) semantics: first (n % 4) buckets get one extra row
-    base, rem = (F.col("_n") / 4).cast("bigint"), F.col("_n") % 4
-    big = rem * (base + 1)  # rows covered by the size-(base+1) buckets
-    quartile = (
-        F.when(F.col("_rank") <= big,
-               F.ceil(F.col("_rank") / (base + 1)))
-        .otherwise(rem + F.ceil((F.col("_rank") - big) / base))
-    )
-    return ranked.select("c_custkey", "c_acctbal",
-                         quartile.cast("int").alias("quartile"))
+    return global_ntile(c, ("c_acctbal", "c_custkey"), 4, "quartile") \
+        .select("c_custkey", "c_acctbal", "quartile")
 
 
 @q("q17_small_quantity_revenue", """
