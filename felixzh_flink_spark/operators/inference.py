@@ -41,6 +41,22 @@ def feature_bucket(token: Column, dim: int) -> Column:
         .cast("bigint") % dim
 
 
+def linear_score_col(weights: list[int], text_col: str = "text") -> Column:
+    """The model as a single Column: Σ_token W[h(token) mod dim] over
+    whitespace tokens — composable into any batch OR streaming projection
+    (it is stateless, so it runs unchanged on a stream)."""
+    dim = len(weights)
+    warr = F.array(*[F.lit(int(w)).cast("long") for w in weights])
+    norm = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
+    toks = F.split(norm, " ")
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + F.element_at(
+            warr, (feature_bucket(t, dim) + 1).cast("int")),
+    )
+
+
 def hashed_linear_score(df: DataFrame, weights: list[int],
                         text_col: str = "text", id_col: str = "doc_id",
                         threshold: int = 0,
@@ -58,16 +74,9 @@ def hashed_linear_score(df: DataFrame, weights: list[int],
     pure map job: partitions score independently, output is one row per
     doc, and the filter on `keep` pushes into the same stage.
     """
-    dim = len(weights)
-    warr = F.array(*[F.lit(int(w)).cast("long") for w in weights])
     norm = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
     toks = F.split(norm, " ")
-    score = F.aggregate(
-        toks,
-        F.lit(0).cast("long"),
-        lambda acc, t: acc + F.element_at(
-            warr, (feature_bucket(t, dim) + 1).cast("int")),
-    )
+    score = linear_score_col(weights, text_col)
     return df.select(
         F.col(id_col),
         *[F.col(c) for c in carry],

@@ -655,3 +655,72 @@ def test_streaming_hll_sketch_maintenance(spark, tmp_path):
     assert est == exp                      # streaming merge == batch sketch
     day1 = [v for k, v in est.items() if k.day == 1][0]
     assert abs(day1 - 150) <= 0.05 * 150   # union of 0..149, not 200
+
+
+# ----------------------------------------------------- document ingest
+
+def test_document_ingest_split_streaming_matches_batch(spark, tmp_path):
+    import datetime as dt
+    import time as _time
+    from felixzh_flink_spark.operators import inference as INF
+    from felixzh_flink_spark.streaming.ingest import document_ingest_split
+
+    w = INF.make_weights(64)
+
+    def score(text):
+        import hashlib
+        return sum(w[int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % 64]
+                   for t in text.split(" "))
+
+    # craft docs on both sides of the classifier threshold
+    good = next(t for t in ("alpha beta gamma", "delta epsilon zeta",
+                            "eta theta iota", "kappa lam mu")
+                if score(t) > 0)
+    bad = next(t for t in ("nu xi omicron", "pi rho sigma",
+                           "tau upsilon phi", "chi psi omega")
+               if score(t) <= 0)
+    base = dt.datetime(2024, 1, 1)
+    schema = "ts timestamp, doc_id long, text string"
+    b1 = [(base + dt.timedelta(seconds=1), 1, good),
+          (base + dt.timedelta(seconds=2), 2, bad),
+          (base + dt.timedelta(seconds=3), 3, "hi")]       # too short
+    b2 = [(base + dt.timedelta(seconds=10), 4, good),      # dup of 1
+          (base + dt.timedelta(seconds=11), 5, good + " extra tail words")]
+    spark.createDataFrame(b1, schema).coalesce(1) \
+        .write.mode("append").parquet(str(tmp_path / "in"))
+    _time.sleep(1.1)
+    spark.createDataFrame(b2, schema).coalesce(1) \
+        .write.mode("append").parquet(str(tmp_path / "in"))
+
+    src = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", 1).parquet(str(tmp_path / "in")))
+    accepted, rejected = document_ingest_split(src, w, watermark="1 minute")
+    for df, name, mode in [(accepted, "ing_acc", "append"),
+                           (rejected, "ing_rej", "append")]:
+        q = (df.writeStream.format("memory").queryName(name)
+             .outputMode(mode)
+             .option("checkpointLocation", str(tmp_path / ("ckp_" + name)))
+             .start())
+        q.processAllAvailable()
+        q.stop()
+
+    acc = {r["doc_id"]: r for r in spark.table("ing_acc").collect()}
+    rej = {r["doc_id"]: r["reason"] for r in spark.table("ing_rej").collect()}
+    # doc 1 first occurrence accepted; 4 is a dup within the watermark
+    assert set(acc) == {1, 5}
+    assert acc[1]["score"] == score(good) and acc[1]["n_tokens"] == 3
+    assert rej == {2: "low_quality", 3: "too_short"}
+
+
+def test_document_ingest_split_batch_mode_is_stateless_identical(spark):
+    from felixzh_flink_spark.operators import inference as INF
+    from felixzh_flink_spark.streaming.ingest import document_ingest_split
+    import datetime as dt
+    w = INF.make_weights(64)
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1), 1, "alpha beta gamma delta")],
+        "ts timestamp, doc_id long, text string")
+    # stateless gates run unchanged on a batch frame (U4): only the
+    # dedup operator is streaming-specific
+    _, rejected = document_ingest_split(df, w)
+    assert rejected.columns == ["ts", "doc_id", "fingerprint", "reason"]
