@@ -168,13 +168,15 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count("*").alias("n_inter"))
     )
-    # per-doc size table: one row per doc in the (small, by contract)
-    # slice this exact verifier runs on — broadcast both sides so the
-    # size lookups cost zero shuffles of the intersection counts
+    # per-doc size table: one row per doc — small when this runs as the
+    # verifier on an LSH-candidate slice, UNBOUNDED when called on a whole
+    # corpus, so no broadcast hint: AQE broadcasts it at runtime when it
+    # measures small and falls back to a shuffle join when it doesn't
+    # (a forced broadcast would OOM the driver on the corpus-wide call)
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
-        inter.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
+        inter.join(sa, "id_a").join(sb, "id_b")
         .withColumn(
             "jaccard",
             F.col("n_inter").cast("double")
@@ -343,7 +345,12 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
     labels = edges.select(F.col("src").alias("id")).distinct() \
         .withColumn("cluster_id", F.col("id"))
-    for _ in range(max_iter):
+    n_changed = None
+    # max_iter bounds label-CHANGING iterations; the +1 grants the no-op
+    # confirming pass (convergence is only observable one iteration after
+    # the last change), so a component of diameter exactly max_iter
+    # succeeds instead of raising at the boundary
+    for _ in range(max_iter + 1):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src").agg(F.min("cluster_id").alias("nmin"))

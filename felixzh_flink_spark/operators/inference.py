@@ -35,22 +35,36 @@ def make_weights(dim: int = 256, seed: int = 1) -> list[int]:
 
 
 def feature_bucket(token: Column, dim: int) -> Column:
-    """Stable feature id in [0, dim) — md5 of the token, first 8 hex
-    digits as an int. Engine-portable (mirrors sampling.hash_bucket)."""
-    return F.conv(F.substring(F.md5(token), 1, 8), 16, 10) \
-        .cast("bigint") % dim
+    """Stable feature id in [0, dim) — delegates to the repo's shared
+    engine-portable md5 recipe (one definition to keep cross-engine
+    oracle parity; tokens are split() products, so the NULL sentinel
+    inside hash_bucket is unreachable here)."""
+    from felixzh_flink_spark.operators.sampling import hash_bucket
+    return hash_bucket(token, dim)
+
+
+def _token_array(text_col: str) -> Column:
+    """Whitespace tokens with honest edge semantics: NULL or
+    empty/whitespace-only text → EMPTY array (not [''] — split of an
+    empty string yields one phantom empty token, which would score a
+    blank document as W[h('')] and count it as one token)."""
+    norm = F.regexp_replace(
+        F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+", " ")
+    return F.when(F.length(norm) == 0,
+                  F.array().cast("array<string>")) \
+        .otherwise(F.split(norm, " "))
 
 
 def linear_score_col(weights: list[int], text_col: str = "text") -> Column:
     """The model as a single Column: Σ_token W[h(token) mod dim] over
     whitespace tokens — composable into any batch OR streaming projection
-    (it is stateless, so it runs unchanged on a stream)."""
+    (it is stateless, so it runs unchanged on a stream). NULL/empty text
+    scores 0 (no tokens, never NULL — a NULL score would three-valued-
+    logic its way out of BOTH sides of any keep/drop filter)."""
     dim = len(weights)
     warr = F.array(*[F.lit(int(w)).cast("long") for w in weights])
-    norm = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
-    toks = F.split(norm, " ")
     return F.aggregate(
-        toks,
+        _token_array(text_col),
         F.lit(0).cast("long"),
         lambda acc, t: acc + F.element_at(
             warr, (feature_bucket(t, dim) + 1).cast("int")),
@@ -64,6 +78,9 @@ def hashed_linear_score(df: DataFrame, weights: list[int],
     """Score every document with a linear model over hashed bag-of-words:
     score(doc) = Σ_token W[h(token) mod dim]. Returns
     (doc_id, n_tokens, score, keep) — keep = score > threshold.
+    NULL/empty text is (n_tokens=0, score=0, keep=false for any
+    threshold ≥ 0): blank documents never pass the classifier and never
+    emit NULLs that would vanish from both sides of a keep filter.
 
     Plan shape: the weight vector is a literal array folded into the
     expression (the "broadcast the model" move — no join, no shuffle; a
@@ -74,8 +91,7 @@ def hashed_linear_score(df: DataFrame, weights: list[int],
     pure map job: partitions score independently, output is one row per
     doc, and the filter on `keep` pushes into the same stage.
     """
-    norm = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
-    toks = F.split(norm, " ")
+    toks = _token_array(text_col)
     score = linear_score_col(weights, text_col)
     return df.select(
         F.col(id_col),

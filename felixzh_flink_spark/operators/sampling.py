@@ -79,7 +79,11 @@ def cap_per_group(df: DataFrame, key: str, group_col: str, cap: int,
     arrival-order `LIMIT` (which is partitioning-dependent) or `sample()`
     (seed-and-partitioning dependent). One shuffle on the group; groups
     under the cap pass through whole. Changing `seed` redraws the
-    reservoir; any engine replays the same choice."""
+    reservoir; any engine replays the same choice.
+
+    `key` must be unique per row (it is the row's identity): rows sharing
+    a key share the full (hash, key) sort key, so WHICH of them survives
+    a cap boundary would be partitioning-dependent."""
     ks = F.coalesce(F.col(key).cast("string"), F.lit("\x00null"))
     h = F.md5(F.concat(F.lit(seed), F.lit("-"), ks))
     w = Window.partitionBy(group_col).orderBy(h, F.col(key))
@@ -99,7 +103,9 @@ def epoch_shuffle(df: DataFrame, key: str, seed: str,
     Shard = stable md5 bucket of the key; position = rank of
     md5(seed ‖ key) WITHIN the shard (ties broken by key). Changing the
     seed permutes both shard-internal order and nothing else — epochs
-    differ, reruns don't. The sort is per-shard (`row_number` partitioned
+    differ, reruns don't. `key` must be unique per row: duplicate keys
+    tie on the whole sort key, making their relative positions
+    partitioning-dependent and breaking the resume-cursor guarantee. The sort is per-shard (`row_number` partitioned
     by shard), NOT a global total order: at 100 TB a global sort is one
     range-partitioned total-order shuffle per epoch, while the shard-local
     form shuffles once on the shard id and sorts shards independently —
@@ -158,7 +164,12 @@ def temperature_resample(df: DataFrame, key: str, domain_col: str,
         .select(
             f"w.{domain_col}",
             F.least(
-                F.expr(f"({target_total} * {buckets} * w._s)"
+                # bigint casts: the literal product target_total × buckets
+                # is folded as int32 × int32 otherwise and overflows at
+                # ≥ 2^31 (ANSI: plan-time ARITHMETIC_OVERFLOW; non-ANSI:
+                # silent negative threshold that keeps zero rows)
+                F.expr(f"(cast({target_total} as bigint)"
+                       f" * cast({buckets} as bigint) * w._s)"
                        " div (t._S * w._n)"),
                 F.lit(buckets).cast("bigint"),
             ).alias("_thresh"),
@@ -191,8 +202,8 @@ def content_split(df: DataFrame, text_col: str = "text",
     yourself); content hashing alone already closes the exact-dup hole
     at zero cost.
     """
-    fp = F.md5(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
-    b = hash_bucket(fp, buckets)
+    norm = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
+    b = hash_bucket(norm, buckets)
     return df.withColumn(
         "split",
         F.when(b < test_pct, F.lit(split_names[1])).otherwise(F.lit(split_names[0])))

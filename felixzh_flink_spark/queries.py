@@ -3714,18 +3714,20 @@ _CLS_W_SQL = "[" + ", ".join(str(w) for w in _CLS_W) + "]"
 @q("classifier_scores", f"""
 WITH tok AS (
   SELECT doc_id,
-         string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS t
+         CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')
+         END AS t
   FROM documents
 )
 SELECT doc_id,
        CAST(len(t) AS BIGINT) AS n_tokens,
-       CAST(list_sum(list_transform(t,
+       CAST(COALESCE(list_sum(list_transform(t,
          x -> ({_CLS_W_SQL}::BIGINT[])[
-           CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT) % 256 + 1]))
+           CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT) % 256 + 1])), 0)
          AS BIGINT) AS score,
-       CAST(list_sum(list_transform(t,
+       CAST(COALESCE(list_sum(list_transform(t,
          x -> ({_CLS_W_SQL}::BIGINT[])[
-           CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT) % 256 + 1]))
+           CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT) % 256 + 1])), 0)
          AS BIGINT) > 0 AS keep
 FROM tok
 """)
@@ -3740,13 +3742,15 @@ def classifier_scores(spark, sf_dir):
 @q("classifier_keep_rates", f"""
 WITH tok AS (
   SELECT doc_id, source,
-         string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS t
+         CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')
+         END AS t
   FROM documents
 ), scored AS (
   SELECT source,
-         CAST(list_sum(list_transform(t,
+         CAST(COALESCE(list_sum(list_transform(t,
            x -> ({_CLS_W_SQL}::BIGINT[])[
-             CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT) % 256 + 1]))
+             CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT) % 256 + 1])), 0)
            AS BIGINT) AS score
   FROM tok
 )
@@ -3806,10 +3810,11 @@ def html_extract_text(spark, sf_dir):
 
 @q("content_split_counts", r"""
 WITH fp AS (
-  SELECT md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS f
+  SELECT regexp_replace(trim(text), '\s+', ' ', 'g') AS norm,
+         md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS f
   FROM documents
 ), b AS (
-  SELECT f, CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT) % 100 AS bucket
+  SELECT f, CAST(('0x' || substr(md5(norm), 1, 8)) AS BIGINT) % 100 AS bucket
   FROM fp
 )
 SELECT CASE WHEN bucket < 10 THEN 'test' ELSE 'train' END AS split,

@@ -45,31 +45,49 @@ def document_ingest_split(
     independent query over the same source).
 
     rejected — failed a stateless gate, with `reason` ∈
-    {'too_short', 'low_quality'} (first failing gate wins).
+    {'null_text', 'too_short', 'low_quality'} (first failing gate wins).
+    Every input row lands on exactly one side: the gate predicate is
+    null-safe (NULL text is an explicit rejection, not a three-valued
+    NULL that would filter out of BOTH streams and vanish unaudited).
 
-    Both returns are unstarted streaming DataFrames over the SAME source;
-    start one sink per side. Works identically on a batch DataFrame (minus
-    the watermark state: batch dedup keeps the min-id representative —
-    pair with dedup.dedup_exact for the batch analog).
+    Both returns are unstarted DataFrames over the SAME source; start one
+    sink per side. On a BATCH DataFrame the stateless gates are the
+    identical expressions and dedup switches to the deterministic batch
+    form (first occurrence by (ts, id) per fingerprint —
+    dropDuplicatesWithinWatermark is streaming-only).
     """
     enriched = (
         fingerprint_md5(stream, text_col)
         .withColumn("_n_tokens", token_count(text_col))
         .withColumn("_score", linear_score_col(weights, text_col))
     )
-    ok = (F.col("_n_tokens") >= min_tokens) & (F.col("_score") > threshold)
-    accepted = (
-        enriched.filter(ok)
-        .withWatermark(ts_col, watermark)
-        .dropDuplicatesWithinWatermark(["fingerprint"])
-        .select(ts_col, id_col, text_col, "fingerprint",
-                F.col("_n_tokens").alias("n_tokens"),
-                F.col("_score").alias("score"))
-    )
+    non_null = F.col(text_col).isNotNull()
+    # False & NULL = False, so `ok` is never NULL: null-text rows take the
+    # rejected side instead of disappearing from both
+    ok = non_null & (F.col("_n_tokens") >= min_tokens) \
+        & (F.col("_score") > threshold)
+    passed = enriched.filter(ok)
+    if stream.isStreaming:
+        deduped = (
+            passed.withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(["fingerprint"])
+        )
+    else:
+        from pyspark.sql import Window
+        wnd = Window.partitionBy("fingerprint").orderBy(ts_col, id_col)
+        deduped = (
+            passed.withColumn("_rn", F.row_number().over(wnd))
+            .filter(F.col("_rn") == 1).drop("_rn")
+        )
+    accepted = deduped.select(
+        ts_col, id_col, text_col, "fingerprint",
+        F.col("_n_tokens").alias("n_tokens"),
+        F.col("_score").alias("score"))
     rejected = (
         enriched.filter(~ok)
         .select(ts_col, id_col, "fingerprint",
-                F.when(F.col("_n_tokens") < min_tokens, F.lit("too_short"))
+                F.when(~non_null, F.lit("null_text"))
+                 .when(F.col("_n_tokens") < min_tokens, F.lit("too_short"))
                  .otherwise(F.lit("low_quality")).alias("reason"))
     )
     return accepted, rejected

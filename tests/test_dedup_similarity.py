@@ -454,3 +454,20 @@ def test_dedup_incremental_empty_state(spark):
     out = {r["doc_id"]: r["status"]
            for r in DD.dedup_incremental(new, empty).collect()}
     assert out == {1: "new_unique", 2: "dup_in_batch"}
+
+
+def test_dup_clusters_converges_at_exact_budget_boundary(spark):
+    # chain 1-2-3-4: last label change happens on iteration 3; the
+    # confirming pass must not count against the budget
+    chain = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "id_a long, id_b long")
+    got = {r["id"]: r["cluster_id"]
+           for r in DD.dup_clusters(chain, max_iter=3).collect()}
+    assert set(got.values()) == {1}
+
+
+def test_dup_clusters_zero_budget_raises_cleanly(spark):
+    import pytest
+    chain = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        DD.dup_clusters(chain, max_iter=0)

@@ -58,3 +58,16 @@ def test_score_plan_is_jvm_only(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     plan = INF.hashed_linear_score(df, w)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan  # pure expressions: codegen, no UDF stage
+
+
+def test_empty_and_null_text_never_pass(spark):
+    w = INF.make_weights(64)
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, None), (4, "real words")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in INF.hashed_linear_score(df, w).collect()}
+    for blank in (1, 2, 3):
+        assert out[blank]["n_tokens"] == 0
+        assert out[blank]["score"] == 0        # not NULL, not W[h('')]
+        assert out[blank]["keep"] is False
+    assert out[4]["n_tokens"] == 2

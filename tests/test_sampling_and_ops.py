@@ -365,3 +365,13 @@ def test_quantile_bins_approx_tracks_exact(spark):
     # distinct scores + tight rel_err: every row within one bin of exact
     assert all(abs(approx[k] - exact[k]) <= 1 for k in exact)
     assert sum(approx[k] == exact[k] for k in exact) >= 950
+
+
+def test_temperature_resample_large_target_no_overflow(spark):
+    from felixzh_flink_spark.operators.sampling import temperature_resample
+    df = spark.createDataFrame(
+        [(i, "d%d" % (i % 3)) for i in range(60)], "id long, dom string")
+    # target_total * buckets = 3e9 > 2^31: must not overflow (ANSI crash
+    # or silent negative threshold); saturated thresholds keep everything
+    kept = temperature_resample(df, "id", "dom", target_total=300_000)
+    assert kept.count() == 60

@@ -724,3 +724,44 @@ def test_document_ingest_split_batch_mode_is_stateless_identical(spark):
     # dedup operator is streaming-specific
     _, rejected = document_ingest_split(df, w)
     assert rejected.columns == ["ts", "doc_id", "fingerprint", "reason"]
+
+
+def test_document_ingest_null_text_routed_to_rejected(spark):
+    import datetime as dt
+    from felixzh_flink_spark.operators import inference as INF
+    from felixzh_flink_spark.streaming.ingest import document_ingest_split
+    w = INF.make_weights(64)
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1), 1, None),
+         (dt.datetime(2024, 1, 1), 2, "a")],
+        "ts timestamp, doc_id long, text string")
+    accepted, rejected = document_ingest_split(df, w)
+    rej = {r["doc_id"]: r["reason"] for r in rejected.collect()}
+    assert rej[1] == "null_text" and rej[2] == "too_short"
+    # every row on exactly one side — nothing vanishes into NULL logic
+    assert accepted.count() + rejected.count() == 2
+
+
+def test_document_ingest_batch_accepted_dedups_by_first_ts(spark):
+    import datetime as dt
+    from felixzh_flink_spark.operators import inference as INF
+    from felixzh_flink_spark.streaming.ingest import document_ingest_split
+
+    w = INF.make_weights(64)
+
+    import hashlib
+
+    def score(t):
+        return sum(w[int(hashlib.md5(x.encode()).hexdigest()[:8], 16) % 64]
+                   for x in t.split(" "))
+
+    good = next(t for t in ("alpha beta gamma", "delta epsilon zeta",
+                            "eta theta iota") if score(t) > 0)
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(base + dt.timedelta(seconds=5), 7, good),
+         (base + dt.timedelta(seconds=1), 9, good)],  # earlier ts wins
+        "ts timestamp, doc_id long, text string")
+    accepted, _ = document_ingest_split(df, w)
+    rows = accepted.collect()
+    assert [r["doc_id"] for r in rows] == [9]
