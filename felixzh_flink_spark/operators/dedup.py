@@ -574,3 +574,55 @@ def dedup_incremental(new_docs: DataFrame, corpus_fps: DataFrame,
     )
     return out.select(id_col, "fingerprint", status.alias("status"))
 
+
+
+def cut_repeated_spans(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", w: int = 8) -> DataFrame:
+    """The cutting half of exact-substring dedup: remove every token that
+    falls inside a w-token window shared verbatim with ANOTHER document,
+    returning (doc_id, clean_text, n_tokens, n_cut_tokens). Documents with
+    no cross-doc span pass through unchanged (n_cut_tokens = 0).
+
+    Plan: span_hashes explode → O(1)-state hash aggregate for the ≥2-doc
+    span set (min≠max) → join back → per-doc `collect_set(start)` — state
+    bounded by tokens-per-doc, never corpus size — then one scan-local
+    array rebuild: a token at position p is kept iff NO dup span start s
+    covers it (s ≤ p < s+w), an `exists` over the per-doc start set
+    (≤ tokens/doc elements, so the rebuild is O(tokens × dup_spans_doc)
+    worst case and O(tokens) for clean docs, all inside codegen).
+
+    Cutting changes tokenization at the seams (the text is re-joined with
+    single spaces), which is the standard, documented behavior of
+    span-level dedup: the cleaned corpus is NOT guaranteed free of new
+    w-grams formed across cut boundaries — run to a fixpoint if that
+    matters (one pass removes ~all verbatim mass in practice).
+    """
+    spans = span_hashes(df, text_col, id_col, w)
+    dup_h = (
+        spans.groupBy("h")
+        .agg(F.min("id").alias("_lo"), F.max("id").alias("_hi"))
+        .filter(F.col("_lo") != F.col("_hi"))
+        .select("h")
+    )
+    cut_starts = (
+        spans.join(dup_h, "h", "left_semi")
+        .groupBy(F.col("id").alias(id_col))
+        .agg(F.collect_set("start").alias("_starts"))
+    )
+    norm = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
+    toks = F.split(norm, " ")
+    out = (
+        df.select(F.col(id_col), toks.alias("_toks"))
+        .join(cut_starts, id_col, "left")
+        .withColumn("_starts", F.coalesce(
+            F.col("_starts"), F.array().cast("array<int>")))
+    )
+    kept = F.expr(
+        f"filter(_toks, (t, i) -> !exists(_starts, "
+        f"s -> s <= i + 1 AND i + 1 < s + {w}))")
+    return out.select(
+        id_col,
+        F.concat_ws(" ", kept).alias("clean_text"),
+        F.size("_toks").cast("bigint").alias("n_tokens"),
+        (F.size("_toks") - F.size(kept)).cast("bigint").alias("n_cut_tokens"),
+    )

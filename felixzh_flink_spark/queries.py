@@ -3868,6 +3868,48 @@ def dedup_keep_best(spark, sf_dir):
                        F.col("source").alias("keep_source"))
 
 
+@q("cut_spans_docs", r"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS t
+  FROM documents
+),
+spans AS (
+  SELECT doc_id, i AS start, md5(array_to_string(t[i:i+7], ' ')) AS h
+  FROM toks, unnest(generate_series(1, len(t) - 7)) AS u(i)
+  WHERE len(t) >= 8
+),
+dup_h AS (SELECT h FROM spans GROUP BY h HAVING MIN(doc_id) <> MAX(doc_id)),
+starts AS (
+  SELECT doc_id, list(DISTINCT start) AS ss
+  FROM spans WHERE h IN (SELECT h FROM dup_h) GROUP BY doc_id
+),
+k AS (
+  SELECT toks.doc_id, toks.t, COALESCE(starts.ss, []) AS ss
+  FROM toks LEFT JOIN starts USING (doc_id)
+),
+kk AS (
+  SELECT doc_id, t,
+         list_filter(t, (x, i) ->
+           len(list_filter(ss, s -> s <= i AND i < s + 8)) = 0) AS kept
+  FROM k
+)
+SELECT doc_id,
+       COALESCE(array_to_string(kept, ' '), '') AS clean_text,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(len(t) - len(kept) AS BIGINT) AS n_cut_tokens
+FROM kk
+""")
+def cut_spans_docs(spark, sf_dir):
+    """Exact-substring span CUTTING (`dedup.cut_repeated_spans`): remove
+    every token inside an 8-token window shared verbatim with another
+    document — the cutting half of span-level dedup (repeated_spans is
+    the stats half). Clean docs pass through untouched; the rebuild is a
+    scan-local indexed array filter (DuckDB's 1-based lambda index vs
+    Spark's 0-based is reconciled in the predicates)."""
+    return DD.cut_repeated_spans(_t(spark, sf_dir, "documents"), w=8)
+
+
 @q("delta_dedup_status", r"""
 WITH fp AS (
   SELECT doc_id,
@@ -3938,6 +3980,7 @@ def curriculum_bins(spark, sf_dir):
 _DRIVER_ORDER = [
     # new or changed this round — first
     "repeated_spans",               # new: exact-substring span dedup
+    "cut_spans_docs",               # new: span cutting (ExactSubstr)
     "delta_dedup_status",           # new: incremental corpus dedup
     "curriculum_bins",              # new: quantile curriculum binning
     "classifier_scores",            # new: hashed linear-model inference

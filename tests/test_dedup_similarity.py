@@ -471,3 +471,30 @@ def test_dup_clusters_zero_budget_raises_cleanly(spark):
     chain = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
     with pytest.raises(RuntimeError, match="did not converge"):
         DD.dup_clusters(chain, max_iter=0)
+
+
+def test_cut_repeated_spans_removes_shared_run_only(spark):
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    df = spark.createDataFrame([
+        (1, "pre " + shared + " post"),
+        (2, shared),
+        (3, "independent words that appear nowhere else at all today ok"),
+    ], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in DD.cut_repeated_spans(df, w=8).collect()}
+    assert out[1]["clean_text"] == "pre post"
+    assert out[1]["n_cut_tokens"] == 8
+    assert out[2]["clean_text"] == "" and out[2]["n_cut_tokens"] == 8
+    # clean doc passes through (normalized join only)
+    assert out[3]["clean_text"].startswith("independent words")
+    assert out[3]["n_cut_tokens"] == 0
+
+
+def test_cut_repeated_spans_overlapping_windows_cut_union(spark):
+    # 9 shared tokens -> two overlapping 8-windows; the cut is their union
+    shared = "a1 a2 a3 a4 a5 a6 a7 a8 a9"
+    df = spark.createDataFrame(
+        [(1, shared + " tail1 tail2"), (2, "x " + shared)],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in DD.cut_repeated_spans(df, w=8).collect()}
+    assert out[1]["clean_text"] == "tail1 tail2" and out[1]["n_cut_tokens"] == 9
+    assert out[2]["clean_text"] == "x" and out[2]["n_cut_tokens"] == 9
