@@ -530,3 +530,68 @@ def strip_html(html: Column | str, alias: str = "clean_text") -> Column:
                      ("&gt;", ">"), ("&quot;", "\""), ("&#39;", "'")]:
         ent = F.regexp_replace(ent, pat, rep)
     return F.trim(F.regexp_replace(ent, r"\s+", " ")).alias(alias)
+
+
+# ------------------------------------------------------------- bigram LM
+
+def bigram_array(text_col: str = "text"):
+    """Column: adjacent lower-cased token pairs ("prev cur") — the
+    conditioning contexts of a bigram LM. Tokenization matches
+    `doc_terms` (whitespace split, empty terms dropped) so unigram and
+    bigram models score the same token stream. zip_with of two shifted
+    slices — O(tokens), codegen."""
+    t = F.split(F.lower(F.trim(F.col(text_col))), TOKEN_RE)
+    t = F.filter(t, lambda x: x != F.lit(""))
+    n = F.size(t)
+    return F.when(
+        n >= 2,
+        F.zip_with(F.slice(t, 1, n - 1), F.slice(t, 2, n - 1),
+                   lambda a, b: F.concat_ws(" ", a, b)),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def train_bigram_lm(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Train a bigram LM: (bg, logp) with logp = ln(c(prev,cur) /
+    c(prev,·)) — the conditional upgrade of `train_unigram_lm` (a
+    repeated-phrase corpus scores much lower perplexity under bigrams,
+    which is exactly the fluency-vs-bag-of-words signal CCNet bucketing
+    wants). Two partial-aggregated shuffles (bigram counts, then context
+    totals keyed by the context prefix); output rows = bigram vocabulary.
+    """
+    big = df.select(F.explode(bigram_array(text_col)).alias("bg"))
+    counts = big.groupBy("bg").agg(F.count("*").alias("c"))
+    prev = F.substring_index(F.col("bg"), " ", 1)
+    prevc = counts.groupBy(prev.alias("prev")).agg(F.sum("c").alias("cp"))
+    return (
+        counts.join(prevc, prev == F.col("prev"))
+        .select("bg",
+                F.log(F.col("c").cast("double") /
+                      F.col("cp").cast("double")).alias("logp"))
+    )
+
+
+def bigram_nll_score(df: DataFrame, lm: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", oov_logp: float = -20.0,
+                     round_digits: int = 9) -> DataFrame:
+    """Per-document mean negative log-likelihood under a bigram LM —
+    scores TRANSITIONS (n_tokens − 1 of them; the first token carries no
+    context and is deliberately unscored, so pair this with the unigram
+    score rather than replacing it). Docs with < 2 tokens emit no row.
+    Returns (id, n_bigrams, nll), decimal exact-sum + rounded mean (same
+    hash-stability recipe as `unigram_nll_score`). Unseen bigrams floor
+    at `oov_logp`; the LM broadcasts (bigram vocab of a reference corpus
+    — drop the hint for web-scale vocabularies)."""
+    from felixzh_flink_spark.operators.aggregations import exact_sum
+
+    bigs = df.select(F.col(id_col), F.explode(bigram_array(text_col)).alias("bg"))
+    bf = bigs.groupBy(id_col, "bg").agg(F.count("*").alias("n_bd"))
+    scored = (bf.join(F.broadcast(lm), "bg", "left")
+              .withColumn("_contrib",
+                          -F.col("n_bd").cast("double")
+                          * F.coalesce(F.col("logp"), F.lit(oov_logp))))
+    return (scored.groupBy(id_col)
+            .agg(F.sum("n_bd").alias("n_bigrams"),
+                 exact_sum("_contrib", scale=15, alias="_nll_sum"))
+            .select(F.col(id_col), F.col("n_bigrams"),
+                    F.round(F.col("_nll_sum") / F.col("n_bigrams").cast("double"),
+                            round_digits).alias("nll")))

@@ -3868,6 +3868,43 @@ def dedup_keep_best(spark, sf_dir):
                        F.col("source").alias("keep_source"))
 
 
+@q("bigram_doc_nll", r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(regexp_replace(lower(trim(text)),
+                     '\s+', ' ', 'g'), ' '), x -> x <> '') AS t
+  FROM documents
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i + 1])) AS bg
+  FROM toks WHERE len(t) >= 2
+),
+counts AS (SELECT bg, COUNT(*) AS c FROM bg GROUP BY bg),
+prevc AS (SELECT split_part(bg, ' ', 1) AS prev, SUM(c) AS cp
+          FROM counts GROUP BY 1),
+lm AS (SELECT bg, ln(CAST(c AS DOUBLE) / CAST(cp AS DOUBLE)) AS logp
+       FROM counts JOIN prevc ON split_part(counts.bg, ' ', 1) = prevc.prev),
+bf AS (SELECT doc_id, bg, COUNT(*) AS n_bd FROM bg GROUP BY doc_id, bg)
+SELECT bf.doc_id,
+       CAST(SUM(n_bd) AS BIGINT) AS n_bigrams,
+       ROUND(CAST(SUM(CAST(-CAST(n_bd AS DOUBLE) * logp AS DECIMAL(30,15))) AS DOUBLE)
+             / CAST(SUM(n_bd) AS DOUBLE), 9) AS nll
+FROM bf JOIN lm USING (bg)
+GROUP BY bf.doc_id
+""")
+def bigram_doc_nll(spark, sf_dir):
+    """Bigram-LM fluency signal (`text.train_bigram_lm` +
+    `bigram_nll_score`): per-doc mean NLL over token TRANSITIONS — the
+    conditional upgrade of `unigram_doc_nll` (word-salad scores high here
+    even when its unigram distribution looks clean). Same decimal
+    exact-sum + rounded-mean hash-stability recipe."""
+    d = _t_wide(spark, sf_dir, "documents")
+    lm = TX.train_bigram_lm(d)
+    return TX.bigram_nll_score(d, lm)
+
+
 @q("cut_spans_docs", r"""
 WITH toks AS (
   SELECT doc_id,
@@ -3981,6 +4018,7 @@ _DRIVER_ORDER = [
     # new or changed this round — first
     "repeated_spans",               # new: exact-substring span dedup
     "cut_spans_docs",               # new: span cutting (ExactSubstr)
+    "bigram_doc_nll",               # new: bigram-LM fluency signal
     "delta_dedup_status",           # new: incremental corpus dedup
     "curriculum_bins",              # new: quantile curriculum binning
     "classifier_scores",            # new: hashed linear-model inference

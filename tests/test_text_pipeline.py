@@ -213,3 +213,38 @@ def test_unigram_nll_partitioning_invariant(spark, sf_dir):
     a = sorted(unigram_nll_score(d, lm).collect())
     b = sorted(unigram_nll_score(d.repartition(13), lm).collect())
     assert a == b
+
+
+# ------------------------------------------------------------ bigram LM
+
+def test_bigram_lm_conditional_probabilities(spark):
+    import math
+    from felixzh_flink_spark.operators import text as TX
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c")], "doc_id long, text string")
+    lm = {r["bg"]: r["logp"] for r in TX.train_bigram_lm(df).collect()}
+    # context 'a' seen 3 times: p(b|a)=2/3, p(c|a)=1/3
+    assert abs(lm["a b"] - math.log(2 / 3)) < 1e-12
+    assert abs(lm["a c"] - math.log(1 / 3)) < 1e-12
+
+
+def test_bigram_nll_flags_word_salad(spark):
+    from felixzh_flink_spark.operators import text as TX
+    fluent = [(i, "the cat sat on the mat again") for i in range(1, 9)]
+    salad = [(100, "mat the on cat again sat the")]
+    df = spark.createDataFrame(fluent + salad, "doc_id long, text string")
+    lm = TX.train_bigram_lm(df)
+    nll = {r["doc_id"]: r["nll"] for r in TX.bigram_nll_score(df, lm).collect()}
+    # the permuted doc's transitions are rare -> higher NLL than the
+    # formulaic docs, even though its UNIGRAM distribution is identical
+    assert nll[100] > nll[1]
+
+
+def test_bigram_nll_short_docs_emit_no_row(spark):
+    from felixzh_flink_spark.operators import text as TX
+    df = spark.createDataFrame(
+        [(1, "solo"), (2, "two tokens")], "doc_id long, text string")
+    lm = TX.train_bigram_lm(df)
+    rows = TX.bigram_nll_score(df, lm).collect()
+    assert [r["doc_id"] for r in rows] == [2]
+    assert rows[0]["n_bigrams"] == 1
