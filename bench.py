@@ -72,11 +72,13 @@ HEADLINE = [
     "cosine_topk_multi",
     "edit_distance_pairs",
     "mixture_pipeline_counts",
-    # round 3b: exact-substring span dedup, classifier inference,
-    # incremental corpus dedup
+    # round 3b: exact-substring span dedup (stats + cutting), classifier
+    # inference, incremental corpus dedup, bigram-LM fluency
     "repeated_spans",
+    "cut_spans_docs",
     "classifier_scores",
     "delta_dedup_status",
+    "bigram_doc_nll",
 ]
 
 
