@@ -626,3 +626,93 @@ def cut_repeated_spans(df: DataFrame, text_col: str = "text",
         F.size("_toks").cast("bigint").alias("n_tokens"),
         (F.size("_toks") - F.size(kept)).cast("bigint").alias("n_cut_tokens"),
     )
+
+
+# ---------------------------------------------------- winnowing (MOSS)
+
+def winnow_fingerprints(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 5,
+                        w: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every k-token gram, slide a
+    w-hash window over the gram-hash sequence, select each window's
+    minimum. Guarantee: any run of ≥ k + w - 1 tokens shared verbatim by
+    two documents contributes at least one IDENTICAL selected hash to
+    both, while only ~2/(w+1) of all gram hashes are kept — the
+    density/guarantee trade the paper proves optimal.
+
+    Emits the DISTINCT selected hash VALUES per document as (id, h).
+    Classic winnowing also records positions with a rightmost tie-break;
+    the selected VALUE set is tie-break-independent (whichever position
+    wins, the value is the window min), which is what keeps this operator
+    bit-reproducible in any engine. Gram hash = md5 of the space-joined
+    gram taken as 15 hex digits → bigint (< 2^60, engine-portable — same
+    primitive as `sampling.hash_bucket`).
+
+    Plan shape: gram hashing, window minima, and per-doc value dedup
+    (`array_distinct`) are all scan-local array math inside codegen —
+    O(tokens × w) per doc with w ≈ 4, ZERO shuffles in this operator.
+    At 100 TB the fingerprint table is ~2/(w+1) the size of the full
+    `span_hashes` gram table; that sparsification is what keeps the
+    downstream by-hash join tractable.
+    """
+    norm = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
+    toks = F.split(norm, " ")
+    base = (
+        df.select(F.col(id_col).alias("id"), toks.alias("_toks"))
+        .filter(F.size("_toks") >= k + w - 1)
+    )
+    grams = F.expr(
+        f"transform(sequence(1, size(_toks) - {k - 1}), i -> "
+        f"cast(conv(substr(md5(concat_ws(' ', slice(_toks, i, {k}))), 1, 15), "
+        f"16, 10) as bigint))")
+    wins = F.expr(
+        f"transform(sequence(1, size(_grams) - {w - 1}), "
+        f"j -> array_min(slice(_grams, j, {w})))")
+    return (
+        base.select("id", grams.alias("_grams"))
+        .select("id", F.explode(F.array_distinct(wins)).alias("h"))
+    )
+
+
+def winnow_similar_pairs(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id", k: int = 5, w: int = 4,
+                         min_shared: int = 2,
+                         max_docs_per_hash: int | None = None) -> DataFrame:
+    """MOSS-style similarity report: pairs of documents sharing ≥
+    `min_shared` winnowing fingerprints, with the containment ratio
+    shared / min(|A|, |B|) (the MOSS "% matched" score). Returns
+    (id_a, id_b, shared, n_a, n_b, containment).
+
+    Every stage is keyed by fingerprint hash or doc pair — no all-pairs
+    comparison. `max_docs_per_hash` drops fingerprints present in more
+    than that many documents (boilerplate k-grams) BEFORE the pair join:
+    the same stop-list trade as the LSH hot-bucket guard, bounding the
+    per-hash pair fan-out at corpus scale (a ubiquitous gram would
+    otherwise contribute a quadratic number of pairs on its own).
+    """
+    fp = winnow_fingerprints(df, text_col, id_col, k, w)
+    if max_docs_per_hash is not None:
+        # fp is distinct per (id, h), so count(*) = distinct docs
+        fp = fp.withColumn(
+            "_n", F.count("*").over(Window.partitionBy("h"))
+        ).filter(F.col("_n") <= max_docs_per_hash).drop("_n")
+    sizes = fp.groupBy("id").agg(F.count("*").alias("n_fp"))
+    pairs = (
+        fp.alias("a")
+        .join(fp.alias("b"), (F.col("a.h") == F.col("b.h"))
+              & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+    return (
+        pairs
+        .join(sizes.select(F.col("id").alias("id_a"),
+                           F.col("n_fp").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"),
+                           F.col("n_fp").alias("n_b")), "id_b")
+        .select("id_a", "id_b", "shared", "n_a", "n_b",
+                (F.col("shared").cast("double")
+                 / F.least("n_a", "n_b")).alias("containment"))
+    )

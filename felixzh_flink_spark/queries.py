@@ -3996,6 +3996,67 @@ def curriculum_bins(spark, sf_dir):
         "doc_id", "n_chars", F.col("bin").cast("int").alias("bin"))
 
 
+_WINNOW_FP_CTE = r"""
+WITH t AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS tk
+  FROM documents
+), gi AS (
+  SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 4)) AS i
+  FROM t WHERE len(tk) >= 8
+), g AS (
+  SELECT doc_id, i,
+         CAST(('0x' || substr(md5(array_to_string(tk[i:i+4], ' ')), 1, 15))
+              AS BIGINT) AS h
+  FROM gi
+), wmin AS (
+  SELECT doc_id, i,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS h,
+         COUNT(*) OVER (PARTITION BY doc_id) AS ng
+  FROM g
+), fp AS (SELECT DISTINCT doc_id, h FROM wmin WHERE i <= ng - 3)
+"""
+
+
+@q("winnow_fingerprints", _WINNOW_FP_CTE + """
+SELECT doc_id AS id, h FROM fp
+""")
+def winnow_fingerprints_docs(spark, sf_dir):
+    """Winnowing fingerprints (`dedup.winnow_fingerprints`, the MOSS
+    algorithm): per-document distinct window-min k-gram hashes with the
+    ≥(k+w-1)-token shared-run guarantee, k=5, w=4. The oracle replays the
+    identical arithmetic via a window MIN over the gram-hash sequence
+    (value sets are tie-break-independent, so both formulations agree
+    bit-for-bit)."""
+    return DD.winnow_fingerprints(_t(spark, sf_dir, "documents")) \
+        .select("id", "h")
+
+
+@q("winnow_similar_pairs", _WINNOW_FP_CTE + """
+, sizes AS (SELECT doc_id, COUNT(*) AS n_fp FROM fp GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+  FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+)
+SELECT id_a, id_b, shared, sa.n_fp AS n_a, sb.n_fp AS n_b,
+       CAST(shared AS DOUBLE) / least(sa.n_fp, sb.n_fp) AS containment
+FROM pairs
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+""")
+def winnow_similar_pairs_docs(spark, sf_dir):
+    """MOSS-style similarity report (`dedup.winnow_similar_pairs`): doc
+    pairs sharing ≥2 winnowing fingerprints with the containment score
+    shared/min(|A|,|B|) — plagiarism-detection shape re-expressed as a
+    by-hash equi-join (never all-pairs; the hot-hash stop-list guard is
+    exercised in units). Containment is an exact small-int division —
+    bit-identical across engines."""
+    return DD.winnow_similar_pairs(_t(spark, sf_dir, "documents"),
+                                   min_shared=2)
+
+
 # =====================================================================
 # Driver-order: the correctness driver consumes QUERIES in insertion
 # order and checks a bounded window (50 entries), so ordering is part of
@@ -4018,6 +4079,8 @@ _DRIVER_ORDER = [
     # new or changed this round — first
     "repeated_spans",               # new: exact-substring span dedup
     "cut_spans_docs",               # new: span cutting (ExactSubstr)
+    "winnow_fingerprints",          # new: MOSS winnowing fingerprints
+    "winnow_similar_pairs",         # new: MOSS containment pair report
     "bigram_doc_nll",               # new: bigram-LM fluency signal
     "delta_dedup_status",           # new: incremental corpus dedup
     "curriculum_bins",              # new: quantile curriculum binning
@@ -4063,8 +4126,8 @@ _DRIVER_ORDER = [
     "events_hourly", "user_sessions", "filter_projection",
     "range_join_recent_views",
     "word_count", "json_roundtrip_orders",
-    "pivot_order_status", "distinct_parts_per_supplier",
     # ---- position 50 boundary ----
+    "pivot_order_status", "distinct_parts_per_supplier",
     "purchase_conversion_rate",
     "quantiles_by_flag",
     "argmax_order_per_segment", "running_quantity_by_supplier",

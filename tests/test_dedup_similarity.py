@@ -498,3 +498,67 @@ def test_cut_repeated_spans_overlapping_windows_cut_union(spark):
     out = {r["doc_id"]: r for r in DD.cut_repeated_spans(df, w=8).collect()}
     assert out[1]["clean_text"] == "tail1 tail2" and out[1]["n_cut_tokens"] == 9
     assert out[2]["clean_text"] == "x" and out[2]["n_cut_tokens"] == 9
+
+
+# ------------------------------------------------------- winnowing (MOSS)
+
+def _winnow_py(text, k=5, w=4):
+    """Reference winnowing fingerprint set, straight from the paper."""
+    import hashlib
+    import re
+    toks = re.sub(r"\s+", " ", text.strip()).split(" ")
+    if len(toks) < k + w - 1:
+        return set()
+    grams = [int(hashlib.md5(" ".join(toks[i:i + k]).encode()).hexdigest()[:15], 16)
+             for i in range(len(toks) - k + 1)]
+    return {min(grams[j:j + w]) for j in range(len(grams) - w + 1)}
+
+
+def test_winnow_fingerprints_match_reference_walk(spark):
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog again and again ok"),
+        (2, "pack my box with five dozen liquor jugs right now please thanks"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {}
+    for r in DD.winnow_fingerprints(df).collect():
+        got.setdefault(r["id"], set()).add(r["h"])
+    assert got == {i: _winnow_py(t) for i, t in texts}
+
+
+def test_winnow_shared_run_guarantee(spark):
+    # any shared run of >= k + w - 1 = 8 tokens must yield a shared hash
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame([
+        (1, shared + " one two three four five"),
+        (2, "completely different prefix words here " + shared),
+        (3, "unrelated filler text that matches nothing of the others at all"),
+    ], "doc_id long, text string")
+    fps = {}
+    for r in DD.winnow_fingerprints(df).collect():
+        fps.setdefault(r["id"], set()).add(r["h"])
+    assert fps[1] & fps[2]
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+
+
+def test_winnow_short_docs_dropped(spark):
+    df = spark.createDataFrame(
+        [(1, "only seven tokens in this doc here")], "doc_id long, text string")
+    assert DD.winnow_fingerprints(df).count() == 0
+
+
+def test_winnow_similar_pairs_and_hot_hash_guard(spark):
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(1, shared + " tail one two"), (2, "x y z " + shared),
+            (3, "nothing in common with anybody else in this tiny corpus ok")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = DD.winnow_similar_pairs(df, min_shared=1).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
+    p = pairs[0]
+    assert 0 < p["containment"] <= 1.0
+    assert p["shared"] <= min(p["n_a"], p["n_b"])
+    # every fingerprint here is in <= 2 docs; a guard of 1 kills the pair
+    assert DD.winnow_similar_pairs(df, min_shared=1,
+                                   max_docs_per_hash=1).count() == 0
+    assert DD.winnow_similar_pairs(df, min_shared=1,
+                                   max_docs_per_hash=2).count() == 1
