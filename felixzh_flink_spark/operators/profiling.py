@@ -11,7 +11,7 @@ kept here because it is oracle-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -119,6 +119,77 @@ def hll_rollup_estimate(daily: DataFrame, to: str = "month") -> DataFrame:
         daily.groupBy(bucket)
         .agg(F.hll_union_agg("sketch").alias("merged"))
         .select(to, F.hll_sketch_estimate("merged").alias("approx_distinct"))
+    )
+
+
+def cms_buckets(key: Column, depth: int, width: int) -> list[Column]:
+    """The count-min probe row for a key: bucket_j = md5num(j || '-' || key)
+    mod width for j in [0, depth) — the same engine-portable md5→bigint
+    primitive as `sampling.hash_bucket`, salted per hash row."""
+    return [
+        F.pmod(
+            F.conv(F.substring(
+                F.md5(F.concat(F.lit(f"{j}-"), key.cast("string"))), 1, 15),
+                16, 10).cast("bigint"),
+            F.lit(width)).alias(f"b{j}")
+        for j in range(depth)
+    ]
+
+
+def cms_build(df: DataFrame, key_col: str, depth: int = 4,
+              width: int = 256) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan '05) materialized AS A
+    TABLE: (j, bucket, cnt) with ≤ depth × width rows. Point estimate for
+    a key = min over j of its bucket's cnt — an overcount-only
+    approximation using O(depth × width) space no matter how many
+    distinct keys stream through, the frequency-sketch analog of the HLL
+    state above.
+
+    Build shape: each input row fans out to `depth` (j, bucket) pairs
+    BEFORE a counting aggregate — the fan-out never hits the wire because
+    partial aggregation collapses every map task's output to ≤ depth ×
+    width rows, so shuffle volume is O(tasks × depth × width), not
+    O(rows). Mergeable: sketches over disjoint row sets combine by
+    (j, bucket) addition (`cms_merge`) — per-day/per-shard sketches roll
+    up without rescanning raw data."""
+    probes = F.array(*[
+        F.struct(F.lit(j).alias("j"), b.alias("bucket"))
+        for j, b in enumerate(cms_buckets(F.col(key_col), depth, width))
+    ])
+    return (
+        df.select(F.explode(probes).alias("p"))
+        .groupBy(F.col("p.j").alias("j"), F.col("p.bucket").alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge count-min sketches built with the same (depth, width):
+    elementwise (j, bucket) addition via union + re-aggregate."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("j", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(cms: DataFrame, keys: DataFrame, key_col: str,
+                 depth: int = 4, width: int = 256) -> DataFrame:
+    """Point-query keys against a materialized sketch: explode each key's
+    depth probe rows, join the (tiny, ≤ depth×width-row, broadcast)
+    sketch, take min(cnt) — the CMS estimate, ≥ the true count always.
+    Buckets no row ever hashed into read as 0 (COALESCE after the left
+    join), so estimates are defined for never-seen keys too."""
+    probes = F.array(*[
+        F.struct(F.lit(j).alias("j"), b.alias("bucket"))
+        for j, b in enumerate(cms_buckets(F.col(key_col), depth, width))
+    ])
+    exploded = keys.select("*", F.explode(probes).alias("_p")) \
+        .select("*", F.col("_p.j").alias("j"), F.col("_p.bucket").alias("bucket")) \
+        .drop("_p")
+    return (
+        exploded.join(F.broadcast(cms), ["j", "bucket"], "left")
+        .groupBy(*[c for c in keys.columns])
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_cnt"))
     )
 
 

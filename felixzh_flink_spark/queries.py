@@ -4057,6 +4057,54 @@ def winnow_similar_pairs_docs(spark, sf_dir):
                                    min_shared=2)
 
 
+@q("cms_token_counts", r"""
+WITH toks AS (
+  SELECT unnest(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')) AS tok
+  FROM documents
+), cms AS (
+  SELECT j,
+         CAST(('0x' || substr(md5(j || '-' || tok), 1, 15)) AS BIGINT) % 64 AS bucket,
+         COUNT(*) AS cnt
+  FROM toks, unnest([0, 1, 2, 3]) AS d(j)
+  GROUP BY 1, 2
+), exact AS (
+  SELECT tok, COUNT(*) AS exact_cnt FROM toks
+  GROUP BY tok ORDER BY exact_cnt DESC, tok LIMIT 20
+), probes AS (
+  SELECT tok, exact_cnt, j,
+         CAST(('0x' || substr(md5(j || '-' || tok), 1, 15)) AS BIGINT) % 64 AS bucket
+  FROM exact, unnest([0, 1, 2, 3]) AS d(j)
+)
+SELECT tok, exact_cnt, MIN(cnt) AS est_cnt,
+       MIN(cnt) >= exact_cnt AS over_ok
+FROM probes JOIN cms USING (j, bucket)
+GROUP BY tok, exact_cnt
+""")
+def cms_token_counts(spark, sf_dir):
+    """Count-min sketch (`profiling.cms_build/cms_estimate`, depth 4 ×
+    width 64): token frequencies estimated from O(d×w) sketch state,
+    probed for the exact top-20 tokens. The oracle replays the identical
+    salted-md5 bucket arithmetic, so est_cnt (including the deliberate
+    collision overcounts at width 64) hash-matches exactly; over_ok is
+    the sketch's one-sided guarantee. At scale the sketch is built at
+    ingest and merged across shards/days (`cms_merge`) — frequency
+    questions then never rescan raw data."""
+    from felixzh_flink_spark.operators.profiling import cms_build, cms_estimate
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(
+            F.split(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "), " ")
+        ).alias("tok"))
+    )
+    cms = cms_build(toks, "tok", depth=4, width=64)
+    top = (toks.groupBy("tok").agg(F.count("*").alias("exact_cnt"))
+           .orderBy(F.desc("exact_cnt"), "tok").limit(20))
+    est = cms_estimate(cms, top, "tok", depth=4, width=64)
+    return est.select(
+        "tok", "exact_cnt", "est_cnt",
+        (F.col("est_cnt") >= F.col("exact_cnt")).alias("over_ok"))
+
+
 # =====================================================================
 # Driver-order: the correctness driver consumes QUERIES in insertion
 # order and checks a bounded window (50 entries), so ordering is part of
@@ -4081,6 +4129,7 @@ _DRIVER_ORDER = [
     "cut_spans_docs",               # new: span cutting (ExactSubstr)
     "winnow_fingerprints",          # new: MOSS winnowing fingerprints
     "winnow_similar_pairs",         # new: MOSS containment pair report
+    "cms_token_counts",             # new: count-min sketch frequencies
     "bigram_doc_nll",               # new: bigram-LM fluency signal
     "delta_dedup_status",           # new: incremental corpus dedup
     "curriculum_bins",              # new: quantile curriculum binning
@@ -4125,8 +4174,9 @@ _DRIVER_ORDER = [
     "salted_event_counts", "repartitioned_user_counts",
     "events_hourly", "user_sessions", "filter_projection",
     "range_join_recent_views",
-    "word_count", "json_roundtrip_orders",
+    "word_count",
     # ---- position 50 boundary ----
+    "json_roundtrip_orders",
     "pivot_order_status", "distinct_parts_per_supplier",
     "purchase_conversion_rate",
     "quantiles_by_flag",

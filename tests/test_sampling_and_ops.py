@@ -375,3 +375,32 @@ def test_temperature_resample_large_target_no_overflow(spark):
     # or silent negative threshold); saturated thresholds keep everything
     kept = temperature_resample(df, "id", "dom", target_total=300_000)
     assert kept.count() == 60
+
+
+def test_cms_overcounts_only_and_merges(spark):
+    from felixzh_flink_spark.operators.profiling import (
+        cms_build, cms_estimate, cms_merge)
+    rows = [(w,) for w, n in
+            [("apple", 30), ("banana", 12), ("cherry", 5), ("date", 1)]
+            for _ in range(n)]
+    df = spark.createDataFrame(rows, "tok string")
+    keys = spark.createDataFrame(
+        [("apple",), ("banana",), ("cherry",), ("date",), ("unseen",)],
+        "tok string")
+    exact = {"apple": 30, "banana": 12, "cherry": 5, "date": 1, "unseen": 0}
+    # tiny width forces collisions -> overcount, never undercount
+    cms = cms_build(df, "tok", depth=3, width=4)
+    est = {r["tok"]: r["est_cnt"]
+           for r in cms_estimate(cms, keys, "tok", depth=3, width=4).collect()}
+    assert all(est[t] >= exact[t] for t in exact)
+    # wide sketch on skewless data: estimates exact
+    cms_w = cms_build(df, "tok", depth=4, width=512)
+    est_w = {r["tok"]: r["est_cnt"]
+             for r in cms_estimate(cms_w, keys, "tok", depth=4, width=512).collect()}
+    assert est_w == exact
+    # merge of disjoint halves == sketch of the union
+    half_a = spark.createDataFrame(rows[:24], "tok string")
+    half_b = spark.createDataFrame(rows[24:], "tok string")
+    merged = cms_merge(cms_build(half_a, "tok", depth=3, width=4),
+                       cms_build(half_b, "tok", depth=3, width=4))
+    assert sorted(merged.collect()) == sorted(cms.collect())
