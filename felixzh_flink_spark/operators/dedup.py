@@ -716,3 +716,89 @@ def winnow_similar_pairs(df: DataFrame, text_col: str = "text",
                 (F.col("shared").cast("double")
                  / F.least("n_a", "n_b")).alias("containment"))
     )
+
+
+# ------------------------------------ prefix-filtered set-similarity join
+
+def token_set_jaccard_join(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id",
+                           threshold: float = 0.7,
+                           ngram: int = 1) -> DataFrame:
+    """EXACT token-set Jaccard self-join ≥ threshold via prefix filtering
+    (the AllPairs/PPJoin family, Bayardo et al. WWW'07 / Xiao et al.
+    ICDE'08) — the exact-guarantee complement to MinHash-LSH: no false
+    negatives by construction, candidate generation still nowhere near
+    all-pairs. Returns (id_a, id_b, o, n_a, n_b, jacc).
+
+    How the pruning works: order every document's distinct-token set by
+    ascending global frequency (rarest first; ties by token). If
+    J(a,b) ≥ t then |a∩b| ≥ t·max(|a|,|b|) ≥ t·|s| for each side, and
+    two sets whose overlap is ≥ α must collide within their first
+    |s| − α + 1 tokens of ANY shared total order — so only the length
+    |s| − ⌈t·|s|⌉ + 1 PREFIX of each sorted set is exploded for the
+    candidate equi-join. Rarest-first ordering makes those prefixes the
+    least-common tokens → tiny join groups. Exact Jaccard then verifies
+    candidates only.
+
+    Scale shape: one agg for global token frequencies (shuffle ∝ vocab),
+    one shuffle to re-join frequencies onto tokens, one equi-join keyed
+    by prefix token (group sizes bounded by rare-token document
+    frequency), verification on candidates only via scan-local
+    array_intersect. The length filter (t·|a| ≤ |b|) prunes candidate
+    pairs before verification. No LSH tuning, no recall loss.
+
+    `ngram` > 1 builds the sets from n-gram shingles instead of unigram
+    tokens — on natural-language corpora unigram sets saturate (every doc
+    shares the function-word vocabulary, so J is high between unrelated
+    docs and the rare-token prefixes stop pruning); shingle sets keep the
+    element universe discriminative, exactly as in the MinHash pipeline.
+    """
+    norm = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
+    if ngram <= 1:
+        elems = F.array_distinct(F.split(norm, " "))
+    else:
+        elems = F.expr(
+            f"array_distinct(transform("
+            f"sequence(1, greatest(size(_tk) - {ngram - 1}, 0)), "
+            f"i -> concat_ws(' ', slice(_tk, i, {ngram}))))")
+        df = df.withColumn("_tk", F.split(norm, " ")) \
+               .filter(F.size("_tk") >= ngram)
+    toks = (
+        df.select(F.col(id_col).alias("id"), F.explode(elems).alias("tok"))
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").alias("_f"))
+    # per-doc tokens sorted rarest-first (freq asc, token asc): sort an
+    # array of (freq, tok) structs — struct ordering is lexicographic
+    sets = (
+        toks.join(freq, "tok")
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("_f", "tok"))).alias("_st"))
+        .select(
+            "id",
+            F.expr("transform(_st, s -> s.tok)").alias("toks"),
+            F.size("_st").alias("n"),
+        )
+    )
+    # probing prefix: |s| - ceil(t*|s|) + 1 rarest tokens
+    prefix = F.expr(
+        f"slice(toks, 1, size(toks) - cast(ceil({threshold} * size(toks)) as int) + 1)")
+    pref = sets.select("id", "toks", "n", F.explode(prefix).alias("ptok"))
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(b, (F.col("a.ptok") == F.col("b.ptok"))
+               & (F.col("a.id") < F.col("b.id"))
+               # length filter: t·|larger| ≤ |smaller| is necessary for J ≥ t
+               & (F.col("a.n") >= threshold * F.col("b.n"))
+               & (F.col("b.n") >= threshold * F.col("a.n")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.col("a.toks").alias("_ta"), F.col("b.toks").alias("_tb"),
+                F.col("a.n").alias("n_a"), F.col("b.n").alias("n_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    o = F.size(F.array_intersect("_ta", "_tb"))
+    jacc = o.cast("double") / (F.col("n_a") + F.col("n_b") - o)
+    return (
+        cand.select("id_a", "id_b", o.alias("o"), "n_a", "n_b",
+                    jacc.alias("jacc"))
+        .filter(F.col("jacc") >= threshold)
+    )

@@ -4057,6 +4057,43 @@ def winnow_similar_pairs_docs(spark, sf_dir):
                                    min_shared=2)
 
 
+@q("jaccard_join_exact", r"""
+WITH t AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS tk
+  FROM documents
+), s AS (
+  SELECT doc_id, list_distinct([array_to_string(tk[i:i+2], ' ')
+          FOR i IN generate_series(1, len(tk) - 2)]) AS toks
+  FROM t WHERE len(tk) >= 3
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len(list_intersect(a.toks, b.toks)) AS INT) AS o,
+       CAST(len(a.toks) AS INT) AS n_a, CAST(len(b.toks) AS INT) AS n_b,
+       CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+         / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+         AS jacc
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+      >= 0.5
+""")
+def jaccard_join_exact(spark, sf_dir):
+    """EXACT set-similarity self-join via prefix filtering
+    (`dedup.token_set_jaccard_join`, AllPairs/PPJoin family): 3-gram
+    shingle sets, Jaccard ≥ 0.5, zero false negatives by construction —
+    the exact-guarantee complement to MinHash-LSH. The oracle brute-forces
+    ALL pairs (feasible at oracle scale); the Spark side only ever joins
+    on rarest-first prefix tokens, so an over-pruned prefix would surface
+    as a missing row. Jaccard is an exact small-int division —
+    bit-identical across engines."""
+    return DD.token_set_jaccard_join(
+        _t(spark, sf_dir, "documents"), threshold=0.5, ngram=3).select(
+        "id_a", "id_b", F.col("o").cast("int").alias("o"),
+        F.col("n_a").cast("int").alias("n_a"),
+        F.col("n_b").cast("int").alias("n_b"), "jacc")
+
+
 @q("cms_token_counts", r"""
 WITH toks AS (
   SELECT unnest(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')) AS tok
@@ -4130,6 +4167,7 @@ _DRIVER_ORDER = [
     "winnow_fingerprints",          # new: MOSS winnowing fingerprints
     "winnow_similar_pairs",         # new: MOSS containment pair report
     "cms_token_counts",             # new: count-min sketch frequencies
+    "jaccard_join_exact",           # new: prefix-filtered exact joins
     "bigram_doc_nll",               # new: bigram-LM fluency signal
     "delta_dedup_status",           # new: incremental corpus dedup
     "curriculum_bins",              # new: quantile curriculum binning
@@ -4174,8 +4212,8 @@ _DRIVER_ORDER = [
     "salted_event_counts", "repartitioned_user_counts",
     "events_hourly", "user_sessions", "filter_projection",
     "range_join_recent_views",
-    "word_count",
     # ---- position 50 boundary ----
+    "word_count",
     "json_roundtrip_orders",
     "pivot_order_status", "distinct_parts_per_supplier",
     "purchase_conversion_rate",

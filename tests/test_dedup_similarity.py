@@ -562,3 +562,56 @@ def test_winnow_similar_pairs_and_hot_hash_guard(spark):
                                    max_docs_per_hash=1).count() == 0
     assert DD.winnow_similar_pairs(df, min_shared=1,
                                    max_docs_per_hash=2).count() == 1
+
+
+# -------------------------------------- prefix-filtered exact Jaccard join
+
+def test_token_set_jaccard_join_equals_bruteforce(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon eta"),      # near-dup of 1
+        (3, "one two three four five six seven eight"),
+        (4, "one two three four five six seven nine"),  # near-dup of 3
+        (5, "totally different content in this doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): r["jacc"]
+           for r in DD.token_set_jaccard_join(df, threshold=0.5).collect()}
+    # brute force in python
+    import re
+    sets = {i: set(re.sub(r"\s+", " ", t.strip()).split(" ")) for i, t in rows}
+    want = {}
+    ids = sorted(sets)
+    for i in ids:
+        for j in ids:
+            if i < j:
+                o = len(sets[i] & sets[j])
+                jc = o / (len(sets[i]) + len(sets[j]) - o)
+                if jc >= 0.5:
+                    want[(i, j)] = jc
+    assert got == want and (1, 2) in got and (3, 4) in got
+
+
+def test_token_set_jaccard_join_ngram_sets(spark):
+    # with 2-gram sets, docs sharing only unordered vocabulary don't pair
+    df = spark.createDataFrame([
+        (1, "a b c d e f"),
+        (2, "f e d c b a"),   # same unigram set, no shared bigrams
+        (3, "a b c d e g"),   # shares 4 of the bigrams with doc 1
+    ], "doc_id long, text string")
+    uni = {(r["id_a"], r["id_b"])
+           for r in DD.token_set_jaccard_join(df, threshold=0.9).collect()}
+    assert (1, 2) in uni
+    bi = {(r["id_a"], r["id_b"]): r["jacc"]
+          for r in DD.token_set_jaccard_join(df, threshold=0.5, ngram=2).collect()}
+    assert (1, 2) not in bi and bi[(1, 3)] == 4 / 6
+
+
+def test_token_set_jaccard_join_length_filter_no_false_negative(spark):
+    # subset relation at the threshold edge: J(a,b) = 3/5
+    df = spark.createDataFrame([
+        (1, "x y z"), (2, "x y z p q"),
+    ], "doc_id long, text string")
+    out = DD.token_set_jaccard_join(df, threshold=0.6).collect()
+    assert len(out) == 1 and abs(out[0]["jacc"] - 0.6) < 1e-12
+    assert DD.token_set_jaccard_join(df, threshold=0.61).count() == 0
