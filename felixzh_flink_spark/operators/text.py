@@ -370,23 +370,26 @@ def unigram_nll_score(df: DataFrame, lm: DataFrame, text_col: str = "text",
     (id, n_tokens, nll).
 
     Out-of-vocabulary tokens get `oov_logp` (a floor, not smoothing — the
-    LM side stays renormalization-free). Per-term contributions are summed
-    via the decimal exact-sum path so the result is fold-order-free; the
-    final mean is rounded (ln is within-1-ulp across engines).
+    LM side stays renormalization-free). Per-occurrence contributions are
+    summed via the decimal exact-sum path so the result is fold-order-free;
+    the final mean is rounded (ln is within-1-ulp across engines).
 
-    Scale shape: per-(doc,term) counts shuffle once partial-aggregated;
-    the LM (vocabulary-sized) broadcasts — for web-scale vocabularies drop
-    the broadcast hint and let the term join shuffle."""
+    Scale shape: occurrences flow straight through the (map-side) broadcast
+    LM join into ONE partial-aggregated per-doc shuffle — a per-(doc,term)
+    pre-count would add a full extra exchange of the occurrence stream to
+    save only the per-doc combine, a bad trade (measured; the decimal sum
+    of n identical terms is exactly n × decimal(logp) either way, but the
+    summation form is part of the oracle contract — keep both sides
+    per-occurrence). For web-scale vocabularies drop the broadcast hint
+    and let the term join shuffle."""
     from felixzh_flink_spark.operators.aggregations import exact_sum
 
     toks = doc_terms(df, text_col, id_col)
-    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("n_td"))
-    scored = (tf.join(F.broadcast(lm), "term", "left")
+    scored = (toks.join(F.broadcast(lm), "term", "left")
               .withColumn("_contrib",
-                          -F.col("n_td").cast("double")
-                          * F.coalesce(F.col("logp"), F.lit(oov_logp))))
+                          -F.coalesce(F.col("logp"), F.lit(oov_logp))))
     return (scored.groupBy(id_col)
-            .agg(F.sum("n_td").alias("n_tokens"),
+            .agg(F.count("*").alias("n_tokens"),
                  exact_sum("_contrib", scale=15, alias="_nll_sum"))
             .select(F.col(id_col), F.col("n_tokens"),
                     F.round(F.col("_nll_sum") / F.col("n_tokens").cast("double"),
@@ -578,19 +581,19 @@ def bigram_nll_score(df: DataFrame, lm: DataFrame, text_col: str = "text",
     context and is deliberately unscored, so pair this with the unigram
     score rather than replacing it). Docs with < 2 tokens emit no row.
     Returns (id, n_bigrams, nll), decimal exact-sum + rounded mean (same
-    hash-stability recipe as `unigram_nll_score`). Unseen bigrams floor
-    at `oov_logp`; the LM broadcasts (bigram vocab of a reference corpus
-    — drop the hint for web-scale vocabularies)."""
+    hash-stability recipe and same one-shuffle occurrence-stream shape as
+    `unigram_nll_score` — see there for why the per-(doc,bigram) pre-count
+    is deliberately absent). Unseen bigrams floor at `oov_logp`; the LM
+    broadcasts (bigram vocab of a reference corpus — drop the hint for
+    web-scale vocabularies)."""
     from felixzh_flink_spark.operators.aggregations import exact_sum
 
     bigs = df.select(F.col(id_col), F.explode(bigram_array(text_col)).alias("bg"))
-    bf = bigs.groupBy(id_col, "bg").agg(F.count("*").alias("n_bd"))
-    scored = (bf.join(F.broadcast(lm), "bg", "left")
+    scored = (bigs.join(F.broadcast(lm), "bg", "left")
               .withColumn("_contrib",
-                          -F.col("n_bd").cast("double")
-                          * F.coalesce(F.col("logp"), F.lit(oov_logp))))
+                          -F.coalesce(F.col("logp"), F.lit(oov_logp))))
     return (scored.groupBy(id_col)
-            .agg(F.sum("n_bd").alias("n_bigrams"),
+            .agg(F.count("*").alias("n_bigrams"),
                  exact_sum("_contrib", scale=15, alias="_nll_sum"))
             .select(F.col(id_col), F.col("n_bigrams"),
                     F.round(F.col("_nll_sum") / F.col("n_bigrams").cast("double"),

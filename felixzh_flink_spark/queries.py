@@ -2420,21 +2420,22 @@ toks2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
 counts AS (SELECT term, COUNT(*) AS c FROM toks2 GROUP BY term),
 total AS (SELECT SUM(c) AS n_total FROM counts),
 lm AS (SELECT term, ln(CAST(c AS DOUBLE) / CAST(n_total AS DOUBLE)) AS logp
-       FROM counts, total),
-tf AS (SELECT doc_id, term, COUNT(*) AS n_td FROM toks2 GROUP BY doc_id, term)
-SELECT tf.doc_id,
-       CAST(SUM(n_td) AS BIGINT) AS n_tokens,
-       ROUND(CAST(SUM(CAST(-CAST(n_td AS DOUBLE) * logp AS DECIMAL(30,15))) AS DOUBLE)
-             / CAST(SUM(n_td) AS DOUBLE), 9) AS nll
-FROM tf JOIN lm USING (term)
-GROUP BY tf.doc_id
+       FROM counts, total)
+SELECT toks2.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(CAST(SUM(CAST(-logp AS DECIMAL(30,15))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 9) AS nll
+FROM toks2 JOIN lm USING (term)
+GROUP BY toks2.doc_id
 """)
 def unigram_doc_nll(spark, sf_dir):
     """CCNet-style LM quality signal (`text.train_unigram_lm` +
     `unigram_nll_score`): per-doc mean negative log-likelihood under the
     corpus unigram LM (perplexity bucketing head/middle/tail). One term
-    shuffle to train, one (doc,term) shuffle to score, LM broadcast.
-    Decimal exact-sum + rounded mean keep the doubles hash-matchable."""
+    shuffle to train, one per-doc shuffle to score (occurrences flow
+    straight through the broadcast LM join — no per-(doc,term) pre-agg),
+    LM broadcast. Decimal exact-sum + rounded mean keep the doubles
+    hash-matchable."""
     d = _t_wide(spark, sf_dir, "documents")
     lm = TX.train_unigram_lm(d)
     return TX.unigram_nll_score(d, lm)
@@ -3885,14 +3886,13 @@ counts AS (SELECT bg, COUNT(*) AS c FROM bg GROUP BY bg),
 prevc AS (SELECT split_part(bg, ' ', 1) AS prev, SUM(c) AS cp
           FROM counts GROUP BY 1),
 lm AS (SELECT bg, ln(CAST(c AS DOUBLE) / CAST(cp AS DOUBLE)) AS logp
-       FROM counts JOIN prevc ON split_part(counts.bg, ' ', 1) = prevc.prev),
-bf AS (SELECT doc_id, bg, COUNT(*) AS n_bd FROM bg GROUP BY doc_id, bg)
-SELECT bf.doc_id,
-       CAST(SUM(n_bd) AS BIGINT) AS n_bigrams,
-       ROUND(CAST(SUM(CAST(-CAST(n_bd AS DOUBLE) * logp AS DECIMAL(30,15))) AS DOUBLE)
-             / CAST(SUM(n_bd) AS DOUBLE), 9) AS nll
-FROM bf JOIN lm USING (bg)
-GROUP BY bf.doc_id
+       FROM counts JOIN prevc ON split_part(counts.bg, ' ', 1) = prevc.prev)
+SELECT bg.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(CAST(SUM(CAST(-logp AS DECIMAL(30,15))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 9) AS nll
+FROM bg JOIN lm USING (bg)
+GROUP BY bg.doc_id
 """)
 def bigram_doc_nll(spark, sf_dir):
     """Bigram-LM fluency signal (`text.train_bigram_lm` +
