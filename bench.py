@@ -79,6 +79,11 @@ HEADLINE = [
     "classifier_scores",
     "delta_dedup_status",
     "bigram_doc_nll",
+    # round 3c: MOSS winnowing, count-min sketch, exact prefix-filtered
+    # set-similarity join
+    "winnow_similar_pairs",
+    "cms_token_counts",
+    "jaccard_join_exact",
 ]
 
 

@@ -268,6 +268,70 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_flags(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """The published Gopher quality rules (Rae et al. 2021, §A1.1 — the
+    de-facto standard web-corpus gate, reused by MassiveText / RefinedWeb
+    / Dolma) as per-rule booleans plus the conjunctive keep flag:
+
+    - wc_ok:        50 ≤ word count ≤ 100,000
+    - mwl_ok:       3 ≤ mean word length ≤ 10
+    - symbol_ok:    (# + …) symbols per word ≤ 0.1
+    - bullet_ok:    ≤ 90% of lines start with a bullet
+    - ellipsis_ok:  ≤ 30% of lines end with an ellipsis
+    - alpha_ok:     ≥ 80% of words contain an alphabetic character
+    - stop_ok:      ≥ 2 distinct of the 8 Gopher stop words present
+
+    Everything is scan-local arithmetic over one tokenization — zero
+    shuffles, zero Python; emitting the per-rule booleans (not just keep)
+    is what makes rejection reasons aggregable downstream ("how much mass
+    did each rule cut?"), the question a 100 TB curation run always asks.
+    Mean word length uses total-non-space-chars / words — identical to
+    summing per-word lengths, but computable without a second pass.
+    """
+    c = F.col(text_col)
+    t = F.trim(c)
+    toks = F.filter(F.split(t, TOKEN_RE), lambda x: x != F.lit(""))
+    n = F.size(toks)
+    # ANSI-safe denominator: every ratio is gated on n > 0 anyway, so the
+    # placeholder 1.0 never reaches a flag — it only keeps the division
+    # from raising DIVIDE_BY_ZERO on empty docs under ANSI mode
+    nd = F.greatest(n.cast("double"), F.lit(1.0))
+    lines = F.split(c, r"\n")
+    n_lines = F.greatest(F.size(lines).cast("double"), F.lit(1.0))
+    mwl = F.length(F.regexp_replace(t, r"\s+", "")).cast("double") / nd
+    n_sym = (F.size(F.regexp_extract_all(c, F.lit(r"#"), F.lit(0)))
+             + F.size(F.regexp_extract_all(c, F.lit(r"\.\.\.|…"), F.lit(0))))
+    n_bullet = F.size(F.filter(
+        lines, lambda l: F.trim(l).rlike(r"^[-*•]")))
+    n_ell = F.size(F.filter(
+        lines, lambda l: F.trim(l).rlike(r"(\.\.\.|…)$")))
+    n_alpha = F.size(F.filter(toks, lambda x: x.rlike(r"[A-Za-z]")))
+    low = F.array_distinct(F.filter(
+        F.transform(toks, lambda x: F.lower(x)),
+        lambda x: x.isin(*GOPHER_STOPWORDS)))
+    flags = {
+        "wc_ok": (n >= 50) & (n <= 100_000),
+        "mwl_ok": (n > 0) & (mwl >= 3.0) & (mwl <= 10.0),
+        "symbol_ok": (n > 0) & (n_sym.cast("double") / nd <= 0.1),
+        "bullet_ok": n_bullet.cast("double") / n_lines <= 0.9,
+        "ellipsis_ok": n_ell.cast("double") / n_lines <= 0.3,
+        "alpha_ok": (n > 0) & (n_alpha.cast("double") / nd >= 0.8),
+        "stop_ok": F.size(low) >= 2,
+    }
+    keep = None
+    for f in flags.values():
+        keep = f if keep is None else (keep & f)
+    return df.select(
+        F.col(id_col),
+        *[v.alias(k) for k, v in flags.items()],
+        keep.alias("keep"),
+    )
+
+
 def lang_scores(text: Column | str) -> list[Column]:
     """Per-language marker-hit counts (one column per language)."""
     c = F.col(text) if isinstance(text, str) else text

@@ -4094,6 +4094,54 @@ def jaccard_join_exact(spark, sf_dir):
         F.col("n_b").cast("int").alias("n_b"), "jacc")
 
 
+@q("gopher_rule_flags", r"""
+WITH t AS (
+  SELECT doc_id, text, trim(text) AS tt,
+         list_filter(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'),
+                     ' '), x -> x <> '') AS toks,
+         string_split(text, chr(10)) AS lines
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         len(toks) AS n,
+         greatest(CAST(len(toks) AS DOUBLE), 1.0) AS nd,
+         greatest(CAST(len(lines) AS DOUBLE), 1.0) AS nl,
+         CAST(len(regexp_replace(tt, '\s+', '', 'g')) AS DOUBLE) AS nchar,
+         len(regexp_extract_all(text, '#'))
+           + len(regexp_extract_all(text, '\.\.\.|…')) AS nsym,
+         len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]'))) AS nbul,
+         len(list_filter(lines, l -> regexp_matches(trim(l), '(\.\.\.|…)$'))) AS nell,
+         len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS nalpha,
+         len(list_distinct(list_filter(list_transform(toks, x -> lower(x)),
+             x -> list_contains(['the','be','to','of','and','that','have','with'], x))))
+           AS nstop
+  FROM t
+)
+SELECT doc_id,
+       n >= 50 AND n <= 100000 AS wc_ok,
+       n > 0 AND nchar / nd >= 3.0 AND nchar / nd <= 10.0 AS mwl_ok,
+       n > 0 AND nsym / nd <= 0.1 AS symbol_ok,
+       nbul / nl <= 0.9 AS bullet_ok,
+       nell / nl <= 0.3 AS ellipsis_ok,
+       n > 0 AND nalpha / nd >= 0.8 AS alpha_ok,
+       nstop >= 2 AS stop_ok,
+       (n >= 50 AND n <= 100000)
+         AND (n > 0 AND nchar / nd >= 3.0 AND nchar / nd <= 10.0)
+         AND (n > 0 AND nsym / nd <= 0.1)
+         AND (nbul / nl <= 0.9) AND (nell / nl <= 0.3)
+         AND (n > 0 AND nalpha / nd >= 0.8) AND (nstop >= 2) AS keep
+FROM m
+""")
+def gopher_rule_flags(spark, sf_dir):
+    """The published Gopher web-corpus quality rules
+    (`text.gopher_quality_flags`): word count, mean word length,
+    symbol-to-word ratio, bullet/ellipsis line fractions, alpha-word
+    fraction, stop-word presence — per-rule booleans plus the
+    conjunctive keep flag, all scan-local (zero shuffles). The oracle
+    recomputes every rule from scratch."""
+    return TX.gopher_quality_flags(_t(spark, sf_dir, "documents"))
+
+
 @q("cms_token_counts", r"""
 WITH toks AS (
   SELECT unnest(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')) AS tok
@@ -4168,6 +4216,7 @@ _DRIVER_ORDER = [
     "winnow_similar_pairs",         # new: MOSS containment pair report
     "cms_token_counts",             # new: count-min sketch frequencies
     "jaccard_join_exact",           # new: prefix-filtered exact joins
+    "gopher_rule_flags",            # new: published Gopher quality gate
     "bigram_doc_nll",               # new: bigram-LM fluency signal
     "delta_dedup_status",           # new: incremental corpus dedup
     "curriculum_bins",              # new: quantile curriculum binning
@@ -4210,11 +4259,10 @@ _DRIVER_ORDER = [
     # last hard-checked in ROUND 1 — re-verify after two rounds of
     # shared-helper refactors (34 queries)
     "salted_event_counts", "repartitioned_user_counts",
+    # ---- position 50 boundary ----
     "events_hourly", "user_sessions", "filter_projection",
     "range_join_recent_views",
-    # ---- position 50 boundary ----
-    "word_count",
-    "json_roundtrip_orders",
+    "word_count", "json_roundtrip_orders",
     "pivot_order_status", "distinct_parts_per_supplier",
     "purchase_conversion_rate",
     "quantiles_by_flag",

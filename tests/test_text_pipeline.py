@@ -248,3 +248,32 @@ def test_bigram_nll_short_docs_emit_no_row(spark):
     rows = TX.bigram_nll_score(df, lm).collect()
     assert [r["doc_id"] for r in rows] == [2]
     assert rows[0]["n_bigrams"] == 1
+
+
+def test_gopher_quality_flags_each_rule_fires(spark):
+    from felixzh_flink_spark.operators.text import gopher_quality_flags
+    good = ("the words be to of and that have with " +
+            " ".join(f"tok{i}" for i in range(60)))
+    rows = [
+        (1, good),                                    # passes everything
+        (2, "short doc"),                             # wc_ok fails
+        (3, " ".join(["a"] * 60)),                    # mwl_ok fails (1.0)
+        (4, " ".join(["word"] * 30 + ["####"] * 30)), # symbol+alpha fail
+        (5, "- b\n- b\n- b"),                         # bullet_ok fails
+        (6, "x...\ny...\nz...\nw ok"),                # ellipsis_ok fails
+        (7, ""),                                      # empty: n-gated rules fail
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in gopher_quality_flags(df).collect()}
+    assert out[1]["keep"] is True
+    assert out[2]["wc_ok"] is False and out[2]["mwl_ok"] is True
+    assert out[3]["mwl_ok"] is False and out[3]["wc_ok"] is True
+    assert out[4]["symbol_ok"] is False and out[4]["alpha_ok"] is False
+    assert out[5]["bullet_ok"] is False
+    assert out[6]["ellipsis_ok"] is False and out[6]["bullet_ok"] is True
+    e = out[7]
+    assert not any([e["wc_ok"], e["mwl_ok"], e["symbol_ok"], e["alpha_ok"],
+                    e["stop_ok"], e["keep"]])
+    assert e["bullet_ok"] and e["ellipsis_ok"]
+    # every doc fails keep except doc 1
+    assert [i for i, r in sorted(out.items()) if r["keep"]] == [1]
