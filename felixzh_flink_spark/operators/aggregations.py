@@ -308,3 +308,38 @@ def global_ntile(df: DataFrame, order_cols: tuple[str, ...], n_bins: int,
     )
     return (ranked.withColumn(alias, bucket.cast("int"))
             .drop("_pid", "_rn", "_off", "_n", "_rank"))
+
+
+def time_spine_fill(series: DataFrame, ts_col: str, key_col: str,
+                    value_col: str, step: str = "1 hour") -> DataFrame:
+    """Gap-fill a regular time series with LOCF (last observation carried
+    forward) — the hypertable `time_bucket_gapfill + locf` shape: emit one
+    row per (key, bucket) over the DENSE time spine spanning the series'
+    global [min, max], carrying the previous bucket's value into missing
+    buckets. Returns (key, ts, value, filled) where `filled` marks spine
+    rows that had no source observation (leading gaps before a key's
+    first observation keep value NULL — there is nothing to carry).
+
+    Plan shape: the bounds are a 1-row aggregate broadcast into a
+    per-key `sequence()` explode (spine size = keys × buckets, generated
+    scan-locally — never a driver loop); one shuffle joins observations
+    onto the spine, and the LOCF window rides the SAME (key) partitioning
+    — with AQE the join output is already hash-distributed by the join
+    key, so the window adds a sort, not a full exchange. State per window
+    partition is one value (the running last) — O(1), any series length.
+    """
+    bounds = series.agg(F.min(ts_col).alias("_lo"), F.max(ts_col).alias("_hi"))
+    keys = series.select(F.col(key_col)).distinct()
+    spine = (
+        keys.crossJoin(F.broadcast(bounds))
+        .select(key_col, F.explode(
+            F.expr(f"sequence(_lo, _hi, interval {step})")).alias(ts_col))
+    )
+    joined = spine.join(series, [key_col, ts_col], "left")
+    w = (Window.partitionBy(key_col).orderBy(ts_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return joined.select(
+        key_col, ts_col,
+        F.last(value_col, ignorenulls=True).over(w).alias(value_col),
+        F.col(value_col).isNull().alias("filled"),
+    )

@@ -120,3 +120,24 @@ def test_anomaly_detector_flags_count_collapse_across_gap(spark):
     assert dark >= 1
     # and the timeline is dense: every hour between first and last exists
     assert out.count() == 31               # 2024-01-01 00:00 .. 01-02 06:00
+
+
+def test_time_spine_fill_locf(spark):
+    from datetime import datetime
+    from felixzh_flink_spark.operators.aggregations import time_spine_fill
+    h = lambda x: datetime(2024, 1, 1, x)  # noqa: E731
+    series = spark.createDataFrame([
+        ("a", h(0), 1.0), ("a", h(3), 4.0),           # gaps at 1, 2
+        ("b", h(2), 9.0),                              # leading gap 0, 1
+    ], "k string, ts timestamp, v double")
+    out = {(r["k"], r["ts"].hour): (r["v"], r["filled"])
+           for r in time_spine_fill(series, "ts", "k", "v").collect()}
+    assert len(out) == 8  # 2 keys x hours 0..3
+    assert out[("a", 0)] == (1.0, False)
+    assert out[("a", 1)] == (1.0, True)    # carried forward
+    assert out[("a", 2)] == (1.0, True)
+    assert out[("a", 3)] == (4.0, False)
+    assert out[("b", 0)] == (None, True)   # leading gap: nothing to carry
+    assert out[("b", 1)] == (None, True)
+    assert out[("b", 2)] == (9.0, False)
+    assert out[("b", 3)] == (9.0, True)
