@@ -268,6 +268,40 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+#: unicode block per script — literal char-class ranges so the identical
+#: pattern compiles under both Java regex (Spark) and RE2 (DuckDB)
+SCRIPT_RANGES = {
+    "latin": "[A-Za-zÀ-ɏ]",
+    "cyrillic": "[Ѐ-ӿ]",
+    "cjk": "[一-鿿぀-ヿ]",
+    "arabic": "[؀-ۿ]",
+}
+
+
+def script_profile(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Per-document writing-script profile: counts of characters in the
+    Latin / Cyrillic / CJK(+kana) / Arabic unicode blocks plus the
+    dominant script ('none' when no script character at all; ties break
+    by the fixed script order) — the cheap complement to `lang_id` that
+    catches what stopword heuristics can't (a Russian doc has ZERO
+    English marker hits but thousands of Cyrillic chars; mixed-script
+    spam shows up as no dominant majority). Scan-local regexp counts,
+    zero shuffles."""
+    c = F.col(text_col)
+    counts = {name: F.size(F.regexp_extract_all(c, F.lit(rng), F.lit(0)))
+              for name, rng in SCRIPT_RANGES.items()}
+    best = F.greatest(*counts.values())
+    dom = F.when(best == 0, F.lit("none"))
+    for name in SCRIPT_RANGES:
+        dom = dom.when(counts[name] == best, F.lit(name))
+    return df.select(
+        F.col(id_col),
+        *[v.cast("bigint").alias(f"n_{k}") for k, v in counts.items()],
+        dom.alias("dominant_script"),
+    )
+
+
 GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
 

@@ -4094,6 +4094,42 @@ def jaccard_join_exact(spark, sf_dir):
         F.col("n_b").cast("int").alias("n_b"), "jacc")
 
 
+@q("script_profile_docs", """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-zÀ-ɏ]')) AS BIGINT) AS n_latin,
+       CAST(len(regexp_extract_all(text, '[Ѐ-ӿ]')) AS BIGINT) AS n_cyrillic,
+       CAST(len(regexp_extract_all(text, '[一-鿿぀-ヿ]')) AS BIGINT) AS n_cjk,
+       CAST(len(regexp_extract_all(text, '[؀-ۿ]')) AS BIGINT) AS n_arabic,
+       CASE WHEN greatest(len(regexp_extract_all(text, '[A-Za-zÀ-ɏ]')),
+                          len(regexp_extract_all(text, '[Ѐ-ӿ]')),
+                          len(regexp_extract_all(text, '[一-鿿぀-ヿ]')),
+                          len(regexp_extract_all(text, '[؀-ۿ]'))) = 0
+              THEN 'none'
+            WHEN len(regexp_extract_all(text, '[A-Za-zÀ-ɏ]')) >=
+                 greatest(len(regexp_extract_all(text, '[Ѐ-ӿ]')),
+                          len(regexp_extract_all(text, '[一-鿿぀-ヿ]')),
+                          len(regexp_extract_all(text, '[؀-ۿ]')))
+              THEN 'latin'
+            WHEN len(regexp_extract_all(text, '[Ѐ-ӿ]')) >=
+                 greatest(len(regexp_extract_all(text, '[一-鿿぀-ヿ]')),
+                          len(regexp_extract_all(text, '[؀-ۿ]')))
+              THEN 'cyrillic'
+            WHEN len(regexp_extract_all(text, '[一-鿿぀-ヿ]')) >=
+                 len(regexp_extract_all(text, '[؀-ۿ]'))
+              THEN 'cjk'
+            ELSE 'arabic' END AS dominant_script
+FROM documents
+""")
+def script_profile_docs(spark, sf_dir):
+    """Unicode writing-script profile (`text.script_profile`): per-block
+    character counts + dominant script — the orthography complement to
+    the stopword `lang_id` heuristic. Identical literal char-class
+    ranges compile under Java regex and RE2, so the counts hash-match;
+    tie-break order (latin > cyrillic > cjk > arabic) is mirrored in the
+    oracle's CASE ladder."""
+    return TX.script_profile(_t(spark, sf_dir, "documents"))
+
+
 @q("events_hourly_filled", """
 WITH series AS (
   SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
@@ -4256,6 +4292,7 @@ _DRIVER_ORDER = [
     "jaccard_join_exact",           # new: prefix-filtered exact joins
     "gopher_rule_flags",            # new: published Gopher quality gate
     "events_hourly_filled",         # new: gap-fill + LOCF time spine
+    "script_profile_docs",          # new: unicode script profiling
     "bigram_doc_nll",               # new: bigram-LM fluency signal
     "delta_dedup_status",           # new: incremental corpus dedup
     "curriculum_bins",              # new: quantile curriculum binning
@@ -4297,8 +4334,8 @@ _DRIVER_ORDER = [
     "funnel_view_click_purchase",     # new: CEP-lite sequence matching
     # last hard-checked in ROUND 1 — re-verify after two rounds of
     # shared-helper refactors (34 queries)
-    "salted_event_counts",
     # ---- position 50 boundary ----
+    "salted_event_counts",
     "repartitioned_user_counts",
     "events_hourly", "user_sessions", "filter_projection",
     "range_join_recent_views",

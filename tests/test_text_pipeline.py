@@ -277,3 +277,20 @@ def test_gopher_quality_flags_each_rule_fires(spark):
     assert e["bullet_ok"] and e["ellipsis_ok"]
     # every doc fails keep except doc 1
     assert [i for i, r in sorted(out.items()) if r["keep"]] == [1]
+
+
+def test_script_profile_detects_blocks_and_dominant(spark):
+    from felixzh_flink_spark.operators.text import script_profile
+    df = spark.createDataFrame([
+        (1, "hello world"),
+        (2, "привет мир hello"),
+        (3, "你好世界 こんにちは"),
+        (4, "مرحبا بالعالم"),
+        (5, "12345 !!!"),
+    ], "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in script_profile(df).collect()}
+    assert out[1]["dominant_script"] == "latin" and out[1]["n_latin"] == 10
+    assert out[2]["dominant_script"] == "cyrillic" and out[2]["n_latin"] == 5
+    assert out[3]["dominant_script"] == "cjk" and out[3]["n_cjk"] == 9
+    assert out[4]["dominant_script"] == "arabic"
+    assert out[5]["dominant_script"] == "none"
