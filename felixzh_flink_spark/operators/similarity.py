@@ -649,3 +649,83 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
+
+
+# ------------------------------------------------------------- IVF-PQ
+
+def _residual_expr(cents: list[list[float]], vec_col: str) -> Column:
+    """vec − centroid[ivf_cell]: the residual PQ encodes in an IVF-PQ
+    index (a scan-local zip_with against the literal centroid matrix)."""
+    return F.expr(
+        f"zip_with({vec_col}, element_at({_lit_mat_sql(cents)}, ivf_cell), "
+        f"(a, b) -> cast(a as double) - b)")
+
+
+def ivfpq_build(df: DataFrame, path: str, cents: list[list[float]],
+                m: int = 8, code_k: int = 16, dim: int = 64,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                train_iter: int = 2) -> list[list[list[float]]]:
+    """Build a FAISS-style IVF-PQ index: assign each vector to its IVF
+    cell, PQ-encode the RESIDUAL (vector − cell centroid — residuals are
+    tighter-distributed than raw vectors, so the same codebook budget
+    quantizes finer; this is what separates IVF-PQ from independently
+    applying IVF and PQ), and write the table directory-partitioned by
+    cell with the m code ints alongside the float column for re-rank.
+    Returns the trained residual codebooks.
+
+    Ingest lifecycle: train + encode + write happen once; probes read
+    only the probed cells' directories (partition pruning) and scan 8
+    code ints per row. At 100 TB this is the standard serving layout —
+    coarse pruning from IVF, 32× scan-state compression from PQ."""
+    assigned = ivf_assign(df, cents, vec_col)
+    res = assigned.withColumn("_res", _residual_expr(cents, vec_col))
+    books = pq_train(res, m=m, code_k=code_k, dim=dim,
+                     id_col=id_col, vec_col="_res", train_iter=train_iter)
+    enc = pq_encode(res, books, vec_col="_res").drop("_res")
+    enc.write.mode("overwrite").partitionBy("ivf_cell").parquet(path)
+    return books
+
+
+def ivfpq_topk(spark, path: str, cents: list[list[float]],
+               books: list[list[list[float]]], query_vec: list[float],
+               k: int = 10, n_probe: int = 4, rerank: int = 100,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Probe an IVF-PQ index: pick the `n_probe` most-query-similar cells
+    driver-side (n_centroids dot products), read ONLY those partitions,
+    ADC-score the residual codes — dot(q, vec) ≈ dot(q, centroid_cell) +
+    Σ_s T[s][code_s] with T[s][c] = dot(q_s, codebook[s][c]) premultiplied
+    driver-side, so the additive decomposition holds exactly through the
+    residual — take the top `rerank` by ADC and re-rank them by exact
+    cosine on the float column. Cheap pass bounds the expensive pass;
+    non-probed cells are never read (partition pruning, plan-asserted in
+    units)."""
+    def dot(a, b):
+        return sum(float(x) * float(y) for x, y in zip(a, b))
+
+    def cos(a, b):
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(y * y for y in b) ** 0.5
+        return dot(a, b) / (na * nb) if na and nb else 0.0
+
+    ranked = sorted(range(len(cents)), key=lambda i: -cos(query_vec, cents[i]))
+    probe = [i + 1 for i in ranked[:n_probe]]
+    m = len(books)
+    subdim = len(books[0][0])
+    qdotc = [dot(query_vec, c) for c in cents]
+    terms = []
+    for s in range(m):
+        qs = [float(query_vec[s * subdim + i]) for i in range(subdim)]
+        table = [dot(qs, cv) for cv in books[s]]
+        terms.append(f"element_at({_lit_vec_sql(table)}, "
+                     f"element_at(pq_code, {s + 1}) + 1)")
+    adc = F.expr(
+        f"element_at({_lit_vec_sql(qdotc)}, ivf_cell) + " + " + ".join(terms))
+    cand = (spark.read.parquet(path)
+            .filter(F.col("ivf_cell").isin(probe))
+            .withColumn("_adc", adc)
+            .orderBy(F.desc("_adc"), F.asc(id_col)).limit(rerank))
+    scored = cand.select(
+        F.col(id_col).alias("id"),
+        cosine_to_literal(vec_col, query_vec).alias("cosine_sim"),
+    )
+    return scored.orderBy(F.desc("cosine_sim"), F.asc("id")).limit(k)

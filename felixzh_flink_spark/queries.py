@@ -2971,6 +2971,76 @@ def ann_pq_checks(spark, sf_dir):
         "k_rows_ok", "codes_in_range", "sims_exact", "recall_ok")
 
 
+_IVFPQ_STATE: dict[str, tuple[str, list]] = {}
+
+
+def _ivfpq_index(spark, sf_dir):
+    """(path, books) of the materialized IVF-PQ index — built once per
+    sf_dir (ingest artifact: assign cells, PQ-encode residuals, write
+    partitioned by cell)."""
+    if sf_dir not in _IVFPQ_STATE:
+        import tempfile
+        path = tempfile.mkdtemp(prefix="spark_graft_ivfpq_")
+        books = SIM.ivfpq_build(
+            _t(spark, sf_dir, "embeddings"), path,
+            _ivf_trained(spark, sf_dir, 16), m=8, code_k=16)
+        _IVFPQ_STATE[sf_dir] = (path, books)
+    return _IVFPQ_STATE[sf_dir]
+
+
+@q("ann_ivfpq_topk")  # rows-only: approximate by construction
+def ann_ivfpq_topk(spark, sf_dir):
+    """FAISS-style IVF-PQ probe (`similarity.ivfpq_build/ivfpq_topk`):
+    coarse pruning reads only the 4 probed cells' PARTITIONS of the
+    materialized index; the residual PQ codes are ADC-scored with 8
+    lookups per row (+ the per-cell dot(q, centroid) constant — the
+    additive decomposition holds exactly through the residual); top 100
+    re-ranked by exact cosine. The full serving layout a 100 TB ANN
+    deployment runs: both the IVF partition pruning AND the 32× PQ scan
+    compression at once."""
+    path, books = _ivfpq_index(spark, sf_dir)
+    return SIM.ivfpq_topk(spark, path, _ivf_trained(spark, sf_dir, 16),
+                          books, _query_vec(spark, sf_dir),
+                          k=10, n_probe=4, rerank=100)
+
+
+@q("ann_ivfpq_checks", """
+SELECT TRUE AS k_rows_ok, TRUE AS codes_in_range,
+       TRUE AS sims_exact, TRUE AS recall_ok
+""")
+def ann_ivfpq_checks(spark, sf_dir):
+    """Assertion oracle for the IVF-PQ path (same contract as
+    `ann_pq_checks`/`ann_ivf_checks`): k_rows_ok — exactly k rows;
+    codes_in_range — all 8 stored residual codes index real codebook
+    entries; sims_exact — returned sims bit-identical to exact cosine
+    recomputed from the base table (re-rank really ran on floats);
+    recall_ok — recall@10 vs in-Spark brute force ≥ 0.3 (n_probe=4 of 16
+    cells bounds recall by construction on uniform random vectors — the
+    floor asserts the machinery, the data caps the rest)."""
+    path, books = _ivfpq_index(spark, sf_dir)
+    qv = _query_vec(spark, sf_dir)
+    e = _t(spark, sf_dir, "embeddings")
+    probe = SIM.ivfpq_topk(spark, path, _ivf_trained(spark, sf_dir, 16),
+                           books, qv, k=10, n_probe=4, rerank=100)
+    exact = e.select(F.col("vec_id").alias("id"),
+                     SIM.cosine_to_literal("embedding", qv).alias("exact_sim"))
+    brute = SIM.cosine_topk_bruteforce(e, qv, k=10).select("id")
+    enc = spark.read.parquet(path)
+    codes_ok = enc.agg(
+        F.coalesce(
+            F.min(F.expr("forall(pq_code, c -> c >= 0 AND c < 16)"))
+            & (F.min(F.size("pq_code")) == 8), F.lit(False)
+        ).alias("codes_in_range"))
+    agg = probe.join(exact, "id", "left").agg(
+        (F.count("*") == 10).alias("k_rows_ok"),
+        F.coalesce(F.min(F.col("cosine_sim") == F.col("exact_sim")),
+                   F.lit(False)).alias("sims_exact"))
+    rec = probe.join(brute, "id", "left_semi").agg(
+        (F.count("*") >= 3).alias("recall_ok"))
+    return agg.crossJoin(codes_ok).crossJoin(rec).select(
+        "k_rows_ok", "codes_in_range", "sims_exact", "recall_ok")
+
+
 @q("semantic_dedup_keep")  # rows-only: kmeans cells are hash-seed-specific
 def semantic_dedup_keep(spark, sf_dir):
     """SemDedup-style semantic dedup: k-means-trained IVF cells bound the
@@ -4293,6 +4363,7 @@ _DRIVER_ORDER = [
     "gopher_rule_flags",            # new: published Gopher quality gate
     "events_hourly_filled",         # new: gap-fill + LOCF time spine
     "script_profile_docs",          # new: unicode script profiling
+    "ann_ivfpq_checks",             # new: IVF-PQ assertion oracle
     "bigram_doc_nll",               # new: bigram-LM fluency signal
     "delta_dedup_status",           # new: incremental corpus dedup
     "curriculum_bins",              # new: quantile curriculum binning
@@ -4331,10 +4402,10 @@ _DRIVER_ORDER = [
     "audio_segment_plan",             # new: audio PCM segment fan-out
     "image_resize_plan",              # new: letterbox geometry plan
     "weekly_retention_cohorts",       # new: cohort-retention analytics
+    # ---- position 50 boundary ----
     "funnel_view_click_purchase",     # new: CEP-lite sequence matching
     # last hard-checked in ROUND 1 — re-verify after two rounds of
     # shared-helper refactors (34 queries)
-    # ---- position 50 boundary ----
     "salted_event_counts",
     "repartitioned_user_counts",
     "events_hourly", "user_sessions", "filter_projection",
@@ -4389,7 +4460,7 @@ _DRIVER_ORDER = [
     # construction) — each covered by an in-window assertion twin
     "minhash_lsh_pairs",
     "ann_ivf_topk", "embedding_near_dup", "semantic_dedup_keep",
-    "ann_pq_topk",
+    "ann_pq_topk", "ann_ivfpq_topk",
 ]
 
 assert set(_DRIVER_ORDER) == set(QUERIES), (

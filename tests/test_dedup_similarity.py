@@ -615,3 +615,33 @@ def test_token_set_jaccard_join_length_filter_no_false_negative(spark):
     out = DD.token_set_jaccard_join(df, threshold=0.6).collect()
     assert len(out) == 1 and abs(out[0]["jacc"] - 0.6) < 1e-12
     assert DD.token_set_jaccard_join(df, threshold=0.61).count() == 0
+
+
+# ------------------------------------------------------------- IVF-PQ
+
+def test_ivfpq_recovers_cluster_neighbors_with_partition_pruning(spark, tmp_path):
+    import random
+    random.seed(7)
+    centers = [[random.gauss(0, 1) for _ in range(16)] for _ in range(4)]
+    rows = [(i, [centers[i % 4][j] + random.gauss(0, 0.05) for j in range(16)])
+            for i in range(400)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = SIM.ivf_train(df, n_centroids=4, max_iter=5)
+    path = str(tmp_path / "ivfpq")
+    books = SIM.ivfpq_build(df, path, cents, m=4, code_k=8, dim=16)
+    assert len(books) == 4 and all(len(b) == 8 for b in books)
+    q = rows[0][1]
+    out = SIM.ivfpq_topk(spark, path, cents, books, q, k=5,
+                         n_probe=1, rerank=100)
+    got = [r["id"] for r in out.collect()]
+    brute = [r["id"] for r in SIM.cosine_topk_bruteforce(df, q, k=5).collect()]
+    # same tight cluster: the probed single cell holds every true neighbor
+    assert len(set(got) & set(brute)) >= 3
+    assert all(i % 4 == 0 for i in got)  # all from query's cluster
+    # non-probed cells are pruned at the partition level, not filtered
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "ivf_cell" in plan
+    # residual codes are valid throughout the index
+    enc = spark.read.parquet(path)
+    bad = enc.filter(~F.expr("forall(pq_code, c -> c >= 0 AND c < 8)")).count()
+    assert bad == 0
