@@ -41,9 +41,11 @@ PACKED_SCHEMA = T.StructType([
 ])
 
 
-def _exclusive_cumsum(df: DataFrame, val_col: str, order_col: str,
+def _exclusive_cumsum(df: DataFrame, val_col: str, order_col: str | list[str],
                       out: str = "cum") -> DataFrame:
-    """Scale-safe global exclusive running sum in `order_col` order.
+    """Scale-safe global exclusive running sum in `order_col` order (a
+    single column name or a composite-order list; the order must be a
+    total order — ties make the within-partition window nondeterministic).
 
     `Window.orderBy` with no partitionBy moves ALL rows to one task — the
     classic global-window scale-killer. Instead: range-partition by the
@@ -52,10 +54,11 @@ def _exclusive_cumsum(df: DataFrame, val_col: str, order_col: str,
     boundaries are sample-based and may vary, but the result doesn't —
     offset + local cumsum is the same global prefix sum wherever the
     splits land."""
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     nparts = max(df.sparkSession.sparkContext.defaultParallelism, 1)
-    ranged = (df.repartitionByRange(nparts, F.col(order_col))
+    ranged = (df.repartitionByRange(nparts, *[F.col(c) for c in order_cols])
               .withColumn("_pid", F.spark_partition_id()))
-    w = (Window.partitionBy("_pid").orderBy(order_col)
+    w = (Window.partitionBy("_pid").orderBy(*order_cols)
          .rowsBetween(Window.unboundedPreceding, -1))
     local = ranged.withColumn(
         "_local", F.coalesce(F.sum(val_col).over(w), F.lit(0).cast("bigint")))
@@ -70,7 +73,7 @@ def _exclusive_cumsum(df: DataFrame, val_col: str, order_col: str,
     return (
         local.join(F.broadcast(offsets), "_pid")
         .withColumn(out, (F.col("_local") + F.col("_off")).cast("bigint"))
-        .drop("_pid", "_local")
+        .drop("_pid", "_local", "_off")
     )
 
 

@@ -103,3 +103,25 @@ def where(df: DataFrame, predicate: Column | str) -> DataFrame:
     """Filter/WHERE. Absent from the reference (SURVEY §2.2 note) but required
     by any analytics surface; Catalyst pushes it into the scan."""
     return df.filter(predicate)
+
+
+def assign_global_ids(df: DataFrame, order_cols: list[str],
+                      alias: str = "global_id") -> DataFrame:
+    """Contiguous global row ids 1..N in `order_cols` order — the
+    training-record-numbering / zipWithIndex shape, WITHOUT the classic
+    scale-killers: no `Window.orderBy` with empty partitioning (all rows
+    to one task), no `monotonically_increasing_id` (sparse, partition-
+    dependent), no RDD zipWithIndex (extra job + RDD hop). Uses the
+    two-phase range-partitioned prefix sum (`packing._exclusive_cumsum`):
+    per-partition row counts roll into broadcast offsets; the only global
+    window runs over numPartitions rows.
+
+    `order_cols` must form a total order (e.g. include a unique key as
+    the last column) — the ids are then a pure function of the data,
+    identical across runs, partitionings, and engines."""
+    from felixzh_flink_spark.operators.packing import _exclusive_cumsum
+
+    cum = _exclusive_cumsum(
+        df.withColumn("_one", F.lit(1).cast("bigint")), "_one", order_cols)
+    return (cum.withColumn(alias, (F.col("cum") + 1).cast("bigint"))
+            .drop("cum", "_one"))

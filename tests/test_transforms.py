@@ -80,3 +80,19 @@ def test_salted_rowkey_wide_salt_space_no_truncation(spark):
     assert len(salts) == 256 and salts[-1] == 255
     assert all(len(r["row_key"].split("|")[0]) == 3
                for r in keyed.limit(50).collect())
+
+
+def test_assign_global_ids_contiguous_and_partition_invariant(spark):
+    from felixzh_flink_spark.operators.transforms import assign_global_ids
+    rows = [(i, f"s{i % 3}") for i in range(97)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = assign_global_ids(df, ["source", "doc_id"]).collect()
+    ids = sorted(r["global_id"] for r in out)
+    assert ids == list(range(1, 98))
+    by_key = {(r["source"], r["doc_id"]): r["global_id"] for r in out}
+    want = {k: i + 1 for i, k in enumerate(sorted(by_key))}
+    assert by_key == want
+    # repartitioning the input does not change the numbering
+    out2 = {(r["source"], r["doc_id"]): r["global_id"]
+            for r in assign_global_ids(df.repartition(13), ["source", "doc_id"]).collect()}
+    assert out2 == by_key
