@@ -464,8 +464,12 @@ def span_hashes(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     """
     norm = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
     toks = F.split(norm, " ")
+    # greatest(..., 1) not 0: sequence(1, 0) DESCENDS in Spark ([1, 0]),
+    # which feeds slice a 0 start and errors if the optimizer evaluates
+    # the projection before the size filter; the floor-1 junk window on a
+    # sub-w doc is dropped by the row filter either way
     windows = F.expr(
-        f"transform(sequence(1, greatest(size(_toks) - {w - 1}, 0)), "
+        f"transform(sequence(1, greatest(size(_toks) - {w - 1}, 1)), "
         f"i -> md5(concat_ws(' ', slice(_toks, i, {w}))))")
     return (
         df.select(F.col(id_col).alias("id"), toks.alias("_toks"))
@@ -662,13 +666,26 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
         df.select(F.col(id_col).alias("id"), toks.alias("_toks"))
         .filter(F.size("_toks") >= k + w - 1)
     )
+    # every array expression is TOTAL: Catalyst reorders projections and
+    # filters freely, so an expression that errors on short docs can
+    # evaluate before the row filter discards the row (Spark's
+    # sequence(1, 0) DESCENDS — [1, 0] — feeding slice a 0 start).
+    # greatest(..., 1) floors the sequence instead; sub-length docs
+    # produce junk windows that the row filter then drops — junk, not an
+    # error, and no `case when` branch to break codegen or get inlined
+    # per consumer (measured 4× slower than the bare transform)
     grams = F.expr(
-        f"transform(sequence(1, size(_toks) - {k - 1}), i -> "
+        f"transform(sequence(1, greatest(size(_toks) - {k - 1}, 1)), i -> "
         f"cast(conv(substr(md5(concat_ws(' ', slice(_toks, i, {k}))), 1, 15), "
         f"16, 10) as bigint))")
     wins = F.expr(
-        f"transform(sequence(1, size(_grams) - {w - 1}), "
+        f"transform(sequence(1, greatest(size(_grams) - {w - 1}, 1)), "
         f"j -> array_min(slice(_grams, j, {w})))")
+    # single projection chain with the explode INLINE: splitting the
+    # array_distinct into its own named-column projection before a
+    # separate explode select looks equivalent but lets the optimizer
+    # re-substitute the gram pipeline into downstream consumers —
+    # measured as an O(windows × grams) per-doc blow-up at sf0.1
     return (
         base.select("id", grams.alias("_grams"))
         .select("id", F.explode(F.array_distinct(wins)).alias("h"))
@@ -691,6 +708,12 @@ def winnow_similar_pairs(df: DataFrame, text_col: str = "text",
     per-hash pair fan-out at corpus scale (a ubiquitous gram would
     otherwise contribute a quadratic number of pairs on its own).
     """
+    # NOTE the per-doc count is aggregated from the exploded rows and
+    # joined back, NOT carried through the explode as size(_fps): a
+    # projection consuming the fingerprint array twice (scalar + generator
+    # input) gets the array expression inlined past the Generate and
+    # recomputed per EXPLODED row — measured 24× slower than this
+    # aggregate-and-join-back form
     fp = winnow_fingerprints(df, text_col, id_col, k, w)
     if max_docs_per_hash is not None:
         # fp is distinct per (id, h), so count(*) = distinct docs
@@ -759,7 +782,7 @@ def token_set_jaccard_join(df: DataFrame, text_col: str = "text",
     else:
         elems = F.expr(
             f"array_distinct(transform("
-            f"sequence(1, greatest(size(_tk) - {ngram - 1}, 0)), "
+            f"sequence(1, greatest(size(_tk) - {ngram - 1}, 1)), "
             f"i -> concat_ws(' ', slice(_tk, i, {ngram}))))")
         df = df.withColumn("_tk", F.split(norm, " ")) \
                .filter(F.size("_tk") >= ngram)
@@ -768,9 +791,11 @@ def token_set_jaccard_join(df: DataFrame, text_col: str = "text",
     )
     freq = toks.groupBy("tok").agg(F.count("*").alias("_f"))
     # per-doc tokens sorted rarest-first (freq asc, token asc): sort an
-    # array of (freq, tok) structs — struct ordering is lexicographic
+    # array of (freq, tok) structs — struct ordering is lexicographic.
+    # The frequency table broadcasts (element vocabulary ≪ occurrences;
+    # at open-vocabulary scale swap for a shuffle join or a min-df cut).
     sets = (
-        toks.join(freq, "tok")
+        toks.join(F.broadcast(freq), "tok")
         .groupBy("id")
         .agg(F.array_sort(F.collect_list(F.struct("_f", "tok"))).alias("_st"))
         .select(
@@ -779,10 +804,14 @@ def token_set_jaccard_join(df: DataFrame, text_col: str = "text",
             F.size("_st").alias("n"),
         )
     )
-    # probing prefix: |s| - ceil(t*|s|) + 1 rarest tokens
+    # probing prefix: |s| - ceil(t*|s|) + 1 rarest tokens. The candidate
+    # join carries IDS ONLY (the token arrays re-join by id afterwards) —
+    # shuffling each candidate's full sets through the pair-level distinct
+    # would move O(candidates × set_size) data; this way the heavy arrays
+    # move O(rows) once, candidates move as two longs.
     prefix = F.expr(
         f"slice(toks, 1, size(toks) - cast(ceil({threshold} * size(toks)) as int) + 1)")
-    pref = sets.select("id", "toks", "n", F.explode(prefix).alias("ptok"))
+    pref = sets.select("id", "n", F.explode(prefix).alias("ptok"))
     a, b = pref.alias("a"), pref.alias("b")
     cand = (
         a.join(b, (F.col("a.ptok") == F.col("b.ptok"))
@@ -790,15 +819,18 @@ def token_set_jaccard_join(df: DataFrame, text_col: str = "text",
                # length filter: t·|larger| ≤ |smaller| is necessary for J ≥ t
                & (F.col("a.n") >= threshold * F.col("b.n"))
                & (F.col("b.n") >= threshold * F.col("a.n")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                F.col("a.toks").alias("_ta"), F.col("b.toks").alias("_tb"),
-                F.col("a.n").alias("n_a"), F.col("b.n").alias("n_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
     )
     o = F.size(F.array_intersect("_ta", "_tb"))
     jacc = o.cast("double") / (F.col("n_a") + F.col("n_b") - o)
     return (
-        cand.select("id_a", "id_b", o.alias("o"), "n_a", "n_b",
-                    jacc.alias("jacc"))
+        cand
+        .join(sets.select(F.col("id").alias("id_a"), F.col("toks").alias("_ta"),
+                          F.col("n").alias("n_a")), "id_a")
+        .join(sets.select(F.col("id").alias("id_b"), F.col("toks").alias("_tb"),
+                          F.col("n").alias("n_b")), "id_b")
+        .select("id_a", "id_b", o.alias("o"), "n_a", "n_b",
+                jacc.alias("jacc"))
         .filter(F.col("jacc") >= threshold)
     )

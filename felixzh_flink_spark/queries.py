@@ -4146,19 +4146,19 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
 FROM s a JOIN s b ON a.doc_id < b.doc_id
 WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
       / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
-      >= 0.5
+      >= 0.7
 """)
 def jaccard_join_exact(spark, sf_dir):
     """EXACT set-similarity self-join via prefix filtering
     (`dedup.token_set_jaccard_join`, AllPairs/PPJoin family): 3-gram
-    shingle sets, Jaccard ≥ 0.5, zero false negatives by construction —
+    shingle sets, Jaccard ≥ 0.7, zero false negatives by construction —
     the exact-guarantee complement to MinHash-LSH. The oracle brute-forces
     ALL pairs (feasible at oracle scale); the Spark side only ever joins
     on rarest-first prefix tokens, so an over-pruned prefix would surface
     as a missing row. Jaccard is an exact small-int division —
     bit-identical across engines."""
     return DD.token_set_jaccard_join(
-        _t(spark, sf_dir, "documents"), threshold=0.5, ngram=3).select(
+        _t(spark, sf_dir, "documents"), threshold=0.7, ngram=3).select(
         "id_a", "id_b", F.col("o").cast("int").alias("o"),
         F.col("n_a").cast("int").alias("n_a"),
         F.col("n_b").cast("int").alias("n_b"), "jacc")
