@@ -343,3 +343,50 @@ def time_spine_fill(series: DataFrame, ts_col: str, key_col: str,
         F.last(value_col, ignorenulls=True).over(w).alias(value_col),
         F.col(value_col).isNull().alias("filled"),
     )
+
+
+def time_spine_interpolate(series: DataFrame, ts_col: str, key_col: str,
+                           value_col: str, step: str = "1 hour") -> DataFrame:
+    """Gap-fill with LINEAR interpolation — the `interpolate()` sibling of
+    `time_spine_fill`'s locf(): missing buckets get the straight line
+    between the key's previous and next observations,
+    v_prev + (v_next − v_prev) · (t − t_prev)/(t_next − t_prev).
+    Buckets outside the key's first/last observation stay NULL (no pair
+    to interpolate — the hypertable convention). Returns
+    (key, ts, value, filled).
+
+    Same spine/join shape as `time_spine_fill` (broadcast bounds,
+    scan-local `sequence()` explode, one join); the interpolation needs
+    BOTH window directions, still O(1) state each: running last non-null
+    (value, ts) looking back, running first non-null looking forward,
+    over the same (key) partitioning."""
+    bounds = series.agg(F.min(ts_col).alias("_lo"), F.max(ts_col).alias("_hi"))
+    keys = series.select(F.col(key_col)).distinct()
+    spine = (
+        keys.crossJoin(F.broadcast(bounds))
+        .select(key_col, F.explode(
+            F.expr(f"sequence(_lo, _hi, interval {step})")).alias(ts_col))
+    )
+    joined = spine.join(series, [key_col, ts_col], "left")
+    wb = (Window.partitionBy(key_col).orderBy(ts_col)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wf = (Window.partitionBy(key_col).orderBy(ts_col)
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    obs_ts = F.when(F.col(value_col).isNotNull(), F.col(ts_col))
+    pv = F.last(value_col, ignorenulls=True).over(wb)
+    pt = F.last(obs_ts, ignorenulls=True).over(wb)
+    nv = F.first(value_col, ignorenulls=True).over(wf)
+    nt = F.first(obs_ts, ignorenulls=True).over(wf)
+    t, t0, t1 = [F.unix_timestamp(c.cast("timestamp")).cast("double")
+                 for c in (F.col(ts_col), pt, nt)]
+    interp = F.when(
+        F.col(value_col).isNotNull(), F.col(value_col).cast("double")
+    ).otherwise(
+        F.when(pv.isNotNull() & nv.isNotNull(),
+               pv.cast("double") + (nv.cast("double") - pv.cast("double"))
+               * (t - t0) / (t1 - t0)))
+    return joined.select(
+        key_col, ts_col,
+        interp.alias(value_col),
+        F.col(value_col).isNull().alias("filled"),
+    )

@@ -4255,6 +4255,67 @@ def events_hourly_filled(spark, sf_dir):
     return time_spine_fill(series, "bucket", "event_type", "sum_value")
 
 
+@q("events_hourly_interp", """
+WITH series AS (
+  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+         CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+  FROM events GROUP BY 1, 2
+), bounds AS (SELECT MIN(bucket) AS lo, MAX(bucket) AS hi FROM series),
+spine AS (
+  SELECT k.event_type,
+         unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS bucket
+  FROM (SELECT DISTINCT event_type FROM series) k, bounds b
+), joined AS (
+  SELECT s.event_type, s.bucket, sv.sum_value,
+         sv.sum_value IS NULL AS filled
+  FROM spine s LEFT JOIN series sv USING (event_type, bucket)
+), ctx AS (
+  SELECT event_type, bucket, sum_value, filled,
+         last_value(sum_value IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         last_value(CASE WHEN sum_value IS NOT NULL THEN bucket END
+                    IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+         first_value(sum_value IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY bucket
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         first_value(CASE WHEN sum_value IS NOT NULL THEN bucket END
+                     IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY bucket
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+  FROM joined
+)
+SELECT event_type, bucket,
+       CASE WHEN sum_value IS NOT NULL THEN sum_value
+            WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+              pv + (nv - pv) * (epoch(bucket) - epoch(pt))
+                   / (epoch(nt) - epoch(pt))
+            END AS sum_value,
+       filled
+FROM ctx
+""")
+def events_hourly_interp(spark, sf_dir):
+    """Gap-fill with LINEAR interpolation
+    (`aggregations.time_spine_interpolate`): missing hours get the
+    straight line between neighboring observations instead of the
+    carried value — the hypertable `interpolate()` convention, NULL
+    outside a key's first/last observation. Both engines compute
+    pv + (nv−pv)·(t−t0)/(t1−t0) in identical double order, so the
+    interpolated values hash-match."""
+    from felixzh_flink_spark.operators.aggregations import (
+        time_spine_interpolate)
+    e = _t(spark, sf_dir, "events")
+    series = (
+        e.groupBy("event_type",
+                  F.window("ts", "1 hour")["start"].alias("bucket"))
+        .agg(exact_sum("value", 6, "sum_value"))
+    )
+    return time_spine_interpolate(series, "bucket", "event_type",
+                                  "sum_value")
+
+
 @q("gopher_rule_flags", r"""
 WITH t AS (
   SELECT doc_id, text, trim(text) AS tt,
@@ -4379,6 +4440,7 @@ _DRIVER_ORDER = [
     "jaccard_join_exact",           # new: prefix-filtered exact joins
     "gopher_rule_flags",            # new: published Gopher quality gate
     "events_hourly_filled",         # new: gap-fill + LOCF time spine
+    "events_hourly_interp",         # new: gap-fill linear interpolation
     "script_profile_docs",          # new: unicode script profiling
     "ann_ivfpq_checks",             # new: IVF-PQ assertion oracle
     "global_doc_ids",               # new: scale-safe global numbering
@@ -4418,8 +4480,8 @@ _DRIVER_ORDER = [
     "funnel_within_window",           # new: CEP WITHIN time bound
     "data_quality_report",            # new: declarative constraint gate
     "audio_segment_plan",             # new: audio PCM segment fan-out
-    "image_resize_plan",              # new: letterbox geometry plan
     # ---- position 50 boundary ----
+    "image_resize_plan",              # new: letterbox geometry plan
     "weekly_retention_cohorts",       # new: cohort-retention analytics
     "funnel_view_click_purchase",     # new: CEP-lite sequence matching
     # last hard-checked in ROUND 1 — re-verify after two rounds of

@@ -141,3 +141,24 @@ def test_time_spine_fill_locf(spark):
     assert out[("b", 1)] == (None, True)
     assert out[("b", 2)] == (9.0, False)
     assert out[("b", 3)] == (9.0, True)
+
+
+def test_time_spine_interpolate_linear_and_null_edges(spark):
+    from datetime import datetime
+    from felixzh_flink_spark.operators.aggregations import (
+        time_spine_interpolate)
+    h = lambda x: datetime(2024, 1, 1, x)  # noqa: E731
+    series = spark.createDataFrame([
+        ("a", h(0), 1.0), ("a", h(3), 7.0),   # gaps at 1, 2 -> 3.0, 5.0
+        ("b", h(1), 4.0),                      # edges at 0 and 2, 3 -> NULL
+    ], "k string, ts timestamp, v double")
+    out = {(r["k"], r["ts"].hour): (r["v"], r["filled"])
+           for r in time_spine_interpolate(series, "ts", "k", "v").collect()}
+    assert out[("a", 0)] == (1.0, False)
+    assert out[("a", 1)] == (3.0, True)
+    assert out[("a", 2)] == (5.0, True)
+    assert out[("a", 3)] == (7.0, False)
+    assert out[("b", 0)] == (None, True)   # before first obs: no pair
+    assert out[("b", 1)] == (4.0, False)
+    assert out[("b", 2)] == (None, True)   # after last obs: no pair
+    assert out[("b", 3)] == (None, True)
