@@ -737,3 +737,41 @@ def encode_debezium_json(df: DataFrame, fields: list[str], op: str = "c") -> Dat
             F.lit(op).alias("op"),
         )).alias("value")
     )
+
+
+def scd2_history(df: DataFrame, pk: list[str], ts_col: str,
+                 attr_cols: list[str],
+                 tiebreak: list[str] | None = None) -> DataFrame:
+    """Build a Type-2 slowly-changing-dimension history from a change
+    stream: one row per (key, attribute-state) interval with
+    (valid_from, valid_to, is_current) — valid_to = the NEXT change's
+    timestamp, NULL while current. Consecutive records whose attributes
+    did not change are collapsed (true SCD2: an interval per STATE, not
+    per event). The inverse consumer of this table is the as-of join
+    (`relational.asof_join`): enrich facts with the dimension state that
+    was valid at the fact's timestamp.
+
+    One shuffle: both the change-detection lag and the interval-closing
+    lead run over the same (pk) partitioning / (ts, tiebreak) order, so
+    Catalyst plans a single Exchange + one sort, two Window nodes riding
+    it. `tiebreak` columns break exact-timestamp ties deterministically
+    (pass a unique event id when timestamps can collide)."""
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in (tiebreak or [])]
+    wo = Window.partitionBy(*pk).orderBy(*order)
+    changed = F.lit(False)
+    for a in attr_cols:
+        prev = F.lag(a).over(wo)
+        changed = changed | ~prev.eqNullSafe(F.col(a)) | F.isnull(
+            F.lag(ts_col).over(wo))
+    starts = (df.withColumn("_chg", changed)
+              .filter(F.col("_chg"))
+              .drop("_chg"))
+    # re-window over the collapsed rows: each state's end = next start
+    ws = Window.partitionBy(*pk).orderBy(*order)
+    return (
+        starts
+        .withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead(ts_col).over(ws))
+        .withColumn("is_current", F.isnull(F.col("valid_to")))
+        .select(*pk, *attr_cols, "valid_from", "valid_to", "is_current")
+    )

@@ -4316,6 +4316,37 @@ def events_hourly_interp(spark, sf_dir):
                                   "sum_value")
 
 
+@q("scd2_user_history", """
+WITH e AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+  FROM events
+), flagged AS (
+  SELECT *,
+         (lag(event_type) OVER w IS DISTINCT FROM event_type)
+           OR lag(ts) OVER w IS NULL AS chg
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_type, ts AS valid_from,
+       lead(ts) OVER w2 AS valid_to,
+       lead(ts) OVER w2 IS NULL AS is_current
+FROM flagged WHERE chg
+WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+""")
+def scd2_user_history(spark, sf_dir):
+    """Type-2 SCD history build (`changelog.scd2_history`): per-user
+    validity intervals of the event_type attribute — consecutive
+    no-change events collapse, each state's valid_to is the next state's
+    valid_from, the open interval is flagged current. One exchange, two
+    windows riding it. The as-of join is the read side of this table."""
+    from felixzh_flink_spark.functions.changelog import scd2_history
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type")
+    return scd2_history(e, ["user_id"], "ts", ["event_type"],
+                        tiebreak=["event_id"]).select(
+        "user_id", "event_type",
+        F.col("valid_from"), F.col("valid_to"), "is_current")
+
+
 @q("gopher_rule_flags", r"""
 WITH t AS (
   SELECT doc_id, text, trim(text) AS tt,
@@ -4441,6 +4472,7 @@ _DRIVER_ORDER = [
     "gopher_rule_flags",            # new: published Gopher quality gate
     "events_hourly_filled",         # new: gap-fill + LOCF time spine
     "events_hourly_interp",         # new: gap-fill linear interpolation
+    "scd2_user_history",            # new: SCD2 validity intervals
     "script_profile_docs",          # new: unicode script profiling
     "ann_ivfpq_checks",             # new: IVF-PQ assertion oracle
     "global_doc_ids",               # new: scale-safe global numbering
@@ -4479,8 +4511,8 @@ _DRIVER_ORDER = [
     "mixture_pipeline_counts",        # new: composed mixture pipeline
     "funnel_within_window",           # new: CEP WITHIN time bound
     "data_quality_report",            # new: declarative constraint gate
-    "audio_segment_plan",             # new: audio PCM segment fan-out
     # ---- position 50 boundary ----
+    "audio_segment_plan",             # new: audio PCM segment fan-out
     "image_resize_plan",              # new: letterbox geometry plan
     "weekly_retention_cohorts",       # new: cohort-retention analytics
     "funnel_view_click_purchase",     # new: CEP-lite sequence matching

@@ -709,3 +709,36 @@ def test_snapshot_diff_null_pk_rows_not_lost(spark):
         old, spark.createDataFrame([(1, "same")], "k long, v string"),
         ["k"]).collect())
     assert got2 == [("-D", "gone")]
+
+
+def test_scd2_history_collapses_and_closes_intervals(spark):
+    from datetime import datetime
+    from felixzh_flink_spark.functions.changelog import scd2_history
+    t = lambda x: datetime(2024, 1, 1, x)  # noqa: E731
+    df = spark.createDataFrame([
+        (1, t(0), 1, "bronze"),
+        (1, t(1), 2, "bronze"),   # no change -> collapsed
+        (1, t(2), 3, "gold"),
+        (1, t(3), 4, "bronze"),   # back again -> NEW interval
+        (2, t(5), 5, "silver"),
+    ], "user_id long, ts timestamp, event_id long, tier string")
+    out = sorted(
+        ((r["user_id"], r["tier"], r["valid_from"].hour,
+          r["valid_to"].hour if r["valid_to"] else None, r["is_current"])
+         for r in scd2_history(df, ["user_id"], "ts", ["tier"],
+                               tiebreak=["event_id"]).collect()))
+    assert out == [
+        (1, "bronze", 0, 2, False),
+        (1, "bronze", 3, None, True),
+        (1, "gold", 2, 3, False),
+        (2, "silver", 5, None, True),
+    ]
+
+
+def test_scd2_history_single_exchange(spark):
+    from felixzh_flink_spark.functions.changelog import scd2_history
+    df = spark.createDataFrame(
+        [(1, 1, 1, "a")], "user_id long, ts long, event_id long, v string")
+    plan = scd2_history(df, ["user_id"], "ts", ["v"], tiebreak=["event_id"]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
