@@ -729,3 +729,59 @@ def ivfpq_topk(spark, path: str, cents: list[list[float]],
         cosine_to_literal(vec_col, query_vec).alias("cosine_sim"),
     )
     return scored.orderBy(F.desc("cosine_sim"), F.asc("id")).limit(k)
+
+
+# ------------------------------------------------- contrastive mining
+
+def contrastive_triplets(df: DataFrame, threshold: float = 0.95,
+                         k_neg: int = 2, seed: str = "t1",
+                         id_col: str = "vec_id", vec_col: str = "embedding",
+                         n_planes: int = 8, dim: int = 64,
+                         n_rows: int | None = None) -> DataFrame:
+    """Mine (anchor, positive, negative) training triplets for contrastive
+    embedding learning: positives are the LSH-pruned near-duplicate pairs
+    (cosine ≥ threshold — `embedding_near_dup_pairs`' machinery, never
+    all-pairs); negatives are k deterministic pseudo-random picks per
+    anchor, md5(seed-anchor-j) mod N, kept only when they are NOT
+    accidentally similar (cosine(anchor, negative) < threshold — the
+    standard false-negative filter). Returns
+    (anchor, positive, negative, cos_ap, cos_an).
+
+    Everything is a pure function of (data, seed): the same triplets come
+    out on any partitioning or engine — the property a resumable training
+    pipeline needs from its data-mining step. Negative lookups are an
+    equi-join on the derived id (shuffle ∝ pairs × k, each row two longs
+    + one vector), cosines are the shared indexed-dot fold.
+
+    `n_rows` (the id-space size N) is a driver-known ingest stat; pass it
+    to keep the plan collect-free — left None, one tiny max() lookup runs
+    at plan time."""
+    if n_rows is None:
+        n_rows = df.agg(F.max(id_col)).first()[0] + 1
+    pos = embedding_near_dup_pairs(df, threshold, id_col, vec_col,
+                                   n_planes, dim)
+    negs = F.array(*[
+        F.conv(F.substring(F.md5(F.concat(
+            F.lit(f"{seed}-"), F.col("id_a").cast("string"),
+            F.lit(f"-{j}"))), 1, 15), 16, 10).cast("bigint") % n_rows
+        for j in range(k_neg)
+    ])
+    cand = (pos.select(F.col("id_a").alias("anchor"),
+                       F.col("id_b").alias("positive"),
+                       F.col("cosine_sim").alias("cos_ap"),
+                       F.explode(negs).alias("negative"))
+            .filter((F.col("negative") != F.col("anchor"))
+                    & (F.col("negative") != F.col("positive"))))
+    vecs = df.select(F.col(id_col), F.col(vec_col),
+                     _norm(F.col(vec_col)).alias("_nrm"))
+    a = vecs.select(F.col(id_col).alias("anchor"),
+                    F.col(vec_col).alias("_va"), F.col("_nrm").alias("_na"))
+    n = vecs.select(F.col(id_col).alias("negative"),
+                    F.col(vec_col).alias("_vn"), F.col("_nrm").alias("_nn"))
+    return (
+        cand.join(a, "anchor").join(n, "negative")
+        .withColumn("cos_an", _dot_indexed(F.col("_va"), F.col("_vn"), dim)
+                    / (F.col("_na") * F.col("_nn")))
+        .filter(F.col("cos_an") < threshold)
+        .select("anchor", "positive", "negative", "cos_ap", "cos_an")
+    )

@@ -4316,6 +4316,48 @@ def events_hourly_interp(spark, sf_dir):
                                   "sum_value")
 
 
+@q("contrastive_triplet_checks", """
+SELECT TRUE AS has_triplets, TRUE AS pos_sim_ok, TRUE AS neg_sim_ok,
+       TRUE AS ids_distinct, TRUE AS negs_derived
+""")
+def contrastive_triplet_checks(spark, sf_dir):
+    """Assertion oracle for contrastive triplet mining
+    (`similarity.contrastive_triplets`): has_triplets — the miner emits
+    rows on this corpus; pos_sim_ok — every anchor/positive pair
+    re-scores ≥ the threshold (0.4 / 4 planes on these synthetic random
+    vectors, mirroring `embedding_near_dup`; real corpora use ~0.95);
+    neg_sim_ok — every negative re-scores < it (the false-negative
+    filter held); ids_distinct — no
+    negative collides with its anchor or positive; negs_derived — every
+    negative id equals one of the k md5-derived candidates for its
+    (anchor, j), i.e. negative selection is the documented pure function
+    of (data, seed). Positives ride the LSH bucket machinery (engine-
+    specific buckets → assertion not value oracle, same as
+    `embedding_near_dup`)."""
+    e = _t(spark, sf_dir, "embeddings")
+    n_rows = e.agg(F.max("vec_id")).first()[0] + 1
+    t = SIM.contrastive_triplets(e, threshold=0.4, k_neg=2, seed="t1",
+                                 n_planes=4, n_rows=n_rows)
+    k_negs = F.array(*[
+        F.conv(F.substring(F.md5(F.concat(
+            F.lit("t1-"), F.col("anchor").cast("string"),
+            F.lit(f"-{j}"))), 1, 15), 16, 10).cast("bigint") % n_rows
+        for j in range(2)
+    ])
+    return t.agg(
+        (F.count("*") > 0).alias("has_triplets"),
+        F.coalesce(F.min(F.col("cos_ap") >= 0.4), F.lit(False))
+        .alias("pos_sim_ok"),
+        F.coalesce(F.min(F.col("cos_an") < 0.4), F.lit(False))
+        .alias("neg_sim_ok"),
+        F.coalesce(F.min((F.col("negative") != F.col("anchor"))
+                         & (F.col("negative") != F.col("positive"))),
+                   F.lit(False)).alias("ids_distinct"),
+        F.coalesce(F.min(F.array_contains(k_negs, F.col("negative"))),
+                   F.lit(False)).alias("negs_derived"),
+    )
+
+
 @q("scd2_user_history", """
 WITH e AS (
   SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
@@ -4473,6 +4515,7 @@ _DRIVER_ORDER = [
     "events_hourly_filled",         # new: gap-fill + LOCF time spine
     "events_hourly_interp",         # new: gap-fill linear interpolation
     "scd2_user_history",            # new: SCD2 validity intervals
+    "contrastive_triplet_checks",   # new: triplet-mining assertions
     "script_profile_docs",          # new: unicode script profiling
     "ann_ivfpq_checks",             # new: IVF-PQ assertion oracle
     "global_doc_ids",               # new: scale-safe global numbering

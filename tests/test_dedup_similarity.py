@@ -645,3 +645,37 @@ def test_ivfpq_recovers_cluster_neighbors_with_partition_pruning(spark, tmp_path
     enc = spark.read.parquet(path)
     bad = enc.filter(~F.expr("forall(pq_code, c -> c >= 0 AND c < 8)")).count()
     assert bad == 0
+
+
+def test_contrastive_triplets_deterministic_and_filtered(spark):
+    import random
+    random.seed(11)
+    # two tight duplicate groups + noise
+    base = [[random.gauss(0, 1) for _ in range(8)] for _ in range(2)]
+    rows = []
+    for i in range(40):
+        if i < 4:
+            src = base[0]
+        elif i < 8:
+            src = base[1]
+        else:
+            src = [random.gauss(0, 1) for _ in range(8)]
+        rows.append((i, [x + random.gauss(0, 0.01) for x in src]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    t = SIM.contrastive_triplets(df, threshold=0.95, k_neg=3, seed="s",
+                                 n_planes=4, dim=8, n_rows=40)
+    got = t.collect()
+    assert got  # the duplicate groups produce positives
+    for r in got:
+        assert r["cos_ap"] >= 0.95 and r["cos_an"] < 0.95
+        assert r["negative"] not in (r["anchor"], r["positive"])
+    # pure function of (data, seed): identical on a different partitioning
+    t2 = SIM.contrastive_triplets(df.repartition(7), threshold=0.95,
+                                  k_neg=3, seed="s", n_planes=4, dim=8,
+                                  n_rows=40)
+    key = lambda r: (r["anchor"], r["positive"], r["negative"])  # noqa: E731
+    assert sorted(map(key, got)) == sorted(map(key, t2.collect()))
+    # a different seed picks different negatives
+    t3 = SIM.contrastive_triplets(df, threshold=0.95, k_neg=3, seed="z",
+                                  n_planes=4, dim=8, n_rows=40)
+    assert sorted(map(key, got)) != sorted(map(key, t3.collect()))
