@@ -245,3 +245,48 @@ def quantile_bins_approx(df: DataFrame, order_col: str, n_bins: int = 10,
     for i, e in enumerate(edges):
         bin_expr = F.when(c > F.lit(e), F.lit(i + 2)).otherwise(bin_expr)
     return df.withColumn(alias, bin_expr.cast("int"))
+
+
+def interleave_sources(df: DataFrame, key: str, source_col: str,
+                       weights: dict[str, float],
+                       seed: str = "i1") -> DataFrame:
+    """Deterministic stride-scheduled interleaving of sources into one
+    training order: each source's rows get a within-source shuffle rank
+    (md5(seed, key) order — same primitive as `epoch_shuffle`), and row r
+    of a weight-w source lands at position (r − 0.5)/w, so reading in
+    `pos` order consumes sources at their weight ratios from the start
+    (stride scheduling — the deterministic analog of sampling-with-rates
+    mixture ordering; a weight-0.5 source appears half as often per unit
+    of output as a weight-1.0 one). Returns
+    (key, source, rank_in_source, pos); consumers materialize the order
+    with `repartitionByRange(pos)` + per-partition sort, never a global
+    single-task sort.
+
+    Scale shape: within-source ranks come from the two-phase
+    range-partitioned prefix sum over the (source, md5) composite order
+    (`transforms.assign_global_ids`) minus each source's broadcast start
+    offset — NOT a `Window.partitionBy(source)` row_number, which would
+    funnel each source's entire corpus through one task. The per-source
+    start offsets are a source-cardinality-sized aggregate."""
+    h = F.md5(F.concat(F.lit(f"{seed}-"), F.col(key).cast("string")))
+    from felixzh_flink_spark.operators.transforms import assign_global_ids
+
+    ranked = assign_global_ids(
+        df.select(key, source_col).withColumn("_h", h),
+        [source_col, "_h", key], alias="_gid")
+    counts = (df.groupBy(source_col).agg(F.count("*").alias("_n")))
+    wo = Window.orderBy(source_col).rowsBetween(
+        Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        source_col,
+        F.coalesce(F.sum("_n").over(wo), F.lit(0).cast("bigint"))
+        .alias("_start"))
+    w_map = F.create_map(*[x for s, w in sorted(weights.items())
+                           for x in (F.lit(s), F.lit(float(w)))])
+    rank = (F.col("_gid") - F.col("_start")).alias("rank_in_source")
+    return (
+        ranked.join(F.broadcast(offsets), source_col)
+        .select(key, source_col, rank,
+                ((F.col("_gid") - F.col("_start") - F.lit(0.5))
+                 / w_map[F.col(source_col)]).alias("pos"))
+    )

@@ -4316,6 +4316,36 @@ def events_hourly_interp(spark, sf_dir):
                                   "sum_value")
 
 
+@q("interleaved_training_order", """
+WITH ranked AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5('i1-' || CAST(doc_id AS VARCHAR)), doc_id)
+           AS rank_in_source
+  FROM documents
+)
+SELECT doc_id, source, CAST(rank_in_source AS BIGINT) AS rank_in_source,
+       (rank_in_source - 0.5) /
+         CASE CAST(substr(source, 4) AS INT) % 4
+              WHEN 0 THEN 1.0 WHEN 1 THEN 0.5 WHEN 2 THEN 0.25
+              ELSE 0.125 END AS pos
+FROM ranked
+""")
+def interleaved_training_order(spark, sf_dir):
+    """Deterministic stride-scheduled source interleaving
+    (`sampling.interleave_sources`): each source shuffled by md5 rank,
+    row r of a weight-w source at position (r−0.5)/w — reading in pos
+    order consumes sources at the weight ratios from the first batch.
+    The oracle's per-source ROW_NUMBER is exactly the single-task shape
+    the operator's prefix-sum formulation avoids; identical numbering,
+    different physics."""
+    from felixzh_flink_spark.operators.sampling import interleave_sources
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    weights = {f"src{i}": [1.0, 0.5, 0.25, 0.125][i % 4] for i in range(20)}
+    return interleave_sources(d, "doc_id", "source", weights)
+
+
 @q("contrastive_triplet_checks", """
 SELECT TRUE AS has_triplets, TRUE AS pos_sim_ok, TRUE AS neg_sim_ok,
        TRUE AS ids_distinct, TRUE AS negs_derived
@@ -4516,6 +4546,7 @@ _DRIVER_ORDER = [
     "events_hourly_interp",         # new: gap-fill linear interpolation
     "scd2_user_history",            # new: SCD2 validity intervals
     "contrastive_triplet_checks",   # new: triplet-mining assertions
+    "interleaved_training_order",   # new: stride-scheduled source mix
     "script_profile_docs",          # new: unicode script profiling
     "ann_ivfpq_checks",             # new: IVF-PQ assertion oracle
     "global_doc_ids",               # new: scale-safe global numbering
@@ -4553,8 +4584,8 @@ _DRIVER_ORDER = [
     "salted_rowkey_spread",           # new: deterministic salted rowkeys
     "mixture_pipeline_counts",        # new: composed mixture pipeline
     "funnel_within_window",           # new: CEP WITHIN time bound
-    "data_quality_report",            # new: declarative constraint gate
     # ---- position 50 boundary ----
+    "data_quality_report",            # new: declarative constraint gate
     "audio_segment_plan",             # new: audio PCM segment fan-out
     "image_resize_plan",              # new: letterbox geometry plan
     "weekly_retention_cohorts",       # new: cohort-retention analytics

@@ -404,3 +404,25 @@ def test_cms_overcounts_only_and_merges(spark):
     merged = cms_merge(cms_build(half_a, "tok", depth=3, width=4),
                        cms_build(half_b, "tok", depth=3, width=4))
     assert sorted(merged.collect()) == sorted(cms.collect())
+
+
+def test_interleave_sources_stride_ratios(spark):
+    from felixzh_flink_spark.operators.sampling import interleave_sources
+    rows = ([(i, "big") for i in range(100)]
+            + [(1000 + i, "small") for i in range(100)])
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = interleave_sources(df, "doc_id", "source",
+                             {"big": 1.0, "small": 0.25})
+    rs = sorted(out.collect(), key=lambda r: r["pos"])
+    # reading the first 50 positions: big appears ~4x as often as small
+    head = [r["source"] for r in rs[:50]]
+    assert 35 <= head.count("big") <= 45 and 5 <= head.count("small") <= 15
+    # ranks are contiguous within each source
+    for src in ("big", "small"):
+        ranks = sorted(r["rank_in_source"] for r in rs if r["source"] == src)
+        assert ranks == list(range(1, 101))
+    # deterministic across partitionings
+    out2 = interleave_sources(df.repartition(9), "doc_id", "source",
+                              {"big": 1.0, "small": 0.25})
+    assert sorted((r["doc_id"], r["pos"]) for r in out.collect()) == \
+           sorted((r["doc_id"], r["pos"]) for r in out2.collect())
