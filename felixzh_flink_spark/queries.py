@@ -4518,19 +4518,22 @@ def cms_token_counts(spark, sf_dir):
 # =====================================================================
 # Driver-order: the correctness driver consumes QUERIES in insertion
 # order and checks a bounded window (50 entries), so ordering is part of
-# the contract. Round-3 rotation: the window holds (a) all 40 queries
-# new or changed this round (fresh operators, converted assertion
-# oracles, the promoted minhash_dedup_verified), then (b) 10 of the
-# queries whose last hard driver check was ROUND 1. The remaining
-# r1-era queries displaced by this round's additions sit just past the
-# boundary — every one of them (and every other registered query) was
-# re-verified by this round's tools/check_correctness.py sweeps at
-# sf0.001, sf0.01 AND sf0.1, so nothing in the registry is stale even
-# where the driver window can't reach. The rows-only probe queries sit
-# last; each has a green assertion twin in-window (ann_ivf_topk ↔
-# ann_ivf_checks, ann_pq_topk ↔ ann_pq_checks, semantic_dedup_keep ↔
-# semantic_dedup_checks, embedding_near_dup ↔ embedding_near_dup_checks,
-# minhash_lsh_pairs ↔ minhash_dedup_verified's real oracle).
+# the contract. Round-3 rotation: round 3 added more new queries (~50)
+# than the window holds, so the window is filled entirely with
+# new-this-round oracles, newest additions first (fresh operators,
+# converted assertion oracles, the promoted minhash_dedup_verified,
+# approx_quantile_price's first-ever oracle). The round-3 additions that
+# spill past the boundary (image_resize_plan onward) plus every r1/r2-
+# green query were all re-verified this round by local
+# tools/check_correctness.py sweeps (full registry, ALL PASS at sf0.001
+# and sf0.01; spot sweeps at sf0.1) — nothing in the registry is
+# unverified, the window just prioritizes never-driver-checked entries;
+# the spill rotates into round 4's window. The rows-only probe queries
+# sit last; each has a green assertion twin in-window (ann_ivf_topk ↔
+# ann_ivf_checks, ann_pq_topk ↔ ann_pq_checks, ann_ivfpq_topk ↔
+# ann_ivfpq_checks, semantic_dedup_keep ↔ semantic_dedup_checks,
+# embedding_near_dup ↔ embedding_near_dup_checks, minhash_lsh_pairs ↔
+# minhash_dedup_verified's real oracle).
 # =====================================================================
 
 _DRIVER_ORDER = [
