@@ -84,6 +84,14 @@ HEADLINE = [
     "winnow_similar_pairs",
     "cms_token_counts",
     "jaccard_join_exact",
+    # round 3d: Gopher gate, time-spine gap fill, SCD2 history,
+    # stride interleaving, IVF-PQ probe, global numbering
+    "gopher_rule_flags",
+    "events_hourly_filled",
+    "scd2_user_history",
+    "interleaved_training_order",
+    "ann_ivfpq_topk",
+    "global_doc_ids",
 ]
 
 

@@ -299,3 +299,52 @@ def hll_sketch_sink(state_dir: str, ts_col: str, key_col: str,
         _commit_touched_buckets(state_dir, new_state, touched, epoch_id, man)
 
     return sink
+
+
+def cms_sketch_sink(state_dir: str, key_col: str, depth: int = 4,
+                    width: int = 256, n_buckets: int = 8):
+    """foreachBatch writer maintaining a count-min sketch CONTINUOUSLY —
+    streaming frequency estimates without storing raw keys: each batch
+    folds into a batch sketch (≤ depth × width rows), which ADDS into the
+    stored sketch cell-wise (`cms_merge` — CMS is a mergeable aggregation
+    state under addition, the frequency analog of `hll_sketch_sink`'s
+    union-merge). Layout/commit/replay-guard reuse the changelog
+    library's crash-atomic bucketed machinery; the epoch skip is
+    essential here because a replayed ADD would double-count (unlike
+    HLL's idempotent register max).
+
+    Read back with `read_upsert_state` + `cms_estimate` — frequency
+    questions over the whole stream history with O(depth × width) state.
+    """
+    from felixzh_flink_spark.functions.changelog import (
+        _BUCKET_COL,
+        _bucket_expr,
+        _commit_touched_buckets,
+        _read_manifest,
+    )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        man = _read_manifest(state_dir)
+        if epoch_id <= man.get("last_epoch", -(2 ** 62)):
+            return
+        delta = (cms_build(batch_df, key_col, depth, width)
+                 .withColumn(_BUCKET_COL, _bucket_expr(["j"], n_buckets)))
+        touched = sorted(r[_BUCKET_COL]
+                         for r in delta.select(_BUCKET_COL).distinct().collect())
+        if not touched:
+            return
+        man["last_epoch"] = epoch_id
+        old_paths = [man["buckets"][str(b)]["path"] for b in touched
+                     if man["buckets"].get(str(b), {}).get("path")]
+        merged = delta.drop(_BUCKET_COL)
+        if old_paths:
+            merged = merged.unionByName(
+                spark.read.parquet(*old_paths).drop(_BUCKET_COL))
+        new_state = (
+            merged.groupBy("j", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+            .withColumn(_BUCKET_COL, _bucket_expr(["j"], n_buckets)))
+        _commit_touched_buckets(state_dir, new_state, touched, epoch_id, man)
+
+    return sink

@@ -765,3 +765,39 @@ def test_document_ingest_batch_accepted_dedups_by_first_ts(spark):
     accepted, _ = document_ingest_split(df, w)
     rows = accepted.collect()
     assert [r["doc_id"] for r in rows] == [9]
+
+
+# --------------------------------------------------- streaming count-min
+
+def test_cms_sketch_sink_streaming_matches_batch(spark, tmp_path):
+    from felixzh_flink_spark.operators.profiling import (
+        cms_build, cms_estimate, cms_sketch_sink)
+    from felixzh_flink_spark.functions.changelog import read_upsert_state
+    from felixzh_flink_spark.sources.builders import file_stream_source
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    schema = T.StructType([T.StructField("tok", T.StringType())])
+    b1 = [("apple",)] * 20 + [("banana",)] * 5
+    b2 = [("apple",)] * 10 + [("cherry",)] * 7
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+    stream = file_stream_source(spark, src, schema, max_files_per_trigger=1)
+    q = (stream.writeStream
+         .foreachBatch(cms_sketch_sink(state, "tok", depth=3, width=32))
+         .option("checkpointLocation", str(tmp_path / "ckpt")).start())
+    q.processAllAvailable()
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+
+    streamed = read_upsert_state(spark, state).select("j", "bucket", "cnt")
+    batch = cms_build(spark.createDataFrame(b1 + b2, schema), "tok",
+                      depth=3, width=32)
+    assert sorted(streamed.collect()) == sorted(batch.collect())
+    keys = spark.createDataFrame(
+        [("apple",), ("banana",), ("cherry",), ("durian",)], schema)
+    est = {r["tok"]: r["est_cnt"]
+           for r in cms_estimate(streamed, keys, "tok",
+                                 depth=3, width=32).collect()}
+    exact = {"apple": 30, "banana": 5, "cherry": 7, "durian": 0}
+    assert all(est[t] >= exact[t] for t in exact)
