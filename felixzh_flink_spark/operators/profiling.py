@@ -348,3 +348,71 @@ def cms_sketch_sink(state_dir: str, key_col: str, depth: int = 4,
         _commit_touched_buckets(state_dir, new_state, touched, epoch_id, man)
 
     return sink
+
+
+def winsorize(df: DataFrame, col: str, p_low: float = 0.01,
+              p_high: float = 0.99, approx: bool = False) -> DataFrame:
+    """Winsorize a numeric column: clamp values outside the [p_low,
+    p_high] percentile band to the band edges — the standard robust
+    pre-processing step before scaling/featurizing (outliers move to the
+    fence instead of dominating). Adds `<col>_w` (clamped value) and
+    `<col>_clamped` (-1 low / 0 in-band / 1 high).
+
+    The percentile pair is ONE tiny aggregate broadcast back into the
+    scan (no second shuffle, no driver round-trip in the plan). Exact
+    `percentile` buffers values per partition — fine to a few hundred
+    million rows per executor; pass approx=True at 100 TB to use
+    `approx_percentile` (t-digest-style sketch, mergeable, bounded
+    memory) with the same plan shape."""
+    fn = "approx_percentile" if approx else "percentile"
+    bounds = df.agg(F.expr(
+        f"{fn}({col}, array({p_low!r}, {p_high!r}))").alias("_b")) \
+        .select(F.col("_b")[0].alias("_lo"), F.col("_b")[1].alias("_hi"))
+    clamped = F.least(F.greatest(F.col(col), F.col("_lo")), F.col("_hi"))
+    flag = (F.when(F.col(col) < F.col("_lo"), F.lit(-1))
+            .when(F.col(col) > F.col("_hi"), F.lit(1)).otherwise(F.lit(0)))
+    return (df.crossJoin(F.broadcast(bounds))
+            .withColumn(f"{col}_w", clamped)
+            .withColumn(f"{col}_clamped", flag)
+            .drop("_lo", "_hi"))
+
+
+def psi_report(ref: DataFrame, cur: DataFrame, col: str,
+               edges: list[float], eps: float = 1e-6) -> DataFrame:
+    """Population Stability Index between a reference and a current
+    distribution of `col` over fixed bin `edges` — THE drift metric a
+    production scoring pipeline monitors (rule of thumb: < 0.1 stable,
+    0.1-0.25 drifting, > 0.25 shifted). Returns one row per bin
+    (bin, p_ref, p_cur, term) — term = (p_cur − p_ref)·ln(p_cur/p_ref)
+    with `eps` additive smoothing so empty bins stay finite; SUM(term)
+    is the PSI. Emitting per-bin terms (not just the scalar) is what
+    makes the drift actionable — WHICH part of the distribution moved.
+
+    Bin assignment is a scan-local CASE ladder over the broadcast-free
+    literal edges (derive edges from reference quantiles at ingest —
+    `winsorize`'s percentile aggregate); each side is one
+    partial-aggregated count shuffle of ≤ len(edges)+1 groups."""
+    def bin_of(c):
+        b = F.lit(0)
+        for i, e in enumerate(edges):
+            b = F.when(F.col(c) > F.lit(float(e)), F.lit(i + 1)).otherwise(b)
+        return b
+
+    def dist(df, name):
+        tot = df.agg(F.count("*").alias("_tot"))
+        return (df.select(bin_of(col).alias("bin"))
+                .groupBy("bin").agg(F.count("*").alias("_n"))
+                .crossJoin(F.broadcast(tot))
+                .select("bin", (F.col("_n").cast("double")
+                                / F.col("_tot").cast("double")
+                                + F.lit(eps)).alias(name)))
+
+    bins = ref.sparkSession.range(len(edges) + 1) \
+        .select(F.col("id").cast("int").alias("bin"))
+    joined = (bins
+              .join(dist(ref, "p_ref"), "bin", "left")
+              .join(dist(cur, "p_cur"), "bin", "left")
+              .fillna(eps, ["p_ref", "p_cur"]))
+    term = (F.col("p_cur") - F.col("p_ref")) * F.log(
+        F.col("p_cur") / F.col("p_ref"))
+    return joined.select("bin", "p_ref", "p_cur", term.alias("term"))

@@ -4316,6 +4316,94 @@ def events_hourly_interp(spark, sf_dir):
                                   "sum_value")
 
 
+@q("winsorized_price_stats", """
+WITH b AS (
+  SELECT quantile_cont(l_extendedprice, [0.01, 0.99]) AS q FROM lineitem
+), c AS (
+  SELECT CASE WHEN l_extendedprice < q[1] THEN -1
+              WHEN l_extendedprice > q[2] THEN 1 ELSE 0 END AS flag,
+         least(greatest(l_extendedprice, q[1]), q[2]) AS w
+  FROM lineitem, b
+)
+SELECT CAST(SUM(CASE WHEN flag = -1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_low,
+       CAST(SUM(CASE WHEN flag = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_high,
+       CAST(SUM(CAST(w AS DECIMAL(30,6))) AS DOUBLE) AS sum_w,
+       CAST(MIN(w) AS DOUBLE) AS min_w, CAST(MAX(w) AS DOUBLE) AS max_w
+FROM c
+""")
+def winsorized_price_stats(spark, sf_dir):
+    """Winsorization (`profiling.winsorize`): clamp l_extendedprice to
+    its [p01, p99] band. Spark's exact `percentile` and DuckDB's
+    `quantile_cont` share the rank = p·(n−1) interpolation formula
+    bit-for-bit (verified), so the clamped decimal-exact sum and fence
+    values hash-match. At 100 TB pass approx=True (t-digest-style
+    `approx_percentile`, same plan shape)."""
+    from felixzh_flink_spark.operators.profiling import winsorize
+    l = _t(spark, sf_dir, "lineitem")
+    w = winsorize(l, "l_extendedprice")
+    return w.agg(
+        F.sum(F.when(F.col("l_extendedprice_clamped") == -1, 1)
+              .otherwise(0)).cast("bigint").alias("n_low"),
+        F.sum(F.when(F.col("l_extendedprice_clamped") == 1, 1)
+              .otherwise(0)).cast("bigint").alias("n_high"),
+        exact_sum("l_extendedprice_w", 6, "sum_w"),
+        F.min("l_extendedprice_w").cast("double").alias("min_w"),
+        F.max("l_extendedprice_w").cast("double").alias("max_w"))
+
+
+@q("psi_price_drift", """
+WITH ref AS (SELECT l_extendedprice AS v FROM lineitem
+             WHERE l_orderkey % 2 = 0),
+cur AS (SELECT l_extendedprice AS v FROM lineitem
+        WHERE l_orderkey % 2 = 1),
+e AS (SELECT quantile_cont(v, [0.25, 0.5, 0.75]) AS q FROM ref),
+rb AS (
+  SELECT CASE WHEN v > q[3] THEN 3 WHEN v > q[2] THEN 2
+              WHEN v > q[1] THEN 1 ELSE 0 END AS bin
+  FROM ref, e
+), cb AS (
+  SELECT CASE WHEN v > q[3] THEN 3 WHEN v > q[2] THEN 2
+              WHEN v > q[1] THEN 1 ELSE 0 END AS bin
+  FROM cur, e
+), rd AS (
+  SELECT bin, COUNT(*) / (SELECT CAST(COUNT(*) AS DOUBLE) FROM rb)
+                + 0.000001 AS p_ref
+  FROM rb GROUP BY bin
+), cd AS (
+  SELECT bin, COUNT(*) / (SELECT CAST(COUNT(*) AS DOUBLE) FROM cb)
+                + 0.000001 AS p_cur
+  FROM cb GROUP BY bin
+)
+SELECT b.bin, COALESCE(rd.p_ref, 0.000001) AS p_ref,
+       COALESCE(cd.p_cur, 0.000001) AS p_cur,
+       (COALESCE(cd.p_cur, 0.000001) - COALESCE(rd.p_ref, 0.000001))
+         * ln(COALESCE(cd.p_cur, 0.000001) / COALESCE(rd.p_ref, 0.000001))
+         AS term
+FROM (SELECT unnest(generate_series(0, 3)) AS bin) b
+LEFT JOIN rd ON rd.bin = b.bin
+LEFT JOIN cd ON cd.bin = b.bin
+""")
+def psi_price_drift(spark, sf_dir):
+    """Population Stability Index (`profiling.psi_report`): per-bin
+    drift terms between the even- and odd-orderkey halves of lineitem
+    over the reference half's quartile edges — the production drift
+    monitor, per-bin so the WHERE of the shift is visible. Edge
+    derivation reuses the bit-exact percentile parity; term arithmetic
+    is the identical double expression on both sides."""
+    from felixzh_flink_spark.operators.profiling import psi_report
+    l = _t(spark, sf_dir, "lineitem")
+    ref = l.filter(F.col("l_orderkey") % 2 == 0) \
+        .select(F.col("l_extendedprice").alias("v"))
+    cur = l.filter(F.col("l_orderkey") % 2 == 1) \
+        .select(F.col("l_extendedprice").alias("v"))
+    edges = ref.agg(F.expr(
+        "percentile(v, array(0.25, 0.5, 0.75))").alias("q")).first()["q"]
+    return psi_report(ref, cur, "v", [float(x) for x in edges]).select(
+        "bin", "p_ref", "p_cur", "term")
+
+
 @q("interleaved_training_order", """
 WITH ranked AS (
   SELECT doc_id, source,
@@ -4550,6 +4638,8 @@ _DRIVER_ORDER = [
     "scd2_user_history",            # new: SCD2 validity intervals
     "contrastive_triplet_checks",   # new: triplet-mining assertions
     "interleaved_training_order",   # new: stride-scheduled source mix
+    "winsorized_price_stats",       # new: percentile-fence clamping
+    "psi_price_drift",              # new: PSI drift monitor
     "script_profile_docs",          # new: unicode script profiling
     "ann_ivfpq_checks",             # new: IVF-PQ assertion oracle
     "global_doc_ids",               # new: scale-safe global numbering
@@ -4584,10 +4674,10 @@ _DRIVER_ORDER = [
     "cosine_topk_multi",              # new: one-scan batch ANN serving
     "edit_distance_pairs",            # new: blocked-Levenshtein dedup
     "capped_domain_sample",           # new: per-domain reservoir cap
+    # ---- position 50 boundary ----
     "salted_rowkey_spread",           # new: deterministic salted rowkeys
     "mixture_pipeline_counts",        # new: composed mixture pipeline
     "funnel_within_window",           # new: CEP WITHIN time bound
-    # ---- position 50 boundary ----
     "data_quality_report",            # new: declarative constraint gate
     "audio_segment_plan",             # new: audio PCM segment fan-out
     "image_resize_plan",              # new: letterbox geometry plan

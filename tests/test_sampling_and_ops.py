@@ -426,3 +426,31 @@ def test_interleave_sources_stride_ratios(spark):
                               {"big": 1.0, "small": 0.25})
     assert sorted((r["doc_id"], r["pos"]) for r in out.collect()) == \
            sorted((r["doc_id"], r["pos"]) for r in out2.collect())
+
+
+def test_winsorize_clamps_to_fences(spark):
+    from felixzh_flink_spark.operators.profiling import winsorize
+    rows = [(float(i),) for i in range(1, 100)] + [(10000.0,), (-500.0,)]
+    df = spark.createDataFrame(rows, "v double")
+    out = winsorize(df, "v", 0.05, 0.95).collect()
+    lo = min(r["v_w"] for r in out)
+    hi = max(r["v_w"] for r in out)
+    flags = {r["v"]: r["v_clamped"] for r in out}
+    assert flags[10000.0] == 1 and flags[-500.0] == -1
+    assert flags[50.0] == 0
+    assert all(lo <= r["v_w"] <= hi for r in out)
+    assert sum(1 for r in out if r["v_clamped"] != 0) < len(out) * 0.15
+
+
+def test_psi_report_detects_shift(spark):
+    from felixzh_flink_spark.operators.profiling import psi_report
+    ref = spark.createDataFrame([(float(i % 100),) for i in range(1000)], "v double")
+    same = spark.createDataFrame([(float((i * 7) % 100),) for i in range(1000)], "v double")
+    shifted = spark.createDataFrame([(float(i % 100) + 50.0,) for i in range(1000)], "v double")
+    edges = [25.0, 50.0, 75.0]
+    psi_same = sum(r["term"] for r in psi_report(ref, same, "v", edges).collect())
+    psi_shift = sum(r["term"] for r in psi_report(ref, shifted, "v", edges).collect())
+    assert psi_same < 0.01          # identical distribution: stable
+    assert psi_shift > 0.25         # mass moved up two bins: shifted
+    # every bin emitted, even the emptied ones
+    assert psi_report(ref, shifted, "v", edges).count() == 4
