@@ -696,3 +696,107 @@ def bigram_nll_score(df: DataFrame, lm: DataFrame, text_col: str = "text",
             .select(F.col(id_col), F.col("n_bigrams"),
                     F.round(F.col("_nll_sum") / F.col("n_bigrams").cast("double"),
                             round_digits).alias("nll")))
+
+
+# ------------------------------------------------------------- BPE
+
+#: a pinned demo merge table (trained once with `bpe_train_merges`, then
+#: versioned as a literal — exactly how production tokenizers ship their
+#: merges.txt). Order IS priority.
+BPE_DEMO_MERGES = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("e", "r"),
+    ("o", "n"), ("r", "e"), ("a", "t"), ("s", "t"), ("o", "r"),
+    ("a", "r"), ("l", "e"), ("o", "u"), ("an", "d"), ("in", "g"),
+    ("e", "n"), ("o", "w"), ("e", "s"), ("a", "l"), ("c", "o"),
+]
+
+
+def bpe_train_merges(df: DataFrame, text_col: str = "text",
+                     n_merges: int = 20) -> list[tuple[str, str]]:
+    """Learn a BPE merge table (Sennrich et al. 2016): repeatedly merge
+    the most frequent adjacent symbol pair, weighted by word frequency.
+    The CORPUS-SCALE part — aggregating the word-frequency table — is
+    distributed (one partial-aggregated shuffle, output = vocabulary
+    size); the merge learning itself runs driver-side over that bounded
+    table, exactly how sentencepiece/HF trainers work (training state is
+    O(vocab), not O(corpus)). Deterministic: ties break on the
+    lexicographically smallest pair."""
+    freqs = {r["term"]: r["n"] for r in
+             doc_terms(df, text_col).groupBy("term")
+             .agg(F.count("*").alias("n")).collect()}
+    vocab = {tuple(w): n for w, n in freqs.items()}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for sym, n in vocab.items():
+            for a, b in zip(sym, sym[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + n
+        if not pairs:
+            break
+        best = max(pairs, key=lambda p: (pairs[p], (-len(p[0] + p[1]),
+                                                    p[0], p[1])))
+        # deterministic: max count, then shortest/lexicographic pair
+        best = min((p for p in pairs if pairs[p] == pairs[best]))
+        merges.append(best)
+        merged = best[0] + best[1]
+        new_vocab = {}
+        for sym, n in vocab.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and (sym[i], sym[i + 1]) == best:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + n
+        vocab = new_vocab
+    return merges
+
+
+BPE_SEP = "·"  #: sentinel between subtokens (stripped from input)
+
+
+def bpe_apply(word: Column, merges: list[tuple[str, str]],
+              passes: int = 2) -> Column:
+    """·-separated BPE subtokens of a word under a LITERAL merge table —
+    a pure expression chain (no Python, no UDF; the merge table is the
+    versioned artifact, like any shipped merges.txt). Every subtoken is
+    wrapped ·both·sides· and a rule (a,b) is the replace ·a·b· → ·ab·,
+    so a pattern can only match at true subtoken boundaries (plain
+    space-joining would let "e n" match inside "the n" — the suffix
+    ambiguity). Each rule runs `passes` left-to-right non-overlapping
+    passes: one pass merges every other occurrence of a same-rule
+    adjacency chain (consumed shared sentinel), so `passes`=2 is exact
+    through 4 consecutive repeats of one pair — beyond that this is a
+    documented approximation of rule-to-fixpoint application. Rules
+    apply in priority ORDER (the standard streaming approximation of
+    priority-iterative BPE; identical whenever later merges don't
+    recreate an earlier rule's pattern, which trained tables avoid by
+    construction)."""
+    s = BPE_SEP
+    clean = F.replace(word, F.lit(s), F.lit(""))
+    out = F.concat(F.lit(s), F.regexp_replace(clean, "(.)", f"$1{s}"))
+    for a, b in merges:
+        for _ in range(passes):
+            out = F.replace(out, F.lit(f"{s}{a}{s}{b}{s}"),
+                            F.lit(f"{s}{a}{b}{s}"))
+    return out
+
+
+def bpe_token_counts(df: DataFrame, merges: list[tuple[str, str]],
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per-document BPE subtoken counts under a literal merge table —
+    the REAL token budget for packing/sharding (whitespace counts
+    under-estimate by the subword ratio). One explode + one per-doc
+    shuffle; the replace chain stays in codegen."""
+    words = doc_terms(df, text_col, id_col)
+    applied = bpe_apply(F.col("term"), merges)
+    # subtokens = sentinel count − 1 (every subtoken is ·-wrapped)
+    subs = (F.length(applied)
+            - F.length(F.replace(applied, F.lit(BPE_SEP), F.lit(""))) - 1)
+    return (words.withColumn("_n", subs)
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_words"),
+                 F.sum("_n").cast("bigint").alias("n_subtokens")))

@@ -4316,6 +4316,47 @@ def events_hourly_interp(spark, sf_dir):
                                   "sum_value")
 
 
+def _bpe_oracle_sql() -> str:
+    """DuckDB replay of the identical ·-sentinel replace chain over the
+    pinned merge table (2 passes per rule, same literals)."""
+    from felixzh_flink_spark.operators.text import BPE_DEMO_MERGES
+
+    chain = r"'·' || regexp_replace(replace(term, '·', ''), '(.)', '\1·', 'g')"
+    for a, b in BPE_DEMO_MERGES:
+        for _ in range(2):
+            chain = f"replace({chain}, '·{a}·{b}·', '·{a}{b}·')"
+    return rf"""
+WITH words AS (
+  SELECT doc_id,
+         unnest(string_split(regexp_replace(lower(trim(text)),
+                '\s+', ' ', 'g'), ' ')) AS term
+  FROM documents
+), w2 AS (SELECT doc_id, term FROM words WHERE term <> ''),
+app AS (SELECT doc_id, {chain} AS s FROM w2)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(len(s) - len(replace(s, '·', '')) - 1) AS BIGINT)
+         AS n_subtokens
+FROM app GROUP BY doc_id
+"""
+
+
+@q("bpe_token_counts", _bpe_oracle_sql())
+def bpe_token_counts_docs(spark, sf_dir):
+    """Real BPE subtokenization (`text.bpe_train_merges/bpe_apply/
+    bpe_token_counts`) under the pinned demo merge table: per-doc word
+    and subtoken counts — the actual token budget packing/sharding
+    should use (whitespace counts under-estimate by the subword ratio).
+    The apply is a pure ·-sentinel replace chain (no UDF, stays in
+    codegen); the oracle replays the identical chain, so counts
+    hash-match. Training is distributed only where it must be (the
+    word-frequency aggregate); merge learning runs on the vocab-bounded
+    table driver-side, like every production BPE trainer."""
+    from felixzh_flink_spark.operators.text import (
+        BPE_DEMO_MERGES, bpe_token_counts)
+    return bpe_token_counts(_t(spark, sf_dir, "documents"),
+                            BPE_DEMO_MERGES)
+
+
 @q("winsorized_price_stats", """
 WITH b AS (
   SELECT quantile_cont(l_extendedprice, [0.01, 0.99]) AS q FROM lineitem
@@ -4640,6 +4681,7 @@ _DRIVER_ORDER = [
     "interleaved_training_order",   # new: stride-scheduled source mix
     "winsorized_price_stats",       # new: percentile-fence clamping
     "psi_price_drift",              # new: PSI drift monitor
+    "bpe_token_counts",             # new: expression-chain BPE tokens
     "script_profile_docs",          # new: unicode script profiling
     "ann_ivfpq_checks",             # new: IVF-PQ assertion oracle
     "global_doc_ids",               # new: scale-safe global numbering
@@ -4673,8 +4715,8 @@ _DRIVER_ORDER = [
     "canal_quarantine_counts",        # new: CDC quarantine side-channel
     "cosine_topk_multi",              # new: one-scan batch ANN serving
     "edit_distance_pairs",            # new: blocked-Levenshtein dedup
-    "capped_domain_sample",           # new: per-domain reservoir cap
     # ---- position 50 boundary ----
+    "capped_domain_sample",           # new: per-domain reservoir cap
     "salted_rowkey_spread",           # new: deterministic salted rowkeys
     "mixture_pipeline_counts",        # new: composed mixture pipeline
     "funnel_within_window",           # new: CEP WITHIN time bound

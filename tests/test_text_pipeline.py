@@ -294,3 +294,41 @@ def test_script_profile_detects_blocks_and_dominant(spark):
     assert out[3]["dominant_script"] == "cjk" and out[3]["n_cjk"] == 9
     assert out[4]["dominant_script"] == "arabic"
     assert out[5]["dominant_script"] == "none"
+
+
+def test_bpe_apply_matches_rule_fixpoint_reference(spark):
+    from felixzh_flink_spark.operators.text import bpe_apply, BPE_DEMO_MERGES
+
+    def ref_apply(word, merges):
+        sym = list(word)
+        for a, b in merges:
+            while True:
+                out, i, hit = [], 0, False
+                while i < len(sym):
+                    if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                        out.append(a + b); i += 2; hit = True
+                    else:
+                        out.append(sym[i]); i += 1
+                sym = out
+                if not hit:
+                    break
+        return sym
+
+    words = ["the", "then", "there", "standing", "correlation", "x",
+             "banana", "ananan", "thethe", "oreore", "android"]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {r["w"]: [t for t in r["s"].split("·") if t]
+           for r in df.select(
+               "w", bpe_apply(F.col("w"), BPE_DEMO_MERGES).alias("s")
+           ).collect()}
+    assert got == {w: ref_apply(w, BPE_DEMO_MERGES) for w in words}
+
+
+def test_bpe_train_learns_frequent_pairs(spark):
+    from felixzh_flink_spark.operators.text import bpe_train_merges
+    d = spark.createDataFrame(
+        [(1, "the the the the and and in")], "doc_id long, text string")
+    m = bpe_train_merges(d, n_merges=4)
+    # 'he'x4 / 'th'x4 tie -> lexicographic; then 't'+'he'; then and-parts
+    assert m[0] in (("h", "e"), ("t", "h"))
+    assert len(m) == 4 and ("a", "n") in m
