@@ -166,3 +166,12 @@ def rollup_agg(df: DataFrame, keys: list[str], aggs: list[Column]) -> DataFrame:
 def cube_agg(df: DataFrame, keys: list[str], aggs: list[Column]) -> DataFrame:
     """GROUP BY CUBE — all grouping-set combinations."""
     return df.cube(*keys).agg(*aggs)
+
+
+def unpivot_melt(df: DataFrame, ids: list[str], value_cols: list[str],
+                 var_name: str = "variable",
+                 value_name: str = "value") -> DataFrame:
+    """UNPIVOT/melt — the inverse of `pivot_agg`: wide columns back to
+    (ids…, variable, value) rows via the native `unpivot` (STACK under
+    the hood — scan-local fan-out, zero shuffles, no Python)."""
+    return df.unpivot(ids, value_cols, var_name, value_name)

@@ -557,6 +557,30 @@ def pivot_order_status(spark, sf_dir):
                      F.count(F.lit(1)), prefix="n_")
 
 
+@q("unpivot_order_counts", """
+WITH wide AS (
+  SELECT o_orderpriority,
+         CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_O,
+         CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_F,
+         CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_P
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, status, n
+FROM wide UNPIVOT (n FOR status IN (n_O, n_F, n_P))
+""")
+def unpivot_order_counts(spark, sf_dir):
+    """§2.7 UNPIVOT/melt fill (`relational.unpivot_melt`) — the inverse
+    of `pivot_order_status`: the pivoted wide table folded back to
+    (priority, status, n) rows; scan-local STACK, zero extra shuffles
+    beyond the pivot aggregation itself."""
+    from felixzh_flink_spark.operators.relational import unpivot_melt
+    wide = pivot_agg(_t(spark, sf_dir, "orders"), "o_orderpriority",
+                     "o_orderstatus", ["O", "F", "P"],
+                     F.count(F.lit(1)), prefix="n_")
+    return unpivot_melt(wide, ["o_orderpriority"], ["n_O", "n_F", "n_P"],
+                        "status", "n")
+
+
 @q("quantiles_by_flag", """
 SELECT l_returnflag,
        quantile_cont(l_quantity, 0.5) AS median_qty,
@@ -4682,6 +4706,7 @@ _DRIVER_ORDER = [
     "winsorized_price_stats",       # new: percentile-fence clamping
     "psi_price_drift",              # new: PSI drift monitor
     "bpe_token_counts",             # new: expression-chain BPE tokens
+    "unpivot_order_counts",         # new: UNPIVOT/melt relational fill
     "script_profile_docs",          # new: unicode script profiling
     "ann_ivfpq_checks",             # new: IVF-PQ assertion oracle
     "global_doc_ids",               # new: scale-safe global numbering
@@ -4714,8 +4739,8 @@ _DRIVER_ORDER = [
     "event_anomaly_hours",            # new: integer-exact z-score flags
     "canal_quarantine_counts",        # new: CDC quarantine side-channel
     "cosine_topk_multi",              # new: one-scan batch ANN serving
-    "edit_distance_pairs",            # new: blocked-Levenshtein dedup
     # ---- position 50 boundary ----
+    "edit_distance_pairs",            # new: blocked-Levenshtein dedup
     "capped_domain_sample",           # new: per-domain reservoir cap
     "salted_rowkey_spread",           # new: deterministic salted rowkeys
     "mixture_pipeline_counts",        # new: composed mixture pipeline
