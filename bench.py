@@ -92,6 +92,10 @@ HEADLINE = [
     "interleaved_training_order",
     "ann_ivfpq_topk",
     "global_doc_ids",
+    # round 3e: BPE subtokens, drift monitoring, winsorization
+    "bpe_token_counts",
+    "psi_price_drift",
+    "winsorized_price_stats",
 ]
 
 
