@@ -11,7 +11,7 @@ kept here because it is oracle-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -350,6 +350,50 @@ def cms_sketch_sink(state_dir: str, key_col: str, depth: int = 4,
     return sink
 
 
+def exact_percentiles_distributed(df: DataFrame, col: str,
+                                  ps: list[float]) -> list[float]:
+    """EXACT percentiles (linear interpolation, the `percentile` /
+    `quantile_cont` rank = p·(n−1) formula) computed scale-safely: Spark's
+    exact `percentile` aggregate buffers every value and merges ALL
+    partition buffers on one reducer — a single-node sort of the whole
+    column, visible as the slowest stage at sf0.1 already and fatal at
+    100 TB. Instead: range-partition by value, per-partition counts roll
+    into broadcast offsets, within-partition row_number + offset = exact
+    global rank (the two-phase recipe shared with `quantile_bins` /
+    `acctbal_quartiles`), and ONLY the ≤ 2·len(ps) rows at the needed
+    order-statistic ranks are fetched. Returns driver-side floats — a
+    tiny ingest-time artifact, same lifecycle as IVF centroids."""
+    vals = df.select(F.col(col).cast("double").alias("_v")).filter(
+        F.col("_v").isNotNull())
+    n = vals.count()
+    if n == 0:
+        return [float("nan")] * len(ps)
+    want: dict[int, None] = {}
+    spec = []
+    for p in ps:
+        k = p * (n - 1)  # 0-based fractional rank
+        lo, hi = int(k // 1), min(int(k // 1) + 1, n - 1)
+        frac = k - lo
+        spec.append((lo, hi, frac))
+        want[lo] = want[hi] = None
+    nparts = max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    ranged = (vals.repartitionByRange(nparts, F.col("_v"))
+              .withColumn("_pid", F.spark_partition_id()))
+    wo = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (ranged.groupBy("_pid").agg(F.count("*").alias("_n"))
+               .withColumn("_off", F.coalesce(F.sum("_n").over(wo),
+                                              F.lit(0).cast("bigint")))
+               .select("_pid", "_off"))
+    wp = Window.partitionBy("_pid").orderBy("_v")
+    picked = (ranged.withColumn("_rn", F.row_number().over(wp))
+              .join(F.broadcast(offsets), "_pid")
+              .withColumn("_rank", F.col("_rn") + F.col("_off") - 1)
+              .filter(F.col("_rank").isin(*want))
+              .select("_rank", "_v").collect())
+    at = {r["_rank"]: r["_v"] for r in picked}
+    return [at[lo] + frac * (at[hi] - at[lo]) for lo, hi, frac in spec]
+
+
 def winsorize(df: DataFrame, col: str, p_low: float = 0.01,
               p_high: float = 0.99, approx: bool = False) -> DataFrame:
     """Winsorize a numeric column: clamp values outside the [p_low,
@@ -358,23 +402,24 @@ def winsorize(df: DataFrame, col: str, p_low: float = 0.01,
     fence instead of dominating). Adds `<col>_w` (clamped value) and
     `<col>_clamped` (-1 low / 0 in-band / 1 high).
 
-    The percentile pair is ONE tiny aggregate broadcast back into the
-    scan (no second shuffle, no driver round-trip in the plan). Exact
-    `percentile` buffers values per partition — fine to a few hundred
-    million rows per executor; pass approx=True at 100 TB to use
-    `approx_percentile` (t-digest-style sketch, mergeable, bounded
-    memory) with the same plan shape."""
-    fn = "approx_percentile" if approx else "percentile"
-    bounds = df.agg(F.expr(
-        f"{fn}({col}, array({p_low!r}, {p_high!r}))").alias("_b")) \
-        .select(F.col("_b")[0].alias("_lo"), F.col("_b")[1].alias("_hi"))
-    clamped = F.least(F.greatest(F.col(col), F.col("_lo")), F.col("_hi"))
-    flag = (F.when(F.col(col) < F.col("_lo"), F.lit(-1))
-            .when(F.col(col) > F.col("_hi"), F.lit(1)).otherwise(F.lit(0)))
-    return (df.crossJoin(F.broadcast(bounds))
-            .withColumn(f"{col}_w", clamped)
-            .withColumn(f"{col}_clamped", flag)
-            .drop("_lo", "_hi"))
+    Fences come from `exact_percentiles_distributed` (two-phase
+    range-partitioned order statistics — never a single-node value
+    buffer; see there) and fold into the scan as literals. approx=True
+    swaps in `approx_percentile` (t-digest-style mergeable sketch) —
+    same clamp, sketch-grade fences, one aggregate instead of the rank
+    machinery."""
+    if approx:
+        b = df.agg(F.expr(
+            f"approx_percentile({col}, array({p_low!r}, {p_high!r}))")
+            .alias("_b")).first()["_b"]
+        lo, hi = float(b[0]), float(b[1])
+    else:
+        lo, hi = exact_percentiles_distributed(df, col, [p_low, p_high])
+    clamped = F.least(F.greatest(F.col(col), F.lit(lo)), F.lit(hi))
+    flag = (F.when(F.col(col) < F.lit(lo), F.lit(-1))
+            .when(F.col(col) > F.lit(hi), F.lit(1)).otherwise(F.lit(0)))
+    return (df.withColumn(f"{col}_w", clamped)
+            .withColumn(f"{col}_clamped", flag))
 
 
 def psi_report(ref: DataFrame, cur: DataFrame, col: str,

@@ -454,3 +454,19 @@ def test_psi_report_detects_shift(spark):
     assert psi_shift > 0.25         # mass moved up two bins: shifted
     # every bin emitted, even the emptied ones
     assert psi_report(ref, shifted, "v", edges).count() == 4
+
+
+def test_exact_percentiles_distributed_match_builtin(spark):
+    from felixzh_flink_spark.operators.profiling import (
+        exact_percentiles_distributed)
+    import random
+    random.seed(3)
+    vals = [(random.random() * 1000,) for _ in range(997)]
+    df = spark.createDataFrame(vals, "v double")
+    ps = [0.0, 0.01, 0.5, 0.73, 0.99, 1.0]
+    got = exact_percentiles_distributed(df, "v", ps)
+    want = df.agg(F.expr(
+        f"percentile(v, array({','.join(map(repr, ps))}))")).first()[0]
+    assert got == list(want)  # bit-identical order statistics
+    # stable under repartitioning
+    assert exact_percentiles_distributed(df.repartition(13), "v", ps) == got
