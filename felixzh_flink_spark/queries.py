@@ -4381,6 +4381,49 @@ def bpe_token_counts_docs(spark, sf_dir):
                             BPE_DEMO_MERGES)
 
 
+@q("price_decile_histogram", """
+WITH e AS (
+  SELECT quantile_cont(l_extendedprice,
+         [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS q
+  FROM lineitem
+)
+SELECT CASE WHEN l_extendedprice > q[9] THEN 9
+            WHEN l_extendedprice > q[8] THEN 8
+            WHEN l_extendedprice > q[7] THEN 7
+            WHEN l_extendedprice > q[6] THEN 6
+            WHEN l_extendedprice > q[5] THEN 5
+            WHEN l_extendedprice > q[4] THEN 4
+            WHEN l_extendedprice > q[3] THEN 3
+            WHEN l_extendedprice > q[2] THEN 2
+            WHEN l_extendedprice > q[1] THEN 1
+            ELSE 0 END AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_v
+FROM lineitem, e
+GROUP BY 1
+""")
+def price_decile_histogram(spark, sf_dir):
+    """Equi-depth (decile) histogram of l_extendedprice: fences from
+    `profiling.exact_percentiles_distributed` (two-phase exact order
+    statistics — no single-node value buffer), bucketing as a scan-local
+    CASE ladder over the literal fences, one count shuffle of 10 groups.
+    The ingest-time-fences + scan-local-assignment split is the 100 TB
+    shape; DuckDB recomputes identical fences via quantile_cont."""
+    from felixzh_flink_spark.operators.profiling import (
+        exact_percentiles_distributed)
+    l = _t(spark, sf_dir, "lineitem")
+    fences = exact_percentiles_distributed(
+        l, "l_extendedprice", [i / 10 for i in range(1, 10)])
+    b = F.lit(0)
+    for i, e in enumerate(fences):
+        b = F.when(F.col("l_extendedprice") > F.lit(float(e)),
+                   F.lit(i + 1)).otherwise(b)
+    return (l.select(b.alias("bucket"), "l_extendedprice")
+            .groupBy("bucket")
+            .agg(F.count("*").alias("n"),
+                 exact_sum("l_extendedprice", 6, "sum_v")))
+
+
 @q("winsorized_price_stats", """
 WITH b AS (
   SELECT quantile_cont(l_extendedprice, [0.01, 0.99]) AS q FROM lineitem
@@ -4707,6 +4750,7 @@ _DRIVER_ORDER = [
     "psi_price_drift",              # new: PSI drift monitor
     "bpe_token_counts",             # new: expression-chain BPE tokens
     "unpivot_order_counts",         # new: UNPIVOT/melt relational fill
+    "price_decile_histogram",       # new: equi-depth histogram
     "script_profile_docs",          # new: unicode script profiling
     "ann_ivfpq_checks",             # new: IVF-PQ assertion oracle
     "global_doc_ids",               # new: scale-safe global numbering
@@ -4738,8 +4782,8 @@ _DRIVER_ORDER = [
     "ann_pq_checks",                  # new: PQ ANN assertion oracle
     "event_anomaly_hours",            # new: integer-exact z-score flags
     "canal_quarantine_counts",        # new: CDC quarantine side-channel
-    "cosine_topk_multi",              # new: one-scan batch ANN serving
     # ---- position 50 boundary ----
+    "cosine_topk_multi",              # new: one-scan batch ANN serving
     "edit_distance_pairs",            # new: blocked-Levenshtein dedup
     "capped_domain_sample",           # new: per-domain reservoir cap
     "salted_rowkey_spread",           # new: deterministic salted rowkeys
