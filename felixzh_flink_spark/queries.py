@@ -4381,6 +4381,48 @@ def bpe_token_counts_docs(spark, sf_dir):
                             BPE_DEMO_MERGES)
 
 
+@q("attribution_last_touch", """
+WITH purchases AS (
+  SELECT user_id, event_id AS purchase_id, CAST(ts AS TIMESTAMP) AS pts
+  FROM events WHERE event_type = 'purchase'
+), touches AS (
+  SELECT user_id, event_id AS touch_id, event_type AS channel,
+         CAST(ts AS TIMESTAMP) AS tts
+  FROM events WHERE event_type IN ('view', 'click')
+)
+SELECT p.user_id, p.purchase_id,
+       (SELECT t.touch_id FROM touches t
+        WHERE t.user_id = p.user_id AND t.tts <= p.pts
+        ORDER BY t.tts DESC, t.touch_id DESC LIMIT 1) AS touch_id,
+       (SELECT t.channel FROM touches t
+        WHERE t.user_id = p.user_id AND t.tts <= p.pts
+        ORDER BY t.tts DESC, t.touch_id DESC LIMIT 1) AS channel
+FROM purchases p
+""")
+def attribution_last_touch(spark, sf_dir):
+    """Last-touch attribution: every purchase credited to the user's
+    most recent preceding view/click — the as-of join
+    (`relational.asof_join`, single keyed sort-shuffle union+window
+    form) applied to the marketing-attribution shape; purchases with no
+    prior touch keep NULLs. The oracle states the same semantics as
+    correlated ORDER-BY-LIMIT-1 subqueries — quadratic as written, which
+    is exactly why the engine side is the one-shuffle as-of
+    composition."""
+    from felixzh_flink_spark.operators.relational import asof_join
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"))
+    touches = e.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id", F.col("event_id").alias("touch_id"),
+        F.col("event_type").alias("channel"), F.col("ts").alias("tts"))
+    return asof_join(purchases, touches, "user_id", "pts", "tts",
+                     ["touch_id", "channel"]).select(
+        "user_id", "purchase_id",
+        F.col("touch_id_r").alias("touch_id"),
+        F.col("channel_r").alias("channel"))
+
+
 @q("price_decile_histogram", """
 WITH e AS (
   SELECT quantile_cont(l_extendedprice,
@@ -4751,6 +4793,7 @@ _DRIVER_ORDER = [
     "bpe_token_counts",             # new: expression-chain BPE tokens
     "unpivot_order_counts",         # new: UNPIVOT/melt relational fill
     "price_decile_histogram",       # new: equi-depth histogram
+    "attribution_last_touch",       # new: as-of attribution shape
     "script_profile_docs",          # new: unicode script profiling
     "ann_ivfpq_checks",             # new: IVF-PQ assertion oracle
     "global_doc_ids",               # new: scale-safe global numbering
@@ -4781,8 +4824,8 @@ _DRIVER_ORDER = [
     "hll_user_rollup",                # new: mergeable HLL sketch rollup
     "ann_pq_checks",                  # new: PQ ANN assertion oracle
     "event_anomaly_hours",            # new: integer-exact z-score flags
-    "canal_quarantine_counts",        # new: CDC quarantine side-channel
     # ---- position 50 boundary ----
+    "canal_quarantine_counts",        # new: CDC quarantine side-channel
     "cosine_topk_multi",              # new: one-scan batch ANN serving
     "edit_distance_pairs",            # new: blocked-Levenshtein dedup
     "capped_domain_sample",           # new: per-domain reservoir cap
