@@ -785,3 +785,40 @@ def contrastive_triplets(df: DataFrame, threshold: float = 0.95,
         .filter(F.col("cos_an") < threshold)
         .select("anchor", "positive", "negative", "cos_ap", "cos_an")
     )
+
+
+def vector_mean_by_key(df: DataFrame, key_col: str,
+                       vec_col: str = "embedding",
+                       scale: int = 12) -> DataFrame:
+    """Element-wise mean vector per key — chunk-embeddings → document
+    embedding pooling, per-class prototype/centroid computation, cluster
+    summarization. Returns (key, n, centroid array<double>).
+
+    Determinism: plain per-dimension double sums are fold-order-dependent
+    (partition order varies run to run and engine to engine), so each
+    dimension sums through the DECIMAL(30, scale) exact path
+    (`aggregations.exact_sum`) before the one double division, and the
+    mean is rounded to 9 digits — the decimal cast's rounding MODE at the
+    scale boundary differs across engines (half-up vs half-even), a
+    ±1 ulp-of-scale input delta that the final round absorbs (the same
+    exact-sum + rounded-mean recipe as the LM nll scorers).
+
+    Plan shape: posexplode → ONE partial-aggregated shuffle keyed by
+    (key, dim) — shuffle volume ∝ keys × dim after map-side combine, not
+    rows × dim — then a per-key sorted array rebuild (second small
+    shuffle over keys × dim rows). No Python, no whole-vector state in
+    any aggregate buffer."""
+    from felixzh_flink_spark.operators.aggregations import exact_sum
+
+    exploded = df.select(
+        F.col(key_col), F.posexplode(vec_col).alias("idx", "_v")
+    ).withColumn("_v", F.col("_v").cast("double"))
+    per_dim = (exploded.groupBy(key_col, "idx")
+               .agg(F.count("*").alias("_n"),
+                    exact_sum("_v", scale, "_s"))
+               .withColumn("_m", F.round(
+                   F.col("_s") / F.col("_n").cast("double"), 9)))
+    return (per_dim.groupBy(key_col)
+            .agg(F.max("_n").cast("bigint").alias("n"),
+                 F.expr("transform(array_sort(collect_list(struct(idx, _m))), "
+                        "s -> s._m)").alias("centroid")))

@@ -4381,6 +4381,32 @@ def bpe_token_counts_docs(spark, sf_dir):
                             BPE_DEMO_MERGES)
 
 
+@q("label_centroids", """
+WITH e AS (
+  SELECT label, unnest(embedding) AS v,
+         generate_subscripts(embedding, 1) AS idx
+  FROM embeddings
+), per_dim AS (
+  SELECT label, idx, COUNT(*) AS n,
+         ROUND(CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE)
+           / COUNT(*), 9) AS m
+  FROM e GROUP BY label, idx
+)
+SELECT label, CAST(MAX(n) AS BIGINT) AS n,
+       list(m ORDER BY idx) AS centroid
+FROM per_dim GROUP BY label
+""")
+def label_centroids(spark, sf_dir):
+    """Per-class mean embedding (`similarity.vector_mean_by_key`) — the
+    chunk→document pooling / class-prototype shape. Per-dimension sums go
+    through the decimal exact path so the centroid doubles hash-match the
+    oracle's identical arithmetic; one (key, dim)-keyed shuffle, no
+    whole-vector aggregate state."""
+    e = _t(spark, sf_dir, "embeddings")
+    return SIM.vector_mean_by_key(e, "label").select(
+        "label", "n", "centroid")
+
+
 @q("attribution_last_touch", """
 WITH purchases AS (
   SELECT user_id, event_id AS purchase_id, CAST(ts AS TIMESTAMP) AS pts
@@ -4794,6 +4820,7 @@ _DRIVER_ORDER = [
     "unpivot_order_counts",         # new: UNPIVOT/melt relational fill
     "price_decile_histogram",       # new: equi-depth histogram
     "attribution_last_touch",       # new: as-of attribution shape
+    "label_centroids",              # new: exact-mean vector pooling
     "script_profile_docs",          # new: unicode script profiling
     "ann_ivfpq_checks",             # new: IVF-PQ assertion oracle
     "global_doc_ids",               # new: scale-safe global numbering
@@ -4823,8 +4850,8 @@ _DRIVER_ORDER = [
     "epoch_shuffle_docs",             # new: deterministic epoch shuffle
     "hll_user_rollup",                # new: mergeable HLL sketch rollup
     "ann_pq_checks",                  # new: PQ ANN assertion oracle
-    "event_anomaly_hours",            # new: integer-exact z-score flags
     # ---- position 50 boundary ----
+    "event_anomaly_hours",            # new: integer-exact z-score flags
     "canal_quarantine_counts",        # new: CDC quarantine side-channel
     "cosine_topk_multi",              # new: one-scan batch ANN serving
     "edit_distance_pairs",            # new: blocked-Levenshtein dedup

@@ -679,3 +679,15 @@ def test_contrastive_triplets_deterministic_and_filtered(spark):
     t3 = SIM.contrastive_triplets(df, threshold=0.95, k_neg=3, seed="z",
                                   n_planes=4, dim=8, n_rows=40)
     assert sorted(map(key, got)) != sorted(map(key, t3.collect()))
+
+
+def test_vector_mean_by_key_exact_and_partition_invariant(spark):
+    rows = [(1, [1.0, 2.0, 3.0]), (1, [3.0, 2.0, 1.0]), (2, [10.0, 0.0, -10.0])]
+    df = spark.createDataFrame(rows, "label int, embedding array<double>")
+    out = {r["label"]: (r["n"], r["centroid"])
+           for r in SIM.vector_mean_by_key(df, "label").collect()}
+    assert out[1] == (2, [2.0, 2.0, 2.0])
+    assert out[2] == (1, [10.0, 0.0, -10.0])
+    out2 = {r["label"]: (r["n"], r["centroid"])
+            for r in SIM.vector_mean_by_key(df.repartition(5), "label").collect()}
+    assert out == out2
