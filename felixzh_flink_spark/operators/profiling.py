@@ -461,3 +461,28 @@ def psi_report(ref: DataFrame, cur: DataFrame, col: str,
     term = (F.col("p_cur") - F.col("p_ref")) * F.log(
         F.col("p_cur") / F.col("p_ref"))
     return joined.select("bin", "p_ref", "p_cur", term.alias("term"))
+
+
+def robust_zscore(df: DataFrame, col: str, group_col: str,
+                  k: float = 3.0, round_digits: int = 9) -> DataFrame:
+    """Per-group robust z-scores: (v − median) / IQR with outlier flag
+    |z| > k — the median/IQR form survives the outliers it hunts (plain
+    mean/stddev z-scores get dragged by the very tail they should flag).
+    Adds `z` (rounded; NULL when IQR = 0) and `is_outlier`.
+
+    One percentile aggregate per group (exact `percentile` — group-
+    bounded buffering; swap `approx_percentile` in at 100 TB group
+    sizes) broadcast back onto the scan; the z arithmetic is identical
+    in any engine, the rounding absorbs division ulp."""
+    q = df.groupBy(group_col).agg(
+        F.expr(f"percentile({col}, array(0.25, 0.5, 0.75))").alias("_q"))
+    stats = q.select(group_col, F.col("_q")[1].alias("_med"),
+                     (F.col("_q")[2] - F.col("_q")[0]).alias("_iqr"))
+    z = F.when(F.col("_iqr") != 0.0,
+               F.round((F.col(col) - F.col("_med")) / F.col("_iqr"),
+                       round_digits))
+    return (df.join(F.broadcast(stats), group_col)
+            .withColumn("z", z)
+            .withColumn("is_outlier",
+                        F.coalesce(F.abs(F.col("z")) > k, F.lit(False)))
+            .drop("_med", "_iqr"))

@@ -4381,6 +4381,40 @@ def bpe_token_counts_docs(spark, sf_dir):
                             BPE_DEMO_MERGES)
 
 
+@q("robust_outlier_flags", """
+WITH s AS (
+  SELECT l_returnflag,
+         quantile_cont(l_extendedprice, 0.5) AS med,
+         quantile_cont(l_extendedprice, 0.75)
+           - quantile_cont(l_extendedprice, 0.25) AS iqr
+  FROM lineitem GROUP BY l_returnflag
+), z AS (
+  SELECT l.l_returnflag,
+         CASE WHEN s.iqr <> 0.0
+              THEN ROUND((l.l_extendedprice - s.med) / s.iqr, 9) END AS z
+  FROM lineitem l JOIN s USING (l_returnflag)
+)
+SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) FILTER (WHERE abs(z) > 2.0) AS BIGINT) AS n_outliers,
+       MIN(z) AS min_z, MAX(z) AS max_z
+FROM z GROUP BY l_returnflag
+""")
+def robust_outlier_flags(spark, sf_dir):
+    """Grouped robust z-scores (`profiling.robust_zscore`): per-flag
+    median/IQR standardization of l_extendedprice with |z| > 2 flags —
+    the outlier detector that survives its own outliers. Exact
+    percentile parity + 9-digit rounded division keep the summary
+    hash-matched."""
+    from felixzh_flink_spark.operators.profiling import robust_zscore
+    l = _t(spark, sf_dir, "lineitem")
+    z = robust_zscore(l, "l_extendedprice", "l_returnflag", k=2.0)
+    return z.groupBy("l_returnflag").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("is_outlier"), 1).otherwise(0)).cast("bigint")
+        .alias("n_outliers"),
+        F.min("z").alias("min_z"), F.max("z").alias("max_z"))
+
+
 @q("label_centroids", """
 WITH e AS (
   SELECT label, unnest(embedding) AS v,
@@ -4821,6 +4855,7 @@ _DRIVER_ORDER = [
     "price_decile_histogram",       # new: equi-depth histogram
     "attribution_last_touch",       # new: as-of attribution shape
     "label_centroids",              # new: exact-mean vector pooling
+    "robust_outlier_flags",         # new: median/IQR outlier gate
     "script_profile_docs",          # new: unicode script profiling
     "ann_ivfpq_checks",             # new: IVF-PQ assertion oracle
     "global_doc_ids",               # new: scale-safe global numbering
@@ -4849,8 +4884,8 @@ _DRIVER_ORDER = [
     "length_histogram_sources",       # new: pow-2 length histogram
     "epoch_shuffle_docs",             # new: deterministic epoch shuffle
     "hll_user_rollup",                # new: mergeable HLL sketch rollup
-    "ann_pq_checks",                  # new: PQ ANN assertion oracle
     # ---- position 50 boundary ----
+    "ann_pq_checks",                  # new: PQ ANN assertion oracle
     "event_anomaly_hours",            # new: integer-exact z-score flags
     "canal_quarantine_counts",        # new: CDC quarantine side-channel
     "cosine_topk_multi",              # new: one-scan batch ANN serving

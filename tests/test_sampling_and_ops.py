@@ -470,3 +470,18 @@ def test_exact_percentiles_distributed_match_builtin(spark):
     assert got == list(want)  # bit-identical order statistics
     # stable under repartitioning
     assert exact_percentiles_distributed(df.repartition(13), "v", ps) == got
+
+
+def test_robust_zscore_flags_only_true_outliers(spark):
+    from felixzh_flink_spark.operators.profiling import robust_zscore
+    rows = [("a", float(v)) for v in range(1, 101)] + [("a", 10000.0),
+            ("b", 5.0), ("b", 5.0), ("b", 5.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = robust_zscore(df, "v", "g", k=3.0).collect()
+    flagged = [r["v"] for r in out if r["is_outlier"]]
+    assert flagged == [10000.0]
+    # median/IQR are not dragged by the outlier: z of in-band values small
+    assert all(abs(r["z"]) < 3 for r in out if r["g"] == "a" and r["v"] <= 100)
+    # zero-IQR group: z NULL, never flagged
+    b = [r for r in out if r["g"] == "b"]
+    assert all(r["z"] is None and not r["is_outlier"] for r in b)
