@@ -129,3 +129,31 @@ def funnel_counts(df: DataFrame, key_cols: list[str], order_cols: list[str],
         aggs.append(F.sum((F.col("stage") >= i).cast("long"))
                     .alias(f"reached_{i}"))
     return staged.agg(*aggs)
+
+
+def not_followed_by(df: DataFrame, key_cols: list[str], ts_col: str,
+                    anchor: Column, negated: Column,
+                    within: str) -> DataFrame:
+    """CEP absence pattern — Flink's `Pattern.notFollowedBy(...).within()`:
+    anchor events NOT followed by a negated-pattern event on the same key
+    inside (anchor_ts, anchor_ts + within] — the alerting shape (cart
+    abandonment, missing heartbeat ACK, unanswered escalation). Returns
+    the anchor rows that matched the absence.
+
+    Relational form: anchors LEFT ANTI JOIN negated events on the key
+    with the interval bound folded into the join condition — Spark plans
+    the band as a key-equi join with a range residual (one shuffle per
+    side on the key, no per-key state machine, no Python). Streaming
+    analog: the interval join + watermark closes the window before
+    emitting, same as `streaming.joins.interval_left_join_streams` with
+    a null-right filter."""
+    a = df.filter(anchor).alias("a")
+    n = (df.filter(negated)
+         .select(*key_cols, F.col(ts_col).alias("_nts")).alias("n"))
+    cond = None
+    for k in key_cols:
+        c = F.col(f"a.{k}") == F.col(f"n.{k}")
+        cond = c if cond is None else (cond & c)
+    cond = cond & (F.col("_nts") > F.col(f"a.{ts_col}")) & (
+        F.col("_nts") <= F.col(f"a.{ts_col}") + F.expr(f"interval {within}"))
+    return a.join(n, cond, "left_anti")

@@ -4381,6 +4381,35 @@ def bpe_token_counts_docs(spark, sf_dir):
                             BPE_DEMO_MERGES)
 
 
+@q("abandoned_views", """
+WITH e AS (
+  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+  FROM events
+)
+SELECT a.user_id, a.event_id, a.ts
+FROM e a
+WHERE a.event_type = 'view'
+  AND NOT EXISTS (
+    SELECT 1 FROM e n
+    WHERE n.user_id = a.user_id AND n.event_type = 'purchase'
+      AND n.ts > a.ts AND n.ts <= a.ts + INTERVAL 1 HOUR)
+""")
+def abandoned_views(spark, sf_dir):
+    """CEP absence pattern (`cep.not_followed_by` — Flink's
+    `notFollowedBy().within()`): views NOT followed by a purchase from
+    the same user within an hour (cart abandonment). Planned as a keyed
+    anti join with the time band as a range residual — no per-key state
+    machine; the oracle states the same semantics as NOT EXISTS."""
+    from felixzh_flink_spark.operators.cep import not_followed_by
+    e = _t(spark, sf_dir, "events")
+    return not_followed_by(
+        e, ["user_id"], "ts",
+        anchor=F.col("event_type") == "view",
+        negated=F.col("event_type") == "purchase",
+        within="1 hour",
+    ).select("user_id", "event_id", "ts")
+
+
 @q("robust_outlier_flags", """
 WITH s AS (
   SELECT l_returnflag,
@@ -4856,6 +4885,7 @@ _DRIVER_ORDER = [
     "attribution_last_touch",       # new: as-of attribution shape
     "label_centroids",              # new: exact-mean vector pooling
     "robust_outlier_flags",         # new: median/IQR outlier gate
+    "abandoned_views",              # new: CEP notFollowedBy absence
     "script_profile_docs",          # new: unicode script profiling
     "ann_ivfpq_checks",             # new: IVF-PQ assertion oracle
     "global_doc_ids",               # new: scale-safe global numbering
@@ -4883,8 +4913,8 @@ _DRIVER_ORDER = [
     "temperature_mix_counts",         # new: α=0.5 temperature domain mix
     "length_histogram_sources",       # new: pow-2 length histogram
     "epoch_shuffle_docs",             # new: deterministic epoch shuffle
-    "hll_user_rollup",                # new: mergeable HLL sketch rollup
     # ---- position 50 boundary ----
+    "hll_user_rollup",                # new: mergeable HLL sketch rollup
     "ann_pq_checks",                  # new: PQ ANN assertion oracle
     "event_anomaly_hours",            # new: integer-exact z-score flags
     "canal_quarantine_counts",        # new: CDC quarantine side-channel

@@ -94,3 +94,22 @@ def test_funnel_matches_batch_fold(spark, tmp_path):
          "e.event_type = 'purchase'"]).collect()}
     for uid, st in want.items():
         assert got.get(uid, 0) == st
+
+
+def test_not_followed_by_absence_window(spark):
+    import datetime as dt
+    from felixzh_flink_spark.operators.cep import not_followed_by
+    t = lambda m: dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m)  # noqa: E731
+    df = spark.createDataFrame([
+        (1, 1, "view", t(0)), (1, 2, "purchase", t(30)),   # followed: not emitted
+        (1, 3, "view", t(40)),                              # no purchase after
+        (2, 4, "view", t(0)), (2, 5, "purchase", t(90)),    # outside 1h window
+        (3, 6, "view", t(10)), (3, 7, "view", t(10)),       # other user's purchase
+        (4, 8, "purchase", t(20)),                          # doesn't cover user 3
+    ], "user_id long, event_id long, event_type string, ts timestamp")
+    got = sorted(r["event_id"] for r in not_followed_by(
+        df, ["user_id"], "ts",
+        anchor=F.col("event_type") == "view",
+        negated=F.col("event_type") == "purchase",
+        within="1 hour").collect())
+    assert got == [3, 4, 6, 7]
