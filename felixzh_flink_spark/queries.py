@@ -4912,10 +4912,10 @@ _DRIVER_ORDER = [
     "incremental_agg_view",           # new: incremental view maintenance
     "temperature_mix_counts",         # new: α=0.5 temperature domain mix
     "length_histogram_sources",       # new: pow-2 length histogram
-    "epoch_shuffle_docs",             # new: deterministic epoch shuffle
+    "ann_pq_checks",                  # new: PQ ANN assertion oracle
     # ---- position 50 boundary ----
     "hll_user_rollup",                # new: mergeable HLL sketch rollup
-    "ann_pq_checks",                  # new: PQ ANN assertion oracle
+    "epoch_shuffle_docs",             # new: deterministic epoch shuffle
     "event_anomaly_hours",            # new: integer-exact z-score flags
     "canal_quarantine_counts",        # new: CDC quarantine side-channel
     "cosine_topk_multi",              # new: one-scan batch ANN serving
