@@ -312,15 +312,16 @@ def _bucket_expr(pk: list[str], n_buckets: int) -> Column:
     return F.pmod(F.xxhash64(*[F.col(c) for c in pk]), F.lit(n_buckets)).cast("int")
 
 
-def _read_manifest(state_dir: str) -> dict:
+def _read_manifest(spark: SparkSession, state_dir: str) -> dict:
     import json
-    import os
 
-    path = os.path.join(state_dir, "manifest.json")
-    if not os.path.exists(path):
+    from felixzh_flink_spark.functions.stateio import state_fs
+
+    fs = state_fs(spark, state_dir)
+    path = fs.join(state_dir, "manifest.json")
+    if not fs.exists(path):
         return {"buckets": {}}
-    with open(path) as fh:
-        return json.load(fh)
+    return json.loads(fs.read_text(path))
 
 
 def read_upsert_state(spark: SparkSession, state_dir: str,
@@ -333,24 +334,29 @@ def read_upsert_state(spark: SparkSession, state_dir: str,
     for the last `retain` epochs of the sink that wrote them (older
     snapshot manifests and their unreferenced data dirs are GC'd) —
     asking beyond retention raises. The current manifest is always
-    readable regardless of retention."""
+    readable regardless of retention.
+
+    All state IO rides the Hadoop FileSystem resolved from `state_dir`
+    (`functions.stateio`), so file:/hdfs:/s3a: state dirs read alike."""
     import json
-    import os
+
+    from felixzh_flink_spark.functions.stateio import state_fs
 
     if at_epoch is None:
-        man = _read_manifest(state_dir)
+        man = _read_manifest(spark, state_dir)
     else:
+        fs = state_fs(spark, state_dir)
         snaps = sorted(
             int(f[len("manifest-e"):-len(".json")])
-            for f in os.listdir(state_dir)
+            for f in fs.listdir(state_dir)
             if f.startswith("manifest-e") and f.endswith(".json"))
         ok = [e for e in snaps if e <= at_epoch]
         if not ok:
             raise FileNotFoundError(
                 f"no retained snapshot at or before epoch {at_epoch} "
                 f"under {state_dir} (retained: {snaps})")
-        with open(os.path.join(state_dir, f"manifest-e{ok[-1]}.json")) as fh:
-            man = json.load(fh)
+        man = json.loads(fs.read_text(
+            fs.join(state_dir, f"manifest-e{ok[-1]}.json")))
     paths = [e["path"] for e in man["buckets"].values() if e.get("path")]
     if not paths:
         raise FileNotFoundError(f"no committed upsert state under {state_dir}")
@@ -399,7 +405,7 @@ def changelog_upsert_sink(state_dir: str, pk: list[str], order_col: str = "ts_ms
                          for r in batch.select(_BUCKET_COL).distinct().collect())
         if not touched:
             return
-        man = _read_manifest(state_dir)
+        man = _read_manifest(spark, state_dir)
         old_paths = [man["buckets"][str(b)]["path"] for b in touched
                      if man["buckets"].get(str(b), {}).get("path")]
         merged = batch
@@ -432,27 +438,37 @@ def _commit_touched_buckets(state_dir: str, new_state: DataFrame,
     snapshots are kept, and GC preserves every data dir any retained
     snapshot references — `read_upsert_state(..., at_epoch=N)` then reads
     the state as of epoch N. retain=1 (default) keeps only the current
-    snapshot, i.e. exactly the old behavior and storage footprint."""
+    snapshot, i.e. exactly the old behavior and storage footprint.
+
+    Every filesystem operation here rides the Hadoop FileSystem resolved
+    from `state_dir` (`functions.stateio.StateFS`) — the same-filesystem
+    contract the EOS file sink uses (sinks/writers.py `_hadoop_fs`) — so
+    the state layer works on HDFS/S3A exactly like the reference's
+    distributed sinks (HBaseSinkFunction.java:26-210), not just the
+    driver's local disk. The manifest commit is an overwrite-rename:
+    atomic on HDFS/local, last-writer-wins PUT on S3A (safe — single
+    writer, epochs serialized by foreachBatch)."""
     import json
-    import os
-    import shutil
+
+    from felixzh_flink_spark.functions.stateio import state_fs
+
+    fs = state_fs(new_state.sparkSession, state_dir)
 
     # sweep stale staging dirs from crashed earlier batches (single
     # writer — foreachBatch serializes epochs)
-    if os.path.isdir(state_dir):
-        for d in os.listdir(state_dir):
-            if d.startswith("staging_e"):
-                shutil.rmtree(os.path.join(state_dir, d), ignore_errors=True)
-    staging = os.path.join(state_dir, f"staging_e{epoch_id}")
+    for d in fs.listdir(state_dir):
+        if d.startswith("staging_e"):
+            fs.delete(fs.join(state_dir, d))
+    staging = fs.join(state_dir, f"staging_e{epoch_id}")
     new_state.write.partitionBy(_BUCKET_COL).mode("overwrite").parquet(staging)
 
-    buckets_root = os.path.join(state_dir, "buckets")
+    buckets_root = fs.join(state_dir, "buckets")
     for b in touched:
-        src = os.path.join(staging, f"{_BUCKET_COL}={b}")
+        src = fs.join(staging, f"{_BUCKET_COL}={b}")
         entry = {"epoch": epoch_id, "path": None}
-        if os.path.exists(src):  # bucket may have no surviving rows
-            dst_parent = os.path.join(buckets_root, f"{_BUCKET_COL}={b}")
-            os.makedirs(dst_parent, exist_ok=True)
+        if fs.exists(src):  # bucket may have no surviving rows
+            dst_parent = fs.join(buckets_root, f"{_BUCKET_COL}={b}")
+            fs.mkdirs(dst_parent)
             # A replay of an already-committed epoch (crash after the
             # manifest rename but before the streaming checkpoint
             # commit) must NEVER delete a directory the live manifest
@@ -460,52 +476,48 @@ def _commit_touched_buckets(state_dir: str, new_state: DataFrame,
             # committed manifest pointing at nothing. Write the replay
             # under a distinct attempt-suffixed name and only retarget
             # the manifest; the superseded dir is GC'd after commit.
-            dst = os.path.join(dst_parent, f"e={epoch_id}")
+            dst = fs.join(dst_parent, f"e={epoch_id}")
             attempt = 0
-            while os.path.exists(dst):
+            while fs.exists(dst):
                 attempt += 1
-                dst = os.path.join(dst_parent, f"e={epoch_id}.{attempt}")
-            os.rename(src, dst)
+                dst = fs.join(dst_parent, f"e={epoch_id}.{attempt}")
+            fs.rename(src, dst)
             entry["path"] = dst
         man["buckets"][str(b)] = entry
-    shutil.rmtree(staging, ignore_errors=True)
+    fs.delete(staging)
 
-    # atomic commit: single rename of the manifest, then the immutable
-    # epoch snapshot (a copy of the just-committed file — serialized once;
-    # written after the commit point so a crash between the two just
-    # loses one snapshot, never consistency)
-    tmp = os.path.join(state_dir, ".manifest.tmp")
-    with open(tmp, "w") as fh:
-        json.dump(man, fh)
-    os.replace(tmp, os.path.join(state_dir, "manifest.json"))
-    shutil.copyfile(os.path.join(state_dir, "manifest.json"),
-                    os.path.join(state_dir, f"manifest-e{epoch_id}.json"))
+    # atomic commit: single overwrite-rename of the manifest, then the
+    # immutable epoch snapshot (a copy of the just-committed file —
+    # serialized once; written after the commit point so a crash between
+    # the two just loses one snapshot, never consistency)
+    manifest_path = fs.join(state_dir, "manifest.json")
+    fs.replace_text(manifest_path, json.dumps(man))
+    fs.copy_file(manifest_path,
+                 fs.join(state_dir, f"manifest-e{epoch_id}.json"))
 
     # retention: keep the newest `retain` snapshot manifests. The newest
     # snapshot is `man` itself (already in memory) — only OLDER retained
     # snapshots are read back for the GC live-set.
     snaps = sorted(
         (int(f[len("manifest-e"):-len(".json")]), f)
-        for f in os.listdir(state_dir)
+        for f in fs.listdir(state_dir)
         if f.startswith("manifest-e") and f.endswith(".json"))
     retained = [man]
     for _, f in snaps[-max(1, retain):-1]:
-        with open(os.path.join(state_dir, f)) as fh:
-            retained.append(json.load(fh))
+        retained.append(json.loads(fs.read_text(fs.join(state_dir, f))))
     for _, f in snaps[:-max(1, retain)]:
-        os.remove(os.path.join(state_dir, f))
+        fs.delete(fs.join(state_dir, f))
 
     # GC: epoch dirs referenced by neither the committed manifest nor any
     # retained snapshot
     live = {e["path"] for m in retained
             for e in m["buckets"].values() if e.get("path")}
-    if os.path.isdir(buckets_root):
-        for bdir in os.listdir(buckets_root):
-            parent = os.path.join(buckets_root, bdir)
-            for edir in os.listdir(parent):
-                full = os.path.join(parent, edir)
-                if full not in live:
-                    shutil.rmtree(full, ignore_errors=True)
+    for bdir in fs.listdir(buckets_root):
+        parent = fs.join(buckets_root, bdir)
+        for edir in fs.listdir(parent):
+            full = fs.join(parent, edir)
+            if full not in live:
+                fs.delete(full)
 
 
 
@@ -670,9 +682,9 @@ def incremental_agg_sink(state_dir: str, keys: list[str], value_col: str,
     aggregate view over a streaming changelog — the streaming face of
     `incremental_agg_apply`, sharing the upsert sink's crash-atomic
     bucketed layout (`buckets/pk_bucket=N/e=<epoch>/` + manifest commit;
-    see `changelog_upsert_sink` for the recovery contract; same
-    local-filesystem scope — route manifest IO through the Hadoop
-    FileSystem API for HDFS/S3 deployments).
+    see `changelog_upsert_sink` for the recovery contract; manifest and
+    bucket IO ride the Hadoop FileSystem resolved from `state_dir`, so
+    HDFS/S3 state dirs work like local ones).
 
     Per micro-batch: fold the batch into per-key deltas (tiny — one row
     per touched key), read ONLY the buckets those keys hash into, merge,
@@ -682,7 +694,7 @@ def incremental_agg_sink(state_dir: str, keys: list[str], value_col: str,
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        man = _read_manifest(state_dir)
+        man = _read_manifest(spark, state_dir)
         # Replay guard: delta application is NOT idempotent (a replayed
         # batch would add its deltas twice — unlike the upsert sink, whose
         # per-key newest-wins merge absorbs replays). foreachBatch epochs

@@ -155,20 +155,17 @@ def cascade_time_rollup(df: DataFrame, ts_col: str, key_col: str,
     aggregate of the raw rows (the oracle checks each level against the raw
     table).
 
-    Every level is `.cache()`d — that IS the continuous-aggregate
-    materialization, and it is what makes the union's branches reuse the
-    finer level instead of re-deriving it from raw (Spark's exchange-reuse
-    does NOT fire across the separately-built union branches; without the
-    cache the plan re-scans raw once per level).
-
-    Cache ownership: the entries outlive this call (they back the returned
-    lazy plan, so they cannot be unpersisted here). Re-invoking with the
-    same input lineage does NOT grow storage — Spark's CacheManager matches
-    cached plans by canonicalized form and reuses the existing entries
-    (bench loops and repeated driver runs hit the same three entries) —
-    but they are never dropped automatically: a caller that is done with a
-    given input should `spark.catalog.clearCache()` or unpersist via its
-    own references.
+    Every level is materialized via eager `localCheckpoint` — that IS the
+    continuous-aggregate materialization, and it is what makes the union's
+    branches reuse the finer level instead of re-deriving it from raw
+    (Spark's exchange-reuse does NOT fire across the separately-built
+    union branches; without the materialization the plan re-scans raw once
+    per level). localCheckpoint over `.cache()` is deliberate storage
+    hygiene: RDD-level storage is reclaimed by the ContextCleaner once the
+    returned frame becomes unreachable, whereas CacheManager entries pin
+    plans until an explicit unpersist/clearCache — a bench or driver loop
+    over many inputs would grow storage monotonically (the ADVICE-r2
+    finding this replaces).
 
     Returns (level, bucket_start, <key_col>, cnt, total, vmin, vmax).
     """
@@ -180,7 +177,7 @@ def cascade_time_rollup(df: DataFrame, ts_col: str, key_col: str,
         .agg(F.count("*").alias("cnt"),
              F.sum(v.cast("decimal(30,4)")).alias("_total"),
              F.min(v).alias("vmin"), F.max(v).alias("vmax"))
-        .cache()
+        .localCheckpoint(eager=True)
     )
     out = cur.select(F.lit(fine).alias("level"), "bucket_start", key_col,
                      "cnt", F.col("_total").cast("double").alias("total"),
@@ -191,7 +188,7 @@ def cascade_time_rollup(df: DataFrame, ts_col: str, key_col: str,
                         .alias("bucket_start"), F.col(key_col))
             .agg(F.sum("cnt").alias("cnt"), F.sum("_total").alias("_total"),
                  F.min("vmin").alias("vmin"), F.max("vmax").alias("vmax"))
-            .cache()
+            .localCheckpoint(eager=True)
         )
         out = out.unionByName(
             cur.select(F.lit(level).alias("level"), "bucket_start", key_col,
@@ -317,7 +314,8 @@ def time_spine_fill(series: DataFrame, ts_col: str, key_col: str,
     row per (key, bucket) over the DENSE time spine spanning the series'
     global [min, max], carrying the previous bucket's value into missing
     buckets. Returns (key, ts, value, filled) where `filled` marks spine
-    rows that had no source observation (leading gaps before a key's
+    rows that had no source observation (join miss — a REAL observation
+    whose value is NULL is not "filled"; leading gaps before a key's
     first observation keep value NULL — there is nothing to carry).
 
     Plan shape: the bounds are a 1-row aggregate broadcast into a
@@ -335,13 +333,14 @@ def time_spine_fill(series: DataFrame, ts_col: str, key_col: str,
         .select(key_col, F.explode(
             F.expr(f"sequence(_lo, _hi, interval {step})")).alias(ts_col))
     )
-    joined = spine.join(series, [key_col, ts_col], "left")
+    joined = spine.join(series.withColumn("_obs", F.lit(True)),
+                        [key_col, ts_col], "left")
     w = (Window.partitionBy(key_col).orderBy(ts_col)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return joined.select(
         key_col, ts_col,
         F.last(value_col, ignorenulls=True).over(w).alias(value_col),
-        F.col(value_col).isNull().alias("filled"),
+        F.col("_obs").isNull().alias("filled"),
     )
 
 
@@ -359,7 +358,9 @@ def time_spine_interpolate(series: DataFrame, ts_col: str, key_col: str,
     scan-local `sequence()` explode, one join); the interpolation needs
     BOTH window directions, still O(1) state each: running last non-null
     (value, ts) looking back, running first non-null looking forward,
-    over the same (key) partitioning."""
+    over the same (key) partitioning. Time deltas use microsecond epochs
+    (`unix_micros`) so sub-second steps interpolate correctly instead of
+    collapsing to t1==t0; `filled` marks join misses, not NULL values."""
     bounds = series.agg(F.min(ts_col).alias("_lo"), F.max(ts_col).alias("_hi"))
     keys = series.select(F.col(key_col)).distinct()
     spine = (
@@ -367,7 +368,8 @@ def time_spine_interpolate(series: DataFrame, ts_col: str, key_col: str,
         .select(key_col, F.explode(
             F.expr(f"sequence(_lo, _hi, interval {step})")).alias(ts_col))
     )
-    joined = spine.join(series, [key_col, ts_col], "left")
+    joined = spine.join(series.withColumn("_obs", F.lit(True)),
+                        [key_col, ts_col], "left")
     wb = (Window.partitionBy(key_col).orderBy(ts_col)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     wf = (Window.partitionBy(key_col).orderBy(ts_col)
@@ -377,7 +379,7 @@ def time_spine_interpolate(series: DataFrame, ts_col: str, key_col: str,
     pt = F.last(obs_ts, ignorenulls=True).over(wb)
     nv = F.first(value_col, ignorenulls=True).over(wf)
     nt = F.first(obs_ts, ignorenulls=True).over(wf)
-    t, t0, t1 = [F.unix_timestamp(c.cast("timestamp")).cast("double")
+    t, t0, t1 = [F.unix_micros(c.cast("timestamp")).cast("double")
                  for c in (F.col(ts_col), pt, nt)]
     interp = F.when(
         F.col(value_col).isNotNull(), F.col(value_col).cast("double")
@@ -388,5 +390,5 @@ def time_spine_interpolate(series: DataFrame, ts_col: str, key_col: str,
     return joined.select(
         key_col, ts_col,
         interp.alias(value_col),
-        F.col(value_col).isNull().alias("filled"),
+        F.col("_obs").isNull().alias("filled"),
     )

@@ -156,10 +156,11 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     it only on minhash-LSH candidates (see `minhash_lsh_candidates`) — this
     exact version is the verifier, not the scanner.
     """
-    # cached: feeds sizes + both self-join sides. Same ownership contract
-    # as minhash_dedup_pairs — CacheManager dedupes identical plans, the
-    # caller releases via clearCache() when done with the corpus.
-    sh = shingles(df, text_col, id_col, n).cache()
+    # eagerly localCheckpointed: feeds sizes + both self-join sides from
+    # one materialization, and the ContextCleaner reclaims the RDD storage
+    # once the result frame is unreachable (no CacheManager pinning —
+    # bench/driver loops don't grow storage)
+    sh = shingles(df, text_col, id_col, n).localCheckpoint(eager=True)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -289,21 +290,18 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     (`ngram_jaccard_pairs` remains the exact-but-global verifier for small
     slices).
 
-    Signatures and shingle sets come from ONE zero-shuffle scan (cached —
-    the per-doc row feeds the band join and both sides of the verify
-    join): sig slots and `array_distinct` read the same materialized
-    shingle array, so the text is shingled exactly once.
-
-    Cache ownership: the per-doc entry backs the returned lazy plan and
-    survives this call. Identical re-invocations reuse the same
-    CacheManager entry (plan-canonicalization match — no growth across
-    bench/driver loops); release is the caller's: `spark.catalog
-    .clearCache()` when done with a corpus."""
+    Signatures and shingle sets come from ONE zero-shuffle scan
+    (eagerly localCheckpointed — the per-doc row feeds the band join and
+    both sides of the verify join): sig slots and `array_distinct` read
+    the same materialized shingle array, so the text is shingled exactly
+    once. RDD-level storage, reclaimed by the ContextCleaner when the
+    result frame goes unreachable — unlike `.cache()`, repeated
+    bench/driver invocations cannot grow storage without bound."""
     per_doc = (
         with_shingle_array(df, text_col, id_col, n)
         .select("id", F.expr(_sig_array_sql(num_perm)).alias("sig"),
                 F.array_distinct("sh").alias("sh_set"))
-        .cache()
+        .localCheckpoint(eager=True)
     )
     sigs = per_doc.select("id", "sig")
     cand = lsh_candidates_from_signatures(sigs, num_perm, bands)
@@ -746,7 +744,10 @@ def winnow_similar_pairs(df: DataFrame, text_col: str = "text",
 def token_set_jaccard_join(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id",
                            threshold: float = 0.7,
-                           ngram: int = 1) -> DataFrame:
+                           ngram: int = 1,
+                           broadcast_vocab: bool = True,
+                           min_df: int | None = None,
+                           checkpoint_sets: bool = True) -> DataFrame:
     """EXACT token-set Jaccard self-join ≥ threshold via prefix filtering
     (the AllPairs/PPJoin family, Bayardo et al. WWW'07 / Xiao et al.
     ICDE'08) — the exact-guarantee complement to MinHash-LSH: no false
@@ -775,6 +776,25 @@ def token_set_jaccard_join(df: DataFrame, text_col: str = "text",
     shares the function-word vocabulary, so J is high between unrelated
     docs and the rare-token prefixes stop pruning); shingle sets keep the
     element universe discriminative, exactly as in the MinHash pipeline.
+
+    Vocabulary-scale knobs (results are IDENTICAL under every setting —
+    the prefix filter only needs a total order shared by both join sides,
+    and (effective_freq, token) is total under all of them):
+    - `broadcast_vocab=False` swaps the frequency broadcast for a shuffle
+      join — required when the element vocabulary itself is too large to
+      broadcast (open-vocabulary shingles at corpus scale).
+    - `min_df=k` keeps only tokens with frequency > k in the frequency
+      table (the heavy hitters — a tiny, skew-bounded set) and treats
+      every absent token as frequency k: rare tokens order among
+      themselves alphabetically instead of by exact df. Prefix pruning
+      stays near-optimal (rare is rare) while the broadcast shrinks from
+      O(vocab) to O(heavy hitters).
+    - `checkpoint_sets=True` (default) materializes the per-doc sorted
+      sets via eager `localCheckpoint` before their three consumers
+      (prefix explode + both verify joins) — one docs-table scan instead
+      of three full lineage recomputes. RDD-level storage, so the
+      ContextCleaner reclaims it once the result frame is unreachable
+      (no cacheManager entry pinning it).
     """
     norm = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
     if ngram <= 1:
@@ -792,10 +812,21 @@ def token_set_jaccard_join(df: DataFrame, text_col: str = "text",
     freq = toks.groupBy("tok").agg(F.count("*").alias("_f"))
     # per-doc tokens sorted rarest-first (freq asc, token asc): sort an
     # array of (freq, tok) structs — struct ordering is lexicographic.
-    # The frequency table broadcasts (element vocabulary ≪ occurrences;
-    # at open-vocabulary scale swap for a shuffle join or a min-df cut).
+    if min_df is not None:
+        # heavy hitters only; absent tokens coalesce to the floor freq
+        freq = freq.filter(F.col("_f") > min_df)
+        with_freq = (
+            toks.join(F.broadcast(freq) if broadcast_vocab else freq,
+                      "tok", "left")
+            .select("id", "tok",
+                    F.coalesce("_f", F.lit(min_df).cast("bigint"))
+                    .alias("_f"))
+        )
+    else:
+        with_freq = toks.join(
+            F.broadcast(freq) if broadcast_vocab else freq, "tok")
     sets = (
-        toks.join(F.broadcast(freq), "tok")
+        with_freq
         .groupBy("id")
         .agg(F.array_sort(F.collect_list(F.struct("_f", "tok"))).alias("_st"))
         .select(
@@ -804,6 +835,8 @@ def token_set_jaccard_join(df: DataFrame, text_col: str = "text",
             F.size("_st").alias("n"),
         )
     )
+    if checkpoint_sets:
+        sets = sets.localCheckpoint(eager=True)
     # probing prefix: |s| - ceil(t*|s|) + 1 rarest tokens. The candidate
     # join carries IDS ONLY (the token arrays re-join by id afterwards) —
     # shuffling each candidate's full sets through the pair-level distinct

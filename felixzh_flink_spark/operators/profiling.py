@@ -178,18 +178,32 @@ def cms_estimate(cms: DataFrame, keys: DataFrame, key_col: str,
     depth probe rows, join the (tiny, ≤ depth×width-row, broadcast)
     sketch, take min(cnt) — the CMS estimate, ≥ the true count always.
     Buckets no row ever hashed into read as 0 (COALESCE after the left
-    join), so estimates are defined for never-seen keys too."""
+    join), so estimates are defined for never-seen keys too.
+
+    The probe/join columns use reserved internal names (`_cms_j`,
+    `_cms_bucket`, `_cms_cnt`) so a keys frame that happens to carry a
+    column named j/bucket/cnt can't silently mis-resolve the join and
+    corrupt the estimate; a keys column colliding with a reserved name
+    raises instead."""
+    reserved = {"_cms_j", "_cms_bucket", "_cms_cnt"} & set(keys.columns)
+    if reserved:
+        raise ValueError(
+            f"keys frame uses reserved cms_estimate columns: {sorted(reserved)}")
     probes = F.array(*[
         F.struct(F.lit(j).alias("j"), b.alias("bucket"))
         for j, b in enumerate(cms_buckets(F.col(key_col), depth, width))
     ])
     exploded = keys.select("*", F.explode(probes).alias("_p")) \
-        .select("*", F.col("_p.j").alias("j"), F.col("_p.bucket").alias("bucket")) \
+        .select("*", F.col("_p.j").alias("_cms_j"),
+                F.col("_p.bucket").alias("_cms_bucket")) \
         .drop("_p")
+    sketch = cms.select(F.col("j").alias("_cms_j"),
+                        F.col("bucket").alias("_cms_bucket"),
+                        F.col("cnt").alias("_cms_cnt"))
     return (
-        exploded.join(F.broadcast(cms), ["j", "bucket"], "left")
+        exploded.join(F.broadcast(sketch), ["_cms_j", "_cms_bucket"], "left")
         .groupBy(*[c for c in keys.columns])
-        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_cnt"))
+        .agg(F.min(F.coalesce(F.col("_cms_cnt"), F.lit(0))).alias("est_cnt"))
     )
 
 
@@ -273,7 +287,7 @@ def hll_sketch_sink(state_dir: str, ts_col: str, key_col: str,
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        man = _read_manifest(state_dir)
+        man = _read_manifest(spark, state_dir)
         # sketch-merge replays are NOT idempotent (re-unioning a batch
         # sketch re-adds its keys' registers — harmless for HLL max-merge
         # semantics, but epoch skipping keeps the contract uniform)
@@ -325,7 +339,7 @@ def cms_sketch_sink(state_dir: str, key_col: str, depth: int = 4,
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        man = _read_manifest(state_dir)
+        man = _read_manifest(spark, state_dir)
         if epoch_id <= man.get("last_epoch", -(2 ** 62)):
             return
         delta = (cms_build(batch_df, key_col, depth, width)

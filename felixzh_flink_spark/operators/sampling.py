@@ -284,9 +284,15 @@ def interleave_sources(df: DataFrame, key: str, source_col: str,
     w_map = F.create_map(*[x for s, w in sorted(weights.items())
                            for x in (F.lit(s), F.lit(float(w)))])
     rank = (F.col("_gid") - F.col("_start")).alias("rank_in_source")
+    # a source absent from `weights` must fail LOUDLY at execution, not
+    # produce NULL pos rows that silently vanish from pos-ordered
+    # consumers — raise_error fires on the first unweighted row
+    weight = w_map[F.col(source_col)]
+    pos = (F.col("_gid") - F.col("_start") - F.lit(0.5)) / weight
+    pos = F.when(weight.isNull(), F.raise_error(F.concat(
+        F.lit("interleave_sources: source has no weight: "),
+        F.col(source_col).cast("string")))).otherwise(pos)
     return (
         ranked.join(F.broadcast(offsets), source_col)
-        .select(key, source_col, rank,
-                ((F.col("_gid") - F.col("_start") - F.lit(0.5))
-                 / w_map[F.col(source_col)]).alias("pos"))
+        .select(key, source_col, rank, pos.alias("pos"))
     )

@@ -614,6 +614,8 @@ def strip_html(html: Column | str, alias: str = "clean_text") -> Column:
     CONTENT is code, not text), strip remaining tags, decode the five XML
     entities plus &nbsp;, collapse whitespace. Each step is a regexp_replace
     inside codegen; the whole chain is a single scan-local projection.
+    `&amp;` decodes LAST so doubly-escaped entities stay escaped once
+    (literal `&amp;lt;` → `&lt;`, not `<`) — the standard unescape order.
 
     Deliberate limits (documented, not bugs): comments/CDATA fall to the
     tag-stripper (their payload survives as text), entity decoding covers
@@ -627,8 +629,8 @@ def strip_html(html: Column | str, alias: str = "clean_text") -> Column:
     no_style = F.regexp_replace(no_script, r"(?is)<style[^>]*>.*?</style>", " ")
     no_tags = F.regexp_replace(no_style, r"(?s)<[^>]+>", " ")
     ent = no_tags
-    for pat, rep in [("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"),
-                     ("&gt;", ">"), ("&quot;", "\""), ("&#39;", "'")]:
+    for pat, rep in [("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+                     ("&quot;", "\""), ("&#39;", "'"), ("&amp;", "&")]:
         ent = F.regexp_replace(ent, pat, rep)
     return F.trim(F.regexp_replace(ent, r"\s+", " ")).alias(alias)
 
@@ -712,7 +714,8 @@ BPE_DEMO_MERGES = [
 
 
 def bpe_train_merges(df: DataFrame, text_col: str = "text",
-                     n_merges: int = 20) -> list[tuple[str, str]]:
+                     n_merges: int = 20, max_vocab: int | None = 100_000,
+                     min_freq: int = 1) -> list[tuple[str, str]]:
     """Learn a BPE merge table (Sennrich et al. 2016): repeatedly merge
     the most frequent adjacent symbol pair, weighted by word frequency.
     The CORPUS-SCALE part — aggregating the word-frequency table — is
@@ -720,10 +723,22 @@ def bpe_train_merges(df: DataFrame, text_col: str = "text",
     size); the merge learning itself runs driver-side over that bounded
     table, exactly how sentencepiece/HF trainers work (training state is
     O(vocab), not O(corpus)). Deterministic: ties break on the
-    lexicographically smallest pair."""
-    freqs = {r["term"]: r["n"] for r in
-             doc_terms(df, text_col).groupBy("term")
-             .agg(F.count("*").alias("n")).collect()}
+    lexicographically smallest pair.
+
+    The driver collect is HARD-BOUNDED: `min_freq` drops hapax noise
+    and `max_vocab` keeps only the top-K terms by (frequency, term) —
+    a distributed TakeOrdered, never a full-vocab sort — so an
+    open-vocabulary 100-TB corpus collects ≤ max_vocab rows no matter
+    how many distinct terms it has (the standard trainer truncation;
+    sub-max_vocab tail terms can't win a merge vote against the head
+    in practice). `max_vocab=None` restores the unbounded collect."""
+    tf = (doc_terms(df, text_col).groupBy("term")
+          .agg(F.count("*").alias("n")))
+    if min_freq > 1:
+        tf = tf.filter(F.col("n") >= min_freq)
+    if max_vocab is not None:
+        tf = tf.orderBy(F.col("n").desc(), F.col("term")).limit(max_vocab)
+    freqs = {r["term"]: r["n"] for r in tf.collect()}
     vocab = {tuple(w): n for w, n in freqs.items()}
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):

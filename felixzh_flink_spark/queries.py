@@ -3880,8 +3880,8 @@ WITH h AS (
 ), e AS (
   SELECT doc_id,
     replace(replace(replace(replace(replace(replace(
-      t1, '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'),
-          '&gt;', '>'), '&quot;', '"'), '&#39;', '''') AS t2
+      t1, '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+          '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS t2
   FROM s
 )
 SELECT doc_id, trim(regexp_replace(t2, '\s+', ' ', 'g')) AS clean_text
@@ -4244,7 +4244,8 @@ def script_profile_docs(spark, sf_dir):
 @q("events_hourly_filled", """
 WITH series AS (
   SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
-         CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+         CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value,
+         TRUE AS _obs
   FROM events GROUP BY 1, 2
 ), bounds AS (SELECT MIN(bucket) AS lo, MAX(bucket) AS hi FROM series),
 spine AS (
@@ -4253,7 +4254,7 @@ spine AS (
   FROM (SELECT DISTINCT event_type FROM series) k, bounds b
 ), joined AS (
   SELECT s.event_type, s.bucket, sv.sum_value,
-         sv.sum_value IS NULL AS filled
+         sv._obs IS NULL AS filled
   FROM spine s LEFT JOIN series sv USING (event_type, bucket)
 )
 SELECT event_type, bucket,
@@ -4282,7 +4283,8 @@ def events_hourly_filled(spark, sf_dir):
 @q("events_hourly_interp", """
 WITH series AS (
   SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
-         CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+         CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value,
+         TRUE AS _obs
   FROM events GROUP BY 1, 2
 ), bounds AS (SELECT MIN(bucket) AS lo, MAX(bucket) AS hi FROM series),
 spine AS (
@@ -4291,7 +4293,7 @@ spine AS (
   FROM (SELECT DISTINCT event_type FROM series) k, bounds b
 ), joined AS (
   SELECT s.event_type, s.bucket, sv.sum_value,
-         sv.sum_value IS NULL AS filled
+         sv._obs IS NULL AS filled
   FROM spine s LEFT JOIN series sv USING (event_type, bucket)
 ), ctx AS (
   SELECT event_type, bucket, sum_value, filled,
@@ -4314,8 +4316,11 @@ spine AS (
 SELECT event_type, bucket,
        CASE WHEN sum_value IS NOT NULL THEN sum_value
             WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
-              pv + (nv - pv) * (epoch(bucket) - epoch(pt))
-                   / (epoch(nt) - epoch(pt))
+              pv + (nv - pv)
+                   * (CAST(epoch_us(bucket) AS DOUBLE)
+                      - CAST(epoch_us(pt) AS DOUBLE))
+                   / (CAST(epoch_us(nt) AS DOUBLE)
+                      - CAST(epoch_us(pt) AS DOUBLE))
             END AS sum_value,
        filled
 FROM ctx
@@ -4449,25 +4454,29 @@ WITH e AS (
   SELECT label, unnest(embedding) AS v,
          generate_subscripts(embedding, 1) AS idx
   FROM embeddings
-), per_dim AS (
-  SELECT label, idx, COUNT(*) AS n,
-         ROUND(CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE)
-           / COUNT(*), 9) AS m
-  FROM e GROUP BY label, idx
 )
-SELECT label, CAST(MAX(n) AS BIGINT) AS n,
-       list(m ORDER BY idx) AS centroid
-FROM per_dim GROUP BY label
+SELECT label, CAST(idx AS BIGINT) AS idx, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE)
+         / COUNT(*), 9) AS m
+FROM e GROUP BY label, idx
 """)
 def label_centroids(spark, sf_dir):
     """Per-class mean embedding (`similarity.vector_mean_by_key`) — the
     chunk→document pooling / class-prototype shape. Per-dimension sums go
     through the decimal exact path so the centroid doubles hash-match the
     oracle's identical arithmetic; one (key, dim)-keyed shuffle, no
-    whole-vector aggregate state."""
+    whole-vector aggregate state. Output is per-dimension rows (label, idx,
+    n, m) — the driver canon can't hash raw array columns (the r1/r2
+    approx_quantile_price failure mode), so the centroid array is
+    posexploded back to scalars here while `vector_mean_by_key` keeps its
+    array-producing API for engine callers."""
     e = _t(spark, sf_dir, "embeddings")
-    return SIM.vector_mean_by_key(e, "label").select(
-        "label", "n", "centroid")
+    pooled = SIM.vector_mean_by_key(e, "label")
+    return pooled.select(
+        "label", "n", F.posexplode("centroid").alias("pos", "m")
+    ).select(
+        "label", (F.col("pos") + 1).cast("bigint").alias("idx"),
+        F.col("n").cast("bigint").alias("n"), "m")
 
 
 @q("attribution_last_touch", """
@@ -4845,147 +4854,109 @@ def cms_token_counts(spark, sf_dir):
 # =====================================================================
 # Driver-order: the correctness driver consumes QUERIES in insertion
 # order and checks a bounded window (50 entries), so ordering is part of
-# the contract. Round-3 rotation: round 3 added more new queries (~50)
-# than the window holds, so the window is filled entirely with
-# new-this-round oracles, newest additions first (fresh operators,
-# converted assertion oracles, the promoted minhash_dedup_verified,
-# approx_quantile_price's first-ever oracle). The round-3 additions that
-# spill past the boundary (image_resize_plan onward) plus every r1/r2-
-# green query were all re-verified this round by local
-# tools/check_correctness.py sweeps (full registry, ALL PASS at sf0.001
-# and sf0.01; spot sweeps at sf0.1) — nothing in the registry is
-# unverified, the window just prioritizes never-driver-checked entries;
-# the spill rotates into round 4's window. The rows-only probe queries
-# sit last; each has a green assertion twin in-window (ann_ivf_topk ↔
-# ann_ivf_checks, ann_pq_topk ↔ ann_pq_checks, ann_ivfpq_topk ↔
-# ann_ivfpq_checks, semantic_dedup_keep ↔ semantic_dedup_checks,
-# embedding_near_dup ↔ embedding_near_dup_checks, minhash_lsh_pairs ↔
-# minhash_dedup_verified's real oracle).
+# the contract. Round-4 rotation (VERDICT-r3 item 1): the window is the
+# 15 queries that had NEVER had a driver CORRECTNESS row in rounds 1-3,
+# the restructured label_centroids, the six assertion twins covering the
+# rows-only probes, every query whose code path changed this round, and
+# the 16 queries whose last hard driver check was round 1. Everything
+# past the boundary has a green row from an earlier round and was
+# re-verified this round by local tools/check_correctness.py sweeps
+# (full registry at sf0.001 and sf0.01, ALL PASS) — nothing in the
+# registry is unverified; the window prioritizes proof freshness.
 # =====================================================================
 
 _DRIVER_ORDER = [
-    # new or changed this round — first
-    "repeated_spans",               # new: exact-substring span dedup
-    "cut_spans_docs",               # new: span cutting (ExactSubstr)
-    "winnow_fingerprints",          # new: MOSS winnowing fingerprints
-    "winnow_similar_pairs",         # new: MOSS containment pair report
-    "cms_token_counts",             # new: count-min sketch frequencies
-    "jaccard_join_exact",           # new: prefix-filtered exact joins
-    "gopher_rule_flags",            # new: published Gopher quality gate
-    "events_hourly_filled",         # new: gap-fill + LOCF time spine
-    "events_hourly_interp",         # new: gap-fill linear interpolation
-    "scd2_user_history",            # new: SCD2 validity intervals
-    "contrastive_triplet_checks",   # new: triplet-mining assertions
-    "interleaved_training_order",   # new: stride-scheduled source mix
-    "winsorized_price_stats",       # new: percentile-fence clamping
-    "psi_price_drift",              # new: PSI drift monitor
-    "bpe_token_counts",             # new: expression-chain BPE tokens
-    "unpivot_order_counts",         # new: UNPIVOT/melt relational fill
-    "price_decile_histogram",       # new: equi-depth histogram
-    "attribution_last_touch",       # new: as-of attribution shape
-    "label_centroids",              # new: exact-mean vector pooling
-    "robust_outlier_flags",         # new: median/IQR outlier gate
-    "abandoned_views",              # new: CEP notFollowedBy absence
-    "script_profile_docs",          # new: unicode script profiling
-    "ann_ivfpq_checks",             # new: IVF-PQ assertion oracle
-    "global_doc_ids",               # new: scale-safe global numbering
-    "bigram_doc_nll",               # new: bigram-LM fluency signal
-    "delta_dedup_status",           # new: incremental corpus dedup
-    "curriculum_bins",              # new: quantile curriculum binning
-    "classifier_scores",            # new: hashed linear-model inference
-    "classifier_keep_rates",        # new: per-source classifier rates
-    "html_extract_text",            # new: regexp WET extraction
-    "content_split_counts",         # new: leakage-free content split
-    "dedup_keep_best",              # new: keep-best dedup resolution
-    "approx_quantile_price",        # first-ever oracle row (red r1+r2)
-    "minhash_dedup_verified",       # promoted rows-only -> real oracle
-    "approx_distinct_parts",        # converted to assertion oracle
-    "ann_ivf_checks", "semantic_dedup_checks", "embedding_near_dup_checks",
-    "multimodal_dims",              # new: real PNG/JPEG header parsing
-    "decontaminate_ngram_survivors",  # new: 13-gram decontamination
-    "decontaminate_bloom_survivors",  # new: bloom runtime-filter decon
-    "boilerplate_block_removal",      # new: C4-style block dedup
-    "unigram_doc_nll",                # new: CCNet-style LM quality signal
-    "heavy_hitter_langs",             # new: freqItems heavy hitters
-    "tfidf_top_terms",                # new: characteristic-terms stat
-    "snapshot_diff",                  # new: snapshot-to-changelog CDC
-    "incremental_agg_view",           # new: incremental view maintenance
-    "temperature_mix_counts",         # new: α=0.5 temperature domain mix
-    "length_histogram_sources",       # new: pow-2 length histogram
-    "ann_pq_checks",                  # new: PQ ANN assertion oracle
+    # --- never driver-checked in r1-r3 (VERDICT-r3 item 1): converting
+    # --- "claimed" to "proven" is this round's top task
+    "hll_user_rollup",              # mergeable HLL sketch rollup
+    "epoch_shuffle_docs",           # deterministic epoch shuffle
+    "event_anomaly_hours",          # integer-exact z-score flags
+    "canal_quarantine_counts",      # CDC quarantine side-channel
+    "cosine_topk_multi",            # one-scan batch ANN serving
+    "edit_distance_pairs",          # blocked-Levenshtein dedup
+    "capped_domain_sample",         # per-domain reservoir cap
+    "salted_rowkey_spread",         # deterministic salted rowkeys
+    "mixture_pipeline_counts",      # composed mixture pipeline
+    "funnel_within_window",         # CEP WITHIN time bound
+    "data_quality_report",          # declarative constraint gate
+    "audio_segment_plan",           # audio PCM segment fan-out
+    "image_resize_plan",            # letterbox geometry plan
+    "weekly_retention_cohorts",     # cohort-retention analytics
+    "funnel_view_click_purchase",   # CEP-lite sequence matching
+    # --- red in r3, output restructured to scalar rows this round
+    "label_centroids",              # exact-mean vector pooling (exploded)
+    # --- rows-only probes' assertion twins (keep in-window: r3
+    # --- convention; probes themselves sit last, past the boundary)
+    "minhash_dedup_verified",
+    "ann_ivf_checks", "ann_pq_checks", "ann_ivfpq_checks",
+    "semantic_dedup_checks", "embedding_near_dup_checks",
+    # --- code paths changed in round 4 (jaccard knobs+checkpoint, BPE
+    # --- trainer bound, strip_html entity order, time-spine filled/
+    # --- epoch_us, cms_estimate namespacing, interleave weight guard,
+    # --- rollup/ngram localCheckpoint swap, changelog Hadoop-FS port)
+    "jaccard_join_exact",
+    "html_extract_text",
+    "events_hourly_filled",
+    "events_hourly_interp",
+    "cms_token_counts",
+    "interleaved_training_order",
+    "events_rollup_cascade",
+    "ngram_jaccard_pairs",
+    "bpe_token_counts",
+    "upsert_materialize",
+    "incremental_agg_view",
+    "snapshot_diff",
+    # --- oldest driver verification (hard-checked in round 1 only) —
+    # --- re-proving after three rounds of shared-helper refactors
+    "salted_event_counts", "repartitioned_user_counts", "events_hourly",
+    "user_sessions", "filter_projection", "range_join_recent_views",
+    "word_count", "json_roundtrip_orders", "pivot_order_status",
+    "distinct_parts_per_supplier", "purchase_conversion_rate",
+    "quantiles_by_flag", "argmax_order_per_segment",
+    "running_quantity_by_supplier", "events_json_extract",
+    "events_sliding_windows",
     # ---- position 50 boundary ----
-    "hll_user_rollup",                # new: mergeable HLL sketch rollup
-    "epoch_shuffle_docs",             # new: deterministic epoch shuffle
-    "event_anomaly_hours",            # new: integer-exact z-score flags
-    "canal_quarantine_counts",        # new: CDC quarantine side-channel
-    "cosine_topk_multi",              # new: one-scan batch ANN serving
-    "edit_distance_pairs",            # new: blocked-Levenshtein dedup
-    "capped_domain_sample",           # new: per-domain reservoir cap
-    "salted_rowkey_spread",           # new: deterministic salted rowkeys
-    "mixture_pipeline_counts",        # new: composed mixture pipeline
-    "funnel_within_window",           # new: CEP WITHIN time bound
-    "data_quality_report",            # new: declarative constraint gate
-    "audio_segment_plan",             # new: audio PCM segment fan-out
-    "image_resize_plan",              # new: letterbox geometry plan
-    "weekly_retention_cohorts",       # new: cohort-retention analytics
-    "funnel_view_click_purchase",     # new: CEP-lite sequence matching
-    # last hard-checked in ROUND 1 — re-verify after two rounds of
-    # shared-helper refactors (34 queries)
-    "salted_event_counts",
-    "repartitioned_user_counts",
-    "events_hourly", "user_sessions", "filter_projection",
-    "range_join_recent_views",
-    "word_count", "json_roundtrip_orders",
-    "pivot_order_status", "distinct_parts_per_supplier",
-    "purchase_conversion_rate",
-    "quantiles_by_flag",
-    "argmax_order_per_segment", "running_quantity_by_supplier",
-    "events_json_extract", "events_sliding_windows", "hourly_top_events",
-    "top_orders_per_customer",
-    # round-2-green queries on code paths touched this round (avro int64
-    # fix, cosine norm hoist, changelog library, CDC decode) — displaced
-    # past the window by the round-3b additions; re-verified by the local
-    # 3-SF check_correctness sweep
-    "upsert_materialize", "changelog_retract_sum",
-    "avro_roundtrip_orders", "cosine_topk",
-    # oracle-backed, round-2-green, unchanged — past the window (all
-    # re-verified by this round's full check_correctness sweep at
-    # sf0.001, sf0.01 AND sf0.1)
-    # displaced from the r1 re-check block by this round's new queries:
-    # paths untouched since r1 (registered-UDF concat, csv codec
-    # roundtrip) or bench-exercised every round (q1), all re-verified by
-    # the local sweep at 3 SFs
-    "scalar_concat", "csv_roundtrip_part", "q1_pricing_summary",
-    "revenue_by_nation", "q5_local_supplier_volume", "q3_top_unshipped",
-    "q4_order_priority", "q6_forecast_revenue", "q10_returned_items",
-    "q12_returnflag_priority", "q14_promo_revenue", "q15_top_supplier",
-    "q17_small_quantity_revenue", "q18_large_orders",
-    "nation_customers_vs_suppliers", "cube_order_status",
-    "canal_decode", "debezium_decode",
-    "asof_purchase_view", "events_rollup_cascade",
-    "pack_sequences", "token_shards",
-    "token_counts", "top_bigrams", "chunk_docs", "redact_docs",
-    "decontaminated_counts", "doc_quality", "lang_id_pred",
-    "fingerprint_docs", "dedup_exact_docs", "ngram_jaccard_pairs",
-    "multimodal_meta", "multimodal_frame_plan",
-    "deterministic_split_counts", "profile_lineitem",
+    # past the window: every name below has a green CORRECTNESS row from
+    # an earlier round and/or this round's full local check_correctness
+    # sweeps (sf0.001 + sf0.01, ALL PASS); see COVERAGE.md
+    "repeated_spans", "cut_spans_docs", "winnow_fingerprints",
+    "winnow_similar_pairs", "gopher_rule_flags", "scd2_user_history",
+    "contrastive_triplet_checks", "winsorized_price_stats", "psi_price_drift",
+    "unpivot_order_counts", "price_decile_histogram",
+    "attribution_last_touch", "robust_outlier_flags", "abandoned_views",
+    "script_profile_docs", "global_doc_ids", "bigram_doc_nll",
+    "delta_dedup_status", "curriculum_bins", "classifier_scores",
+    "classifier_keep_rates", "content_split_counts", "dedup_keep_best",
+    "approx_quantile_price", "approx_distinct_parts", "multimodal_dims",
+    "decontaminate_ngram_survivors", "decontaminate_bloom_survivors",
+    "boilerplate_block_removal", "unigram_doc_nll", "heavy_hitter_langs",
+    "tfidf_top_terms", "temperature_mix_counts", "length_histogram_sources",
+    "hourly_top_events", "top_orders_per_customer", "changelog_retract_sum",
+    "avro_roundtrip_orders", "cosine_topk", "scalar_concat",
+    "csv_roundtrip_part", "q1_pricing_summary", "revenue_by_nation",
+    "q5_local_supplier_volume", "q3_top_unshipped", "q4_order_priority",
+    "q6_forecast_revenue", "q10_returned_items", "q12_returnflag_priority",
+    "q14_promo_revenue", "q15_top_supplier", "q17_small_quantity_revenue",
+    "q18_large_orders", "nation_customers_vs_suppliers", "cube_order_status",
+    "canal_decode", "debezium_decode", "asof_purchase_view", "pack_sequences",
+    "token_shards", "token_counts", "top_bigrams", "chunk_docs",
+    "redact_docs", "decontaminated_counts", "doc_quality", "lang_id_pred",
+    "fingerprint_docs", "dedup_exact_docs", "multimodal_meta",
+    "multimodal_frame_plan", "deterministic_split_counts", "profile_lineitem",
     "q2_min_cost_supplier", "q7_volume_shipping", "q8_market_share",
     "q9_product_profit", "q11_important_stock", "q13_customer_distribution",
     "q16_supplier_part_counts", "q19_disjunctive_revenue",
     "q20_part_shippers", "q21_waiting_supplier",
-    "q22_global_sales_opportunity",
-    "stratified_sample_counts", "corpus_pipeline_counts",
-    "quantized_embedding_checksums",
-    "doc_repetition", "lineitem_meta_stats",
-    "source_token_stats", "dup_size_histogram",
-    "udtf_lateral", "acctbal_quartiles", "set_ops_nations",
-    "grouping_pricing", "order_window_analytics",
+    "q22_global_sales_opportunity", "stratified_sample_counts",
+    "corpus_pipeline_counts", "quantized_embedding_checksums",
+    "doc_repetition", "lineitem_meta_stats", "source_token_stats",
+    "dup_size_histogram", "udtf_lateral", "acctbal_quartiles",
+    "set_ops_nations", "grouping_pricing", "order_window_analytics",
     "market_segment_stats", "weighted_avg_price",
     # rows-only probe queries (approximate / hash-specific by
     # construction) — each covered by an in-window assertion twin
-    "minhash_lsh_pairs",
-    "ann_ivf_topk", "embedding_near_dup", "semantic_dedup_keep",
-    "ann_pq_topk", "ann_ivfpq_topk",
+    "minhash_lsh_pairs", "ann_ivf_topk", "embedding_near_dup",
+    "semantic_dedup_keep", "ann_pq_topk", "ann_ivfpq_topk",
 ]
 
 assert set(_DRIVER_ORDER) == set(QUERIES), (

@@ -162,3 +162,30 @@ def test_time_spine_interpolate_linear_and_null_edges(spark):
     assert out[("b", 1)] == (4.0, False)
     assert out[("b", 2)] == (None, True)   # after last obs: no pair
     assert out[("b", 3)] == (None, True)
+
+
+def test_time_spine_subsecond_step_and_null_observation(spark):
+    from datetime import datetime
+    from felixzh_flink_spark.operators.aggregations import (
+        time_spine_fill, time_spine_interpolate)
+    ms = lambda m: (datetime(2024, 1, 1, 0, 0, 1)     # noqa: E731
+                    if m == 1000 else datetime(2024, 1, 1, 0, 0, 0, m * 1000))
+    series = spark.createDataFrame([
+        ("a", ms(0), 1.0), ("a", ms(500), None), ("a", ms(1000), 5.0),
+    ], "k string, ts timestamp, v double")
+    # sub-second step: unix_micros keeps t1 > t0 so the line is real,
+    # not a divide-by-zero NULL
+    us = lambda t: t.second * 1_000_000 + t.microsecond  # noqa: E731
+    interp = {us(r["ts"]): (r["v"], r["filled"])
+              for r in time_spine_interpolate(
+                  series, "ts", "k", "v", step="250 milliseconds").collect()}
+    assert interp[0] == (1.0, False)
+    assert interp[250000] == (2.0, True)       # interpolated 1→5 at t=.25
+    # the NULL observation at .5 is a REAL row: filled must be False,
+    # value interpolates through it
+    assert interp[500000] == (3.0, False)
+    assert interp[750000] == (4.0, True)
+    locf = {us(r["ts"]): (r["v"], r["filled"])
+            for r in time_spine_fill(
+                series, "ts", "k", "v", step="500 milliseconds").collect()}
+    assert locf[500000] == (1.0, False)        # real NULL obs: carried, NOT filled

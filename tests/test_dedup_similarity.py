@@ -607,6 +607,25 @@ def test_token_set_jaccard_join_ngram_sets(spark):
     assert (1, 2) not in bi and bi[(1, 3)] == 4 / 6
 
 
+def test_token_set_jaccard_join_vocab_knobs_identical_results(spark):
+    # shuffle-join, min_df-floored, and uncheckpointed paths must all
+    # reproduce the broadcast path bit-for-bit: the prefix filter only
+    # needs a SHARED total order, which every knob setting preserves
+    rows = [(i, f"alpha beta gamma delta tok{i} tok{i % 3} shared common")
+            for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    base = {(r["id_a"], r["id_b"]): (r["o"], r["jacc"])
+            for r in DD.token_set_jaccard_join(df, threshold=0.5).collect()}
+    assert base  # non-trivial fixture
+    for kw in ({"broadcast_vocab": False}, {"min_df": 2},
+               {"min_df": 2, "broadcast_vocab": False},
+               {"checkpoint_sets": False}):
+        got = {(r["id_a"], r["id_b"]): (r["o"], r["jacc"])
+               for r in DD.token_set_jaccard_join(
+                   df, threshold=0.5, **kw).collect()}
+        assert got == base, kw
+
+
 def test_token_set_jaccard_join_length_filter_no_false_negative(spark):
     # subset relation at the threshold edge: J(a,b) = 3/5
     df = spark.createDataFrame([

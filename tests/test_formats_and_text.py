@@ -419,6 +419,16 @@ def test_strip_html_entities_and_plain_text(spark):
     assert vals[1] == ""
 
 
+def test_strip_html_double_escaped_entities_decode_once(spark):
+    # &amp; must decode LAST: literal "&amp;lt;" is an escaped "&lt;" and
+    # must surface as "&lt;", never double-decode to "<"
+    df = spark.createDataFrame(
+        [(1, "x &amp;lt;tag&amp;gt; y &amp;amp; z")],
+        "id long, html string")
+    out = df.select(TX.strip_html("html")).collect()[0]["clean_text"]
+    assert out == "x &lt;tag&gt; y &amp; z"
+
+
 def test_strip_html_multiline_script(spark):
     html = "a<script type='x'>\nline1\nline2\n</script>b"
     df = spark.createDataFrame([(1, html)], "id long, html string")

@@ -406,6 +406,37 @@ def test_cms_overcounts_only_and_merges(spark):
     assert sorted(merged.collect()) == sorted(cms.collect())
 
 
+def test_cms_estimate_keys_may_carry_colliding_column_names(spark):
+    from felixzh_flink_spark.operators.profiling import (
+        cms_build, cms_estimate)
+    import pytest
+    df = spark.createDataFrame([("a",)] * 7 + [("b",)] * 3, "tok string")
+    cms = cms_build(df, "tok", depth=4, width=512)
+    # a keys frame with its own j/bucket/cnt columns must not corrupt the
+    # join — internal probe columns are namespaced _cms_*
+    keys = spark.createDataFrame(
+        [("a", 99, 99, 99), ("b", -1, -1, -1)],
+        "tok string, j int, bucket int, cnt int")
+    est = {r["tok"]: r["est_cnt"]
+           for r in cms_estimate(cms, keys, "tok",
+                                 depth=4, width=512).collect()}
+    assert est == {"a": 7, "b": 3}
+    # the reserved internal names themselves are rejected loudly
+    bad = spark.createDataFrame([("a", 1)], "tok string, _cms_j int")
+    with pytest.raises(ValueError, match="reserved"):
+        cms_estimate(cms, bad, "tok", depth=4, width=512)
+
+
+def test_interleave_sources_missing_weight_fails_loudly(spark):
+    from felixzh_flink_spark.operators.sampling import interleave_sources
+    import pytest
+    df = spark.createDataFrame(
+        [(1, "big"), (2, "orphan")], "doc_id long, source string")
+    out = interleave_sources(df, "doc_id", "source", {"big": 1.0})
+    with pytest.raises(Exception, match="no weight.*orphan"):
+        out.collect()
+
+
 def test_interleave_sources_stride_ratios(spark):
     from felixzh_flink_spark.operators.sampling import interleave_sources
     rows = ([(i, "big") for i in range(100)]

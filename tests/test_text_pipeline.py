@@ -332,3 +332,18 @@ def test_bpe_train_learns_frequent_pairs(spark):
     # 'he'x4 / 'th'x4 tie -> lexicographic; then 't'+'he'; then and-parts
     assert m[0] in (("h", "e"), ("t", "h"))
     assert len(m) == 4 and ("a", "n") in m
+
+
+def test_bpe_train_driver_collect_is_vocab_bounded(spark):
+    from felixzh_flink_spark.operators.text import bpe_train_merges
+    # high-cardinality corpus: 5000 distinct terms, but the dominant
+    # repeated word decides the merges; max_vocab caps what reaches the
+    # driver and the learned head merges are unchanged
+    rows = [(i, " ".join(f"u{i}x{j}" for j in range(5)) + " hello hello")
+            for i in range(1000)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    full = bpe_train_merges(d, n_merges=3, max_vocab=None)
+    capped = bpe_train_merges(d, n_merges=3, max_vocab=50)
+    assert capped == full  # head vocabulary dominates the vote
+    # and min_freq drops the hapax tail entirely
+    assert bpe_train_merges(d, n_merges=3, min_freq=2) == full
