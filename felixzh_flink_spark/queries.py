@@ -3796,7 +3796,7 @@ def repeated_spans(spark, sf_dir):
     recipe: cut repeated spans, not just repeated docs). One explode, one
     hash aggregate (O(1) state per span via min!=max), one semi-join
     back — every stage keyed, no all-pairs."""
-    return DD.repeated_span_stats(_t(spark, sf_dir, "documents"), w=8)
+    return DD.repeated_span_stats(_t_wide(spark, sf_dir, "documents"), w=8)
 
 
 #: frozen pseudo-trained classifier weights (dim 256) — regenerated
@@ -3831,7 +3831,7 @@ def classifier_scores(spark, sf_dir):
     fastText-style linear model over hashed bag-of-words, weights folded
     into the expression (broadcast-the-model) — pure scan, no shuffle,
     integer-exact scores (hard hash oracle, no float tolerance)."""
-    return INF.hashed_linear_score(_t(spark, sf_dir, "documents"), _CLS_W)
+    return INF.hashed_linear_score(_t_wide(spark, sf_dir, "documents"), _CLS_W)
 
 
 @q("classifier_keep_rates", f"""
@@ -3894,7 +3894,7 @@ def html_extract_text(spark, sf_dir):
     DOM parser). The HTML is synthesized deterministically from the
     documents table (no crawl corpus in the harness); the operator sees a
     realistic tag/entity/script mix per row."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t_wide(spark, sf_dir, "documents")
     html = F.concat(
         F.lit('<html><head><style>p{color:red}</style></head><body><h1>'),
         F.col("source"), F.lit('</h1><p>'), F.col("text"),
@@ -4038,7 +4038,7 @@ def cut_spans_docs(spark, sf_dir):
     the stats half). Clean docs pass through untouched; the rebuild is a
     scan-local indexed array filter (DuckDB's 1-based lambda index vs
     Spark's 0-based is reconciled in the predicates)."""
-    return DD.cut_repeated_spans(_t(spark, sf_dir, "documents"), w=8)
+    return DD.cut_repeated_spans(_t_wide(spark, sf_dir, "documents"), w=8)
 
 
 @q("delta_dedup_status", r"""
@@ -4123,7 +4123,7 @@ def winnow_fingerprints_docs(spark, sf_dir):
     identical arithmetic via a window MIN over the gram-hash sequence
     (value sets are tie-break-independent, so both formulations agree
     bit-for-bit)."""
-    return DD.winnow_fingerprints(_t(spark, sf_dir, "documents")) \
+    return DD.winnow_fingerprints(_t_wide(spark, sf_dir, "documents")) \
         .select("id", "h")
 
 
@@ -4147,7 +4147,7 @@ def winnow_similar_pairs_docs(spark, sf_dir):
     by-hash equi-join (never all-pairs; the hot-hash stop-list guard is
     exercised in units). Containment is an exact small-int division —
     bit-identical across engines."""
-    return DD.winnow_similar_pairs(_t(spark, sf_dir, "documents"),
+    return DD.winnow_similar_pairs(_t_wide(spark, sf_dir, "documents"),
                                    min_shared=2)
 
 
@@ -4182,7 +4182,7 @@ def jaccard_join_exact(spark, sf_dir):
     as a missing row. Jaccard is an exact small-int division —
     bit-identical across engines."""
     return DD.token_set_jaccard_join(
-        _t(spark, sf_dir, "documents"), threshold=0.7, ngram=3).select(
+        _t_wide(spark, sf_dir, "documents"), threshold=0.7, ngram=3).select(
         "id_a", "id_b", F.col("o").cast("int").alias("o"),
         F.col("n_a").cast("int").alias("n_a"),
         F.col("n_b").cast("int").alias("n_b"), "jacc")
@@ -4382,7 +4382,7 @@ def bpe_token_counts_docs(spark, sf_dir):
     table driver-side, like every production BPE trainer."""
     from felixzh_flink_spark.operators.text import (
         BPE_DEMO_MERGES, bpe_token_counts)
-    return bpe_token_counts(_t(spark, sf_dir, "documents"),
+    return bpe_token_counts(_t_wide(spark, sf_dir, "documents"),
                             BPE_DEMO_MERGES)
 
 
@@ -4800,7 +4800,7 @@ def gopher_rule_flags(spark, sf_dir):
     fraction, stop-word presence — per-rule booleans plus the
     conjunctive keep flag, all scan-local (zero shuffles). The oracle
     recomputes every rule from scratch."""
-    return TX.gopher_quality_flags(_t(spark, sf_dir, "documents"))
+    return TX.gopher_quality_flags(_t_wide(spark, sf_dir, "documents"))
 
 
 @q("cms_token_counts", r"""
@@ -4837,7 +4837,7 @@ def cms_token_counts(spark, sf_dir):
     questions then never rescan raw data."""
     from felixzh_flink_spark.operators.profiling import cms_build, cms_estimate
     toks = (
-        _t(spark, sf_dir, "documents")
+        _t_wide(spark, sf_dir, "documents")
         .select(F.explode(
             F.split(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "), " ")
         ).alias("tok"))
