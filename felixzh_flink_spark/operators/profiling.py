@@ -408,6 +408,55 @@ def exact_percentiles_distributed(df: DataFrame, col: str,
     return [at[lo] + frac * (at[hi] - at[lo]) for lo, hi, frac in spec]
 
 
+def exact_percentiles_frame(df: DataFrame, col: str, ps: list[float],
+                            alias: str = "q") -> DataFrame:
+    """`exact_percentiles_distributed` as a LAZY one-row DataFrame —
+    same two-phase range-partitioned order statistics, but the needed
+    rank positions are computed IN-PLAN against a broadcast count row
+    instead of collecting anything to the driver. Returns a 1-row frame
+    with `alias` = array<double> of the percentiles in `ps` order
+    (mirrors DuckDB's `quantile_cont(x, [...])` shape, so oracles can
+    replay it verbatim with `FROM t, e`).
+
+    Use this over the collecting variant whenever the percentiles feed
+    ANOTHER plan (fences, bin edges, clamps): the whole pipeline stays
+    one job — no count/collect round-trips billed before execution, and
+    nothing leaves the cluster. Interpolation arithmetic is the same
+    rank = p·(n−1) double expression, so results are bit-identical to
+    the collecting variant and to `quantile_cont`. Empty input yields
+    NULL entries (the collecting variant returns NaN)."""
+    vals = df.select(F.col(col).cast("double").alias("_v")).filter(
+        F.col("_v").isNotNull())
+    nrow = vals.agg(F.count("*").alias("_n"))
+    nparts = max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    ranged = (vals.repartitionByRange(nparts, F.col("_v"))
+              .withColumn("_pid", F.spark_partition_id()))
+    wo = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (ranged.groupBy("_pid").agg(F.count("*").alias("_c"))
+               .withColumn("_off", F.coalesce(F.sum("_c").over(wo),
+                                              F.lit(0).cast("bigint")))
+               .select("_pid", "_off"))
+    wp = Window.partitionBy("_pid").orderBy("_v")
+    ranked = (ranged.withColumn("_rn", F.row_number().over(wp))
+              .join(F.broadcast(offsets), "_pid")
+              .withColumn("_rank", F.col("_rn") + F.col("_off") - 1)
+              .crossJoin(F.broadcast(nrow)))
+    n1 = (F.col("_n") - 1).cast("double")
+    keep = F.lit(False)
+    outs = []
+    for p in ps:
+        k = F.lit(float(p)) * n1
+        lo = F.floor(k).cast("bigint")
+        hi = F.least(lo + 1, F.col("_n") - 1)
+        keep = keep | (F.col("_rank") == lo) | (F.col("_rank") == hi)
+        lov = F.max(F.when(F.col("_rank") == lo, F.col("_v")))
+        hiv = F.max(F.when(F.col("_rank") == hi, F.col("_v")))
+        kf = F.lit(float(p)) * (F.first("_n") - 1).cast("double")
+        frac = kf - F.floor(kf).cast("double")
+        outs.append(lov + frac * (hiv - lov))
+    return ranked.filter(keep).agg(F.array(*outs).alias(alias))
+
+
 def winsorize(df: DataFrame, col: str, p_low: float = 0.01,
               p_high: float = 0.99, approx: bool = False) -> DataFrame:
     """Winsorize a numeric column: clamp values outside the [p_low,
@@ -416,28 +465,33 @@ def winsorize(df: DataFrame, col: str, p_low: float = 0.01,
     fence instead of dominating). Adds `<col>_w` (clamped value) and
     `<col>_clamped` (-1 low / 0 in-band / 1 high).
 
-    Fences come from `exact_percentiles_distributed` (two-phase
+    Fences come from `exact_percentiles_frame` (two-phase
     range-partitioned order statistics — never a single-node value
-    buffer; see there) and fold into the scan as literals. approx=True
-    swaps in `approx_percentile` (t-digest-style mergeable sketch) —
-    same clamp, sketch-grade fences, one aggregate instead of the rank
-    machinery."""
+    buffer; see there) broadcast-joined onto the scan, so the whole
+    winsorize is ONE lazy plan: no fence collect to the driver before
+    execution. approx=True swaps in `approx_percentile` (t-digest-style
+    mergeable sketch) — same clamp, sketch-grade fences, one aggregate
+    instead of the rank machinery."""
     if approx:
-        b = df.agg(F.expr(
+        fences = df.agg(F.expr(
             f"approx_percentile({col}, array({p_low!r}, {p_high!r}))")
-            .alias("_b")).first()["_b"]
-        lo, hi = float(b[0]), float(b[1])
+            .cast("array<double>").alias("_fq"))
     else:
-        lo, hi = exact_percentiles_distributed(df, col, [p_low, p_high])
-    clamped = F.least(F.greatest(F.col(col), F.lit(lo)), F.lit(hi))
-    flag = (F.when(F.col(col) < F.lit(lo), F.lit(-1))
-            .when(F.col(col) > F.lit(hi), F.lit(1)).otherwise(F.lit(0)))
-    return (df.withColumn(f"{col}_w", clamped)
-            .withColumn(f"{col}_clamped", flag))
+        fences = exact_percentiles_frame(df, col, [p_low, p_high],
+                                         alias="_fq")
+    lo, hi = F.col("_fq")[0], F.col("_fq")[1]
+    clamped = F.least(F.greatest(F.col(col), lo), hi)
+    flag = (F.when(F.col(col) < lo, F.lit(-1))
+            .when(F.col(col) > hi, F.lit(1)).otherwise(F.lit(0)))
+    return (df.crossJoin(F.broadcast(fences))
+            .withColumn(f"{col}_w", clamped)
+            .withColumn(f"{col}_clamped", flag)
+            .drop("_fq"))
 
 
 def psi_report(ref: DataFrame, cur: DataFrame, col: str,
-               edges: list[float], eps: float = 1e-6) -> DataFrame:
+               edges: "list[float] | DataFrame", eps: float = 1e-6,
+               n_edges: int | None = None) -> DataFrame:
     """Population Stability Index between a reference and a current
     distribution of `col` over fixed bin `edges` — THE drift metric a
     production scoring pipeline monitors (rule of thumb: < 0.1 stable,
@@ -447,26 +501,36 @@ def psi_report(ref: DataFrame, cur: DataFrame, col: str,
     is the PSI. Emitting per-bin terms (not just the scalar) is what
     makes the drift actionable — WHICH part of the distribution moved.
 
-    Bin assignment is a scan-local CASE ladder over the broadcast-free
-    literal edges (derive edges from reference quantiles at ingest —
-    `winsorize`'s percentile aggregate); each side is one
-    partial-aggregated count shuffle of ≤ len(edges)+1 groups."""
+    Bin assignment is a scan-local CASE ladder over the edges; each side
+    is one partial-aggregated count shuffle of ≤ len(edges)+1 groups.
+    `edges` is either literal floats (ingest-time artifact) or a LAZY
+    1-row frame with an array column `q` (`exact_percentiles_frame`
+    output, broadcast onto each scan) — the lazy form keeps
+    derive-edges-then-bin a single job with no driver round-trip;
+    `n_edges` gives the CASE ladder's static length in that case."""
+    lazy = isinstance(edges, DataFrame)
+    n_e = n_edges if lazy else len(edges)
+    if lazy and n_edges is None:
+        raise ValueError("n_edges is required when edges is a DataFrame")
+
     def bin_of(c):
         b = F.lit(0)
-        for i, e in enumerate(edges):
-            b = F.when(F.col(c) > F.lit(float(e)), F.lit(i + 1)).otherwise(b)
+        for i in range(n_e):
+            e = F.col("q")[i] if lazy else F.lit(float(edges[i]))
+            b = F.when(F.col(c) > e, F.lit(i + 1)).otherwise(b)
         return b
 
     def dist(df, name):
         tot = df.agg(F.count("*").alias("_tot"))
-        return (df.select(bin_of(col).alias("bin"))
+        src = df.crossJoin(F.broadcast(edges)) if lazy else df
+        return (src.select(bin_of(col).alias("bin"))
                 .groupBy("bin").agg(F.count("*").alias("_n"))
                 .crossJoin(F.broadcast(tot))
                 .select("bin", (F.col("_n").cast("double")
                                 / F.col("_tot").cast("double")
                                 + F.lit(eps)).alias(name)))
 
-    bins = ref.sparkSession.range(len(edges) + 1) \
+    bins = ref.sparkSession.range(n_e + 1) \
         .select(F.col("id").cast("int").alias("bin"))
     joined = (bins
               .join(dist(ref, "p_ref"), "bin", "left")

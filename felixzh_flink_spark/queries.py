@@ -4544,21 +4544,23 @@ GROUP BY 1
 """)
 def price_decile_histogram(spark, sf_dir):
     """Equi-depth (decile) histogram of l_extendedprice: fences from
-    `profiling.exact_percentiles_distributed` (two-phase exact order
-    statistics — no single-node value buffer), bucketing as a scan-local
-    CASE ladder over the literal fences, one count shuffle of 10 groups.
-    The ingest-time-fences + scan-local-assignment split is the 100 TB
-    shape; DuckDB recomputes identical fences via quantile_cont."""
+    `profiling.exact_percentiles_frame` (two-phase exact order
+    statistics — no single-node value buffer, and LAZY: the fences stay
+    a broadcast 1-row frame inside the plan instead of a driver collect
+    before execution), bucketing as a scan-local CASE ladder over the
+    broadcast fences, one count shuffle of 10 groups. DuckDB recomputes
+    identical fences via quantile_cont."""
     from felixzh_flink_spark.operators.profiling import (
-        exact_percentiles_distributed)
+        exact_percentiles_frame)
     l = _t(spark, sf_dir, "lineitem")
-    fences = exact_percentiles_distributed(
+    fences = exact_percentiles_frame(
         l, "l_extendedprice", [i / 10 for i in range(1, 10)])
     b = F.lit(0)
-    for i, e in enumerate(fences):
-        b = F.when(F.col("l_extendedprice") > F.lit(float(e)),
+    for i in range(9):
+        b = F.when(F.col("l_extendedprice") > F.col("q")[i],
                    F.lit(i + 1)).otherwise(b)
-    return (l.select(b.alias("bucket"), "l_extendedprice")
+    return (l.crossJoin(F.broadcast(fences))
+            .select(b.alias("bucket"), "l_extendedprice")
             .groupBy("bucket")
             .agg(F.count("*").alias("n"),
                  exact_sum("l_extendedprice", 6, "sum_v")))
@@ -4637,18 +4639,20 @@ def psi_price_drift(spark, sf_dir):
     """Population Stability Index (`profiling.psi_report`): per-bin
     drift terms between the even- and odd-orderkey halves of lineitem
     over the reference half's quartile edges — the production drift
-    monitor, per-bin so the WHERE of the shift is visible. Edge
-    derivation reuses the bit-exact percentile parity; term arithmetic
-    is the identical double expression on both sides."""
-    from felixzh_flink_spark.operators.profiling import psi_report
+    monitor, per-bin so the WHERE of the shift is visible. Edges come
+    from the LAZY `exact_percentiles_frame` (bit-exact quantile_cont
+    parity), broadcast into the bin ladders — derive-edges + bin + PSI
+    is one job, no driver round-trip; term arithmetic is the identical
+    double expression on both sides."""
+    from felixzh_flink_spark.operators.profiling import (
+        exact_percentiles_frame, psi_report)
     l = _t(spark, sf_dir, "lineitem")
     ref = l.filter(F.col("l_orderkey") % 2 == 0) \
         .select(F.col("l_extendedprice").alias("v"))
     cur = l.filter(F.col("l_orderkey") % 2 == 1) \
         .select(F.col("l_extendedprice").alias("v"))
-    edges = ref.agg(F.expr(
-        "percentile(v, array(0.25, 0.5, 0.75))").alias("q")).first()["q"]
-    return psi_report(ref, cur, "v", [float(x) for x in edges]).select(
+    edges = exact_percentiles_frame(ref, "v", [0.25, 0.5, 0.75])
+    return psi_report(ref, cur, "v", edges, n_edges=3).select(
         "bin", "p_ref", "p_cur", "term")
 
 
