@@ -405,7 +405,10 @@ def exact_percentiles_distributed(df: DataFrame, col: str,
               .filter(F.col("_rank").isin(*want))
               .select("_rank", "_v").collect())
     at = {r["_rank"]: r["_v"] for r in picked}
-    return [at[lo] + frac * (at[hi] - at[lo]) for lo, hi, frac in spec]
+    # (1−f)·lo + f·hi, NOT lo + f·(hi−lo): the two differ in the last
+    # ulp for some inputs and the former is what DuckDB's quantile_cont
+    # (the correctness oracle) computes — hypothesis found the divergence
+    return [(1.0 - frac) * at[lo] + frac * at[hi] for lo, hi, frac in spec]
 
 
 def exact_percentiles_frame(df: DataFrame, col: str, ps: list[float],
@@ -453,7 +456,9 @@ def exact_percentiles_frame(df: DataFrame, col: str, ps: list[float],
         hiv = F.max(F.when(F.col("_rank") == hi, F.col("_v")))
         kf = F.lit(float(p)) * (F.first("_n") - 1).cast("double")
         frac = kf - F.floor(kf).cast("double")
-        outs.append(lov + frac * (hiv - lov))
+        # (1−f)·lo + f·hi — bit-matches DuckDB quantile_cont (see the
+        # collecting variant); hypothesis-verified on random multisets
+        outs.append((F.lit(1.0) - frac) * lov + frac * hiv)
     return ranked.filter(keep).agg(F.array(*outs).alias(alias))
 
 
