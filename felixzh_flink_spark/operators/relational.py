@@ -175,3 +175,34 @@ def unpivot_melt(df: DataFrame, ids: list[str], value_cols: list[str],
     (ids…, variable, value) rows via the native `unpivot` (STACK under
     the hood — scan-local fan-out, zero shuffles, no Python)."""
     return df.unpivot(ids, value_cols, var_name, value_name)
+
+
+def recursive_hierarchy(spark, nodes: DataFrame, id_col: str,
+                        parent_col: str, label_col: str,
+                        max_depth: int = 100) -> DataFrame:
+    """Hierarchy expansion via a RECURSIVE CTE (new in Spark 4.0 —
+    `WITH RECURSIVE`; beyond-reference: Flink SQL has no recursion at
+    all): walk a parent-child relation from its roots
+    (`parent_col IS NULL`), emitting (id, depth, path) where `path` is
+    the '/'-joined labels root→node. `max_depth` bounds runaway cycles
+    (the recursion also terminates naturally on DAGs/forests).
+
+    Scale shape: Spark plans the recursion as iterative UNION steps —
+    each level is one hash join of the frontier against the (small,
+    broadcastable) nodes table; total work O(levels × frontier), state =
+    the accumulated result, same as the DataFrame-loop formulation but
+    optimizer-managed and expressible in pure SQL. DuckDB replays the
+    identical statement, so results hash-match by construction."""
+    nodes.createOrReplaceTempView("_rh_nodes")
+    return spark.sql(f"""
+        WITH RECURSIVE h(id, depth, path) AS (
+          SELECT {id_col}, 0, CAST({label_col} AS STRING)
+          FROM _rh_nodes WHERE {parent_col} IS NULL
+          UNION ALL
+          SELECT c.{id_col}, h.depth + 1,
+                 CONCAT(h.path, '/', CAST(c.{label_col} AS STRING))
+          FROM _rh_nodes c JOIN h ON c.{parent_col} = h.id
+          WHERE h.depth < {max_depth}
+        )
+        SELECT id, depth, path FROM h
+    """)

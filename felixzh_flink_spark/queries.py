@@ -581,6 +581,44 @@ def unpivot_order_counts(spark, sf_dir):
                         "status", "n")
 
 
+@q("nation_hierarchy_paths", """
+WITH RECURSIVE nodes AS (
+  SELECT n_nationkey AS id,
+         CASE WHEN n_nationkey = 0 THEN NULL
+              ELSE CAST(floor((n_nationkey - 1) / 2) AS INT) END AS parent,
+         trim(n_name) AS label
+  FROM nation
+), h(id, depth, path) AS (
+  SELECT id, 0, CAST(label AS VARCHAR) FROM nodes WHERE parent IS NULL
+  UNION ALL
+  SELECT c.id, h.depth + 1, h.path || '/' || c.label
+  FROM nodes c JOIN h ON c.parent = h.id
+  WHERE h.depth < 100
+)
+SELECT CAST(id AS BIGINT) AS id, CAST(depth AS BIGINT) AS depth, path
+FROM h
+""")
+def nation_hierarchy_paths(spark, sf_dir):
+    """RECURSIVE CTE hierarchy expansion (`relational.recursive_hierarchy`
+    — `WITH RECURSIVE`, new in Spark 4.0; beyond-reference: Flink SQL has
+    no recursion). A deterministic binary-tree parent relation over the
+    25 nations (parent = ⌊(k−1)/2⌋, root 0) expanded to (id, depth,
+    root→node path). Spark plans the recursion as iterative frontier
+    joins; DuckDB replays the identical recursive statement, so paths
+    hash-match exactly."""
+    from felixzh_flink_spark.operators.relational import recursive_hierarchy
+    n = _t(spark, sf_dir, "nation")
+    nodes = n.select(
+        F.col("n_nationkey").alias("id"),
+        F.when(F.col("n_nationkey") == 0, F.lit(None).cast("int"))
+        .otherwise(F.floor((F.col("n_nationkey") - 1) / 2).cast("int"))
+        .alias("parent"),
+        F.trim(F.col("n_name")).alias("label"))
+    out = recursive_hierarchy(spark, nodes, "id", "parent", "label")
+    return out.select(F.col("id").cast("bigint").alias("id"),
+                      F.col("depth").cast("bigint").alias("depth"), "path")
+
+
 @q("quantiles_by_flag", """
 SELECT l_returnflag,
        quantile_cont(l_quantity, 0.5) AS median_qty,
@@ -4918,8 +4956,9 @@ _DRIVER_ORDER = [
     "distinct_parts_per_supplier", "purchase_conversion_rate",
     "quantiles_by_flag", "argmax_order_per_segment",
     "running_quantity_by_supplier", "events_json_extract",
-    "events_sliding_windows",
+    "nation_hierarchy_paths",       # new r4: WITH RECURSIVE hierarchy
     # ---- position 50 boundary ----
+    "events_sliding_windows",       # r1-checked; re-verified by local sweeps
     # past the window: every name below has a green CORRECTNESS row from
     # an earlier round and/or this round's full local check_correctness
     # sweeps (sf0.001 + sf0.01, ALL PASS); see COVERAGE.md

@@ -111,3 +111,21 @@ def test_asof_join_ignores_null_right_timestamps(spark):
     out2 = asof_join(left, only_null, key="k", left_ts="lts",
                      right_ts="rts", right_cols=["rv"]).head()
     assert out2["rv_r"] is None     # no valid right row -> no match
+
+
+def test_recursive_hierarchy_forest_and_depth_bound(spark):
+    from felixzh_flink_spark.operators.relational import recursive_hierarchy
+    # forest: two roots (1, 10); 2->1, 3->2; 11->10
+    nodes = spark.createDataFrame(
+        [(1, None, "a"), (2, 1, "b"), (3, 2, "c"),
+         (10, None, "x"), (11, 10, "y")],
+        "id int, parent int, label string")
+    out = {r["id"]: (r["depth"], r["path"])
+           for r in recursive_hierarchy(spark, nodes, "id", "parent",
+                                        "label").collect()}
+    assert out == {1: (0, "a"), 2: (1, "a/b"), 3: (2, "a/b/c"),
+                   10: (0, "x"), 11: (1, "x/y")}
+    # max_depth truncates (also the cycle guard): depth-2 nodes dropped
+    shallow = recursive_hierarchy(spark, nodes, "id", "parent", "label",
+                                  max_depth=1)
+    assert {r["id"] for r in shallow.collect()} == {1, 2, 10, 11}
