@@ -56,6 +56,20 @@ def register_sql_macro(spark: SparkSession, name: str, params: list[str],
     spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({param_list}) RETURNS STRING RETURN {body_sql}")
 
 
+def register_sql_udf(spark: SparkSession, name: str,
+                     params: list[tuple[str, str]], returns: str,
+                     body_sql: str) -> None:
+    """U2 modernized: a TYPED SQL-standard scalar UDF (Spark 4.0
+    `CREATE FUNCTION ... RETURNS <type> RETURN <expr>`). Unlike a Python
+    UDF, the body is a Catalyst expression — it inlines into
+    whole-stage codegen at every call site (zero serialization, full
+    pushdown through it), which is the 100-TB-preferred way to ship
+    reusable scalar logic. `params` are (name, sql_type) pairs."""
+    sig = ", ".join(f"{p} {t}" for p, t in params)
+    spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({sig}) "
+              f"RETURNS {returns} RETURN {body_sql}")
+
+
 def register_view(spark: SparkSession, name: str, df: DataFrame) -> None:
     """U3: temporary view registration."""
     df.createOrReplaceTempView(name)

@@ -619,6 +619,104 @@ def nation_hierarchy_paths(spark, sf_dir):
                       F.col("depth").cast("bigint").alias("depth"), "path")
 
 
+@q("events_variant_extract", """
+WITH v AS (
+  SELECT '{"k": ' || json_extract_string(props, '$.k')
+         || ', "meta": {"type": "' || event_type
+         || '", "ids": [' || event_id || ', ' || user_id || ']}}' AS payload
+  FROM events
+)
+SELECT json_extract_string(payload, '$.meta.type') AS etype,
+       CAST(SUM(json_extract(payload, '$.k')::BIGINT) AS BIGINT) AS sum_k,
+       CAST(SUM(json_extract(payload, '$.meta.ids[1]')::BIGINT) AS BIGINT)
+         AS sum_uid,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM v GROUP BY 1
+""")
+def events_variant_extract(spark, sf_dir):
+    """VARIANT semi-structured extraction (Spark 4.0 `parse_json` +
+    `variant_get` — the shredded open-type column Snowflake/Databricks
+    call VARIANT; beyond the reference's stringly get_json_object
+    path in `events_json_extract`). A nested payload is synthesized
+    deterministically from events columns, parsed ONCE to a variant,
+    then typed paths (scalar, nested object, array index) are extracted
+    and aggregated. Scale shape: parse_json is a scan-local projection;
+    the variant binary encoding makes repeated path extraction cheaper
+    than re-parsing JSON text per field. DuckDB replays the same paths
+    with json_extract."""
+    e = _t(spark, sf_dir, "events")
+    payload = F.concat(
+        F.lit('{"k": '), F.get_json_object("props", "$.k"),
+        F.lit(', "meta": {"type": "'), F.col("event_type"),
+        F.lit('", "ids": ['), F.col("event_id").cast("string"),
+        F.lit(', '), F.col("user_id").cast("string"), F.lit(']}}'))
+    v = e.select(F.parse_json(payload).alias("pv"))
+    return (v.select(
+        F.variant_get("pv", "$.meta.type", "string").alias("etype"),
+        F.variant_get("pv", "$.k", "bigint").alias("_k"),
+        F.variant_get("pv", "$.meta.ids[1]", "bigint").alias("_uid"))
+        .groupBy("etype")
+        .agg(F.sum("_k").cast("bigint").alias("sum_k"),
+             F.sum("_uid").cast("bigint").alias("sum_uid"),
+             F.count("*").alias("n")))
+
+
+@q("sql_udf_price_tiers", """
+WITH t AS (
+  SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+              WHEN o_totalprice < 200000 THEN 'mid'
+              ELSE 'high' END AS tier,
+         o_totalprice
+  FROM orders
+)
+SELECT tier, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total
+FROM t GROUP BY tier
+""")
+def sql_udf_price_tiers(spark, sf_dir):
+    """TYPED SQL-standard scalar UDF (Spark 4.0 `CREATE FUNCTION ...
+    RETURNS ... RETURN expr`; `registry.register_sql_udf` — the U2
+    temp-system-function contract without the Python-UDF slow path):
+    the tier logic registers once and inlines into whole-stage codegen
+    at the call site, so the plan is identical to writing the CASE
+    inline — which is exactly what the oracle does."""
+    from felixzh_flink_spark.functions.registry import register_sql_udf
+    register_sql_udf(
+        spark, "price_tier", [("p", "DOUBLE")], "STRING",
+        "CASE WHEN p < 50000 THEN 'low' "
+        "WHEN p < 200000 THEN 'mid' ELSE 'high' END")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("_sqludf_orders")
+    return spark.sql("""
+        SELECT price_tier(o_totalprice) AS tier,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+                 AS total
+        FROM _sqludf_orders GROUP BY 1
+    """)
+
+
+@q("pipe_syntax_order_stats", """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+FROM orders WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority
+""")
+def pipe_syntax_order_stats(spark, sf_dir):
+    """SQL pipe syntax (Spark 4.0 `|>` operators — the linear
+    FROM-first query form): the same logical plan as the classic
+    GROUP BY oracle, written as a pipeline. Demonstrates the surface;
+    Catalyst plans both forms identically (scan → filter → partial/final
+    agg), so this is purely syntax parity."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("_pipe_orders")
+    return spark.sql("""
+        FROM _pipe_orders
+        |> WHERE o_orderstatus = 'F'
+        |> AGGREGATE COUNT(*) AS n, CAST(MAX(o_totalprice) AS DOUBLE)
+             AS max_price
+           GROUP BY o_orderpriority
+    """).select("o_orderpriority", "n", "max_price")
+
+
 @q("quantiles_by_flag", """
 SELECT l_returnflag,
        quantile_cont(l_quantity, 0.5) AS median_qty,
@@ -4909,7 +5007,7 @@ def cms_token_counts(spark, sf_dir):
 
 _DRIVER_ORDER = [
     # --- never driver-checked in r1-r3 (VERDICT-r3 item 1): converting
-    # --- "claimed" to "proven" is this round's top task
+    # --- claimed coverage into proven coverage is this round's top task
     "hll_user_rollup",              # mergeable HLL sketch rollup
     "epoch_shuffle_docs",           # deterministic epoch shuffle
     "event_anomaly_hours",          # integer-exact z-score flags
@@ -4954,10 +5052,14 @@ _DRIVER_ORDER = [
     "user_sessions", "filter_projection", "range_join_recent_views",
     "word_count", "json_roundtrip_orders", "pivot_order_status",
     "distinct_parts_per_supplier", "purchase_conversion_rate",
-    "quantiles_by_flag", "argmax_order_per_segment",
-    "running_quantity_by_supplier", "events_json_extract",
+    "quantiles_by_flag",
     "nation_hierarchy_paths",       # new r4: WITH RECURSIVE hierarchy
+    "events_variant_extract",       # new r4: VARIANT typed extraction
+    "sql_udf_price_tiers",          # new r4: typed SQL-standard UDF
+    "pipe_syntax_order_stats",      # new r4: |> pipe-syntax parity
     # ---- position 50 boundary ----
+    "argmax_order_per_segment",
+    "running_quantity_by_supplier", "events_json_extract",
     "events_sliding_windows",       # r1-checked; re-verified by local sweeps
     # past the window: every name below has a green CORRECTNESS row from
     # an earlier round and/or this round's full local check_correctness
