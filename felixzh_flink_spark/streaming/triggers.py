@@ -168,3 +168,128 @@ def count_window_batch(df: DataFrame, key_col: str, value_col: str,
             F.sum(F.col(value_col).cast("double")).alias("sum_value"),
         )
     )
+
+
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+    StatefulProcessor)
+
+
+class CountWindowProcessor(StatefulProcessor):
+    """W4-W6 on the MODERN stateful API (Spark 4.0
+    `transformWithStateInPandas` / StatefulProcessor): same
+    MyCountTrigger.java:36-71 fire-and-purge semantics as
+    `make_count_window_fn`, expressed with named value state and explicit
+    event-time timers instead of applyInPandasWithState's single
+    timeout slot.
+
+    What the new API buys at scale: multiple independently-named state
+    variables (value/list/map) per key with per-state TTL, multiple
+    timers, and initial-state bootstrap — the building blocks Flink
+    users expect from keyed ProcessFunction. Here the state is one
+    (buf_cnt, buf_sum, fired) value — O(1) per key, like the classic
+    form. Timers: `registerTimer` ACCUMULATES (unlike
+    setTimeoutTimestamp, which replaces), so the previously-armed timer
+    is tracked in its own value state and deleted before re-arming —
+    otherwise every batch would leave a stale window-end timer behind,
+    each firing a spurious partial window."""
+
+    def __init__(self, max_count: int, timeout_ms: int | None = None,
+                 emit_partial_on_timeout: bool = True):
+        self._max = max_count
+        self._timeout_ms = timeout_ms
+        self._emit_partial = emit_partial_on_timeout
+
+    def init(self, handle) -> None:
+        self._buf = handle.getValueState(
+            "buf", "buf_cnt long, buf_sum double, fired long")
+        self._armed = handle.getValueState("armed", "ts long")
+        self._handle = handle
+
+    def close(self) -> None:
+        pass
+
+    def handleInitialState(self, key, initialState, timerValues) -> None:
+        pass
+
+    def _state(self):
+        v = self._buf.get()
+        return (0, 0.0, 0) if v is None else (int(v[0]), float(v[1]),
+                                              int(v[2]))
+
+    def handleInputRows(self, key, rows, timerValues):
+        buf_cnt, buf_sum, fired = self._state()
+        out = []
+        last_ms = 0
+        for pdf in rows:
+            if self._timeout_ms is not None:
+                last_ms = chunk_max_ms(pdf, "_ts", last_ms)
+            for v in pdf["value"]:
+                buf_cnt += 1
+                buf_sum += float(v)
+                if buf_cnt >= self._max:
+                    out.append({
+                        "key": key[0], "window_seq": fired, "cnt": buf_cnt,
+                        "sum_value": buf_sum, "fired_by": "count",
+                    })
+                    fired += 1
+                    buf_cnt, buf_sum = 0, 0.0
+        self._buf.update((buf_cnt, buf_sum, fired))
+        if self._timeout_ms is not None:
+            prev = self._armed.get()
+            if prev is not None:
+                self._handle.deleteTimer(int(prev[0]))
+            ts = (max(last_ms, timerValues.getCurrentWatermarkInMs())
+                  + self._timeout_ms)
+            self._handle.registerTimer(ts)
+            self._armed.update((ts,))
+        if out:
+            yield pd.DataFrame(out)
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        buf_cnt, buf_sum, fired = self._state()
+        self._armed.clear()
+        if self._emit_partial and buf_cnt > 0:
+            self._buf.update((0, 0.0, fired + 1))
+            yield pd.DataFrame([{
+                "key": key[0], "window_seq": fired, "cnt": buf_cnt,
+                "sum_value": buf_sum, "fired_by": "timeout",
+            }])
+        else:
+            self._buf.update((0, 0.0, fired))
+
+
+def count_window_tws(df: DataFrame, key_col: str, value_col: str,
+                     max_count: int, timeout_ms: int | None = None,
+                     event_time_col: str | None = None,
+                     watermark_delay: str = "1 second") -> DataFrame:
+    """`count_window` on `transformWithStateInPandas` — identical
+    input/output contract (COUNT_WINDOW_OUTPUT rows), so the two forms
+    are drop-in interchangeable; the unit suite asserts they produce
+    the same windows from the same stream.
+
+    Runtime requirement: transformWithState's Python↔JVM state protocol
+    rides protobuf (`google.protobuf` — ships with any real PySpark
+    deployment; absent from this CI container, where the e2e test
+    auto-skips and the processor logic is unit-tested against fake
+    state handles instead)."""
+    proc = CountWindowProcessor(max_count, timeout_ms,
+                                emit_partial_on_timeout=True)
+    cols = [
+        F.col(key_col).cast("string").alias("key"),
+        F.col(value_col).cast("double").alias("value"),
+    ]
+    if timeout_ms is not None:
+        if event_time_col is None:
+            raise ValueError("timeout_ms requires event_time_col")
+        prepared = df.select(*cols, F.col(event_time_col).alias("_ts")) \
+            .withWatermark("_ts", watermark_delay)
+        time_mode = "eventTime"
+    else:
+        prepared = df.select(*cols)
+        time_mode = "none"
+    return prepared.groupBy("key").transformWithStateInPandas(
+        statefulProcessor=proc,
+        outputStructType=COUNT_WINDOW_OUTPUT,
+        outputMode="append",
+        timeMode=time_mode,
+    )

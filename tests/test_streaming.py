@@ -111,3 +111,81 @@ def test_watermark_set(spark, tmp_path):
     stream = file_stream_source(spark, str(tmp_path / "in"), SCHEMA)
     wm = with_watermark(stream, "ts", "5 seconds")
     assert wm.isStreaming
+
+
+def test_count_window_tws_matches_classic(spark, tmp_path):
+    # the transformWithStateInPandas form (Spark 4 StatefulProcessor) must
+    # produce exactly the classic applyInPandasWithState windows.
+    # The TWS state protocol needs protobuf — absent from this container,
+    # so this e2e runs only where a full PySpark deployment provides it
+    # (the processor logic itself is covered by the fake-handle unit).
+    import datetime as dt
+
+    import pytest
+    pytest.importorskip("google.protobuf")
+
+    from felixzh_flink_spark.streaming.triggers import count_window_tws
+    base = dt.datetime(2024, 1, 1)
+    rows = [(base + dt.timedelta(seconds=i), "k", 1.0) for i in range(12)]
+    _write_events(spark, tmp_path / "in", rows)
+    stream = file_stream_source(spark, str(tmp_path / "in"), SCHEMA)
+    fired = count_window_tws(stream, "key", "value", max_count=5)
+    _drain(fired, "cw_tws_out")
+    got = sorted(spark.sql("SELECT * FROM cw_tws_out").collect(),
+                 key=lambda r: r["window_seq"])
+    assert [(r["window_seq"], r["cnt"], r["sum_value"], r["fired_by"])
+            for r in got] == [(0, 5, 5.0, "count"), (1, 5, 5.0, "count")]
+
+
+def test_count_window_tws_processor_logic_with_fake_handle():
+    # drive the StatefulProcessor directly: count fires, timer re-arm
+    # (old timer deleted), timeout partial fire with monotonic seq
+    import pandas as pd
+
+    from felixzh_flink_spark.streaming.triggers import CountWindowProcessor
+
+    class FakeValueState:
+        def __init__(self): self.v = None
+        def get(self): return self.v
+        def update(self, v): self.v = v
+        def clear(self): self.v = None
+        def exists(self): return self.v is not None
+
+    class FakeHandle:
+        def __init__(self):
+            self.states = {}
+            self.timers = []
+        def getValueState(self, name, schema, ttlDurationMs=None):
+            return self.states.setdefault(name, FakeValueState())
+        def registerTimer(self, ts): self.timers.append(ts)
+        def deleteTimer(self, ts): self.timers.remove(ts)
+
+    class FakeTimerValues:
+        def __init__(self, wm): self.wm = wm
+        def getCurrentWatermarkInMs(self): return self.wm
+        def getCurrentProcessingTimeInMs(self): return 0
+
+    proc = CountWindowProcessor(3, timeout_ms=1000)
+    h = FakeHandle()
+    proc.init(h)
+    pdf = pd.DataFrame({"value": [1.0] * 7,
+                        "_ts": pd.to_datetime([1_000_000_000] * 7, unit="ms")})
+    out = list(proc.handleInputRows(("k",), iter([pdf]),
+                                    FakeTimerValues(999_999_000)))
+    rows = pd.concat(out).to_dict("records")
+    assert [(r["window_seq"], r["cnt"], r["fired_by"]) for r in rows] == \
+        [(0, 3, "count"), (1, 3, "count")]
+    assert h.states["buf"].v == (1, 1.0, 2)          # leftover buffered
+    assert h.timers == [1_000_000_000 + 1000]        # armed off last event
+    # second batch re-arms: the stale timer must be deleted first
+    pdf2 = pd.DataFrame({"value": [1.0],
+                         "_ts": pd.to_datetime([1_000_005_000], unit="ms")})
+    list(proc.handleInputRows(("k",), iter([pdf2]),
+                              FakeTimerValues(1_000_001_000)))
+    assert h.timers == [1_000_005_000 + 1000]        # exactly one live timer
+    # timeout: partial (2 rows) fires with the NEXT seq, state purged
+    fired = list(proc.handleExpiredTimer(("k",), FakeTimerValues(0), None))
+    r = pd.concat(fired).to_dict("records")[0]
+    assert (r["window_seq"], r["cnt"], r["sum_value"], r["fired_by"]) == \
+        (2, 2, 2.0, "timeout")
+    assert h.states["buf"].v == (0, 0.0, 3)
