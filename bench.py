@@ -96,6 +96,12 @@ HEADLINE = [
     "bpe_token_counts",
     "psi_price_drift",
     "winsorized_price_stats",
+    # round 4: recursive CTE, VARIANT extraction, typed SQL UDF,
+    # pipe syntax (the Spark-4 SQL surface)
+    "nation_hierarchy_paths",
+    "events_variant_extract",
+    "sql_udf_price_tiers",
+    "pipe_syntax_order_stats",
 ]
 
 
