@@ -801,3 +801,47 @@ def test_cms_sketch_sink_streaming_matches_batch(spark, tmp_path):
                                  depth=3, width=32).collect()}
     exact = {"apple": 30, "banana": 5, "cherry": 7, "durian": 0}
     assert all(est[t] >= exact[t] for t in exact)
+
+
+def test_state_reader_inspects_agg_and_dedup_state(spark, tmp_path):
+    """Spark 4 state data source: checkpointed operator state is directly
+    queryable — operator inventory, state rows, per-partition skew view,
+    and batchId time travel."""
+    import datetime as dt
+
+    from felixzh_flink_spark.streaming.state_reader import (
+        read_state, state_metadata, state_size_by_partition)
+
+    src, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    rows1 = [(dt.datetime(2024, 1, 1, 0, 0, s), f"k{s % 3}", 1.0)
+             for s in range(6)]
+    spark.createDataFrame(rows1, "ts timestamp, k string, v double") \
+        .coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("ts timestamp, k string, v double") \
+        .parquet(src)
+    q = (stream.groupBy("k").count()
+         .writeStream.format("memory").queryName("sr_out")
+         .outputMode("complete").option("checkpointLocation", ckpt).start())
+    q.processAllAvailable()
+
+    meta = state_metadata(spark, ckpt).collect()
+    assert [r["operatorName"] for r in meta] == ["stateStoreSave"]
+    st = {r["key"]["k"]: r["value"]["count"]
+          for r in read_state(spark, ckpt).collect()}
+    assert st == {"k0": 2, "k1": 2, "k2": 2}
+
+    # state evolves with a second batch; time travel sees the old state
+    spark.createDataFrame([(dt.datetime(2024, 1, 1, 0, 1), "k0", 1.0)],
+                          "ts timestamp, k string, v double") \
+        .coalesce(1).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    now = {r["key"]["k"]: r["value"]["count"]
+           for r in read_state(spark, ckpt).collect()}
+    assert now["k0"] == 3
+    old = {r["key"]["k"]: r["value"]["count"]
+           for r in read_state(spark, ckpt, batch_id=0).collect()}
+    assert old["k0"] == 2
+
+    sizes = state_size_by_partition(spark, ckpt).collect()
+    assert sum(r["n_rows"] for r in sizes) == 3  # 3 distinct keys
