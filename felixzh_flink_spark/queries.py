@@ -717,6 +717,52 @@ def pipe_syntax_order_stats(spark, sf_dir):
     """).select("o_orderpriority", "n", "max_price")
 
 
+def _zorder_oracle_sql(bits: int = 6) -> str:
+    """DuckDB replay of the identical bucket + bit-interleave arithmetic."""
+    terms = " + ".join(
+        f"(({c} >> {b}) & 1) * {1 << (b * 2 + i)}"
+        for b in range(bits) for i, c in enumerate(("ba", "bb")))
+    return f"""
+WITH m AS (SELECT MAX(l_partkey) AS mp, MAX(l_suppkey) AS ms FROM lineitem),
+b AS (
+  SELECT l_orderkey, l_linenumber,
+    CAST(least(greatest(floor(CAST(l_partkey AS DOUBLE)
+      / (CAST(mp AS DOUBLE) + 1e-12) * {1 << bits}), 0), {(1 << bits) - 1})
+      AS BIGINT) AS ba,
+    CAST(least(greatest(floor(CAST(l_suppkey AS DOUBLE)
+      / (CAST(ms AS DOUBLE) + 1e-12) * {1 << bits}), 0), {(1 << bits) - 1})
+      AS BIGINT) AS bb
+  FROM lineitem, m
+)
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       CAST({terms} AS BIGINT) AS z
+FROM b
+"""
+
+
+@q("zorder_key_lineitem", _zorder_oracle_sql())
+def zorder_key_lineitem(spark, sf_dir):
+    """Z-order clustering key (`layout.zorder_value` + `range_bucket`) —
+    the multi-dimensional data-layout primitive behind
+    `layout.write_zordered` (Delta OPTIMIZE ZORDER BY analog): linear
+    range buckets on (l_partkey, l_suppkey) bit-interleaved into one
+    Morton key. Pure integer/double expressions, so DuckDB replays the
+    identical arithmetic; the layout property itself (per-file min-max
+    spans shrink on BOTH columns) is asserted against parquet footers in
+    the unit suite. Bucket domains come from a broadcast 1-row MAX
+    aggregate — no driver round-trip, like the lazy percentile fences."""
+    from felixzh_flink_spark.operators.layout import range_bucket, zorder_value
+    l = _t(spark, sf_dir, "lineitem")
+    m = l.agg(F.max("l_partkey").alias("mp"), F.max("l_suppkey").alias("ms"))
+    b = l.crossJoin(F.broadcast(m)).select(
+        "l_orderkey", F.col("l_linenumber").cast("bigint").alias("l_linenumber"),
+        range_bucket(F.col("l_partkey"), 0, F.col("mp"), 6).alias("ba"),
+        range_bucket(F.col("l_suppkey"), 0, F.col("ms"), 6).alias("bb"))
+    return b.select(
+        "l_orderkey", "l_linenumber",
+        zorder_value([F.col("ba"), F.col("bb")], bits=6).alias("z"))
+
+
 @q("quantiles_by_flag", """
 SELECT l_returnflag,
        quantile_cont(l_quantity, 0.5) AS median_qty,
@@ -5052,12 +5098,13 @@ _DRIVER_ORDER = [
     "user_sessions", "filter_projection", "range_join_recent_views",
     "word_count", "json_roundtrip_orders", "pivot_order_status",
     "distinct_parts_per_supplier", "purchase_conversion_rate",
-    "quantiles_by_flag",
+    "zorder_key_lineitem",          # new r4: Z-order layout key
     "nation_hierarchy_paths",       # new r4: WITH RECURSIVE hierarchy
     "events_variant_extract",       # new r4: VARIANT typed extraction
     "sql_udf_price_tiers",          # new r4: typed SQL-standard UDF
     "pipe_syntax_order_stats",      # new r4: |> pipe-syntax parity
     # ---- position 50 boundary ----
+    "quantiles_by_flag",
     "argmax_order_per_segment",
     "running_quantity_by_supplier", "events_json_extract",
     "events_sliding_windows",       # r1-checked; re-verified by local sweeps

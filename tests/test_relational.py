@@ -129,3 +129,75 @@ def test_recursive_hierarchy_forest_and_depth_bound(spark):
     shallow = recursive_hierarchy(spark, nodes, "id", "parent", "label",
                                   max_depth=1)
     assert {r["id"] for r in shallow.collect()} == {1, 2, 10, 11}
+
+
+def test_zorder_value_interleaves_bits(spark):
+    from felixzh_flink_spark.operators.layout import zorder_value
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame([(0b101, 0b011)], "x long, y long")
+    z = df.select(zorder_value([F.col("x"), F.col("y")], bits=3)
+                  .alias("z")).collect()[0]["z"]
+    # x bits (1,0,1) at even positions, y bits (1,1,0) at odd:
+    # z = x0<<0 | y0<<1 | x1<<2 | y1<<3 | x2<<4 | y2<<5
+    assert z == (1 << 0) | (1 << 1) | (0 << 2) | (1 << 3) | (1 << 4)
+
+
+def test_zorder_layout_tightens_file_stats(spark, tmp_path):
+    """The point of z-ordering: per-FILE min-max ranges shrink on BOTH
+    clustered columns, so parquet stats prune filters on either one.
+    Compare footer stats of a z-ordered write vs an unclustered write of
+    the same rows."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from felixzh_flink_spark.operators.layout import (
+        range_bucket, write_zordered)
+
+    n, files = 4096, 8
+    df = spark.range(n).select(
+        (F.col("id") * 2654435761 % 4096).alias("a"),
+        (F.col("id") * 40503 % 4096).alias("b"))
+
+    def spans(path):
+        out = []
+        for f in glob.glob(path + "/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            if md.num_rows == 0:
+                continue
+            cols = {md.schema.column(i).name: i
+                    for i in range(md.num_columns)}
+            sa = md.row_group(0).column(cols["a"]).statistics
+            sb = md.row_group(0).column(cols["b"]).statistics
+            lo_a, hi_a = sa.min, sa.max
+            lo_b, hi_b = sb.min, sb.max
+            for g in range(1, md.num_row_groups):
+                sa = md.row_group(g).column(cols["a"]).statistics
+                sb = md.row_group(g).column(cols["b"]).statistics
+                lo_a, hi_a = min(lo_a, sa.min), max(hi_a, sa.max)
+                lo_b, hi_b = min(lo_b, sb.min), max(hi_b, sb.max)
+            out.append(((hi_a - lo_a), (hi_b - lo_b)))
+        return out
+
+    plain = str(tmp_path / "plain")
+    df.repartition(files).write.parquet(plain)
+    zpath = str(tmp_path / "zorder")
+    write_zordered(df, zpath,
+                   [range_bucket("a", 0, 4095, 6),
+                    range_bucket("b", 0, 4095, 6)],
+                   bits=6, n_files=files)
+
+    mean = lambda xs: sum(xs) / len(xs)  # noqa: E731
+    plain_a = mean([s[0] for s in spans(plain)])
+    plain_b = mean([s[1] for s in spans(plain)])
+    z_a = mean([s[0] for s in spans(zpath)])
+    z_b = mean([s[1] for s in spans(zpath)])
+    # random layout: every file spans ~the full domain on both columns.
+    # z-ordered: BOTH mean spans shrink materially (each file covers a
+    # hyper-rectangle ~1/sqrt(files) of each axis plus bucket rounding).
+    assert z_a < plain_a * 0.75 and z_b < plain_b * 0.75, (
+        plain_a, plain_b, z_a, z_b)
+    # same rows survive the rewrite
+    assert spark.read.parquet(zpath).count() == n
