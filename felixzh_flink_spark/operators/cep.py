@@ -26,7 +26,7 @@ state, a different operator.)
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def sequence_stages(df: DataFrame, key_cols: list[str],
@@ -157,3 +157,48 @@ def not_followed_by(df: DataFrame, key_cols: list[str], ts_col: str,
     cond = cond & (F.col("_nts") > F.col(f"a.{ts_col}")) & (
         F.col("_nts") <= F.col(f"a.{ts_col}") + F.expr(f"interval {within}"))
     return a.join(n, cond, "left_anti")
+
+
+def times_consecutive(df: DataFrame, key_cols: list[str], ts_col: str,
+                      pattern: Column, n: int,
+                      within: str | None = None,
+                      tiebreak: list[str] | None = None) -> DataFrame:
+    """CEP count quantifier — Flink's
+    `Pattern.times(n).consecutive()[.within(...)]`: emit a match for
+    every position where the SAME key has n CONSECUTIVE pattern events
+    (no non-matching event between them) and, with `within`, the n-run
+    spans at most that duration (the "3 failed logins in 10 minutes"
+    alerting shape). Returns one row per match END event:
+    (key..., match_end_ts, match_start_ts, run_len).
+
+    Relational form — gaps-and-islands instead of a per-key NFA: one
+    keyed sort assigns row numbers over ALL events and over pattern
+    events; their difference is constant exactly within a consecutive
+    pattern run (the island id), so `lag(ts, n-1)` inside the island +
+    the time bound finds every match. ONE hash exchange on the key; the
+    three window functions all ride that same sort — no state machine,
+    no Python, unbounded history not required (state per partition is
+    the window frame).
+    """
+    k = [F.col(c) for c in key_cols]
+    order = [F.col(ts_col)] + [F.col(c) for c in (tiebreak or [])]
+    w_all = Window.partitionBy(*k).orderBy(*order)
+    flagged = df.withColumn("_is_p", pattern)
+    ranked = flagged.withColumn("_rn", F.row_number().over(w_all))
+    pat = ranked.filter(F.col("_is_p"))
+    w_pat = Window.partitionBy(*k).orderBy(*order)
+    islands = pat.withColumn(
+        "_island", F.col("_rn") - F.row_number().over(w_pat))
+    w_isl = Window.partitionBy(*k, F.col("_island")).orderBy(*order)
+    runs = (islands
+            .withColumn("_pos", F.row_number().over(w_isl))
+            .withColumn("_start_ts", F.lag(ts_col, n - 1).over(w_isl)))
+    match = runs.filter(F.col("_pos") >= n)
+    if within is not None:
+        match = match.filter(
+            F.col(ts_col) <= F.col("_start_ts") + F.expr(f"interval {within}"))
+    return match.select(
+        *key_cols,
+        F.col(ts_col).alias("match_end_ts"),
+        F.col("_start_ts").alias("match_start_ts"),
+        F.col("_pos").alias("run_len"))

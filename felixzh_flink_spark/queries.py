@@ -763,6 +763,48 @@ def zorder_key_lineitem(spark, sf_dir):
         zorder_value([F.col("ba"), F.col("bb")], bits=6).alias("z"))
 
 
+@q("cep_times_consecutive", """
+WITH e AS (
+  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+  FROM events
+), r AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM e
+), p AS (
+  SELECT *, rn - ROW_NUMBER() OVER (
+    PARTITION BY user_id ORDER BY ts, event_id) AS island
+  FROM r WHERE event_type = 'error'
+), m AS (
+  SELECT user_id, ts,
+         LAG(ts, 2) OVER (
+           PARTITION BY user_id, island ORDER BY ts, event_id) AS start_ts,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id, island ORDER BY ts, event_id) AS pos
+  FROM p
+)
+SELECT user_id, ts AS match_end_ts, start_ts AS match_start_ts,
+       CAST(pos AS BIGINT) AS run_len
+FROM m WHERE pos >= 3 AND ts <= start_ts + INTERVAL 12 HOUR
+""")
+def cep_times_consecutive(spark, sf_dir):
+    """CEP count quantifier (`cep.times_consecutive` — Flink's
+    `Pattern.times(3).consecutive().within(...)`): three consecutive
+    'error' events from one user inside 12 hours, the failed-logins
+    alerting shape (the bound is sized to the synthetic event density so
+    the oracle checks real matches, not an empty set). Planned as gaps-and-islands window functions riding
+    ONE keyed exchange — no per-key NFA, no Python; the oracle replays
+    the identical island construction."""
+    from felixzh_flink_spark.operators.cep import times_consecutive
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type",
+        F.col("ts").cast("timestamp").alias("ts"))
+    return times_consecutive(
+        e, ["user_id"], "ts", F.col("event_type") == "error", 3,
+        within="12 hours", tiebreak=["event_id"]).select(
+        "user_id", "match_end_ts", "match_start_ts",
+        F.col("run_len").cast("bigint").alias("run_len"))
+
+
 @q("quantiles_by_flag", """
 SELECT l_returnflag,
        quantile_cont(l_quantity, 0.5) AS median_qty,
@@ -5096,14 +5138,16 @@ _DRIVER_ORDER = [
     # --- re-proving after three rounds of shared-helper refactors
     "salted_event_counts", "repartitioned_user_counts", "events_hourly",
     "user_sessions", "filter_projection", "range_join_recent_views",
-    "word_count", "json_roundtrip_orders", "pivot_order_status",
+    "word_count", "json_roundtrip_orders",
     "distinct_parts_per_supplier", "purchase_conversion_rate",
     "zorder_key_lineitem",          # new r4: Z-order layout key
+    "cep_times_consecutive",        # new r4: CEP times(n).consecutive
     "nation_hierarchy_paths",       # new r4: WITH RECURSIVE hierarchy
     "events_variant_extract",       # new r4: VARIANT typed extraction
     "sql_udf_price_tiers",          # new r4: typed SQL-standard UDF
     "pipe_syntax_order_stats",      # new r4: |> pipe-syntax parity
     # ---- position 50 boundary ----
+    "pivot_order_status",
     "quantiles_by_flag",
     "argmax_order_per_segment",
     "running_quantity_by_supplier", "events_json_extract",

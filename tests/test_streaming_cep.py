@@ -113,3 +113,43 @@ def test_not_followed_by_absence_window(spark):
         negated=F.col("event_type") == "purchase",
         within="1 hour").collect())
     assert got == [3, 4, 6, 7]
+
+
+def test_times_consecutive_quantifier(spark):
+    """times(3).consecutive().within(): only unbroken pattern runs match,
+    a non-pattern event resets the run, the time bound prunes slow runs,
+    and every qualifying suffix emits one match at its end event."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from felixzh_flink_spark.operators.cep import times_consecutive
+    t0 = dt.datetime(2024, 1, 1)
+    m = lambda mins: t0 + dt.timedelta(minutes=mins)  # noqa: E731
+    rows = [
+        # u1: E E E consecutive and fast -> match at minute 2
+        (1, 1, "error", m(0)), (1, 2, "error", m(1)), (1, 3, "error", m(2)),
+        # u1 continues: 4th error -> second match (suffix of the run)
+        (1, 4, "error", m(3)),
+        # u2: run broken by a view -> no match
+        (2, 5, "error", m(0)), (2, 6, "error", m(1)), (2, 7, "view", m(2)),
+        (2, 8, "error", m(3)),
+        # u3: three consecutive errors but spread past the bound
+        (3, 9, "error", m(0)), (3, 10, "error", m(30)),
+        (3, 11, "error", m(90)),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, ts timestamp")
+    got = sorted(
+        (r["user_id"], r["match_end_ts"].minute, r["run_len"])
+        for r in times_consecutive(
+            df, ["user_id"], "ts", F.col("event_type") == "error", 3,
+            within="1 hour", tiebreak=["event_id"]).collect())
+    assert got == [(1, 2, 3), (1, 3, 4)]
+    # without the time bound u3's slow run matches too
+    unbounded = {(r["user_id"], r["run_len"])
+                 for r in times_consecutive(
+                     df, ["user_id"], "ts",
+                     F.col("event_type") == "error", 3,
+                     tiebreak=["event_id"]).collect()}
+    assert unbounded == {(1, 3), (1, 4), (3, 3)}
