@@ -845,3 +845,39 @@ def test_state_reader_inspects_agg_and_dedup_state(spark, tmp_path):
 
     sizes = state_size_by_partition(spark, ckpt).collect()
     assert sum(r["n_rows"] for r in sizes) == 3  # 3 distinct keys
+
+
+def test_late_data_side_output_routes_and_replays(spark, tmp_path):
+    """Flink sideOutputLateData analog: rows older than (max seen − delay)
+    go to the late sink; the watermark only advances from committed
+    batches; a replayed epoch routes identically and does not advance."""
+    import datetime as dt
+
+    from felixzh_flink_spark.streaming.late_data import late_data_split_sink
+
+    on_time_rows, late_rows = [], []
+    sink = late_data_split_sink(
+        str(tmp_path / "wm"), "ts", delay_ms=60_000,
+        on_time=lambda df, e: on_time_rows.extend(
+            (e, r["event_id"]) for r in df.collect()),
+        late=lambda df, e: late_rows.extend(
+            (e, r["event_id"]) for r in df.collect()))
+
+    t0 = dt.datetime(2024, 1, 1)
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "event_id long, ts timestamp")
+    m = lambda mins: t0 + dt.timedelta(minutes=mins)  # noqa: E731
+
+    # batch 0: watermark unknown -> everything on time; advances wm to 9min
+    sink(mk([(1, m(0)), (2, m(10))]), 0)
+    assert on_time_rows == [(0, 1), (0, 2)] and late_rows == []
+    # batch 1: wm = 10min - 1min = 9min; event at 5min is LATE
+    sink(mk([(3, m(5)), (4, m(12))]), 1)
+    assert (1, 3) in late_rows and (1, 4) in on_time_rows
+    # REPLAY of batch 1 (post-commit): identical routing, wm not advanced
+    n_on, n_late = len(on_time_rows), len(late_rows)
+    sink(mk([(3, m(5)), (4, m(12))]), 1)
+    assert late_rows[n_late:] == [(1, 3)] and on_time_rows[n_on:] == [(1, 4)]
+    # batch 2: wm = 12min - 1min = 11min (replay did not move it)
+    sink(mk([(5, m(11)), (6, m(10))]), 2)
+    assert (2, 5) in on_time_rows and (2, 6) in late_rows
