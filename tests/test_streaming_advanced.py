@@ -881,3 +881,50 @@ def test_late_data_side_output_routes_and_replays(spark, tmp_path):
     # batch 2: wm = 12min - 1min = 11min (replay did not move it)
     sink(mk([(5, m(11)), (6, m(10))]), 2)
     assert (2, 5) in on_time_rows and (2, 6) in late_rows
+
+
+def test_async_enrich_overlaps_lookups_and_preserves_contract(spark):
+    """AsyncDataStream analog: lookups overlap (wall << serial), ordered
+    mode keeps row order, unordered mode keeps the row SET, and a lookup
+    failure fails the job instead of dropping rows."""
+    import time
+
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from felixzh_flink_spark.streaming.async_io import async_enrich
+
+    df = spark.range(64).select(F.col("id")).coalesce(1)
+
+    def slow_lookup(row):
+        time.sleep(0.05)
+        return {"name": f"v{row['id']}"}
+
+    # warm the Python-UDF worker path first: the FIRST Arrow-UDF job in a
+    # session pays ~3s of daemon spin-up that would swamp the overlap
+    # measurement (measured: cold 3.1s even with a no-op fn, warm 0.3s)
+    async_enrich(df, lambda r: {"name": "w"}, "id long, name string",
+                 concurrency=4).collect()
+
+    t0 = time.perf_counter()
+    out = async_enrich(df, slow_lookup, "id long, name string",
+                       concurrency=16).collect()
+    wall = time.perf_counter() - t0
+    # serial = 64 * 50ms = 3.2s; 16-way overlap target: well under half
+    assert wall < 1.6, wall
+    assert [r["id"] for r in out] == list(range(64))        # ordered
+    assert all(r["name"] == f"v{r['id']}" for r in out)
+
+    got = {(r["id"], r["name"])
+           for r in async_enrich(df, slow_lookup, "id long, name string",
+                                 concurrency=16, ordered=False).collect()}
+    assert got == {(i, f"v{i}") for i in range(64)}          # same SET
+
+    def failing(row):
+        if row["id"] == 7:
+            raise RuntimeError("lookup boom")
+        return {"name": "x"}
+
+    with pytest.raises(Exception, match="boom"):
+        async_enrich(df, failing, "id long, name string").collect()
