@@ -97,11 +97,14 @@ HEADLINE = [
     "psi_price_drift",
     "winsorized_price_stats",
     # round 4: recursive CTE, VARIANT extraction, typed SQL UDF,
-    # pipe syntax (the Spark-4 SQL surface)
+    # pipe syntax (the Spark-4 SQL surface), Z-order layout key,
+    # CEP count quantifier
     "nation_hierarchy_paths",
     "events_variant_extract",
     "sql_udf_price_tiers",
     "pipe_syntax_order_stats",
+    "zorder_key_lineitem",
+    "cep_times_consecutive",
 ]
 
 
