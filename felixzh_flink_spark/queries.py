@@ -805,6 +805,46 @@ def cep_times_consecutive(spark, sf_dir):
         F.col("run_len").cast("bigint").alias("run_len"))
 
 
+@q("sliding_count_windows", """
+WITH r AS (
+  SELECT event_type,
+         CAST(value AS DOUBLE) AS v,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type
+           ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+  FROM events
+), f AS (
+  SELECT event_type, rn,
+         COUNT(*) OVER w AS cnt,
+         CAST(SUM(CAST(v AS DECIMAL(30,6))) OVER w AS DOUBLE) AS sum_value
+  FROM r
+  WINDOW w AS (PARTITION BY event_type ORDER BY rn
+               ROWS BETWEEN 99 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type AS key, CAST(rn / 50 - 1 AS BIGINT) AS window_seq,
+       CAST(cnt AS BIGINT) AS cnt, sum_value
+FROM f WHERE rn % 50 = 0
+""")
+def sliding_count_windows(spark, sf_dir):
+    """Flink `countWindow(100, 50)` — the SLIDING count window
+    (`streaming.triggers.count_window_sliding_batch`, W4's overlapping
+    sibling: evictor keeps the last 100 elements, trigger fires every
+    50). One keyed sort-shuffle with a ROWS frame riding it; the frame
+    sum goes through DECIMAL(30,6) because sliding frames accumulate
+    RETRACTABLY and the float add/remove order differs across engines —
+    decimal is the only hashable form."""
+    from felixzh_flink_spark.streaming.triggers import (
+        count_window_sliding_batch)
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value",
+        F.col("ts").cast("timestamp").alias("ts"))
+    ordered = e.withColumn(
+        "_ord", F.struct(F.col("ts"), F.col("event_id")))
+    return count_window_sliding_batch(
+        ordered, "event_type", "value", 100, 50, "_ord",
+        decimal_exact=True)
+
+
 @q("quantiles_by_flag", """
 SELECT l_returnflag,
        quantile_cont(l_quantity, 0.5) AS median_qty,
@@ -5147,6 +5187,7 @@ _DRIVER_ORDER = [
     "sql_udf_price_tiers",          # new r4: typed SQL-standard UDF
     "pipe_syntax_order_stats",      # new r4: |> pipe-syntax parity
     # ---- position 50 boundary ----
+    "sliding_count_windows",        # new r4: Flink countWindow(size, slide)
     "pivot_order_status",
     "quantiles_by_flag",
     "argmax_order_per_segment",

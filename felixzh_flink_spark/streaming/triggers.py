@@ -293,3 +293,38 @@ def count_window_tws(df: DataFrame, key_col: str, value_col: str,
         outputMode="append",
         timeMode=time_mode,
     )
+
+
+def count_window_sliding_batch(df: DataFrame, key_col: str, value_col: str,
+                               size: int, slide: int, order_col: str,
+                               decimal_exact: bool = False) -> DataFrame:
+    """Flink `countWindow(size, slide)` — the SLIDING count window (W4's
+    overlapping sibling: CountEvictor keeps the last `size` elements,
+    CountTrigger fires every `slide`): per key, a window fires at every
+    `slide`-th element and aggregates the most recent `min(size, seen)`
+    elements. Batch analog (U4), deterministic given a unique
+    `order_col`. Returns (key, window_seq, cnt, sum_value).
+
+    One keyed sort-shuffle; the sliding frame is a ROWS BETWEEN window
+    riding it — O(size) state per frame, pure built-ins, no Python.
+    `decimal_exact` computes the frame sum in DECIMAL(30,6): sliding
+    frames use RETRACTABLE accumulation whose float order differs
+    between engines (Spark add/remove vs DuckDB segment tree), so only
+    the decimal path is oracle-hashable."""
+    from pyspark.sql import Window
+    w = Window.partitionBy(key_col).orderBy(order_col)
+    frame = w.rowsBetween(-(size - 1), Window.currentRow)
+    v = F.col(value_col).cast("decimal(30,6)") if decimal_exact \
+        else F.col(value_col).cast("double")
+    s = F.sum(v).over(frame)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_cnt", F.count("*").over(frame))
+        .withColumn("_sum", s.cast("double"))
+        .filter(F.col("_rn") % slide == 0)
+        .select(
+            F.col(key_col).alias("key"),
+            (F.col("_rn") / slide - 1).cast("bigint").alias("window_seq"),
+            F.col("_cnt").alias("cnt"),
+            F.col("_sum").alias("sum_value"))
+    )

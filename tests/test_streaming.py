@@ -226,3 +226,18 @@ def test_python_datasource_datagen_batch_and_stream(spark):
     # record budget honored exactly; stream rows == batch rows id-for-id
     assert set(got) == set(range(20))
     assert all(got[i] == rows[i] for i in range(20))
+
+
+def test_count_window_sliding_batch_overlap_and_partial_head(spark):
+    """countWindow(4, 2): fires every 2 elements over the last <=4 — the
+    head windows are partial (evictor hasn't filled), later ones overlap."""
+    from felixzh_flink_spark.streaming.triggers import (
+        count_window_sliding_batch)
+    rows = [("k", i, float(i)) for i in range(1, 9)]  # values 1..8
+    df = spark.createDataFrame(rows, "key string, ord long, v double")
+    got = sorted(
+        (r["window_seq"], r["cnt"], r["sum_value"])
+        for r in count_window_sliding_batch(df, "key", "v", 4, 2,
+                                            "ord").collect())
+    # fires at elements 2,4,6,8: windows [1,2], [1..4], [3..6], [5..8]
+    assert got == [(0, 2, 3.0), (1, 4, 10.0), (2, 4, 18.0), (3, 4, 26.0)]
