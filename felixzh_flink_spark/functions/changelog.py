@@ -360,7 +360,10 @@ def read_upsert_state(spark: SparkSession, state_dir: str,
     paths = [e["path"] for e in man["buckets"].values() if e.get("path")]
     if not paths:
         raise FileNotFoundError(f"no committed upsert state under {state_dir}")
-    return spark.read.parquet(*paths)
+    # mergeSchema: bucket epoch dirs written before a schema-evolution
+    # batch lack the newer columns — the union schema (footer-only cost)
+    # presents them as NULL, matching the sink's evolution contract
+    return spark.read.option("mergeSchema", "true").parquet(*paths)
 
 
 def changelog_upsert_sink(state_dir: str, pk: list[str], order_col: str = "ts_ms",
@@ -410,10 +413,16 @@ def changelog_upsert_sink(state_dir: str, pk: list[str], order_col: str = "ts_ms
                      if man["buckets"].get(str(b), {}).get("path")]
         merged = batch
         if old_paths:
-            old = (spark.read.parquet(*old_paths)
+            old = (spark.read.option("mergeSchema", "true").parquet(*old_paths)
                    .withColumn("op", F.lit(OP_INSERT))
                    .withColumn(_BUCKET_COL, _bucket_expr(pk, n_buckets)))
-            merged = old.unionByName(batch.select(*old.columns))
+            # SCHEMA EVOLUTION, both directions (the ALTER TABLE a CDC
+            # stream eventually delivers): a column new to the batch is
+            # ADDED to the state (old rows read NULL for it), a column
+            # the batch stopped sending survives from state (batch rows
+            # NULL) — silent select(old.columns) would drop new columns'
+            # data; a strict union would crash the stream on drift.
+            merged = old.unionByName(batch, allowMissingColumns=True)
         new_state = upsert_latest(merged, pk, order_col, keep_order_col=True)
         _commit_touched_buckets(state_dir, new_state, touched, epoch_id, man,
                                 retain)

@@ -776,3 +776,32 @@ def test_state_sinks_on_scheme_qualified_paths(spark, tmp_path):
     hdfs_cls = spark._jvm.org.apache.hadoop.fs.FileSystem.getFileSystemClass(
         "hdfs", spark._jsc.hadoopConfiguration())
     assert "DistributedFileSystem" in hdfs_cls.getName()
+
+
+def test_upsert_sink_schema_evolution_both_directions(spark, tmp_path):
+    """CDC schema drift: a column appearing mid-stream is added to the
+    state (old rows NULL), a column that disappears survives from state
+    — neither drops data nor crashes the stream."""
+    from felixzh_flink_spark.functions.changelog import (
+        changelog_upsert_sink, read_upsert_state)
+
+    state = str(tmp_path / "state")
+    sink = changelog_upsert_sink(state, ["id"], n_buckets=2)
+    sink(spark.createDataFrame(
+        [("+I", 1, 1, "a"), ("+I", 1, 2, "b")],
+        "op string, ts_ms long, id long, val string"), 0)
+    # batch 1 ADDS a column `tier` and updates id=2
+    sink(spark.createDataFrame(
+        [("+U", 2, 2, "b2", "gold"), ("+I", 2, 3, "c", "silver")],
+        "op string, ts_ms long, id long, val string, tier string"), 1)
+    got = {r["id"]: (r["val"], r["tier"])
+           for r in read_upsert_state(spark, state).collect()}
+    assert got == {1: ("a", None), 2: ("b2", "gold"), 3: ("c", "silver")}
+    # batch 2 STOPS sending `tier`: updated row's tier goes NULL (the
+    # newest version simply has no value), untouched rows keep theirs
+    sink(spark.createDataFrame(
+        [("+U", 3, 3, "c3")],
+        "op string, ts_ms long, id long, val string"), 2)
+    got = {r["id"]: (r["val"], r["tier"])
+           for r in read_upsert_state(spark, state).collect()}
+    assert got[3] == ("c3", None) and got[2] == ("b2", "gold")
