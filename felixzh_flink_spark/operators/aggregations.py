@@ -392,3 +392,30 @@ def time_spine_interpolate(series: DataFrame, ts_col: str, key_col: str,
         interp.alias(value_col),
         F.col("_obs").isNull().alias("filled"),
     )
+
+
+def rolling_time_agg(df: DataFrame, key_col: str, ts_col: str,
+                     value_col: str, width: str = "1 hour",
+                     decimal_exact: bool = True) -> DataFrame:
+    """Rolling time-window aggregate per key — `SUM/COUNT OVER (ORDER BY
+    ts RANGE BETWEEN INTERVAL width PRECEDING AND CURRENT ROW)`: every
+    event row annotated with the trailing-window count and sum (the
+    rate-limiter / rolling-KPI shape; unlike `sliding_window_agg`'s
+    fixed grid, the window ends AT each event). One keyed sort-shuffle;
+    the RANGE frame is O(window contents) state riding it.
+
+    `decimal_exact` (default) runs the sum in DECIMAL(30,6): RANGE
+    frames accumulate retractably, and retractable double add/remove
+    order differs across engines — decimal is the hashable form.
+
+    Interval frame bounds aren't expressible through the classic
+    `Window.rangeBetween` Python API (int bounds only), so the frame is
+    an `F.expr` window spec — same Catalyst plan either way."""
+    v_sql = (f"CAST(`{value_col}` AS DECIMAL(30,6))" if decimal_exact
+             else f"CAST(`{value_col}` AS DOUBLE)")
+    over = (f"OVER (PARTITION BY `{key_col}` ORDER BY `{ts_col}` "
+            f"RANGE BETWEEN INTERVAL {width} PRECEDING AND CURRENT ROW)")
+    return (df
+            .withColumn("n_win", F.expr(f"count(*) {over}"))
+            .withColumn("sum_win",
+                        F.expr(f"sum({v_sql}) {over}").cast("double")))

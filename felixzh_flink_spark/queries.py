@@ -845,6 +845,35 @@ def sliding_count_windows(spark, sf_dir):
         decimal_exact=True)
 
 
+@q("rolling_hour_user_value", """
+SELECT user_id, event_id,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_win,
+       CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE) AS sum_win
+FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+      FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+""")
+def rolling_hour_user_value(spark, sf_dir):
+    """Rolling trailing-hour aggregate per user
+    (`aggregations.rolling_time_agg` — RANGE BETWEEN INTERVAL frame):
+    every event annotated with its user's event count and decimal-exact
+    value sum over the preceding hour — the rate-limiter / rolling-KPI
+    shape where the window ends AT each event rather than on a fixed
+    grid. One keyed sort-shuffle. RANGE frames are TIE-INSENSITIVE
+    (every row with equal ts shares the same frame), so no tiebreak
+    column is needed for determinism — and offset RANGE frames require
+    a single ORDER BY expression in both engines anyway."""
+    from felixzh_flink_spark.operators.aggregations import rolling_time_agg
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value",
+        F.col("ts").cast("timestamp").alias("ts"))
+    out = rolling_time_agg(e, "user_id", "ts", "value", "1 hour")
+    return out.select("user_id", "event_id",
+                      F.col("n_win").cast("bigint").alias("n_win"),
+                      "sum_win")
+
+
 @q("quantiles_by_flag", """
 SELECT l_returnflag,
        quantile_cont(l_quantity, 0.5) AS median_qty,
@@ -5188,6 +5217,7 @@ _DRIVER_ORDER = [
     "pipe_syntax_order_stats",      # new r4: |> pipe-syntax parity
     # ---- position 50 boundary ----
     "sliding_count_windows",        # new r4: Flink countWindow(size, slide)
+    "rolling_hour_user_value",      # new r4: RANGE INTERVAL trailing window
     "pivot_order_status",
     "quantiles_by_flag",
     "argmax_order_per_segment",

@@ -189,3 +189,17 @@ def test_time_spine_subsecond_step_and_null_observation(spark):
             for r in time_spine_fill(
                 series, "ts", "k", "v", step="500 milliseconds").collect()}
     assert locf[500000] == (1.0, False)        # real NULL obs: carried, NOT filled
+
+
+def test_rolling_time_agg_trailing_window(spark):
+    from datetime import datetime, timedelta
+
+    from felixzh_flink_spark.operators.aggregations import rolling_time_agg
+    base = datetime(2024, 1, 1)
+    rows = [(1, base + timedelta(minutes=m), 1.0) for m in (0, 30, 50, 120)]
+    df = spark.createDataFrame(rows, "u long, ts timestamp, v double")
+    got = {r["ts"].minute + 60 * r["ts"].hour: (r["n_win"], r["sum_win"])
+           for r in rolling_time_agg(df, "u", "ts", "v", "1 hour").collect()}
+    # trailing [t-60min, t]: m=50 sees 0,30,50; m=120 sees only itself
+    # (the hour-old event at m=60 would count — RANGE bound is inclusive)
+    assert got == {0: (1, 1.0), 30: (2, 2.0), 50: (3, 3.0), 120: (1, 1.0)}
