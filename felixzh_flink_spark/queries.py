@@ -5155,11 +5155,16 @@ def cms_token_counts(spark, sf_dir):
 # 15 queries that had NEVER had a driver CORRECTNESS row in rounds 1-3,
 # the restructured label_centroids, the six assertion twins covering the
 # rows-only probes, every query whose code path changed this round, and
-# the 16 queries whose last hard driver check was round 1. Everything
-# past the boundary has a green row from an earlier round and was
-# re-verified this round by local tools/check_correctness.py sweeps
-# (full registry at sf0.001 and sf0.01, ALL PASS) — nothing in the
-# registry is unverified; the window prioritizes proof freshness.
+# r1-era queries whose last hard driver check was round 1, and the
+# round-4 additions that fit (recursive CTE, VARIANT, SQL UDF, pipe
+# syntax, Z-order key, CEP quantifier). The round-4 additions that did
+# NOT fit sit FIRST past the boundary (sliding_count_windows,
+# rolling_hour_user_value) with the rotated-out r1-era entries next —
+# lead round 5's window with those. Everything past the boundary has a
+# green row from an earlier round and/or was verified this round by
+# local tools/check_correctness.py sweeps (full registry at sf0.001,
+# sf0.01 and sf0.1, ALL PASS) — nothing in the registry is unverified;
+# the window prioritizes proof freshness.
 # =====================================================================
 
 _DRIVER_ORDER = [
