@@ -39,3 +39,49 @@ class SplitWordsUDTF:
 def register_python_udtfs(spark) -> None:
     """U1/U2 analog for table functions: make them SQL-callable."""
     spark.udtf.register("split_words_py", SplitWordsUDTF)
+    spark.udtf.register("event_runs_py", EventRunsUDTF)
+
+
+@udtf(returnType="user_id: bigint, event_type: string, run_start_ms: bigint, "
+                 "run_len: bigint")
+class EventRunsUDTF:
+    """POLYMORPHIC table-argument UDTF (Spark 4 `TABLE(t) PARTITION BY
+    ... ORDER BY ...`): per-user run-length encoding of the event-type
+    stream — one row per unbroken run of the same event type, with its
+    start time and length. The partition/order clause gives the UDTF the
+    per-key ordered-iteration contract Flink table functions get from
+    keyed streams: Spark shuffles by the PARTITION BY key and feeds each
+    partition's rows to ONE instance in ORDER BY order, so the state
+    here (current run) is O(1) and never sees interleaved users.
+
+    Expressions could do this too (gaps-and-islands, see
+    `cep.times_consecutive`) — this class exists as the general
+    mechanism demo for per-key ordered stateful logic that expressions
+    genuinely can't cover, with an oracle proving the islands parity."""
+
+    def __init__(self):
+        self._user = None
+        self._type = None
+        self._start = None
+        self._len = 0
+
+    def _flush(self):
+        if self._type is not None:
+            return (self._user, self._type, self._start, self._len)
+        return None
+
+    def eval(self, row):
+        u, t = row["user_id"], row["event_type"]
+        ms = row["ts_ms"]
+        if u != self._user or t != self._type:
+            out = self._flush()
+            self._user, self._type, self._start, self._len = u, t, ms, 1
+            if out is not None:
+                yield out
+        else:
+            self._len += 1
+
+    def terminate(self):
+        out = self._flush()
+        if out is not None:
+            yield out

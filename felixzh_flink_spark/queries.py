@@ -874,6 +874,49 @@ def rolling_hour_user_value(spark, sf_dir):
                       "sum_win")
 
 
+@q("event_runs_udtf", """
+WITH e AS (
+  SELECT user_id, event_type, event_id,
+         CAST(ts AS TIMESTAMP) AS ts,
+         epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms
+  FROM events
+), r AS (
+  SELECT *,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id, event_type ORDER BY ts, event_id) AS prn
+  FROM e
+)
+SELECT user_id, event_type,
+       CAST(MIN(ts_ms) AS BIGINT) AS run_start_ms,
+       CAST(COUNT(*) AS BIGINT) AS run_len
+FROM r GROUP BY user_id, event_type, rn - prn
+""")
+def event_runs_udtf(spark, sf_dir):
+    """POLYMORPHIC table-argument UDTF (Spark 4 `TABLE(t) PARTITION BY
+    ... ORDER BY ...` — `functions.python_udtf.EventRunsUDTF`): per-user
+    run-length encoding of the event-type stream via per-key ordered
+    stateful iteration, the general mechanism for logic expressions
+    can't cover (F2 upgraded from LATERAL scalar args to partitioned
+    table args). The oracle proves the runs equal the pure-SQL
+    gaps-and-islands construction — the Python path and the relational
+    path agree exactly."""
+    from felixzh_flink_spark.functions.python_udtf import (
+        register_python_udtfs)
+    register_python_udtfs(spark)
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"))
+    e.createOrReplaceTempView("_runs_events")
+    return spark.sql("""
+        SELECT user_id, event_type, run_start_ms, run_len
+        FROM event_runs_py(TABLE(_runs_events)
+                           PARTITION BY user_id ORDER BY (ts, event_id))
+    """)
+
+
 @q("quantiles_by_flag", """
 SELECT l_returnflag,
        quantile_cont(l_quantity, 0.5) AS median_qty,
@@ -5223,6 +5266,7 @@ _DRIVER_ORDER = [
     # ---- position 50 boundary ----
     "sliding_count_windows",        # new r4: Flink countWindow(size, slide)
     "rolling_hour_user_value",      # new r4: RANGE INTERVAL trailing window
+    "event_runs_udtf",              # new r4: polymorphic TABLE-arg UDTF
     "pivot_order_status",
     "quantiles_by_flag",
     "argmax_order_per_segment",

@@ -96,3 +96,27 @@ def test_assign_global_ids_contiguous_and_partition_invariant(spark):
     out2 = {(r["source"], r["doc_id"]): r["global_id"]
             for r in assign_global_ids(df.repartition(13), ["source", "doc_id"]).collect()}
     assert out2 == by_key
+
+
+def test_event_runs_udtf_partitioned_table_arg(spark):
+    """TABLE(t) PARTITION BY ... ORDER BY: per-key ordered stateful
+    iteration — runs never straddle users, order decides run breaks."""
+    from felixzh_flink_spark.functions.python_udtf import (
+        register_python_udtfs)
+    register_python_udtfs(spark)
+    rows = [
+        (1, 1, "a", 100), (1, 2, "a", 200), (1, 3, "b", 300),
+        (1, 4, "a", 400),
+        (2, 5, "a", 100),
+    ]
+    spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, ts_ms long"
+    ).createOrReplaceTempView("_rt")
+    got = sorted(
+        (r["user_id"], r["event_type"], r["run_start_ms"], r["run_len"])
+        for r in spark.sql("""
+            SELECT * FROM event_runs_py(
+              TABLE(_rt) PARTITION BY user_id ORDER BY (ts_ms, event_id))
+        """).collect())
+    assert got == [(1, "a", 100, 2), (1, "a", 400, 1), (1, "b", 300, 1),
+                   (2, "a", 100, 1)]
