@@ -98,3 +98,53 @@ def test_percentile_frame_matches_oracle_engine(spark, vals, ps):
         # and within float noise of Spark's own exact percentile
         assert math.isclose(g, b, rel_tol=1e-12, abs_tol=1e-12) \
             or (math.isnan(g) and math.isnan(b)), (vals, ps)
+
+
+# random token corpora with a PLANTED shared run long enough to hit the
+# winnowing guarantee threshold (k + w - 1 tokens with k=5, w=4)
+_tok = st.sampled_from("red blue lime teal gray pink cyan gold".split())
+_bg = st.lists(_tok, min_size=0, max_size=10)
+
+
+@given(a_pre=_bg, a_post=_bg, b_pre=_bg, b_post=_bg,
+       shared=st.lists(_tok, min_size=8, max_size=12))
+@SLOW
+def test_winnowing_shared_run_guarantee(spark, a_pre, a_post,
+                                        b_pre, b_post, shared):
+    """SIGMOD'03 guarantee: a verbatim shared run of >= k+w-1 tokens
+    forces at least one identical selected fingerprint in both docs —
+    for ANY surrounding context."""
+    mark = ["zig", "zag"]  # distinct separators so the run stays intact
+    a = " ".join(a_pre + mark + shared + mark + a_post)
+    b = " ".join(b_pre + ["quu"] + shared + ["qux"] + b_post)
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    fp = DD.winnow_fingerprints(df, k=5, w=4).collect()
+    h1 = {r["h"] for r in fp if r["id"] == 1}
+    h2 = {r["h"] for r in fp if r["id"] == 2}
+    assert h1 & h2, (a, b)
+
+
+@given(docs=st.lists(st.lists(_tok, min_size=1, max_size=20),
+                     min_size=2, max_size=6))
+@SLOW
+def test_cut_repeated_spans_conservation_laws(spark, docs):
+    """Cutting laws on random corpora: the cleaned text is a subsequence
+    of the original tokens, counts reconcile (kept = n_tokens - n_cut),
+    and docs without cross-doc spans pass through verbatim."""
+    rows = [(i, " ".join(t)) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           DD.cut_repeated_spans(df, w=4).collect()}
+    flagged = {r["doc_id"] for r in DD.repeated_span_stats(
+        df, w=4).select("doc_id").distinct().collect()} \
+        if DD.repeated_span_stats(df, w=4).count() else set()
+    for i, toks in enumerate(docs):
+        r = out[i]
+        kept = [t for t in r["clean_text"].split(" ") if t]
+        # subsequence check
+        it = iter(toks)
+        assert all(any(t == u for u in it) for t in kept), (toks, kept)
+        assert len(kept) == r["n_tokens"] - r["n_cut_tokens"]
+        if i not in flagged:
+            assert r["clean_text"] == " ".join(toks)
+            assert r["n_cut_tokens"] == 0
