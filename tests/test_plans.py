@@ -140,3 +140,62 @@ def test_time_partitioned_scan_prunes_directories(spark, tmp_path, sf_dir):
     expected = events.filter(
         "date_format(ts, 'yyyy-MM-dd') = '2024-01-02'").count()
     assert 0 < one_day.count() == expected
+
+
+def test_cep_times_consecutive_single_exchange(spark):
+    """Gaps-and-islands: the three window functions must all ride ONE
+    keyed exchange — a second Exchange means the island windows stopped
+    sharing the (key) sort."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from felixzh_flink_spark.operators.cep import times_consecutive
+    df = spark.createDataFrame(
+        [(1, 1, "e", dt.datetime(2024, 1, 1))],
+        "user_id long, event_id long, event_type string, ts timestamp")
+    plan = times_consecutive(
+        df, ["user_id"], "ts", F.col("event_type") == "e", 3,
+        within="1 hour", tiebreak=["event_id"]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+
+
+def test_rolling_time_agg_single_exchange(spark):
+    import datetime as dt
+
+    from felixzh_flink_spark.operators.aggregations import rolling_time_agg
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 1.0)], "u long, ts timestamp, v double")
+    plan = rolling_time_agg(df, "u", "ts", "v")._jdf \
+        .queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+
+
+def test_zorder_write_plan_is_range_partitioned(spark, tmp_path):
+    """write_zordered must produce a range exchange + in-partition sort
+    on the interleaved key (that is what makes every output file a tight
+    key-space hyper-rectangle)."""
+    from pyspark.sql import functions as F
+
+    from felixzh_flink_spark.operators.layout import range_bucket, zorder_value
+    df = spark.range(100).select(
+        F.col("id").alias("a"), (99 - F.col("id")).alias("b"))
+    z = zorder_value([range_bucket("a", 0, 99, 4),
+                      range_bucket("b", 0, 99, 4)], bits=4).alias("_z")
+    staged = (df.withColumn("_z", z)
+              .repartitionByRange(4, F.col("_z"))
+              .sortWithinPartitions("_z"))
+    plan = staged._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()
+    assert "Sort" in plan
+
+
+def test_recursive_cte_plans_iterative_union(spark):
+    from felixzh_flink_spark.operators.relational import recursive_hierarchy
+    nodes = spark.createDataFrame(
+        [(1, None, "a"), (2, 1, "b")], "id int, parent int, label string")
+    plan = recursive_hierarchy(spark, nodes, "id", "parent", "label") \
+        ._jdf.queryExecution().analyzed().toString()
+    # Spark plans WITH RECURSIVE as a union-loop operator
+    assert "UnionLoop" in plan or "CTERelation" in plan or "Recursion" in plan
