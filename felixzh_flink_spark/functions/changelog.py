@@ -796,3 +796,34 @@ def scd2_history(df: DataFrame, pk: list[str], ts_col: str,
         .withColumn("is_current", F.isnull(F.col("valid_to")))
         .select(*pk, *attr_cols, "valid_from", "valid_to", "is_current")
     )
+
+
+def temporal_join(fact: DataFrame, dim_history: DataFrame, keys: list[str],
+                  ts_col: str, valid_from: str = "valid_from",
+                  valid_to: str = "valid_to", how: str = "left") -> DataFrame:
+    """Temporal table join — Flink SQL's `FOR SYSTEM_TIME AS OF f.ts`
+    against a versioned table: each fact row picks the dimension VERSION
+    whose validity interval contains its event time (a row at exactly a
+    version boundary belongs to the NEW version — [from, to) intervals,
+    the SCD2 convention `scd2_history` emits). `how="left"` keeps facts
+    that predate the dimension's first version (NULL attributes), the
+    Flink temporal-join default.
+
+    Plan shape: keyed equi-join with the interval bound folded in as a
+    range residual — one shuffle per side on the key, the same band-join
+    planning as `cep.not_followed_by`. Each fact matches AT MOST ONE
+    version by construction (SCD2 intervals partition the timeline), so
+    no post-join dedup is needed — the interval exclusivity IS the
+    `FOR SYSTEM_TIME AS OF` uniqueness guarantee."""
+    f, d = fact.alias("f"), dim_history.alias("d")
+    cond = None
+    for k in keys:
+        c = F.col(f"f.{k}") == F.col(f"d.{k}")
+        cond = c if cond is None else (cond & c)
+    cond = cond & (F.col(f"f.{ts_col}") >= F.col(f"d.{valid_from}")) & (
+        F.col(f"d.{valid_to}").isNull()
+        | (F.col(f"f.{ts_col}") < F.col(f"d.{valid_to}")))
+    dim_cols = [c for c in dim_history.columns
+                if c not in set(keys) | {valid_from, valid_to}]
+    return f.join(d, cond, how).select(
+        "f.*", *[F.col(f"d.{c}").alias(c) for c in dim_cols])

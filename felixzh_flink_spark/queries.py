@@ -917,6 +917,54 @@ def event_runs_udtf(spark, sf_dir):
     """)
 
 
+@q("temporal_join_purchases", """
+WITH e AS (
+  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+  FROM events
+), nonp AS (
+  SELECT * FROM e WHERE event_type <> 'purchase'
+), flagged AS (
+  SELECT *,
+         (lag(event_type) OVER w IS DISTINCT FROM event_type)
+           OR lag(ts) OVER w IS NULL AS chg
+  FROM nonp WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), hist AS (
+  SELECT user_id, event_type AS state, ts AS valid_from,
+         lead(ts) OVER w2 AS valid_to
+  FROM flagged WHERE chg
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT p.user_id, p.event_id, p.ts, h.state
+FROM (SELECT user_id, event_id, ts FROM e
+      WHERE event_type = 'purchase') p
+LEFT JOIN hist h
+  ON h.user_id = p.user_id AND p.ts >= h.valid_from
+     AND (h.valid_to IS NULL OR p.ts < h.valid_to)
+""")
+def temporal_join_purchases(spark, sf_dir):
+    """Temporal table join (`changelog.temporal_join` — Flink SQL's
+    `FOR SYSTEM_TIME AS OF`): each purchase picks the user-state VERSION
+    (SCD2 interval over the non-purchase event stream) valid at its
+    event time — "what was the user doing when they bought". [from, to)
+    interval semantics, at-most-one version per fact by interval
+    exclusivity, left join keeps purchases before a user's first state.
+    Keyed equi-join with the interval as a range residual — one shuffle
+    per side, no post-join dedup."""
+    from felixzh_flink_spark.functions.changelog import (
+        scd2_history, temporal_join)
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type",
+        F.col("ts").cast("timestamp").alias("ts"))
+    hist = scd2_history(
+        e.filter(F.col("event_type") != "purchase"),
+        ["user_id"], "ts", ["event_type"], tiebreak=["event_id"]
+    ).select("user_id", F.col("event_type").alias("state"),
+             "valid_from", "valid_to")
+    purchases = e.filter(F.col("event_type") == "purchase") \
+        .select("user_id", "event_id", "ts")
+    return temporal_join(purchases, hist, ["user_id"], "ts")
+
+
 @q("quantiles_by_flag", """
 SELECT l_returnflag,
        quantile_cont(l_quantity, 0.5) AS median_qty,
@@ -5267,6 +5315,7 @@ _DRIVER_ORDER = [
     "sliding_count_windows",        # new r4: Flink countWindow(size, slide)
     "rolling_hour_user_value",      # new r4: RANGE INTERVAL trailing window
     "event_runs_udtf",              # new r4: polymorphic TABLE-arg UDTF
+    "temporal_join_purchases",      # new r4: FOR SYSTEM_TIME AS OF join
     "pivot_order_status",
     "quantiles_by_flag",
     "argmax_order_per_segment",

@@ -805,3 +805,28 @@ def test_upsert_sink_schema_evolution_both_directions(spark, tmp_path):
     got = {r["id"]: (r["val"], r["tier"])
            for r in read_upsert_state(spark, state).collect()}
     assert got[3] == ("c3", None) and got[2] == ("b2", "gold")
+
+
+def test_temporal_join_version_selection_and_boundaries(spark):
+    """FOR SYSTEM_TIME AS OF semantics: [from, to) boundary picks the NEW
+    version, facts before the first version survive with NULLs (left),
+    at most one version per fact."""
+    import datetime as dt
+
+    from felixzh_flink_spark.functions.changelog import temporal_join
+    h = lambda x: dt.datetime(2024, 1, 1, x)  # noqa: E731
+    hist = spark.createDataFrame(
+        [(1, "bronze", h(1), h(3)), (1, "gold", h(3), None)],
+        "user_id long, state string, valid_from timestamp, valid_to timestamp")
+    facts = spark.createDataFrame(
+        [(1, 10, h(0)),   # before first version -> NULL
+         (1, 11, h(2)),   # inside bronze
+         (1, 12, h(3)),   # boundary -> gold (new version)
+         (1, 13, h(9))],  # open interval -> gold
+        "user_id long, event_id long, ts timestamp")
+    out = {r["event_id"]: r["state"]
+           for r in temporal_join(facts, hist, ["user_id"], "ts").collect()}
+    assert out == {10: None, 11: "bronze", 12: "gold", 13: "gold"}
+    # inner mode drops the pre-history fact
+    inner = temporal_join(facts, hist, ["user_id"], "ts", how="inner")
+    assert {r["event_id"] for r in inner.collect()} == {11, 12, 13}
