@@ -5250,8 +5250,9 @@ def cms_token_counts(spark, sf_dir):
 # round-4 additions that fit (recursive CTE, VARIANT, SQL UDF, pipe
 # syntax, Z-order key, CEP quantifier). The round-4 additions that did
 # NOT fit sit FIRST past the boundary (sliding_count_windows,
-# rolling_hour_user_value) with the rotated-out r1-era entries next —
-# lead round 5's window with those. Everything past the boundary has a
+# rolling_hour_user_value, event_runs_udtf, temporal_join_purchases)
+# with the rotated-out r1-era entries next — lead round 5's window with
+# those. Everything past the boundary has a
 # green row from an earlier round and/or was verified this round by
 # local tools/check_correctness.py sweeps (full registry at sf0.001,
 # sf0.01 and sf0.1, ALL PASS) — nothing in the registry is unverified;
