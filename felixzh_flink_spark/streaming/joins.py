@@ -95,3 +95,36 @@ def dynamic_rules_filter(rules_path: str, on: list[str],
          .write.mode("append").parquet(out_path))
 
     return sink
+
+
+def enrich_with_upsert_state(state_dir: str, keys: list[str], out_path: str,
+                             how: str = "left"):
+    """STREAMING temporal join — Flink's processing-time temporal join
+    against a versioned table (`FOR SYSTEM_TIME AS OF proctime`): each
+    micro-batch left-joins the CURRENT version of the CDC-maintained
+    upsert state (`changelog.changelog_upsert_sink`'s output), i.e.
+    every fact is enriched with the dimension as of its processing
+    moment. The event-time variant — a fact picking a HISTORICAL
+    version — is the batch `changelog.temporal_join` over `scd2_history`
+    intervals; this is the low-latency enrichment shape (currency rates,
+    feature lookups) where Flink also reads "latest version at
+    processing time".
+
+    The state re-read per batch is the manifest's committed bucket set —
+    a metadata read + pruned parquet scan, not a stream replay; a
+    dimension update committed between two batches is visible to the
+    second, which is exactly the Flink semantics (no watermark
+    coordination with the dimension stream)."""
+    from felixzh_flink_spark.functions.changelog import read_upsert_state
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            dim = read_upsert_state(spark, state_dir)
+        except FileNotFoundError:
+            dim = None
+        out = batch_df if dim is None else batch_df.join(
+            F.broadcast(dim), keys, how)
+        out.write.mode("append").parquet(out_path)
+
+    return sink

@@ -928,3 +928,31 @@ def test_async_enrich_overlaps_lookups_and_preserves_contract(spark):
 
     with pytest.raises(Exception, match="boom"):
         async_enrich(df, failing, "id long, name string").collect()
+
+
+def test_streaming_temporal_enrichment_sees_state_as_of_batch(spark,
+                                                              tmp_path):
+    """Processing-time temporal join: a dimension update committed
+    between micro-batches is visible to the later batch only — each
+    fact reads the version current at ITS processing moment."""
+    from felixzh_flink_spark.functions.changelog import (
+        changelog_upsert_sink)
+    from felixzh_flink_spark.streaming.joins import enrich_with_upsert_state
+
+    state, out = str(tmp_path / "dim"), str(tmp_path / "out")
+    dim_sink = changelog_upsert_sink(state, ["cur"], n_buckets=2)
+    dim_sink(spark.createDataFrame(
+        [("+I", 1, "EUR", 1.10)], "op string, ts_ms long, cur string, rate double"), 0)
+
+    enrich = enrich_with_upsert_state(state, ["cur"], out)
+    facts = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "order_id long, cur string")
+    enrich(facts([(1, "EUR"), (2, "JPY")]), 0)   # JPY unknown -> NULL rate
+    dim_sink(spark.createDataFrame(
+        [("+U", 2, "EUR", 1.25), ("+I", 2, "JPY", 0.0065)],
+        "op string, ts_ms long, cur string, rate double"), 1)
+    enrich(facts([(3, "EUR"), (4, "JPY")]), 1)   # sees the NEW versions
+
+    got = {r["order_id"]: r["rate"]
+           for r in spark.read.parquet(out).collect()}
+    assert got == {1: 1.10, 2: None, 3: 1.25, 4: 0.0065}
