@@ -77,3 +77,47 @@ def write_zordered(df: DataFrame, path: str, bucketed: list[Column],
        .sortWithinPartitions("_z")
        .drop("_z")
        .write.mode(mode).parquet(path))
+
+
+def compact_parquet(spark, path: str, target_mb: int = 128,
+                    sort_by: list[str] | None = None) -> dict:
+    """Small-file compaction — the maintenance job every long-running
+    ingest needs (micro-batch sinks and per-epoch state writes shed
+    small files; at 100 TB the resulting open-cost dominates scans).
+    Rewrites `path` into ceil(total_bytes / target_mb) files, optionally
+    sorted (pair with `zorder_value` columns for clustered compaction),
+    and swaps the directory ATOMICALLY through the same Hadoop-FS
+    rename discipline as the state sinks (`functions/stateio`): write to
+    a sibling `_compact_tmp`, move the old dir aside, move the new one
+    in, drop the old — a crash before the final rename leaves either
+    the old or the new directory complete, never a mix.
+
+    Returns {"files_before", "files_after", "rows"} for the caller's
+    maintenance log."""
+    from felixzh_flink_spark.functions.stateio import state_fs
+
+    fs = state_fs(spark, path)
+    df = spark.read.parquet(path)
+    rows = df.count()
+    files_before = sum(
+        1 for f in fs.listdir(path) if f.endswith(".parquet"))
+    # size via the FS content summary (one namenode call, no file loop)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    total = jpath.getFileSystem(
+        spark._jsc.hadoopConfiguration()).getContentSummary(jpath).getLength()
+    n_files = max(1, -(-int(total) // (target_mb << 20)))
+    out = df.repartition(n_files)
+    if sort_by:
+        out = out.sortWithinPartitions(*sort_by)
+    tmp = path.rstrip("/") + "_compact_tmp"
+    old = path.rstrip("/") + "_compact_old"
+    fs.delete(tmp)
+    out.write.mode("overwrite").parquet(tmp)
+    fs.delete(old)
+    fs.rename(path, old)
+    fs.rename(tmp, path)
+    fs.delete(old)
+    files_after = sum(
+        1 for f in fs.listdir(path) if f.endswith(".parquet"))
+    return {"files_before": files_before, "files_after": files_after,
+            "rows": rows}

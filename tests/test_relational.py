@@ -201,3 +201,22 @@ def test_zorder_layout_tightens_file_stats(spark, tmp_path):
         plain_a, plain_b, z_a, z_b)
     # same rows survive the rewrite
     assert spark.read.parquet(zpath).count() == n
+
+
+def test_compact_parquet_merges_files_atomically(spark, tmp_path):
+    from felixzh_flink_spark.operators.layout import compact_parquet
+    path = str(tmp_path / "many")
+    # 32 tiny files
+    spark.range(10_000).repartition(32).write.parquet(path)
+    before = spark.read.parquet(path).count()
+    stats = compact_parquet(spark, path, target_mb=128)
+    assert stats["files_before"] == 32
+    assert stats["files_after"] == 1          # well under one target file
+    assert stats["rows"] == before == 10_000
+    after = spark.read.parquet(path)
+    assert after.count() == 10_000
+    assert sorted(r["id"] for r in after.collect()) == list(range(10_000))
+    # no tmp/old residue
+    import os
+    assert not os.path.exists(path + "_compact_tmp")
+    assert not os.path.exists(path + "_compact_old")
