@@ -119,3 +119,65 @@ def foreach_batch_bulk_sink(writer_factory: Callable[[], BufferedBulkWriter]):
             writer.close()
         batch_df.foreachPartition(per_partition)
     return sink
+
+
+@dataclass
+class DeadLetterBulkWriter(BufferedBulkWriter):
+    """DLQ variant of the buffered sink — the poison-record policy the
+    fail-fast latch can't offer: after a chunk exhausts its retries, the
+    failure is ISOLATED per record (each record retried alone through
+    `write_chunk`) and only the records that still fail are handed to
+    `dead_letter(record, error_str)` instead of tripping the latch; the
+    healthy majority of the chunk proceeds. The stream keeps running —
+    Flink users build this with a side output on the sink's failure
+    handler; ES users know it as the per-item bulk-response split.
+
+    One poison record therefore costs `max_retries` chunk attempts plus
+    one solo attempt per record of its chunk — bounded, and only on the
+    failure path. A `dead_letter` callback that itself raises trips the
+    ORIGINAL latch (losing failed records silently is never on the
+    menu). `dead_count` tallies routed records for the caller's
+    monitoring."""
+    dead_letter: Callable[[dict, str], None] = field(
+        default=lambda rec, err: None)
+
+    def __post_init__(self):
+        super().__post_init__()
+        self.dead_count = 0
+
+    def flush(self) -> None:
+        self._check_error()
+        if not self._buf:
+            self._last_flush = time.monotonic()
+            return
+        chunk, self._buf, self._buf_bytes = self._buf, [], 0
+        attempt = 0
+        while True:
+            try:
+                self.write_chunk(chunk)
+                written = len(chunk)
+                break
+            except Exception:  # noqa: BLE001 - retry, then isolate
+                attempt += 1
+                if attempt > self.policy.max_retries:
+                    written = self._isolate(chunk)
+                    break
+                time.sleep(self.policy.backoff_ms / 1000.0)
+        self.flush_count += 1
+        self.written += written
+        self._last_flush = time.monotonic()
+
+    def _isolate(self, chunk: list) -> int:
+        ok = 0
+        for rec in chunk:
+            try:
+                self.write_chunk([rec])
+                ok += 1
+            except Exception as exc:  # noqa: BLE001 - route to DLQ
+                try:
+                    self.dead_letter(rec, repr(exc))
+                    self.dead_count += 1
+                except Exception as dlq_exc:  # noqa: BLE001
+                    self._error = dlq_exc
+                    raise
+        return ok

@@ -205,3 +205,45 @@ def test_zorder_roundtrip_and_skippability(spark, tmp_path):
     # depending on how many jobs ran earlier in the session.
     zn_x = files_intersecting_box(zboxes, "x", "y", (0, 20), full)
     assert zn_x <= len(zboxes) * 2 // 3
+
+
+def test_dead_letter_writer_isolates_poison_records():
+    """DLQ contract: a poison record is retried, isolated, and routed to
+    the dead-letter callback; healthy records in the same chunk land; a
+    failing DLQ callback trips the latch instead of dropping data."""
+    import pytest
+
+    from felixzh_flink_spark.sinks.buffered import (
+        DeadLetterBulkWriter, FlushPolicy)
+
+    landed, dead = [], []
+
+    def bulk(chunk):
+        if any(r["id"] == 13 for r in chunk):
+            raise ValueError("poison id 13")
+        landed.extend(chunk)
+
+    w = DeadLetterBulkWriter(
+        write_chunk=bulk,
+        policy=FlushPolicy(max_actions=10, max_retries=1, backoff_ms=1),
+        dead_letter=lambda rec, err: dead.append((rec["id"], err)))
+    for i in range(20):
+        w.add({"id": i})
+    w.close()
+    assert sorted(r["id"] for r in landed) == [i for i in range(20) if i != 13]
+    assert [d[0] for d in dead] == [13] and "poison" in dead[0][1]
+    assert w.dead_count == 1 and w.written == 19
+
+    # a DLQ callback that raises must trip the latch, not lose the record
+    def bad_dlq(rec, err):
+        raise RuntimeError("dlq down")
+
+    w2 = DeadLetterBulkWriter(
+        write_chunk=bulk,
+        policy=FlushPolicy(max_actions=2, max_retries=0, backoff_ms=1),
+        dead_letter=bad_dlq)
+    w2.add({"id": 13})
+    with pytest.raises(RuntimeError, match="dlq down"):
+        w2.close()
+    with pytest.raises(RuntimeError, match="previously failed"):
+        w2.add({"id": 1})
