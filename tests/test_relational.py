@@ -220,3 +220,14 @@ def test_compact_parquet_merges_files_atomically(spark, tmp_path):
     import os
     assert not os.path.exists(path + "_compact_tmp")
     assert not os.path.exists(path + "_compact_old")
+
+
+def test_compact_parquet_on_scheme_qualified_path(spark, tmp_path):
+    """The compaction's directory swap rides StateFS — a file: URI path
+    must work end to end (same contract as the state sinks)."""
+    from felixzh_flink_spark.operators.layout import compact_parquet
+    path = "file:" + str(tmp_path / "uri_many")
+    spark.range(500).repartition(8).write.parquet(path)
+    stats = compact_parquet(spark, path, target_mb=64)
+    assert stats == {"files_before": 8, "files_after": 1, "rows": 500}
+    assert spark.read.parquet(path).count() == 500
