@@ -148,3 +148,48 @@ def test_cut_repeated_spans_conservation_laws(spark, docs):
         if i not in flagged:
             assert r["clean_text"] == " ".join(toks)
             assert r["n_cut_tokens"] == 0
+
+
+@given(events=st.lists(
+    st.tuples(st.integers(min_value=0, max_value=12),      # hour
+              st.sampled_from(["p", "x"])),                # pattern / other
+    min_size=1, max_size=14),
+    n=st.sampled_from([2, 3]),
+    within_h=st.sampled_from([2, 100]))
+@SLOW
+def test_times_consecutive_matches_brute_force(spark, events, n, within_h):
+    """Law: the gaps-and-islands times(n).consecutive().within() equals a
+    per-key linear scan for any event stream (ties broken by event id)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from felixzh_flink_spark.operators.cep import times_consecutive
+    base = dt.datetime(2024, 1, 1)
+    rows = [(1, i, et, base + dt.timedelta(hours=h))
+            for i, (h, et) in enumerate(events)]
+    # brute force: scan in (ts, event_id) order, track consecutive 'p' runs
+    expected = set()
+    run = []
+    for _, eid, et, ts in sorted(rows, key=lambda r: (r[3], r[1])):
+        if et == "p":
+            run.append((eid, ts))
+            if len(run) >= n:
+                start = run[-n][1]
+                if ts <= start + dt.timedelta(hours=within_h):
+                    expected.add((eid, len(run)))
+        else:
+            run = []
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, ts timestamp")
+    # compare (end timestamp, run_len) pairs — end-event ids are ambiguous
+    # through ts alone when hours repeat, timestamps are not
+    got_simple = sorted(
+        (r["match_end_ts"], r["run_len"])
+        for r in times_consecutive(
+            df, ["user_id"], "ts", F.col("event_type") == "p", n,
+            within=f"{within_h} hours", tiebreak=["event_id"]).collect())
+    exp_simple = sorted(
+        (next(ts for _, eid2, _, ts in rows if eid2 == eid), rl)
+        for eid, rl in expected)
+    assert got_simple == exp_simple
