@@ -193,3 +193,47 @@ def test_times_consecutive_matches_brute_force(spark, events, n, within_h):
         (next(ts for _, eid2, _, ts in rows if eid2 == eid), rl)
         for eid, rl in expected)
     assert got_simple == exp_simple
+
+
+@given(events=st.lists(st.tuples(st.integers(min_value=0, max_value=40),
+                                 st.integers(min_value=-5, max_value=5)),
+                       min_size=1, max_size=15))
+@SLOW
+def test_rolling_time_agg_matches_brute_force(spark, events):
+    """Law: the RANGE INTERVAL trailing window equals a per-row linear
+    scan over [t-width, t] for any (possibly tied) event times."""
+    import datetime as dt
+
+    from felixzh_flink_spark.operators.aggregations import rolling_time_agg
+    base = dt.datetime(2024, 1, 1)
+    rows = [(1, base + dt.timedelta(minutes=m), float(v))
+            for m, v in events]
+    df = spark.createDataFrame(rows, "u long, ts timestamp, v double")
+    width = dt.timedelta(minutes=10)
+    got = sorted((r["ts"], r["n_win"], r["sum_win"])
+                 for r in rolling_time_agg(df, "u", "ts", "v",
+                                           "10 minutes").collect())
+    exp = sorted(
+        (ts, sum(1 for _, t2, _ in rows if ts - width <= t2 <= ts),
+         float(sum(v2 for _, t2, v2 in rows if ts - width <= t2 <= ts)))
+        for _, ts, _ in rows)
+    assert got == exp
+
+
+@given(vals=st.lists(st.integers(min_value=-3, max_value=3),
+                     min_size=1, max_size=20),
+       size=st.sampled_from([2, 4]), slide=st.sampled_from([1, 3]))
+@SLOW
+def test_sliding_count_window_matches_brute_force(spark, vals, size, slide):
+    from felixzh_flink_spark.streaming.triggers import (
+        count_window_sliding_batch)
+    rows = [("k", i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "key string, ord long, v double")
+    got = sorted((r["window_seq"], r["cnt"], r["sum_value"])
+                 for r in count_window_sliding_batch(
+                     df, "key", "v", size, slide, "ord").collect())
+    exp = []
+    for rn in range(slide, len(vals) + 1, slide):
+        frame = vals[max(0, rn - size):rn]
+        exp.append((rn // slide - 1, len(frame), float(sum(frame))))
+    assert got == sorted(exp)
