@@ -237,3 +237,50 @@ def test_sliding_count_window_matches_brute_force(spark, vals, size, slide):
         frame = vals[max(0, rn - size):rn]
         exp.append((rn // slide - 1, len(frame), float(sum(frame))))
     assert got == sorted(exp)
+
+
+@given(parents=st.lists(st.integers(min_value=0, max_value=6),
+                        min_size=1, max_size=10))
+@SLOW
+def test_recursive_hierarchy_matches_bfs(spark, parents):
+    """Law: WITH RECURSIVE expansion equals a driver-side BFS for any
+    forest (node i's parent is drawn from earlier nodes, so the relation
+    is acyclic by construction; node 0 is always a root)."""
+    from felixzh_flink_spark.operators.relational import recursive_hierarchy
+    nodes = [(0, None, "n0")]
+    for i, p in enumerate(parents, start=1):
+        nodes.append((i, min(p, i - 1), f"n{i}"))
+    df = spark.createDataFrame(nodes, "id int, parent int, label string")
+    got = {r["id"]: (r["depth"], r["path"])
+           for r in recursive_hierarchy(spark, df, "id", "parent",
+                                        "label").collect()}
+    exp = {}
+    frontier = [(i, 0, lbl) for i, p, lbl in nodes if p is None]
+    while frontier:
+        nid, d, path = frontier.pop()
+        exp[nid] = (d, path)
+        for i, p, lbl in nodes:
+            if p == nid:
+                frontier.append((i, d + 1, f"{path}/{lbl}"))
+    assert got == exp
+
+
+@given(xs=st.lists(st.tuples(st.integers(min_value=0, max_value=255),
+                             st.integers(min_value=0, max_value=255)),
+                   min_size=1, max_size=10))
+@SLOW
+def test_zorder_value_matches_python_interleave(spark, xs):
+    from pyspark.sql import functions as F
+
+    from felixzh_flink_spark.operators.layout import zorder_value
+    df = spark.createDataFrame(xs, "a long, b long")
+    got = [r["z"] for r in df.select(
+        zorder_value([F.col("a"), F.col("b")], bits=8).alias("z")).collect()]
+
+    def ref(a, b):
+        z = 0
+        for bit in range(8):
+            z |= ((a >> bit) & 1) << (2 * bit)
+            z |= ((b >> bit) & 1) << (2 * bit + 1)
+        return z
+    assert sorted(got) == sorted(ref(a, b) for a, b in xs)
