@@ -77,9 +77,18 @@ class StateFS:
         """Recursive delete, quiet if absent (shutil.rmtree analog)."""
         self._fs.delete(self._p(path), True)
 
-    def rename(self, src: str, dst: str) -> bool:
-        """No-overwrite move; False if dst exists (FileSystem.rename)."""
-        return bool(self._fs.rename(self._p(src), self._p(dst)))
+    def rename(self, src: str, dst: str) -> None:
+        """No-overwrite move. Hadoop ``FileSystem.rename`` signals
+        failure by returning **False** (dst exists, src missing, cross-FS
+        move...) rather than raising like ``os.rename`` — on HDFS/S3A a
+        silently-ignored False would let a caller commit a manifest that
+        points at a directory the move never produced. Raise instead, so
+        every commit path (changelog epoch move, compaction swap) aborts
+        BEFORE its commit point."""
+        if not self._fs.rename(self._p(src), self._p(dst)):
+            raise IOError(
+                f"FileSystem.rename({src!r} -> {dst!r}) returned false "
+                "(dst exists, src missing, or FS refused the move)")
 
     def read_text(self, path: str) -> str:
         ins = self._fs.open(self._p(path))

@@ -156,29 +156,29 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     it only on minhash-LSH candidates (see `minhash_lsh_candidates`) — this
     exact version is the verifier, not the scanner.
     """
-    # eagerly localCheckpointed: feeds sizes + both self-join sides from
-    # one materialization, and the ContextCleaner reclaims the RDD storage
-    # once the result frame is unreachable (no CacheManager pinning —
-    # bench/driver loops don't grow storage)
-    sh = shingles(df, text_col, id_col, n).localCheckpoint(eager=True)
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    # set sizes ride each shingle row via a per-id window instead of a
+    # separate sizes table: the self-join then carries n_a/n_b through
+    # the pair aggregation (min over a group where they're constant), so
+    # no post-join size lookups and — because the two join inputs are the
+    # IDENTICAL subtree shuffled on the identical key — ReuseExchange
+    # evaluates the shingle stream once. This replaced round 3/4's
+    # eager localCheckpoint: the materialization was real execution
+    # billed to driver/plan time and pinned the shingle stream in block-
+    # manager storage; the window form is fully lazy and one extra keyed
+    # shuffle (by id) that is a fraction of the join shuffle it feeds.
+    sh = shingles(df, text_col, id_col, n).withColumn(
+        "n_sh", F.count("*").over(Window.partitionBy("id")))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("n_inter"))
+        .agg(F.count("*").alias("n_inter"),
+             F.min("a.n_sh").alias("n_a"),
+             F.min("b.n_sh").alias("n_b"))
     )
-    # per-doc size table: one row per doc — small when this runs as the
-    # verifier on an LSH-candidate slice, UNBOUNDED when called on a whole
-    # corpus, so no broadcast hint: AQE broadcasts it at runtime when it
-    # measures small and falls back to a shuffle join when it doesn't
-    # (a forced broadcast would OOM the driver on the corpus-wide call)
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
-        inter.join(sa, "id_a").join(sb, "id_b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.col("n_inter").cast("double")
             / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),

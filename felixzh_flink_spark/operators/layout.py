@@ -86,17 +86,36 @@ def compact_parquet(spark, path: str, target_mb: int = 128,
     small files; at 100 TB the resulting open-cost dominates scans).
     Rewrites `path` into ceil(total_bytes / target_mb) files, optionally
     sorted (pair with `zorder_value` columns for clustered compaction),
-    and swaps the directory ATOMICALLY through the same Hadoop-FS
-    rename discipline as the state sinks (`functions/stateio`): write to
-    a sibling `_compact_tmp`, move the old dir aside, move the new one
-    in, drop the old — a crash before the final rename leaves either
-    the old or the new directory complete, never a mix.
+    and swaps the directory through the same Hadoop-FS rename discipline
+    as the state sinks (`functions/stateio`): write to a sibling
+    `_compact_tmp`, move the old dir aside to `_compact_old`, move the
+    new one in, drop the old. The swap is two renames, NOT one atomic
+    operation: a crash between them leaves `path` absent with the
+    complete old data parked at `_compact_old` — the next invocation
+    detects that state and rolls the old directory back before
+    compacting (no reader ever sees a MIX of old and new files, but a
+    reader in the crash window sees a missing path until recovery runs).
+    Both renames raise on failure (`StateFS.rename` checks Hadoop's
+    boolean), so a refused move aborts with the table intact instead of
+    reporting success.
 
     Returns {"files_before", "files_after", "rows"} for the caller's
     maintenance log."""
     from felixzh_flink_spark.functions.stateio import state_fs
 
     fs = state_fs(spark, path)
+    tmp = path.rstrip("/") + "_compact_tmp"
+    old = path.rstrip("/") + "_compact_old"
+    # crash recovery from a previous invocation:
+    #  - old exists, path missing  -> died between the two renames: the
+    #    parked directory IS the table; roll it back.
+    #  - old exists, path exists   -> died after the swap, before the
+    #    cleanup delete: the parked directory is superseded; drop it.
+    if fs.exists(old):
+        if not fs.exists(path):
+            fs.rename(old, path)
+        else:
+            fs.delete(old)
     df = spark.read.parquet(path)
     rows = df.count()
     files_before = sum(
@@ -109,8 +128,6 @@ def compact_parquet(spark, path: str, target_mb: int = 128,
     out = df.repartition(n_files)
     if sort_by:
         out = out.sortWithinPartitions(*sort_by)
-    tmp = path.rstrip("/") + "_compact_tmp"
-    old = path.rstrip("/") + "_compact_old"
     fs.delete(tmp)
     out.write.mode("overwrite").parquet(tmp)
     fs.delete(old)

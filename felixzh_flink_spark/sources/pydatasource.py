@@ -105,6 +105,14 @@ class _DatagenStreamReader(DataSourceStreamReader):
         return {"next": self._current}
 
     def partitions(self, start: dict, end: dict):
+        # Restart resync: after a checkpoint restore this reader is a
+        # FRESH instance (_current = 0) while `start` carries the
+        # committed offset — without a fast-forward, latestOffset()
+        # would regress below the committed start (offset-monotonicity
+        # violation in stricter engine versions) and the source would
+        # emit empty batches until _current caught up. Ratchet the
+        # cursor to every offset the engine shows us.
+        self._current = max(self._current, start["next"], end["next"])
         lo, hi = start["next"], end["next"]
         if hi <= lo:
             return [_RangePartition(lo, lo)]

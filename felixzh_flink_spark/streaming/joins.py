@@ -98,7 +98,7 @@ def dynamic_rules_filter(rules_path: str, on: list[str],
 
 
 def enrich_with_upsert_state(state_dir: str, keys: list[str], out_path: str,
-                             how: str = "left"):
+                             how: str = "left", broadcast_dim: bool = True):
     """STREAMING temporal join — Flink's processing-time temporal join
     against a versioned table (`FOR SYSTEM_TIME AS OF proctime`): each
     micro-batch left-joins the CURRENT version of the CDC-maintained
@@ -114,7 +114,13 @@ def enrich_with_upsert_state(state_dir: str, keys: list[str], out_path: str,
     a metadata read + pruned parquet scan, not a stream replay; a
     dimension update committed between two batches is visible to the
     second, which is exactly the Flink semantics (no watermark
-    coordination with the dimension stream)."""
+    coordination with the dimension stream).
+
+    `broadcast_dim=True` (default) hints a broadcast join — right for
+    lookup-table-sized state. A CDC state that has grown past the
+    broadcast cap (10s of GB of upsert history) would OOM the driver
+    under a forced broadcast; pass `broadcast_dim=False` to fall back
+    to a shuffle join on `keys` (mirrors `enrich_with_dim`)."""
     from felixzh_flink_spark.functions.changelog import read_upsert_state
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
@@ -123,8 +129,9 @@ def enrich_with_upsert_state(state_dir: str, keys: list[str], out_path: str,
             dim = read_upsert_state(spark, state_dir)
         except FileNotFoundError:
             dim = None
-        out = batch_df if dim is None else batch_df.join(
-            F.broadcast(dim), keys, how)
+        if dim is not None and broadcast_dim:
+            dim = F.broadcast(dim)
+        out = batch_df if dim is None else batch_df.join(dim, keys, how)
         out.write.mode("append").parquet(out_path)
 
     return sink
