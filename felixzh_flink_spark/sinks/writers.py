@@ -177,3 +177,95 @@ def read_exactly_once_output(spark, path: str) -> DataFrame:
         raise FileNotFoundError(f"no committed batches under {path}")
     return spark.read.parquet(
         *[f"{path}/batch_id={i}" for i in ids])
+
+
+def keyed_eos_batch_writer(topic: str, *, key_cols: list[str] | None = None,
+                           value_col: str = "value",
+                           bootstrap_servers: str | None = None,
+                           producer_factory=None):
+    """foreachBatch hook implementing the Kafka EFFECTIVE exactly-once
+    contract (the K1 delta vs Flink's transactional
+    DeliveryGuarantee.EXACTLY_ONCE, Kafka2Kafka.java:45-46 — Spark's
+    Kafka producer is at-least-once, period; what CAN be guaranteed is
+    that every re-delivery is byte-identical and consumer-dedupable):
+
+    - every record is produced with key = ``topic/batchId/<identity>``
+      where <identity> is the row's `key_cols` values, or — when no
+      natural key exists — md5(value) plus a deterministic per-value
+      occurrence index (so duplicate logical rows keep their
+      multiplicity under dedup);
+    - the key derives ONLY from row content + batchId (no rand, no
+      timestamps), and Structured Streaming replays a failed micro-batch
+      with the SAME batchId and the SAME rows — so a crash/replay
+      produces duplicates that agree on (key, value) byte-for-byte.
+
+    Consumer-side contract (documented in README): dedup on the record
+    key — a compacted topic, an upsert-materializing consumer, or a
+    `dropDuplicates("key")` stream all see exactly-once. This is the
+    same contract Kafka idempotent producers give WITHIN a session,
+    extended across restarts via the batchId.
+
+    `producer_factory` (per-PARTITION factory → object with
+    send(topic, key, value) + flush()) exists for tests and for custom
+    clients; without it, records go through Spark's built-in kafka
+    batch writer (distributed, no driver round-trip).
+    """
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+        prefix = f"{topic}/{batch_id}/"
+        if key_cols:
+            ident = F.concat_ws(
+                "\x01", *[F.col(c).cast("string") for c in key_cols])
+            keyed = batch_df.select(
+                F.concat(F.lit(prefix), ident).alias("key"),
+                F.col(value_col).cast("string").alias("value"))
+        else:
+            # identity = content hash + occurrence index: duplicates of
+            # the same value get distinct, DETERMINISTIC keys (ordering
+            # within a tie group is irrelevant — the values are equal)
+            w = Window.partitionBy("value").orderBy("value")
+            keyed = (batch_df
+                     .select(F.col(value_col).cast("string").alias("value"))
+                     .withColumn("_occ", F.row_number().over(w))
+                     .select(F.concat(F.lit(prefix), F.md5("value"),
+                                      F.lit("/"), F.col("_occ")).alias("key"),
+                             "value"))
+        if producer_factory is None:
+            if not bootstrap_servers:
+                raise ValueError(
+                    "bootstrap_servers required without producer_factory")
+            (keyed.write.format("kafka")
+             .option("kafka.bootstrap.servers", bootstrap_servers)
+             .option("topic", topic).save())
+        else:
+            factory = producer_factory
+
+            def send_partition(rows):
+                p = factory()
+                for r in rows:
+                    p.send(topic, r["key"], r["value"])
+                p.flush()
+
+            keyed.foreachPartition(send_partition)
+
+    return write_batch
+
+
+def keyed_eos_kafka_sink(df: DataFrame, topic: str, *,
+                         checkpoint_location: str,
+                         key_cols: list[str] | None = None,
+                         value_col: str = "value",
+                         bootstrap_servers: str | None = None,
+                         producer_factory=None) -> StreamingQuery:
+    """K1 with the effective-exactly-once key contract — see
+    `keyed_eos_batch_writer` for the guarantee and the consumer-side
+    dedup contract. The checkpointLocation is load-bearing: it is what
+    makes a replayed batch re-run with the same batchId + rows."""
+    return (
+        df.writeStream.foreachBatch(keyed_eos_batch_writer(
+            topic, key_cols=key_cols, value_col=value_col,
+            bootstrap_servers=bootstrap_servers,
+            producer_factory=producer_factory))
+        .option("checkpointLocation", checkpoint_location)
+        .start()
+    )

@@ -1,0 +1,136 @@
+"""Kafka effective-exactly-once key contract (VERDICT-r4 item 4).
+
+No broker exists in this sandbox, so the producer is a file-backed fake
+whose send() appends JSON lines from EXECUTOR processes (foreachPartition
+runs in Python workers — in-memory fakes would silently record nothing).
+The tests drive the `keyed_eos_batch_writer` foreachBatch hook directly
+through the failure modes Structured Streaming's replay contract
+produces: clean replay of a committed batch, crash mid-batch then
+retry, and multiplicity of duplicate logical rows.
+"""
+
+import json
+import os
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from felixzh_flink_spark.sinks.writers import keyed_eos_batch_writer
+
+
+def _read_sends(root):
+    recs = []
+    for f in os.listdir(root):
+        if f.startswith("sends-"):
+            with open(os.path.join(root, f)) as fh:
+                recs += [json.loads(l) for l in fh if l.strip()]
+    return recs
+
+
+def _factory(root, fail_after=None):
+    """File-backed fake producer: send() buffers JSON lines, flush()
+    writes them to a unique file under `root` — works across the
+    executor Python-worker processes foreachPartition runs in (the
+    producer class is defined INSIDE the factory so cloudpickle ships
+    it by value; a test-module-level class would hit
+    ModuleNotFoundError on workers). Records EVERY send, duplicates
+    included, so tests assert on the raw at-least-once stream."""
+    def make():
+        import json as _json
+        import os as _os
+        import uuid as _uuid
+
+        class FileProducer:
+            def __init__(self):
+                self.lines = []
+
+            def send(self, topic, key, value):
+                if fail_after is not None and len(self.lines) >= fail_after:
+                    raise RuntimeError("injected producer crash")
+                self.lines.append(_json.dumps(
+                    {"topic": topic, "key": key, "value": value}))
+
+            def flush(self):
+                path = _os.path.join(
+                    root, f"sends-{_uuid.uuid4().hex}.jsonl")
+                with open(path, "w") as fh:
+                    fh.write("\n".join(self.lines) + "\n")
+                self.lines = []
+
+        return FileProducer()
+    return make
+
+
+@pytest.fixture()
+def batch(spark):
+    return spark.range(20).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("v"), F.col("id")).alias("value"))
+
+
+def test_replay_emits_identical_keys_and_values(spark, tmp_path, batch):
+    """A replayed batch (same batchId, same rows — the Structured
+    Streaming replay contract) must produce byte-identical (key, value)
+    pairs, so consumer-side key dedup yields exactly-once."""
+    root = str(tmp_path)
+    write = keyed_eos_batch_writer(
+        "orders", key_cols=["k"], producer_factory=_factory(root))
+    write(batch, 7)
+    write(batch, 7)   # replay after a commit-then-crash
+    sends = _read_sends(root)
+    assert len(sends) == 40                      # at-least-once: dupes exist
+    by_key = {}
+    for r in sends:
+        by_key.setdefault(r["key"], set()).add(r["value"])
+    assert len(by_key) == 20                     # dedup-by-key → exactly-once
+    assert all(len(v) == 1 for v in by_key.values())  # replicas identical
+    assert all(k.startswith("orders/7/") for k in by_key)
+
+
+def test_crash_mid_batch_then_retry_converges(spark, tmp_path, batch):
+    """Producer dies partway through the batch; the retry (same batchId)
+    re-produces everything — the union still dedups to the logical rows."""
+    root = str(tmp_path)
+    # one partition so the crash is deterministic: the producer dies
+    # after 3 sends, leaving a genuinely partial at-least-once stream
+    crashing = keyed_eos_batch_writer(
+        "orders", key_cols=["k"], producer_factory=_factory(root, 3))
+    with pytest.raises(Exception):
+        crashing(batch.coalesce(1), 3)
+    ok = keyed_eos_batch_writer(
+        "orders", key_cols=["k"], producer_factory=_factory(root))
+    ok(batch, 3)
+    by_key = {}
+    for r in _read_sends(root):
+        by_key.setdefault(r["key"], set()).add(r["value"])
+    assert len(by_key) == 20
+    assert all(len(v) == 1 for v in by_key.values())
+
+
+def test_keyless_mode_preserves_duplicate_multiplicity(spark, tmp_path):
+    """Without a natural key, identity = md5(value) + occurrence index:
+    two copies of the same logical value survive consumer dedup as TWO
+    records, and a replay still converges to exactly those."""
+    root = str(tmp_path)
+    dup = spark.createDataFrame(
+        [("a",), ("a",), ("b",)], "value: string")
+    write = keyed_eos_batch_writer("t", producer_factory=_factory(root))
+    write(dup, 0)
+    write(dup, 0)    # replay
+    by_key = {}
+    for r in _read_sends(root):
+        by_key.setdefault(r["key"], set()).add(r["value"])
+    assert len(by_key) == 3                       # a×2 + b — multiplicity kept
+    assert sorted(v for vs in by_key.values() for v in vs) == ["a", "a", "b"]
+    assert all(len(v) == 1 for v in by_key.values())
+
+
+def test_distinct_batch_ids_never_collide(spark, tmp_path, batch):
+    root = str(tmp_path)
+    write = keyed_eos_batch_writer(
+        "t", key_cols=["k"], producer_factory=_factory(root))
+    write(batch, 1)
+    write(batch, 2)   # a DIFFERENT batch re-emitting the same rows is new data
+    keys = {r["key"] for r in _read_sends(root)}
+    assert len(keys) == 40
