@@ -105,6 +105,10 @@ HEADLINE = [
     "pipe_syntax_order_stats",
     "zorder_key_lineitem",
     "cep_times_consecutive",
+    # round 5: deliberately skewed hot-key join (salted path) and the
+    # real PNG pixel decode (pure-Python kernel inside mapInPandas)
+    "skewed_supplier_revenue",
+    "png_decode_stats",
 ]
 
 

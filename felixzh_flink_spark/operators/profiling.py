@@ -471,6 +471,42 @@ def exact_percentiles_frame(df: DataFrame, col: str, ps: list[float],
     return ranked.filter(F.expr(keep)).agg(F.expr(agg).alias(alias))
 
 
+def percentiles_frame(df: DataFrame, col: str, ps: list[float],
+                      alias: str = "q", approx: bool = False,
+                      accuracy: int = 10000) -> DataFrame:
+    """Dispatching front door for the 1-row percentile frame: exact
+    (`exact_percentiles_frame` — two-phase range-partitioned order
+    statistics, bit-matches DuckDB quantile_cont) or approx
+    (`approx_percentile`, a mergeable t-digest-style sketch: one
+    map-side-combined aggregate, no range repartition, no per-partition
+    sort). The approx path is the right default once the column stops
+    fitting a single sort comfortably — at 100 TB the exact path's
+    rank machinery works but costs a full shuffle+sort of the column,
+    while the sketch is one pass; callers keep exact=default here
+    because the correctness oracles contract bit-exact quantile_cont
+    parity, and flip approx=True from their own scale knob (see the
+    psi/winsorize registry queries, which switch on sf ≥ 1)."""
+    if approx:
+        arr = ", ".join(repr(float(p)) + "D" for p in ps)
+        return df.agg(
+            F.expr(f"approx_percentile({col}, array({arr}), {accuracy})")
+            .cast("array<double>").alias(alias))
+    return exact_percentiles_frame(df, col, ps, alias)
+
+
+def psi_drift(ref: DataFrame, cur: DataFrame, col: str,
+              qs: "list[float] | None" = None, eps: float = 1e-6,
+              approx: bool = False) -> DataFrame:
+    """Derive-edges-then-PSI in one lazy plan: bin edges come from the
+    REFERENCE side's own percentiles (`percentiles_frame` — exact by
+    default for oracle parity, approx=True for the sketch path at
+    scale), broadcast into `psi_report`'s bin ladders. The whole drift
+    monitor stays a single job either way."""
+    qs = qs or [0.25, 0.5, 0.75]
+    edges = percentiles_frame(ref, col, qs, approx=approx)
+    return psi_report(ref, cur, col, edges, eps=eps, n_edges=len(qs))
+
+
 def winsorize(df: DataFrame, col: str, p_low: float = 0.01,
               p_high: float = 0.99, approx: bool = False) -> DataFrame:
     """Winsorize a numeric column: clamp values outside the [p_low,

@@ -79,6 +79,17 @@ def _t_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spread_if_narrow(load_table(spark, sf_dir, name))
 
 
+def _sf_of(sf_dir: str) -> float:
+    """Scale factor parsed from the test-data dir name (…/sf0.1) — the
+    scale knob queries use to pick exact-vs-sketch algorithm variants
+    (exact below sf 1 where the oracles run; mergeable approximations
+    at and above it). Unparseable dirs count as large."""
+    try:
+        return float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        return float("inf")
+
+
 def _ms(col: str):
     """epoch millis from a TIMESTAMP_NTZ column (cast through session-UTC)."""
     return F.unix_millis(F.col(col).cast("timestamp"))
@@ -5057,11 +5068,13 @@ def winsorized_price_stats(spark, sf_dir):
     its [p01, p99] band. Spark's exact `percentile` and DuckDB's
     `quantile_cont` share the rank = p·(n−1) interpolation formula
     bit-for-bit (verified), so the clamped decimal-exact sum and fence
-    values hash-match. At 100 TB pass approx=True (t-digest-style
-    `approx_percentile`, same plan shape)."""
+    values hash-match. Scale switch: at sf ≥ 1 the fences come from the
+    mergeable t-digest-style `approx_percentile` (same clamp, same plan
+    shape, one map-combined pass) — exact below, where the oracle runs
+    and contracts bit parity."""
     from felixzh_flink_spark.operators.profiling import winsorize
     l = _t(spark, sf_dir, "lineitem")
-    w = winsorize(l, "l_extendedprice")
+    w = winsorize(l, "l_extendedprice", approx=_sf_of(sf_dir) >= 1)
     return w.agg(
         F.sum(F.when(F.col("l_extendedprice_clamped") == -1, 1)
               .otherwise(0)).cast("bigint").alias("n_low"),
@@ -5109,19 +5122,21 @@ def psi_price_drift(spark, sf_dir):
     drift terms between the even- and odd-orderkey halves of lineitem
     over the reference half's quartile edges — the production drift
     monitor, per-bin so the WHERE of the shift is visible. Edges come
-    from the LAZY `exact_percentiles_frame` (bit-exact quantile_cont
-    parity), broadcast into the bin ladders — derive-edges + bin + PSI
-    is one job, no driver round-trip; term arithmetic is the identical
-    double expression on both sides."""
-    from felixzh_flink_spark.operators.profiling import (
-        exact_percentiles_frame, psi_report)
+    from the reference half's quartiles via `profiling.psi_drift` —
+    derive-edges + bin + PSI is one job, no driver round-trip; term
+    arithmetic is the identical double expression on both sides. Scale
+    switch: below sf 1 (where the oracle contracts bit-exact
+    quantile_cont parity) edges use the exact two-phase rank machinery;
+    at sf ≥ 1 the mergeable approx_percentile sketch takes over (one
+    map-combined pass instead of a full column shuffle+sort — drift
+    bins don't need exact fences at 100 TB)."""
+    from felixzh_flink_spark.operators.profiling import psi_drift
     l = _t(spark, sf_dir, "lineitem")
     ref = l.filter(F.col("l_orderkey") % 2 == 0) \
         .select(F.col("l_extendedprice").alias("v"))
     cur = l.filter(F.col("l_orderkey") % 2 == 1) \
         .select(F.col("l_extendedprice").alias("v"))
-    edges = exact_percentiles_frame(ref, "v", [0.25, 0.5, 0.75])
-    return psi_report(ref, cur, "v", edges, n_edges=3).select(
+    return psi_drift(ref, cur, "v", approx=_sf_of(sf_dir) >= 1).select(
         "bin", "p_ref", "p_cur", "term")
 
 

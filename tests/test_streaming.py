@@ -116,25 +116,38 @@ def test_watermark_set(spark, tmp_path):
 def test_count_window_tws_matches_classic(spark, tmp_path):
     # the transformWithStateInPandas form (Spark 4 StatefulProcessor) must
     # produce exactly the classic applyInPandasWithState windows.
-    # The TWS state protocol needs protobuf — absent from this container,
-    # so this e2e runs only where a full PySpark deployment provides it
-    # (the processor logic itself is covered by the fake-handle unit).
+    # The TWS state protocol needs protobuf (provided here by the
+    # tools/pbcompat shim, activated in conftest for driver AND workers)
+    # and the RocksDB state store (TWS uses column families, which the
+    # default HDFS-backed provider does not support).
     import datetime as dt
 
     import pytest
     pytest.importorskip("google.protobuf")
 
     from felixzh_flink_spark.streaming.triggers import count_window_tws
-    base = dt.datetime(2024, 1, 1)
-    rows = [(base + dt.timedelta(seconds=i), "k", 1.0) for i in range(12)]
-    _write_events(spark, tmp_path / "in", rows)
-    stream = file_stream_source(spark, str(tmp_path / "in"), SCHEMA)
-    fired = count_window_tws(stream, "key", "value", max_count=5)
-    _drain(fired, "cw_tws_out")
-    got = sorted(spark.sql("SELECT * FROM cw_tws_out").collect(),
-                 key=lambda r: r["window_seq"])
-    assert [(r["window_seq"], r["cnt"], r["sum_value"], r["fired_by"])
-            for r in got] == [(0, 5, 5.0, "count"), (1, 5, 5.0, "count")]
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old_provider = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider")
+    try:
+        base = dt.datetime(2024, 1, 1)
+        rows = [(base + dt.timedelta(seconds=i), "k", 1.0) for i in range(12)]
+        _write_events(spark, tmp_path / "in", rows)
+        stream = file_stream_source(spark, str(tmp_path / "in"), SCHEMA)
+        fired = count_window_tws(stream, "key", "value", max_count=5)
+        _drain(fired, "cw_tws_out")
+        got = sorted(spark.sql("SELECT * FROM cw_tws_out").collect(),
+                     key=lambda r: r["window_seq"])
+        assert [(r["window_seq"], r["cnt"], r["sum_value"], r["fired_by"])
+                for r in got] == [(0, 5, 5.0, "count"), (1, 5, 5.0, "count")]
+    finally:
+        if old_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old_provider)
 
 
 def test_count_window_tws_processor_logic_with_fake_handle():
