@@ -67,17 +67,31 @@ def test_aqe_splits_skewed_sort_merge_join(spark, skewed):
         # force a shuffle join (the 100 TB shape): no broadcast escape
         "spark.sql.autoBroadcastJoinThreshold": "-1",
         "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
-        # lower the skew thresholds so the toy hot partition qualifies
+        # lower the skew thresholds so the toy hot partition qualifies,
+        # and pin the shuffle geometry so earlier tests in a shared
+        # session can't change the median-partition baseline the skew
+        # factor compares against
+        "spark.sql.shuffle.partitions": "16",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
-        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
-        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "4KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4KB",
     }
     old = {k: spark.conf.get(k, None) for k in confs}
     try:
         for k, v in confs.items():
             spark.conf.set(k, v)
-        joined = fact.join(dim, "k").groupBy("g").agg(F.count("*").alias("n"))
-        joined.collect()  # AQE decides at RUNTIME — must execute first
+        # the join is the TERMINAL operator: AQE's OptimizeSkewedJoin is
+        # deliberately conservative and skips the split when a downstream
+        # stage could reuse the join's hash partitioning (an agg after
+        # the join suppresses it unless forceOptimizeSkewedJoin) — the
+        # 100 TB shape this models is the big enrichment join feeding a
+        # sink
+        joined = fact.join(dim, "k")
+        # execute THIS DataFrame's own QueryExecution (a write would spawn
+        # a separate one and leave joined's plan un-finalized)
+        assert len(joined.collect()) == 50_000
         plan = joined._jdf.queryExecution().executedPlan().toString()
         assert "skew=true" in plan, plan[:2000]
     finally:
