@@ -217,3 +217,37 @@ def test_variant_extract_parses_json_exactly_once(spark, sf_dir):
     assert plan.count("parseJson") == 1, plan
     assert "get_json_object" not in plan, plan
     assert plan.count("variant_get") == 3, plan
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    """Runtime filter pushdown — the 100 TB semi-join story: when a big
+    fact table shuffle-joins a SELECTIVE dim (no broadcast available),
+    Catalyst injects a bloom_filter_agg on the dim side and a
+    might_contain predicate on the FACT side, so the fact scan drops
+    non-matching rows before the shuffle instead of moving 100 TB to
+    discard 90% at the join. Locally the fact file sits under the
+    application-side size threshold (default 10GB — exactly right at
+    scale), so the test zeroes it to expose the plan shape."""
+    from pyspark.sql import functions as F
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+        j = (l.join(o, l.l_orderkey == o.o_orderkey)
+             .groupBy("o_orderpriority").count())
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan[:1500]
+        assert "might_contain" in plan, plan[:1500]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
