@@ -2333,6 +2333,9 @@ _ORDERS_CDC_SCHEMA = T.StructType([
 _ENVELOPE_PATHS: dict[tuple[str, str], str] = {}
 
 
+_ENVELOPE_FRAMES: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def _materialized_envelopes(spark, sf_dir, family: str, builder) -> DataFrame:
     key = (sf_dir, family)
     if key not in _ENVELOPE_PATHS:
@@ -2344,7 +2347,15 @@ def _materialized_envelopes(spark, sf_dir, family: str, builder) -> DataFrame:
             .repartition(spark.sparkContext.defaultParallelism) \
             .write.mode("overwrite").parquet(path)
         _ENVELOPE_PATHS[key] = path
-    return spark.read.parquet(_ENVELOPE_PATHS[key])
+    # the scan frame is cached like catalog.load_table: re-running
+    # spark.read.parquet costs ~0.1 s of driver-side file listing +
+    # schema resolve per query build, which a catalog would never re-pay
+    fkey = (spark.sparkContext.applicationId, sf_dir, family)
+    if fkey not in _ENVELOPE_FRAMES:
+        for stale in [k for k in _ENVELOPE_FRAMES if k[0] != fkey[0]]:
+            del _ENVELOPE_FRAMES[stale]
+        _ENVELOPE_FRAMES[fkey] = spark.read.parquet(_ENVELOPE_PATHS[key])
+    return _ENVELOPE_FRAMES[fkey]
 
 
 def _orders_canal_envelopes(spark, sf_dir, keep_key: bool = False):
