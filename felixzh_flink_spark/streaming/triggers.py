@@ -222,7 +222,15 @@ class CountWindowProcessor(StatefulProcessor):
         last_ms = 0
         for pdf in rows:
             if self._timeout_ms is not None:
-                last_ms = chunk_max_ms(pdf, "_ts", last_ms)
+                # transformWithState REWRITES the event-time column's name
+                # when timeMode='eventTime' (the watermarked `_ts` arrives
+                # as a positional `_2` in Spark 4.1) — resolve it by dtype,
+                # preferring the declared name if it survived
+                ts_col = "_ts" if "_ts" in pdf.columns else next(
+                    (c for c in pdf.columns
+                     if str(pdf[c].dtype).startswith("datetime64")), None)
+                if ts_col is not None:
+                    last_ms = chunk_max_ms(pdf, ts_col, last_ms)
             for v in pdf["value"]:
                 buf_cnt += 1
                 buf_sum += float(v)

@@ -956,3 +956,57 @@ def test_streaming_temporal_enrichment_sees_state_as_of_batch(spark,
     got = {r["order_id"]: r["rate"]
            for r in spark.read.parquet(out).collect()}
     assert got == {1: 1.10, 2: None, 3: 1.25, 4: 0.0065}
+
+
+def test_hybrid_count_timeout_trigger_tws_matches_classic(spark, tmp_path):
+    """The transformWithStateInPandas form of the HYBRID count+timeout
+    trigger (W5/W6 on the modern Spark-4 stateful API) must reproduce
+    the classic applyInPandasWithState windows: count fire at
+    max_count, partial flush when the watermark passes the registered
+    event-time timer. Runs for real (protobuf via the tools/pbcompat
+    shim + RocksDB state store — TWS needs column families); round 4
+    could only unit-test the processor against fake handles."""
+    import pytest
+    pytest.importorskip("google.protobuf")
+
+    from felixzh_flink_spark.streaming.triggers import count_window_tws
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old_provider = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider")
+    try:
+        src = str(tmp_path / "src")
+        spark.createDataFrame(_rows(["a"], 3), SCHEMA).coalesce(1) \
+            .write.mode("append").parquet(src)
+        stream = file_stream_source(spark, src, SCHEMA,
+                                    max_files_per_trigger=1)
+        fired = count_window_tws(stream, "key", "value", max_count=5,
+                                 timeout_ms=2000, event_time_col="ts")
+        q = (fired.writeStream.format("memory").queryName("hybrid_tws_out")
+             .outputMode("append").start())
+        q.processAllAvailable()       # 'a' buffers 3, registers a timer
+        spark.createDataFrame(_rows(["b"], 6, start=500), SCHEMA) \
+            .coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()       # watermark fires 'a'; 'b' fires by count
+        spark.createDataFrame(_rows(["c"], 1, start=1000), SCHEMA) \
+            .coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()       # 'b' leftover times out
+        q.stop()
+        rows = spark.sql("SELECT * FROM hybrid_tws_out").collect()
+        by_key = {}
+        for r in rows:
+            by_key.setdefault(r["key"], []).append(r)
+        assert any(r["fired_by"] == "count" and r["cnt"] == 5
+                   for r in by_key["b"])
+        assert any(r["fired_by"] == "timeout" and r["cnt"] == 3
+                   for r in by_key.get("a", []))
+        assert any(r["fired_by"] == "timeout" and r["cnt"] == 1
+                   for r in by_key["b"])
+    finally:
+        if old_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old_provider)
