@@ -3521,6 +3521,67 @@ def ann_ivfpq_checks(spark, sf_dir):
         "k_rows_ok", "codes_in_range", "sims_exact", "recall_ok")
 
 
+@q("kmeans_spherical_checks", """
+SELECT TRUE AS has_centroids, TRUE AS obj_improved, TRUE AS refine_monotone,
+       TRUE AS assign_argmax_ok
+""")
+def kmeans_spherical_checks(spark, sf_dir):
+    """Assertion oracle for the Lloyd trainer behind every IVF index
+    (`similarity.ivf_train/ivf_refine_centroids`) — the laws any correct
+    spherical k-means must satisfy, each verified by an INDEPENDENT
+    recomputation:
+
+    - has_centroids: the trainer returns n finite centroids;
+    - obj_improved: the spherical objective J = Σ_rows max_c dot(v, ĉ_c)
+      of the TRAINED centroids ≥ J of the hash-sampled init (Lloyd's
+      monotonicity: the assignment step maximizes each term, the mean
+      step is the exact maximizer of Σ dot(v, ĉ) for a fixed cell — the
+      normalized mean IS the direction that maximizes it);
+    - refine_monotone: one FURTHER refinement cannot decrease J (the law
+      holds at every step, converged or not — so it is assertable
+      regardless of whether max_iter or tol stopped the trainer);
+    - assign_argmax_ok: `ivf_assign`'s cell equals a differently-coded
+      argmax (min index whose sim equals the array max) for every row.
+
+    Both J comparisons carry a relative fp slack: the double sums ride
+    shuffle order. All three objective frames are lazy 1-row aggregates
+    crossJoined at the end — the only driver traffic is the O(16×16)
+    centroid lists the trainer already collects."""
+    e = _t(spark, sf_dir, "embeddings")
+    init = SIM.ivf_centroids(e, 16)
+    trained = _ivf_trained(spark, sf_dir, 16)
+    refined = SIM.ivf_refine_centroids(e, trained, iterations=1)
+    ok_cents = F.lit(
+        len(trained) == 16
+        and all(len(c) == len(trained[0]) for c in trained)
+        and all(all(x == x and abs(x) != float("inf") for x in c)
+                for c in trained))
+
+    def obj(cents, name):
+        return e.agg(F.sum(
+            F.array_max(SIM._cell_sims("embedding", cents))).alias(name))
+
+    slack = lambda a, b: (F.abs(F.col(a)) + F.abs(F.col(b)) + 1) * 1e-9  # noqa: E731
+    assigned = SIM.ivf_assign(e, trained)
+    sims = SIM._cell_sims("embedding", trained)
+    alt_argmax = (
+        assigned.withColumn("_s", sims)
+        .withColumn("_alt", F.expr(
+            "array_min(filter(sequence(1, size(_s)), "
+            "i -> _s[i-1] == array_max(_s)))"))
+        .agg(F.coalesce(F.min(F.col("ivf_cell") == F.col("_alt")),
+                        F.lit(False)).alias("assign_argmax_ok")))
+    return (obj(init, "j0").crossJoin(obj(trained, "j1"))
+            .crossJoin(obj(refined, "j2")).crossJoin(alt_argmax)
+            .select(
+                ok_cents.alias("has_centroids"),
+                (F.col("j1") >= F.col("j0") - slack("j0", "j1"))
+                .alias("obj_improved"),
+                (F.col("j2") >= F.col("j1") - slack("j1", "j2"))
+                .alias("refine_monotone"),
+                "assign_argmax_ok"))
+
+
 @q("semantic_dedup_keep")  # rows-only: kmeans cells are hash-seed-specific
 def semantic_dedup_keep(spark, sf_dir):
     """SemDedup-style semantic dedup: k-means-trained IVF cells bound the
@@ -5402,9 +5463,11 @@ _DRIVER_ORDER = [
     "events_sliding_windows", "csv_roundtrip_part", "scalar_concat",
     # --- oldest driver verification (hard-checked in round 2 only)
     "acctbal_quartiles", "asof_purchase_view", "avro_roundtrip_orders",
-    "canal_decode", "changelog_retract_sum", "chunk_docs",
+    "canal_decode", "changelog_retract_sum",
     "corpus_pipeline_counts",
+    "kmeans_spherical_checks",      # new r5: Lloyd monotonicity laws
     # ---- position 50 boundary ----
+    "chunk_docs",                   # r2-green; displaced by the kmeans law
     # past the window: every name below has a green CORRECTNESS row from
     # rounds 1-4 and is re-verified by this round's full local
     # check_correctness sweeps; ordered roughly by verification age
