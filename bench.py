@@ -106,9 +106,11 @@ HEADLINE = [
     "zorder_key_lineitem",
     "cep_times_consecutive",
     # round 5: deliberately skewed hot-key join (salted path) and the
-    # real PNG pixel decode (pure-Python kernel inside mapInPandas)
+    # real PNG pixel / WAV sample decodes (pure-Python kernels inside
+    # mapInPandas — the documented Arrow-batched slow path)
     "skewed_supplier_revenue",
     "png_decode_stats",
+    "wav_decode_stats",
 ]
 
 

@@ -3821,6 +3821,40 @@ def png_decode_stats(spark, sf_dir):
     return MM.png_pixel_stats(MM.synthesize_png_column(d))
 
 
+@q("wav_decode_stats", """
+WITH g AS (
+  SELECT doc_id, doc_id % 2 + 1 AS ch,
+         8000 + (doc_id % 3) * 4000 AS rate,
+         (doc_id % 25 + 4) * (doc_id % 2 + 1) AS n
+  FROM documents
+)
+SELECT doc_id, CAST(rate AS INT) AS sample_rate, CAST(ch AS INT) AS channels,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(list_sum(list_transform(range(0, n),
+            j -> (doc_id * 37 + 11 * j) % 65536 - 32768)) AS BIGINT)
+         AS sample_sum,
+       CAST(list_sum(list_transform(range(0, n),
+            j -> (j + 1) * ((doc_id * 37 + 11 * j) % 65536 - 32768)))
+         AS BIGINT) AS sample_wsum
+FROM g
+""")
+def wav_decode_stats(spark, sf_dir):
+    """REAL audio decode end-to-end (`png_decode_stats`' audio sibling,
+    closing the 'audio decode stubbed' half of the round-4 multimodal
+    gap): a genuine RIFF/WAVE 16-bit PCM payload is encoded per doc
+    from a closed-form sample recipe, then decoded back by the
+    pure-stdlib codec (`functions/wav_codec`: chunk walk + sample
+    unpack) inside an Arrow-batched mapInPandas stage
+    (`multimodal.wav_pcm_stats`). The oracle predicts the decoded
+    sample_rate/channels/count, sample_sum, and the order-sensitive
+    position-weighted sample_wsum arithmetically — a decoder that
+    drops, reorders or mis-signs samples hash-mismatches. Only video
+    pixel decode remains stubbed (`multimodal.require_codec`) — it
+    genuinely needs ffmpeg-class codecs."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return MM.wav_pcm_stats(MM.synthesize_wav_column(d))
+
+
 @q("multimodal_meta", """
 SELECT doc_id, 'image' AS media_type, CAST(strlen(text) AS BIGINT) AS n_bytes
 FROM documents
@@ -5445,6 +5479,7 @@ _DRIVER_ORDER = [
     # --- new round-5 queries
     "skewed_supplier_revenue",      # salted hot-key join (20% on one key)
     "png_decode_stats",             # real zlib+unfilter PNG pixel decode
+    "wav_decode_stats",             # real RIFF PCM audio sample decode
     # --- code paths changed in round 5 (percentile/psi restructure,
     # --- winsorize fences, classifier expr weights, ngram self-join
     # --- window, VARIANT single-parse)
@@ -5464,10 +5499,10 @@ _DRIVER_ORDER = [
     # --- oldest driver verification (hard-checked in round 2 only)
     "acctbal_quartiles", "asof_purchase_view", "avro_roundtrip_orders",
     "canal_decode", "changelog_retract_sum",
-    "corpus_pipeline_counts",
     "kmeans_spherical_checks",      # new r5: Lloyd monotonicity laws
     # ---- position 50 boundary ----
     "chunk_docs",                   # r2-green; displaced by the kmeans law
+    "corpus_pipeline_counts",       # r2-green; displaced by the WAV decode
     # past the window: every name below has a green CORRECTNESS row from
     # rounds 1-4 and is re-verified by this round's full local
     # check_correctness sweeps; ordered roughly by verification age

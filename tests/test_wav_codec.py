@@ -1,0 +1,97 @@
+"""Pure-stdlib WAV PCM codec (functions/wav_codec) + the Spark decode
+stage — audio sibling of test_png_codec (oracle twin: the
+`wav_decode_stats` registry query)."""
+
+import struct
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from felixzh_flink_spark.functions.wav_codec import decode_wav, encode_wav
+
+
+@pytest.mark.parametrize("bits", [8, 16, 24, 32])
+@pytest.mark.parametrize("channels", [1, 2])
+def test_roundtrip_depths_and_channels(bits, channels):
+    lo, hi = ((0, 255) if bits == 8
+              else (-(1 << (bits - 1)), (1 << (bits - 1)) - 1))
+    n = 6 * channels
+    samples = [(lo + (i * 7919) % (hi - lo + 1)) for i in range(n)]
+    assert decode_wav(encode_wav(samples, 22_050, channels, bits)) == \
+        (22_050, channels, bits, samples)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(1, 3), st.sampled_from([8, 16, 24, 32]),
+       st.integers(1, 30), st.integers(0, 2**31 - 1))
+def test_roundtrip_property(channels, bits, frames, seed):
+    import random
+    rnd = random.Random(seed)
+    lo, hi = ((0, 255) if bits == 8
+              else (-(1 << (bits - 1)), (1 << (bits - 1)) - 1))
+    samples = [rnd.randint(lo, hi) for _ in range(frames * channels)]
+    rate = rnd.choice([8000, 16000, 44100])
+    assert decode_wav(encode_wav(samples, rate, channels, bits)) == \
+        (rate, channels, bits, samples)
+
+
+def test_extra_chunks_are_skipped():
+    """Real WAVs carry LIST/fact/cue chunks; the walker must skip them
+    (word-aligned, including odd-length padding) and still find data."""
+    samples = [1, -2, 3, -4]
+    enc = encode_wav(samples, 8000, 1, 16)
+    # splice an odd-length junk chunk between fmt and data
+    fmt_end = 12 + 8 + 16
+    junk = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # pad byte
+    spliced = enc[:fmt_end] + junk + enc[fmt_end:]
+    spliced = spliced[:4] + struct.pack(
+        "<I", len(spliced) - 8) + spliced[8:]
+    assert decode_wav(spliced) == (8000, 1, 16, samples)
+
+
+@pytest.mark.parametrize("mutate", [
+    lambda b: b"JUNK" + b[4:],                       # not RIFF
+    lambda b: b[:20],                                # truncated
+    lambda b: b.replace(b"fmt ", b"xxxx", 1),        # missing fmt
+    lambda b: b.replace(struct.pack("<HH", 1, 1),
+                        struct.pack("<HH", 3, 1), 1),  # float PCM
+])
+def test_rejects_unsupported(mutate):
+    enc = encode_wav([0, 1], 8000, 1, 16)
+    with pytest.raises(ValueError):
+        decode_wav(mutate(enc))
+
+
+def test_encode_validates_input():
+    with pytest.raises(ValueError):
+        encode_wav([1, 2, 3], 8000, 2, 16)        # not a multiple of channels
+    with pytest.raises(ValueError):
+        encode_wav([70000], 8000, 1, 16)          # out of 16-bit range
+    with pytest.raises(ValueError):
+        encode_wav([0], 8000, 1, 12)              # unsupported depth
+
+
+def test_wav_pcm_stats_decodes_real_bytes(spark):
+    from pyspark.sql import functions as F
+
+    from felixzh_flink_spark.operators.multimodal import (
+        synthesize_wav_column, wav_pcm_stats)
+
+    ids = spark.range(30).select(F.col("id").alias("doc_id"))
+    got = {r["doc_id"]: r for r in
+           wav_pcm_stats(synthesize_wav_column(ids)).collect()}
+    for i in range(30):
+        ch = i % 2 + 1
+        n = (i % 25 + 4) * ch
+        s = [((i * 37 + 11 * j) % 65536) - 32768 for j in range(n)]
+        r = got[i]
+        assert (r["sample_rate"], r["channels"], r["n_samples"]) == \
+            (8000 + (i % 3) * 4000, ch, n)
+        assert r["sample_sum"] == sum(s)
+        assert r["sample_wsum"] == sum((j + 1) * v for j, v in enumerate(s))
+
+    corrupt = spark.createDataFrame(
+        [(7, b"not audio")], "doc_id: long, wav: binary")
+    row = wav_pcm_stats(corrupt).collect()[0]
+    assert row["doc_id"] == 7 and row["sample_rate"] is None \
+        and row["sample_sum"] is None
