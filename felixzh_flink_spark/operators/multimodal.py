@@ -424,3 +424,109 @@ def wav_pcm_stats(df: DataFrame, id_col: str = "doc_id",
                 "sample_sum", "sample_wsum"])
 
     return df.mapInPandas(kernel, schema=WAV_STATS_SCHEMA)
+
+
+def parse_mp4_duration(payload) -> "int | None":
+    """Duration in ms from an ISO-BMFF (MP4) byte stream by walking the
+    box tree (stdlib-only, no codec): top-level boxes are
+    [size:4][type:4] (size=1 → 64-bit largesize follows); `moov` nests
+    `mvhd`, whose version-0 layout carries [timescale:u32][duration:u32]
+    at offset 12 of the box body (version 1: u64 duration at offset 20
+    after u64 times). Returns None for non-MP4 / truncated input.
+    Header parsing only — sample data (mdat) is never touched, so cost
+    is O(#boxes), not O(frames): the at-scale contract shared with the
+    JPEG marker walk."""
+    if payload is None or len(payload) < 8:
+        return None
+
+    def walk(buf, start, end):
+        pos = start
+        while pos + 8 <= end:
+            size = int.from_bytes(buf[pos:pos + 4], "big")
+            btype = buf[pos + 4:pos + 8]
+            hdr = 8
+            if size == 1:
+                if pos + 16 > end:
+                    return None
+                size = int.from_bytes(buf[pos + 8:pos + 16], "big")
+                hdr = 16
+            elif size == 0:          # box extends to end of file
+                size = end - pos
+            if size < hdr or pos + size > end:
+                return None
+            if btype == b"moov":
+                got = walk(buf, pos + hdr, pos + size)
+                if got is not None:
+                    return got
+            elif btype == b"mvhd":
+                body = buf[pos + hdr:pos + size]
+                if len(body) < 4:
+                    return None
+                version = body[0]
+                if version == 0 and len(body) >= 20:
+                    timescale = int.from_bytes(body[12:16], "big")
+                    duration = int.from_bytes(body[16:20], "big")
+                elif version == 1 and len(body) >= 32:
+                    timescale = int.from_bytes(body[20:24], "big")
+                    duration = int.from_bytes(body[24:32], "big")
+                else:
+                    return None
+                if timescale == 0:
+                    return None
+                return duration * 1000 // timescale
+            pos += size
+        return None
+
+    # sanity: a real MP4 starts with a well-formed box, typically ftyp
+    first = payload[4:8]
+    if not first.isalnum() and first not in (b"ftyp", b"moov", b"wide"):
+        return None
+    return walk(payload, 0, len(payload))
+
+
+def mp4_duration_ms(col) -> "F.Column":
+    """duration_ms column for MP4 payloads via an Arrow-batched pandas
+    UDF around `parse_mp4_duration` — box offsets vary per file, so like
+    JPEG this can't be a fixed-offset expression."""
+    @F.pandas_udf("long")
+    def _udf(p: pd.Series) -> pd.Series:
+        return pd.Series([parse_mp4_duration(b) for b in p],
+                         dtype="object")
+
+    return _udf(F.col(col) if isinstance(col, str) else col)
+
+
+def synthesize_mp4_header(duration_ms: int, timescale: int = 1000,
+                          version: int = 0) -> bytes:
+    """Minimal valid ISO-BMFF header fixture: ftyp + moov(mvhd) with the
+    given duration/timescale (no media data — the parser's contract is
+    header-only). Used by tests and the `mp4_duration_meta` oracle
+    query; a real camera file parses through the same walker."""
+    import struct as _struct
+    duration = duration_ms * timescale // 1000
+    if version == 0:
+        body = bytes([0, 0, 0, 0]) + b"\x00" * 8 \
+            + _struct.pack(">II", timescale, duration) + b"\x00" * 80
+    else:
+        body = bytes([1, 0, 0, 0]) + b"\x00" * 16 \
+            + _struct.pack(">IQ", timescale, duration) + b"\x00" * 80
+    mvhd = _struct.pack(">I", 8 + len(body)) + b"mvhd" + body
+    moov = _struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+    ftyp = _struct.pack(">I", 16) + b"ftyp" + b"isom" + b"\x00\x00\x02\x00"
+    return ftyp + moov
+
+
+def synthesize_mp4_column(df: DataFrame, id_col: str = "doc_id",
+                          payload_col: str = "mp4") -> DataFrame:
+    """Deterministic MP4 header fixture generator: duration_ms =
+    id%120000 + 1000, timescale = 1000·(id%3+1), mvhd version = id%2 —
+    timescales are multiples of 1000, so the ms round-trip is exact and
+    a SQL oracle can predict the parsed duration in closed form."""
+    @F.pandas_udf("binary")
+    def _make(ids: pd.Series) -> pd.Series:
+        return pd.Series([
+            synthesize_mp4_header(int(i) % 120000 + 1000,
+                                  1000 * (int(i) % 3 + 1), int(i) % 2)
+            for i in ids])
+
+    return df.withColumn(payload_col, _make(F.col(id_col)))

@@ -3855,6 +3855,34 @@ def wav_decode_stats(spark, sf_dir):
     return MM.wav_pcm_stats(MM.synthesize_wav_column(d))
 
 
+@q("mp4_duration_meta", """
+SELECT doc_id,
+       CAST(doc_id % 120000 + 1000 AS BIGINT) AS duration_ms,
+       CAST((doc_id % 120000 + 1000) / 1000 + 1 AS BIGINT) AS n_frames
+FROM documents
+""")
+def mp4_duration_meta(spark, sf_dir):
+    """REAL video header metadata (video's honest slice of the
+    multimodal family next to the PNG/WAV decodes — frame DECODE stays
+    stubbed, it genuinely needs ffmpeg): a valid ISO-BMFF header (ftyp
+    + moov/mvhd, version 0 and 1 alternating by doc) is synthesized
+    per doc and parsed back by the box-walking pandas UDF
+    (`multimodal.parse_mp4_duration` — nested-box traversal, 64-bit
+    largesize handling, timescale division). The parsed duration then
+    drives the frame-sampling fan-out count exactly as
+    `frame_sample_plan` would (1 frame/s inclusive of t=0). Timescales
+    are multiples of 1000 so the ms round-trip is exact; the oracle
+    predicts both columns in closed form — a parser that misreads the
+    version layout or timescale hash-mismatches."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    parsed = MM.synthesize_mp4_column(d).select(
+        "doc_id", MM.mp4_duration_ms("mp4").alias("duration_ms"))
+    return parsed.select(
+        "doc_id", "duration_ms",
+        (F.floor(F.col("duration_ms") / 1000) + 1).cast("bigint")
+        .alias("n_frames"))
+
+
 @q("multimodal_meta", """
 SELECT doc_id, 'image' AS media_type, CAST(strlen(text) AS BIGINT) AS n_bytes
 FROM documents
@@ -5480,6 +5508,7 @@ _DRIVER_ORDER = [
     "skewed_supplier_revenue",      # salted hot-key join (20% on one key)
     "png_decode_stats",             # real zlib+unfilter PNG pixel decode
     "wav_decode_stats",             # real RIFF PCM audio sample decode
+    "mp4_duration_meta",            # real ISO-BMFF box-walk duration parse
     # --- code paths changed in round 5 (percentile/psi restructure,
     # --- winsorize fences, classifier expr weights, ngram self-join
     # --- window, VARIANT single-parse)
@@ -5498,11 +5527,12 @@ _DRIVER_ORDER = [
     "events_sliding_windows", "csv_roundtrip_part", "scalar_concat",
     # --- oldest driver verification (hard-checked in round 2 only)
     "acctbal_quartiles", "asof_purchase_view", "avro_roundtrip_orders",
-    "canal_decode", "changelog_retract_sum",
+    "canal_decode",
     "kmeans_spherical_checks",      # new r5: Lloyd monotonicity laws
     # ---- position 50 boundary ----
     "chunk_docs",                   # r2-green; displaced by the kmeans law
     "corpus_pipeline_counts",       # r2-green; displaced by the WAV decode
+    "changelog_retract_sum",        # r2-green; displaced by the MP4 parse
     # past the window: every name below has a green CORRECTNESS row from
     # rounds 1-4 and is re-verified by this round's full local
     # check_correctness sweeps; ordered roughly by verification age
