@@ -530,3 +530,56 @@ def synthesize_mp4_column(df: DataFrame, id_col: str = "doc_id",
             for i in ids])
 
     return df.withColumn(payload_col, _make(F.col(id_col)))
+
+
+THUMB_STATS_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("out_w", T.IntegerType(), True),
+    T.StructField("out_h", T.IntegerType(), True),
+    T.StructField("channels", T.IntegerType(), True),
+    T.StructField("thumb_sum", T.LongType(), True),
+    T.StructField("thumb_wsum", T.LongType(), True),
+])
+
+
+def png_thumbnail_stats(df: DataFrame, out_w: int, out_h: int,
+                        id_col: str = "doc_id",
+                        payload_col: str = "png") -> DataFrame:
+    """REAL pixel RESIZE on REAL decoded pixels — the kernel half of
+    `resize_plan`'s geometry, runnable because the PNG decode is no
+    longer stubbed: inflate + unfilter each payload
+    (`functions/png_codec`), nearest-neighbor sample it to
+    (out_w, out_h) with the standard floor mapping
+    src_x = ⌊x·w/out_w⌋, src_y = ⌊y·h/out_h⌋ (per channel), and emit
+    the thumbnail's pixel_sum and order-sensitive position-weighted
+    sum. The arithmetic is pure integer index mapping, so a SQL oracle
+    can predict both statistics of the RESIZED image from the fixture
+    recipe — decode, filter-undo, and resampling all verified in one
+    hash (`png_thumbnail_stats` registry query). Undecodable payloads
+    yield null stats. Same scale shape as the other media kernels: one
+    Arrow-batched mapInPandas projection, no shuffle."""
+    from felixzh_flink_spark.functions.png_codec import decode_png
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    w, h, ch, px = decode_png(p)
+                    out = []
+                    for y in range(out_h):
+                        sy = y * h // out_h
+                        for x in range(out_w):
+                            sx = x * w // out_w
+                            base = (sy * w + sx) * ch
+                            out.extend(px[base:base + ch])
+                    rows.append((int(i), out_w, out_h, ch, sum(out),
+                                 sum((j + 1) * v
+                                     for j, v in enumerate(out))))
+                except Exception:  # ValueError / zlib.error
+                    rows.append((int(i), None, None, None, None, None))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "out_w", "out_h", "channels",
+                "thumb_sum", "thumb_wsum"])
+
+    return df.mapInPandas(kernel, schema=THUMB_STATS_SCHEMA)

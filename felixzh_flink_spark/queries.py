@@ -3821,6 +3821,43 @@ def png_decode_stats(spark, sf_dir):
     return MM.png_pixel_stats(MM.synthesize_png_column(d))
 
 
+@q("png_thumbnail_stats", """
+WITH g AS (
+  SELECT doc_id,
+         doc_id % 7 + 1 AS w, doc_id % 5 + 1 AS h,
+         (doc_id % 2) * 2 + 1 AS ch
+  FROM documents
+), t AS (
+  SELECT doc_id, w, h, ch,
+         list_transform(range(0, 2 * 3 * ch), j ->
+           (doc_id * 31 + 7 * (((j // (3 * ch)) * h // 2) * w
+              + ((j % (3 * ch)) // ch) * w // 3) * ch
+              + 7 * (j % ch)) % 256) AS thumb
+  FROM g
+)
+SELECT doc_id, CAST(3 AS INT) AS out_w, CAST(2 AS INT) AS out_h,
+       CAST(ch AS INT) AS channels,
+       CAST(list_sum(thumb) AS BIGINT) AS thumb_sum,
+       CAST(list_sum(list_transform(range(1, len(thumb) + 1),
+            k -> k * thumb[k])) AS BIGINT) AS thumb_wsum
+FROM t
+""")
+def png_thumbnail_stats(spark, sf_dir):
+    """REAL thumbnailing end-to-end — decode, unfilter AND resample all
+    verified in one hash (`multimodal.png_thumbnail_stats`): each doc's
+    genuine PNG (all five scanline filters cycling) is decoded by the
+    pure-stdlib codec and nearest-neighbor resized to 3×2 with the
+    standard floor mapping src = ⌊out·src_dim/out_dim⌋ per channel.
+    The oracle replays the index arithmetic against the closed-form
+    source-pixel recipe, predicting the RESIZED image's pixel sum and
+    order-sensitive weighted sum — a kernel that samples the wrong
+    source pixel, transposes axes, or drops a channel hash-mismatches.
+    This is `resize_plan`'s geometry plus the real kernel the plan was
+    staged for."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return MM.png_thumbnail_stats(MM.synthesize_png_column(d), 3, 2)
+
+
 @q("wav_decode_stats", """
 WITH g AS (
   SELECT doc_id, doc_id % 2 + 1 AS ch,
@@ -3858,7 +3895,7 @@ def wav_decode_stats(spark, sf_dir):
 @q("mp4_duration_meta", """
 SELECT doc_id,
        CAST(doc_id % 120000 + 1000 AS BIGINT) AS duration_ms,
-       CAST((doc_id % 120000 + 1000) / 1000 + 1 AS BIGINT) AS n_frames
+       CAST((doc_id % 120000 + 1000) // 1000 + 1 AS BIGINT) AS n_frames
 FROM documents
 """)
 def mp4_duration_meta(spark, sf_dir):
@@ -5509,6 +5546,7 @@ _DRIVER_ORDER = [
     "png_decode_stats",             # real zlib+unfilter PNG pixel decode
     "wav_decode_stats",             # real RIFF PCM audio sample decode
     "mp4_duration_meta",            # real ISO-BMFF box-walk duration parse
+    "png_thumbnail_stats",          # real decode+NN-resize pixel kernel
     # --- code paths changed in round 5 (percentile/psi restructure,
     # --- winsorize fences, classifier expr weights, ngram self-join
     # --- window, VARIANT single-parse)
@@ -5527,12 +5565,12 @@ _DRIVER_ORDER = [
     "events_sliding_windows", "csv_roundtrip_part", "scalar_concat",
     # --- oldest driver verification (hard-checked in round 2 only)
     "acctbal_quartiles", "asof_purchase_view", "avro_roundtrip_orders",
-    "canal_decode",
     "kmeans_spherical_checks",      # new r5: Lloyd monotonicity laws
     # ---- position 50 boundary ----
     "chunk_docs",                   # r2-green; displaced by the kmeans law
     "corpus_pipeline_counts",       # r2-green; displaced by the WAV decode
     "changelog_retract_sum",        # r2-green; displaced by the MP4 parse
+    "canal_decode",                 # r2-green; displaced by the thumbnailer
     # past the window: every name below has a green CORRECTNESS row from
     # rounds 1-4 and is re-verified by this round's full local
     # check_correctness sweeps; ordered roughly by verification age

@@ -111,3 +111,28 @@ def test_png_pixel_stats_decodes_real_bytes(spark):
     row = png_pixel_stats(corrupt).collect()[0]
     assert row["doc_id"] == 999 and row["width"] is None \
         and row["pixel_sum"] is None
+
+
+def test_png_thumbnail_stats_matches_bruteforce(spark):
+    """Decode + nearest-neighbor resize against an independent driver-
+    side recompute (decode with the same codec, resample with separately
+    written index math)."""
+    from pyspark.sql import functions as F
+
+    from felixzh_flink_spark.functions.png_codec import decode_png
+    from felixzh_flink_spark.operators.multimodal import (
+        png_thumbnail_stats, synthesize_png_column)
+
+    ids = spark.range(30).select(F.col("id").alias("doc_id"))
+    with_png = synthesize_png_column(ids)
+    payloads = {r["doc_id"]: bytes(r["png"]) for r in with_png.collect()}
+    got = {r["doc_id"]: r for r in
+           png_thumbnail_stats(with_png, 3, 2).collect()}
+    for i in range(30):
+        w, h, ch, px = decode_png(payloads[i])
+        ref = [px[((y * h // 2) * w + (x * w // 3)) * ch + c]
+               for y in range(2) for x in range(3) for c in range(ch)]
+        r = got[i]
+        assert (r["out_w"], r["out_h"], r["channels"]) == (3, 2, ch)
+        assert r["thumb_sum"] == sum(ref)
+        assert r["thumb_wsum"] == sum((j + 1) * v for j, v in enumerate(ref))
