@@ -134,10 +134,14 @@ def attach_media_meta(df: DataFrame, binary_col: str, media_type: str,
                       fmt: str) -> DataFrame:
     """Wrap a binary column with the typed metadata struct.
 
-    Image dimensions are parsed from the REAL payload header when the
-    format supports codec-free parsing — PNG via fixed-offset
-    expressions (JVM-side), JPEG via the marker-walking pandas UDF —
-    and null otherwise (including payloads that fail signature checks)."""
+    Metadata is parsed from the REAL payload when the format supports
+    codec-free parsing — PNG dims via fixed-offset expressions
+    (JVM-side), JPEG dims via the marker-walking pandas UDF, WAV
+    duration via fixed-offset expressions over the canonical
+    RIFF/fmt/data layout (JVM-side; non-canonical chunk orders fall
+    back to null — use `wav_pcm_stats` for the full chunk walk), MP4
+    duration via the box-walking pandas UDF — and null otherwise
+    (including payloads that fail signature checks)."""
     if fmt == "png":
         dims = png_dims(binary_col)
     elif fmt in ("jpeg", "jpg"):
@@ -145,6 +149,12 @@ def attach_media_meta(df: DataFrame, binary_col: str, media_type: str,
     else:
         dims = F.struct(F.lit(None).cast("int").alias("width"),
                         F.lit(None).cast("int").alias("height"))
+    if fmt == "wav":
+        duration = wav_duration_ms(binary_col)
+    elif fmt in ("mp4", "m4a", "mov"):
+        duration = mp4_duration_ms(binary_col)
+    else:
+        duration = F.lit(None).cast("long")
     return df.withColumn(
         "media_meta",
         F.struct(
@@ -152,10 +162,37 @@ def attach_media_meta(df: DataFrame, binary_col: str, media_type: str,
             F.lit(fmt).alias("format"),
             dims["width"].alias("width"),
             dims["height"].alias("height"),
-            F.lit(None).cast("long").alias("duration_ms"),
+            duration.alias("duration_ms"),
             F.length(F.col(binary_col)).cast("long").alias("size_bytes"),
         ),
     )
+
+
+def wav_duration_ms(col) -> "F.Column":
+    """duration_ms parsed from a CANONICAL WAV header with PURE
+    expressions — no UDF: RIFF/WAVE signature, 16-byte PCM `fmt ` chunk
+    first, `data` chunk immediately after (the layout `wav_codec.
+    encode_wav` and most encoders emit). byte_rate sits at bytes 29-32
+    and the data length at 41-44, both little-endian u32 →
+    duration_ms = ⌊data_len · 1000 / byte_rate⌋. Files with extra
+    chunks before `data` yield null (the full chunk walk lives in
+    `wav_pcm_stats`) — a wrong-but-plausible duration is worse."""
+    c = F.col(col) if isinstance(col, str) else col
+
+    def u32le(off):  # little-endian u32 at 1-based byte offset
+        return F.conv(F.hex(F.concat(
+            F.substring(c, off + 3, 1), F.substring(c, off + 2, 1),
+            F.substring(c, off + 1, 1), F.substring(c, off, 1))),
+            16, 10).cast("long")
+
+    canonical = (F.length(c) >= 44) \
+        & (F.substring(c, 1, 4) == F.lit(b"RIFF")) \
+        & (F.substring(c, 9, 8) == F.lit(b"WAVEfmt ")) \
+        & (u32le(17) == 16) \
+        & (F.substring(c, 37, 4) == F.lit(b"data")) \
+        & (u32le(29) > 0)
+    return F.when(canonical,
+                  F.floor(u32le(41) * 1000 / u32le(29)).cast("long"))
 
 
 def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:

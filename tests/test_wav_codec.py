@@ -95,3 +95,29 @@ def test_wav_pcm_stats_decodes_real_bytes(spark):
     row = wav_pcm_stats(corrupt).collect()[0]
     assert row["doc_id"] == 7 and row["sample_rate"] is None \
         and row["sample_sum"] is None
+
+
+def test_attach_media_meta_fills_real_durations(spark):
+    """attach_media_meta now parses REAL durations: WAV via the
+    pure-expression canonical-layout path, MP4 via the box-walk UDF;
+    garbage payloads stay null."""
+    from pyspark.sql import functions as F
+
+    from felixzh_flink_spark.operators import multimodal as MM
+
+    wav = encode_wav([0] * 16_000, 16_000, 1, 16)      # exactly 1 s
+    wav2 = encode_wav([0, 0, 0, 0], 8_000, 2, 16)      # 4 samples stereo
+    mp4 = MM.synthesize_mp4_header(2500, 1000, 0)
+    rows = [(1, wav), (2, wav2), (3, b"junk")]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r["media_meta"]["duration_ms"] for r in
+           MM.attach_media_meta(df, "payload", "audio", "wav").collect()}
+    assert out[1] == 1000
+    assert out[2] == (4 * 2) * 1000 // (8_000 * 2 * 2)  # 8 bytes / 32k Bps
+    assert out[3] is None
+
+    vdf = spark.createDataFrame([(1, mp4), (2, b"nah")],
+                                "doc_id long, payload binary")
+    got = {r["doc_id"]: r["media_meta"]["duration_ms"] for r in
+           MM.attach_media_meta(vdf, "payload", "video", "mp4").collect()}
+    assert got[1] == 2500 and got[2] is None
