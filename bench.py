@@ -111,6 +111,7 @@ HEADLINE = [
     "skewed_supplier_revenue",
     "png_decode_stats",
     "wav_decode_stats",
+    "png_thumbnail_stats",
 ]
 
 

@@ -103,7 +103,8 @@ def test_headline_queries_have_no_python_stages(spark):
     # pack_sequences: deliberate applyInPandas packing stage;
     # png_decode_stats: the pixel kernel IS the documented Arrow-batched
     # slow path (pure-Python zlib decode — no JVM expression can inflate)
-    allowed = {"pack_sequences", "png_decode_stats", "wav_decode_stats"}
+    allowed = {"pack_sequences", "png_decode_stats", "wav_decode_stats",
+               "png_thumbnail_stats"}
     for name in bench.HEADLINE:
         if name in allowed:
             continue
