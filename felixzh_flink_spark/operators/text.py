@@ -815,3 +815,46 @@ def bpe_token_counts(df: DataFrame, merges: list[tuple[str, str]],
             .groupBy(id_col)
             .agg(F.count("*").alias("n_words"),
                  F.sum("_n").cast("bigint").alias("n_subtokens")))
+
+
+#: multi-label public suffixes recognized by `registrable_domain` — a
+#: deliberately small embedded subset of the public suffix list
+#: (publicsuffix.org) covering the common ccTLD second-level patterns;
+#: deployments that need the full PSL pass it via `extra_suffixes`
+#: (it is a data file, not code).
+PSL_SUBSET = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
+    "co.jp", "or.jp", "ne.jp", "com.br", "com.cn", "com.mx", "co.in",
+    "co.kr", "co.za", "com.tr", "com.sg",
+)
+
+
+def url_host(col) -> Column:
+    """Lower-cased host from an absolute URL, split-based (no regex — the
+    split semantics are identical across engines, which is what keeps
+    the oracle a hash match): `scheme://host/...` → segment 2 of the
+    '/'-split, with any `:port` and `user@` stripped."""
+    c = F.col(col) if isinstance(col, str) else col
+    host = F.element_at(F.split(F.lower(c), "/"), 3)
+    host = F.element_at(F.split(host, "@"), -1)   # drop userinfo
+    return F.element_at(F.split(host, ":"), 1)    # drop port
+
+
+def registrable_domain(host, extra_suffixes: "tuple[str, ...]" = ()) -> Column:
+    """Registrable ('site') domain from a host — the key every corpus
+    pipeline caps, dedupes and mixes by (`sampling.cap_per_group` /
+    domain mixture weights operate on THIS, not raw hosts: www.bbc.co.uk
+    and news.bbc.co.uk are one site). Last two labels, or last three
+    when the trailing two are a recognized multi-label public suffix
+    (PSL_SUBSET + `extra_suffixes`).
+
+    Scan-local string ops — no UDF, no join; the suffix set folds into
+    an IN list (a full PSL would broadcast-join a suffix table keyed on
+    the trailing labels — same shape, data-sized)."""
+    h = F.col(host) if isinstance(host, str) else host
+    labels = F.split(h, r"\.")
+    two = F.concat_ws(".", F.element_at(labels, -2), F.element_at(labels, -1))
+    three = F.concat_ws(".", F.element_at(labels, -3), two)
+    suffixes = tuple(PSL_SUBSET) + tuple(extra_suffixes)
+    return F.when(
+        (F.size(labels) >= 3) & two.isin(*suffixes), three).otherwise(two)

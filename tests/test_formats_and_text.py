@@ -433,3 +433,30 @@ def test_strip_html_multiline_script(spark):
     html = "a<script type='x'>\nline1\nline2\n</script>b"
     df = spark.createDataFrame([(1, html)], "id long, html string")
     assert df.select(TX.strip_html("html")).collect()[0]["clean_text"] == "a b"
+
+
+def test_url_host_and_registrable_domain(spark):
+    """Site-key extraction edges: userinfo and ports stripped, case
+    folded, multi-label public suffixes promote last-3 labels, custom
+    suffixes extend the embedded PSL subset."""
+    from felixzh_flink_spark.operators.text import (
+        registrable_domain, url_host)
+
+    rows = [
+        ("https://WWW.Example.COM/path?q=1", "example.com"),
+        ("http://user:pw@news.bbc.co.uk:8080/x", "bbc.co.uk"),
+        ("https://a.b.site5.com.au/", "site5.com.au"),
+        ("http://example.io/", "example.io"),
+        ("https://deep.sub.tree.example.org/y", "example.org"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in rows], "url: string")
+    got = [r["d"] for r in df.select(
+        registrable_domain(url_host("url")).alias("d")).collect()]
+    assert got == [d for _, d in rows]
+
+    custom = spark.createDataFrame(
+        [("https://shop.x.example.custom/",)], "url: string")
+    assert custom.select(
+        registrable_domain(url_host("url"),
+                           extra_suffixes=("example.custom",))
+        .alias("d")).collect()[0]["d"] == "x.example.custom"
