@@ -858,3 +858,47 @@ def registrable_domain(host, extra_suffixes: "tuple[str, ...]" = ()) -> Column:
     suffixes = tuple(PSL_SUBSET) + tuple(extra_suffixes)
     return F.when(
         (F.size(labels) >= 3) & two.isin(*suffixes), three).otherwise(two)
+
+
+def canonical_url(col, drop_prefixes: "tuple[str, ...]" = ("utm_",),
+                  drop_keys: "tuple[str, ...]" = ("fbclid", "gclid",
+                                                  "ref")) -> Column:
+    """Canonical form of a URL for URL-LEVEL dedup — the crawl-pipeline
+    step before content dedup ever runs: the same page arrives under
+    thousands of raw URLs differing only by tracking parameters
+    (utm_*/fbclid/gclid), parameter ORDER, and fragments. Strips the
+    fragment, drops tracking params (prefix- and exact-key matched),
+    sorts the survivors, and rejoins — so `dropDuplicates(canonical)`
+    collapses the variants while distinct real query strings stay
+    distinct.
+
+    Pure scan-local built-ins (split/filter/array_sort/array_join in
+    one codegen'd projection) — at 100 TB this is a free projection on
+    the ingest scan, never a shuffle."""
+    c = F.col(col) if isinstance(col, str) else col
+    no_frag = F.element_at(F.split(c, "#"), 1)
+    parts = F.split(no_frag, r"\?", 2)
+    base = F.element_at(parts, 1)
+    query = F.when(F.size(parts) > 1, F.element_at(parts, 2))
+    params = F.split(query, "&")
+    prefix_hit = None
+    for p in drop_prefixes:
+        cond = (lambda prm, pre=p: F.element_at(
+            F.split(prm, "=", 2), 1).startswith(pre))
+        prefix_hit = cond if prefix_hit is None else \
+            (lambda prm, a=prefix_hit, b=cond: a(prm) | b(prm))
+    keys = list(drop_keys)
+
+    def dropped(prm):
+        key = F.element_at(F.split(prm, "=", 2), 1)
+        cond = key.isin(*keys) if keys else F.lit(False)
+        if prefix_hit is not None:
+            cond = cond | prefix_hit(prm)
+        return cond
+
+    kept = F.array_sort(F.filter(params, lambda prm: ~dropped(prm)))
+    return F.concat(
+        base,
+        F.when(F.size(kept) > 0,
+               F.concat(F.lit("?"), F.array_join(kept, "&")))
+        .otherwise(F.lit("")))

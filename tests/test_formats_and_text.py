@@ -460,3 +460,29 @@ def test_url_host_and_registrable_domain(spark):
         registrable_domain(url_host("url"),
                            extra_suffixes=("example.custom",))
         .alias("d")).collect()[0]["d"] == "x.example.custom"
+
+
+def test_canonical_url_edges(spark):
+    """Canonicalization edges: fragment strip, tracking-prefix vs
+    exact-key drops ('refresh' must survive 'ref'), param sorting,
+    all-params-dropped leaves a bare base, custom drop lists."""
+    from felixzh_flink_spark.operators.text import canonical_url
+
+    rows = [
+        ("https://x.com/a?utm_source=tw&b=2&a=1", "https://x.com/a?a=1&b=2"),
+        ("https://x.com/a?a=1&b=2#section", "https://x.com/a?a=1&b=2"),
+        ("https://x.com/a?b=2&a=1&fbclid=zz", "https://x.com/a?a=1&b=2"),
+        ("https://x.com/a", "https://x.com/a"),
+        ("https://x.com/a?utm_campaign=q", "https://x.com/a"),
+        ("https://x.com/a?ref=hn&refresh=1", "https://x.com/a?refresh=1"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in rows], "url: string")
+    got = [r["c"] for r in
+           df.select(canonical_url("url").alias("c")).collect()]
+    assert got == [c for _, c in rows]
+
+    custom = spark.createDataFrame(
+        [("https://x.com/a?sid=1&keep=2",)], "url: string")
+    assert custom.select(
+        canonical_url("url", drop_prefixes=(), drop_keys=("sid",))
+        .alias("c")).collect()[0]["c"] == "https://x.com/a?keep=2"
