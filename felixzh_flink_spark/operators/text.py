@@ -902,3 +902,30 @@ def canonical_url(col, drop_prefixes: "tuple[str, ...]" = ("utm_",),
         F.when(F.size(kept) > 0,
                F.concat(F.lit("?"), F.array_join(kept, "&")))
         .otherwise(F.lit("")))
+
+
+def robots_verdict(path_col: str, rules: "list[tuple[str, bool]]") -> Column:
+    """Robots-exclusion verdict for a URL path against prefix rules —
+    the crawl-compliance gate a corpus ingest applies per domain. RFC
+    9309 longest-match semantics: among rules whose path-prefix matches,
+    the LONGEST wins; on a length tie Allow wins; no match → allowed.
+    `rules` is [(prefix, is_allow), ...] (one domain's parsed
+    robots.txt; a multi-domain corpus broadcast-joins a rules table on
+    `registrable_domain` and runs this fold on the joined array —
+    identical expression, data-sized rules).
+
+    The fold is rendered as ONE expr parse (plan-time O(1), scale-time
+    one array pass per row inside codegen): accumulator carries
+    (best_len, allow). `path_col` must be a plain column name; prefixes
+    must not contain single quotes."""
+    for p, _ in rules:
+        if "'" in p:
+            raise ValueError(f"prefix {p!r} contains a quote")
+    arr = ", ".join(
+        f"named_struct('p', '{p}', 'a', {'true' if a else 'false'})"
+        for p, a in rules)
+    return F.expr(
+        f"aggregate(array({arr}), named_struct('l', -1, 'a', true), "
+        f"(acc, r) -> IF(startswith({path_col}, r.p) "
+        f"AND (length(r.p) > acc.l OR (length(r.p) = acc.l AND r.a)), "
+        f"named_struct('l', length(r.p), 'a', r.a), acc)).a")

@@ -4230,6 +4230,46 @@ def canonical_url_dedup(spark, sf_dir):
             .groupBy("canonical_url").agg(F.count("*").alias("n_variants")))
 
 
+@q("robots_allowed_paths", """
+SELECT doc_id,
+       CASE doc_id % 5
+         WHEN 0 THEN '/public/' || doc_id
+         WHEN 1 THEN '/private/' || doc_id
+         WHEN 2 THEN '/private/ok/' || doc_id
+         WHEN 3 THEN '/p/3'
+         ELSE '/files/' || doc_id END AS path,
+       (doc_id % 5) NOT IN (1, 3) AS allowed
+FROM documents
+""")
+def robots_allowed_paths(spark, sf_dir):
+    """Robots-exclusion compliance gate (`text.robots_verdict`): every
+    synthesized path is judged against a parsed ruleset
+    (disallow /private, allow /private/ok, disallow /p/3, allow /p)
+    under RFC 9309 longest-match semantics — the allow-under-disallow
+    carve-out (/private/ok) and the specific-deny-over-general-allow
+    (/p/3 vs /p) are exactly the cases naive first-match parsers get
+    wrong. The oracle states the expected verdicts independently per
+    path family, so a fold that picks the wrong rule hash-mismatches.
+    One codegen'd array fold per row, no UDF, no shuffle beyond the
+    scan."""
+    from felixzh_flink_spark.operators.text import robots_verdict
+    rules = [("/private", False), ("/private/ok", True),
+             ("/p/3", False), ("/p", True)]
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    v = F.col("doc_id") % 5
+    path = (F.when(v == 0, F.concat(F.lit("/public/"),
+                                    F.col("doc_id").cast("string")))
+            .when(v == 1, F.concat(F.lit("/private/"),
+                                   F.col("doc_id").cast("string")))
+            .when(v == 2, F.concat(F.lit("/private/ok/"),
+                                   F.col("doc_id").cast("string")))
+            .when(v == 3, F.lit("/p/3"))
+            .otherwise(F.concat(F.lit("/files/"),
+                                F.col("doc_id").cast("string"))))
+    return (d.withColumn("path", path)
+            .withColumn("allowed", robots_verdict("path", rules)))
+
+
 @q("mixture_pipeline_counts", r"""
 WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
 w AS (SELECT source, n, CAST(FLOOR(SQRT(n)) AS BIGINT) AS s FROM c),
@@ -5677,6 +5717,7 @@ _DRIVER_ORDER = [
     "png_thumbnail_stats",          # real decode+NN-resize pixel kernel
     "url_domain_counts",            # registrable-domain (PSL) site key
     "canonical_url_dedup",          # tracking-param-stripped URL dedup key
+    "robots_allowed_paths",         # RFC 9309 longest-match robots gate
     # --- code paths changed in round 5 (percentile/psi restructure,
     # --- winsorize fences, classifier expr weights, ngram self-join
     # --- window, VARIANT single-parse)
@@ -5693,8 +5734,6 @@ _DRIVER_ORDER = [
     "quantiles_by_flag", "argmax_order_per_segment",
     "running_quantity_by_supplier", "events_json_extract",
     "events_sliding_windows", "csv_roundtrip_part", "scalar_concat",
-    # --- oldest driver verification (hard-checked in round 2 only)
-    "acctbal_quartiles",
     "kmeans_spherical_checks",      # new r5: Lloyd monotonicity laws
     # ---- position 50 boundary ----
     "chunk_docs",                   # r2-green; displaced by the kmeans law
@@ -5703,6 +5742,7 @@ _DRIVER_ORDER = [
     "canal_decode",                 # r2-green; displaced by the thumbnailer
     "avro_roundtrip_orders",        # r2-green; displaced by the domain key
     "asof_purchase_view",           # r2-green; displaced by the URL dedup
+    "acctbal_quartiles",            # r2-green; displaced by the robots gate
     # past the window: every name below has a green CORRECTNESS row from
     # rounds 1-4 and is re-verified by this round's full local
     # check_correctness sweeps; ordered roughly by verification age

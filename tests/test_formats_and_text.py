@@ -486,3 +486,22 @@ def test_canonical_url_edges(spark):
     assert custom.select(
         canonical_url("url", drop_prefixes=(), drop_keys=("sid",))
         .alias("c")).collect()[0]["c"] == "https://x.com/a?keep=2"
+
+
+def test_robots_verdict_longest_match_and_ties(spark):
+    """RFC 9309 semantics: longest prefix wins, Allow wins exact-length
+    ties, no match allows, quote injection rejected."""
+    import pytest as _pytest
+
+    from felixzh_flink_spark.operators.text import robots_verdict
+
+    rules = [("/a", False), ("/a/b", True), ("/x1", True), ("/x2", False),
+             ("/t", False), ("/t", True)]  # exact tie on /t -> Allow
+    df = spark.createDataFrame(
+        [("/a/z",), ("/a/b/z",), ("/x1/q",), ("/x2/q",), ("/t/q",),
+         ("/none",)], "path: string")
+    got = [r["ok"] for r in
+           df.select(robots_verdict("path", rules).alias("ok")).collect()]
+    assert got == [False, True, True, False, True, True]
+    with _pytest.raises(ValueError):
+        robots_verdict("path", [("/a'b", True)])
