@@ -136,13 +136,17 @@ def decode_canal_json(df: DataFrame, value_col: str, row_schema: T.StructType,
     # Column-by-Column form costs ~4 py4j round trips per field per
     # struct (measured ~970 driver round trips for a 9-field schema
     # across this decoder — the bulk of its plan-construction time);
-    # one expr parse builds the identical expression JVM-side
+    # one expr parse builds the identical expression JVM-side; field
+    # names are backtick-quoted — row_schema is caller-supplied and CDC
+    # payloads routinely carry non-identifier column names
     new_row = F.expr(
-        "struct(" + ", ".join(f"_new.{f} AS {f}" for f in fields) + ")")
+        "struct(" + ", ".join(
+            f"_new.`{f}` AS `{f}`" for f in fields) + ")")
     # old[] has only changed fields (others null) → coalesce over new
     merged_old = F.expr(
         "struct(" + ", ".join(
-            f"coalesce(_old.{f}, _new.{f}) AS {f}" for f in fields) + ")")
+            f"coalesce(_old.`{f}`, _new.`{f}`) AS `{f}`"
+            for f in fields) + ")")
 
     def tagged(op: str, row: Column) -> Column:
         return F.struct(F.lit(op).alias("op"), row.alias("row"))
@@ -166,7 +170,7 @@ def decode_canal_json(df: DataFrame, value_col: str, row_schema: T.StructType,
     return (
         paired.select(F.col("es").alias("ts_ms"), F.explode(ops).alias("_t"))
         .selectExpr("_t.op AS op", "ts_ms",
-                    *[f"CAST(_t.row.{f} AS {types[f]}) AS {f}"
+                    *[f"CAST(_t.row.`{f}` AS {types[f]}) AS `{f}`"
                       for f in fields])
     )
 
@@ -262,10 +266,10 @@ def decode_debezium_json(df: DataFrame, value_col: str, row_schema: T.StructType
     # round-trip arithmetic this avoids
     before = F.expr(
         "struct(" + ", ".join(
-            f"_env.before.{f} AS {f}" for f in fields) + ")")
+            f"_env.before.`{f}` AS `{f}`" for f in fields) + ")")
     after = F.expr(
         "struct(" + ", ".join(
-            f"_env.after.{f} AS {f}" for f in fields) + ")")
+            f"_env.after.`{f}` AS `{f}`" for f in fields) + ")")
 
     def tagged(op: str, row: Column) -> Column:
         return F.struct(F.lit(op).alias("op"), row.alias("row"))
@@ -285,7 +289,7 @@ def decode_debezium_json(df: DataFrame, value_col: str, row_schema: T.StructType
     return (
         env.select(F.col("_env.ts_ms").alias("ts_ms"), F.explode(ops).alias("_t"))
         .selectExpr("_t.op AS op", "ts_ms",
-                    *[f"CAST(_t.row.{f} AS {types[f]}) AS {f}"
+                    *[f"CAST(_t.row.`{f}` AS {types[f]}) AS `{f}`"
                       for f in fields])
     )
 

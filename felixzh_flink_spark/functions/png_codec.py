@@ -105,6 +105,11 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
         body = payload[pos + 8:pos + 8 + length]
         if len(body) != length:
             raise ValueError("truncated chunk")
+        crc_bytes = payload[pos + 8 + length:pos + 12 + length]
+        if len(crc_bytes) != 4 or \
+                struct.unpack(">I", crc_bytes)[0] != \
+                (zlib.crc32(tag + body) & 0xFFFFFFFF):
+            raise ValueError(f"chunk CRC mismatch in {tag!r}")
         if tag == b"IHDR":
             width, height, depth, colour, comp, filt, interlace = \
                 struct.unpack(">IIBBBBB", body)

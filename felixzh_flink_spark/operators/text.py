@@ -10,6 +10,8 @@ parallel scan+project jobs with no shuffle at all (per-document outputs).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -833,11 +835,14 @@ def url_host(col) -> Column:
     """Lower-cased host from an absolute URL, split-based (no regex — the
     split semantics are identical across engines, which is what keeps
     the oracle a hash match): `scheme://host/...` → segment 2 of the
-    '/'-split, with any `:port` and `user@` stripped."""
+    '/'-split, with any `:port` and `user@` stripped. Accesses are
+    try_element_at so a non-URL string (no '//') yields null instead of
+    an ANSI INVALID_ARRAY_INDEX error killing the job — real crawl
+    inputs contain garbage rows."""
     c = F.col(col) if isinstance(col, str) else col
-    host = F.element_at(F.split(F.lower(c), "/"), 3)
-    host = F.element_at(F.split(host, "@"), -1)   # drop userinfo
-    return F.element_at(F.split(host, ":"), 1)    # drop port
+    host = F.try_element_at(F.split(F.lower(c), "/"), F.lit(3))
+    host = F.try_element_at(F.split(host, "@"), F.lit(-1))  # drop userinfo
+    return F.try_element_at(F.split(host, ":"), F.lit(1))   # drop port
 
 
 def registrable_domain(host, extra_suffixes: "tuple[str, ...]" = ()) -> Column:
@@ -849,15 +854,102 @@ def registrable_domain(host, extra_suffixes: "tuple[str, ...]" = ()) -> Column:
     (PSL_SUBSET + `extra_suffixes`).
 
     Scan-local string ops — no UDF, no join; the suffix set folds into
-    an IN list (a full PSL would broadcast-join a suffix table keyed on
-    the trailing labels — same shape, data-sized)."""
+    an IN list (see `registrable_domain_psl` for the broadcast-joined
+    full-PSL variant — same shape, data-sized). Label accesses are
+    try_element_at: a single-label host ('localhost') yields itself
+    rather than an ANSI INVALID_ARRAY_INDEX abort (concat_ws skips the
+    null labels)."""
     h = F.col(host) if isinstance(host, str) else host
     labels = F.split(h, r"\.")
-    two = F.concat_ws(".", F.element_at(labels, -2), F.element_at(labels, -1))
-    three = F.concat_ws(".", F.element_at(labels, -3), two)
+    two = F.concat_ws(".", F.try_element_at(labels, F.lit(-2)),
+                      F.try_element_at(labels, F.lit(-1)))
+    three = F.concat_ws(".", F.try_element_at(labels, F.lit(-3)), two)
     suffixes = tuple(PSL_SUBSET) + tuple(extra_suffixes)
-    return F.when(
+    return F.when(h.isNull(), F.lit(None).cast("string")).when(
         (F.size(labels) >= 3) & two.isin(*suffixes), three).otherwise(two)
+
+
+def registrable_domain_psl(df: DataFrame, host_col: str, rules,
+                           out_col: str = "registrable_domain") -> DataFrame:
+    """Registrable domain against a FULL public-suffix list — the
+    data-sized analog of `registrable_domain`'s embedded subset, for
+    real crawls where the rule set is the ~10k-line publicsuffix.org
+    file rather than a hand-picked tuple. Implements the PSL algorithm:
+    normal rules match their exact trailing labels, `*.` wildcard rules
+    match one arbitrary label plus their tail, `!` exception rules
+    override everything; among matches the longest rule wins; no match
+    → the implicit `*` default (public suffix = last label). The
+    registrable domain is the public suffix plus one label, or NULL
+    when the host IS a public suffix (per the spec — unlike the
+    subset fast path, which returns single-label hosts verbatim).
+
+    Scale shape: the rule list is grouped per (trailing-labels key,
+    depth) on the driver — the PSL has ≤ 5-label rules, so the host
+    side takes at most 5 BROADCAST hash joins on its trailing-k label
+    strings. No explode, no re-aggregation, no shuffle: the scan stays
+    narrow and every join is map-side. `rules` is an iterable of PSL
+    rule lines (comments/blank lines ignored) or a single-column
+    DataFrame of them."""
+    spark = df.sparkSession
+    if isinstance(rules, DataFrame):
+        rules = [r[0] for r in rules.collect()]  # PSL is rule-sized
+    parsed: dict[tuple[str, int], set] = {}
+    for raw in rules:
+        r = str(raw).strip().lower()
+        if not r or r.startswith("//"):
+            continue
+        kind = "norm"
+        if r.startswith("!"):
+            kind, r = "exc", r[1:]
+        elif r.startswith("*."):
+            kind, r = "wild", r[2:]
+        parsed.setdefault((r, r.count(".") + 1), set()).add(kind)
+    if not parsed:
+        raise ValueError("empty PSL rule set")
+    maxk = max(k for _, k in parsed)
+    rules_rows = [(key, k, "norm" in kinds, "wild" in kinds, "exc" in kinds)
+                  for (key, k), kinds in parsed.items()]
+    rules_df = spark.createDataFrame(
+        rules_rows, "key string, klab int, norm boolean, wild boolean, "
+                    "exc boolean")
+
+    h = F.lower(F.col(host_col))
+    labels = F.split(h, r"\.")
+    n = F.size(labels)
+    out = df.withColumn("__n", n)
+    for k in range(1, maxk + 1):
+        rk = (rules_df.filter(F.col("klab") == k)
+              .select(F.col("key").alias(f"__key_{k}"),
+                      F.col("norm").alias(f"__norm_{k}"),
+                      F.col("wild").alias(f"__wild_{k}"),
+                      F.col("exc").alias(f"__exc_{k}")))
+        sfx = F.when(F.col("__n") >= k,
+                     F.concat_ws(".", F.slice(F.split(
+                         F.lower(F.col(host_col)), r"\."), -k, k)))
+        out = out.join(F.broadcast(rk),
+                       sfx == F.col(f"__key_{k}"), "left")
+
+    nn = F.col("__n")
+    exc_ps = [F.when(F.coalesce(F.col(f"__exc_{k}"), F.lit(False)),
+                     F.lit(k - 1)) for k in range(1, maxk + 1)]
+    norm_ps = [F.when(F.coalesce(F.col(f"__norm_{k}"), F.lit(False)),
+                      F.lit(k)) for k in range(1, maxk + 1)]
+    wild_ps = [F.when(F.coalesce(F.col(f"__wild_{k}"), F.lit(False))
+                      & (nn >= k + 1), F.lit(k + 1))
+               for k in range(1, maxk + 1)]
+
+    def _greatest(cols):
+        return cols[0] if len(cols) == 1 else F.greatest(*cols)
+
+    ps = F.coalesce(_greatest(exc_ps), _greatest(norm_ps + wild_ps),
+                    F.lit(1))
+    labels2 = F.split(F.lower(F.col(host_col)), r"\.")
+    site = F.when(F.col(host_col).isNotNull() & (nn > ps),
+                  F.concat_ws(".", F.slice(labels2, -(ps + 1), ps + 1)))
+    drop = ["__n"] + [c for k in range(1, maxk + 1)
+                      for c in (f"__key_{k}", f"__norm_{k}",
+                                f"__wild_{k}", f"__exc_{k}")]
+    return out.withColumn(out_col, site).drop(*drop)
 
 
 def canonical_url(col, drop_prefixes: "tuple[str, ...]" = ("utm_",),
@@ -904,28 +996,63 @@ def canonical_url(col, drop_prefixes: "tuple[str, ...]" = ("utm_",),
         .otherwise(F.lit("")))
 
 
+def _sql_str(s: str) -> str:
+    """Render a Python string as a Spark SQL single-quoted literal —
+    backslashes and quotes are escaped so the parser reproduces the
+    bytes verbatim (a raw '\\t' must stay two characters, not become a
+    tab)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _robots_regex(pattern: str) -> "str | None":
+    """None when `pattern` is a plain prefix; else the anchored Java
+    regex implementing RFC 9309 §2.2.3 wildcard matching: `*` matches
+    any run of characters, a TRAILING `$` anchors the end of the path
+    (a `$` anywhere else is a literal). Literal chunks are
+    regex-escaped."""
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+    if "*" not in body and not anchored:
+        return None
+    return ("^" + ".*".join(re.escape(c) for c in body.split("*"))
+            + ("$" if anchored else ""))
+
+
 def robots_verdict(path_col: str, rules: "list[tuple[str, bool]]") -> Column:
-    """Robots-exclusion verdict for a URL path against prefix rules —
-    the crawl-compliance gate a corpus ingest applies per domain. RFC
-    9309 longest-match semantics: among rules whose path-prefix matches,
-    the LONGEST wins; on a length tie Allow wins; no match → allowed.
-    `rules` is [(prefix, is_allow), ...] (one domain's parsed
-    robots.txt; a multi-domain corpus broadcast-joins a rules table on
+    """Robots-exclusion verdict for a URL path — the crawl-compliance
+    gate a corpus ingest applies per domain. Implements RFC 9309
+    matching incl. wildcards: a rule path may contain `*` (any run) and
+    a trailing `$` (end anchor); among matching rules the one with the
+    LONGEST rule text wins (octet length of the pattern, the RFC's
+    most-specific-match order as implemented by Google's open-source
+    matcher); on a length tie Allow wins; no match → allowed. `rules`
+    is [(pattern, is_allow), ...] (one domain's parsed robots.txt; a
+    multi-domain corpus broadcast-joins a rules table on
     `registrable_domain` and runs this fold on the joined array —
     identical expression, data-sized rules).
 
     The fold is rendered as ONE expr parse (plan-time O(1), scale-time
     one array pass per row inside codegen): accumulator carries
-    (best_len, allow). `path_col` must be a plain column name; prefixes
-    must not contain single quotes."""
-    for p, _ in rules:
-        if "'" in p:
-            raise ValueError(f"prefix {p!r} contains a quote")
-    arr = ", ".join(
-        f"named_struct('p', '{p}', 'a', {'true' if a else 'false'})"
-        for p, a in rules)
+    (best_len, allow). Plain-prefix rules match via `startswith`;
+    wildcard/anchored rules compile to an anchored `rlike` regex at
+    plan time. Pattern text is rendered through `_sql_str`, so quotes
+    and backslashes in rules are safe. `path_col` must be a plain
+    column name."""
+    if not rules:
+        return F.lit(True)
+    parts = []
+    for p, a in rules:
+        rx = _robots_regex(p)
+        pfx = "CAST(NULL AS STRING)" if rx is not None else _sql_str(p)
+        rxl = _sql_str(rx) if rx is not None else "CAST(NULL AS STRING)"
+        parts.append(
+            f"named_struct('l', {len(p)}, 'a', {'true' if a else 'false'}, "
+            f"'pfx', {pfx}, 'rx', {rxl})")
+    arr = ", ".join(parts)
     return F.expr(
         f"aggregate(array({arr}), named_struct('l', -1, 'a', true), "
-        f"(acc, r) -> IF(startswith({path_col}, r.p) "
-        f"AND (length(r.p) > acc.l OR (length(r.p) = acc.l AND r.a)), "
-        f"named_struct('l', length(r.p), 'a', r.a), acc)).a")
+        f"(acc, r) -> IF("
+        f"IF(r.rx IS NULL, startswith({path_col}, r.pfx), "
+        f"rlike({path_col}, r.rx)) "
+        f"AND (r.l > acc.l OR (r.l = acc.l AND r.a)), "
+        f"named_struct('l', r.l, 'a', r.a), acc)).a")

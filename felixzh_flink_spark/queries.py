@@ -4270,6 +4270,98 @@ def robots_allowed_paths(spark, sf_dir):
             .withColumn("allowed", robots_verdict("path", rules)))
 
 
+@q("robots_wildcard_paths", """
+SELECT doc_id,
+       CASE doc_id % 6
+         WHEN 0 THEN '/files/r' || doc_id || '.pdf'
+         WHEN 1 THEN '/files/r' || doc_id || '.pdfx'
+         WHEN 2 THEN '/docs/d' || doc_id || '.pdf'
+         WHEN 3 THEN '/docs/d' || doc_id || '.html'
+         WHEN 4 THEN '/abc/x' || doc_id
+         ELSE '/a' || doc_id END AS path,
+       (doc_id % 6) NOT IN (0, 2, 4) AS allowed
+FROM documents
+""")
+def robots_wildcard_paths(spark, sf_dir):
+    """RFC 9309 WILDCARD robots gate (`text.robots_verdict` with `*`
+    and `$` rules) — the cases the plain-prefix fold mis-judged before
+    round 6: `Disallow: /*.pdf$` must deny every .pdf (family 0) but
+    not .pdfx (family 1, the end-anchor), `Disallow: /docs/*.pdf$`
+    must out-rank `Allow: /docs/` by rule-text length (family 2 vs 3),
+    and a mid-pattern `*` (`/a*c/`) must beat a shorter allow (family
+    4 vs 5). The oracle states the expected verdict per family, so
+    wrong wildcard translation or precedence hash-mismatches. Wildcard
+    rules compile to anchored `rlike` regexes at plan time; the fold
+    stays ONE expr parse, scan-local, no UDF."""
+    from felixzh_flink_spark.operators.text import robots_verdict
+    rules = [("/*.pdf$", False), ("/docs/", True),
+             ("/docs/*.pdf$", False), ("/a*c/", False), ("/a", True)]
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    v = F.col("doc_id") % 6
+    sid = F.col("doc_id").cast("string")
+    path = (F.when(v == 0, F.concat(F.lit("/files/r"), sid, F.lit(".pdf")))
+            .when(v == 1, F.concat(F.lit("/files/r"), sid, F.lit(".pdfx")))
+            .when(v == 2, F.concat(F.lit("/docs/d"), sid, F.lit(".pdf")))
+            .when(v == 3, F.concat(F.lit("/docs/d"), sid, F.lit(".html")))
+            .when(v == 4, F.concat(F.lit("/abc/x"), sid))
+            .otherwise(F.concat(F.lit("/a"), sid)))
+    return (d.withColumn("path", path)
+            .withColumn("allowed", robots_verdict("path", rules)))
+
+
+@q("url_registrable_psl", """
+SELECT doc_id,
+       CASE doc_id % 8
+         WHEN 0 THEN 'x' || doc_id || '.blog.example.com'
+         WHEN 1 THEN 'news.bbc.co.uk'
+         WHEN 2 THEN 'shop' || doc_id || '.weird.ck'
+         WHEN 3 THEN 'a.www.ck'
+         WHEN 4 THEN 'x.y.kobe.jp'
+         WHEN 5 THEN 'city.kobe.jp'
+         WHEN 6 THEN 'weird.ck'
+         ELSE 'orphan' || doc_id || '.test' END AS host,
+       CASE doc_id % 8
+         WHEN 0 THEN 'example.com'
+         WHEN 1 THEN 'bbc.co.uk'
+         WHEN 2 THEN 'shop' || doc_id || '.weird.ck'
+         WHEN 3 THEN 'www.ck'
+         WHEN 4 THEN 'x.y.kobe.jp'
+         WHEN 5 THEN 'city.kobe.jp'
+         WHEN 6 THEN NULL
+         ELSE 'orphan' || doc_id || '.test' END AS site
+FROM documents
+""")
+def url_registrable_psl(spark, sf_dir):
+    """Full-PSL registrable domain (`text.registrable_domain_psl`) —
+    the broadcast-suffix-table variant of the embedded-subset site key,
+    judged against rule families the subset can't express: wildcard
+    rules (`*.ck`, multi-label `*.kobe.jp`), exception rules
+    (`!www.ck`, `!city.kobe.jp`), longest-match (`co.uk` over `uk`),
+    the implicit default rule (unknown `.test` TLD), and the
+    host-IS-a-public-suffix NULL case (`weird.ck`). The oracle states
+    the expected registrable domain independently per doc_id family,
+    so a wrong rule-precedence order hash-mismatches. Plan shape: ≤ 3
+    broadcast hash joins on trailing-label keys, zero shuffles, zero
+    explodes — the 10k-line real PSL runs the identical plan."""
+    from felixzh_flink_spark.operators.text import registrable_domain_psl
+    rules = ["// test PSL slice", "com", "uk", "co.uk", "*.ck",
+             "!www.ck", "*.kobe.jp", "!city.kobe.jp", "jp"]
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    v = F.col("doc_id") % 8
+    sid = F.col("doc_id").cast("string")
+    host = (F.when(v == 0, F.concat(F.lit("x"), sid,
+                                    F.lit(".blog.example.com")))
+            .when(v == 1, F.lit("news.bbc.co.uk"))
+            .when(v == 2, F.concat(F.lit("shop"), sid, F.lit(".weird.ck")))
+            .when(v == 3, F.lit("a.www.ck"))
+            .when(v == 4, F.lit("x.y.kobe.jp"))
+            .when(v == 5, F.lit("city.kobe.jp"))
+            .when(v == 6, F.lit("weird.ck"))
+            .otherwise(F.concat(F.lit("orphan"), sid, F.lit(".test"))))
+    return registrable_domain_psl(d.withColumn("host", host), "host",
+                                  rules, out_col="site")
+
+
 @q("mixture_pipeline_counts", r"""
 WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
 w AS (SELECT source, n, CAST(FLOOR(SQRT(n)) AS BIGINT) AS s FROM c),
@@ -5699,6 +5791,9 @@ def cms_token_counts(spark, sf_dir):
 # =====================================================================
 
 _DRIVER_ORDER = [
+    # --- new round-6 queries (placed in-window; full r6 rotation at
+    # --- end of round)
+    "robots_wildcard_paths", "url_registrable_psl",
     # --- never driver-checked: round-4 post-boundary additions
     "sliding_count_windows",        # Flink countWindow(size, slide)
     "rolling_hour_user_value",      # RANGE INTERVAL trailing window
@@ -5779,13 +5874,27 @@ _DRIVER_ORDER = [
 
 assert set(_DRIVER_ORDER) == set(QUERIES), (
     sorted(set(_DRIVER_ORDER) ^ set(QUERIES)))
-#: the six rows-only probes are the ONLY window entries without a DuckDB
-#: oracle — the driver records their weaker rows-only check this round
-#: (their assertion twins carry the hard oracles, green in round 4)
-_ROWS_ONLY_IN_WINDOW = {
-    "minhash_lsh_pairs", "ann_ivf_topk", "ann_pq_topk", "ann_ivfpq_topk",
-    "semantic_dedup_keep", "embedding_near_dup"}
+#: rows-only probes (approximate / hash-seed-specific by construction —
+#: no DuckDB oracle can bit-match them) paired with the deterministic
+#: assertion-oracle twin that carries each one's hard correctness
+#: check. The pairing is load-bearing: deleting a twin would silently
+#: weaken a probe's coverage story (VERDICT r5), so it is asserted.
+_PROBE_TWINS = {
+    "minhash_lsh_pairs": "minhash_dedup_verified",
+    "ann_ivf_topk": "ann_ivf_checks",
+    "ann_pq_topk": "ann_pq_checks",
+    "ann_ivfpq_topk": "ann_ivfpq_checks",
+    "semantic_dedup_keep": "semantic_dedup_checks",
+    "embedding_near_dup": "embedding_near_dup_checks",
+}
+for _probe, _twin in _PROBE_TWINS.items():
+    assert _probe in QUERIES and _probe not in ORACLES, _probe
+    assert _twin in ORACLES, \
+        f"probe {_probe} lost its assertion-oracle twin {_twin}"
+#: window entries without a DuckDB oracle must be declared probes
+_ROWS_ONLY_IN_WINDOW = \
+    set(_DRIVER_ORDER[:50]) & set(_PROBE_TWINS)
 assert set(_DRIVER_ORDER[:50]) - set(ORACLES) == _ROWS_ONLY_IN_WINDOW, \
-    "window must be oracle-backed except the six declared probes"
+    "window must be oracle-backed except declared probes"
 
 QUERIES = {name: QUERIES[name] for name in _DRIVER_ORDER}

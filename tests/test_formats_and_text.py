@@ -462,6 +462,26 @@ def test_url_host_and_registrable_domain(spark):
         .alias("d")).collect()[0]["d"] == "x.example.custom"
 
 
+def test_url_host_malformed_inputs_yield_null_not_error(spark):
+    """ADVICE r5: under Spark-4 ANSI mode, element_at on a too-short
+    split array aborts the job. Real crawl inputs contain single-label
+    hosts and non-URL garbage — those must map to null/host, never
+    throw."""
+    from felixzh_flink_spark.operators.text import (
+        registrable_domain, url_host)
+
+    df = spark.createDataFrame(
+        [("http://localhost/x",), ("not a url at all",), ("",),
+         (None,), ("ftp://host.example.com",)], "url: string")
+    got = [(r["h"], r["d"]) for r in df.select(
+        url_host("url").alias("h"),
+        registrable_domain(url_host("url")).alias("d")).collect()]
+    assert got[0] == ("localhost", "localhost")   # single label → itself
+    assert got[1][0] is None                      # no '//' → null host
+    assert got[2][0] is None and got[3][0] is None
+    assert got[4] == ("host.example.com", "example.com")
+
+
 def test_canonical_url_edges(spark):
     """Canonicalization edges: fragment strip, tracking-prefix vs
     exact-key drops ('refresh' must survive 'ref'), param sorting,
@@ -490,9 +510,8 @@ def test_canonical_url_edges(spark):
 
 def test_robots_verdict_longest_match_and_ties(spark):
     """RFC 9309 semantics: longest prefix wins, Allow wins exact-length
-    ties, no match allows, quote injection rejected."""
-    import pytest as _pytest
-
+    ties, no match allows; quotes/backslashes in rules are escaped, not
+    misinterpreted."""
     from felixzh_flink_spark.operators.text import robots_verdict
 
     rules = [("/a", False), ("/a/b", True), ("/x1", True), ("/x2", False),
@@ -503,5 +522,49 @@ def test_robots_verdict_longest_match_and_ties(spark):
     got = [r["ok"] for r in
            df.select(robots_verdict("path", rules).alias("ok")).collect()]
     assert got == [False, True, True, False, True, True]
-    with _pytest.raises(ValueError):
-        robots_verdict("path", [("/a'b", True)])
+
+    # a quote or backslash in the rule is a literal path byte (ADVICE
+    # r5: '\t' must stay backslash-t, not become a tab)
+    odd = spark.createDataFrame(
+        [("/a'b/x",), ("/a'c",), ("/\\t/x",), ("/\t/x",)], "path: string")
+    got = [r["ok"] for r in odd.select(robots_verdict(
+        "path", [("/a'b", False), ("/\\t", False)]).alias("ok")).collect()]
+    assert got == [False, True, False, True]
+
+
+def test_robots_verdict_wildcards(spark):
+    """RFC 9309 §2.2.3 wildcards: `*` matches any run, trailing `$`
+    anchors the end, mid-pattern `$` is literal; precedence is rule-text
+    length so a long wildcard rule beats a shorter prefix rule."""
+    from felixzh_flink_spark.operators.text import (_robots_regex,
+                                                    robots_verdict)
+
+    assert _robots_regex("/plain") is None
+    assert _robots_regex("/*.pdf$") == r"^/.*\.pdf$"
+    assert _robots_regex("/exact$") == "^/exact$"
+
+    rules = [("/*.pdf$", False),          # any .pdf anywhere → deny
+             ("/docs/", True),            # but /docs/ prefix allows…
+             ("/docs/*.pdf$", False),     # …except its pdfs (longest)
+             ("/tmp$", False),            # exactly /tmp
+             ("/cgi*bin", False),         # * mid-pattern
+             ("/li$t", False)]            # mid $ is literal
+    df = spark.createDataFrame(
+        [("/x/report.pdf",), ("/x/report.pdfx",), ("/docs/a.html",),
+         ("/docs/a.pdf",), ("/tmp",), ("/tmp/f",), ("/cgi-bin/q",),
+         ("/li$t/x",), ("/lit/x",)], "path: string")
+    got = [r["ok"] for r in
+           df.select(robots_verdict("path", rules).alias("ok")).collect()]
+    assert got == [False,  # *.pdf$ matches
+                   True,   # .pdfx not end-anchored match
+                   True,   # /docs/ allow
+                   False,  # /docs/*.pdf$ (len 12) beats /docs/ (len 6)
+                   False,  # /tmp$ exact
+                   True,   # /tmp/f not exactly /tmp, no other match
+                   False,  # /cgi*bin
+                   False,  # literal $ matched
+                   True]   # /lit/x ≠ /li$t
+
+    # empty ruleset → everything allowed
+    assert df.select(robots_verdict("path", []).alias("ok")) \
+             .filter("NOT ok").count() == 0

@@ -76,14 +76,35 @@ def test_rejects_corrupt_payloads(mutate):
         decode_png(mutate(enc))
 
 
+def _rechunked_ihdr(enc: bytes, offset: int, byte: bytes) -> bytes:
+    """Mutate one IHDR body byte and recompute the chunk CRC, so the
+    decoder's semantic validation (not the CRC gate) is what fires."""
+    body = bytearray(enc[16:29])          # IHDR body: 13 bytes at 16
+    body[offset] = byte[0]
+    crc = struct.pack(">I", zlib.crc32(b"IHDR" + bytes(body)) & 0xFFFFFFFF)
+    return enc[:16] + bytes(body) + crc + enc[33:]
+
+
 def test_rejects_unsupported_depth_and_interlace():
-    enc = bytearray(encode_png(3, 3, bytes(9), 1, 0))
-    bad_depth = bytes(enc[:24]) + b"\x10" + bytes(enc[25:])
-    with pytest.raises(ValueError):
-        decode_png(bad_depth)
-    interlaced = bytes(enc[:28]) + b"\x01" + bytes(enc[29:])
-    with pytest.raises(ValueError):
-        decode_png(interlaced)
+    enc = encode_png(3, 3, bytes(9), 1, 0)
+    with pytest.raises(ValueError, match="bit depth"):
+        decode_png(_rechunked_ihdr(enc, 8, b"\x10"))
+    with pytest.raises(ValueError, match="interlaced"):
+        decode_png(_rechunked_ihdr(enc, 12, b"\x01"))
+
+
+def test_rejects_crc_mismatch():
+    """A corrupted chunk whose lengths stay consistent must not decode
+    to wrong pixels silently (ADVICE r5): every chunk CRC is verified."""
+    enc = bytearray(encode_png(3, 3, bytes(range(9)), 1, 1))
+    # flip one bit inside the IDAT body without touching length or CRC
+    pos = 8
+    while bytes(enc[pos + 4:pos + 8]) != b"IDAT":
+        (length,) = struct.unpack(">I", enc[pos:pos + 4])
+        pos += 12 + length
+    enc[pos + 10] ^= 0x01
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(enc))
 
 
 def test_png_pixel_stats_decodes_real_bytes(spark):
