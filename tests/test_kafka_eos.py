@@ -188,3 +188,92 @@ def test_streaming_replay_after_commit_loss_converges(spark, tmp_path):
     assert len(by_key) == 10                     # dedup-by-key: exactly-once
     assert all(len(v) == 1 for v in by_key.values())
     assert all(k.startswith("orders/0/") for k in by_key)
+
+
+def test_consumer_dedup_closes_the_eos_loop(spark, tmp_path):
+    """VERDICT-r5 item 4: the CONSUMING half of the contract as code.
+    Re-runs the commit-loss replay (producer side), then feeds the raw
+    at-least-once send log through `sources.eos.eos_dedup` — the result
+    must be exactly the once-only row set the transactional reference
+    sink (Kafka2Kafka.java:45-46) would deliver."""
+    import os
+
+    from felixzh_flink_spark.sinks.writers import keyed_eos_kafka_sink
+    from felixzh_flink_spark.sources.eos import eos_dedup
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    root = str(tmp_path / "sent")
+    os.makedirs(root)
+    spark.range(10).selectExpr(
+        "id AS k", "concat('v', id) AS value").coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    def start():
+        stream = spark.readStream.schema("k long, value string").parquet(src)
+        return keyed_eos_kafka_sink(
+            stream, "orders", checkpoint_location=ckpt, key_cols=["k"],
+            producer_factory=_factory(root))
+
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    os.remove(os.path.join(ckpt, "commits", "0"))
+    crc = os.path.join(ckpt, "commits", ".0.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    sends = _read_sends(root)
+    assert len(sends) == 20                      # duplicated on the wire
+
+    consumed = spark.createDataFrame(
+        [(r["key"], r["value"]) for r in sends], "key string, value string")
+    once = eos_dedup(consumed, "key")
+    rows = {(r["key"], r["value"]) for r in once.collect()}
+    assert once.count() == 10                    # exactly-once after dedup
+    assert {r[1] for r in rows} == {f"v{i}" for i in range(10)}
+
+
+def test_consumer_dedup_streaming_within_watermark(spark, tmp_path):
+    """Streaming consumer: duplicates replayed in a LATER micro-batch
+    (the real crash-window shape) are dropped by
+    dropDuplicatesWithinWatermark with bounded state; fresh keys pass."""
+    import os
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    from pyspark.sql import functions as F
+
+    from felixzh_flink_spark.sources.eos import eos_dedup
+
+    base = spark.range(10).selectExpr(
+        "concat('orders/0/', id) AS key", "concat('v', id) AS value",
+        "timestamp'2026-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id) AS ts")
+    base.coalesce(1).write.parquet(os.path.join(src, "f1"))
+    # replay of the same batch + 5 genuinely new records, seconds later
+    replay = base.withColumn("ts", F.col("ts") + F.expr("INTERVAL 5 SECONDS"))
+    fresh = spark.range(10, 15).selectExpr(
+        "concat('orders/1/', id) AS key", "concat('v', id) AS value",
+        "timestamp'2026-01-01 00:01:00' AS ts")
+    replay.unionByName(fresh).coalesce(1).write.parquet(
+        os.path.join(src, "f2"))
+
+    stream = (spark.readStream.schema("key string, value string, ts timestamp")
+              .option("maxFilesPerTrigger", "1")
+              .parquet(src + "/*"))
+    deduped = eos_dedup(stream, "key", "ts", "1 hour")
+    q = (deduped.writeStream.format("memory").queryName("eos_once")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        got = {(r["key"], r["value"])
+               for r in spark.sql("SELECT * FROM eos_once").collect()}
+    finally:
+        q.stop()
+        q.awaitTermination()
+    assert len(got) == 15                        # 10 originals + 5 fresh
+    assert {v for _, v in got} == {f"v{i}" for i in range(15)}
