@@ -620,3 +620,77 @@ def png_thumbnail_stats(df: DataFrame, out_w: int, out_h: int,
                 "thumb_sum", "thumb_wsum"])
 
     return df.mapInPandas(kernel, schema=THUMB_STATS_SCHEMA)
+
+
+def synthesize_gif_column(df: DataFrame, id_col: str = "doc_id",
+                          payload_col: str = "gif") -> DataFrame:
+    """Deterministic GIF fixture generator (the `png` analog for
+    palette images): attach a REAL encoded GIF per row — width =
+    id%7+1, height = id%5+1, palette of 2^((id%3)·3+2) colors (4, 32
+    or 256 — exercising LZW min code sizes 2, 5 and 8), interlaced for
+    even ids, index j = (id·31 + 7j) mod palette_size, palette entry e
+    = ((3e)%256, (5e+1)%256, (7e+2)%256). Closed-form recipe → a SQL
+    oracle predicts any statistic of the DECODED indices/RGB without
+    decoding (`gif_pixel_stats`). Arrow-batched pandas UDF."""
+    from felixzh_flink_spark.functions.gif_codec import encode_gif
+
+    @F.pandas_udf("binary")
+    def _make(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            w, h = i % 7 + 1, i % 5 + 1
+            ps = 1 << ((i % 3) * 3 + 2)
+            idx = bytes((i * 31 + 7 * j) % ps for j in range(w * h))
+            pal = bytes(v for e in range(ps)
+                        for v in ((3 * e) % 256, (5 * e + 1) % 256,
+                                  (7 * e + 2) % 256))
+            out.append(encode_gif(w, h, idx, pal, interlace=(i % 2 == 0)))
+        return pd.Series(out)
+
+    return df.withColumn(payload_col, _make(F.col(id_col)))
+
+
+GIF_STATS_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("palette_size", T.IntegerType(), True),
+    T.StructField("idx_sum", T.LongType(), True),
+    T.StructField("idx_wsum", T.LongType(), True),
+    T.StructField("rgb_sum", T.LongType(), True),
+])
+
+
+def gif_pixel_stats(df: DataFrame, id_col: str = "doc_id",
+                    payload_col: str = "gif") -> DataFrame:
+    """REAL GIF decode (no stub): LZW-decompress each payload with the
+    pure-stdlib codec (`functions/gif_codec` — variable-width codes,
+    dictionary growth/reset, KwKwK, de-interlacing) and emit decoded
+    geometry plus three aggregates — idx_sum = Σ indexᵢ, the
+    order-sensitive idx_wsum = Σ (j+1)·indexⱼ (an interlace kernel
+    that fails to reorder rows cannot pass), and rgb_sum = Σ (r+g+b)
+    through the palette (a decoder that returns raw codes instead of
+    palette lookups cannot pass). Undecodable payloads yield null
+    stats. One Arrow-batched mapInPandas projection, no shuffle."""
+    from felixzh_flink_spark.functions.gif_codec import decode_gif
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    w, h, pal, idx = decode_gif(p)
+                    rgb = sum(pal[3 * b] + pal[3 * b + 1] + pal[3 * b + 2]
+                              for b in idx)
+                    rows.append((int(i), w, h, len(pal) // 3, sum(idx),
+                                 sum((j + 1) * b for j, b in enumerate(idx)),
+                                 rgb))
+                except Exception:  # ValueError / struct.error
+                    rows.append((int(i), None, None, None, None, None,
+                                 None))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "width", "height", "palette_size",
+                "idx_sum", "idx_wsum", "rgb_sum"])
+
+    return df.mapInPandas(kernel, schema=GIF_STATS_SCHEMA)
