@@ -119,60 +119,59 @@ def decode_canal_json(df: DataFrame, value_col: str, row_schema: T.StructType,
     """
     df = _maybe_spread(df, parallelism)
     mode = {"mode": "PERMISSIVE" if ignore_parse_errors else "FAILFAST"}
-    env = df.select(F.from_json(F.col(value_col), canal_envelope_schema(row_schema),
+    # from_json stays a Column call (a schema OBJECT handles arbitrary
+    # CDC field names; a DDL string in SQL text would not); everything
+    # after the parse is ONE spark.sql call — the r5 expr-string fold
+    # removed the ~970 per-field py4j round trips, r6 removes the
+    # remaining per-op driver analyses the same way as the percentile
+    # frame. Field names are backtick-quoted throughout (row_schema is
+    # caller-supplied; CDC payloads routinely carry non-identifier
+    # column names).
+    env = df.select(F.from_json(F.col(value_col),
+                                canal_envelope_schema(row_schema),
                                 mode).alias("_env"))
-
     fields = [f.name for f in row_schema.fields]
-    valid = F.col("_env").isNotNull() & (~F.coalesce(F.col("_env.isDdl"), F.lit(False)))
-    # pair data[i] with old[i] positionally for UPDATE old-field merging
-    paired = env.select(
-        F.when(valid, F.col("_env.type")).alias("type"),
-        F.col("_env.es").alias("es"),
-        F.posexplode(F.when(valid, F.col("_env.data"))).alias("_i", "_new"),
-        F.col("_env.old").alias("_olds"),
-    ).withColumn("_old", F.col("_olds")[F.col("_i")])
-
-    # per-field struct builders rendered as ONE SQL string each: the
-    # Column-by-Column form costs ~4 py4j round trips per field per
-    # struct (measured ~970 driver round trips for a 9-field schema
-    # across this decoder — the bulk of its plan-construction time);
-    # one expr parse builds the identical expression JVM-side; field
-    # names are backtick-quoted — row_schema is caller-supplied and CDC
-    # payloads routinely carry non-identifier column names
-    new_row = F.expr(
-        "struct(" + ", ".join(
-            f"_new.`{f}` AS `{f}`" for f in fields) + ")")
-    # old[] has only changed fields (others null) → coalesce over new
-    merged_old = F.expr(
-        "struct(" + ", ".join(
-            f"coalesce(_old.`{f}`, _new.`{f}`) AS `{f}`"
-            for f in fields) + ")")
-
-    def tagged(op: str, row: Column) -> Column:
-        return F.struct(F.lit(op).alias("op"), row.alias("row"))
-
-    # Single-pass: one (op,row) array per record, exploded once — the
-    # branch-and-union formulation would rescan/re-parse the source 4× .
-    ops = (
-        F.when(F.col("type") == "INSERT", F.array(tagged(OP_INSERT, new_row)))
-        .when(F.col("type") == "DELETE", F.array(tagged(OP_DELETE, new_row)))
-        .when(F.col("type") == "UPDATE",
-              F.array(tagged(OP_UPDATE_BEFORE, merged_old),
-                      tagged(OP_UPDATE_AFTER, new_row)))
-    )
-    if not ignore_parse_errors:
-        # Flink's canal deserializer throws on unknown operation types when
-        # ignore-parse-errors=false; rows reaching this branch carried data[]
-        # but none of INSERT/DELETE/UPDATE.
-        ops = ops.otherwise(F.raise_error(
-            F.concat(F.lit("canal-json: unknown operation type "), F.col("type"))))
     types = {f.name: f.dataType.simpleString() for f in row_schema.fields}
-    return (
-        paired.select(F.col("es").alias("ts_ms"), F.explode(ops).alias("_t"))
-        .selectExpr("_t.op AS op", "ts_ms",
-                    *[f"CAST(_t.row.`{f}` AS {types[f]}) AS `{f}`"
-                      for f in fields])
-    )
+    new_row = "struct(" + ", ".join(
+        f"_new.`{f}` AS `{f}`" for f in fields) + ")"
+    # old[] has only changed fields (others null) → coalesce over new
+    merged_old = "struct(" + ", ".join(
+        f"coalesce(_old.`{f}`, _new.`{f}`) AS `{f}`" for f in fields) + ")"
+    if ignore_parse_errors:
+        otherwise = ""
+    else:
+        # Flink's canal deserializer throws on unknown operation types
+        # when ignore-parse-errors=false; rows reaching this branch
+        # carried data[] but none of INSERT/DELETE/UPDATE.
+        otherwise = ("ELSE raise_error(concat("
+                     "'canal-json: unknown operation type ', type)) ")
+    casts = ", ".join(f"CAST(_t.row.`{f}` AS {types[f]}) AS `{f}`"
+                      for f in fields)
+    # pair data[i] with old[i] positionally for UPDATE old-field
+    # merging; posexplode of the CASE drops invalid/ddl envelopes.
+    # Single-pass: one (op,row) array per record, exploded once — the
+    # branch-and-union formulation would rescan/re-parse the source 4×.
+    return df.sparkSession.sql(f"""
+WITH paired AS (
+  SELECT CASE WHEN _ok THEN _env.type END AS type, _env.es AS es,
+         p._i AS _i, p._new AS _new, _env.old[p._i] AS _old
+  FROM (SELECT _env, _env IS NOT NULL
+               AND NOT COALESCE(_env.isDdl, false) AS _ok FROM {{env}})
+  LATERAL VIEW posexplode(CASE WHEN _ok THEN _env.data END) p AS _i, _new),
+tagged AS (
+  SELECT es, CASE
+    WHEN type = 'INSERT' THEN
+      array(named_struct('op', '{OP_INSERT}', 'row', {new_row}))
+    WHEN type = 'DELETE' THEN
+      array(named_struct('op', '{OP_DELETE}', 'row', {new_row}))
+    WHEN type = 'UPDATE' THEN
+      array(named_struct('op', '{OP_UPDATE_BEFORE}', 'row', {merged_old}),
+            named_struct('op', '{OP_UPDATE_AFTER}', 'row', {new_row}))
+    {otherwise}END AS _ops
+  FROM paired)
+SELECT _t.op AS op, ts_ms, {casts}
+FROM (SELECT es AS ts_ms, explode(_ops) AS _t FROM tagged)
+""", env=env)
 
 
 def decode_canal_json_quarantine(df: DataFrame, value_col: str,
@@ -205,22 +204,21 @@ def decode_canal_json_quarantine(df: DataFrame, value_col: str,
                        "columnNameOfCorruptRecord": "_corrupt"})
     parsed = _maybe_spread(df, parallelism).select(
         F.col(value_col).alias("value"), env.alias("_env"))
-    # every branch must be null-safe: a missing `type` makes isin() NULL
+    # every branch must be null-safe: a missing `type` makes IN NULL
     # (not false), and an empty data[] explodes to zero good rows — both
-    # must land in quarantine, not vanish from BOTH frames
-    reason = (
-        F.when(F.col("_env").isNull()
-               | F.col("_env._corrupt").isNotNull(), "unparseable")
-        .when(F.coalesce(F.col("_env.isDdl"), F.lit(False)), "ddl")
-        .when(F.col("_env.data").isNull()
-              | (F.size("_env.data") == 0), "no_data")
-        .when(~F.coalesce(
-            F.col("_env.type").isin("INSERT", "UPDATE", "DELETE"),
-            F.lit(False)), "unknown_type")
-    )
-    bad = (parsed.withColumn("reason", reason)
-           .filter(F.col("reason").isNotNull())
-           .select("value", "reason"))
+    # must land in quarantine, not vanish from BOTH frames. One
+    # spark.sql call (see decode_canal_json).
+    bad = df.sparkSession.sql("""
+SELECT value, reason FROM (
+  SELECT value, CASE
+    WHEN _env IS NULL OR _env._corrupt IS NOT NULL THEN 'unparseable'
+    WHEN COALESCE(_env.isDdl, false) THEN 'ddl'
+    WHEN _env.data IS NULL OR size(_env.data) = 0 THEN 'no_data'
+    WHEN NOT COALESCE(_env.type IN ('INSERT', 'UPDATE', 'DELETE'), false)
+      THEN 'unknown_type'
+  END AS reason FROM {parsed})
+WHERE reason IS NOT NULL
+""", parsed=parsed)
     return good, bad
 
 
@@ -261,37 +259,35 @@ def decode_debezium_json(df: DataFrame, value_col: str, row_schema: T.StructType
                                 debezium_envelope_schema(row_schema),
                                 mode).alias("_env"))
     fields = [f.name for f in row_schema.fields]
-
-    # single expr parse per struct — see decode_canal_json for the py4j
-    # round-trip arithmetic this avoids
-    before = F.expr(
-        "struct(" + ", ".join(
-            f"_env.before.`{f}` AS `{f}`" for f in fields) + ")")
-    after = F.expr(
-        "struct(" + ", ".join(
-            f"_env.after.`{f}` AS `{f}`" for f in fields) + ")")
-
-    def tagged(op: str, row: Column) -> Column:
-        return F.struct(F.lit(op).alias("op"), row.alias("row"))
-
-    # Single-pass (see decode_canal_json): one exploded (op,row) array.
-    ops = (
-        F.when(F.col("_env.op").isin("c", "r"), F.array(tagged(OP_INSERT, after)))
-        .when(F.col("_env.op") == "u",
-              F.array(tagged(OP_UPDATE_BEFORE, before), tagged(OP_UPDATE_AFTER, after)))
-        .when(F.col("_env.op") == "d", F.array(tagged(OP_DELETE, before)))
-    )
-    if not ignore_parse_errors:
-        ops = ops.otherwise(F.raise_error(F.concat(
-            F.lit("debezium-json: unknown op "),
-            F.coalesce(F.col("_env.op"), F.lit("<null>")))))
     types = {f.name: f.dataType.simpleString() for f in row_schema.fields}
-    return (
-        env.select(F.col("_env.ts_ms").alias("ts_ms"), F.explode(ops).alias("_t"))
-        .selectExpr("_t.op AS op", "ts_ms",
-                    *[f"CAST(_t.row.`{f}` AS {types[f]}) AS `{f}`"
-                      for f in fields])
-    )
+    # post-parse pipeline as ONE spark.sql call — see decode_canal_json
+    # for the plan-time arithmetic; single-pass exploded (op,row) array.
+    before = "struct(" + ", ".join(
+        f"_env.before.`{f}` AS `{f}`" for f in fields) + ")"
+    after = "struct(" + ", ".join(
+        f"_env.after.`{f}` AS `{f}`" for f in fields) + ")"
+    if ignore_parse_errors:
+        otherwise = ""
+    else:
+        otherwise = ("ELSE raise_error(concat('debezium-json: unknown op ',"
+                     " coalesce(_env.op, '<null>'))) ")
+    casts = ", ".join(f"CAST(_t.row.`{f}` AS {types[f]}) AS `{f}`"
+                      for f in fields)
+    return df.sparkSession.sql(f"""
+WITH tagged AS (
+  SELECT _env.ts_ms AS ts_ms, CASE
+    WHEN _env.op IN ('c', 'r') THEN
+      array(named_struct('op', '{OP_INSERT}', 'row', {after}))
+    WHEN _env.op = 'u' THEN
+      array(named_struct('op', '{OP_UPDATE_BEFORE}', 'row', {before}),
+            named_struct('op', '{OP_UPDATE_AFTER}', 'row', {after}))
+    WHEN _env.op = 'd' THEN
+      array(named_struct('op', '{OP_DELETE}', 'row', {before}))
+    {otherwise}END AS _ops
+  FROM {{env}})
+SELECT _t.op AS op, ts_ms, {casts}
+FROM (SELECT ts_ms, explode(_ops) AS _t FROM tagged)
+""", env=env)
 
 
 def upsert_latest(changelog: DataFrame, pk: list[str], order_col: str = "ts_ms",

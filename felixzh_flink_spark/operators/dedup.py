@@ -815,65 +815,68 @@ def token_set_jaccard_join(df: DataFrame, text_col: str = "text",
     recompute by ~25%) — at 100 TB the recompute also wins, since it
     costs no IO.
     """
-    norm = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
+    # The plan is rendered as SQL text and parsed in ONE spark.sql call
+    # (r6 plan-time treatment — this was the bench's worst remaining
+    # planner at ~18 incremental DataFrame analyses); the expressions
+    # are the same ones the former Column-API form built, so results
+    # are identical. `checkpoint_sets=True` needs a real plan boundary
+    # at the sorted-sets frame, so that path splits into two spark.sql
+    # calls around the localCheckpoint.
+    spark = df.sparkSession
+    t = repr(float(threshold)) + "D"
+    alpha = repr(threshold / (1.0 + threshold)) + "D"
+    bhint = "/*+ BROADCAST(f) */ " if broadcast_vocab else ""
+    # '\\\\s+' in the f-string → '\\s+' in SQL → regex \s+
+    split_sql = (f"split(regexp_replace(trim(`{text_col}`), '\\\\s+', ' '), "
+                 f"' ')")
     if ngram <= 1:
-        elems = F.array_distinct(F.split(norm, " "))
+        base = (f"SELECT `{id_col}` AS id, array_distinct({split_sql}) "
+                f"AS toks FROM {{df}}")
     else:
-        elems = F.expr(
-            f"array_distinct(transform("
-            f"sequence(1, greatest(size(_tk) - {ngram - 1}, 1)), "
-            f"i -> concat_ws(' ', slice(_tk, i, {ngram}))))")
-        df = df.withColumn("_tk", F.split(norm, " ")) \
-               .filter(F.size("_tk") >= ngram)
-    toks = (
-        df.select(F.col(id_col).alias("id"), F.explode(elems).alias("tok"))
-    )
-    freq = toks.groupBy("tok").agg(F.count("*").alias("_f"))
-    # per-doc tokens sorted rarest-first (freq asc, token asc): sort an
-    # array of (freq, tok) structs — struct ordering is lexicographic.
+        base = (f"SELECT id, array_distinct(transform(sequence(1, "
+                f"greatest(size(_tk) - {ngram - 1}, 1)), "
+                f"i -> concat_ws(' ', slice(_tk, i, {ngram})))) AS toks "
+                f"FROM (SELECT `{id_col}` AS id, {split_sql} AS _tk "
+                f"FROM {{df}}) WHERE size(_tk) >= {ngram}")
     if min_df is not None:
         # heavy hitters only; absent tokens coalesce to the floor freq
-        freq = freq.filter(F.col("_f") > min_df)
-        with_freq = (
-            toks.join(F.broadcast(freq) if broadcast_vocab else freq,
-                      "tok", "left")
-            .select("id", "tok",
-                    F.coalesce("_f", F.lit(min_df).cast("bigint"))
-                    .alias("_f"))
-        )
+        wf = (f"SELECT {bhint}t.id AS id, "
+              f"COALESCE(f._f, CAST({min_df} AS BIGINT)) AS _f, "
+              f"t.tok AS tok FROM toks t LEFT JOIN "
+              f"(SELECT tok, _f FROM freq WHERE _f > {min_df}) f "
+              f"ON t.tok = f.tok")
     else:
-        with_freq = toks.join(
-            F.broadcast(freq) if broadcast_vocab else freq, "tok")
-    sets = (
-        with_freq
-        .groupBy("id")
-        .agg(F.array_sort(F.collect_list(F.struct("_f", "tok"))).alias("_st"))
-        .select(
-            "id",
-            F.expr("transform(_st, s -> s.tok)").alias("toks"),
-            F.size("_st").alias("n"),
-        )
-    )
-    if checkpoint_sets:
-        sets = sets.localCheckpoint(eager=True)
+        wf = (f"SELECT {bhint}t.id AS id, f._f AS _f, t.tok AS tok "
+              f"FROM toks t JOIN freq f ON t.tok = f.tok")
+    # per-doc tokens sorted rarest-first (freq asc, token asc): sort an
+    # array of (freq, tok) structs — struct ordering is lexicographic.
+    sets_ctes = f"""
+src AS ({base}),
+toks AS (SELECT id, explode(toks) AS tok FROM src),
+freq AS (SELECT tok, COUNT(*) AS _f FROM toks GROUP BY tok),
+wf AS ({wf}),
+sorted AS (SELECT id, array_sort(collect_list(struct(_f, tok))) AS _st
+           FROM wf GROUP BY id),
+sets AS (SELECT id, transform(_st, s -> s.tok) AS toks, size(_st) AS n
+         FROM sorted)"""
+
     # probing prefix: |s| - ceil(t*|s|) + 1 rarest tokens. The candidate
     # join carries IDS + PREFIX POSITIONS only (the token arrays re-join
     # by id afterwards) — shuffling each candidate's full sets through
     # the pair-level aggregate would move O(candidates × set_size) data;
     # this way the heavy arrays move O(rows) once, candidates move as a
     # few scalars.
-    prefix = F.expr(
-        f"slice(toks, 1, size(toks) - cast(ceil({threshold} * size(toks)) as int) + 1)")
-    pref = sets.select(
-        "id", "n", F.posexplode(prefix).alias("i", "ptok"))
-    a, b = pref.alias("a"), pref.alias("b")
-    # PPJoin positional filter (Xiao et al. ICDE'08 §3.2), per candidate
-    # PAIR: both sets are sorted by the SAME global order, so intersection
-    # elements are order-consistent across the two sets, and every
-    # intersection element that is not a prefix-prefix collision must sit
-    # AFTER the last collision position on BOTH sides (a suffix element is
+    #
+    # `cand` applies the length filter (t·|larger| ≤ |smaller| is
+    # necessary for J ≥ t) and then the PPJoin positional filter
+    # (Xiao et al. ICDE'08 §3.2), per candidate PAIR: both sets are
+    # sorted by the SAME global order, so intersection elements are
+    # order-consistent across the two sets, and every intersection
+    # element that is not a prefix-prefix collision must sit AFTER the
+    # last collision position on BOTH sides (a suffix element is
     # globally greater than every prefix token, hence greater than the
-    # last collision token, hence later on the other side too). Therefore
+    # last collision token, hence later on the other side too).
+    # Therefore
     #   overlap ≤ c + min(n_a − max_i − 1, n_b − max_j − 1)
     # with c = collision count and max_i/max_j the last collision's
     # 0-based prefix positions — while J ≥ t forces
@@ -881,43 +884,52 @@ def token_set_jaccard_join(df: DataFrame, text_col: str = "text",
     # On corpora where rare-shingle coincidences produce few collisions
     # per unrelated pair, this prunes the candidate set by orders of
     # magnitude BEFORE the expensive array_intersect verification
-    # (measured 104,502 → near-true-pair count at sf0.1). The 1e-9 slack
-    # keeps float noise in the ceil from ever rounding the lower bound
-    # past a legitimate integer overlap (a false negative); an overcount
-    # by slack only lets a doomed candidate through to exact verify.
-    alpha = F.ceil(
-        F.lit(threshold / (1.0 + threshold))
-        * (F.col("n_a") + F.col("n_b")) - F.lit(1e-9))
-    cand = (
-        a.join(b, (F.col("a.ptok") == F.col("b.ptok"))
-               & (F.col("a.id") < F.col("b.id"))
-               # length filter: t·|larger| ≤ |smaller| is necessary for J ≥ t
-               & (F.col("a.n") >= threshold * F.col("b.n"))
-               & (F.col("b.n") >= threshold * F.col("a.n")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                 F.col("a.n").alias("n_a"), F.col("b.n").alias("n_b"))
-        .agg(F.count("*").alias("_c"),
-             F.max("a.i").alias("_li"), F.max("b.i").alias("_lj"))
-        .filter(F.col("_c")
-                + F.least(F.col("n_a") - F.col("_li") - 1,
-                          F.col("n_b") - F.col("_lj") - 1) >= alpha)
-        .select("id_a", "id_b", "n_a", "n_b")
-    )
-    # verification: array_intersect is order-blind, so the candidate ids
-    # re-join to UNSORTED distinct-shingle sets derived scan-local from
-    # the source table — a parquet scan + projection, no freq join, no
-    # collect_list shuffle. This leaves the expensive sorted-sets plan
-    # with a single consumer (the prefix explode above).
-    vsets = df.select(F.col(id_col).alias("id"), elems.alias("toks"))
-    o = F.size(F.array_intersect("_ta", "_tb"))
-    jacc = o.cast("double") / (F.col("n_a") + F.col("n_b") - o)
-    return (
-        cand
-        .join(vsets.select(F.col("id").alias("id_a"),
-                           F.col("toks").alias("_ta")), "id_a")
-        .join(vsets.select(F.col("id").alias("id_b"),
-                           F.col("toks").alias("_tb")), "id_b")
-        .select("id_a", "id_b", o.alias("o"), "n_a", "n_b",
-                jacc.alias("jacc"))
-        .filter(F.col("jacc") >= threshold)
-    )
+    # (measured 104,502 → near-true-pair count at sf0.1). The 1e-9
+    # slack keeps float noise in the ceil from ever rounding the lower
+    # bound past a legitimate integer overlap (a false negative); an
+    # overcount by slack only lets a doomed candidate through to exact
+    # verify.
+    #
+    # verification: array_intersect is order-blind, so the candidate
+    # ids re-join to UNSORTED distinct-shingle sets derived scan-local
+    # from the source table (`src`) — a parquet scan + projection, no
+    # freq join, no collect_list shuffle. This leaves the expensive
+    # sorted-sets plan with a single consumer (the prefix explode).
+    def _tail(sets_ref: str, vsets_ref: str) -> str:
+        return f"""
+pref AS (
+  SELECT s.id, s.n, p.i, p.ptok
+  FROM {sets_ref} s LATERAL VIEW posexplode(slice(s.toks, 1,
+       size(s.toks) - cast(ceil({threshold} * size(s.toks)) as int) + 1))
+       p AS i, ptok),
+cand AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.n AS n_a, b.n AS n_b,
+         COUNT(*) AS _c, MAX(a.i) AS _li, MAX(b.i) AS _lj
+  FROM pref a JOIN pref b
+    ON a.ptok = b.ptok AND a.id < b.id
+   AND a.n >= {t} * b.n AND b.n >= {t} * a.n
+  GROUP BY a.id, b.id, a.n, b.n),
+pruned AS (
+  SELECT id_a, id_b, n_a, n_b FROM cand
+  WHERE _c + LEAST(n_a - _li - 1, n_b - _lj - 1)
+        >= CEIL({alpha} * (n_a + n_b) - 1e-09D)),
+verified AS (
+  SELECT p.id_a, p.id_b,
+         size(array_intersect(va.toks, vb.toks)) AS o,
+         p.n_a, p.n_b
+  FROM pruned p JOIN {vsets_ref} va ON p.id_a = va.id
+                JOIN {vsets_ref} vb ON p.id_b = vb.id)
+SELECT id_a, id_b, o, n_a, n_b,
+       CAST(o AS DOUBLE) / (n_a + n_b - o) AS jacc
+FROM verified
+WHERE CAST(o AS DOUBLE) / (n_a + n_b - o) >= {t}"""
+
+    if not checkpoint_sets:
+        return spark.sql(f"WITH {sets_ctes},{_tail('sets', 'src')}", df=df)
+    sets_df = spark.sql(
+        f"WITH {sets_ctes} SELECT id, toks, n FROM sets",
+        df=df).localCheckpoint(eager=True)
+    vsets_df = spark.sql(f"WITH src AS ({base}) SELECT id, toks FROM src",
+                         df=df)
+    return spark.sql(f"WITH{_tail('{sets}', '{vsets}')}",
+                     sets=sets_df, vsets=vsets_df)

@@ -417,19 +417,24 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.9,
             pairable = assigned.join(F.broadcast(small), "ivf_cell",
                                      "left_semi")
     dim = len(cents[0])
-    a, b = pairable.alias("a"), pairable.alias("b")
-    dup_ids = (
-        a.join(b, (F.col("a.ivf_cell") == F.col("b.ivf_cell"))
-               & (F.col("a.id") < F.col("b.id")))
-        .filter(_dot_indexed(F.col("a.v"), F.col("b.v"), dim)
-                / (F.col("a.nrm") * F.col("b.nrm")) >= threshold)
-        .select(F.col("b.id").alias("id"))   # the larger id is the dup
-        .distinct()
-    )
-    return (
-        assigned.join(dup_ids.withColumn("_dup", F.lit(True)), "id", "left")
-        .select("id", "ivf_cell", F.coalesce(~F.col("_dup"), F.lit(True)).alias("keep"))
-    )
+    # pair search + verdict as ONE spark.sql call (r6 plan-time fold);
+    # the dot product folds over a constant index sequence — no per-row
+    # zip_with array allocation per candidate PAIR (see _dot_indexed,
+    # kept as the Column-API primitive) — and the larger id of each
+    # qualifying pair is the dup.
+    dot = (f"aggregate(sequence(1, {dim}), cast(0.0 as double), "
+           f"(acc, i) -> acc + cast(element_at(a.v, i) as double) "
+           f"* cast(element_at(b.v, i) as double))")
+    return df.sparkSession.sql(f"""
+WITH dup AS (
+  SELECT DISTINCT b.id AS id
+  FROM {{pairable}} a JOIN {{pairable}} b
+    ON a.ivf_cell = b.ivf_cell AND a.id < b.id
+  WHERE ({dot}) / (a.nrm * b.nrm) >= {float(threshold)!r}D)
+SELECT s.id, s.ivf_cell, COALESCE(NOT d._dup, true) AS keep
+FROM {{assigned}} s
+LEFT JOIN (SELECT id, true AS _dup FROM dup) d ON s.id = d.id
+""", pairable=pairable, assigned=assigned)
 
 
 def write_ivf_index(df: DataFrame, path: str, cents: list[list[float]],

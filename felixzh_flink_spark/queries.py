@@ -5609,8 +5609,8 @@ def psi_price_drift(spark, sf_dir):
         .select(F.col("l_extendedprice").alias("v"))
     cur = l.filter(F.col("l_orderkey") % 2 == 1) \
         .select(F.col("l_extendedprice").alias("v"))
-    return psi_drift(ref, cur, "v", approx=_sf_of(sf_dir) >= 1).select(
-        "bin", "p_ref", "p_cur", "term")
+    # psi_report already emits exactly (bin, p_ref, p_cur, term)
+    return psi_drift(ref, cur, "v", approx=_sf_of(sf_dir) >= 1)
 
 
 @q("interleaved_training_order", """
