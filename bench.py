@@ -112,6 +112,12 @@ HEADLINE = [
     "png_decode_stats",
     "wav_decode_stats",
     "png_thumbnail_stats",
+    # round 6: real GIF/LZW decode (the heaviest pure-Python kernel —
+    # per-pixel dictionary coding), the broadcast full-PSL site key,
+    # and the wildcard-regex robots fold
+    "gif_decode_stats",
+    "url_registrable_psl",
+    "robots_wildcard_paths",
 ]
 
 

@@ -273,9 +273,15 @@ def decode_debezium_json(df: DataFrame, value_col: str, row_schema: T.StructType
                      " coalesce(_env.op, '<null>'))) ")
     casts = ", ".join(f"CAST(_t.row.`{f}` AS {types[f]}) AS `{f}`"
                       for f in fields)
+    # the CASE sits INSIDE explode's argument: the Generate node anchors
+    # the projection boundary under it, so CollapseProject cannot inline
+    # the from_json alias into the 2·|fields| struct references — the
+    # plan keeps exactly ONE from_json per row (plan-asserted in
+    # test_cdc_decode_parses_each_record_once)
     return df.sparkSession.sql(f"""
-WITH tagged AS (
-  SELECT _env.ts_ms AS ts_ms, CASE
+SELECT _t.op AS op, ts_ms, {casts}
+FROM (
+  SELECT _env.ts_ms AS ts_ms, explode(CASE
     WHEN _env.op IN ('c', 'r') THEN
       array(named_struct('op', '{OP_INSERT}', 'row', {after}))
     WHEN _env.op = 'u' THEN
@@ -283,10 +289,8 @@ WITH tagged AS (
             named_struct('op', '{OP_UPDATE_AFTER}', 'row', {after}))
     WHEN _env.op = 'd' THEN
       array(named_struct('op', '{OP_DELETE}', 'row', {before}))
-    {otherwise}END AS _ops
+    {otherwise}END) AS _t
   FROM {{env}})
-SELECT _t.op AS op, ts_ms, {casts}
-FROM (SELECT ts_ms, explode(_ops) AS _t FROM tagged)
 """, env=env)
 
 

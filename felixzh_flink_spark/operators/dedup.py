@@ -830,14 +830,20 @@ def token_set_jaccard_join(df: DataFrame, text_col: str = "text",
     split_sql = (f"split(regexp_replace(trim(`{text_col}`), '\\\\s+', ' '), "
                  f"' ')")
     if ngram <= 1:
-        base = (f"SELECT `{id_col}` AS id, array_distinct({split_sql}) "
-                f"AS toks FROM {{df}}")
+        where = ""
+        elems = "array_distinct(_tk)"
     else:
-        base = (f"SELECT id, array_distinct(transform(sequence(1, "
-                f"greatest(size(_tk) - {ngram - 1}, 1)), "
-                f"i -> concat_ws(' ', slice(_tk, i, {ngram})))) AS toks "
-                f"FROM (SELECT `{id_col}` AS id, {split_sql} AS _tk "
-                f"FROM {{df}}) WHERE size(_tk) >= {ngram}")
+        # the filter recomputes the split (no select-alias in WHERE);
+        # it reaches the scan as the same pushed predicate as before
+        where = f"WHERE size({split_sql}) >= {ngram}"
+        elems = (f"array_distinct(transform(sequence(1, "
+                 f"greatest(size(_tk) - {ngram - 1}, 1)), "
+                 f"i -> concat_ws(' ', slice(_tk, i, {ngram}))))")
+    base = (f"SELECT `{id_col}` AS id, {split_sql} AS _tk FROM {{df}} "
+            f"{where}")
+    # vsets for exact verification: the distinct-shingle arrays as a
+    # plain projection (no generate above it, so nothing infers filters)
+    src = f"SELECT id, {elems} AS toks FROM base"
     if min_df is not None:
         # heavy hitters only; absent tokens coalesce to the floor freq
         wf = (f"SELECT {bhint}t.id AS id, "
@@ -850,9 +856,15 @@ def token_set_jaccard_join(df: DataFrame, text_col: str = "text",
               f"FROM toks t JOIN freq f ON t.tok = f.tok")
     # per-doc tokens sorted rarest-first (freq asc, token asc): sort an
     # array of (freq, tok) structs — struct ordering is lexicographic.
+    # `explode({elems})` keeps the shingle expression INLINE as the
+    # generator input (not a projected alias): InferFiltersFromGenerate
+    # would otherwise push a size(<full shingle transform>) predicate
+    # into the scan, re-running the transform per row in a filter —
+    # measured 2× the whole join's runtime at sf0.1
     sets_ctes = f"""
-src AS ({base}),
-toks AS (SELECT id, explode(toks) AS tok FROM src),
+base AS ({base}),
+src AS ({src}),
+toks AS (SELECT id, explode({elems}) AS tok FROM base),
 freq AS (SELECT tok, COUNT(*) AS _f FROM toks GROUP BY tok),
 wf AS ({wf}),
 sorted AS (SELECT id, array_sort(collect_list(struct(_f, tok))) AS _st
@@ -929,7 +941,8 @@ WHERE CAST(o AS DOUBLE) / (n_a + n_b - o) >= {t}"""
     sets_df = spark.sql(
         f"WITH {sets_ctes} SELECT id, toks, n FROM sets",
         df=df).localCheckpoint(eager=True)
-    vsets_df = spark.sql(f"WITH src AS ({base}) SELECT id, toks FROM src",
-                         df=df)
+    vsets_df = spark.sql(
+        f"WITH base AS ({base}), src AS ({src}) SELECT id, toks FROM src",
+        df=df)
     return spark.sql(f"WITH{_tail('{sets}', '{vsets}')}",
                      sets=sets_df, vsets=vsets_df)

@@ -466,28 +466,40 @@ def exact_percentiles_frame(df: DataFrame, col: str, ps: list[float],
         f"_rank = {_lo(p)} OR _rank = LEAST({_lo(p)} + 1, _n - 1)"
         for p in ps)
     agg = "array(" + ", ".join(_qexpr(p) for p in ps) + ")"
+    # `pidded` crosses a DataFrame-parameter boundary on purpose: a
+    # pure-SQL CTE that contains spark_partition_id() and is referenced
+    # twice gets wrapped in an extra RoundRobin REBALANCE exchange by
+    # Spark's nondeterministic-CTE handling — a full re-shuffle of the
+    # column (measured +0.7 s at sf0.1). As a substituted DataFrame it
+    # resolves like the former Column form: duplicated subtree, no
+    # rebalance.
+    pidded = df.sparkSession.sql(f"""
+WITH vals AS (
+  SELECT _v FROM (SELECT CAST(`{col}` AS DOUBLE) AS _v FROM {{df}})
+  WHERE _v IS NOT NULL),
+ranged AS (SELECT /*+ REPARTITION_BY_RANGE({nparts}, _v) */ _v FROM vals)
+SELECT _v, spark_partition_id() AS _pid FROM ranged
+""", df=df)
     return df.sparkSession.sql(f"""
 WITH vals AS (
   SELECT _v FROM (SELECT CAST(`{col}` AS DOUBLE) AS _v FROM {{df}})
   WHERE _v IS NOT NULL),
 nrow AS (SELECT COUNT(*) AS _n FROM vals),
-ranged AS (SELECT /*+ REPARTITION_BY_RANGE({nparts}, _v) */ _v FROM vals),
-pidded AS (SELECT _v, spark_partition_id() AS _pid FROM ranged),
 offsets AS (
   SELECT _pid, COALESCE(SUM(_c) OVER (ORDER BY _pid
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
          CAST(0 AS BIGINT)) AS _off
-  FROM (SELECT _pid, COUNT(*) AS _c FROM pidded GROUP BY _pid)),
+  FROM (SELECT _pid, COUNT(*) AS _c FROM {{pidded}} GROUP BY _pid)),
 ranked AS (
   SELECT /*+ BROADCAST(o) */ p._v AS _v,
          ROW_NUMBER() OVER (PARTITION BY p._pid ORDER BY p._v)
            + o._off - 1 AS _rank
-  FROM pidded p JOIN offsets o ON p._pid = o._pid),
+  FROM {{pidded}} p JOIN offsets o ON p._pid = o._pid),
 fenced AS (
   SELECT /*+ BROADCAST(n) */ r._v AS _v, r._rank AS _rank, n._n AS _n
   FROM ranked r CROSS JOIN nrow n)
 SELECT {agg} AS `{alias}` FROM fenced WHERE {keep}
-""", df=df)
+""", df=df, pidded=pidded)
 
 
 def percentiles_frame(df: DataFrame, col: str, ps: list[float],

@@ -101,10 +101,11 @@ def test_headline_queries_have_no_python_stages(spark):
     PY_NODES = ("ArrowEvalPython", "FlatMapGroupsInPandas", "MapInPandas",
                 "BatchEvalPython")
     # pack_sequences: deliberate applyInPandas packing stage;
-    # png_decode_stats: the pixel kernel IS the documented Arrow-batched
-    # slow path (pure-Python zlib decode — no JVM expression can inflate)
+    # png/gif/wav decode stats: the codec kernels ARE the documented
+    # Arrow-batched slow path (pure-Python zlib/LZW/PCM decode — no JVM
+    # expression can inflate them)
     allowed = {"pack_sequences", "png_decode_stats", "wav_decode_stats",
-               "png_thumbnail_stats"}
+               "png_thumbnail_stats", "gif_decode_stats"}
     for name in bench.HEADLINE:
         if name in allowed:
             continue
@@ -252,3 +253,21 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_full_psl_site_key_is_broadcast_only(spark):
+    p = plan_of(spark, "url_registrable_psl")
+    # one broadcast hash join per rule depth (com/co.uk/city.kobe.jp →
+    # 3), and the host side never shuffles: at 100 TB this is a free
+    # projection over the ingest scan
+    assert p.count("BroadcastHashJoin") == 3
+    assert "Exchange hashpartitioning" not in p
+    assert "SortMergeJoin" not in p
+
+
+def test_robots_wildcard_fold_stays_scan_local(spark):
+    p = plan_of(spark, "robots_wildcard_paths")
+    # one codegen'd projection over the scan — no UDF, no join, no
+    # shuffle; the wildcard rules live inside the fold as rlike regexes
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
