@@ -1018,6 +1018,74 @@ def _robots_regex(pattern: str) -> "str | None":
             + ("$" if anchored else ""))
 
 
+def url_path(col) -> Column:
+    """Path(+query) component of an absolute URL for robots matching:
+    fragment stripped (never sent to the server), everything from the
+    first '/' after the authority; a URL with no path yields '/'.
+    Split-based like `url_host` — scan-local, no regex, no UDF."""
+    c = F.col(col) if isinstance(col, str) else col
+    no_frag = F.try_element_at(F.split(c, "#"), F.lit(1))
+    parts = F.split(no_frag, "/")
+    return F.concat(F.lit("/"),
+                    F.concat_ws("/", F.slice(parts, 4, 1 << 30)))
+
+
+def robots_rules_compiled(rules_df: DataFrame, pattern_col: str = "pattern",
+                          ) -> DataFrame:
+    """Compile robots rule patterns to anchored Java regexes IN SPARK —
+    the data-sized analog of `_robots_regex`, for a multi-domain rules
+    table where patterns never visit the driver: regex metacharacters
+    are escaped, `*` becomes `.*`, a trailing `$` becomes the end
+    anchor. Adds `_l` (the RFC's rule-text-length precedence key) and
+    `_rx`. Pure built-in string expressions, scan-local."""
+    pat = F.col(pattern_col)
+    anchored = F.endswith(pat, F.lit("$"))
+    body = F.when(anchored,
+                  F.substring(pat, 1, F.length(pat) - 1)).otherwise(pat)
+    esc = F.regexp_replace(body, r"([.\[\]{}()*+?^$|\\])", r"\\$1")
+    rx = F.concat(F.lit("^"), F.replace(esc, F.lit(r"\*"), F.lit(".*")),
+                  F.when(anchored, F.lit("$")).otherwise(F.lit("")))
+    return rules_df.withColumn("_l", F.length(pat)).withColumn("_rx", rx)
+
+
+def robots_gate(df: DataFrame, url_col: str, rules_df: DataFrame,
+                domain_col: str = "domain", pattern_col: str = "pattern",
+                allow_col: str = "is_allow",
+                out_col: str = "allowed") -> DataFrame:
+    """Multi-domain robots-exclusion gate with the rules AS DATA — the
+    shape `robots_verdict`'s docstring promises for a real crawl:
+    `rules_df` holds one row per (registrable domain, pattern,
+    is_allow) from the parsed per-site robots.txt files. Each URL's
+    path is judged against ITS site's rules under the same RFC 9309
+    longest-match semantics (wildcards included); a site with no rules
+    row allows everything.
+
+    Scale shape: patterns compile to regexes scan-local on the rules
+    side (`robots_rules_compiled`), collapse to one array row per
+    domain (≤ |domains| rows), and BROADCAST-join onto the corpus scan
+    keyed on `registrable_domain(url_host(url))` — the corpus side
+    never shuffles, and the verdict is one codegen'd array fold per
+    row, exactly the literal-rules fold with the array coming from the
+    join instead of the plan."""
+    compiled = robots_rules_compiled(rules_df, pattern_col)
+    per_dom = compiled.groupBy(F.col(domain_col).alias("_dom")).agg(
+        F.collect_list(F.struct(
+            F.col("_l").alias("l"), F.col(allow_col).alias("a"),
+            F.col("_rx").alias("rx"))).alias("_rules"))
+    joined = (df
+              .withColumn("_site", registrable_domain(url_host(url_col)))
+              .withColumn("_path", url_path(url_col))
+              .join(F.broadcast(per_dom),
+                    F.col("_site") == F.col("_dom"), "left"))
+    verdict = F.expr(
+        "aggregate(_rules, named_struct('l', -1, 'a', true), "
+        "(acc, r) -> IF(rlike(_path, r.rx) "
+        "AND (r.l > acc.l OR (r.l = acc.l AND r.a)), "
+        "named_struct('l', r.l, 'a', r.a), acc)).a")
+    return (joined.withColumn(out_col, F.coalesce(verdict, F.lit(True)))
+            .drop("_dom", "_rules", "_site", "_path"))
+
+
 def robots_verdict(path_col: str, rules: "list[tuple[str, bool]]") -> Column:
     """Robots-exclusion verdict for a URL path — the crawl-compliance
     gate a corpus ingest applies per domain. Implements RFC 9309

@@ -4351,6 +4351,54 @@ def robots_wildcard_paths(spark, sf_dir):
             .withColumn("allowed", robots_verdict("path", rules)))
 
 
+@q("robots_site_gate", """
+SELECT doc_id,
+       CASE doc_id % 6
+         WHEN 0 THEN 'https://www.example.com/private/' || doc_id
+         WHEN 1 THEN 'https://shop.example.com/private/ok/' || doc_id
+         WHEN 2 THEN 'http://files.net/docs/r' || doc_id || '.pdf'
+         WHEN 3 THEN 'https://files.net/docs/r' || doc_id || '.txt'
+         WHEN 4 THEN 'https://x.unknown.org/anything/' || doc_id
+         ELSE 'https://example.com/public/' || doc_id END AS url,
+       (doc_id % 6) NOT IN (0, 2) AS allowed
+FROM documents
+""")
+def robots_site_gate(spark, sf_dir):
+    """Multi-domain robots gate with the rules AS DATA
+    (`text.robots_gate`): a per-site rules TABLE — example.com's
+    allow-under-disallow carve-out, files.net's wildcard
+    `Disallow: /*.pdf$` over a general allow, unknown.org absent
+    entirely — broadcast-joined onto the corpus scan keyed on
+    `registrable_domain(url_host(url))` (subdomains www./shop. land on
+    their site's rules). Patterns compile to regexes IN Spark
+    (`robots_rules_compiled`) — the rules never visit the driver, so
+    the identical plan runs with a million-domain rules table. The
+    oracle states the expected verdict per family; a wrong join key,
+    wrong regex translation, or wrong precedence hash-mismatches."""
+    from felixzh_flink_spark.operators.text import robots_gate
+    rules = spark.createDataFrame(
+        [("example.com", "/private", False),
+         ("example.com", "/private/ok", True),
+         ("files.net", "/*.pdf$", False),
+         ("files.net", "/", True)],
+        "domain string, pattern string, is_allow boolean")
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    v = F.col("doc_id") % 6
+    sid = F.col("doc_id").cast("string")
+    url = (F.when(v == 0, F.concat(F.lit("https://www.example.com/private/"),
+                                   sid))
+           .when(v == 1, F.concat(
+               F.lit("https://shop.example.com/private/ok/"), sid))
+           .when(v == 2, F.concat(F.lit("http://files.net/docs/r"), sid,
+                                  F.lit(".pdf")))
+           .when(v == 3, F.concat(F.lit("https://files.net/docs/r"), sid,
+                                  F.lit(".txt")))
+           .when(v == 4, F.concat(F.lit("https://x.unknown.org/anything/"),
+                                  sid))
+           .otherwise(F.concat(F.lit("https://example.com/public/"), sid)))
+    return robots_gate(d.withColumn("url", url), "url", rules)
+
+
 @q("url_registrable_psl", """
 SELECT doc_id,
        CASE doc_id % 8
@@ -5835,6 +5883,7 @@ _DRIVER_ORDER = [
     # =================================================================
     # --- new round-6 queries
     "robots_wildcard_paths", "url_registrable_psl", "gif_decode_stats",
+    "robots_site_gate",
     # --- r2-green, displaced by the round-5 rotation (judge item 1)
     "chunk_docs", "corpus_pipeline_counts", "changelog_retract_sum",
     "canal_decode", "avro_roundtrip_orders", "asof_purchase_view",
@@ -5854,8 +5903,9 @@ _DRIVER_ORDER = [
     "pack_sequences", "profile_lineitem", "q11_important_stock",
     "q13_customer_distribution", "q16_supplier_part_counts", "q19_disjunctive_revenue",
     "q20_part_shippers", "q21_waiting_supplier", "q22_global_sales_opportunity",
-    "q2_min_cost_supplier", "q7_volume_shipping", "q8_market_share",
+    "q2_min_cost_supplier", "q7_volume_shipping",
     # ---- position 50 boundary ----
+    "q8_market_share",
     # past the window: every name below has a green CORRECTNESS row
     # from rounds 1-5 and is re-verified by this round's full local
     # check_correctness sweeps; ordered by verification age (r2

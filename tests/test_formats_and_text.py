@@ -568,3 +568,43 @@ def test_robots_verdict_wildcards(spark):
     # empty ruleset → everything allowed
     assert df.select(robots_verdict("path", []).alias("ok")) \
              .filter("NOT ok").count() == 0
+
+
+def test_robots_gate_rules_as_data(spark):
+    """Multi-domain gate with the rules table as data: per-site rules
+    resolve via the registrable-domain join key (subdomains land on
+    their site), wildcard/anchor patterns compile to regexes IN Spark,
+    sites without rules allow everything, and odd pattern bytes
+    (quotes, backslashes, regex metachars) stay literal."""
+    from felixzh_flink_spark.operators.text import (robots_gate,
+                                                    robots_rules_compiled)
+
+    rules = spark.createDataFrame(
+        [("example.com", "/private", False),
+         ("example.com", "/private/ok", True),
+         ("files.net", "/*.pdf$", False),
+         ("files.net", "/", True),
+         ("odd.org", "/a(b)+c", False),     # regex metachars literal
+         ("odd.org", "/q'x", False)],
+        "domain string, pattern string, is_allow boolean")
+    urls = [
+        ("https://www.example.com/private/x", False),
+        ("https://shop.example.com/private/ok/y", True),
+        ("http://files.net/d/r.pdf", False),
+        ("http://files.net/d/r.pdf#frag", False),  # fragment stripped
+        ("https://files.net/d/r.txt", True),
+        ("https://no-rules.io/whatever", True),
+        ("https://odd.org/a(b)+c/d", False),
+        ("https://odd.org/abbc/d", True),          # + stayed literal
+        ("https://odd.org/q'x", False),
+        (None, True),                              # null URL → allowed
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in urls], "url: string")
+    got = [r["allowed"] for r in robots_gate(df, "url", rules).collect()]
+    assert got == [e for _, e in urls]
+
+    # the compiled regex column matches _robots_regex's translation
+    compiled = {r["pattern"]: r["_rx"]
+                for r in robots_rules_compiled(rules).collect()}
+    assert compiled["/*.pdf$"] == r"^/\*\.pdf$".replace(r"\*", ".*")
+    assert compiled["/a(b)+c"] == r"^/a\(b\)\+c"
