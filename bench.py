@@ -113,9 +113,11 @@ HEADLINE = [
     "wav_decode_stats",
     "png_thumbnail_stats",
     # round 6: real GIF/LZW decode (the heaviest pure-Python kernel —
-    # per-pixel dictionary coding), the broadcast full-PSL site key,
-    # and the wildcard-regex robots fold
+    # per-pixel dictionary coding), real baseline-JPEG Huffman+DCT
+    # decode, the broadcast full-PSL site key, and the wildcard-regex
+    # robots fold
     "gif_decode_stats",
+    "jpeg_decode_stats",
     "url_registrable_psl",
     "robots_wildcard_paths",
 ]

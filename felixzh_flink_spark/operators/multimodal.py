@@ -694,3 +694,68 @@ def gif_pixel_stats(df: DataFrame, id_col: str = "doc_id",
                 "idx_sum", "idx_wsum", "rgb_sum"])
 
     return df.mapInPandas(kernel, schema=GIF_STATS_SCHEMA)
+
+
+def synthesize_jpeg_column(df: DataFrame, id_col: str = "doc_id",
+                           payload_col: str = "jpeg") -> DataFrame:
+    """Deterministic baseline-JPEG fixture generator: a REAL encoded
+    grayscale JPEG per row — width = (id%3+1)·8, height = (id%2+1)·8,
+    composed of FLAT 8×8 tiles with tile t = (id·31 + 17t) mod 256,
+    restart interval 2 for ids divisible by 5 (exercising RSTn
+    handling). Flat tiles carry only a DC coefficient, which the all-8s
+    quantizer preserves EXACTLY (see `functions/jpeg_codec`), so the
+    lossy pipeline is bit-lossless on this recipe and a SQL oracle can
+    predict the DECODED pixels (`jpeg_pixel_stats` /
+    `jpeg_decode_stats`). Arrow-batched pandas UDF."""
+    from felixzh_flink_spark.functions.jpeg_codec import encode_jpeg_gray
+
+    @F.pandas_udf("binary")
+    def _make(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            w, h = (i % 3 + 1) * 8, (i % 2 + 1) * 8
+            px = bytes((i * 31 + 17 * ((y // 8) * (w // 8) + x // 8)) % 256
+                       for y in range(h) for x in range(w))
+            out.append(encode_jpeg_gray(
+                w, h, px, restart_interval=2 if i % 5 == 0 else 0))
+        return pd.Series(out)
+
+    return df.withColumn(payload_col, _make(F.col(id_col)))
+
+
+JPEG_STATS_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("pixel_sum", T.LongType(), True),
+    T.StructField("pixel_wsum", T.LongType(), True),
+])
+
+
+def jpeg_pixel_stats(df: DataFrame, id_col: str = "doc_id",
+                     payload_col: str = "jpeg") -> DataFrame:
+    """REAL baseline-JPEG decode (no stub, no libjpeg): Huffman-decode,
+    dequantize and inverse-DCT each payload with the pure-Python+numpy
+    codec (`functions/jpeg_codec`) and emit decoded geometry plus
+    pixel_sum = Σ pᵢ and the order-sensitive pixel_wsum = Σ (i+1)·pᵢ —
+    a decoder that mis-orders blocks, drops a restart reset, or
+    mis-extends a Huffman magnitude cannot pass. Undecodable payloads
+    yield null stats. One Arrow-batched mapInPandas projection, no
+    shuffle — the same scale shape as the PNG/GIF/WAV kernels."""
+    from felixzh_flink_spark.functions.jpeg_codec import decode_jpeg_gray
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    w, h, px = decode_jpeg_gray(p)
+                    rows.append((int(i), w, h, sum(px),
+                                 sum((j + 1) * b for j, b in enumerate(px))))
+                except Exception:  # ValueError / struct.error
+                    rows.append((int(i), None, None, None, None))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "width", "height", "pixel_sum", "pixel_wsum"])
+
+    return df.mapInPandas(kernel, schema=JPEG_STATS_SCHEMA)

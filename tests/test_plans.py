@@ -105,7 +105,8 @@ def test_headline_queries_have_no_python_stages(spark):
     # Arrow-batched slow path (pure-Python zlib/LZW/PCM decode — no JVM
     # expression can inflate them)
     allowed = {"pack_sequences", "png_decode_stats", "wav_decode_stats",
-               "png_thumbnail_stats", "gif_decode_stats"}
+               "png_thumbnail_stats", "gif_decode_stats",
+               "jpeg_decode_stats"}
     for name in bench.HEADLINE:
         if name in allowed:
             continue
