@@ -120,6 +120,11 @@ HEADLINE = [
     "jpeg_decode_stats",
     "url_registrable_psl",
     "robots_wildcard_paths",
+    # round 6b: real COLOR baseline-JPEG decode (interleaved MCUs,
+    # chroma upsample, exact-rounding RGB) and animated-GIF frame
+    # sampling (multi-frame LZW + GCE timeline)
+    "jpeg_color_decode_stats",
+    "gif_frame_sample_stats",
 ]
 
 

@@ -276,3 +276,152 @@ def decode_gif(payload: bytes) -> tuple[int, int, bytes, bytes]:
         else:
             raise ValueError(f"unknown block 0x{block:02x}")
     raise ValueError("no image block found")
+
+
+# ------------------------------------------------------------- animation
+
+_GCE_LABEL = 0xF9
+_APP_LABEL = 0xFF
+
+
+def encode_gif_animation(width: int, height: int, palette: bytes,
+                         frames: "list[tuple[int, bytes]]",
+                         interlace: bool = False) -> bytes:
+    """Encode a multi-frame GIF89a animation: NETSCAPE2.0 loop
+    extension, then per frame a Graphic Control Extension carrying the
+    frame's delay (centisecond precision — delay_ms must be a multiple
+    of 10) followed by a full-rectangle image block. `frames` is a list
+    of (delay_ms, row-major index bytes); all frames share the global
+    color table. This is the fixture side of the real frame-sampling
+    path (`decode_gif_frames` / `multimodal.gif_frame_sample_stats`) —
+    the closest a pure-stdlib pipeline gets to video frame decode."""
+    n_colors = len(palette) // 3
+    if len(palette) != n_colors * 3 or n_colors < 2 or \
+            n_colors & (n_colors - 1) or n_colors > 256:
+        raise ValueError("palette must be 2^k RGB entries, k in 1..8")
+    if not frames:
+        raise ValueError("animation needs at least one frame")
+    gct_bits = max(1, n_colors.bit_length() - 1)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", width, height)
+    out += bytes([0x80 | (gct_bits - 1) << 4 | (gct_bits - 1), 0, 0])
+    out += palette
+    # NETSCAPE2.0 application extension: loop forever
+    out += bytes([_EXTENSION, _APP_LABEL, 11]) + b"NETSCAPE2.0"
+    out += bytes([3, 1, 0, 0, 0])
+    min_code_size = max(2, gct_bits)
+    for delay_ms, indices in frames:
+        if delay_ms < 0 or delay_ms % 10 or delay_ms // 10 > 0xFFFF:
+            raise ValueError("delay_ms must be a multiple of 10 in "
+                             "[0, 655350]")
+        if len(indices) != width * height:
+            raise ValueError("frame index stream length != width*height")
+        if indices and max(indices) >= n_colors:
+            raise ValueError("index out of palette range")
+        # GCE: disposal=1 (leave in place), no transparency
+        out += bytes([_EXTENSION, _GCE_LABEL, 4, 0x04])
+        out += struct.pack("<H", delay_ms // 10)
+        out += bytes([0, 0])
+        out += bytes([_IMAGE_SEP]) + struct.pack("<HHHH", 0, 0,
+                                                 width, height)
+        out += bytes([0x40 if interlace else 0x00])
+        if interlace:
+            rows = _interlace_rows(height)
+            stream = b"".join(indices[r * width:(r + 1) * width]
+                              for r in rows)
+        else:
+            stream = indices
+        out += bytes([min_code_size])
+        out += _sub_blocks(_lzw_encode(stream, min_code_size))
+    out.append(_TRAILER)
+    return bytes(out)
+
+
+def decode_gif_frames(payload: bytes
+                      ) -> "tuple[int, int, bytes, list[tuple[int, bytes]]]":
+    """Decode a (possibly animated) GIF to (width, height, palette RGB
+    bytes, [(delay_ms, row-major index bytes), ...]). Honors the GCE
+    delay preceding each image block (frames with no GCE get delay 0),
+    skips application/comment extensions, undoes per-frame interlace,
+    and requires full-rectangle frames sharing the global color table —
+    sub-rectangle composition is out of envelope and raises (wrong-but-
+    plausible frames are worse than a loud error)."""
+    if payload is None or len(payload) < 13 or \
+            payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF (bad signature)")
+    sw, sh = struct.unpack("<HH", payload[6:10])
+    packed = payload[10]
+    pos = 13
+    palette = b""
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        palette = payload[pos:pos + 3 * n]
+        if len(palette) != 3 * n:
+            raise ValueError("truncated global color table")
+        pos += 3 * n
+    if not palette:
+        raise ValueError("animation decode requires a global color table")
+    frames: list[tuple[int, bytes]] = []
+    pending_delay = 0
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == _EXTENSION:
+            if pos >= len(payload):
+                raise ValueError("truncated extension")
+            label = payload[pos]
+            pos += 1
+            if label == _GCE_LABEL and pos + 5 <= len(payload) \
+                    and payload[pos] == 4:
+                (cs,) = struct.unpack("<H", payload[pos + 2:pos + 4])
+                pending_delay = cs * 10
+            while True:
+                if pos >= len(payload):
+                    raise ValueError("truncated extension")
+                size = payload[pos]
+                pos += 1 + size
+                if size == 0:
+                    break
+        elif block == _IMAGE_SEP:
+            if pos + 9 > len(payload):
+                raise ValueError("truncated image descriptor")
+            left, top, w, h = struct.unpack("<HHHH", payload[pos:pos + 8])
+            ipacked = payload[pos + 8]
+            pos += 9
+            if (left, top, w, h) != (0, 0, sw, sh):
+                raise ValueError("sub-rectangle frames unsupported")
+            if ipacked & 0x80:
+                raise ValueError("per-frame local color tables "
+                                 "unsupported in animation decode")
+            if pos >= len(payload):
+                raise ValueError("missing LZW min code size")
+            min_code_size = payload[pos]
+            pos += 1
+            if not 2 <= min_code_size <= 11:
+                raise ValueError(f"bad LZW min code size {min_code_size}")
+            data = bytearray()
+            while True:
+                if pos >= len(payload):
+                    raise ValueError("truncated image data")
+                size = payload[pos]
+                pos += 1
+                if size == 0:
+                    break
+                data += payload[pos:pos + size]
+                pos += size
+            stream = _lzw_decode(bytes(data), min_code_size, w * h)
+            if ipacked & 0x40:
+                rows = _interlace_rows(h)
+                un = bytearray(w * h)
+                for i, r in enumerate(rows):
+                    un[r * w:(r + 1) * w] = stream[i * w:(i + 1) * w]
+                stream = bytes(un)
+            frames.append((pending_delay, stream))
+            pending_delay = 0
+        elif block == _TRAILER:
+            break
+        else:
+            raise ValueError(f"unknown block 0x{block:02x}")
+    if not frames:
+        raise ValueError("no image block found")
+    return sw, sh, palette, frames

@@ -22,10 +22,21 @@ pixel statistics arithmetically while encoder and decoder still
 exercise real Huffman/DCT/quantization machinery. Non-flat content is
 covered by round-trip-within-tolerance unit tests.
 
-Supported envelope: 8-bit baseline sequential, single component
-(grayscale), 1×1 sampling. Anything else (progressive, chroma,
-arithmetic coding) raises ValueError — wrong-but-plausible pixels are
+Supported envelope: 8-bit baseline sequential — single-component
+grayscale at 1×1 sampling (`encode_jpeg_gray`/`decode_jpeg_gray`) and
+three-component YCbCr at 4:4:4 or 4:2:0 with interleaved MCUs
+(`encode_jpeg_color`/`decode_jpeg_color`, round-6 extension closing the
+"color JPEG" stub). Anything else (progressive, arithmetic coding,
+other samplings) raises ValueError — wrong-but-plausible pixels are
 worse than a loud error in a data pipeline.
+
+Color-path verifiability: the flat-tile argument extends per channel —
+a 16×16-flat YCbCr tile is flat in every 8×8 luma block AND in the
+2×2-box-subsampled chroma block, so with the all-8s quantizers the
+decoded Y/Cb/Cr planes are bit-exact. The YCbCr→RGB conversion uses
+round-half-up via floor(x + 0.5) in IEEE-754 double with a fixed
+evaluation order, so a SQL oracle (DuckDB double math) reproduces the
+decoded RGB bytes exactly (`queries.jpeg_color_decode_stats`).
 """
 
 from __future__ import annotations
@@ -410,3 +421,411 @@ def decode_jpeg_gray(payload: bytes) -> tuple[int, int, bytes]:
             n_in_chunk += 1
     img = np.clip(np.rint(out + 128.0), 0, 255).astype(np.uint8)
     return width, height, img[:height, :width].tobytes()
+
+
+#: standard chrominance Huffman tables (JPEG Annex K.3, Tables K.4/K.6)
+DC_BITS_C = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_VALS_C = list(range(12))
+AC_BITS_C = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_VALS_C = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _zz_to_matrix(q: list[int]) -> np.ndarray:
+    """64 zig-zag-ordered quantizer entries → natural-order 8×8 matrix."""
+    return np.array([q[ZIGZAG.index(i)] for i in range(64)],
+                    dtype=np.float64).reshape(8, 8)
+
+
+def _encode_block(w: "_BitWriter", block: np.ndarray, pred: int,
+                  qm: np.ndarray, dc_tab: dict, ac_tab: dict) -> int:
+    """Forward-DCT + quantize + entropy-code one level-shifted 8×8
+    block; returns the new DC predictor for the block's component."""
+    coef = _C @ block @ _C.T
+    qc = np.sign(coef / qm) * np.floor(np.abs(coef / qm) + 0.5)
+    zz = [int(qc.flat[ZIGZAG[i]]) for i in range(64)]
+    t, bits = _magnitude(zz[0] - pred)
+    code, ln = dc_tab[t]
+    w.write(code, ln)
+    if t:
+        w.write(bits, t)
+    run = 0
+    for i in range(1, 64):
+        if zz[i] == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_tab[0xF0]                      # ZRL
+            w.write(code, ln)
+            run -= 16
+        t, bits = _magnitude(zz[i])
+        code, ln = ac_tab[(run << 4) | t]
+        w.write(code, ln)
+        w.write(bits, t)
+        run = 0
+    if run:
+        code, ln = ac_tab[0x00]                          # EOB
+        w.write(code, ln)
+    return zz[0]
+
+
+def _pad_to_blocks(plane: np.ndarray, bh8: int, bw8: int) -> np.ndarray:
+    """Edge-replicate a plane up to (bh8·8, bw8·8) and level-shift."""
+    h, w = plane.shape
+    return np.pad(plane, ((0, bh8 * 8 - h), (0, bw8 * 8 - w)),
+                  mode="edge").astype(np.float64) - 128.0
+
+
+def rgb_to_ycbcr_planes(width: int, height: int, rgb: bytes,
+                        subsampling: str = "4:2:0"
+                        ) -> tuple[bytes, bytes, bytes]:
+    """JFIF RGB→YCbCr with round-half-up, then 2×2 box chroma subsample
+    for 4:2:0 (odd edges replicate). The real-use front door for
+    `encode_jpeg_color`; the oracle fixture synthesizes YCbCr planes
+    directly so its losslessness argument doesn't depend on this."""
+    if len(rgb) != 3 * width * height:
+        raise ValueError("rgb length != 3*width*height")
+    a = np.frombuffer(rgb, dtype=np.uint8).astype(np.float64)
+    a = a.reshape(height, width, 3)
+    r, g, b = a[..., 0], a[..., 1], a[..., 2]
+    y = np.floor((0.299 * r + 0.587 * g + 0.114 * b) + 0.5)
+    cb = np.floor((128.0 + (-0.168736 * r - 0.331264 * g + 0.5 * b)) + 0.5)
+    cr = np.floor((128.0 + (0.5 * r - 0.418688 * g - 0.081312 * b)) + 0.5)
+    y, cb, cr = (np.clip(p, 0, 255) for p in (y, cb, cr))
+    if subsampling == "4:4:4":
+        return (y.astype(np.uint8).tobytes(), cb.astype(np.uint8).tobytes(),
+                cr.astype(np.uint8).tobytes())
+    if subsampling != "4:2:0":
+        raise ValueError("subsampling must be '4:4:4' or '4:2:0'")
+    ph, pw = (height + 1) // 2 * 2, (width + 1) // 2 * 2
+    out = []
+    for p in (cb, cr):
+        p = np.pad(p, ((0, ph - height), (0, pw - width)), mode="edge")
+        q = p.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        out.append(np.clip(np.floor(q + 0.5), 0, 255)
+                   .astype(np.uint8).tobytes())
+    return y.astype(np.uint8).tobytes(), out[0], out[1]
+
+
+def encode_jpeg_color(width: int, height: int, y: bytes, cb: bytes,
+                      cr: bytes, subsampling: str = "4:2:0",
+                      qtable_y: list[int] | None = None,
+                      qtable_c: list[int] | None = None,
+                      restart_interval: int = 0) -> bytes:
+    """Encode YCbCr planes as a baseline interleaved-scan color JPEG.
+    `y` is width·height bytes; for 4:2:0 `cb`/`cr` are
+    ⌈w/2⌉·⌈h/2⌉ bytes (caller-subsampled — see `rgb_to_ycbcr_planes`),
+    for 4:4:4 they are full-size. Luma uses table/quantizer id 0,
+    chroma id 1 (standard Annex-K Huffman tables for both). Default
+    quantizers are all-8s so flat-tile fixtures round-trip exactly."""
+    if subsampling not in ("4:4:4", "4:2:0"):
+        raise ValueError("subsampling must be '4:4:4' or '4:2:0'")
+    s420 = subsampling == "4:2:0"
+    cw = (width + 1) // 2 if s420 else width
+    chh = (height + 1) // 2 if s420 else height
+    if len(y) != width * height:
+        raise ValueError("y length != width*height")
+    if len(cb) != cw * chh or len(cr) != cw * chh:
+        raise ValueError("chroma plane length mismatch for " + subsampling)
+    qy = list(qtable_y) if qtable_y is not None else list(
+        FLAT_LOSSLESS_QTABLE)
+    qc = list(qtable_c) if qtable_c is not None else list(
+        FLAT_LOSSLESS_QTABLE)
+    for q in (qy, qc):
+        if len(q) != 64 or any(not 1 <= v <= 255 for v in q):
+            raise ValueError("qtable must be 64 entries in 1..255")
+    qmy, qmc = _zz_to_matrix(qy), _zz_to_matrix(qc)
+
+    hy = 2 if s420 else 1                                # luma sampling
+    mcux = (width + 8 * hy - 1) // (8 * hy)
+    mcuy = (height + 8 * hy - 1) // (8 * hy)
+    yp = _pad_to_blocks(
+        np.frombuffer(y, dtype=np.uint8).reshape(height, width),
+        mcuy * hy, mcux * hy)
+    cbp = _pad_to_blocks(
+        np.frombuffer(cb, dtype=np.uint8).reshape(chh, cw), mcuy, mcux)
+    crp = _pad_to_blocks(
+        np.frombuffer(cr, dtype=np.uint8).reshape(chh, cw), mcuy, mcux)
+
+    dcy_t = _huff_encode_table(DC_BITS, DC_VALS)
+    acy_t = _huff_encode_table(AC_BITS, AC_VALS)
+    dcc_t = _huff_encode_table(DC_BITS_C, DC_VALS_C)
+    acc_t = _huff_encode_table(AC_BITS_C, AC_VALS_C)
+    # (plane, blocks-per-MCU-side, qmatrix, dc table, ac table)
+    comps = [(yp, hy, qmy, dcy_t, acy_t), (cbp, 1, qmc, dcc_t, acc_t),
+             (crp, 1, qmc, dcc_t, acc_t)]
+
+    w = _BitWriter()
+    chunks: list[bytes] = []
+    preds = [0, 0, 0]
+    n_in_chunk = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and n_in_chunk == restart_interval:
+                chunks.append(w.finish())
+                w = _BitWriter()
+                preds = [0, 0, 0]
+                n_in_chunk = 0
+            for ci, (plane, f, qm, dct, act) in enumerate(comps):
+                for by in range(f):
+                    for bx in range(f):
+                        r0 = (my * f + by) * 8
+                        c0 = (mx * f + bx) * 8
+                        block = plane[r0:r0 + 8, c0:c0 + 8]
+                        preds[ci] = _encode_block(w, block, preds[ci],
+                                                  qm, dct, act)
+            n_in_chunk += 1
+    chunks.append(w.finish())
+
+    out = bytearray(b"\xff\xd8")                         # SOI
+    out += _seg(0xDB, bytes([0x00]) + bytes(qy)
+                + bytes([0x01]) + bytes(qc))             # DQT ×2
+    samp_y = (hy << 4) | hy
+    out += _seg(0xC0, bytes([8]) + struct.pack(">HH", height, width)
+                + bytes([3,
+                         1, samp_y, 0,                   # Y
+                         2, 0x11, 1,                     # Cb
+                         3, 0x11, 1]))                   # Cr
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
+    out += _seg(0xC4, bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS))
+    out += _seg(0xC4, bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS))
+    out += _seg(0xC4, bytes([0x01]) + bytes(DC_BITS_C) + bytes(DC_VALS_C))
+    out += _seg(0xC4, bytes([0x11]) + bytes(AC_BITS_C) + bytes(AC_VALS_C))
+    out += _seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    for i, chunk in enumerate(chunks):
+        out += chunk
+        if i < len(chunks) - 1:
+            out += bytes([0xFF, 0xD0 + (i % 8)])         # RSTn
+    out += b"\xff\xd9"                                   # EOI
+    return bytes(out)
+
+
+def ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray
+                 ) -> np.ndarray:
+    """JFIF YCbCr→RGB with round-half-up (floor(x+0.5)) in IEEE-754
+    double and a FIXED evaluation order, so DuckDB double arithmetic in
+    the SQL oracle reproduces the bytes exactly. Returns (h, w, 3)
+    uint8."""
+    y = y.astype(np.float64)
+    cb = cb.astype(np.float64)
+    cr = cr.astype(np.float64)
+    r = np.floor((y + 1.402 * (cr - 128.0)) + 0.5)
+    g = np.floor(((y - 0.344136 * (cb - 128.0))
+                  - 0.714136 * (cr - 128.0)) + 0.5)
+    b = np.floor((y + 1.772 * (cb - 128.0)) + 0.5)
+    return np.stack([np.clip(r, 0, 255), np.clip(g, 0, 255),
+                     np.clip(b, 0, 255)], axis=-1).astype(np.uint8)
+
+
+def decode_jpeg_color(payload: bytes) -> tuple[int, int, bytes]:
+    """Decode a baseline interleaved 3-component YCbCr JPEG (4:4:4 or
+    4:2:0) to (width, height, row-major interleaved RGB bytes). All
+    tables come from the FILE's DQT/DHT segments; restart markers reset
+    every component's DC predictor; MCU padding is cropped; 4:2:0
+    chroma is upsampled by 2×2 replication before the exact-rounding
+    RGB conversion (`ycbcr_to_rgb`). Raises ValueError outside the
+    envelope (grayscale payloads belong to `decode_jpeg_gray`)."""
+    if payload is None or len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    dc_tabs: dict[int, dict] = {}
+    ac_tabs: dict[int, dict] = {}
+    width = height = None
+    frame: list[tuple[int, int, int, int]] = []          # id, h, v, qsel
+    scan_sel: dict[int, tuple[int, int]] = {}            # id → dc, ac
+    restart = 0
+    data_at = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        (ln,) = struct.unpack(">H", payload[pos + 2:pos + 4])
+        body = payload[pos + 4:pos + 2 + ln]
+        if len(body) != ln - 2:
+            raise ValueError("truncated segment")
+        if marker == 0xDB:
+            b = 0
+            while b < len(body):
+                prec, tid = body[b] >> 4, body[b] & 0x0F
+                if prec != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                qtables[tid] = list(body[b + 1:b + 65])
+                b += 65
+        elif marker == 0xC4:
+            b = 0
+            while b < len(body):
+                cls, tid = body[b] >> 4, body[b] & 0x0F
+                bits = list(body[b + 1:b + 17])
+                n = sum(bits)
+                vals = list(body[b + 17:b + 17 + n])
+                tab = _huff_decode_table(bits, vals)
+                (dc_tabs if cls == 0 else ac_tabs)[tid] = tab
+                b += 17 + n
+        elif marker == 0xC0:
+            if body[0] != 8:
+                raise ValueError("only 8-bit precision supported")
+            height, width = struct.unpack(">HH", body[1:5])
+            if body[5] != 3:
+                raise ValueError(
+                    "decode_jpeg_color needs 3 components "
+                    "(grayscale → decode_jpeg_gray)")
+            for c in range(3):
+                cid = body[6 + 3 * c]
+                samp = body[7 + 3 * c]
+                frame.append((cid, samp >> 4, samp & 0x0F,
+                              body[8 + 3 * c]))
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("only baseline sequential (SOF0) supported")
+        elif marker == 0xDD:
+            (restart,) = struct.unpack(">H", body)
+        elif marker == 0xDA:
+            if body[0] != 3:
+                raise ValueError("only single interleaved 3-comp scan "
+                                 "supported")
+            for c in range(3):
+                cid = body[1 + 2 * c]
+                sel = body[2 + 2 * c]
+                scan_sel[cid] = (sel >> 4, sel & 0x0F)
+            data_at = pos + 2 + ln
+            break
+        pos += 2 + ln
+    if width is None or data_at is None or len(frame) != 3:
+        raise ValueError("missing SOF0/SOS")
+    samps = [(h, v) for _, h, v, _ in frame]
+    if samps == [(2, 2), (1, 1), (1, 1)]:
+        hy = 2
+    elif samps == [(1, 1), (1, 1), (1, 1)]:
+        hy = 1
+    else:
+        raise ValueError("only 4:4:4 or 4:2:0 sampling supported")
+    qms, dcts, acts = [], [], []
+    for cid, _, _, qsel in frame:
+        if qsel not in qtables or cid not in scan_sel:
+            raise ValueError("missing quant table or scan selector")
+        dsel, asel = scan_sel[cid]
+        if dsel not in dc_tabs or asel not in ac_tabs:
+            raise ValueError("missing huffman table")
+        qms.append(_zz_to_matrix(qtables[qsel]))
+        dcts.append(dc_tabs[dsel])
+        acts.append(ac_tabs[asel])
+
+    def read_symbol(r: _BitReader, tab: dict) -> int:
+        code, length = 0, 0
+        while length < 16:
+            code = (code << 1) | r.read_bit()
+            length += 1
+            sym = tab.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code")
+
+    def extend(bits: int, t: int) -> int:
+        return bits if bits >= (1 << (t - 1)) else bits - (1 << t) + 1
+
+    mcux = (width + 8 * hy - 1) // (8 * hy)
+    mcuy = (height + 8 * hy - 1) // (8 * hy)
+    fs = [hy, 1, 1]                                      # blocks per side
+    planes = [np.zeros((mcuy * f * 8, mcux * f * 8), dtype=np.float64)
+              for f in fs]
+    r = _BitReader(payload, data_at)
+    preds = [0, 0, 0]
+    n_in_chunk = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and n_in_chunk == restart:
+                r.align()
+                m = r.at_marker()
+                if m is None or not 0xD0 <= m <= 0xD7:
+                    raise ValueError("expected restart marker")
+                r.pos += 2
+                preds = [0, 0, 0]
+                n_in_chunk = 0
+            for ci in range(3):
+                f, qm, dct, act = fs[ci], qms[ci], dcts[ci], acts[ci]
+                for by in range(f):
+                    for bx in range(f):
+                        zz = [0] * 64
+                        t = read_symbol(r, dct)
+                        diff = extend(r.read_bits(t), t) if t else 0
+                        preds[ci] += diff
+                        zz[0] = preds[ci]
+                        i = 1
+                        while i < 64:
+                            sym = read_symbol(r, act)
+                            if sym == 0x00:              # EOB
+                                break
+                            run, t = sym >> 4, sym & 0x0F
+                            if t == 0:
+                                if run != 15:
+                                    raise ValueError("bad AC symbol")
+                                i += 16                  # ZRL
+                                continue
+                            i += run
+                            if i >= 64:
+                                raise ValueError("AC run overflows block")
+                            zz[i] = extend(r.read_bits(t), t)
+                            i += 1
+                        coef = np.zeros(64)
+                        for i in range(64):
+                            coef[ZIGZAG[i]] = zz[i]
+                        block = _C.T @ (coef.reshape(8, 8) * qm) @ _C
+                        r0 = (my * f + by) * 8
+                        c0 = (mx * f + bx) * 8
+                        planes[ci][r0:r0 + 8, c0:c0 + 8] = block
+            n_in_chunk += 1
+    ints = [np.clip(np.rint(p + 128.0), 0, 255).astype(np.uint8)
+            for p in planes]
+    yp = ints[0][:height, :width]
+    if hy == 2:
+        cw, chh = (width + 1) // 2, (height + 1) // 2
+        cbp = np.repeat(np.repeat(ints[1][:chh, :cw], 2, 0), 2, 1)
+        crp = np.repeat(np.repeat(ints[2][:chh, :cw], 2, 0), 2, 1)
+        cbp, crp = cbp[:height, :width], crp[:height, :width]
+    else:
+        cbp, crp = ints[1][:height, :width], ints[2][:height, :width]
+    return width, height, ycbcr_to_rgb(yp, cbp, crp).tobytes()
+
+
+def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Dispatch on the SOF0 component count: returns (width, height,
+    channels, pixel bytes) — channels 1 (grayscale bytes) or 3
+    (interleaved RGB)."""
+    if payload is None or len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        (ln,) = struct.unpack(">H", payload[pos + 2:pos + 4])
+        if marker == 0xC0:
+            ncomp = payload[pos + 9]
+            if ncomp == 1:
+                w, h, px = decode_jpeg_gray(payload)
+                return w, h, 1, px
+            w, h, px = decode_jpeg_color(payload)
+            return w, h, 3, px
+        pos += 2 + ln
+    raise ValueError("missing SOF0")

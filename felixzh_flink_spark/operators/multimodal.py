@@ -759,3 +759,188 @@ def jpeg_pixel_stats(df: DataFrame, id_col: str = "doc_id",
                 "doc_id", "width", "height", "pixel_sum", "pixel_wsum"])
 
     return df.mapInPandas(kernel, schema=JPEG_STATS_SCHEMA)
+
+
+def synthesize_jpeg_color_column(df: DataFrame, id_col: str = "doc_id",
+                                 payload_col: str = "jpeg") -> DataFrame:
+    """Deterministic COLOR baseline-JPEG fixture generator: a REAL
+    interleaved-scan YCbCr JPEG per row. Even ids are 4:4:4 (8×8 flat
+    tiles), odd ids 4:2:0 (16×16 flat tiles — flat through the 2×2 box
+    subsample); width = s·(id%3+1), height = s, tile t carries
+    Y=(id·31+17t)%256, Cb=(id·47+29t)%256, Cr=(id·59+43t)%256; restart
+    interval 2 for ids divisible by 5 (RSTn resets all three DC
+    predictors). Flat tiles quantize exactly under the all-8s tables,
+    so the decoded YCbCr planes are bit-exact and the decoded RGB is
+    the closed-form floor(x+0.5) conversion of the recipe — a SQL
+    oracle predicts every decoded byte. Arrow-batched pandas UDF."""
+    from felixzh_flink_spark.functions.jpeg_codec import encode_jpeg_color
+
+    @F.pandas_udf("binary")
+    def _make(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            s = 8 if i % 2 == 0 else 16
+            nt = i % 3 + 1
+            w, h = s * nt, s
+            yv = [(i * 31 + 17 * t) % 256 for t in range(nt)]
+            cbv = [(i * 47 + 29 * t) % 256 for t in range(nt)]
+            crv = [(i * 59 + 43 * t) % 256 for t in range(nt)]
+            y = bytes(yv[x // s] for _ in range(h) for x in range(w))
+            if s == 8:
+                cb = bytes(cbv[x // s] for _ in range(h) for x in range(w))
+                cr = bytes(crv[x // s] for _ in range(h) for x in range(w))
+                sub = "4:4:4"
+            else:
+                cw, chh = w // 2, h // 2
+                cb = bytes(cbv[x // 8] for _ in range(chh)
+                           for x in range(cw))
+                cr = bytes(crv[x // 8] for _ in range(chh)
+                           for x in range(cw))
+                sub = "4:2:0"
+            out.append(encode_jpeg_color(
+                w, h, y, cb, cr, sub,
+                restart_interval=2 if i % 5 == 0 else 0))
+        return pd.Series(out)
+
+    return df.withColumn(payload_col, _make(F.col(id_col)))
+
+
+JPEG_COLOR_STATS_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("r_sum", T.LongType(), True),
+    T.StructField("g_sum", T.LongType(), True),
+    T.StructField("b_sum", T.LongType(), True),
+    T.StructField("rgb_wsum", T.LongType(), True),
+])
+
+
+def jpeg_color_stats(df: DataFrame, id_col: str = "doc_id",
+                     payload_col: str = "jpeg") -> DataFrame:
+    """REAL color-JPEG decode (no stub, no libjpeg): Huffman-decode the
+    interleaved MCU scan, dequantize, inverse-DCT all three component
+    planes, upsample 4:2:0 chroma, and convert to RGB with the
+    exact-rounding `ycbcr_to_rgb` (`functions/jpeg_codec`). Emits
+    per-channel sums plus the pixel-order-sensitive
+    rgb_wsum = Σ (i+1)·(rᵢ+gᵢ+bᵢ) — a decoder that swaps chroma
+    planes, mis-places an MCU block, or upsamples off-by-one cannot
+    pass. Undecodable payloads yield null stats. One Arrow-batched
+    mapInPandas projection, no shuffle."""
+    import numpy as np
+
+    from felixzh_flink_spark.functions.jpeg_codec import decode_jpeg_color
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    w, h, rgb = decode_jpeg_color(p)
+                    a = np.frombuffer(rgb, np.uint8).astype(np.int64)
+                    a = a.reshape(-1, 3)
+                    wsum = int(((np.arange(len(a)) + 1)
+                                * a.sum(axis=1)).sum())
+                    rows.append((int(i), w, h, int(a[:, 0].sum()),
+                                 int(a[:, 1].sum()), int(a[:, 2].sum()),
+                                 wsum))
+                except Exception:  # ValueError / struct.error
+                    rows.append((int(i), None, None, None, None, None,
+                                 None))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "width", "height", "r_sum", "g_sum", "b_sum",
+                "rgb_wsum"])
+
+    return df.mapInPandas(kernel, schema=JPEG_COLOR_STATS_SCHEMA)
+
+
+def synthesize_gif_animation_column(df: DataFrame, id_col: str = "doc_id",
+                                    payload_col: str = "gif") -> DataFrame:
+    """Deterministic ANIMATED-GIF fixture generator: a REAL multi-frame
+    GIF89a per row — width = id%5+2, height = id%4+2, n_frames =
+    id%4+2, uniform per-frame delay (id%3+1)·40 ms carried in real
+    Graphic Control Extensions, 4-color palette (entry e =
+    ((3e)%256, (5e+1)%256, (7e+2)%256)), frame f pixel j index =
+    (id·31 + 13f + 7j) mod 4, interlaced frames for ids divisible by
+    7, plus a NETSCAPE2.0 loop extension the decoder must skip.
+    Closed-form recipe → a SQL oracle predicts any statistic of any
+    SAMPLED frame without decoding (`gif_frame_sample_stats`).
+    Arrow-batched pandas UDF."""
+    from felixzh_flink_spark.functions.gif_codec import encode_gif_animation
+
+    @F.pandas_udf("binary")
+    def _make(ids: pd.Series) -> pd.Series:
+        pal = bytes(v for e in range(4)
+                    for v in ((3 * e) % 256, (5 * e + 1) % 256,
+                              (7 * e + 2) % 256))
+        out = []
+        for i in ids:
+            i = int(i)
+            w, h = i % 5 + 2, i % 4 + 2
+            n = i % 4 + 2
+            delay = (i % 3 + 1) * 40
+            frames = [(delay, bytes((i * 31 + 13 * f + 7 * j) % 4
+                                    for j in range(w * h)))
+                      for f in range(n)]
+            out.append(encode_gif_animation(w, h, pal, frames,
+                                            interlace=(i % 7 == 0)))
+        return pd.Series(out)
+
+    return df.withColumn(payload_col, _make(F.col(id_col)))
+
+
+GIF_FRAME_SAMPLE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("sample_ms", T.LongType(), True),
+    T.StructField("frame_idx", T.IntegerType(), True),
+    T.StructField("idx_sum", T.LongType(), True),
+    T.StructField("idx_wsum", T.LongType(), True),
+])
+
+
+def gif_frame_sample_stats(df: DataFrame, every_ms: int = 100,
+                           id_col: str = "doc_id",
+                           payload_col: str = "gif") -> DataFrame:
+    """REAL frame sampling over decoded animation frames —
+    `frame_sample_plan`'s geometry with the actual decode kernel the
+    plan was staged for: LZW-decode every frame of each animated GIF
+    (`functions/gif_codec.decode_gif_frames`), build the display
+    timeline from the frames' own GCE delays, and for each sample
+    instant t = k·every_ms inside the animation emit the frame on
+    screen at t with order-sensitive pixel stats (idx_sum = Σ index,
+    idx_wsum = Σ (j+1)·indexⱼ — wrong de-interlacing or frame
+    mis-ordering cannot pass). Undecodable payloads yield a single
+    null-stats quarantine row. One Arrow-batched mapInPandas fan-out,
+    no shuffle — frames scale the OUTPUT rows, not driver memory."""
+    from felixzh_flink_spark.functions.gif_codec import decode_gif_frames
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    _, _, _, frames = decode_gif_frames(p)
+                    starts = []
+                    t = 0
+                    for delay, _idx in frames:
+                        starts.append(t)
+                        t += delay
+                    total = t
+                    k = 0
+                    fi = 0
+                    while k * every_ms < total:
+                        s = k * every_ms
+                        while fi + 1 < len(frames) and starts[fi + 1] <= s:
+                            fi += 1
+                        idx = frames[fi][1]
+                        rows.append((int(i), s, fi, sum(idx),
+                                     sum((j + 1) * b
+                                         for j, b in enumerate(idx))))
+                        k += 1
+                except Exception:  # ValueError / struct.error
+                    rows.append((int(i), None, None, None, None))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "sample_ms", "frame_idx", "idx_sum", "idx_wsum"])
+
+    return df.mapInPandas(kernel, schema=GIF_FRAME_SAMPLE_SCHEMA)

@@ -160,3 +160,105 @@ def test_gif_pixel_stats_decodes_real_bytes(spark):
                       "ELSE gif END"))
     rows = {r["doc_id"]: r for r in MM.gif_pixel_stats(corrupt).collect()}
     assert rows[1]["idx_sum"] is None and rows[0]["idx_sum"] is not None
+
+
+# ------------------------------------------------------------- animation
+
+from felixzh_flink_spark.functions.gif_codec import (  # noqa: E402
+    decode_gif_frames,
+    encode_gif_animation,
+)
+
+
+def _anim_frames(i, w, h, n, delay):
+    return [(delay, bytes((i * 31 + 13 * f + 7 * j) % 4
+                          for j in range(w * h))) for f in range(n)]
+
+
+@pytest.mark.parametrize("interlace", [False, True])
+def test_animation_roundtrip_frames_and_delays(interlace):
+    pal = _palette(4)
+    frames = _anim_frames(9, 6, 4, 3, 80)
+    w, h, p, dec = decode_gif_frames(
+        encode_gif_animation(6, 4, pal, frames, interlace=interlace))
+    assert (w, h, p) == (6, 4, pal)
+    assert [(d, bytes(x)) for d, x in dec] == frames
+
+
+def test_animation_mixed_delays_and_netscape_skip():
+    """Per-frame delays come from each frame's own GCE; the NETSCAPE2.0
+    loop extension must be walked over, not choked on."""
+    pal = _palette(4)
+    frames = [(0, bytes(24)), (120, bytes([1]) * 24), (40, bytes([2]) * 24)]
+    pay = encode_gif_animation(6, 4, pal, frames)
+    assert b"NETSCAPE2.0" in pay
+    _, _, _, dec = decode_gif_frames(pay)
+    assert [d for d, _ in dec] == [0, 120, 40]
+
+
+def test_single_frame_decoders_agree():
+    """decode_gif (single-image walker) reads an animation's first
+    frame; decode_gif_frames reads a single-image GIF as one frame."""
+    pal = _palette(4)
+    frames = _anim_frames(3, 5, 3, 2, 40)
+    anim = encode_gif_animation(5, 3, pal, frames)
+    assert decode_gif(anim)[3] == frames[0][1]
+    single = encode_gif(5, 3, frames[0][1], pal)
+    _, _, _, dec = decode_gif_frames(single)
+    assert dec == [(0, frames[0][1])]
+
+
+def test_animation_envelope_errors():
+    pal = _palette(4)
+    with pytest.raises(ValueError):
+        encode_gif_animation(4, 4, pal, [])                 # no frames
+    with pytest.raises(ValueError):
+        encode_gif_animation(4, 4, pal, [(45, bytes(16))])  # delay % 10
+    with pytest.raises(ValueError):
+        encode_gif_animation(4, 4, pal, [(40, bytes(15))])  # wrong length
+    pay = encode_gif_animation(4, 4, pal, [(40, bytes(16))])
+    with pytest.raises(ValueError):
+        decode_gif_frames(pay[:20])                         # truncated
+    with pytest.raises(ValueError):
+        decode_gif_frames(b"GIF89a" + pay[6:10] + bytes([0]) + pay[11:])
+        # no global color table
+
+
+def test_gif_frame_sample_stats_samples_real_frames(spark):
+    """End-to-end through Spark: synthesize real animations, decode all
+    frames in the Arrow-batched kernel, sample the timeline at 100 ms,
+    and check every emitted row against a driver-side recompute;
+    corrupt payloads land as null-stats quarantine rows."""
+    from pyspark.sql import functions as F
+
+    from felixzh_flink_spark.operators import multimodal as MM
+
+    df = spark.range(0, 25).withColumnRenamed("id", "doc_id")
+    rows = MM.gif_frame_sample_stats(
+        MM.synthesize_gif_animation_column(df)).collect()
+    got = {(r["doc_id"], r["sample_ms"]): r for r in rows}
+    expected = 0
+    for i in range(25):
+        w, h = i % 5 + 2, i % 4 + 2
+        n = i % 4 + 2
+        delay = (i % 3 + 1) * 40
+        k = 0
+        while k * 100 < n * delay:
+            fi = (k * 100) // delay
+            idx = [(i * 31 + 13 * fi + 7 * j) % 4 for j in range(w * h)]
+            r = got[(i, k * 100)]
+            assert r["frame_idx"] == fi
+            assert r["idx_sum"] == sum(idx)
+            assert r["idx_wsum"] == sum((j + 1) * v
+                                        for j, v in enumerate(idx))
+            expected += 1
+            k += 1
+    assert len(rows) == expected
+
+    corrupt = MM.synthesize_gif_animation_column(df.limit(3)).withColumn(
+        "gif", F.expr("CASE WHEN doc_id = 1 THEN CAST('nope' AS BINARY) "
+                      "ELSE gif END"))
+    out = MM.gif_frame_sample_stats(corrupt).collect()
+    bad = [r for r in out if r["doc_id"] == 1]
+    assert len(bad) == 1 and bad[0]["idx_sum"] is None
+    assert any(r["doc_id"] == 0 and r["idx_sum"] is not None for r in out)
