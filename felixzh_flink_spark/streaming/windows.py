@@ -81,3 +81,31 @@ def _agg_names(aggs: list[Column]) -> list[str]:
         jc = c._jc.toString()
         names.append(jc.split(" AS ")[-1].strip("`") if " AS " in jc else jc)
     return names
+
+
+def with_proc_time(df: DataFrame, proc_col: str = "proc_ts") -> DataFrame:
+    """W1 building block: stamp arrival (processing) time. In a
+    streaming query `current_timestamp()` is fixed per micro-batch (the
+    trigger's wall-clock instant), so all rows of one micro-batch share
+    one stamp — exactly the processing-time assignment granularity a
+    micro-batch engine can offer (SURVEY §2.4: each micro-batch ≈ one
+    proc-time tick). On a batch DataFrame the stamp is the job's
+    execution time, making proc-time windows degrade to a single global
+    window — Flink's batch-mode behavior for proc-time too."""
+    return df.withColumn(proc_col, F.current_timestamp())
+
+
+def proc_time_tumbling_agg(df: DataFrame, duration: str,
+                           keys: list[str], aggs: list[Column],
+                           proc_col: str = "proc_ts") -> DataFrame:
+    """W1 AS CODE (reference TimeWindowDemo.java:18-26
+    `windowAll(TumblingProcessingTimeWindows.of(...))`): a tumbling
+    PROCESSING-time window is an event-time tumbling window over the
+    ingest stamp. The zero watermark is sound here and only here:
+    processing time is monotone non-decreasing across micro-batches by
+    construction, so no row is ever late; a window finalizes as soon as
+    the wall clock passes its end. Keyed (keys non-empty) or global
+    (keys empty — the reference's windowAll shape)."""
+    stamped = df if proc_col in df.columns else with_proc_time(df, proc_col)
+    return tumbling_window_agg(stamped, proc_col, duration, keys, aggs,
+                               watermark="0 seconds")
