@@ -125,6 +125,10 @@ HEADLINE = [
     # sampling (multi-frame LZW + GCE timeline)
     "jpeg_color_decode_stats",
     "gif_frame_sample_stats",
+    # round 6c: real MJPEG-AVI video frame sampling — container parse,
+    # timeline from the AVI's own headers, color-JPEG pixel decode of
+    # only the sampled frames
+    "avi_frame_sample_stats",
 ]
 
 
