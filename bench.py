@@ -129,6 +129,8 @@ HEADLINE = [
     # timeline from the AVI's own headers, color-JPEG pixel decode of
     # only the sampled frames
     "avi_frame_sample_stats",
+    # round 6d: exact-integer linear audio resampling on decoded PCM
+    "wav_resample_stats",
 ]
 
 

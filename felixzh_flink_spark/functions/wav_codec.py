@@ -85,3 +85,37 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, list[int]]:
         samples = [int.from_bytes(data[i:i + width], "little", signed=True)
                    for i in range(0, len(data), width)]
     return rate, channels, bits, samples
+
+
+def resample_linear(samples: "list[int]", channels: int,
+                    src_rate: int, dst_rate: int) -> "list[int]":
+    """Linear-interpolation resampling of interleaved integer PCM at a
+    rational rate ratio, in EXACT integer arithmetic: output instant t
+    of a channel maps to source position t·src/dst, i.e. index
+    i = (t·src)//dst with fractional numerator num = (t·src) mod dst,
+    and y[t] = floor((s[i]·(dst−num) + s[i+1]·num) / dst) (last sample
+    replicated at the tail). The floor is computed in a NON-NEGATIVE
+    domain (samples shifted by +2^15 first): Python's // floors while
+    DuckDB's // truncates toward zero, so keeping every division
+    non-negative is what lets a SQL oracle reproduce the resampled
+    stream bit-for-bit. Output length per channel is
+    (n_per_channel·dst)//src (duration-preserving floor)."""
+    if channels < 1 or len(samples) % channels:
+        raise ValueError("sample count must be a multiple of channels")
+    if src_rate <= 0 or dst_rate <= 0:
+        raise ValueError("rates must be positive")
+    n_per = len(samples) // channels
+    if n_per == 0:
+        return []
+    n_out = (n_per * dst_rate) // src_rate
+    out = [0] * (n_out * channels)
+    for c in range(channels):
+        u = [samples[j * channels + c] + 32768 for j in range(n_per)]
+        for t in range(n_out):
+            pos = t * src_rate
+            i = pos // dst_rate
+            num = pos % dst_rate
+            i1 = min(i + 1, n_per - 1)
+            y = (u[i] * (dst_rate - num) + u[i1] * num) // dst_rate
+            out[t * channels + c] = y - 32768
+    return out

@@ -1044,3 +1044,48 @@ def avi_frame_sample_stats(df: DataFrame, every_ms: int = 30,
                 "r_sum", "g_sum", "b_sum"])
 
     return df.mapInPandas(kernel, schema=AVI_FRAME_SAMPLE_SCHEMA)
+
+
+WAV_RESAMPLE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("src_rate", T.IntegerType(), True),
+    T.StructField("channels", T.IntegerType(), True),
+    T.StructField("n_out", T.LongType(), True),
+    T.StructField("out_sum", T.LongType(), True),
+    T.StructField("out_wsum", T.LongType(), True),
+])
+
+
+def wav_resample_stats(df: DataFrame, target_rate: int = 16_000,
+                       id_col: str = "doc_id",
+                       payload_col: str = "wav") -> DataFrame:
+    """REAL audio resampling on decoded PCM — the audio analog of
+    `png_thumbnail_stats`: decode each WAV (`functions/wav_codec`),
+    de-interleave channels, linear-resample every channel to
+    `target_rate` with the exact-integer rational-ratio kernel
+    (`resample_linear` — non-negative-domain floors so SQL reproduces
+    it bit-for-bit), re-interleave, and emit the resampled stream's
+    order-sensitive stats. A kernel that mixes channels, replicates
+    instead of interpolating, or mis-maps the rational position cannot
+    pass. Undecodable payloads yield null stats. One Arrow-batched
+    mapInPandas projection, no shuffle."""
+    from felixzh_flink_spark.functions.wav_codec import (decode_wav,
+                                                         resample_linear)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    rate, ch, _bits, samples = decode_wav(p)
+                    out = resample_linear(samples, ch, rate, target_rate)
+                    rows.append((int(i), rate, ch, len(out), sum(out),
+                                 sum((j + 1) * s
+                                     for j, s in enumerate(out))))
+                except Exception:  # ValueError / struct.error
+                    rows.append((int(i), None, None, None, None, None))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "src_rate", "channels", "n_out", "out_sum",
+                "out_wsum"])
+
+    return df.mapInPandas(kernel, schema=WAV_RESAMPLE_SCHEMA)

@@ -4118,6 +4118,50 @@ def wav_decode_stats(spark, sf_dir):
     return MM.wav_pcm_stats(MM.synthesize_wav_column(d))
 
 
+@q("wav_resample_stats", """
+WITH g AS (
+  SELECT doc_id, doc_id % 2 + 1 AS ch,
+         8000 + (doc_id % 3) * 4000 AS src,
+         doc_id % 25 + 4 AS np
+  FROM documents
+), r AS (
+  SELECT doc_id, ch, src, np, (np * 16000) // src AS nop
+  FROM g
+), o AS (
+  SELECT doc_id, ch, src, nop,
+    list_transform(range(0, nop * ch), x -> (
+      (((doc_id * 37 + 11 * (((x // ch) * src // 16000) * ch + (x % ch)))
+          % 65536) * (16000 - ((x // ch) * src) % 16000)
+       + ((doc_id * 37 + 11 * (least((x // ch) * src // 16000 + 1, np - 1)
+          * ch + (x % ch))) % 65536) * (((x // ch) * src) % 16000))
+      // 16000 - 32768)) AS w
+  FROM r
+)
+SELECT doc_id, CAST(src AS INT) AS src_rate, CAST(ch AS INT) AS channels,
+       CAST(nop * ch AS BIGINT) AS n_out,
+       CAST(list_sum(w) AS BIGINT) AS out_sum,
+       CAST(list_sum(list_transform(range(1, nop * ch + 1),
+            k -> k * w[k])) AS BIGINT) AS out_wsum
+FROM o
+""")
+def wav_resample_stats(spark, sf_dir):
+    """REAL audio resampling end-to-end — the audio analog of
+    `png_thumbnail_stats` (decode AND a real signal kernel verified in
+    one hash): each doc's genuine 16-bit PCM WAV (8/12/16 kHz, mono or
+    stereo) is decoded by the pure-stdlib codec, de-interleaved, and
+    linear-resampled to 16 kHz by the exact-integer rational-ratio
+    kernel (`functions/wav_codec.resample_linear`: position numerator
+    t·src mod dst, interpolation floor taken in a non-negative domain —
+    the detail that makes DuckDB's truncating // reproduce Python's
+    flooring // bit-for-bit). The oracle replays the recipe through the
+    same integer arithmetic, predicting the resampled stream's length,
+    sum and order-sensitive weighted sum — channel mixing, replicate-
+    instead-of-interpolate, or a mis-mapped position all
+    hash-mismatch."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return MM.wav_resample_stats(MM.synthesize_wav_column(d))
+
+
 @q("mp4_duration_meta", """
 SELECT doc_id,
        CAST(doc_id % 120000 + 1000 AS BIGINT) AS duration_ms,
@@ -6069,6 +6113,7 @@ _DRIVER_ORDER = [
     "robots_wildcard_paths", "url_registrable_psl", "gif_decode_stats",
     "robots_site_gate", "jpeg_decode_stats", "jpeg_color_decode_stats",
     "gif_frame_sample_stats", "avi_frame_sample_stats",
+    "wav_resample_stats",
     # --- r2-green, displaced by the round-5 rotation (judge item 1)
     "chunk_docs", "corpus_pipeline_counts", "changelog_retract_sum",
     "canal_decode", "avro_roundtrip_orders", "asof_purchase_view",
@@ -6087,8 +6132,8 @@ _DRIVER_ORDER = [
     "multimodal_frame_plan", "multimodal_meta", "order_window_analytics",
     "pack_sequences", "profile_lineitem", "q11_important_stock",
     "q13_customer_distribution", "q16_supplier_part_counts", "q19_disjunctive_revenue",
-    "q20_part_shippers",
     # ---- position 50 boundary ----
+    "q20_part_shippers",
     "q21_waiting_supplier", "q22_global_sales_opportunity",
     "q2_min_cost_supplier", "q7_volume_shipping", "q8_market_share",
     # past the window: every name below has a green CORRECTNESS row

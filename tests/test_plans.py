@@ -107,7 +107,8 @@ def test_headline_queries_have_no_python_stages(spark):
     allowed = {"pack_sequences", "png_decode_stats", "wav_decode_stats",
                "png_thumbnail_stats", "gif_decode_stats",
                "jpeg_decode_stats", "jpeg_color_decode_stats",
-               "gif_frame_sample_stats", "avi_frame_sample_stats"}
+               "gif_frame_sample_stats", "avi_frame_sample_stats",
+               "wav_resample_stats"}
     for name in bench.HEADLINE:
         if name in allowed:
             continue

@@ -121,3 +121,88 @@ def test_attach_media_meta_fills_real_durations(spark):
     got = {r["doc_id"]: r["media_meta"]["duration_ms"] for r in
            MM.attach_media_meta(vdf, "payload", "video", "mp4").collect()}
     assert got[1] == 2500 and got[2] is None
+
+
+# ------------------------------------------------------------- resampling
+
+from felixzh_flink_spark.functions.wav_codec import resample_linear  # noqa: E402
+
+
+def test_resample_identity_at_equal_rates():
+    s = [((7 * 37 + 11 * j) % 65536) - 32768 for j in range(20)]
+    assert resample_linear(s, 1, 16000, 16000) == s
+
+
+def test_resample_2x_interpolates_midpoints_and_replicates_tail():
+    assert resample_linear([0, 10, 20, 30], 1, 8000, 16000) == \
+        [0, 5, 10, 15, 20, 25, 30, 30]
+
+
+def test_resample_keeps_channels_separate():
+    st = [0, 100, 10, 110, 20, 120]
+    assert resample_linear(st, 2, 8000, 16000) == \
+        [0, 100, 5, 105, 10, 110, 15, 115, 20, 120, 20, 120]
+
+
+def test_resample_negative_samples_floor_like_python():
+    """The interpolation floor must be a mathematical floor even for
+    negative samples — the non-negative-domain shift guarantees the SQL
+    oracle's truncating // agrees."""
+    assert resample_linear([-7, -3], 1, 8000, 12000) == [-7, -5, -3]
+
+
+def test_resample_downsample_and_validation():
+    import pytest
+    s = list(range(0, 120, 10))                   # 12 samples
+    down = resample_linear(s, 1, 16000, 8000)     # n_out = 6
+    assert down == s[::2]                          # integer positions
+    with pytest.raises(ValueError):
+        resample_linear([1, 2, 3], 2, 8000, 16000)   # not multiple of ch
+    with pytest.raises(ValueError):
+        resample_linear([1, 2], 1, 0, 16000)
+    assert resample_linear([], 1, 8000, 16000) == []
+
+
+def test_resample_rational_ratio_matches_float_reference():
+    """12→16 kHz (ratio 4:3): the integer kernel equals the floored
+    float linear interpolation at every position."""
+    import math
+    s = [((5 * 37 + 11 * j) % 65536) - 32768 for j in range(29)]
+    out = resample_linear(s, 1, 12000, 16000)
+    assert len(out) == 29 * 16000 // 12000
+    for t, y in enumerate(out):
+        pos = t * 12000 / 16000
+        i = min(int(pos), 28)
+        i1 = min(i + 1, 28)
+        ref = s[i] + (s[i1] - s[i]) * (pos - i)
+        assert y == math.floor(ref + 1e-9) or y == math.floor(ref - 1e-9)
+
+
+def test_wav_resample_stats_spark_end_to_end(spark):
+    """Decode → de-interleave → resample → stats in the Arrow-batched
+    kernel vs a driver-side recompute; corrupt payloads quarantine."""
+    from pyspark.sql import functions as F
+
+    from felixzh_flink_spark.operators import multimodal as MM
+
+    df = spark.range(0, 30).withColumnRenamed("id", "doc_id")
+    got = {r["doc_id"]: r for r in MM.wav_resample_stats(
+        MM.synthesize_wav_column(df)).collect()}
+    for i in range(30):
+        ch = i % 2 + 1
+        n = (i % 25 + 4) * ch
+        samples = [((i * 37 + 11 * j) % 65536) - 32768 for j in range(n)]
+        rate = 8000 + (i % 3) * 4000
+        out = resample_linear(samples, ch, rate, 16000)
+        r = got[i]
+        assert (r["src_rate"], r["channels"], r["n_out"]) == \
+            (rate, ch, len(out))
+        assert r["out_sum"] == sum(out)
+        assert r["out_wsum"] == sum((j + 1) * s for j, s in enumerate(out))
+
+    corrupt = MM.synthesize_wav_column(df.limit(3)).withColumn(
+        "wav", F.expr("CASE WHEN doc_id = 1 THEN CAST('x' AS BINARY) "
+                      "ELSE wav END"))
+    rows = {r["doc_id"]: r for r in
+            MM.wav_resample_stats(corrupt).collect()}
+    assert rows[1]["out_sum"] is None and rows[0]["out_sum"] is not None
