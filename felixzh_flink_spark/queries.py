@@ -3818,7 +3818,8 @@ def png_decode_stats(spark, sf_dir):
     gap for PNG; grayscale JPEG followed in round 6
     (`jpeg_decode_stats`); color JPEG/video remain header-only stubs
     (`multimodal.require_codec`)."""
-    d = _t(spark, sf_dir, "documents").select("doc_id")
+    d = spread_if_narrow(
+        _t(spark, sf_dir, "documents").select("doc_id"))
     return MM.png_pixel_stats(MM.synthesize_png_column(d))
 
 
@@ -3861,7 +3862,8 @@ def gif_decode_stats(spark, sf_dir):
     format (and baseline-grayscale JPEG in `jpeg_decode_stats`);
     color JPEG/video remain honestly stubbed
     (`multimodal.require_codec`)."""
-    d = _t(spark, sf_dir, "documents").select("doc_id")
+    d = spread_if_narrow(
+        _t(spark, sf_dir, "documents").select("doc_id"))
     return MM.gif_pixel_stats(MM.synthesize_gif_column(d))
 
 
@@ -3901,7 +3903,8 @@ def gif_frame_sample_stats(spark, sf_dir):
     kernel that drops a GCE, mis-accumulates the timeline, or
     de-interlaces wrongly cannot pass. True video codecs (H.264 etc.)
     remain honestly gated behind `multimodal.require_codec`."""
-    d = _t(spark, sf_dir, "documents").select("doc_id")
+    d = spread_if_narrow(
+        _t(spark, sf_dir, "documents").select("doc_id"))
     return MM.gif_frame_sample_stats(MM.synthesize_gif_animation_column(d))
 
 
@@ -3938,7 +3941,8 @@ def jpeg_decode_stats(spark, sf_dir):
     decoded pixel_sum + order-sensitive pixel_wsum arithmetically.
     Color JPEG and video frames remain honestly stubbed
     (`multimodal.require_codec`)."""
-    d = _t(spark, sf_dir, "documents").select("doc_id")
+    d = spread_if_narrow(
+        _t(spark, sf_dir, "documents").select("doc_id"))
     return MM.jpeg_pixel_stats(MM.synthesize_jpeg_column(d))
 
 
@@ -3997,7 +4001,8 @@ def jpeg_color_decode_stats(spark, sf_dir):
     planes, mis-placed MCU blocks, or off-by-one upsampling. Only
     video frame decode remains honestly stubbed (ffmpeg territory);
     animation frames are covered by the GIF path."""
-    d = _t(spark, sf_dir, "documents").select("doc_id")
+    d = spread_if_narrow(
+        _t(spark, sf_dir, "documents").select("doc_id"))
     return MM.jpeg_color_stats(MM.synthesize_jpeg_color_column(d))
 
 
@@ -4043,7 +4048,8 @@ def avi_frame_sample_stats(spark, sf_dir):
     flat-tile RGB closed form, predicting every sampled frame's
     per-channel sums. Inter-frame codecs (H.264) remain honestly gated
     behind `multimodal.require_codec`."""
-    d = _t(spark, sf_dir, "documents").select("doc_id")
+    d = spread_if_narrow(
+        _t(spark, sf_dir, "documents").select("doc_id"))
     return MM.avi_frame_sample_stats(MM.synthesize_mjpeg_avi_column(d))
 
 
@@ -4080,7 +4086,8 @@ def png_thumbnail_stats(spark, sf_dir):
     source pixel, transposes axes, or drops a channel hash-mismatches.
     This is `resize_plan`'s geometry plus the real kernel the plan was
     staged for."""
-    d = _t(spark, sf_dir, "documents").select("doc_id")
+    d = spread_if_narrow(
+        _t(spark, sf_dir, "documents").select("doc_id"))
     return MM.png_thumbnail_stats(MM.synthesize_png_column(d), 3, 2)
 
 
@@ -4114,7 +4121,8 @@ def wav_decode_stats(spark, sf_dir):
     drops, reorders or mis-signs samples hash-mismatches. Only video
     pixel decode remains stubbed (`multimodal.require_codec`) — it
     genuinely needs ffmpeg-class codecs."""
-    d = _t(spark, sf_dir, "documents").select("doc_id")
+    d = spread_if_narrow(
+        _t(spark, sf_dir, "documents").select("doc_id"))
     return MM.wav_pcm_stats(MM.synthesize_wav_column(d))
 
 
@@ -4158,7 +4166,8 @@ def wav_resample_stats(spark, sf_dir):
     sum and order-sensitive weighted sum — channel mixing, replicate-
     instead-of-interpolate, or a mis-mapped position all
     hash-mismatch."""
-    d = _t(spark, sf_dir, "documents").select("doc_id")
+    d = spread_if_narrow(
+        _t(spark, sf_dir, "documents").select("doc_id"))
     return MM.wav_resample_stats(MM.synthesize_wav_column(d))
 
 
