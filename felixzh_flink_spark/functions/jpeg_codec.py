@@ -220,8 +220,7 @@ def encode_jpeg_gray(width: int, height: int, pixels: bytes,
     q = list(qtable) if qtable is not None else list(FLAT_LOSSLESS_QTABLE)
     if len(q) != 64 or any(not 1 <= v <= 255 for v in q):
         raise ValueError("qtable must be 64 entries in 1..255")
-    qm = np.array([q[ZIGZAG.index(i)] for i in range(64)],
-                  dtype=np.float64).reshape(8, 8)
+    qm = _zz_to_matrix(q)
 
     img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width)
     bh = (height + 7) // 8
@@ -359,8 +358,7 @@ def decode_jpeg_gray(payload: bytes) -> tuple[int, int, bytes]:
         raise ValueError("missing SOF0/SOS")
     if qsel not in qtables or dcsel not in dc_tabs or acsel not in ac_tabs:
         raise ValueError("missing quant/huffman table")
-    qm = np.array([qtables[qsel][ZIGZAG.index(i)] for i in range(64)],
-                  dtype=np.float64).reshape(8, 8)
+    qm = _zz_to_matrix(qtables[qsel])
     dct, act = dc_tabs[dcsel], ac_tabs[acsel]
 
     def read_symbol(r: _BitReader, tab: dict) -> int:
@@ -821,6 +819,8 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
             break
         (ln,) = struct.unpack(">H", payload[pos + 2:pos + 4])
         if marker == 0xC0:
+            if pos + 10 > len(payload):
+                raise ValueError("truncated SOF0 segment")
             ncomp = payload[pos + 9]
             if ncomp == 1:
                 w, h, px = decode_jpeg_gray(payload)

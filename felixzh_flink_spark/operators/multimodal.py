@@ -927,6 +927,18 @@ def gif_frame_sample_stats(df: DataFrame, every_ms: int = 100,
                         starts.append(t)
                         t += delay
                     total = t
+                    if total == 0:
+                        # all-zero GCE delays (or a plain single-image
+                        # GIF): the clip has no duration, but the doc
+                        # must not vanish from the output — emit the
+                        # t=0 sample showing the final frame (the one
+                        # "on screen" after zero-delay flips)
+                        idx = frames[-1][1]
+                        rows.append((int(i), 0, len(frames) - 1,
+                                     sum(idx),
+                                     sum((j + 1) * b
+                                         for j, b in enumerate(idx))))
+                        continue
                     k = 0
                     fi = 0
                     while k * every_ms < total:
@@ -1018,13 +1030,16 @@ def avi_frame_sample_stats(df: DataFrame, every_ms: int = 30,
             for i, p in zip(pdf[id_col], pdf[payload_col]):
                 try:
                     w, h, usec, frames = parse_mjpeg_avi(p)
-                    frame_ms = usec // 1000
-                    total = frame_ms * len(frames)
+                    # timeline math stays in MICROSECONDS: real MJPEG
+                    # runs at e.g. 30 fps = 33333 us/frame, where
+                    # whole-ms truncation would mis-assign frames (and
+                    # sub-ms durations would silently emit nothing)
+                    total_usec = usec * len(frames)
                     decoded: dict[int, tuple] = {}
                     k = 0
-                    while k * every_ms < total:
+                    while k * every_ms * 1000 < total_usec:
                         s = k * every_ms
-                        fi = s // frame_ms
+                        fi = (s * 1000) // usec
                         if fi not in decoded:
                             dw, dh, rgb = decode_jpeg_color(frames[fi])
                             a = np.frombuffer(rgb, np.uint8)

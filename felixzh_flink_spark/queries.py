@@ -3815,11 +3815,11 @@ def png_decode_stats(spark, sf_dir):
     weighted pixel_wsum arithmetically. A decoder that mis-unfilters,
     reorders scanlines, or drops bytes hash-mismatches (wsum is order-
     sensitive). This closes the round-4 'pixel codecs honestly stubbed'
-    gap for PNG; grayscale JPEG followed in round 6
-    (`jpeg_decode_stats`); color JPEG/video remain header-only stubs
-    (`multimodal.require_codec`)."""
-    d = spread_if_narrow(
-        _t(spark, sf_dir, "documents").select("doc_id"))
+    gap for PNG; grayscale + color JPEG (`jpeg_decode_stats`,
+    `jpeg_color_decode_stats`) and MJPEG video frames
+    (`avi_frame_sample_stats`) followed in round 6 — only inter-frame
+    video codecs remain stubbed (`multimodal.require_codec`)."""
+    d = _t_wide(spark, sf_dir, "documents").select("doc_id")
     return MM.png_pixel_stats(MM.synthesize_png_column(d))
 
 
@@ -3859,11 +3859,11 @@ def gif_decode_stats(spark, sf_dir):
     order-sensitive idx_wsum (wrong de-interlacing mismatches) and the
     palette-mapped rgb_sum (raw-code returns mismatch) arithmetically
     from the recipe. GIF joins PNG and WAV as a genuinely decoded
-    format (and baseline-grayscale JPEG in `jpeg_decode_stats`);
-    color JPEG/video remain honestly stubbed
-    (`multimodal.require_codec`)."""
-    d = spread_if_narrow(
-        _t(spark, sf_dir, "documents").select("doc_id"))
+    format (and baseline-grayscale JPEG in `jpeg_decode_stats`,
+    color in `jpeg_color_decode_stats`, MJPEG video frames in
+    `avi_frame_sample_stats`); only inter-frame video codecs remain
+    honestly stubbed (`multimodal.require_codec`)."""
+    d = _t_wide(spark, sf_dir, "documents").select("doc_id")
     return MM.gif_pixel_stats(MM.synthesize_gif_column(d))
 
 
@@ -3903,8 +3903,7 @@ def gif_frame_sample_stats(spark, sf_dir):
     kernel that drops a GCE, mis-accumulates the timeline, or
     de-interlaces wrongly cannot pass. True video codecs (H.264 etc.)
     remain honestly gated behind `multimodal.require_codec`."""
-    d = spread_if_narrow(
-        _t(spark, sf_dir, "documents").select("doc_id"))
+    d = _t_wide(spark, sf_dir, "documents").select("doc_id")
     return MM.gif_frame_sample_stats(MM.synthesize_gif_animation_column(d))
 
 
@@ -3939,10 +3938,10 @@ def jpeg_decode_stats(spark, sf_dir):
     DC coefficient that the all-8s quantizer preserves EXACTLY, so the
     lossy pipeline is bit-lossless on this fixture and DuckDB predicts
     decoded pixel_sum + order-sensitive pixel_wsum arithmetically.
-    Color JPEG and video frames remain honestly stubbed
-    (`multimodal.require_codec`)."""
-    d = spread_if_narrow(
-        _t(spark, sf_dir, "documents").select("doc_id"))
+    Color JPEG is real too (`jpeg_color_decode_stats`), as are MJPEG
+    video frames (`avi_frame_sample_stats`); only inter-frame video
+    codecs remain honestly stubbed (`multimodal.require_codec`)."""
+    d = _t_wide(spark, sf_dir, "documents").select("doc_id")
     return MM.jpeg_pixel_stats(MM.synthesize_jpeg_column(d))
 
 
@@ -4001,8 +4000,7 @@ def jpeg_color_decode_stats(spark, sf_dir):
     planes, mis-placed MCU blocks, or off-by-one upsampling. Only
     video frame decode remains honestly stubbed (ffmpeg territory);
     animation frames are covered by the GIF path."""
-    d = spread_if_narrow(
-        _t(spark, sf_dir, "documents").select("doc_id"))
+    d = _t_wide(spark, sf_dir, "documents").select("doc_id")
     return MM.jpeg_color_stats(MM.synthesize_jpeg_color_column(d))
 
 
@@ -4048,8 +4046,7 @@ def avi_frame_sample_stats(spark, sf_dir):
     flat-tile RGB closed form, predicting every sampled frame's
     per-channel sums. Inter-frame codecs (H.264) remain honestly gated
     behind `multimodal.require_codec`."""
-    d = spread_if_narrow(
-        _t(spark, sf_dir, "documents").select("doc_id"))
+    d = _t_wide(spark, sf_dir, "documents").select("doc_id")
     return MM.avi_frame_sample_stats(MM.synthesize_mjpeg_avi_column(d))
 
 
@@ -4086,8 +4083,7 @@ def png_thumbnail_stats(spark, sf_dir):
     source pixel, transposes axes, or drops a channel hash-mismatches.
     This is `resize_plan`'s geometry plus the real kernel the plan was
     staged for."""
-    d = spread_if_narrow(
-        _t(spark, sf_dir, "documents").select("doc_id"))
+    d = _t_wide(spark, sf_dir, "documents").select("doc_id")
     return MM.png_thumbnail_stats(MM.synthesize_png_column(d), 3, 2)
 
 
@@ -4118,11 +4114,11 @@ def wav_decode_stats(spark, sf_dir):
     (`multimodal.wav_pcm_stats`). The oracle predicts the decoded
     sample_rate/channels/count, sample_sum, and the order-sensitive
     position-weighted sample_wsum arithmetically — a decoder that
-    drops, reorders or mis-signs samples hash-mismatches. Only video
-    pixel decode remains stubbed (`multimodal.require_codec`) — it
-    genuinely needs ffmpeg-class codecs."""
-    d = spread_if_narrow(
-        _t(spark, sf_dir, "documents").select("doc_id"))
+    drops, reorders or mis-signs samples hash-mismatches. The decoded
+    stream also feeds the real resampler (`wav_resample_stats`); only
+    inter-frame video codecs remain stubbed
+    (`multimodal.require_codec`) — they genuinely need ffmpeg."""
+    d = _t_wide(spark, sf_dir, "documents").select("doc_id")
     return MM.wav_pcm_stats(MM.synthesize_wav_column(d))
 
 
@@ -4166,8 +4162,7 @@ def wav_resample_stats(spark, sf_dir):
     sum and order-sensitive weighted sum — channel mixing, replicate-
     instead-of-interpolate, or a mis-mapped position all
     hash-mismatch."""
-    d = spread_if_narrow(
-        _t(spark, sf_dir, "documents").select("doc_id"))
+    d = _t_wide(spark, sf_dir, "documents").select("doc_id")
     return MM.wav_resample_stats(MM.synthesize_wav_column(d))
 
 

@@ -95,14 +95,22 @@ class ExponentialDelay(RestartPolicy):
     reset_after_s: float = float("inf")
     _streak: int = field(default=0, init=False)
     _last: float | None = field(default=None, init=False)
+    _last_delay: float = field(default=0.0, init=False)
 
     def next_delay(self, now: float) -> float | None:
-        if self._last is not None and now - self._last > self.reset_after_s:
+        # stable-RUNNING time, like Flink's reset-backoff-threshold:
+        # the gap between failures includes the backoff sleep itself,
+        # so subtract the previously granted delay — otherwise any
+        # reset_after_s <= the current delay resets the streak on every
+        # crash-loop iteration and the backoff never grows
+        if self._last is not None and \
+                now - self._last - self._last_delay > self.reset_after_s:
             self._streak = 0
         self._last = now
         delay = min(self.max_s,
                     self.initial_s * self.multiplier ** self._streak)
         self._streak += 1
+        self._last_delay = delay
         return delay
 
 
@@ -143,19 +151,8 @@ def run_streaming_with_restart(start: Callable[[], "object"],
     offset log resumes the failed micro-batch exactly — state, offsets
     and sink idempotence all ride the checkpoint, which is what makes
     this the faithful Spark analog of Flink's in-cluster restart."""
-    attempt = 0
-    while True:
-        try:
-            start()
-            return
-        except Exception as exc:
-            delay = policy.next_delay(clock())
-            if delay is None:
-                raise
-            attempt += 1
-            if on_restart is not None:
-                on_restart(attempt, exc)
-            sleep(delay)
+    run_with_restart(start, policy, sleep=sleep, clock=clock,
+                     on_restart=on_restart)
 
 
 def policy_from_properties(props: dict) -> RestartPolicy:

@@ -125,3 +125,27 @@ def test_avi_frame_sample_stats_decodes_sampled_frames(spark):
     bad = [r for r in out if r["doc_id"] == 1]
     assert len(bad) == 1 and bad[0]["r_sum"] is None
     assert any(r["doc_id"] == 0 and r["r_sum"] is not None for r in out)
+
+
+def test_kernel_timeline_math_stays_in_microseconds(spark):
+    """Real MJPEG runs at e.g. 30 fps = 33333 us/frame — whole-ms
+    truncation would assign sample t=990 ms to frame 30 instead of 29.
+    The kernel must divide in microseconds."""
+    import pandas as pd
+    from felixzh_flink_spark.operators import multimodal as MM
+
+    frames = [_jpeg(f * 20 % 256, 100, 200) for f in range(31)]
+    avi = encode_mjpeg_avi(16, 16, 33_333, frames)
+    df = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": [0], "video": [avi]}))
+    rows = {r["sample_ms"]: r["frame_idx"]
+            for r in MM.avi_frame_sample_stats(df).collect()}
+    assert rows[990] == 990_000 // 33_333 == 29
+    # sub-millisecond frame durations must still emit samples, not
+    # silently vanish
+    tiny = encode_mjpeg_avi(16, 16, 999, frames[:2])
+    df2 = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": [1], "video": [tiny]}))
+    out = MM.avi_frame_sample_stats(df2).collect()
+    assert len(out) == 1 and out[0]["sample_ms"] == 0
+    assert out[0]["r_sum"] is not None

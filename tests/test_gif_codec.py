@@ -262,3 +262,23 @@ def test_gif_frame_sample_stats_samples_real_frames(spark):
     bad = [r for r in out if r["doc_id"] == 1]
     assert len(bad) == 1 and bad[0]["idx_sum"] is None
     assert any(r["doc_id"] == 0 and r["idx_sum"] is not None for r in out)
+
+
+def test_zero_duration_animation_still_emits_a_row(spark):
+    """All-zero GCE delays (or a plain single-image GIF) have no
+    timeline, but the doc must not vanish: the kernel emits the t=0
+    sample showing the final frame."""
+    import pandas as pd
+    from felixzh_flink_spark.operators import multimodal as MM
+
+    pal = _palette(4)
+    anim = encode_gif_animation(4, 3, pal,
+                                [(0, bytes(12)), (0, bytes([2]) * 12)])
+    single = encode_gif(4, 3, bytes([1]) * 12, pal)
+    df = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": [0, 1], "gif": [anim, single]}))
+    rows = {r["doc_id"]: r for r in
+            MM.gif_frame_sample_stats(df).collect()}
+    assert rows[0]["sample_ms"] == 0 and rows[0]["frame_idx"] == 1
+    assert rows[0]["idx_sum"] == 24                  # the FINAL frame
+    assert rows[1]["frame_idx"] == 0 and rows[1]["idx_sum"] == 12

@@ -286,3 +286,12 @@ def test_jpeg_color_stats_decodes_real_bytes(spark):
                        "ELSE jpeg END"))
     rows = {r["doc_id"]: r for r in MM.jpeg_color_stats(corrupt).collect()}
     assert rows[1]["r_sum"] is None and rows[0]["r_sum"] is not None
+
+
+def test_dispatch_rejects_truncated_sof0_with_value_error():
+    """decode_jpeg's SOF0 peek must keep the module's ValueError
+    contract on payloads cut inside the segment (not IndexError)."""
+    enc = encode_jpeg_gray(8, 8, bytes(64))
+    at = enc.index(b"\xff\xc0")
+    with pytest.raises(ValueError):
+        decode_jpeg(enc[:at + 6])

@@ -154,3 +154,20 @@ def test_streaming_restart_resumes_failed_batch_from_checkpoint(
     assert restarts == [1]                       # exactly one crash
     got = sorted(r["id"] for r in spark.read.parquet(out).collect())
     assert got == list(range(10))                # exactly once, no dupes
+
+
+def test_exponential_delay_measures_stable_running_not_sleep():
+    """A crash-looping job whose only gap between failures is the
+    backoff sleep itself must keep GROWING its delay — the reset
+    threshold measures stable running time (gap minus the granted
+    sleep), like Flink's reset-backoff-threshold."""
+    p = ExponentialDelay(initial_s=60.0, max_s=600.0, multiplier=2.0,
+                         reset_after_s=30.0)
+    t, delays = 0.0, []
+    for _ in range(4):
+        d = p.next_delay(t)
+        delays.append(d)
+        t += d            # restart sleeps d, then crashes immediately
+    assert delays == [60.0, 120.0, 240.0, 480.0]
+    # a genuinely stable stretch (sleep + long run) does reset
+    assert p.next_delay(t + 600.0 + 31.0) == 60.0
