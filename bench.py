@@ -131,6 +131,9 @@ HEADLINE = [
     "avi_frame_sample_stats",
     # round 6d: exact-integer linear audio resampling on decoded PCM
     "wav_resample_stats",
+    # round 6e: mixed-format media lake — magic-byte dispatch + real
+    # per-format decode + float feature math reproduced by the oracle
+    "image_feature_stats",
 ]
 
 

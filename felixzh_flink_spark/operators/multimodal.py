@@ -1104,3 +1104,150 @@ def wav_resample_stats(df: DataFrame, target_rate: int = 16_000,
                 "out_wsum"])
 
     return df.mapInPandas(kernel, schema=WAV_RESAMPLE_SCHEMA)
+
+
+def synthesize_mixed_media_column(df: DataFrame, id_col: str = "doc_id",
+                                  payload_col: str = "media") -> DataFrame:
+    """Deterministic MIXED-FORMAT media fixture: one binary column
+    holding a real PNG for doc_id%3==0, a real GIF for ==1, and a real
+    color JPEG for ==2 — each built from the SAME closed-form recipe as
+    its single-format fixture (`synthesize_png_column` /
+    `synthesize_gif_column` / `synthesize_jpeg_color_column`), so the
+    per-format oracles compose into one mixed-lake oracle. This is the
+    shape of a real document store's media column: the format is a
+    per-row fact discovered from magic bytes, not a table property."""
+    from felixzh_flink_spark.functions.gif_codec import encode_gif
+    from felixzh_flink_spark.functions.jpeg_codec import encode_jpeg_color
+    from felixzh_flink_spark.functions.png_codec import encode_png
+
+    @F.pandas_udf("binary")
+    def _make(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            if i % 3 == 0:
+                w, h, ch = i % 7 + 1, i % 5 + 1, (i % 2) * 2 + 1
+                px = bytes((i * 31 + 7 * j) % 256
+                           for j in range(w * h * ch))
+                out.append(encode_png(w, h, px, ch, filter_type=i % 5))
+            elif i % 3 == 1:
+                w, h = i % 7 + 1, i % 5 + 1
+                ps = 1 << ((i % 3) * 3 + 2)          # == 32 on this branch
+                idx = bytes((i * 31 + 7 * j) % ps for j in range(w * h))
+                pal = bytes(v for e in range(ps)
+                            for v in ((3 * e) % 256, (5 * e + 1) % 256,
+                                      (7 * e + 2) % 256))
+                out.append(encode_gif(w, h, idx, pal,
+                                      interlace=(i % 2 == 0)))
+            else:
+                s = 8 if i % 2 == 0 else 16
+                nt = i % 3 + 1                       # == 3 on this branch
+                w, h = s * nt, s
+                yv = [(i * 31 + 17 * t) % 256 for t in range(nt)]
+                cbv = [(i * 47 + 29 * t) % 256 for t in range(nt)]
+                crv = [(i * 59 + 43 * t) % 256 for t in range(nt)]
+                y = bytes(yv[x // s] for _ in range(h) for x in range(w))
+                if s == 8:
+                    cb = bytes(cbv[x // s] for _ in range(h)
+                               for x in range(w))
+                    cr = bytes(crv[x // s] for _ in range(h)
+                               for x in range(w))
+                    sub = "4:4:4"
+                else:
+                    cw, chh = w // 2, h // 2
+                    cb = bytes(cbv[x // 8] for _ in range(chh)
+                               for x in range(cw))
+                    cr = bytes(crv[x // 8] for _ in range(chh)
+                               for x in range(cw))
+                    sub = "4:2:0"
+                out.append(encode_jpeg_color(w, h, y, cb, cr, sub))
+        return pd.Series(out)
+
+    return df.withColumn(payload_col, _make(F.col(id_col)))
+
+
+IMAGE_FEATURE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("fmt", T.StringType(), True),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("channels", T.IntegerType(), True),
+    T.StructField("mean_rgb", T.DoubleType(), True),
+    T.StructField("var_lum", T.DoubleType(), True),
+])
+
+
+def image_feature_stats(df: DataFrame, id_col: str = "doc_id",
+                        payload_col: str = "media") -> DataFrame:
+    """REAL image feature extraction over a MIXED-FORMAT media column —
+    the working replacement for the PIL-stubbed `extract_features` on
+    every format the engine decodes natively: sniff each payload's
+    magic bytes (\\x89PNG / GIF8 / \\xff\\xd8), decode with the
+    matching pure-stdlib codec (grayscale PNG broadcast to RGB, GIF
+    palette lookup, JPEG via the gray/color dispatcher), and emit
+    per-image features — mean RGB level and luminance variance (the
+    flat/low-contrast screens a quality gate keys on). Float features
+    are derived from exact integer sums with a FIXED formula
+    (lum_sumsq − lum_sum²/n)/n so the SQL oracle reproduces the doubles
+    bit-for-bit. Unknown magic or undecodable payloads yield a
+    null-stats quarantine row. One Arrow-batched mapInPandas
+    projection, no shuffle."""
+    from felixzh_flink_spark.functions.gif_codec import decode_gif
+    from felixzh_flink_spark.functions.jpeg_codec import decode_jpeg
+    from felixzh_flink_spark.functions.png_codec import decode_png
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    head = bytes(p[:6])
+                    if head.startswith(b"\x89PNG"):
+                        fmt = "png"
+                        w, h, ch, px = decode_png(p)
+                        if ch == 1:
+                            trip = [(v, v, v) for v in px]
+                        elif ch == 3:
+                            trip = [(px[3 * j], px[3 * j + 1],
+                                     px[3 * j + 2])
+                                    for j in range(w * h)]
+                        else:                        # alpha: drop it
+                            trip = [(px[ch * j], px[ch * j + 1],
+                                     px[ch * j + 2])
+                                    for j in range(w * h)]
+                        ch_out = min(ch, 3)
+                    elif head.startswith(b"GIF8"):
+                        fmt = "gif"
+                        w, h, pal, idx = decode_gif(p)
+                        trip = [(pal[3 * e], pal[3 * e + 1],
+                                 pal[3 * e + 2]) for e in idx]
+                        ch_out = 3
+                    elif head.startswith(b"\xff\xd8"):
+                        fmt = "jpeg"
+                        w, h, ch, px = decode_jpeg(p)
+                        if ch == 1:
+                            trip = [(v, v, v) for v in px]
+                        else:
+                            trip = [(px[3 * j], px[3 * j + 1],
+                                     px[3 * j + 2])
+                                    for j in range(w * h)]
+                        ch_out = ch
+                    else:
+                        raise ValueError("unknown magic bytes")
+                    n = w * h
+                    lum = [r + g + b for r, g, b in trip]
+                    lum_sum = sum(lum)
+                    lum_sumsq = sum(v * v for v in lum)
+                    mean_rgb = lum_sum / (3.0 * n)
+                    var_lum = (float(lum_sumsq)
+                               - float(lum_sum) * lum_sum / n) / n
+                    rows.append((int(i), fmt, w, h, ch_out, mean_rgb,
+                                 var_lum))
+                except Exception:  # ValueError / zlib.error / struct.error
+                    rows.append((int(i), None, None, None, None, None,
+                                 None))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "fmt", "width", "height", "channels",
+                "mean_rgb", "var_lum"])
+
+    return df.mapInPandas(kernel, schema=IMAGE_FEATURE_SCHEMA)

@@ -4050,6 +4050,81 @@ def avi_frame_sample_stats(spark, sf_dir):
     return MM.avi_frame_sample_stats(MM.synthesize_mjpeg_avi_column(d))
 
 
+@q("image_feature_stats", """
+WITH png AS (
+  SELECT doc_id, 'png' AS fmt,
+         doc_id % 7 + 1 AS w, doc_id % 5 + 1 AS h,
+         CAST((doc_id % 2) * 2 + 1 AS INT) AS ch,
+         CASE WHEN doc_id % 2 = 0 THEN
+           list_transform(range(0, (doc_id % 7 + 1) * (doc_id % 5 + 1)),
+             j -> 3 * ((doc_id * 31 + 7 * j) % 256))
+         ELSE
+           list_transform(range(0, (doc_id % 7 + 1) * (doc_id % 5 + 1)),
+             j -> (doc_id * 31 + 7 * (3 * j)) % 256
+                + (doc_id * 31 + 7 * (3 * j + 1)) % 256
+                + (doc_id * 31 + 7 * (3 * j + 2)) % 256)
+         END AS lum
+  FROM documents WHERE doc_id % 3 = 0
+), gif AS (
+  SELECT doc_id, 'gif' AS fmt,
+         doc_id % 7 + 1 AS w, doc_id % 5 + 1 AS h, CAST(3 AS INT) AS ch,
+         list_transform(range(0, (doc_id % 7 + 1) * (doc_id % 5 + 1)),
+           j -> (3 * ((doc_id * 31 + 7 * j) % 32)) % 256
+              + (5 * ((doc_id * 31 + 7 * j) % 32) + 1) % 256
+              + (7 * ((doc_id * 31 + 7 * j) % 32) + 2) % 256) AS lum
+  FROM documents WHERE doc_id % 3 = 1
+), jt AS (
+  SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 16 END AS s
+  FROM documents WHERE doc_id % 3 = 2
+), jpeg AS (
+  SELECT doc_id, 'jpeg' AS fmt, 3 * s AS w, s AS h, CAST(3 AS INT) AS ch,
+         flatten(list_transform(range(0, 3), t ->
+           list_transform(range(0, s * s), _p ->
+             CAST(least(255, greatest(0, floor((
+                (doc_id * 31 + 17 * t) % 256
+                + 1.402 * ((doc_id * 59 + 43 * t) % 256 - 128)) + 0.5)))
+               AS BIGINT)
+           + CAST(least(255, greatest(0, floor((
+                (doc_id * 31 + 17 * t) % 256
+                - 0.344136 * ((doc_id * 47 + 29 * t) % 256 - 128)
+                - 0.714136 * ((doc_id * 59 + 43 * t) % 256 - 128)) + 0.5)))
+               AS BIGINT)
+           + CAST(least(255, greatest(0, floor((
+                (doc_id * 31 + 17 * t) % 256
+                + 1.772 * ((doc_id * 47 + 29 * t) % 256 - 128)) + 0.5)))
+               AS BIGINT)))) AS lum
+  FROM jt
+), allf AS (
+  SELECT * FROM png UNION ALL SELECT * FROM gif UNION ALL SELECT * FROM jpeg
+)
+SELECT doc_id, fmt, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       ch AS channels,
+       CAST(list_sum(lum) AS DOUBLE) / (3.0 * (w * h)) AS mean_rgb,
+       (CAST(list_sum(list_transform(lum, v -> v * v)) AS DOUBLE)
+        - CAST(list_sum(lum) AS DOUBLE) * list_sum(lum) / (w * h))
+         / (w * h) AS var_lum
+FROM allf
+""")
+def image_feature_stats(spark, sf_dir):
+    """REAL feature extraction over a MIXED-FORMAT media lake — the
+    working replacement for the PIL-stubbed `extract_features` on every
+    natively-decoded format, and the shape production corpora actually
+    have (one binary column, format per row): a third each real PNGs
+    (gray + RGB, all five scanline filters), real GIFs (palette lookup,
+    interlace) and real color JPEGs (both samplings), with the format
+    discovered from MAGIC BYTES per row, never from a table property.
+    The kernel (`multimodal.image_feature_stats`) dispatches to the
+    matching pure-stdlib codec and emits quality-gate features — mean
+    RGB level and luminance variance — derived from exact integer sums
+    with a fixed double formula the oracle reproduces bit-for-bit
+    (sum/(3.0·n) and (Σlum² − (Σlum)²/n)/n). The oracle is the three
+    per-format closed-form recipes composed with UNION ALL — a kernel
+    that mis-sniffs a format, swaps a palette channel, or drifts the
+    variance formula hash-mismatches."""
+    d = _t_wide(spark, sf_dir, "documents").select("doc_id")
+    return MM.image_feature_stats(MM.synthesize_mixed_media_column(d))
+
+
 @q("png_thumbnail_stats", """
 WITH g AS (
   SELECT doc_id,
@@ -6117,7 +6192,7 @@ _DRIVER_ORDER = [
     "robots_wildcard_paths", "url_registrable_psl", "gif_decode_stats",
     "robots_site_gate", "jpeg_decode_stats", "jpeg_color_decode_stats",
     "gif_frame_sample_stats", "avi_frame_sample_stats",
-    "wav_resample_stats",
+    "wav_resample_stats", "image_feature_stats",
     # --- r2-green, displaced by the round-5 rotation (judge item 1)
     "chunk_docs", "corpus_pipeline_counts", "changelog_retract_sum",
     "canal_decode", "avro_roundtrip_orders", "asof_purchase_view",
@@ -6135,9 +6210,9 @@ _DRIVER_ORDER = [
     "lang_id_pred", "lineitem_meta_stats", "market_segment_stats",
     "multimodal_frame_plan", "multimodal_meta", "order_window_analytics",
     "pack_sequences", "profile_lineitem", "q11_important_stock",
-    "q13_customer_distribution", "q16_supplier_part_counts", "q19_disjunctive_revenue",
+    "q13_customer_distribution", "q16_supplier_part_counts",
     # ---- position 50 boundary ----
-    "q20_part_shippers",
+    "q19_disjunctive_revenue", "q20_part_shippers",
     "q21_waiting_supplier", "q22_global_sales_opportunity",
     "q2_min_cost_supplier", "q7_volume_shipping", "q8_market_share",
     # past the window: every name below has a green CORRECTNESS row

@@ -1,0 +1,62 @@
+"""Mixed-format media lake: magic-byte dispatch + real per-format
+decode + exact float feature math (multimodal.image_feature_stats)."""
+
+from pyspark.sql import functions as F
+
+from felixzh_flink_spark.operators import multimodal as MM
+
+
+def test_image_feature_stats_dispatches_and_matches_recompute(spark):
+    """Every third doc is a PNG/GIF/color-JPEG; the kernel must sniff
+    each row's magic bytes, decode with the right codec, and produce
+    float features identical to a driver-side recompute through the
+    SAME codecs."""
+    from felixzh_flink_spark.functions.gif_codec import decode_gif
+    from felixzh_flink_spark.functions.jpeg_codec import decode_jpeg
+    from felixzh_flink_spark.functions.png_codec import decode_png
+
+    df = spark.range(0, 36).withColumnRenamed("id", "doc_id")
+    media = MM.synthesize_mixed_media_column(df)
+    payloads = {r["doc_id"]: bytes(r["media"]) for r in media.collect()}
+    got = {r["doc_id"]: r for r in
+           MM.image_feature_stats(media).collect()}
+    assert len(got) == 36
+    for i in range(36):
+        p = payloads[i]
+        if i % 3 == 0:
+            assert p.startswith(b"\x89PNG") and got[i]["fmt"] == "png"
+            w, h, ch, px = decode_png(p)
+            trip = [(v, v, v) for v in px] if ch == 1 else \
+                [(px[3 * j], px[3 * j + 1], px[3 * j + 2])
+                 for j in range(w * h)]
+        elif i % 3 == 1:
+            assert p.startswith(b"GIF8") and got[i]["fmt"] == "gif"
+            w, h, pal, idx = decode_gif(p)
+            trip = [(pal[3 * e], pal[3 * e + 1], pal[3 * e + 2])
+                    for e in idx]
+        else:
+            assert p.startswith(b"\xff\xd8") and got[i]["fmt"] == "jpeg"
+            w, h, ch, px = decode_jpeg(p)
+            trip = [(px[3 * j], px[3 * j + 1], px[3 * j + 2])
+                    for j in range(w * h)]
+        n = w * h
+        lum = [r + g + b for r, g, b in trip]
+        ls, lq = sum(lum), sum(v * v for v in lum)
+        r = got[i]
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["mean_rgb"] == ls / (3.0 * n)          # bit-exact doubles
+        assert r["var_lum"] == (float(lq) - float(ls) * ls / n) / n
+
+
+def test_unknown_magic_and_corrupt_payloads_quarantine(spark):
+    import pandas as pd
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "media": [b"BM\x00\x00 not a supported format",   # BMP-ish magic
+                  b"\x89PNG\r\n\x1a\nbut-truncated",
+                  None]}))
+    rows = {r["doc_id"]: r for r in
+            MM.image_feature_stats(df).collect()}
+    assert all(rows[i]["fmt"] is None and rows[i]["mean_rgb"] is None
+               for i in range(3))
