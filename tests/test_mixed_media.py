@@ -60,3 +60,29 @@ def test_unknown_magic_and_corrupt_payloads_quarantine(spark):
             MM.image_feature_stats(df).collect()}
     assert all(rows[i]["fmt"] is None and rows[i]["mean_rgb"] is None
                for i in range(3))
+
+
+def test_image_feature_stats_streaming_batch_parity(spark, tmp_path):
+    """U4 twin contract: the operator is stateless mapInPandas, so the
+    SAME call runs on a streaming frame — results must match batch."""
+    src = str(tmp_path / "media")
+    batch = MM.synthesize_mixed_media_column(
+        spark.range(0, 12).withColumnRenamed("id", "doc_id"))
+    batch.write.mode("append").parquet(src)
+    expected = {(r["doc_id"], r["fmt"], r["mean_rgb"], r["var_lum"])
+                for r in MM.image_feature_stats(
+                    spark.read.parquet(src)).collect()}
+
+    stream = spark.readStream.schema(
+        "doc_id long, media binary").parquet(src)
+    q = (MM.image_feature_stats(stream)
+         .writeStream.outputMode("append")
+         .format("memory").queryName("media_feats").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    got = {(r["doc_id"], r["fmt"], r["mean_rgb"], r["var_lum"])
+           for r in spark.sql("SELECT * FROM media_feats").collect()}
+    assert got == expected and len(got) == 12
