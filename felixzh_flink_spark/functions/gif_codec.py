@@ -257,9 +257,9 @@ def decode_gif(payload: bytes) -> tuple[int, int, bytes, bytes]:
                 pos += 1
                 if size == 0:
                     break
-                data += payload[pos:pos + size]
-                if len(data) < size and pos + size > len(payload):
+                if pos + size > len(payload):
                     raise ValueError("truncated sub-block")
+                data += payload[pos:pos + size]
                 pos += size
             stream = _lzw_decode(bytes(data), min_code_size, w * h)
             if ipacked & 0x40:                         # interlaced
@@ -407,6 +407,8 @@ def decode_gif_frames(payload: bytes
                 pos += 1
                 if size == 0:
                     break
+                if pos + size > len(payload):
+                    raise ValueError("truncated sub-block")
                 data += payload[pos:pos + size]
                 pos += size
             stream = _lzw_decode(bytes(data), min_code_size, w * h)

@@ -321,6 +321,8 @@ def decode_jpeg_gray(payload: bytes) -> tuple[int, int, bytes]:
                 prec, tid = body[b] >> 4, body[b] & 0x0F
                 if prec != 0:
                     raise ValueError("16-bit quant tables unsupported")
+                if b + 65 > len(body):
+                    raise ValueError("truncated DQT segment")
                 qtables[tid] = list(body[b + 1:b + 65])
                 b += 65
         elif marker == 0xC4:
@@ -329,6 +331,8 @@ def decode_jpeg_gray(payload: bytes) -> tuple[int, int, bytes]:
                 cls, tid = body[b] >> 4, body[b] & 0x0F
                 bits = list(body[b + 1:b + 17])
                 n = sum(bits)
+                if b + 17 + n > len(body):
+                    raise ValueError("truncated DHT segment")
                 vals = list(body[b + 17:b + 17 + n])
                 tab = _huff_decode_table(bits, vals)
                 (dc_tabs if cls == 0 else ac_tabs)[tid] = tab
@@ -405,6 +409,8 @@ def decode_jpeg_gray(payload: bytes) -> tuple[int, int, bytes]:
                     if run != 15:
                         raise ValueError("bad AC symbol")
                     i += 16                          # ZRL
+                    if i > 64:
+                        raise ValueError("ZRL overflows block")
                     continue
                 i += run
                 if i >= 64:
@@ -666,6 +672,8 @@ def decode_jpeg_color(payload: bytes) -> tuple[int, int, bytes]:
                 prec, tid = body[b] >> 4, body[b] & 0x0F
                 if prec != 0:
                     raise ValueError("16-bit quant tables unsupported")
+                if b + 65 > len(body):
+                    raise ValueError("truncated DQT segment")
                 qtables[tid] = list(body[b + 1:b + 65])
                 b += 65
         elif marker == 0xC4:
@@ -674,6 +682,8 @@ def decode_jpeg_color(payload: bytes) -> tuple[int, int, bytes]:
                 cls, tid = body[b] >> 4, body[b] & 0x0F
                 bits = list(body[b + 1:b + 17])
                 n = sum(bits)
+                if b + 17 + n > len(body):
+                    raise ValueError("truncated DHT segment")
                 vals = list(body[b + 17:b + 17 + n])
                 tab = _huff_decode_table(bits, vals)
                 (dc_tabs if cls == 0 else ac_tabs)[tid] = tab
@@ -777,6 +787,9 @@ def decode_jpeg_color(payload: bytes) -> tuple[int, int, bytes]:
                                 if run != 15:
                                     raise ValueError("bad AC symbol")
                                 i += 16                  # ZRL
+                                if i > 64:
+                                    raise ValueError(
+                                        "ZRL overflows block")
                                 continue
                             i += run
                             if i >= 64:

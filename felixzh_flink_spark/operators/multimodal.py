@@ -636,16 +636,20 @@ def synthesize_gif_column(df: DataFrame, id_col: str = "doc_id",
 
     @F.pandas_udf("binary")
     def _make(ids: pd.Series) -> pd.Series:
+        # only 3 distinct palettes exist — build once per batch, not
+        # per row (768 modular ops per row adds up at bench scale)
+        pals = {ps: bytes(v for e in range(ps)
+                          for v in ((3 * e) % 256, (5 * e + 1) % 256,
+                                    (7 * e + 2) % 256))
+                for ps in (4, 32, 256)}
         out = []
         for i in ids:
             i = int(i)
             w, h = i % 7 + 1, i % 5 + 1
             ps = 1 << ((i % 3) * 3 + 2)
             idx = bytes((i * 31 + 7 * j) % ps for j in range(w * h))
-            pal = bytes(v for e in range(ps)
-                        for v in ((3 * e) % 256, (5 * e + 1) % 256,
-                                  (7 * e + 2) % 256))
-            out.append(encode_gif(w, h, idx, pal, interlace=(i % 2 == 0)))
+            out.append(encode_gif(w, h, idx, pals[ps],
+                                  interlace=(i % 2 == 0)))
         return pd.Series(out)
 
     return df.withColumn(payload_col, _make(F.col(id_col)))

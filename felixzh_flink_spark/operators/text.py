@@ -841,6 +841,9 @@ def url_host(col) -> Column:
     inputs contain garbage rows."""
     c = F.col(col) if isinstance(col, str) else col
     host = F.try_element_at(F.split(F.lower(c), "/"), F.lit(3))
+    # a no-path URL carries ?query / #fragment inside this segment
+    host = F.try_element_at(F.split(host, r"\?"), F.lit(1))
+    host = F.try_element_at(F.split(host, "#"), F.lit(1))
     host = F.try_element_at(F.split(host, "@"), F.lit(-1))  # drop userinfo
     return F.try_element_at(F.split(host, ":"), F.lit(1))   # drop port
 
@@ -1021,13 +1024,21 @@ def _robots_regex(pattern: str) -> "str | None":
 def url_path(col) -> Column:
     """Path(+query) component of an absolute URL for robots matching:
     fragment stripped (never sent to the server), everything from the
-    first '/' after the authority; a URL with no path yields '/'.
-    Split-based like `url_host` — scan-local, no regex, no UDF."""
+    first '/' after the authority; a URL with no path yields '/', but a
+    no-path URL WITH a query keeps it ('https://x.com?sid=1' →
+    '/?sid=1' — RFC 9309 matches on path+query, so dropping it would
+    mis-judge query-anchored rules). Split-based like `url_host` —
+    scan-local, no regex, no UDF."""
     c = F.col(col) if isinstance(col, str) else col
     no_frag = F.try_element_at(F.split(c, "#"), F.lit(1))
-    parts = F.split(no_frag, "/")
-    return F.concat(F.lit("/"),
-                    F.concat_ws("/", F.slice(parts, 4, 1 << 30)))
+    parts = F.split(no_frag, "/", 4)
+    tail = F.try_element_at(parts, F.lit(4))
+    auth = F.try_element_at(parts, F.lit(3))
+    qpos = F.instr(auth, "?")
+    return (F.when(tail.isNotNull(), F.concat(F.lit("/"), tail))
+            .when(qpos > 0,
+                  F.concat(F.lit("/"), auth.substr(qpos, F.lit(1 << 30))))
+            .otherwise(F.lit("/")))
 
 
 def robots_rules_compiled(rules_df: DataFrame, pattern_col: str = "pattern",
@@ -1067,7 +1078,11 @@ def robots_gate(df: DataFrame, url_col: str, rules_df: DataFrame,
     never shuffles, and the verdict is one codegen'd array fold per
     row, exactly the literal-rules fold with the array coming from the
     join instead of the plan."""
-    compiled = robots_rules_compiled(rules_df, pattern_col)
+    # RFC 9309 §2.2.2: an EMPTY Disallow/Allow value is a no-op rule,
+    # not a match-everything prefix — compiling '' would block (or
+    # blanket-allow) entire sites
+    compiled = robots_rules_compiled(
+        rules_df.filter(F.length(F.col(pattern_col)) > 0), pattern_col)
     per_dom = compiled.groupBy(F.col(domain_col).alias("_dom")).agg(
         F.collect_list(F.struct(
             F.col("_l").alias("l"), F.col(allow_col).alias("a"),
@@ -1106,6 +1121,9 @@ def robots_verdict(path_col: str, rules: "list[tuple[str, bool]]") -> Column:
     plan time. Pattern text is rendered through `_sql_str`, so quotes
     and backslashes in rules are safe. `path_col` must be a plain
     column name."""
+    # RFC 9309 §2.2.2: an empty rule value is a no-op, never a
+    # match-everything prefix (a parsed bare 'Disallow:' means allow)
+    rules = [(p, a) for p, a in rules if p]
     if not rules:
         return F.lit(True)
     parts = []

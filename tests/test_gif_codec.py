@@ -282,3 +282,19 @@ def test_zero_duration_animation_still_emits_a_row(spark):
     assert rows[0]["sample_ms"] == 0 and rows[0]["frame_idx"] == 1
     assert rows[0]["idx_sum"] == 24                  # the FINAL frame
     assert rows[1]["frame_idx"] == 0 and rows[1]["idx_sum"] == 12
+
+
+def test_truncation_inside_later_subblocks_raises_cleanly():
+    """A GIF cut inside its second or later 255-byte sub-block must
+    raise the dedicated truncated-sub-block error, in both walkers."""
+    pal = _palette(2)
+    # >255 compressed bytes → multiple sub-blocks
+    idx = bytes((j * 7 + j * j) % 2 for j in range(40 * 40))
+    pay = encode_gif(40, 40, idx, pal)
+    cut = pay[:len(pay) - 30]
+    with pytest.raises(ValueError):
+        decode_gif(cut)
+    frames = [(40, idx)]
+    anim = encode_gif_animation(40, 40, pal, frames)
+    with pytest.raises(ValueError):
+        decode_gif_frames(anim[:len(anim) - 30])

@@ -295,3 +295,24 @@ def test_dispatch_rejects_truncated_sof0_with_value_error():
     at = enc.index(b"\xff\xc0")
     with pytest.raises(ValueError):
         decode_jpeg(enc[:at + 6])
+
+
+def test_truncated_dqt_and_dht_raise_value_error():
+    """Segment bodies shorter than their declared tables must raise the
+    documented ValueError, not IndexError later."""
+    import struct as _s
+    enc = encode_jpeg_gray(8, 8, bytes(64))
+    # shrink the DQT segment: keep marker, declare a 10-byte body
+    at = enc.index(b"\xff\xdb")
+    (ln,) = _s.unpack(">H", enc[at + 2:at + 4])
+    cut = enc[:at + 2] + _s.pack(">H", 12) + enc[at + 4:at + 14] \
+        + enc[at + 2 + ln:]
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(cut)
+    # shrink a DHT segment below its declared value count
+    at = enc.index(b"\xff\xc4")
+    (ln,) = _s.unpack(">H", enc[at + 2:at + 4])
+    cut = enc[:at + 2] + _s.pack(">H", 10) + enc[at + 4:at + 12] \
+        + enc[at + 2 + ln:]
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(cut)

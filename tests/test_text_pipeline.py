@@ -347,3 +347,64 @@ def test_bpe_train_driver_collect_is_vocab_bounded(spark):
     assert capped == full  # head vocabulary dominates the vote
     # and min_freq drops the hapax tail entirely
     assert bpe_train_merges(d, n_merges=3, min_freq=2) == full
+
+
+def test_robots_empty_rule_value_is_a_noop(spark):
+    """RFC 9309 §2.2.2: a bare 'Disallow:' (empty value) means
+    allow-all — it must not compile to a match-everything prefix that
+    blocks the site, in either the literal fold or the rules-as-data
+    gate."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from felixzh_flink_spark.operators.text import robots_gate, robots_verdict
+
+    df = spark.createDataFrame(pd.DataFrame(
+        {"path": ["/", "/a", "/private/x"]}))
+    out = df.withColumn("ok", robots_verdict("path", [
+        ("", False),                       # bare Disallow: → no-op
+        ("/private/", False)]))
+    got = {r["path"]: r["ok"] for r in out.collect()}
+    assert got == {"/": True, "/a": True, "/private/x": False}
+    assert df.withColumn(
+        "ok", robots_verdict("path", [("", False)])).filter(
+        "NOT ok").count() == 0
+
+    urls = spark.createDataFrame(pd.DataFrame({"url": [
+        "https://example.com/a", "https://example.com/private/x"]}))
+    rules = spark.createDataFrame(pd.DataFrame({
+        "domain": ["example.com", "example.com"],
+        "pattern": ["", "/private/"],
+        "is_allow": [False, False]}))
+    got = {r["url"]: r["allowed"]
+           for r in robots_gate(urls, "url", rules).collect()}
+    assert got["https://example.com/a"] is True
+    assert got["https://example.com/private/x"] is False
+
+
+def test_url_path_and_host_keep_query_on_no_path_urls(spark):
+    """'https://x.com?sid=1' has no path segment: the query must still
+    reach robots matching (RFC matches path+query) and must NOT leak
+    into the host."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from felixzh_flink_spark.operators.text import url_host, url_path
+
+    df = spark.createDataFrame(pd.DataFrame({"url": [
+        "https://x.com?sid=1",
+        "https://x.com#frag",
+        "https://x.com/a/b?q=2#frag",
+        "https://x.com/",
+        "https://x.com",
+        "https://user@x.com:8080?t=1",
+    ]}))
+    rows = df.select("url", url_path("url").alias("p"),
+                     url_host("url").alias("h")).collect()
+    got = {r["url"]: (r["p"], r["h"]) for r in rows}
+    assert got["https://x.com?sid=1"] == ("/?sid=1", "x.com")
+    assert got["https://x.com#frag"] == ("/", "x.com")
+    assert got["https://x.com/a/b?q=2#frag"] == ("/a/b?q=2", "x.com")
+    assert got["https://x.com/"] == ("/", "x.com")
+    assert got["https://x.com"] == ("/", "x.com")
+    assert got["https://user@x.com:8080?t=1"] == ("/?t=1", "x.com")
