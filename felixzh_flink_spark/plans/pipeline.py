@@ -126,6 +126,38 @@ class PipelineSpec:
             writer = writer.trigger(processingTime=trig)
         return writer.start()
 
+    def run_supervised(self, spark: SparkSession, drain: bool = False):
+        """U6 wired into the U8 spec: run the streaming pipeline under
+        the `restart-strategy.*` properties — the reference configures
+        its restart strategy in the same per-job properties as
+        everything else (Json2Json.java:21 next to the job's Kafka
+        props). Each (re)start rebuilds the query against the spec's
+        checkpointLocation, so Structured Streaming resumes the failed
+        micro-batch exactly. `drain=True` runs each attempt to
+        processAllAvailable then stops (test / bounded-backlog mode);
+        the default blocks on awaitTermination like a deployed job."""
+        from felixzh_flink_spark.streaming.restart import (
+            policy_from_properties,
+            run_streaming_with_restart,
+        )
+
+        def attempt():
+            q = self.run_stream(spark)
+            try:
+                if drain:
+                    q.processAllAvailable()
+                else:
+                    q.awaitTermination()
+            finally:
+                if drain:
+                    q.stop()
+                    q.awaitTermination()
+            if q.exception() is not None:
+                raise q.exception()
+
+        run_streaming_with_restart(attempt,
+                                   policy_from_properties(self.props))
+
     def run(self, spark: SparkSession):
         """U4 AUTOMATIC mode: stream if the source is unbounded, else batch."""
         mode = self.props.get("env.runtime.mode", "AUTOMATIC").upper()

@@ -171,3 +171,81 @@ def test_exponential_delay_measures_stable_running_not_sleep():
     assert delays == [60.0, 120.0, 240.0, 480.0]
     # a genuinely stable stretch (sleep + long run) does reset
     assert p.next_delay(t + 600.0 + 31.0) == 60.0
+
+
+def test_pipeline_spec_run_supervised_restarts_from_properties(
+        spark, tmp_path):
+    """U6 through the U8 surface: the restart strategy comes from the
+    SAME properties file as the job config (the reference's layout),
+    and a transform that crashes once is restarted against the spec's
+    checkpoint, delivering every row exactly once."""
+    from felixzh_flink_spark.plans.pipeline import TRANSFORMS, PipelineSpec
+
+    src = str(tmp_path / "src")
+    flag = str(tmp_path / "crashed.flag")
+    spark.range(0, 8).selectExpr("concat('w', id) AS value") \
+        .coalesce(1).write.mode("append").parquet(src)
+
+    def fail_once(df):
+        import os as _os
+        from pyspark.sql import functions as F
+
+        @F.udf("string")
+        def poison(v):
+            if not _os.path.exists(flag):
+                open(flag, "w").close()
+                raise RuntimeError("injected transform crash")
+            return v
+
+        return df.withColumn("value", poison("value"))
+
+    TRANSFORMS["fail_once"] = fail_once
+    try:
+        out = str(tmp_path / "out")
+        spec = PipelineSpec({
+            "source.type": "parquet", "source.path": src,
+            "transform.chain": "fail_once",
+            "sink.type": "parquet", "sink.path": out,
+            "env.checkpoint.location": str(tmp_path / "ckpt"),
+            "restart-strategy": "fixed-delay",
+            "restart-strategy.fixed-delay.attempts": "3",
+            "restart-strategy.fixed-delay.delay": "0",
+        })
+        spec.run_supervised(spark, drain=True)
+    finally:
+        del TRANSFORMS["fail_once"]
+    got = sorted(r["value"] for r in spark.read.parquet(out).collect())
+    assert got == [f"w{i}" for i in range(8)]
+    assert os.path.exists(flag)                  # the crash really happened
+
+
+def test_pipeline_spec_run_supervised_no_restart_reraises(spark, tmp_path):
+    """Default policy is the reference's noRestart: the first failure
+    propagates."""
+    from felixzh_flink_spark.plans.pipeline import TRANSFORMS, PipelineSpec
+
+    src = str(tmp_path / "src")
+    spark.range(0, 3).selectExpr("concat('w', id) AS value") \
+        .coalesce(1).write.mode("append").parquet(src)
+
+    def always_fail(df):
+        from pyspark.sql import functions as F
+
+        @F.udf("string")
+        def poison(v):
+            raise RuntimeError("always")
+
+        return df.withColumn("value", poison("value"))
+
+    TRANSFORMS["always_fail"] = always_fail
+    try:
+        spec = PipelineSpec({
+            "source.type": "parquet", "source.path": src,
+            "transform.chain": "always_fail",
+            "sink.type": "memory", "sink.memory.name": "nr_out",
+            "env.checkpoint.location": str(tmp_path / "ckpt"),
+        })
+        with pytest.raises(Exception):
+            spec.run_supervised(spark, drain=True)
+    finally:
+        del TRANSFORMS["always_fail"]
