@@ -134,6 +134,8 @@ HEADLINE = [
     # round 6e: mixed-format media lake — magic-byte dispatch + real
     # per-format decode + float feature math reproduced by the oracle
     "image_feature_stats",
+    # round 6f: real audio segmentation (decoded-PCM energy gates)
+    "wav_segment_stats",
 ]
 
 

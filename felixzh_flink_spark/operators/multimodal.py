@@ -2,10 +2,12 @@
 
 Beyond-reference capability. Media payloads are opaque `binary` columns with
 a typed metadata struct; decode/feature steps run as Arrow-batched
-`mapInPandas` operators so the Spark-side contract (schema, partitioning,
-batch shape) is real even though the actual codecs (PIL/librosa/ffmpeg) are
-NOT in this container — the decode kernels are stubbed behind
-`require_codec()` and a deterministic fake used by tests.
+`mapInPandas` operators. Decode is REAL for every format with a pure-stdlib
+codec in `functions/` — PNG, GIF (single + animated), baseline JPEG
+(grayscale + YCbCr color), WAV PCM (+ resampling/segmentation), MJPEG-in-AVI
+video frames, plus mixed-format feature extraction via magic-byte dispatch —
+and honestly stubbed behind `require_codec()` only where a format genuinely
+needs external codecs (inter-frame video such as H.264, PIL-class libraries).
 
 Scale notes: media rows are large → repartition by byte-size budget, not row
 count (`repartition_for_media`), so a 100 MB-video partition doesn't OOM an
@@ -1255,3 +1257,47 @@ def image_feature_stats(df: DataFrame, id_col: str = "doc_id",
                 "mean_rgb", "var_lum"])
 
     return df.mapInPandas(kernel, schema=IMAGE_FEATURE_SCHEMA)
+
+
+WAV_SEGMENT_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("seg_idx", T.IntegerType(), True),
+    T.StructField("n_values", T.IntegerType(), True),
+    T.StructField("seg_sum", T.LongType(), True),
+    T.StructField("seg_energy", T.LongType(), True),
+])
+
+
+def wav_segment_stats(df: DataFrame, seg_frames: int = 8,
+                      id_col: str = "doc_id",
+                      payload_col: str = "wav") -> DataFrame:
+    """REAL audio segmentation on decoded PCM — `audio_segment_plan`'s
+    byte-range geometry joined with the actual decode kernel the plan
+    was staged for: decode each WAV (`functions/wav_codec`), cut the
+    interleaved stream into segments of `seg_frames` frames (a frame =
+    one sample instant across all channels — segments never split a
+    frame), and emit per-segment amplitude sum and energy Σv² (the
+    integer core of RMS silence/clipping gates; exact, so the SQL
+    oracle predicts them). The tail segment is partial, like real
+    audio. Undecodable payloads yield a null-stats quarantine row. One
+    Arrow-batched mapInPandas fan-out, no shuffle — segments scale the
+    OUTPUT rows, not driver memory."""
+    from felixzh_flink_spark.functions.wav_codec import decode_wav
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    _rate, ch, _bits, samples = decode_wav(p)
+                    step = seg_frames * ch
+                    for s in range(0, (len(samples) + step - 1) // step):
+                        seg = samples[s * step:(s + 1) * step]
+                        rows.append((int(i), s, len(seg), sum(seg),
+                                     sum(v * v for v in seg)))
+                except Exception:  # ValueError / struct.error
+                    rows.append((int(i), None, None, None, None))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "seg_idx", "n_values", "seg_sum", "seg_energy"])
+
+    return df.mapInPandas(kernel, schema=WAV_SEGMENT_SCHEMA)

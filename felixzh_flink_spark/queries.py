@@ -4241,6 +4241,46 @@ def wav_resample_stats(spark, sf_dir):
     return MM.wav_resample_stats(MM.synthesize_wav_column(d))
 
 
+@q("wav_segment_stats", """
+WITH g AS (
+  SELECT doc_id, doc_id % 2 + 1 AS ch,
+         (doc_id % 25 + 4) * (doc_id % 2 + 1) AS n
+  FROM documents
+), s AS (
+  SELECT doc_id, ch, n, (doc_id % 2 + 1) * 8 AS step,
+         unnest(range(0, (n + (doc_id % 2 + 1) * 8 - 1)
+                         // ((doc_id % 2 + 1) * 8))) AS seg
+  FROM g
+)
+SELECT doc_id, CAST(seg AS INT) AS seg_idx,
+       CAST(least(step, n - seg * step) AS INT) AS n_values,
+       CAST(list_sum(list_transform(
+            range(seg * step, least((seg + 1) * step, n)),
+            j -> (doc_id * 37 + 11 * j) % 65536 - 32768)) AS BIGINT)
+         AS seg_sum,
+       CAST(list_sum(list_transform(
+            range(seg * step, least((seg + 1) * step, n)),
+            j -> ((doc_id * 37 + 11 * j) % 65536 - 32768)
+               * ((doc_id * 37 + 11 * j) % 65536 - 32768))) AS BIGINT)
+         AS seg_energy
+FROM s
+""")
+def wav_segment_stats(spark, sf_dir):
+    """REAL audio segmentation end-to-end — `audio_segment_plan`'s
+    byte-range geometry joined with the actual decode kernel the plan
+    was staged for (the audio sibling of `avi_frame_sample_stats`'s
+    sample-then-decode story): each doc's genuine PCM WAV is decoded,
+    the interleaved stream is cut into 8-frame segments that never
+    split a sample instant across channels, and each segment emits its
+    amplitude sum and exact integer energy Σv² — the core of RMS
+    silence/clipping gates. The oracle replays the closed-form sample
+    recipe per segment, partial tail included; a kernel that splits
+    frames, drops the tail, or mis-aligns channel interleaving
+    hash-mismatches."""
+    d = _t_wide(spark, sf_dir, "documents").select("doc_id")
+    return MM.wav_segment_stats(MM.synthesize_wav_column(d))
+
+
 @q("mp4_duration_meta", """
 SELECT doc_id,
        CAST(doc_id % 120000 + 1000 AS BIGINT) AS duration_ms,
@@ -6192,7 +6232,7 @@ _DRIVER_ORDER = [
     "robots_wildcard_paths", "url_registrable_psl", "gif_decode_stats",
     "robots_site_gate", "jpeg_decode_stats", "jpeg_color_decode_stats",
     "gif_frame_sample_stats", "avi_frame_sample_stats",
-    "wav_resample_stats", "image_feature_stats",
+    "wav_resample_stats", "image_feature_stats", "wav_segment_stats",
     # --- r2-green, displaced by the round-5 rotation (judge item 1)
     "chunk_docs", "corpus_pipeline_counts", "changelog_retract_sum",
     "canal_decode", "avro_roundtrip_orders", "asof_purchase_view",
@@ -6210,8 +6250,9 @@ _DRIVER_ORDER = [
     "lang_id_pred", "lineitem_meta_stats", "market_segment_stats",
     "multimodal_frame_plan", "multimodal_meta", "order_window_analytics",
     "pack_sequences", "profile_lineitem", "q11_important_stock",
-    "q13_customer_distribution", "q16_supplier_part_counts",
+    "q13_customer_distribution",
     # ---- position 50 boundary ----
+    "q16_supplier_part_counts",
     "q19_disjunctive_revenue", "q20_part_shippers",
     "q21_waiting_supplier", "q22_global_sales_opportunity",
     "q2_min_cost_supplier", "q7_volume_shipping", "q8_market_share",

@@ -108,7 +108,8 @@ def test_headline_queries_have_no_python_stages(spark):
                "png_thumbnail_stats", "gif_decode_stats",
                "jpeg_decode_stats", "jpeg_color_decode_stats",
                "gif_frame_sample_stats", "avi_frame_sample_stats",
-               "wav_resample_stats", "image_feature_stats"}
+               "wav_resample_stats", "image_feature_stats",
+               "wav_segment_stats"}
     for name in bench.HEADLINE:
         if name in allowed:
             continue

@@ -206,3 +206,37 @@ def test_wav_resample_stats_spark_end_to_end(spark):
     rows = {r["doc_id"]: r for r in
             MM.wav_resample_stats(corrupt).collect()}
     assert rows[1]["out_sum"] is None and rows[0]["out_sum"] is not None
+
+
+def test_wav_segment_stats_spark_end_to_end(spark):
+    """Segmentation on decoded PCM: frame-aligned cuts, partial tail,
+    exact energy — vs a driver-side recompute; corrupt quarantine."""
+    from pyspark.sql import functions as F
+
+    from felixzh_flink_spark.functions.wav_codec import decode_wav, encode_wav
+    from felixzh_flink_spark.operators import multimodal as MM
+
+    df = spark.range(0, 30).withColumnRenamed("id", "doc_id")
+    rows = MM.wav_segment_stats(MM.synthesize_wav_column(df)).collect()
+    got = {(r["doc_id"], r["seg_idx"]): r for r in rows}
+    count = 0
+    for i in range(30):
+        ch = i % 2 + 1
+        n = (i % 25 + 4) * ch
+        samples = [((i * 37 + 11 * j) % 65536) - 32768 for j in range(n)]
+        step = 8 * ch
+        for s in range(0, (n + step - 1) // step):
+            seg = samples[s * step:(s + 1) * step]
+            r = got[(i, s)]
+            assert r["n_values"] == len(seg)
+            assert r["seg_sum"] == sum(seg)
+            assert r["seg_energy"] == sum(v * v for v in seg)
+            count += 1
+    assert len(rows) == count
+
+    corrupt = MM.synthesize_wav_column(df.limit(3)).withColumn(
+        "wav", F.expr("CASE WHEN doc_id = 1 THEN CAST('x' AS BINARY) "
+                      "ELSE wav END"))
+    out = MM.wav_segment_stats(corrupt).collect()
+    bad = [r for r in out if r["doc_id"] == 1]
+    assert len(bad) == 1 and bad[0]["seg_sum"] is None
