@@ -409,7 +409,10 @@ def decode_jpeg_gray(payload: bytes) -> tuple[int, int, bytes]:
                     if run != 15:
                         raise ValueError("bad AC symbol")
                     i += 16                          # ZRL
-                    if i > 64:
+                    # i == 64 is only expressible by a stream that pads
+                    # the tail with ZRL instead of EOB — no conforming
+                    # encoder does; loud error beats silent desync
+                    if i >= 64:
                         raise ValueError("ZRL overflows block")
                     continue
                 i += run
@@ -787,7 +790,7 @@ def decode_jpeg_color(payload: bytes) -> tuple[int, int, bytes]:
                                 if run != 15:
                                     raise ValueError("bad AC symbol")
                                 i += 16                  # ZRL
-                                if i > 64:
+                                if i >= 64:
                                     raise ValueError(
                                         "ZRL overflows block")
                                 continue

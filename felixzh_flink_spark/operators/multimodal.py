@@ -329,6 +329,63 @@ def resize_plan(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
     )
 
 
+def _png_payload(i: int) -> bytes:
+    """The closed-form PNG fixture recipe (see `synthesize_png_column`)
+    — ONE implementation shared by the single-format and mixed-media
+    fixtures so the oracles can never drift apart."""
+    from felixzh_flink_spark.functions.png_codec import encode_png
+
+    w, h, ch = i % 7 + 1, i % 5 + 1, (i % 2) * 2 + 1
+    px = bytes((i * 31 + 7 * j) % 256 for j in range(w * h * ch))
+    return encode_png(w, h, px, ch, filter_type=i % 5)
+
+
+#: the three GIF fixture palettes, built once (entry e = ((3e)%256,
+#: (5e+1)%256, (7e+2)%256))
+_GIF_PALETTES = {ps: bytes(v for e in range(ps)
+                           for v in ((3 * e) % 256, (5 * e + 1) % 256,
+                                     (7 * e + 2) % 256))
+                 for ps in (4, 32, 256)}
+
+
+def _gif_payload(i: int) -> bytes:
+    """The closed-form GIF fixture recipe (see `synthesize_gif_column`)
+    — shared by the single-format and mixed-media fixtures."""
+    from felixzh_flink_spark.functions.gif_codec import encode_gif
+
+    w, h = i % 7 + 1, i % 5 + 1
+    ps = 1 << ((i % 3) * 3 + 2)
+    idx = bytes((i * 31 + 7 * j) % ps for j in range(w * h))
+    return encode_gif(w, h, idx, _GIF_PALETTES[ps],
+                      interlace=(i % 2 == 0))
+
+
+def _jpeg_color_payload(i: int, restart_interval: int = 0) -> bytes:
+    """The closed-form color-JPEG fixture recipe (see
+    `synthesize_jpeg_color_column`) — shared by the single-format and
+    mixed-media fixtures."""
+    from felixzh_flink_spark.functions.jpeg_codec import encode_jpeg_color
+
+    s = 8 if i % 2 == 0 else 16
+    nt = i % 3 + 1
+    w, h = s * nt, s
+    yv = [(i * 31 + 17 * t) % 256 for t in range(nt)]
+    cbv = [(i * 47 + 29 * t) % 256 for t in range(nt)]
+    crv = [(i * 59 + 43 * t) % 256 for t in range(nt)]
+    y = bytes(yv[x // s] for _ in range(h) for x in range(w))
+    if s == 8:
+        cb = bytes(cbv[x // s] for _ in range(h) for x in range(w))
+        cr = bytes(crv[x // s] for _ in range(h) for x in range(w))
+        sub = "4:4:4"
+    else:
+        cw, chh = w // 2, h // 2
+        cb = bytes(cbv[x // 8] for _ in range(chh) for x in range(cw))
+        cr = bytes(crv[x // 8] for _ in range(chh) for x in range(cw))
+        sub = "4:2:0"
+    return encode_jpeg_color(w, h, y, cb, cr, sub,
+                             restart_interval=restart_interval)
+
+
 def synthesize_png_column(df: DataFrame, id_col: str = "doc_id",
                           payload_col: str = "png") -> DataFrame:
     """Deterministic PNG fixture generator: attach a REAL encoded PNG
@@ -341,17 +398,9 @@ def synthesize_png_column(df: DataFrame, id_col: str = "doc_id",
     encode→decode pipeline be driver-verified (`png_pixel_stats`).
     Arrow-batched pandas UDF; the zlib work is the honest per-row cost
     a real thumbnail fixture pipeline pays."""
-    from felixzh_flink_spark.functions.png_codec import encode_png
-
     @F.pandas_udf("binary")
     def _make(ids: pd.Series) -> pd.Series:
-        out = []
-        for i in ids:
-            i = int(i)
-            w, h, ch = i % 7 + 1, i % 5 + 1, (i % 2) * 2 + 1
-            px = bytes((i * 31 + 7 * j) % 256 for j in range(w * h * ch))
-            out.append(encode_png(w, h, px, ch, filter_type=i % 5))
-        return pd.Series(out)
+        return pd.Series([_png_payload(int(i)) for i in ids])
 
     return df.withColumn(payload_col, _make(F.col(id_col)))
 
@@ -634,25 +683,9 @@ def synthesize_gif_column(df: DataFrame, id_col: str = "doc_id",
     = ((3e)%256, (5e+1)%256, (7e+2)%256). Closed-form recipe → a SQL
     oracle predicts any statistic of the DECODED indices/RGB without
     decoding (`gif_pixel_stats`). Arrow-batched pandas UDF."""
-    from felixzh_flink_spark.functions.gif_codec import encode_gif
-
     @F.pandas_udf("binary")
     def _make(ids: pd.Series) -> pd.Series:
-        # only 3 distinct palettes exist — build once per batch, not
-        # per row (768 modular ops per row adds up at bench scale)
-        pals = {ps: bytes(v for e in range(ps)
-                          for v in ((3 * e) % 256, (5 * e + 1) % 256,
-                                    (7 * e + 2) % 256))
-                for ps in (4, 32, 256)}
-        out = []
-        for i in ids:
-            i = int(i)
-            w, h = i % 7 + 1, i % 5 + 1
-            ps = 1 << ((i % 3) * 3 + 2)
-            idx = bytes((i * 31 + 7 * j) % ps for j in range(w * h))
-            out.append(encode_gif(w, h, idx, pals[ps],
-                                  interlace=(i % 2 == 0)))
-        return pd.Series(out)
+        return pd.Series([_gif_payload(int(i)) for i in ids])
 
     return df.withColumn(payload_col, _make(F.col(id_col)))
 
@@ -779,35 +812,12 @@ def synthesize_jpeg_color_column(df: DataFrame, id_col: str = "doc_id",
     so the decoded YCbCr planes are bit-exact and the decoded RGB is
     the closed-form floor(x+0.5) conversion of the recipe — a SQL
     oracle predicts every decoded byte. Arrow-batched pandas UDF."""
-    from felixzh_flink_spark.functions.jpeg_codec import encode_jpeg_color
-
     @F.pandas_udf("binary")
     def _make(ids: pd.Series) -> pd.Series:
-        out = []
-        for i in ids:
-            i = int(i)
-            s = 8 if i % 2 == 0 else 16
-            nt = i % 3 + 1
-            w, h = s * nt, s
-            yv = [(i * 31 + 17 * t) % 256 for t in range(nt)]
-            cbv = [(i * 47 + 29 * t) % 256 for t in range(nt)]
-            crv = [(i * 59 + 43 * t) % 256 for t in range(nt)]
-            y = bytes(yv[x // s] for _ in range(h) for x in range(w))
-            if s == 8:
-                cb = bytes(cbv[x // s] for _ in range(h) for x in range(w))
-                cr = bytes(crv[x // s] for _ in range(h) for x in range(w))
-                sub = "4:4:4"
-            else:
-                cw, chh = w // 2, h // 2
-                cb = bytes(cbv[x // 8] for _ in range(chh)
-                           for x in range(cw))
-                cr = bytes(crv[x // 8] for _ in range(chh)
-                           for x in range(cw))
-                sub = "4:2:0"
-            out.append(encode_jpeg_color(
-                w, h, y, cb, cr, sub,
-                restart_interval=2 if i % 5 == 0 else 0))
-        return pd.Series(out)
+        return pd.Series([
+            _jpeg_color_payload(
+                int(i), restart_interval=2 if int(i) % 5 == 0 else 0)
+            for i in ids])
 
     return df.withColumn(payload_col, _make(F.col(id_col)))
 
@@ -1122,52 +1132,10 @@ def synthesize_mixed_media_column(df: DataFrame, id_col: str = "doc_id",
     per-format oracles compose into one mixed-lake oracle. This is the
     shape of a real document store's media column: the format is a
     per-row fact discovered from magic bytes, not a table property."""
-    from felixzh_flink_spark.functions.gif_codec import encode_gif
-    from felixzh_flink_spark.functions.jpeg_codec import encode_jpeg_color
-    from felixzh_flink_spark.functions.png_codec import encode_png
-
     @F.pandas_udf("binary")
     def _make(ids: pd.Series) -> pd.Series:
-        out = []
-        for i in ids:
-            i = int(i)
-            if i % 3 == 0:
-                w, h, ch = i % 7 + 1, i % 5 + 1, (i % 2) * 2 + 1
-                px = bytes((i * 31 + 7 * j) % 256
-                           for j in range(w * h * ch))
-                out.append(encode_png(w, h, px, ch, filter_type=i % 5))
-            elif i % 3 == 1:
-                w, h = i % 7 + 1, i % 5 + 1
-                ps = 1 << ((i % 3) * 3 + 2)          # == 32 on this branch
-                idx = bytes((i * 31 + 7 * j) % ps for j in range(w * h))
-                pal = bytes(v for e in range(ps)
-                            for v in ((3 * e) % 256, (5 * e + 1) % 256,
-                                      (7 * e + 2) % 256))
-                out.append(encode_gif(w, h, idx, pal,
-                                      interlace=(i % 2 == 0)))
-            else:
-                s = 8 if i % 2 == 0 else 16
-                nt = i % 3 + 1                       # == 3 on this branch
-                w, h = s * nt, s
-                yv = [(i * 31 + 17 * t) % 256 for t in range(nt)]
-                cbv = [(i * 47 + 29 * t) % 256 for t in range(nt)]
-                crv = [(i * 59 + 43 * t) % 256 for t in range(nt)]
-                y = bytes(yv[x // s] for _ in range(h) for x in range(w))
-                if s == 8:
-                    cb = bytes(cbv[x // s] for _ in range(h)
-                               for x in range(w))
-                    cr = bytes(crv[x // s] for _ in range(h)
-                               for x in range(w))
-                    sub = "4:4:4"
-                else:
-                    cw, chh = w // 2, h // 2
-                    cb = bytes(cbv[x // 8] for _ in range(chh)
-                               for x in range(cw))
-                    cr = bytes(crv[x // 8] for _ in range(chh)
-                               for x in range(cw))
-                    sub = "4:2:0"
-                out.append(encode_jpeg_color(w, h, y, cb, cr, sub))
-        return pd.Series(out)
+        builders = [_png_payload, _gif_payload, _jpeg_color_payload]
+        return pd.Series([builders[int(i) % 3](int(i)) for i in ids])
 
     return df.withColumn(payload_col, _make(F.col(id_col)))
 
@@ -1213,15 +1181,18 @@ def image_feature_stats(df: DataFrame, id_col: str = "doc_id",
                         w, h, ch, px = decode_png(p)
                         if ch == 1:
                             trip = [(v, v, v) for v in px]
+                        elif ch == 2:                # gray+alpha: drop A
+                            trip = [(px[2 * j],) * 3
+                                    for j in range(w * h)]
                         elif ch == 3:
                             trip = [(px[3 * j], px[3 * j + 1],
                                      px[3 * j + 2])
                                     for j in range(w * h)]
-                        else:                        # alpha: drop it
-                            trip = [(px[ch * j], px[ch * j + 1],
-                                     px[ch * j + 2])
+                        else:                        # RGBA: drop alpha
+                            trip = [(px[4 * j], px[4 * j + 1],
+                                     px[4 * j + 2])
                                     for j in range(w * h)]
-                        ch_out = min(ch, 3)
+                        ch_out = 1 if ch == 2 else min(ch, 3)
                     elif head.startswith(b"GIF8"):
                         fmt = "gif"
                         w, h, pal, idx = decode_gif(p)
@@ -1291,6 +1262,11 @@ def wav_segment_stats(df: DataFrame, seg_frames: int = 8,
                 try:
                     _rate, ch, _bits, samples = decode_wav(p)
                     step = seg_frames * ch
+                    if not samples:
+                        # a silent/empty (but valid) file must stay
+                        # visible downstream — one zero-segment row
+                        rows.append((int(i), 0, 0, 0, 0))
+                        continue
                     for s in range(0, (len(samples) + step - 1) // step):
                         seg = samples[s * step:(s + 1) * step]
                         rows.append((int(i), s, len(seg), sum(seg),

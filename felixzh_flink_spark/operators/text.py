@@ -1031,13 +1031,17 @@ def url_path(col) -> Column:
     scan-local, no regex, no UDF."""
     c = F.col(col) if isinstance(col, str) else col
     no_frag = F.try_element_at(F.split(c, "#"), F.lit(1))
-    parts = F.split(no_frag, "/", 4)
-    tail = F.try_element_at(parts, F.lit(4))
-    auth = F.try_element_at(parts, F.lit(3))
-    qpos = F.instr(auth, "?")
-    return (F.when(tail.isNotNull(), F.concat(F.lit("/"), tail))
+    # everything after 'scheme://'; the authority ends at the FIRST of
+    # '/' or '?' — a '/' inside the query ('?next=/login') is query
+    # text, not a path separator, so the two positions must be compared
+    rest = F.try_element_at(F.split(no_frag, "//", 2), F.lit(2))
+    spos = F.instr(rest, "/")
+    qpos = F.instr(rest, "?")
+    path_first = (spos > 0) & ((qpos == 0) | (spos < qpos))
+    return (F.when(rest.isNull(), F.lit("/"))
+            .when(path_first, rest.substr(spos, F.lit(1 << 30)))
             .when(qpos > 0,
-                  F.concat(F.lit("/"), auth.substr(qpos, F.lit(1 << 30))))
+                  F.concat(F.lit("/"), rest.substr(qpos, F.lit(1 << 30))))
             .otherwise(F.lit("/")))
 
 

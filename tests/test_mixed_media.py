@@ -86,3 +86,26 @@ def test_image_feature_stats_streaming_batch_parity(spark, tmp_path):
     got = {(r["doc_id"], r["fmt"], r["mean_rgb"], r["var_lum"])
            for r in spark.sql("SELECT * FROM media_feats").collect()}
     assert got == expected and len(got) == 12
+
+
+def test_gray_alpha_png_features_drop_alpha(spark):
+    """A 2-channel (gray+alpha) PNG is fully decodable and must produce
+    features from the gray samples with alpha dropped — not a
+    quarantine row."""
+    import pandas as pd
+
+    from felixzh_flink_spark.functions.png_codec import encode_png
+
+    w, h = 3, 2
+    px = bytes([10, 255, 20, 255, 30, 0, 40, 128, 50, 7, 60, 9])
+    payload = encode_png(w, h, px, 2)
+    df = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": [0], "media": [payload]}))
+    r = MM.image_feature_stats(df).collect()[0]
+    assert r["fmt"] == "png" and r["channels"] == 1
+    gray = px[0::2]
+    n = w * h
+    lum = [3 * v for v in gray]
+    assert r["mean_rgb"] == sum(lum) / (3.0 * n)
+    ls, lq = sum(lum), sum(v * v for v in lum)
+    assert r["var_lum"] == (float(lq) - float(ls) * ls / n) / n

@@ -398,11 +398,14 @@ def test_url_path_and_host_keep_query_on_no_path_urls(spark):
         "https://x.com/",
         "https://x.com",
         "https://user@x.com:8080?t=1",
+        "https://x.com?next=/login",
     ]}))
     rows = df.select("url", url_path("url").alias("p"),
                      url_host("url").alias("h")).collect()
     got = {r["url"]: (r["p"], r["h"]) for r in rows}
     assert got["https://x.com?sid=1"] == ("/?sid=1", "x.com")
+    # a '/' INSIDE the query of a no-path URL is query text, not a path
+    assert got["https://x.com?next=/login"] == ("/?next=/login", "x.com")
     assert got["https://x.com#frag"] == ("/", "x.com")
     assert got["https://x.com/a/b?q=2#frag"] == ("/a/b?q=2", "x.com")
     assert got["https://x.com/"] == ("/", "x.com")

@@ -240,3 +240,20 @@ def test_wav_segment_stats_spark_end_to_end(spark):
     out = MM.wav_segment_stats(corrupt).collect()
     bad = [r for r in out if r["doc_id"] == 1]
     assert len(bad) == 1 and bad[0]["seg_sum"] is None
+
+
+def test_empty_data_chunk_emits_zero_segment_row(spark):
+    """A valid WAV whose data chunk is empty must stay visible as one
+    zero-segment row, not vanish from the output."""
+    import pandas as pd
+
+    from felixzh_flink_spark.functions.wav_codec import encode_wav
+    from felixzh_flink_spark.operators import multimodal as MM
+
+    df = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": [0], "wav": [encode_wav([], 8000, 1, 16)]}))
+    rows = MM.wav_segment_stats(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["seg_idx"], r["n_values"], r["seg_sum"],
+            r["seg_energy"]) == (0, 0, 0, 0)
