@@ -136,6 +136,8 @@ HEADLINE = [
     "image_feature_stats",
     # round 6f: real audio segmentation (decoded-PCM energy gates)
     "wav_segment_stats",
+    # round 6g: real BMP decode (layout traps: bottom-up, BGR, padding)
+    "bmp_decode_stats",
 ]
 
 

@@ -1166,6 +1166,7 @@ def image_feature_stats(df: DataFrame, id_col: str = "doc_id",
     bit-for-bit. Unknown magic or undecodable payloads yield a
     null-stats quarantine row. One Arrow-batched mapInPandas
     projection, no shuffle."""
+    from felixzh_flink_spark.functions.bmp_codec import decode_bmp
     from felixzh_flink_spark.functions.gif_codec import decode_gif
     from felixzh_flink_spark.functions.jpeg_codec import decode_jpeg
     from felixzh_flink_spark.functions.png_codec import decode_png
@@ -1209,6 +1210,12 @@ def image_feature_stats(df: DataFrame, id_col: str = "doc_id",
                                      px[3 * j + 2])
                                     for j in range(w * h)]
                         ch_out = ch
+                    elif head.startswith(b"BM"):
+                        fmt = "bmp"
+                        w, h, px = decode_bmp(p)
+                        trip = [(px[3 * j], px[3 * j + 1], px[3 * j + 2])
+                                for j in range(w * h)]
+                        ch_out = 3
                     else:
                         raise ValueError("unknown magic bytes")
                     n = w * h
@@ -1277,3 +1284,70 @@ def wav_segment_stats(df: DataFrame, seg_frames: int = 8,
                 "doc_id", "seg_idx", "n_values", "seg_sum", "seg_energy"])
 
     return df.mapInPandas(kernel, schema=WAV_SEGMENT_SCHEMA)
+
+
+def _bmp_payload(i: int) -> bytes:
+    """Closed-form BMP fixture recipe: width = i%5+1, height = i%4+1,
+    top-down RGB byte k = (i·31 + 7k) mod 256 — shared builder, same
+    discipline as `_png_payload`."""
+    from felixzh_flink_spark.functions.bmp_codec import encode_bmp
+
+    w, h = i % 5 + 1, i % 4 + 1
+    rgb = bytes((i * 31 + 7 * k) % 256 for k in range(3 * w * h))
+    return encode_bmp(w, h, rgb)
+
+
+def synthesize_bmp_column(df: DataFrame, id_col: str = "doc_id",
+                          payload_col: str = "bmp") -> DataFrame:
+    """Deterministic BMP fixture generator (`_bmp_payload` per row):
+    real 24-bit bottom-up BGR files with 4-byte row padding, built from
+    a closed-form recipe so a SQL oracle predicts the DECODED bytes
+    (`bmp_pixel_stats`). Arrow-batched pandas UDF."""
+
+    @F.pandas_udf("binary")
+    def _make(ids: pd.Series) -> pd.Series:
+        return pd.Series([_bmp_payload(int(i)) for i in ids])
+
+    return df.withColumn(payload_col, _make(F.col(id_col)))
+
+
+BMP_STATS_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("r_sum", T.LongType(), True),
+    T.StructField("g_sum", T.LongType(), True),
+    T.StructField("b_sum", T.LongType(), True),
+    T.StructField("pixel_wsum", T.LongType(), True),
+])
+
+
+def bmp_pixel_stats(df: DataFrame, id_col: str = "doc_id",
+                    payload_col: str = "bmp") -> DataFrame:
+    """REAL BMP decode (no stub): un-flip the bottom-up rows, swap
+    BGR→RGB and drop row padding (`functions/bmp_codec`), emitting
+    per-channel sums plus the byte-order-sensitive
+    pixel_wsum = Σ (k+1)·byteₖ over the top-down RGB stream — a decoder
+    that skips the flip, keeps BGR, or leaks padding bytes cannot pass.
+    Undecodable payloads yield null stats. One Arrow-batched
+    mapInPandas projection, no shuffle."""
+    from felixzh_flink_spark.functions.bmp_codec import decode_bmp
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    w, h, rgb = decode_bmp(p)
+                    rows.append((int(i), w, h, sum(rgb[0::3]),
+                                 sum(rgb[1::3]), sum(rgb[2::3]),
+                                 sum((k + 1) * b
+                                     for k, b in enumerate(rgb))))
+                except Exception:  # ValueError / struct.error
+                    rows.append((int(i), None, None, None, None, None,
+                                 None))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "width", "height", "r_sum", "g_sum", "b_sum",
+                "pixel_wsum"])
+
+    return df.mapInPandas(kernel, schema=BMP_STATS_SCHEMA)

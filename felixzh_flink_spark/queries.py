@@ -4125,6 +4125,38 @@ def image_feature_stats(spark, sf_dir):
     return MM.image_feature_stats(MM.synthesize_mixed_media_column(d))
 
 
+@q("bmp_decode_stats", """
+WITH g AS (
+  SELECT doc_id, doc_id % 5 + 1 AS w, doc_id % 4 + 1 AS h
+  FROM documents
+)
+SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(list_sum(list_transform(range(0, w * h), j ->
+            (doc_id * 31 + 7 * (3 * j)) % 256)) AS BIGINT) AS r_sum,
+       CAST(list_sum(list_transform(range(0, w * h), j ->
+            (doc_id * 31 + 7 * (3 * j + 1)) % 256)) AS BIGINT) AS g_sum,
+       CAST(list_sum(list_transform(range(0, w * h), j ->
+            (doc_id * 31 + 7 * (3 * j + 2)) % 256)) AS BIGINT) AS b_sum,
+       CAST(list_sum(list_transform(range(0, 3 * w * h), k ->
+            (k + 1) * ((doc_id * 31 + 7 * k) % 256))) AS BIGINT)
+         AS pixel_wsum
+FROM g
+""")
+def bmp_decode_stats(spark, sf_dir):
+    """REAL BMP decode end-to-end — the fourth natively-decoded image
+    format, whose traps are pure LAYOUT: per doc a genuine 24-bit BMP
+    (bottom-up rows, BGR byte order, 4-byte row padding —
+    `functions/bmp_codec`) is encoded from a closed-form recipe and
+    decoded back inside an Arrow-batched mapInPandas stage
+    (`multimodal.bmp_pixel_stats`). The oracle predicts the decoded
+    per-channel sums and the byte-order-sensitive pixel_wsum over the
+    top-down RGB stream — a decoder that skips the row flip, keeps BGR,
+    or leaks padding bytes hash-mismatches. BMP also joins the
+    magic-byte dispatch in `image_feature_stats`."""
+    d = _t_wide(spark, sf_dir, "documents").select("doc_id")
+    return MM.bmp_pixel_stats(MM.synthesize_bmp_column(d))
+
+
 @q("png_thumbnail_stats", """
 WITH g AS (
   SELECT doc_id,
@@ -6233,6 +6265,7 @@ _DRIVER_ORDER = [
     "robots_site_gate", "jpeg_decode_stats", "jpeg_color_decode_stats",
     "gif_frame_sample_stats", "avi_frame_sample_stats",
     "wav_resample_stats", "image_feature_stats", "wav_segment_stats",
+    "bmp_decode_stats",
     # --- r2-green, displaced by the round-5 rotation (judge item 1)
     "chunk_docs", "corpus_pipeline_counts", "changelog_retract_sum",
     "canal_decode", "avro_roundtrip_orders", "asof_purchase_view",
@@ -6250,8 +6283,8 @@ _DRIVER_ORDER = [
     "lang_id_pred", "lineitem_meta_stats", "market_segment_stats",
     "multimodal_frame_plan", "multimodal_meta", "order_window_analytics",
     "pack_sequences", "profile_lineitem", "q11_important_stock",
-    "q13_customer_distribution",
     # ---- position 50 boundary ----
+    "q13_customer_distribution",
     "q16_supplier_part_counts",
     "q19_disjunctive_revenue", "q20_part_shippers",
     "q21_waiting_supplier", "q22_global_sales_opportunity",
