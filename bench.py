@@ -138,6 +138,13 @@ HEADLINE = [
     "wav_segment_stats",
     # round 6g: real BMP decode (layout traps: bottom-up, BGR, padding)
     "bmp_decode_stats",
+    # round 6h: true inter-frame compositing — delta-frame GIF playback
+    # (sub-rect blits, transparency holes, all three disposal methods)
+    "gif_composite_stats",
+    # round 6i: genuinely COMPRESSED audio — IMA ADPCM state-machine
+    # expansion and G.711 mu-law companding decode
+    "adpcm_decode_stats",
+    "mulaw_decode_stats",
 ]
 
 

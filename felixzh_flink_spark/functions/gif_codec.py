@@ -427,3 +427,193 @@ def decode_gif_frames(payload: bytes
     if not frames:
         raise ValueError("no image block found")
     return sw, sh, palette, frames
+
+
+# ----------------------------------------------- inter-frame compositing
+
+#: GIF89a disposal methods (GCE packed bits 2-4).
+DISPOSAL_NONE = 0        # no disposal specified — treat as LEAVE
+DISPOSAL_LEAVE = 1       # graphic stays in place
+DISPOSAL_BACKGROUND = 2  # restore the frame's rect to the background color
+DISPOSAL_PREVIOUS = 3    # restore the canvas to its pre-render state
+
+
+def encode_gif_composited(width: int, height: int, palette: bytes,
+                          background: int,
+                          frames: "list[tuple]") -> bytes:
+    """Encode a GIF89a animation whose frames are true DELTA frames:
+    each frame is (delay_ms, left, top, w, h, indices, disposal,
+    transparent) — a sub-rectangle blitted onto the shared canvas,
+    with `transparent` (a palette index, or None) marking see-through
+    patch pixels and `disposal` the GIF89a post-display action
+    (1 leave / 2 restore-background / 3 restore-previous). This is the
+    inter-frame half of video coding — P-frame-style partial updates
+    over a reference canvas — expressed in the one container a
+    pure-stdlib pipeline can produce bit-for-bit. The screen
+    descriptor's background-color index is set to `background`;
+    `composite_gif_frames` replays the exact canvas states."""
+    n_colors = len(palette) // 3
+    if len(palette) != n_colors * 3 or n_colors < 2 or \
+            n_colors & (n_colors - 1) or n_colors > 256:
+        raise ValueError("palette must be 2^k RGB entries, k in 1..8")
+    if not 0 <= background < n_colors:
+        raise ValueError("background index out of palette range")
+    if not frames:
+        raise ValueError("animation needs at least one frame")
+    gct_bits = max(1, n_colors.bit_length() - 1)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", width, height)
+    out += bytes([0x80 | (gct_bits - 1) << 4 | (gct_bits - 1),
+                  background, 0])
+    out += palette
+    # NETSCAPE2.0 loop extension (walkers must skip it)
+    out += bytes([_EXTENSION, _APP_LABEL, 11]) + b"NETSCAPE2.0"
+    out += bytes([3, 1, 0, 0, 0])
+    min_code_size = max(2, gct_bits)
+    for delay_ms, left, top, w, h, indices, disposal, transparent in frames:
+        if delay_ms < 0 or delay_ms % 10 or delay_ms // 10 > 0xFFFF:
+            raise ValueError("delay_ms must be a multiple of 10 in "
+                             "[0, 655350]")
+        if disposal not in (DISPOSAL_NONE, DISPOSAL_LEAVE,
+                            DISPOSAL_BACKGROUND, DISPOSAL_PREVIOUS):
+            raise ValueError(f"bad disposal {disposal}")
+        if left < 0 or top < 0 or w < 1 or h < 1 or \
+                left + w > width or top + h > height:
+            raise ValueError("frame rect outside the logical screen")
+        if len(indices) != w * h:
+            raise ValueError("frame index stream length != w*h")
+        if indices and max(indices) >= n_colors:
+            raise ValueError("index out of palette range")
+        if transparent is not None and not 0 <= transparent < n_colors:
+            raise ValueError("transparent index out of palette range")
+        packed = (disposal << 2) | (1 if transparent is not None else 0)
+        out += bytes([_EXTENSION, _GCE_LABEL, 4, packed])
+        out += struct.pack("<H", delay_ms // 10)
+        out += bytes([transparent if transparent is not None else 0, 0])
+        out += bytes([_IMAGE_SEP]) + struct.pack("<HHHH", left, top, w, h)
+        out += bytes([0x00])
+        out += bytes([min_code_size])
+        out += _sub_blocks(_lzw_encode(indices, min_code_size))
+    out.append(_TRAILER)
+    return bytes(out)
+
+
+def composite_gif_frames(payload: bytes
+                         ) -> "tuple[int, int, bytes, int, list]":
+    """REAL inter-frame compositing per GIF89a: decode a (possibly
+    delta-frame) animation to (screen_w, screen_h, palette RGB, bg
+    index, [(delay_ms, full-canvas index bytes), ...]) where each
+    canvas is the frame actually ON SCREEN after blitting that frame's
+    sub-rectangle (skipping its transparent pixels) onto the running
+    canvas, and the running canvas then evolves per the frame's
+    disposal method: 0/1 leave, 2 clear the frame's rect to the
+    background color, 3 restore the pre-render canvas. The initial
+    canvas is the background color. Sub-block/rect lengths are
+    validated before slicing (ValueError contract); disposal values
+    4-7 are reserved and raise."""
+    if payload is None or len(payload) < 13 or \
+            payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF (bad signature)")
+    sw, sh = struct.unpack("<HH", payload[6:10])
+    packed = payload[10]
+    bg = payload[11]
+    pos = 13
+    palette = b""
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        palette = payload[pos:pos + 3 * n]
+        if len(palette) != 3 * n:
+            raise ValueError("truncated global color table")
+        pos += 3 * n
+    if not palette:
+        raise ValueError("compositing requires a global color table")
+    if bg >= len(palette) // 3:
+        raise ValueError("background index out of palette range")
+    canvas = bytearray([bg]) * (sw * sh)
+    composited: list = []
+    pending = (0, DISPOSAL_NONE, None)   # (delay_ms, disposal, transparent)
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == _EXTENSION:
+            if pos >= len(payload):
+                raise ValueError("truncated extension")
+            label = payload[pos]
+            pos += 1
+            if label == _GCE_LABEL and pos + 5 <= len(payload) \
+                    and payload[pos] == 4:
+                gp = payload[pos + 1]
+                disposal = (gp >> 2) & 0x07
+                if disposal > DISPOSAL_PREVIOUS:
+                    raise ValueError(f"reserved disposal {disposal}")
+                (cs,) = struct.unpack("<H", payload[pos + 2:pos + 4])
+                transparent = payload[pos + 4] if gp & 0x01 else None
+                pending = (cs * 10, disposal, transparent)
+            while True:
+                if pos >= len(payload):
+                    raise ValueError("truncated extension")
+                size = payload[pos]
+                if pos + 1 + size > len(payload):
+                    raise ValueError("truncated sub-block")
+                pos += 1 + size
+                if size == 0:
+                    break
+        elif block == _IMAGE_SEP:
+            if pos + 9 > len(payload):
+                raise ValueError("truncated image descriptor")
+            left, top, w, h = struct.unpack("<HHHH", payload[pos:pos + 8])
+            ipacked = payload[pos + 8]
+            pos += 9
+            if w < 1 or h < 1 or left + w > sw or top + h > sh:
+                raise ValueError("frame rect outside the logical screen")
+            if ipacked & 0x80:
+                raise ValueError("per-frame local color tables "
+                                 "unsupported in compositing decode")
+            if pos >= len(payload):
+                raise ValueError("missing LZW min code size")
+            min_code_size = payload[pos]
+            pos += 1
+            if not 2 <= min_code_size <= 11:
+                raise ValueError(f"bad LZW min code size {min_code_size}")
+            data = bytearray()
+            while True:
+                if pos >= len(payload):
+                    raise ValueError("truncated image data")
+                size = payload[pos]
+                pos += 1
+                if size == 0:
+                    break
+                if pos + size > len(payload):
+                    raise ValueError("truncated sub-block")
+                data += payload[pos:pos + size]
+                pos += size
+            patch = _lzw_decode(bytes(data), min_code_size, w * h)
+            if ipacked & 0x40:
+                rows = _interlace_rows(h)
+                un = bytearray(w * h)
+                for i, r in enumerate(rows):
+                    un[r * w:(r + 1) * w] = patch[i * w:(i + 1) * w]
+                patch = bytes(un)
+            delay_ms, disposal, transparent = pending
+            pending = (0, DISPOSAL_NONE, None)
+            prev = bytes(canvas)
+            for y in range(h):
+                row = (top + y) * sw + left
+                for x in range(w):
+                    v = patch[y * w + x]
+                    if transparent is None or v != transparent:
+                        canvas[row + x] = v
+            composited.append((delay_ms, bytes(canvas)))
+            if disposal == DISPOSAL_BACKGROUND:
+                for y in range(h):
+                    row = (top + y) * sw + left
+                    canvas[row:row + w] = bytes([bg]) * w
+            elif disposal == DISPOSAL_PREVIOUS:
+                canvas = bytearray(prev)
+        elif block == _TRAILER:
+            break
+        else:
+            raise ValueError(f"unknown block 0x{block:02x}")
+    if not composited:
+        raise ValueError("no image block found")
+    return sw, sh, palette, bg, composited

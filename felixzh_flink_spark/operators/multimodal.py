@@ -974,6 +974,99 @@ def gif_frame_sample_stats(df: DataFrame, every_ms: int = 100,
     return df.mapInPandas(kernel, schema=GIF_FRAME_SAMPLE_SCHEMA)
 
 
+def synthesize_gif_composited_column(df: DataFrame, id_col: str = "doc_id",
+                                     payload_col: str = "gif") -> DataFrame:
+    """Deterministic DELTA-FRAME animation fixture: a REAL GIF89a per
+    row whose frames after the first are 2×2 sub-rectangle patches —
+    P-frame-style partial updates over the shared canvas. Canvas
+    W = id%4+4, H = id%3+4, background index id%4, n = id%4+2 frames,
+    delay (id%3+1)·40 ms, 4-color palette (entry e = ((3e)%256,
+    (5e+1)%256, (7e+2)%256)). Frame 0 is a full-rect base (pixel j =
+    (id·31+7j) mod 4, disposal LEAVE); frame f ≥ 1 is a 2×2 patch at
+    (left, top) = ((id+3f) mod (W−1), (id+5f) mod (H−1)) with local
+    pixel u = (id·31+13f+7u) mod 4, transparent index (id+f) mod 4
+    (7u mod 4 cycles all residues, so exactly one patch pixel is
+    see-through every frame), and disposal 1+((id+f) mod 3) — the
+    recipe exercises LEAVE, RESTORE-BACKGROUND and RESTORE-PREVIOUS.
+    Closed-form recipe → the SQL oracle replays the compositing fold
+    per pixel (`gif_composite_stats`). Arrow-batched pandas UDF."""
+    from felixzh_flink_spark.functions.gif_codec import \
+        encode_gif_composited
+
+    @F.pandas_udf("binary")
+    def _make(ids: pd.Series) -> pd.Series:
+        pal = bytes(v for e in range(4)
+                    for v in ((3 * e) % 256, (5 * e + 1) % 256,
+                              (7 * e + 2) % 256))
+        out = []
+        for i in ids:
+            i = int(i)
+            w, h = i % 4 + 4, i % 3 + 4
+            n = i % 4 + 2
+            delay = (i % 3 + 1) * 40
+            frames = [(delay, 0, 0, w, h,
+                       bytes((i * 31 + 7 * j) % 4 for j in range(w * h)),
+                       1, None)]
+            for f in range(1, n):
+                frames.append((delay, (i + 3 * f) % (w - 1),
+                               (i + 5 * f) % (h - 1), 2, 2,
+                               bytes((i * 31 + 13 * f + 7 * u) % 4
+                                     for u in range(4)),
+                               1 + (i + f) % 3, (i + f) % 4))
+            out.append(encode_gif_composited(w, h, pal, i % 4, frames))
+        return pd.Series(out)
+
+    return df.withColumn(payload_col, _make(F.col(id_col)))
+
+
+GIF_COMPOSITE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("frame_idx", T.IntegerType(), True),
+    T.StructField("comp_sum", T.LongType(), True),
+    T.StructField("comp_wsum", T.LongType(), True),
+])
+
+
+def gif_composite_stats(df: DataFrame, id_col: str = "doc_id",
+                        payload_col: str = "gif") -> DataFrame:
+    """REAL inter-frame compositing over decoded delta frames — the
+    video-coding semantic the frame-SAMPLING kernels don't reach:
+    every GIF frame is LZW-decoded as a sub-rectangle patch and
+    composited onto the running canvas per GIF89a (transparency
+    holes show the canvas through; disposal 2 clears the patch rect
+    to background; disposal 3 rewinds to the pre-render canvas), via
+    `functions/gif_codec.composite_gif_frames`. One output row per
+    ON-SCREEN frame with order-sensitive full-canvas stats
+    (comp_sum = Σ canvas, comp_wsum = Σ (j+1)·canvasⱼ) — a decoder
+    that drops a transparency hole, blits at the wrong offset, or
+    confuses restore-background with restore-previous cannot pass.
+    Undecodable payloads yield a single null-stats quarantine row.
+    One Arrow-batched mapInPandas fan-out, no shuffle.
+
+    Reference parity: the reference pipelines treat video as opaque
+    payloads; this closes the repo's own 'inter-frame codecs remain
+    stubbed' delta as far as pure-stdlib formats go."""
+    from felixzh_flink_spark.functions.gif_codec import \
+        composite_gif_frames
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    _, _, _, _, frames = composite_gif_frames(p)
+                    for fi, (_delay, canvas) in enumerate(frames):
+                        rows.append((int(i), fi, sum(canvas),
+                                     sum((j + 1) * b
+                                         for j, b in enumerate(canvas))))
+                except Exception:  # ValueError / struct.error
+                    rows.append((int(i), None, None, None))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "frame_idx", "comp_sum", "comp_wsum"])
+
+    return df.mapInPandas(kernel, schema=GIF_COMPOSITE_SCHEMA)
+
+
 def synthesize_mjpeg_avi_column(df: DataFrame, id_col: str = "doc_id",
                                 payload_col: str = "video") -> DataFrame:
     """Deterministic MJPEG-AVI fixture generator: a REAL video file per
@@ -1284,6 +1377,124 @@ def wav_segment_stats(df: DataFrame, seg_frames: int = 8,
                 "doc_id", "seg_idx", "n_values", "seg_sum", "seg_energy"])
 
     return df.mapInPandas(kernel, schema=WAV_SEGMENT_SCHEMA)
+
+
+AUDIO_PCM_STATS_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("n_samples", T.LongType(), True),
+    T.StructField("pcm_sum", T.LongType(), True),
+    T.StructField("pcm_wsum", T.LongType(), True),
+])
+
+
+def synthesize_adpcm_wav_column(df: DataFrame, id_col: str = "doc_id",
+                                payload_col: str = "wav") -> DataFrame:
+    """Deterministic IMA-ADPCM fixture: a REAL compressed-audio WAV
+    (format tag 0x11) per row — initial predictor (id·37) mod 2048 −
+    1024, initial step index id mod 89 (the full table range), and
+    2·(id mod 8 + 8) four-bit codes with code k = (id·7+3k) mod 16,
+    packed low-nibble-first behind the 4-byte block header. Closed-form
+    recipe → the SQL oracle re-runs the decoder's predictor/step-index
+    recurrence as a recursive CTE (`adpcm_decode_stats`).
+    Arrow-batched pandas UDF."""
+    from felixzh_flink_spark.functions.wav_codec import \
+        encode_wav_ima_adpcm
+
+    @F.pandas_udf("binary")
+    def _make(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            nib = bytes((i * 7 + 3 * k) % 16
+                        for k in range(2 * (i % 8 + 8)))
+            out.append(encode_wav_ima_adpcm(
+                (i * 37) % 2048 - 1024, i % 89, nib))
+        return pd.Series(out)
+
+    return df.withColumn(payload_col, _make(F.col(id_col)))
+
+
+def wav_adpcm_stats(df: DataFrame, id_col: str = "doc_id",
+                    payload_col: str = "wav") -> DataFrame:
+    """REAL compressed-audio decode — IMA ADPCM (WAV format tag 0x11)
+    expanded to linear PCM by running the public-spec predictor/
+    step-index state machine over the packed 4-bit codes
+    (`functions/wav_codec.decode_wav_adpcm`), the first genuinely
+    COMPRESSED audio format in the media lake (PCM/resample/segment
+    kernels consume uncompressed samples). Emits per doc the decoded
+    sample count, sum, and order-sensitive weighted sum — a decoder
+    with a wrong step-table entry, missed clamp, or swapped nibble
+    order cannot pass. Undecodable payloads yield a null-stats
+    quarantine row. One Arrow-batched mapInPandas projection, no
+    shuffle."""
+    from felixzh_flink_spark.functions.wav_codec import decode_wav_adpcm
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    _rate, samples = decode_wav_adpcm(p)
+                    rows.append((int(i), len(samples), sum(samples),
+                                 sum((k + 1) * s
+                                     for k, s in enumerate(samples))))
+                except Exception:  # ValueError / struct.error
+                    rows.append((int(i), None, None, None))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "n_samples", "pcm_sum", "pcm_wsum"])
+
+    return df.mapInPandas(kernel, schema=AUDIO_PCM_STATS_SCHEMA)
+
+
+def synthesize_mulaw_wav_column(df: DataFrame, id_col: str = "doc_id",
+                                payload_col: str = "wav") -> DataFrame:
+    """Deterministic G.711 µ-law fixture: a REAL telephony WAV (format
+    tag 7, 8-bit companded samples) per row — n = id mod 32 + 16
+    bytes, byte k = (id·11+5k) mod 256. Closed-form recipe → the SQL
+    oracle states the µ-law expansion directly
+    (`mulaw_decode_stats`). Arrow-batched pandas UDF."""
+    from felixzh_flink_spark.functions.wav_codec import encode_wav_mulaw
+
+    @F.pandas_udf("binary")
+    def _make(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            out.append(encode_wav_mulaw(
+                bytes((i * 11 + 5 * k) % 256
+                      for k in range(i % 32 + 16))))
+        return pd.Series(out)
+
+    return df.withColumn(payload_col, _make(F.col(id_col)))
+
+
+def wav_mulaw_stats(df: DataFrame, id_col: str = "doc_id",
+                    payload_col: str = "wav") -> DataFrame:
+    """REAL G.711 µ-law decode (WAV format tag 7): expand each
+    companded byte to its 16-bit linear sample with the classic CCITT
+    closed form (`functions/wav_codec.decode_wav_mulaw`) and emit
+    count/sum/order-sensitive weighted sum per doc. The oracle states
+    the same expansion in SQL — a decoder with a wrong bias, missing
+    complement, or sign slip cannot pass. Undecodable payloads yield a
+    null-stats quarantine row. One Arrow-batched mapInPandas
+    projection, no shuffle."""
+    from felixzh_flink_spark.functions.wav_codec import decode_wav_mulaw
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    _rate, _ch, samples = decode_wav_mulaw(p)
+                    rows.append((int(i), len(samples), sum(samples),
+                                 sum((k + 1) * s
+                                     for k, s in enumerate(samples))))
+                except Exception:  # ValueError / struct.error
+                    rows.append((int(i), None, None, None))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "n_samples", "pcm_sum", "pcm_wsum"])
+
+    return df.mapInPandas(kernel, schema=AUDIO_PCM_STATS_SCHEMA)
 
 
 def _bmp_payload(i: int) -> bytes:

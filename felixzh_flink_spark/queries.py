@@ -3907,6 +3907,125 @@ def gif_frame_sample_stats(spark, sf_dir):
     return MM.gif_frame_sample_stats(MM.synthesize_gif_animation_column(d))
 
 
+@q("gif_composite_stats", """
+WITH g AS (
+  SELECT doc_id, doc_id % 4 + 4 AS w, doc_id % 3 + 4 AS h,
+         doc_id % 4 + 2 AS n, doc_id % 4 AS bg
+  FROM documents
+), s0 AS (
+  SELECT g.*, list_transform(range(0, w * h),
+                             j -> (doc_id * 31 + 7 * j) % 4) AS d0
+  FROM g
+), s1 AS (
+  SELECT s0.*, (doc_id + 3) % (w - 1) AS lf, (doc_id + 5) % (h - 1) AS tf,
+         (doc_id + 1) % 4 AS tr, 1 + (doc_id + 1) % 3 AS dp
+  FROM s0
+), t1 AS (
+  SELECT s1.*, list_transform(range(0, w * h), j ->
+    CASE WHEN j % w BETWEEN lf AND lf + 1 AND j // w BETWEEN tf AND tf + 1
+              AND (doc_id * 31 + 13
+                   + 7 * ((j // w - tf) * 2 + (j % w - lf))) % 4 != tr
+         THEN (doc_id * 31 + 13
+               + 7 * ((j // w - tf) * 2 + (j % w - lf))) % 4
+         ELSE list_extract(d0, j + 1) END) AS d1
+  FROM s1
+), u1 AS (
+  SELECT doc_id, w, h, n, bg, d0, d1, list_transform(range(0, w * h), j ->
+    CASE WHEN dp = 2 AND j % w BETWEEN lf AND lf + 1
+              AND j // w BETWEEN tf AND tf + 1 THEN bg
+         WHEN dp = 3 THEN list_extract(d0, j + 1)
+         ELSE list_extract(d1, j + 1) END) AS p1
+  FROM t1
+), s2 AS (
+  SELECT u1.*, (doc_id + 6) % (w - 1) AS lf, (doc_id + 10) % (h - 1) AS tf,
+         (doc_id + 2) % 4 AS tr, 1 + (doc_id + 2) % 3 AS dp
+  FROM u1
+), t2 AS (
+  SELECT s2.*, list_transform(range(0, w * h), j ->
+    CASE WHEN j % w BETWEEN lf AND lf + 1 AND j // w BETWEEN tf AND tf + 1
+              AND (doc_id * 31 + 26
+                   + 7 * ((j // w - tf) * 2 + (j % w - lf))) % 4 != tr
+         THEN (doc_id * 31 + 26
+               + 7 * ((j // w - tf) * 2 + (j % w - lf))) % 4
+         ELSE list_extract(p1, j + 1) END) AS d2
+  FROM s2
+), u2 AS (
+  SELECT doc_id, w, h, n, bg, d0, d1, d2, list_transform(range(0, w * h), j ->
+    CASE WHEN dp = 2 AND j % w BETWEEN lf AND lf + 1
+              AND j // w BETWEEN tf AND tf + 1 THEN bg
+         WHEN dp = 3 THEN list_extract(p1, j + 1)
+         ELSE list_extract(d2, j + 1) END) AS p2
+  FROM t2
+), s3 AS (
+  SELECT u2.*, (doc_id + 9) % (w - 1) AS lf, (doc_id + 15) % (h - 1) AS tf,
+         (doc_id + 3) % 4 AS tr, 1 + (doc_id + 3) % 3 AS dp
+  FROM u2
+), t3 AS (
+  SELECT s3.*, list_transform(range(0, w * h), j ->
+    CASE WHEN j % w BETWEEN lf AND lf + 1 AND j // w BETWEEN tf AND tf + 1
+              AND (doc_id * 31 + 39
+                   + 7 * ((j // w - tf) * 2 + (j % w - lf))) % 4 != tr
+         THEN (doc_id * 31 + 39
+               + 7 * ((j // w - tf) * 2 + (j % w - lf))) % 4
+         ELSE list_extract(p2, j + 1) END) AS d3
+  FROM s3
+), u3 AS (
+  SELECT doc_id, w, h, n, bg, d0, d1, d2, d3,
+         list_transform(range(0, w * h), j ->
+    CASE WHEN dp = 2 AND j % w BETWEEN lf AND lf + 1
+              AND j // w BETWEEN tf AND tf + 1 THEN bg
+         WHEN dp = 3 THEN list_extract(p2, j + 1)
+         ELSE list_extract(d3, j + 1) END) AS p3
+  FROM t3
+), s4 AS (
+  SELECT u3.*, (doc_id + 12) % (w - 1) AS lf, (doc_id + 20) % (h - 1) AS tf,
+         doc_id % 4 AS tr, 1 + doc_id % 3 AS dp
+  FROM u3
+), t4 AS (
+  SELECT s4.*, list_transform(range(0, w * h), j ->
+    CASE WHEN j % w BETWEEN lf AND lf + 1 AND j // w BETWEEN tf AND tf + 1
+              AND (doc_id * 31 + 52
+                   + 7 * ((j // w - tf) * 2 + (j % w - lf))) % 4 != tr
+         THEN (doc_id * 31 + 52
+               + 7 * ((j // w - tf) * 2 + (j % w - lf))) % 4
+         ELSE list_extract(p3, j + 1) END) AS d4
+  FROM s4
+), frames AS (
+  SELECT doc_id, 0 AS fi, d0 AS c FROM t4
+  UNION ALL SELECT doc_id, 1, d1 FROM t4 WHERE n > 1
+  UNION ALL SELECT doc_id, 2, d2 FROM t4 WHERE n > 2
+  UNION ALL SELECT doc_id, 3, d3 FROM t4 WHERE n > 3
+  UNION ALL SELECT doc_id, 4, d4 FROM t4 WHERE n > 4
+)
+SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+       CAST(list_sum(c) AS BIGINT) AS comp_sum,
+       CAST(list_sum(list_transform(range(1, len(c) + 1),
+                                    j -> j * list_extract(c, j)))
+         AS BIGINT) AS comp_wsum
+FROM frames
+""")
+def gif_composite_stats(spark, sf_dir):
+    """TRUE inter-frame video compositing end-to-end — the semantic
+    step past frame SAMPLING (`gif_frame_sample_stats`): per doc a
+    real GIF89a whose frames after the first are 2×2 delta patches
+    (P-frame-style partial updates) with per-frame transparency holes
+    and all three GIF89a disposal methods, ENCODED from a closed-form
+    recipe, then every frame LZW-decoded and COMPOSITED onto the
+    running canvas (`functions/gif_codec.composite_gif_frames`,
+    `multimodal.gif_composite_stats`). One row per on-screen frame
+    with order-sensitive full-canvas stats. The oracle replays the
+    compositing fold per pixel in SQL — an unrolled blit/dispose
+    chain over the recipe — so a kernel that mis-places a patch,
+    fills a transparency hole, or swaps restore-background for
+    restore-previous cannot pass. Scale shape: one Arrow-batched
+    mapInPandas projection, no shuffle; frames scale output rows,
+    not driver memory. (Reference treats video as opaque payloads —
+    felixzh-flink has no codec layer; this is the LLM-pipeline
+    multimodal brief made real as far as pure-stdlib formats go.)"""
+    d = _t_wide(spark, sf_dir, "documents").select("doc_id")
+    return MM.gif_composite_stats(MM.synthesize_gif_composited_column(d))
+
+
 @q("jpeg_decode_stats", """
 WITH g AS (
   SELECT doc_id,
@@ -4311,6 +4430,99 @@ def wav_segment_stats(spark, sf_dir):
     hash-mismatches."""
     d = _t_wide(spark, sf_dir, "documents").select("doc_id")
     return MM.wav_segment_stats(MM.synthesize_wav_column(d))
+
+
+@q("adpcm_decode_stats", """
+WITH RECURSIVE g AS (
+  SELECT doc_id, (doc_id * 37) % 2048 - 1024 AS pred0, doc_id % 89 AS idx0,
+         2 * (doc_id % 8 + 8) AS n
+  FROM documents
+), sim AS (
+  SELECT doc_id, n, 0 AS k, pred0 AS pred, idx0 AS idx,
+         CAST(pred0 AS BIGINT) AS ssum, CAST(pred0 AS BIGINT) AS wsum
+  FROM g
+  UNION ALL
+  SELECT doc_id, n, k + 1, np,
+         LEAST(88, GREATEST(0, idx + list_extract(
+             [-1, -1, -1, -1, 2, 4, 6, 8], nib % 8 + 1))),
+         ssum + np, wsum + (k + 2) * np
+  FROM (
+    SELECT *,
+      list_extract([7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,
+        41,45,50,55,60,66,73,80,88,97,107,118,130,143,157,173,190,209,
+        230,253,279,307,337,371,408,449,494,544,598,658,724,796,876,
+        963,1060,1166,1282,1411,1552,1707,1878,2066,2272,2499,2749,
+        3024,3327,3660,4026,4428,4871,5358,5894,6484,7132,7845,8630,
+        9493,10442,11487,12635,13899,15289,16818,18500,20350,22385,
+        24623,27086,29794,32767], idx + 1) AS st,
+      (doc_id * 7 + 3 * k) % 16 AS nib,
+      st // 8 + CASE WHEN nib % 2 = 1 THEN st // 4 ELSE 0 END
+              + CASE WHEN nib // 2 % 2 = 1 THEN st // 2 ELSE 0 END
+              + CASE WHEN nib // 4 % 2 = 1 THEN st ELSE 0 END AS diff,
+      LEAST(32767, GREATEST(-32768,
+        CASE WHEN nib >= 8 THEN pred - diff ELSE pred + diff END)) AS np
+    FROM sim WHERE k < n
+  )
+)
+SELECT doc_id, CAST(n + 1 AS BIGINT) AS n_samples,
+       ssum AS pcm_sum, wsum AS pcm_wsum
+FROM sim WHERE k = n
+""")
+def adpcm_decode_stats(spark, sf_dir):
+    """REAL compressed-audio decode end-to-end — IMA ADPCM (WAV format
+    tag 0x11), the first format in the media lake where the payload is
+    genuinely COMPRESSED audio: per doc a real ADPCM WAV is encoded
+    from a closed-form recipe (predictor/step-index header + packed
+    4-bit codes), then expanded to linear PCM by the public-spec
+    predictor/step-index state machine (`functions/wav_codec.
+    decode_wav_adpcm`, `multimodal.wav_adpcm_stats`). The oracle
+    re-runs the decoder recurrence as a recursive CTE over the full
+    89-entry step table — a wrong table entry, missed int16 clamp, or
+    swapped nibble order diverges within a few samples and cannot
+    hash-match. Every division in the kernel stays in a non-negative
+    domain so DuckDB's truncating `//` reproduces Python's flooring
+    `>>` bit-for-bit. Scale shape: one Arrow-batched mapInPandas
+    projection, no shuffle. (Reference treats media as opaque bytes —
+    felixzh-flink has no codec layer; LLM-pipeline multimodal brief.)"""
+    d = _t_wide(spark, sf_dir, "documents").select("doc_id")
+    return MM.wav_adpcm_stats(MM.synthesize_adpcm_wav_column(d))
+
+
+@q("mulaw_decode_stats", """
+WITH g AS (
+  SELECT doc_id, doc_id % 32 + 16 AS n FROM documents
+), s AS (
+  SELECT doc_id, n, list_transform(range(0, n), k ->
+    CASE WHEN (255 - (doc_id * 11 + 5 * k) % 256) // 128 = 1
+         THEN -(((8 * ((255 - (doc_id * 11 + 5 * k) % 256) % 16) + 132)
+                 * (1 << (((255 - (doc_id * 11 + 5 * k) % 256) // 16) % 8)))
+                - 132)
+         ELSE (((8 * ((255 - (doc_id * 11 + 5 * k) % 256) % 16) + 132)
+                * (1 << (((255 - (doc_id * 11 + 5 * k) % 256) // 16) % 8)))
+               - 132) END) AS pcm
+  FROM g
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+       CAST(list_sum(pcm) AS BIGINT) AS pcm_sum,
+       CAST(list_sum(list_transform(range(1, n + 1),
+                                    k -> k * list_extract(pcm, k)))
+         AS BIGINT) AS pcm_wsum
+FROM s
+""")
+def mulaw_decode_stats(spark, sf_dir):
+    """REAL G.711 µ-law telephony-audio decode end-to-end: per doc a
+    real format-tag-7 WAV of companded 8-bit samples from a
+    closed-form recipe, expanded to 16-bit linear PCM with the classic
+    CCITT formula (complement → sign/exponent/mantissa →
+    ((8·man+0x84)<<exp)−0x84) by `functions/wav_codec.
+    decode_wav_mulaw` (`multimodal.wav_mulaw_stats`). The oracle
+    states the same expansion directly in SQL — a decoder with a
+    wrong bias, missing complement, or sign slip cannot pass. Joins
+    ADPCM as the companded/compressed half of the audio surface
+    (PCM/resample/segment cover the linear half). One Arrow-batched
+    mapInPandas projection, no shuffle."""
+    d = _t_wide(spark, sf_dir, "documents").select("doc_id")
+    return MM.wav_mulaw_stats(MM.synthesize_mulaw_wav_column(d))
 
 
 @q("mp4_duration_meta", """
@@ -6261,6 +6473,7 @@ _DRIVER_ORDER = [
     # rotate out; their assertion twins stay pinned via _PROBE_TWINS.
     # =================================================================
     # --- new round-6 queries
+    "gif_composite_stats", "adpcm_decode_stats", "mulaw_decode_stats",
     "robots_wildcard_paths", "url_registrable_psl", "gif_decode_stats",
     "robots_site_gate", "jpeg_decode_stats", "jpeg_color_decode_stats",
     "gif_frame_sample_stats", "avi_frame_sample_stats",
@@ -6282,8 +6495,8 @@ _DRIVER_ORDER = [
     "dup_size_histogram", "fingerprint_docs", "grouping_pricing",
     "lang_id_pred", "lineitem_meta_stats", "market_segment_stats",
     "multimodal_frame_plan", "multimodal_meta", "order_window_analytics",
-    "pack_sequences", "profile_lineitem", "q11_important_stock",
     # ---- position 50 boundary ----
+    "pack_sequences", "profile_lineitem", "q11_important_stock",
     "q13_customer_distribution",
     "q16_supplier_part_counts",
     "q19_disjunctive_revenue", "q20_part_shippers",

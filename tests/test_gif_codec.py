@@ -298,3 +298,143 @@ def test_truncation_inside_later_subblocks_raises_cleanly():
     anim = encode_gif_animation(40, 40, pal, frames)
     with pytest.raises(ValueError):
         decode_gif_frames(anim[:len(anim) - 30])
+
+
+# -------------------------------------------------- inter-frame compositing
+
+from felixzh_flink_spark.functions.gif_codec import (  # noqa: E402
+    composite_gif_frames,
+    encode_gif_composited,
+)
+
+
+def _composite_ref(w, h, bg, frames):
+    """Independent pure-Python re-statement of GIF89a compositing used
+    to cross-check the codec (kept deliberately naive)."""
+    canvas = [bg] * (w * h)
+    out = []
+    for _d, left, top, fw, fh, idx, disposal, tr in frames:
+        prev = canvas[:]
+        for y in range(fh):
+            for x in range(fw):
+                v = idx[y * fw + x]
+                if tr is None or v != tr:
+                    canvas[(top + y) * w + left + x] = v
+        out.append(bytes(canvas))
+        if disposal == 2:
+            for y in range(fh):
+                for x in range(fw):
+                    canvas[(top + y) * w + left + x] = bg
+        elif disposal == 3:
+            canvas = prev[:]
+    return out
+
+
+def test_composite_all_disposals_and_transparency():
+    pal = _palette(4)
+    frames = [
+        (40, 0, 0, 4, 3, bytes((7 * j) % 4 for j in range(12)), 1, None),
+        (40, 1, 1, 2, 2, bytes([0, 2, 1, 3]), 2, 2),   # hole at value 2
+        (40, 2, 0, 2, 2, bytes([3, 3, 3, 3]), 3, None),
+        (40, 0, 1, 2, 2, bytes([1, 0, 2, 1]), 1, 0),   # hole at value 0
+    ]
+    pay = encode_gif_composited(4, 3, pal, 2, frames)
+    sw, sh, p, bg, dec = composite_gif_frames(pay)
+    assert (sw, sh, p, bg) == (4, 3, pal, 2)
+    assert [c for _d, c in dec] == _composite_ref(4, 3, 2, frames)
+    assert [d for d, _c in dec] == [40] * 4
+
+
+def test_composite_initial_canvas_is_background():
+    """A first frame that covers only a sub-rect leaves the rest of
+    the canvas at the screen descriptor's background color."""
+    pal = _palette(4)
+    pay = encode_gif_composited(
+        5, 4, pal, 3, [(0, 2, 1, 2, 2, bytes([1, 1, 1, 1]), 1, None)])
+    _, _, _, bg, dec = composite_gif_frames(pay)
+    canvas = dec[0][1]
+    assert bg == 3
+    assert canvas[1 * 5 + 2] == 1 and canvas[2 * 5 + 3] == 1
+    assert canvas[0] == 3 and canvas[-1] == 3
+    assert sum(canvas) == 3 * (20 - 4) + 4
+
+
+def test_composite_full_rect_agrees_with_frame_decoder():
+    """Full-rect opaque disposal-LEAVE frames are plain playback: the
+    compositor and decode_gif_frames must agree canvas-for-canvas."""
+    pal = _palette(4)
+    plain = _anim_frames(11, 5, 4, 3, 40)
+    pay_c = encode_gif_composited(
+        5, 4, pal, 0,
+        [(40, 0, 0, 5, 4, idx, 1, None) for _d, idx in plain])
+    _, _, _, _, dec_c = composite_gif_frames(pay_c)
+    pay_a = encode_gif_animation(5, 4, pal, plain)
+    _, _, _, dec_a = decode_gif_frames(pay_a)
+    assert [c for _d, c in dec_c] == [f for _d, f in dec_a]
+
+
+def test_composite_envelope_errors():
+    pal = _palette(4)
+    ok = [(40, 0, 0, 3, 3, bytes(9), 1, None)]
+    with pytest.raises(ValueError):  # rect outside the screen
+        encode_gif_composited(3, 3, pal, 0,
+                              [(40, 2, 2, 2, 2, bytes(4), 1, None)])
+    with pytest.raises(ValueError):  # reserved disposal
+        encode_gif_composited(3, 3, pal, 0,
+                              [(40, 0, 0, 2, 2, bytes(4), 4, None)])
+    with pytest.raises(ValueError):  # background outside palette
+        encode_gif_composited(3, 3, pal, 4, ok)
+    with pytest.raises(ValueError):  # transparent index outside palette
+        encode_gif_composited(3, 3, pal, 0,
+                              [(40, 0, 0, 2, 2, bytes(4), 1, 9)])
+    pay = bytearray(encode_gif_composited(3, 3, pal, 0, ok))
+    # flip the GCE disposal bits to the reserved value 4 -> decoder raises
+    gce = pay.index(bytes([0x21, 0xF9, 4]))
+    pay[gce + 3] = (4 << 2)
+    with pytest.raises(ValueError):
+        composite_gif_frames(bytes(pay))
+    with pytest.raises(ValueError):  # truncated mid-frame
+        composite_gif_frames(bytes(
+            encode_gif_composited(3, 3, pal, 0, ok)[:-8]))
+    with pytest.raises(ValueError):
+        composite_gif_frames(b"GIF89a\x00")
+
+
+def test_composite_rect_validated_against_screen_on_decode():
+    """A descriptor rect outside the logical screen must raise, not
+    write out of bounds: patch the encoded descriptor's left edge."""
+    pal = _palette(4)
+    pay = bytearray(encode_gif_composited(
+        4, 4, pal, 0, [(0, 1, 1, 2, 2, bytes([1, 2, 3, 1]), 1, None)]))
+    sep = pay.index(bytes([0x2C]), 13)
+    struct.pack_into("<H", pay, sep + 1, 3)  # left 1 -> 3; 3+2 > 4
+    with pytest.raises(ValueError):
+        composite_gif_frames(bytes(pay))
+
+
+def test_gif_composite_stats_spark_kernel(spark):
+    """End-to-end through the Spark stage: synthesize the delta-frame
+    fixture for a handful of ids and check the composited stats row
+    set against the naive reference compositor."""
+    from felixzh_flink_spark.operators import multimodal as MM
+
+    ids = list(range(17))
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {(r.doc_id, r.frame_idx): (r.comp_sum, r.comp_wsum)
+           for r in MM.gif_composite_stats(
+               MM.synthesize_gif_composited_column(df)).collect()}
+    for i in ids:
+        w, h = i % 4 + 4, i % 3 + 4
+        n = i % 4 + 2
+        frames = [(0, 0, 0, w, h,
+                   bytes((i * 31 + 7 * j) % 4 for j in range(w * h)),
+                   1, None)]
+        for f in range(1, n):
+            frames.append((0, (i + 3 * f) % (w - 1), (i + 5 * f) % (h - 1),
+                           2, 2, bytes((i * 31 + 13 * f + 7 * u) % 4
+                                       for u in range(4)),
+                           1 + (i + f) % 3, (i + f) % 4))
+        for fi, canvas in enumerate(_composite_ref(w, h, i % 4, frames)):
+            assert got[(i, fi)] == (
+                sum(canvas), sum((j + 1) * b for j, b in enumerate(canvas)))
+    assert len(got) == sum(i % 4 + 2 for i in ids)

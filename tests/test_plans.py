@@ -109,7 +109,9 @@ def test_headline_queries_have_no_python_stages(spark):
                "jpeg_decode_stats", "jpeg_color_decode_stats",
                "gif_frame_sample_stats", "avi_frame_sample_stats",
                "wav_resample_stats", "image_feature_stats",
-               "wav_segment_stats", "bmp_decode_stats"}
+               "wav_segment_stats", "bmp_decode_stats",
+               "gif_composite_stats", "adpcm_decode_stats",
+               "mulaw_decode_stats"}
     for name in bench.HEADLINE:
         if name in allowed:
             continue

@@ -257,3 +257,152 @@ def test_empty_data_chunk_emits_zero_segment_row(spark):
     r = rows[0]
     assert (r["seg_idx"], r["n_values"], r["seg_sum"],
             r["seg_energy"]) == (0, 0, 0, 0)
+
+
+# ------------------------------------------- compressed-audio codecs
+
+from felixzh_flink_spark.functions.wav_codec import (  # noqa: E402
+    IMA_STEP_TABLE,
+    decode_wav_adpcm,
+    decode_wav_mulaw,
+    encode_wav_ima_adpcm,
+    encode_wav_mulaw,
+    ima_adpcm_step,
+    mulaw_to_linear,
+)
+
+
+def test_ima_step_table_shape():
+    assert len(IMA_STEP_TABLE) == 89
+    assert IMA_STEP_TABLE[0] == 7 and IMA_STEP_TABLE[88] == 32767
+    assert IMA_STEP_TABLE == sorted(IMA_STEP_TABLE)
+
+
+def test_adpcm_roundtrip_matches_state_machine():
+    i = 42
+    nib = bytes((i * 7 + 3 * k) % 16 for k in range(20))
+    pred0, idx0 = (i * 37) % 2048 - 1024, i % 89
+    rate, samples = decode_wav_adpcm(
+        encode_wav_ima_adpcm(pred0, idx0, nib, sample_rate=8_000))
+    assert rate == 8_000
+    exp, p, x = [pred0], pred0, idx0
+    for n in nib:
+        p, x = ima_adpcm_step(p, x, n)
+        exp.append(p)
+    assert samples == exp
+
+
+def test_adpcm_predictor_and_index_clamp():
+    """Large positive codes from a high predictor must saturate at
+    32767 (not wrap) and pin the step index at 88; all-zero codes from
+    index 0 must pin the index at 0."""
+    p, x = 32000, 88
+    for _ in range(8):
+        p, x = ima_adpcm_step(p, x, 7)
+    assert p == 32767 and x == 88
+    p, x = -32000, 88
+    for _ in range(8):
+        p, x = ima_adpcm_step(p, x, 15)
+    assert p == -32768
+    p, x = 0, 0
+    for _ in range(4):
+        p, x = ima_adpcm_step(p, x, 0)
+    assert x == 0
+
+
+def test_adpcm_multi_block_decode():
+    """Blocks are independent: each restarts from its own header."""
+    one = encode_wav_ima_adpcm(100, 5, bytes([1, 9, 3, 12]))
+    # splice a second identical block into the data chunk
+    pay = bytearray(one)
+    dpos = pay.index(b"data")
+    (dlen,) = struct.unpack("<I", pay[dpos + 4:dpos + 8])
+    block = bytes(pay[dpos + 8:dpos + 8 + dlen])
+    struct.pack_into("<I", pay, dpos + 4, dlen * 2)
+    pay[dpos + 8 + dlen:dpos + 8 + dlen] = block
+    struct.pack_into("<I", pay, 4, len(pay) - 8)
+    _, samples = decode_wav_adpcm(bytes(pay))
+    _, single = decode_wav_adpcm(one)
+    assert samples == single * 2
+
+
+def test_adpcm_envelope_errors():
+    with pytest.raises(ValueError):
+        encode_wav_ima_adpcm(40000, 0, bytes(2))      # predictor range
+    with pytest.raises(ValueError):
+        encode_wav_ima_adpcm(0, 89, bytes(2))          # index range
+    with pytest.raises(ValueError):
+        encode_wav_ima_adpcm(0, 0, bytes(3))           # odd nibbles
+    with pytest.raises(ValueError):
+        encode_wav_ima_adpcm(0, 0, bytes([16, 0]))     # nibble range
+    pay = bytearray(encode_wav_ima_adpcm(0, 0, bytes(4)))
+    fpos = pay.index(b"fmt ")
+    struct.pack_into("<H", pay, fpos + 10, 2)          # channels -> 2
+    with pytest.raises(ValueError):
+        decode_wav_adpcm(bytes(pay))
+    pay = bytearray(encode_wav_ima_adpcm(0, 0, bytes(4)))
+    struct.pack_into("<H", pay, pay.index(b"fmt ") + 8 + 18, 99)  # spb
+    with pytest.raises(ValueError):
+        decode_wav_adpcm(bytes(pay))
+    pay = bytearray(encode_wav_ima_adpcm(0, 0, bytes(4)))
+    dpos = pay.index(b"data")
+    pay[dpos + 8 + 2] = 90                             # block index > 88
+    with pytest.raises(ValueError):
+        decode_wav_adpcm(bytes(pay))
+    with pytest.raises(ValueError):                    # plain PCM payload
+        decode_wav_adpcm(encode_wav([1, 2, 3, 4]))
+    with pytest.raises(ValueError):
+        decode_wav_adpcm(b"RIFF\x00\x00\x00\x00WAVE")
+
+
+def test_mulaw_known_values_and_symmetry():
+    assert mulaw_to_linear(0xFF) == 0          # positive zero
+    assert mulaw_to_linear(0x7F) == 0          # negative zero
+    assert mulaw_to_linear(0x00) == -32124     # max negative
+    assert mulaw_to_linear(0x80) == 32124      # max positive
+    for b in range(128):
+        assert mulaw_to_linear(b) == -mulaw_to_linear(b | 0x80)
+    # monotone decreasing magnitude as the code increases within sign
+    mags = [mulaw_to_linear(b | 0x80) for b in range(128)]
+    assert mags == sorted(mags, reverse=True)
+
+
+def test_mulaw_wav_roundtrip_and_envelope():
+    data = bytes(range(256))
+    rate, ch, samples = decode_wav_mulaw(encode_wav_mulaw(data, 8_000))
+    assert (rate, ch) == (8_000, 1)
+    assert samples == [mulaw_to_linear(b) for b in data]
+    with pytest.raises(ValueError):            # PCM tag, not mu-law
+        decode_wav_mulaw(encode_wav([0, 1, 2, 3]))
+    pay = bytearray(encode_wav_mulaw(data))
+    struct.pack_into("<H", pay, pay.index(b"fmt ") + 8 + 14, 16)  # bits
+    with pytest.raises(ValueError):
+        decode_wav_mulaw(bytes(pay))
+
+
+def test_adpcm_and_mulaw_spark_kernels(spark):
+    """End-to-end through the Spark stages, plus the quarantine row."""
+    from felixzh_flink_spark.operators import multimodal as MM
+
+    ids = list(range(13))
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {r.doc_id: (r.n_samples, r.pcm_sum, r.pcm_wsum)
+           for r in MM.wav_adpcm_stats(
+               MM.synthesize_adpcm_wav_column(df)).collect()}
+    for i in ids:
+        nib = bytes((i * 7 + 3 * k) % 16 for k in range(2 * (i % 8 + 8)))
+        _, samples = decode_wav_adpcm(encode_wav_ima_adpcm(
+            (i * 37) % 2048 - 1024, i % 89, nib))
+        assert got[i] == (len(samples), sum(samples),
+                          sum((k + 1) * s for k, s in enumerate(samples)))
+    bad = spark.createDataFrame([(99, bytearray(b"JUNK"))],
+                                "doc_id long, wav binary")
+    rows = MM.wav_adpcm_stats(bad).collect()
+    assert len(rows) == 1 and rows[0].n_samples is None
+    gotm = {r.doc_id: (r.n_samples, r.pcm_sum)
+            for r in MM.wav_mulaw_stats(
+                MM.synthesize_mulaw_wav_column(df)).collect()}
+    for i in ids:
+        s = [mulaw_to_linear((i * 11 + 5 * k) % 256)
+             for k in range(i % 32 + 16)]
+        assert gotm[i] == (len(s), sum(s))
