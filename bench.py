@@ -145,6 +145,9 @@ HEADLINE = [
     # expansion and G.711 mu-law companding decode
     "adpcm_decode_stats",
     "mulaw_decode_stats",
+    # round 6j: directory-walk image format — TIFF IFD in either byte
+    # order, multi-strip reassembly, genuine PackBits decompression
+    "tiff_decode_stats",
 ]
 
 

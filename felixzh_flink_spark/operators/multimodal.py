@@ -1249,9 +1249,10 @@ def image_feature_stats(df: DataFrame, id_col: str = "doc_id",
     """REAL image feature extraction over a MIXED-FORMAT media column —
     the working replacement for the PIL-stubbed `extract_features` on
     every format the engine decodes natively: sniff each payload's
-    magic bytes (\\x89PNG / GIF8 / \\xff\\xd8), decode with the
-    matching pure-stdlib codec (grayscale PNG broadcast to RGB, GIF
-    palette lookup, JPEG via the gray/color dispatcher), and emit
+    magic bytes (\\x89PNG / GIF8 / \\xff\\xd8 / BM / II*\\0 / MM\\0*),
+    decode with the matching pure-stdlib codec (grayscale PNG broadcast
+    to RGB, GIF palette lookup, JPEG via the gray/color dispatcher,
+    BMP layout un-trapping, TIFF IFD walk in either endianness), and emit
     per-image features — mean RGB level and luminance variance (the
     flat/low-contrast screens a quality gate keys on). Float features
     are derived from exact integer sums with a FIXED formula
@@ -1263,6 +1264,7 @@ def image_feature_stats(df: DataFrame, id_col: str = "doc_id",
     from felixzh_flink_spark.functions.gif_codec import decode_gif
     from felixzh_flink_spark.functions.jpeg_codec import decode_jpeg
     from felixzh_flink_spark.functions.png_codec import decode_png
+    from felixzh_flink_spark.functions.tiff_codec import decode_tiff
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1306,6 +1308,13 @@ def image_feature_stats(df: DataFrame, id_col: str = "doc_id",
                     elif head.startswith(b"BM"):
                         fmt = "bmp"
                         w, h, px = decode_bmp(p)
+                        trip = [(px[3 * j], px[3 * j + 1], px[3 * j + 2])
+                                for j in range(w * h)]
+                        ch_out = 3
+                    elif head.startswith(b"II*\x00") or \
+                            head.startswith(b"MM\x00*"):
+                        fmt = "tiff"
+                        w, h, px = decode_tiff(p)
                         trip = [(px[3 * j], px[3 * j + 1], px[3 * j + 2])
                                 for j in range(w * h)]
                         ch_out = 3
@@ -1550,6 +1559,73 @@ def bmp_pixel_stats(df: DataFrame, id_col: str = "doc_id",
             for i, p in zip(pdf[id_col], pdf[payload_col]):
                 try:
                     w, h, rgb = decode_bmp(p)
+                    rows.append((int(i), w, h, sum(rgb[0::3]),
+                                 sum(rgb[1::3]), sum(rgb[2::3]),
+                                 sum((k + 1) * b
+                                     for k, b in enumerate(rgb))))
+                except Exception:  # ValueError / struct.error
+                    rows.append((int(i), None, None, None, None, None,
+                                 None))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "width", "height", "r_sum", "g_sum", "b_sum",
+                "pixel_wsum"])
+
+    return df.mapInPandas(kernel, schema=BMP_STATS_SCHEMA)
+
+
+def _tiff_payload(i: int) -> bytes:
+    """Closed-form TIFF fixture recipe: width = i%5+1, height = i%4+2,
+    BIG-endian for odd ids (the 'MM' byte-order trap), PackBits
+    compression for ids divisible by 3 (those use RGB byte k =
+    (i·31 + 7·(k//5)) mod 256 — runs of five, so the RLE genuinely
+    compresses), plain strips otherwise (byte k = (i·31+7k) mod 256),
+    RowsPerStrip=2 so taller images get multiple strips — shared
+    builder, same discipline as `_bmp_payload`."""
+    from felixzh_flink_spark.functions.tiff_codec import encode_tiff
+
+    w, h = i % 5 + 1, i % 4 + 2
+    if i % 3 == 0:
+        rgb = bytes((i * 31 + 7 * (k // 5)) % 256
+                    for k in range(3 * w * h))
+        return encode_tiff(w, h, rgb, big_endian=(i % 2 == 1),
+                           compression=32773, rows_per_strip=2)
+    rgb = bytes((i * 31 + 7 * k) % 256 for k in range(3 * w * h))
+    return encode_tiff(w, h, rgb, big_endian=(i % 2 == 1),
+                       compression=1, rows_per_strip=2)
+
+
+def synthesize_tiff_column(df: DataFrame, id_col: str = "doc_id",
+                           payload_col: str = "tiff") -> DataFrame:
+    """Deterministic TIFF fixture generator (`_tiff_payload` per row):
+    REAL baseline-RGB TIFFs mixing both byte orders, PackBits and
+    uncompressed strips, and multi-strip layouts. Arrow-batched
+    pandas UDF."""
+    @F.pandas_udf("binary")
+    def _make(ids: pd.Series) -> pd.Series:
+        return pd.Series([_tiff_payload(int(i)) for i in ids])
+
+    return df.withColumn(payload_col, _make(F.col(id_col)))
+
+
+def tiff_pixel_stats(df: DataFrame, id_col: str = "doc_id",
+                     payload_col: str = "tiff") -> DataFrame:
+    """REAL TIFF decode (no stub): walk the Image File Directory in
+    EITHER byte order, resolve inline-vs-offset tag values, reassemble
+    RowsPerStrip-sized strips in order, and genuinely decompress
+    PackBits strips (`functions/tiff_codec`). Emits per-channel sums
+    plus the byte-order-sensitive pixel_wsum = Σ (k+1)·byteₖ over the
+    row-major RGB stream — a reader that assumes one endianness,
+    mis-reads an inline SHORT, or swaps strip order cannot pass.
+    Undecodable payloads yield null stats. One Arrow-batched
+    mapInPandas projection, no shuffle."""
+    from felixzh_flink_spark.functions.tiff_codec import decode_tiff
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    w, h, rgb = decode_tiff(p)
                     rows.append((int(i), w, h, sum(rgb[0::3]),
                                  sum(rgb[1::3]), sum(rgb[2::3]),
                                  sum((k + 1) * b

@@ -4276,6 +4276,48 @@ def bmp_decode_stats(spark, sf_dir):
     return MM.bmp_pixel_stats(MM.synthesize_bmp_column(d))
 
 
+@q("tiff_decode_stats", """
+WITH g AS (
+  SELECT doc_id, doc_id % 5 + 1 AS w, doc_id % 4 + 2 AS h,
+         doc_id % 3 = 0 AS rle
+  FROM documents
+), s AS (
+  SELECT doc_id, w, h, list_transform(range(0, 3 * w * h), k ->
+    CASE WHEN rle THEN (doc_id * 31 + 7 * (k // 5)) % 256
+         ELSE (doc_id * 31 + 7 * k) % 256 END) AS rgb
+  FROM g
+)
+SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(list_sum(list_transform(range(0, w * h),
+            j -> list_extract(rgb, 3 * j + 1))) AS BIGINT) AS r_sum,
+       CAST(list_sum(list_transform(range(0, w * h),
+            j -> list_extract(rgb, 3 * j + 2))) AS BIGINT) AS g_sum,
+       CAST(list_sum(list_transform(range(0, w * h),
+            j -> list_extract(rgb, 3 * j + 3))) AS BIGINT) AS b_sum,
+       CAST(list_sum(list_transform(range(1, 3 * w * h + 1),
+            k -> k * list_extract(rgb, k))) AS BIGINT) AS pixel_wsum
+FROM s
+""")
+def tiff_decode_stats(spark, sf_dir):
+    """REAL TIFF decode end-to-end — the DIRECTORY-walk image format:
+    unlike the stream formats already decoded (PNG chunks, GIF blocks,
+    BMP's fixed header), TIFF reaches pixels through an IFD of
+    (tag, type, count, value) entries whose values may sit inline in
+    the 4-byte field or anywhere else in the file, in EITHER byte
+    order. Per doc a genuine baseline-RGB TIFF (BIG-endian 'MM' for
+    odd ids, PackBits-RLE strips for ids divisible by 3 — genuinely
+    decompressed — RowsPerStrip=2 multi-strip layout) is encoded from
+    a closed-form recipe and decoded back (`functions/tiff_codec`,
+    `multimodal.tiff_pixel_stats`). The oracle predicts per-channel
+    sums + byte-order-sensitive pixel_wsum — a reader that assumes
+    little-endian, mis-reads an inline SHORT from the wrong half of
+    the value field, or reassembles strips out of order cannot pass.
+    TIFF also joins the `image_feature_stats` magic-byte dispatch.
+    One Arrow-batched mapInPandas projection, no shuffle."""
+    d = _t_wide(spark, sf_dir, "documents").select("doc_id")
+    return MM.tiff_pixel_stats(MM.synthesize_tiff_column(d))
+
+
 @q("png_thumbnail_stats", """
 WITH g AS (
   SELECT doc_id,
@@ -6474,6 +6516,7 @@ _DRIVER_ORDER = [
     # =================================================================
     # --- new round-6 queries
     "gif_composite_stats", "adpcm_decode_stats", "mulaw_decode_stats",
+    "tiff_decode_stats",
     "robots_wildcard_paths", "url_registrable_psl", "gif_decode_stats",
     "robots_site_gate", "jpeg_decode_stats", "jpeg_color_decode_stats",
     "gif_frame_sample_stats", "avi_frame_sample_stats",
@@ -6494,10 +6537,10 @@ _DRIVER_ORDER = [
     "deterministic_split_counts", "doc_quality", "doc_repetition",
     "dup_size_histogram", "fingerprint_docs", "grouping_pricing",
     "lang_id_pred", "lineitem_meta_stats", "market_segment_stats",
-    "multimodal_frame_plan", "multimodal_meta", "order_window_analytics",
+    "multimodal_frame_plan", "multimodal_meta",
     # ---- position 50 boundary ----
-    "pack_sequences", "profile_lineitem", "q11_important_stock",
-    "q13_customer_distribution",
+    "order_window_analytics", "pack_sequences", "profile_lineitem",
+    "q11_important_stock", "q13_customer_distribution",
     "q16_supplier_part_counts",
     "q19_disjunctive_revenue", "q20_part_shippers",
     "q21_waiting_supplier", "q22_global_sales_opportunity",
