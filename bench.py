@@ -148,6 +148,10 @@ HEADLINE = [
     # round 6j: directory-walk image format — TIFF IFD in either byte
     # order, multi-strip reassembly, genuine PackBits decompression
     "tiff_decode_stats",
+    # round 6k: the crawl-ingestion layer — gzip member framing and
+    # WARC record extraction over real corpus text
+    "gzip_roundtrip_docs",
+    "warc_extract_stats",
 ]
 
 

@@ -1506,6 +1506,154 @@ def wav_mulaw_stats(df: DataFrame, id_col: str = "doc_id",
     return df.mapInPandas(kernel, schema=AUDIO_PCM_STATS_SCHEMA)
 
 
+GZIP_ROUNDTRIP_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("n_members", T.IntegerType(), True),
+    T.StructField("text", T.StringType(), True),
+])
+
+
+def synthesize_gzip_column(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           payload_col: str = "gz") -> DataFrame:
+    """Deterministic gzip fixture over REAL corpus text: each doc's
+    UTF-8 bytes become a gzip stream — even ids with ≥ 2 bytes are
+    split into TWO concatenated members (the `.warc.gz` shape, cut at
+    the byte midpoint, which may fall inside a UTF-8 sequence — member
+    boundaries are byte-level, so a reader that decodes members
+    independently instead of joining bytes first breaks); odd ids get
+    one member carrying an FNAME field and a header CRC16 the walker
+    must verify and skip. Arrow-batched pandas UDF."""
+    from felixzh_flink_spark.functions.gzip_codec import (
+        encode_gzip_member, encode_gzip_members)
+
+    @F.pandas_udf("binary")
+    def _make(ids: pd.Series, texts: pd.Series) -> pd.Series:
+        out = []
+        for i, t in zip(ids, texts):
+            i = int(i)
+            raw = ("" if t is None else str(t)).encode("utf-8")
+            if i % 2 == 0 and len(raw) >= 2:
+                cut = len(raw) // 2
+                out.append(encode_gzip_members([raw[:cut], raw[cut:]]))
+            else:
+                out.append(encode_gzip_member(raw, name=f"doc-{i}",
+                                              hcrc=True))
+        return pd.Series(out)
+
+    return df.withColumn(payload_col, _make(F.col(id_col),
+                                            F.col(text_col)))
+
+
+def gzip_roundtrip_stats(df: DataFrame, id_col: str = "doc_id",
+                         payload_col: str = "gz") -> DataFrame:
+    """REAL gzip member walk (`functions/gzip_codec`): iterate every
+    RFC 1952 member (FEXTRA/FNAME/FHCRC header fields, CRC32 + ISIZE
+    trailer verification), join the decompressed byte streams, and
+    decode UTF-8 — emitting the member count and the recovered text,
+    which the oracle compares VERBATIM against the source column. A
+    walker that stops after the first member, mis-skips a header
+    field, or splits UTF-8 at the member boundary cannot pass.
+    Undecodable payloads yield a null-stats quarantine row. One
+    Arrow-batched mapInPandas projection, no shuffle."""
+    from felixzh_flink_spark.functions.gzip_codec import \
+        decode_gzip_members
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    members = decode_gzip_members(p)
+                    raw = b"".join(r for _m, r in members)
+                    rows.append((int(i), len(members),
+                                 raw.decode("utf-8")))
+                except Exception:  # ValueError / UnicodeDecodeError
+                    rows.append((int(i), None, None))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "n_members", "text"])
+
+    return df.mapInPandas(kernel, schema=GZIP_ROUNDTRIP_SCHEMA)
+
+
+WARC_RECORD_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("n_records", T.IntegerType(), True),
+    T.StructField("target_uri", T.StringType(), True),
+    T.StructField("response_len", T.LongType(), True),
+    T.StructField("text", T.StringType(), True),
+])
+
+
+def synthesize_warc_column(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           payload_col: str = "warc") -> DataFrame:
+    """Deterministic `.warc.gz` fixture over REAL corpus text: per doc
+    a two-record WARC — a `warcinfo` record and a `response` record
+    whose block is the doc's UTF-8 text and whose WARC-Target-URI is
+    `http://example.com/doc/<id>` — each record its OWN gzip member
+    (the canonical crawl layout readers split on). Arrow-batched
+    pandas UDF."""
+    from felixzh_flink_spark.functions.warc_codec import encode_warc
+
+    @F.pandas_udf("binary")
+    def _make(ids: pd.Series, texts: pd.Series) -> pd.Series:
+        out = []
+        for i, t in zip(ids, texts):
+            i = int(i)
+            block = ("" if t is None else str(t)).encode("utf-8")
+            out.append(encode_warc([
+                ({"WARC-Type": "warcinfo",
+                  "WARC-Record-ID": f"urn:warcinfo:{i}"},
+                 b"software: felixzh-flink-spark\r\n"),
+                ({"WARC-Type": "response",
+                  "WARC-Record-ID": f"urn:doc:{i}",
+                  "WARC-Target-URI": f"http://example.com/doc/{i}"},
+                 block),
+            ], gzip_per_record=True))
+        return pd.Series(out)
+
+    return df.withColumn(payload_col, _make(F.col(id_col),
+                                            F.col(text_col)))
+
+
+def warc_record_stats(df: DataFrame, id_col: str = "doc_id",
+                      payload_col: str = "warc") -> DataFrame:
+    """REAL WARC parse (`functions/warc_codec`): walk the gzip members
+    of a `.warc.gz`, parse each record's version line + header fields,
+    read the block strictly by Content-Length, and emit per doc the
+    record count, the response record's WARC-Target-URI, its block
+    byte length, and the recovered text — compared VERBATIM against
+    the source column by the oracle. A parser that trusts record order
+    without checking WARC-Type, reads past Content-Length, or drops
+    the terminator check cannot pass. Undecodable payloads yield a
+    null-stats quarantine row. One Arrow-batched mapInPandas
+    projection, no shuffle."""
+    from felixzh_flink_spark.functions.warc_codec import decode_warc
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    records = decode_warc(p)
+                    responses = [(h, b) for h, b in records
+                                 if h.get("WARC-Type") == "response"]
+                    if len(responses) != 1:
+                        raise ValueError("expected one response record")
+                    h, b = responses[0]
+                    rows.append((int(i), len(records),
+                                 h.get("WARC-Target-URI"), len(b),
+                                 b.decode("utf-8")))
+                except Exception:  # ValueError / UnicodeDecodeError
+                    rows.append((int(i), None, None, None, None))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "n_records", "target_uri", "response_len",
+                "text"])
+
+    return df.mapInPandas(kernel, schema=WARC_RECORD_SCHEMA)
+
+
 def _bmp_payload(i: int) -> bytes:
     """Closed-form BMP fixture recipe: width = i%5+1, height = i%4+1,
     top-down RGB byte k = (i·31 + 7k) mod 256 — shared builder, same
