@@ -152,6 +152,9 @@ HEADLINE = [
     # WARC record extraction over real corpus text
     "gzip_roundtrip_docs",
     "warc_extract_stats",
+    # round 6l: protobuf wire format — varint/zigzag/fixed64/nested +
+    # unknown-field skip (the flink-protobuf member of the family)
+    "proto_roundtrip_orders",
 ]
 
 

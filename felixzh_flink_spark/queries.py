@@ -1849,6 +1849,31 @@ def avro_roundtrip_orders(spark, sf_dir):
         o.schema)
 
 
+@q("proto_roundtrip_orders", """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       o_orderpriority
+FROM orders
+""")
+def proto_roundtrip_orders(spark, sf_dir):
+    """Protobuf WIRE-FORMAT encode→decode roundtrip — the remaining
+    member of the Flink pluggable-format family (flink-protobuf joins
+    csv/json/avro/canal/debezium on the same S11/K9 surface the
+    reference's Kafka SQL sources select per topic). Each orders row
+    becomes a real wire message: varint orderkey, ZIGZAG custkey,
+    UTF-8 length-delimited status, IEEE-fixed64 totalprice (bit-exact
+    double), and the priority inside a NESTED message with
+    deliberately non-contiguous field numbers; two UNKNOWN fields (a
+    varint and a length-delimited blob) are injected after encoding
+    and must be skipped BY WIRE TYPE — the schema-evolution contract
+    real consumers depend on (`functions/proto_codec`, golden wire
+    bytes from the public encoding spec pinned in units). Identity on
+    the projected columns is the oracle. One Arrow-batched
+    mapInPandas stage, no shuffle."""
+    from felixzh_flink_spark.functions.proto_codec import proto_roundtrip
+
+    return proto_roundtrip(_t(spark, sf_dir, "orders"))
+
+
 @q("events_json_extract", """
 SELECT event_type,
        CAST(SUM(json_extract(props, '$.k')::INT) AS BIGINT) AS sum_k,
@@ -6571,6 +6596,7 @@ _DRIVER_ORDER = [
     # --- new round-6 queries
     "gif_composite_stats", "adpcm_decode_stats", "mulaw_decode_stats",
     "tiff_decode_stats", "gzip_roundtrip_docs", "warc_extract_stats",
+    "proto_roundtrip_orders",
     "robots_wildcard_paths", "url_registrable_psl", "gif_decode_stats",
     "robots_site_gate", "jpeg_decode_stats", "jpeg_color_decode_stats",
     "gif_frame_sample_stats", "avi_frame_sample_stats",
@@ -6590,8 +6616,9 @@ _DRIVER_ORDER = [
     "cosine_topk", "decontaminated_counts", "dedup_exact_docs",
     "deterministic_split_counts", "doc_quality", "doc_repetition",
     "dup_size_histogram", "fingerprint_docs", "grouping_pricing",
-    "lang_id_pred", "lineitem_meta_stats", "market_segment_stats",
+    "lang_id_pred", "lineitem_meta_stats",
     # ---- position 50 boundary ----
+    "market_segment_stats",
     "multimodal_frame_plan", "multimodal_meta",
     "order_window_analytics", "pack_sequences", "profile_lineitem",
     "q11_important_stock", "q13_customer_distribution",

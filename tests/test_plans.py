@@ -112,7 +112,8 @@ def test_headline_queries_have_no_python_stages(spark):
                "wav_segment_stats", "bmp_decode_stats",
                "gif_composite_stats", "adpcm_decode_stats",
                "mulaw_decode_stats", "tiff_decode_stats",
-               "gzip_roundtrip_docs", "warc_extract_stats"}
+               "gzip_roundtrip_docs", "warc_extract_stats",
+               "proto_roundtrip_orders"}
     for name in bench.HEADLINE:
         if name in allowed:
             continue
