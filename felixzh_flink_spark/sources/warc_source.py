@@ -24,8 +24,13 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, \
-    InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 SCHEMA_DDL = ("file string, record_idx int, warc_type string, "
               "record_id string, target_uri string, "
@@ -84,10 +89,65 @@ class _WarcReader(DataSourceReader):
                    int(headers.get("Content-Length", -1)), block)
 
 
+class _WarcCommit(WriterCommitMessage):
+    def __init__(self, path: str, n_records: int):
+        self.path = path
+        self.n_records = n_records
+
+
+class _WarcWriter(DataSourceWriter):
+    """One `.warc.gz` output file PER PARTITION (the crawl-dump shape:
+    a directory of independently-readable segment files; at scale the
+    file count is the write parallelism, matching the reader's
+    partition-per-file split). Input rows need `block` (binary) and
+    optionally `warc_type` / `record_id` / `target_uri`; each record
+    becomes its own gzip member so downstream readers can split it."""
+
+    def __init__(self, options, overwrite: bool):
+        if "path" not in options:
+            raise ValueError("felixzh_warc requires option 'path'")
+        self.path = options["path"]
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> _WarcCommit:
+        from pyspark import TaskContext
+
+        from felixzh_flink_spark.functions.warc_codec import encode_warc
+
+        pid = TaskContext.get().partitionId()
+        records = []
+        for row in iterator:
+            d = row.asDict()
+            headers = {"WARC-Type": d.get("warc_type") or "resource"}
+            if d.get("record_id"):
+                headers["WARC-Record-ID"] = d["record_id"]
+            if d.get("target_uri"):
+                headers["WARC-Target-URI"] = d["target_uri"]
+            block = d.get("block")
+            records.append((headers,
+                            bytes(block) if block is not None else b""))
+        os.makedirs(self.path, exist_ok=True)
+        out = os.path.join(self.path, f"part-{pid:05d}.warc.gz")
+        if records:
+            with open(out, "wb") as fh:
+                fh.write(encode_warc(records, gzip_per_record=True))
+        return _WarcCommit(out, len(records))
+
+    def commit(self, messages) -> None:
+        pass
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
 class WarcDataSource(DataSource):
     """`spark.dataSource.register(WarcDataSource)` then
     `spark.read.format("felixzh_warc").option("path", dir)` — one
-    partition per `.warc(.gz)` file, records streamed per member."""
+    partition per `.warc(.gz)` file, records streamed per member — or
+    `df.write.format("felixzh_warc").option("path", dir)` — one
+    `.warc.gz` segment file per partition."""
 
     @classmethod
     def name(cls) -> str:
@@ -98,6 +158,9 @@ class WarcDataSource(DataSource):
 
     def reader(self, schema) -> _WarcReader:
         return _WarcReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> _WarcWriter:
+        return _WarcWriter(self.options, overwrite)
 
 
 def register(spark) -> None:
