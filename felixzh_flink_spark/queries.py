@@ -5901,6 +5901,61 @@ def jaccard_join_exact(spark, sf_dir):
         F.col("n_b").cast("int").alias("n_b"), "jacc")
 
 
+@q("dedup_components", r"""
+WITH RECURSIVE t AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS tk
+  FROM documents
+), s AS (
+  SELECT doc_id, list_distinct([array_to_string(tk[i:i+2], ' ')
+          FOR i IN generate_series(1, len(tk) - 2)]) AS toks
+  FROM t WHERE len(tk) >= 3
+), p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+        >= 0.7
+), e AS (
+  SELECT id_a AS a, id_b AS b FROM p
+  UNION SELECT id_b, id_a FROM p
+), reach AS (
+  SELECT a AS node, b AS r FROM e
+  UNION
+  SELECT reach.node, e.b FROM reach JOIN e ON reach.r = e.a
+)
+SELECT node AS doc_id,
+       CAST(LEAST(node, MIN(r)) AS BIGINT) AS component_id
+FROM reach GROUP BY node
+""")
+def dedup_components(spark, sf_dir):
+    """Distributed CONNECTED COMPONENTS over the near-duplicate pair
+    graph — the step every pairwise similarity stage needs before it
+    becomes dedup: edges are the exact-Jaccard pairs
+    (`dedup.token_set_jaccard_join`, the zero-false-negative prefix
+    join already oracle-proven), clustered by iterative min-label
+    propagation (`graph.connected_components` — union-find does not
+    distribute; hash-min rounds = cluster diameter, tiny for near-dup
+    clumps, one label join + one keyed min per round, both hashed on
+    node id so the partitioning is reused round to round; convergence
+    is a scalar changed-count action, never a driver materialization).
+    Output: every node with the SMALLEST doc_id of its component (the
+    canonical survivor real dedup keeps — `keep_min_per_component` is
+    then a filter, not a shuffle). The oracle computes the transitive
+    closure as a recursive CTE and takes the per-node min — feasible
+    at oracle scale, exactly the formulation that cannot scale, which
+    is the point of the operator."""
+    from felixzh_flink_spark.operators.graph import connected_components
+
+    pairs = DD.token_set_jaccard_join(
+        _t_wide(spark, sf_dir, "documents"), threshold=0.7,
+        ngram=3).select("id_a", "id_b")
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    return comp.select(
+        F.col("node").cast("bigint").alias("doc_id"),
+        F.col("component").cast("bigint").alias("component_id"))
+
+
 @q("global_doc_ids", """
 SELECT doc_id, source,
        ROW_NUMBER() OVER (ORDER BY source, doc_id) AS global_id
@@ -6596,7 +6651,7 @@ _DRIVER_ORDER = [
     # --- new round-6 queries
     "gif_composite_stats", "adpcm_decode_stats", "mulaw_decode_stats",
     "tiff_decode_stats", "gzip_roundtrip_docs", "warc_extract_stats",
-    "proto_roundtrip_orders",
+    "proto_roundtrip_orders", "dedup_components",
     "robots_wildcard_paths", "url_registrable_psl", "gif_decode_stats",
     "robots_site_gate", "jpeg_decode_stats", "jpeg_color_decode_stats",
     "gif_frame_sample_stats", "avi_frame_sample_stats",
@@ -6616,8 +6671,9 @@ _DRIVER_ORDER = [
     "cosine_topk", "decontaminated_counts", "dedup_exact_docs",
     "deterministic_split_counts", "doc_quality", "doc_repetition",
     "dup_size_histogram", "fingerprint_docs", "grouping_pricing",
-    "lang_id_pred", "lineitem_meta_stats",
+    "lang_id_pred",
     # ---- position 50 boundary ----
+    "lineitem_meta_stats",
     "market_segment_stats",
     "multimodal_frame_plan", "multimodal_meta",
     "order_window_analytics", "pack_sequences", "profile_lineitem",

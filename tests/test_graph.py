@@ -1,0 +1,82 @@
+"""Connected components (operators/graph) — min-label propagation vs a
+naive union-find reference (oracle twin: `dedup_components`).
+"""
+
+import random
+
+import pytest
+
+from felixzh_flink_spark.operators.graph import (
+    component_sizes,
+    connected_components,
+    keep_min_per_component,
+)
+
+
+def _uf_reference(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def _run(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {r.node: r.component
+            for r in connected_components(df, **kw).collect()}
+
+
+def test_two_components_and_chain(spark):
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (12, 11)]
+    got = _run(spark, edges)
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_self_loops_and_duplicate_edges_are_harmless(spark):
+    edges = [(5, 5), (5, 6), (6, 5), (5, 6), (7, 7)]
+    got = _run(spark, edges)
+    assert got == {5: 5, 6: 5, 7: 7}
+
+
+def test_random_graphs_match_union_find(spark):
+    rnd = random.Random(11)
+    nodes = list(range(40))
+    edges = [(rnd.choice(nodes), rnd.choice(nodes)) for _ in range(45)]
+    got = _run(spark, edges)
+    assert got == _uf_reference(edges)
+
+
+def test_min_label_is_the_component_min(spark):
+    edges = [(9, 3), (3, 7), (100, 42)]
+    got = _run(spark, edges)
+    assert got[9] == got[3] == got[7] == 3
+    assert got[100] == got[42] == 42
+
+
+def test_convergence_bound_raises(spark):
+    chain = [(i, i + 1) for i in range(12)]
+    with pytest.raises(RuntimeError):
+        connected_components(
+            spark.createDataFrame(chain, "src long, dst long"),
+            max_iter=2).collect()
+
+
+def test_sizes_and_keep_min(spark):
+    edges = [(1, 2), (2, 3), (10, 11)]
+    comp = connected_components(
+        spark.createDataFrame(edges, "src long, dst long"))
+    sizes = {r.component: r.n_members
+             for r in component_sizes(comp).collect()}
+    assert sizes == {1: 3, 10: 2}
+    kept = sorted(r.node for r in keep_min_per_component(comp).collect())
+    assert kept == [1, 10]

@@ -279,3 +279,24 @@ def test_robots_wildcard_fold_stays_scan_local(spark):
     # shuffle; the wildcard rules live inside the fold as rlike regexes
     assert "Exchange" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_dynamic_partition_pruning_prunes_fact_scan(spark, tmp_path):
+    """Joining a directory-partitioned fact against a FILTERED dim must
+    inject a dynamic-pruning subquery into the fact scan's
+    PartitionFilters — at 100 TB this is the difference between
+    scanning 2 partitions and scanning 20. The dim filter is on a
+    column Catalyst cannot statically relate to the partition key, so
+    the pruning has to happen at RUNTIME from the broadcast side."""
+    from pyspark.sql import functions as F
+
+    fact = spark.range(0, 20_000).selectExpr("id", "id % 20 AS pk")
+    fact.write.partitionBy("pk").parquet(str(tmp_path / "fact"))
+    dim = spark.createDataFrame(
+        [(pk, "hot" if pk in (3, 7) else "cold") for pk in range(20)],
+        "pk long, tier string")
+    f = spark.read.parquet(str(tmp_path / "fact"))
+    j = f.join(dim, "pk").where(F.col("tier") == "hot")
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    assert j.count() == 2_000
