@@ -155,6 +155,9 @@ HEADLINE = [
     # round 6l: protobuf wire format — varint/zigzag/fixed64/nested +
     # unknown-field skip (the flink-protobuf member of the family)
     "proto_roundtrip_orders",
+    # round 6m: order-pinned EWMA fold (keyed decaying-accumulator
+    # reduce; F.aggregate ≡ list_reduce bit-exact doubles)
+    "ewma_user_value",
 ]
 
 

@@ -419,3 +419,37 @@ def rolling_time_agg(df: DataFrame, key_col: str, ts_col: str,
             .withColumn("n_win", F.expr(f"count(*) {over}"))
             .withColumn("sum_win",
                         F.expr(f"sum({v_sql}) {over}").cast("double")))
+
+
+def ewma_by_key(df: DataFrame, key_col: str, order_cols: "list[str]",
+                value_col: str, alpha: float = 0.5,
+                out: str = "ewma") -> DataFrame:
+    """Exponentially weighted moving average per key with an EXACT,
+    order-pinned fold: each key's series is sorted by `order_cols`
+    (make them a total order — e.g. (ts, event_id) — or the result is
+    nondeterministic), seeded with the first value, then folded
+    left-to-right as acc·(1−α) + x·α inside a single JVM `aggregate`
+    expression. Because the fold order and the arithmetic are fixed,
+    a SQL engine folding the same sorted list (DuckDB `list_reduce`)
+    reproduces the DOUBLES bit-for-bit — the same discipline as the
+    engine's exact-sum work. Null values are dropped before the fold
+    (a null would poison the accumulator).
+
+    Scale shape: one keyed shuffle (the groupBy); each key's series is
+    collected into ONE row, so per-key cardinality must be bounded
+    (user sessions, device days). For unbounded series use the
+    streaming stateful fold instead — this is the batch/backfill
+    form. Flink parity: the keyed `reduce` with a decaying
+    accumulator that the reference's aggregation examples hand-roll."""
+    w = df.filter(F.col(value_col).isNotNull())
+    seq = F.sort_array(F.collect_list(F.struct(
+        *[F.col(c) for c in order_cols], F.col(value_col).alias("__v"))))
+    g = w.groupBy(key_col).agg(seq.alias("__s"),
+                               F.count("*").alias("n_events"))
+    vals = F.transform(F.col("__s"), lambda s: s["__v"])
+    folded = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, x: acc * F.lit(1.0 - alpha) + x * F.lit(alpha))
+    return g.select(key_col, F.col("n_events").cast("bigint"),
+                    folded.alias(out))

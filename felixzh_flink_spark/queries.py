@@ -906,6 +906,36 @@ def sliding_count_windows(spark, sf_dir):
         decimal_exact=True)
 
 
+@q("ewma_user_value", """
+WITH s AS (
+  SELECT user_id, array_agg(value ORDER BY ts, event_id) AS vs,
+         COUNT(*) AS n
+  FROM events WHERE value IS NOT NULL
+  GROUP BY user_id
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_events,
+       list_reduce(vs, (acc, x) -> acc * 0.5 + x * 0.5) AS ewma
+FROM s
+""")
+def ewma_user_value(spark, sf_dir):
+    """Order-exact EWMA per user (`aggregations.ewma_by_key`): each
+    user's event series sorted by (ts, event_id), seeded with the
+    first value and folded left-to-right as acc·0.5 + x·0.5 inside one
+    JVM `aggregate` expression — the keyed decaying-accumulator reduce
+    Flink jobs hand-roll (A2 family). The fold ORDER and arithmetic
+    are pinned, so DuckDB's `list_reduce` over the identically-sorted
+    list reproduces the doubles bit-for-bit (the F.aggregate ≡
+    list_reduce discipline). One keyed shuffle; per-key series
+    collected to one row (bounded per-user cardinality — the
+    streaming stateful fold is the unbounded form)."""
+    from felixzh_flink_spark.operators.aggregations import ewma_by_key
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value",
+        F.col("ts").cast("timestamp").alias("ts"))
+    return ewma_by_key(e, "user_id", ["ts", "event_id"], "value")
+
+
 @q("rolling_hour_user_value", """
 SELECT user_id, event_id,
        CAST(COUNT(*) OVER w AS BIGINT) AS n_win,
@@ -6651,7 +6681,7 @@ _DRIVER_ORDER = [
     # --- new round-6 queries
     "gif_composite_stats", "adpcm_decode_stats", "mulaw_decode_stats",
     "tiff_decode_stats", "gzip_roundtrip_docs", "warc_extract_stats",
-    "proto_roundtrip_orders", "dedup_components",
+    "proto_roundtrip_orders", "dedup_components", "ewma_user_value",
     "robots_wildcard_paths", "url_registrable_psl", "gif_decode_stats",
     "robots_site_gate", "jpeg_decode_stats", "jpeg_color_decode_stats",
     "gif_frame_sample_stats", "avi_frame_sample_stats",
@@ -6671,9 +6701,8 @@ _DRIVER_ORDER = [
     "cosine_topk", "decontaminated_counts", "dedup_exact_docs",
     "deterministic_split_counts", "doc_quality", "doc_repetition",
     "dup_size_histogram", "fingerprint_docs", "grouping_pricing",
-    "lang_id_pred",
     # ---- position 50 boundary ----
-    "lineitem_meta_stats",
+    "lang_id_pred", "lineitem_meta_stats",
     "market_segment_stats",
     "multimodal_frame_plan", "multimodal_meta",
     "order_window_analytics", "pack_sequences", "profile_lineitem",

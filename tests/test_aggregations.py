@@ -203,3 +203,28 @@ def test_rolling_time_agg_trailing_window(spark):
     # trailing [t-60min, t]: m=50 sees 0,30,50; m=120 sees only itself
     # (the hour-old event at m=60 would count — RANGE bound is inclusive)
     assert got == {0: (1, 1.0), 30: (2, 2.0), 50: (3, 3.0), 120: (1, 1.0)}
+
+
+def test_ewma_by_key_order_and_nulls(spark):
+    """EWMA fold: seeded with the first value in (order_cols) order,
+    acc·(1−α) + x·α left-to-right, nulls dropped before the fold."""
+    from felixzh_flink_spark.operators.aggregations import ewma_by_key
+
+    df = spark.createDataFrame(
+        [(1, 3, 30.0), (1, 1, 10.0), (1, 2, 20.0),   # out of order
+         (1, 4, None),                                # dropped
+         (2, 1, 5.0)],
+        "user_id long, event_id long, value double")
+    got = {r.user_id: (r.n_events, r.ewma)
+           for r in ewma_by_key(df, "user_id", ["event_id"],
+                                "value").collect()}
+    assert got[1] == (3, 22.5)          # 10 -> 15 -> 22.5
+    assert got[2] == (1, 5.0)           # singleton = seed
+    # alpha != 0.5 still folds in the pinned order
+    got3 = {r.user_id: r.ewma
+            for r in ewma_by_key(df, "user_id", ["event_id"], "value",
+                                 alpha=0.25).collect()}
+    exp = 10.0
+    for v in (20.0, 30.0):
+        exp = exp * 0.75 + v * 0.25
+    assert got3[1] == exp
