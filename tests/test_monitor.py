@@ -1,6 +1,8 @@
 """Streaming observability (streaming/monitor) — the Flink-dashboard
 metrics surface over StreamingQueryListener: per-batch progress ring,
-telemetry-as-DataFrame, per-query summary, failure capture.
+telemetry-as-DataFrame, per-query summary, failure capture — plus the
+streaming EWMA twin's batch-parity contract (streaming/ewma vs
+aggregations.ewma_by_key, bit-identical doubles).
 """
 
 import datetime as dt
@@ -117,3 +119,62 @@ def test_failure_capture(spark):
 
     mon.onQueryProgress(_Bad())
     assert mon.rows() == []
+
+
+# --------------------------------------------------- streaming ewma twin
+
+def test_streaming_ewma_matches_batch_fold(spark, tmp_path):
+    """Batch parity: the stream folds events in (ts, event_id) order as
+    the watermark closes them — the final per-key EWMA must be
+    BIT-IDENTICAL to aggregations.ewma_by_key over the same events,
+    out-of-order arrival included."""
+    from felixzh_flink_spark.operators.aggregations import ewma_by_key
+    from felixzh_flink_spark.streaming.ewma import ewma_stream
+
+    base = dt.datetime(2024, 1, 1)
+    # batch 1 arrives OUT of event-time order within the file
+    b1 = [(base + dt.timedelta(seconds=s), f"k{s % 2}", float(v))
+          for s, v in [(5, 50.0), (1, 10.0), (3, 30.0), (2, 20.0)]]
+    b2 = [(base + dt.timedelta(seconds=s), f"k{s % 2}", float(v))
+          for s, v in [(7, 70.0), (6, 60.0)]]
+    flush = [(base + dt.timedelta(hours=1), "k_flush", 0.0)]
+    rows1 = [(r[0], r[1], r[2], i) for i, r in enumerate(b1)]
+    rows2 = [(r[0], r[1], r[2], 100 + i) for i, r in enumerate(b2)]
+    rowsf = [(flush[0][0], flush[0][1], flush[0][2], 999)]
+    ddl = "ts timestamp, key string, value double, event_id long"
+    spark.createDataFrame(rows1, ddl).coalesce(1) \
+        .write.mode("append").parquet(str(tmp_path / "in"))
+    time.sleep(1.1)
+    spark.createDataFrame(rows2 + rowsf, ddl).coalesce(1) \
+        .write.mode("append").parquet(str(tmp_path / "in"))
+    stream = (spark.readStream.schema(
+        T.StructType([T.StructField("ts", T.TimestampType()),
+                      T.StructField("key", T.StringType()),
+                      T.StructField("value", T.DoubleType()),
+                      T.StructField("event_id", T.LongType())]))
+        .option("maxFilesPerTrigger", 1).parquet(str(tmp_path / "in")))
+    out = ewma_stream(stream, "key", "ts", "event_id", "value")
+    q = (out.writeStream.format("memory").queryName("ewma_s")
+         .outputMode("append").start())
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT * FROM ewma_s").collect()
+    # every closed event emitted exactly once, in fold order per key
+    last = {}
+    for r in sorted(got, key=lambda r: (r.key, r.n)):
+        last[r.key] = r.ewma
+    batch = spark.createDataFrame(rows1 + rows2, ddl)
+    exp = {r.key: r.ewma
+           for r in ewma_by_key(batch, "key", ["ts", "event_id"],
+                                "value").collect()}
+    assert set(exp) <= set(last)
+    for k, v in exp.items():
+        assert last[k] == v, (k, last[k], v)   # bit-identical doubles
+    # per-event trail for one key matches a local replay
+    k0 = sorted((r.n, r.ewma) for r in got if r.key == "k1")
+    series = sorted((r[0], r[3], r[2]) for r in rows1 + rows2
+                    if r[1] == "k1")
+    acc = None
+    for i, (_ts, _eid, v) in enumerate(series):
+        acc = v if i == 0 else acc * 0.5 + v * 0.5
+        assert k0[i] == (i + 1, acc)
