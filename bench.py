@@ -158,6 +158,9 @@ HEADLINE = [
     # round 6m: order-pinned EWMA fold (keyed decaying-accumulator
     # reduce; F.aggregate ≡ list_reduce bit-exact doubles)
     "ewma_user_value",
+    # round 6n: media-lake census — six-way magic-byte dispatch with an
+    # explicit quarantine bucket
+    "media_format_census",
 ]
 
 

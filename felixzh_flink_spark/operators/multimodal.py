@@ -1506,6 +1506,57 @@ def wav_mulaw_stats(df: DataFrame, id_col: str = "doc_id",
     return df.mapInPandas(kernel, schema=AUDIO_PCM_STATS_SCHEMA)
 
 
+def synthesize_media_census_column(df: DataFrame, id_col: str = "doc_id",
+                                   payload_col: str = "media"
+                                   ) -> DataFrame:
+    """SIX-way mixed media fixture: doc_id mod 6 selects a real PNG /
+    GIF / color-JPEG / BMP / TIFF (each from its shared closed-form
+    builder) or deliberate junk bytes (`JUNK<id>`) — the full dispatch
+    surface plus the quarantine path in one column. Arrow-batched
+    pandas UDF."""
+    @F.pandas_udf("binary")
+    def _make(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            m = i % 6
+            if m == 0:
+                out.append(_png_payload(i))
+            elif m == 1:
+                out.append(_gif_payload(i))
+            elif m == 2:
+                out.append(_jpeg_color_payload(i))
+            elif m == 3:
+                out.append(_bmp_payload(i))
+            elif m == 4:
+                out.append(_tiff_payload(i))
+            else:
+                out.append(b"JUNK" + str(i).encode())
+        return pd.Series(out)
+
+    return df.withColumn(payload_col, _make(F.col(id_col)))
+
+
+def media_format_census(df: DataFrame, id_col: str = "doc_id",
+                        payload_col: str = "media") -> DataFrame:
+    """Media-lake CENSUS: sniff + decode every payload through the
+    mixed-format feature kernel (`image_feature_stats` — all five
+    native codecs) and aggregate per detected format: document count
+    and total decoded pixels, with undecodable payloads surfacing as
+    an explicit 'quarantine' bucket instead of vanishing (the
+    monitoring number a real lake watches). Shape: one Arrow-batched
+    decode projection, then ONE keyed agg over a six-row domain —
+    partial aggregation makes the shuffle negligible at any scale."""
+    feats = image_feature_stats(df, id_col=id_col,
+                                payload_col=payload_col)
+    return (feats
+            .groupBy(F.coalesce(F.col("fmt"),
+                                F.lit("quarantine")).alias("fmt"))
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.coalesce(F.col("width") * F.col("height"),
+                                  F.lit(0))).alias("px_total")))
+
+
 GZIP_ROUNDTRIP_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType(), False),
     T.StructField("n_members", T.IntegerType(), True),

@@ -4376,6 +4376,46 @@ def tiff_decode_stats(spark, sf_dir):
     return MM.tiff_pixel_stats(MM.synthesize_tiff_column(d))
 
 
+@q("media_format_census", """
+WITH g AS (
+  SELECT doc_id, doc_id % 6 AS m FROM documents
+), d AS (
+  SELECT doc_id,
+    CASE m WHEN 0 THEN 'png' WHEN 1 THEN 'gif' WHEN 2 THEN 'jpeg'
+           WHEN 3 THEN 'bmp' WHEN 4 THEN 'tiff'
+           ELSE 'quarantine' END AS fmt,
+    CASE m
+      WHEN 0 THEN (doc_id % 7 + 1) * (doc_id % 5 + 1)
+      WHEN 1 THEN (doc_id % 7 + 1) * (doc_id % 5 + 1)
+      WHEN 2 THEN (CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 16 END)
+                  * (CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 16 END)
+                  * (doc_id % 3 + 1)
+      WHEN 3 THEN (doc_id % 5 + 1) * (doc_id % 4 + 1)
+      WHEN 4 THEN (doc_id % 5 + 1) * (doc_id % 4 + 2)
+      ELSE 0 END AS px
+  FROM g
+)
+SELECT fmt, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(px) AS BIGINT) AS px_total
+FROM d GROUP BY fmt
+""")
+def media_format_census(spark, sf_dir):
+    """Media-lake census over the FULL dispatch surface: a six-way
+    mixed binary column (real PNG / GIF / color-JPEG / BMP / TIFF from
+    the shared closed-form builders, plus deliberate junk) is sniffed
+    and DECODED per row by the mixed-format feature kernel, then
+    aggregated per detected format — document count and total decoded
+    pixels, with undecodable payloads surfacing as an explicit
+    'quarantine' bucket instead of vanishing
+    (`multimodal.media_format_census`). The oracle restates every
+    format's dimension recipe; a kernel that mis-sniffs a magic, drops
+    junk rows, or decodes wrong dimensions cannot pass. One
+    Arrow-batched decode projection + one keyed agg over a six-row
+    domain (partial aggregation makes the shuffle negligible)."""
+    d = _t_wide(spark, sf_dir, "documents").select("doc_id")
+    return MM.media_format_census(MM.synthesize_media_census_column(d))
+
+
 @q("gzip_roundtrip_docs", """
 SELECT doc_id,
        CAST(CASE WHEN doc_id % 2 = 0
@@ -6690,6 +6730,7 @@ _DRIVER_ORDER = [
     "gif_composite_stats", "adpcm_decode_stats", "mulaw_decode_stats",
     "tiff_decode_stats", "gzip_roundtrip_docs", "warc_extract_stats",
     "proto_roundtrip_orders", "dedup_components", "ewma_user_value",
+    "media_format_census",
     "robots_wildcard_paths", "url_registrable_psl", "gif_decode_stats",
     "robots_site_gate", "jpeg_decode_stats", "jpeg_color_decode_stats",
     "gif_frame_sample_stats", "avi_frame_sample_stats",
@@ -6708,9 +6749,9 @@ _DRIVER_ORDER = [
     # --- oldest driver verification (round-2-only greens)
     "cosine_topk", "decontaminated_counts", "dedup_exact_docs",
     "deterministic_split_counts", "doc_quality", "doc_repetition",
-    "dup_size_histogram", "fingerprint_docs", "grouping_pricing",
+    "dup_size_histogram", "fingerprint_docs",
     # ---- position 50 boundary ----
-    "lang_id_pred", "lineitem_meta_stats",
+    "grouping_pricing", "lang_id_pred", "lineitem_meta_stats",
     "market_segment_stats",
     "multimodal_frame_plan", "multimodal_meta",
     "order_window_analytics", "pack_sequences", "profile_lineitem",
