@@ -161,6 +161,9 @@ HEADLINE = [
     # round 6n: media-lake census — six-way magic-byte dispatch with an
     # explicit quarantine bucket
     "media_format_census",
+    # round 6o: WebDataset shards — tar.gz sample grouping with
+    # per-extension decode (the paired-multimodal training container)
+    "webdataset_sample_stats",
 ]
 
 

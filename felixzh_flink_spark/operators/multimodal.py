@@ -1506,6 +1506,107 @@ def wav_mulaw_stats(df: DataFrame, id_col: str = "doc_id",
     return df.mapInPandas(kernel, schema=AUDIO_PCM_STATS_SCHEMA)
 
 
+WEBDATASET_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("n_parts", T.IntegerType(), True),
+    T.StructField("txt_len", T.LongType(), True),
+    T.StructField("png_pixel_sum", T.LongType(), True),
+])
+
+
+def synthesize_webdataset_column(df: DataFrame, id_col: str = "doc_id",
+                                 text_col: str = "text",
+                                 payload_col: str = "shard") -> DataFrame:
+    """WebDataset-style shard fixture: per doc a REAL `.tar.gz` holding
+    a SAMPLE — `{doc_id}.txt` (the doc's UTF-8 text) and `{doc_id}.png`
+    (the shared closed-form PNG) as adjacent tar members, the layout
+    the WebDataset convention uses to ship paired multimodal training
+    data (sample key = member name up to the first dot). Deterministic
+    ustar members (mtime 0, fixed mode/uid) gzipped with the engine's
+    own RFC 1952 encoder. Arrow-batched pandas UDF."""
+    import io
+    import tarfile
+
+    from felixzh_flink_spark.functions.gzip_codec import \
+        encode_gzip_member
+
+    @F.pandas_udf("binary")
+    def _make(ids: pd.Series, texts: pd.Series) -> pd.Series:
+        out = []
+        for i, t in zip(ids, texts):
+            i = int(i)
+            buf = io.BytesIO()
+            with tarfile.open(fileobj=buf, mode="w",
+                              format=tarfile.USTAR_FORMAT) as tf:
+                for name, data in ((f"{i:08d}.txt",
+                                    ("" if t is None else str(t))
+                                    .encode("utf-8")),
+                                   (f"{i:08d}.png", _png_payload(i))):
+                    info = tarfile.TarInfo(name)
+                    info.size = len(data)
+                    info.mtime = 0
+                    info.mode = 0o644
+                    tf.addfile(info, io.BytesIO(data))
+            out.append(encode_gzip_member(buf.getvalue()))
+        return pd.Series(out)
+
+    return df.withColumn(payload_col, _make(F.col(id_col),
+                                            F.col(text_col)))
+
+
+def webdataset_sample_stats(df: DataFrame, id_col: str = "doc_id",
+                            payload_col: str = "shard") -> DataFrame:
+    """WebDataset shard ingestion — the container convention large
+    multimodal training runs consume: gunzip the shard with the
+    engine's gzip member walk (CRC32/ISIZE verified), iterate the tar
+    members, group them into SAMPLES by the name-up-to-first-dot key,
+    and decode each part by its extension (.txt → UTF-8 text, .png →
+    the real PNG codec). Emits per sample the part count, text byte
+    length, and decoded pixel sum — a reader that loses a member,
+    groups across samples, or skips the image decode cannot pass.
+    Undecodable shards yield a null-stats quarantine row. One
+    Arrow-batched mapInPandas projection, no shuffle; at scale the
+    parallel unit is the SHARD FILE (same partition-per-file split as
+    the `felixzh_warc` source)."""
+    import io
+    import tarfile
+
+    from felixzh_flink_spark.functions.gzip_codec import \
+        decode_gzip_members
+    from felixzh_flink_spark.functions.png_codec import decode_png
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    raw = b"".join(r for _m, r in decode_gzip_members(p))
+                    samples: dict = {}
+                    with tarfile.open(fileobj=io.BytesIO(raw)) as tf:
+                        for m in tf.getmembers():
+                            if not m.isfile():
+                                continue
+                            key, _, ext = m.name.partition(".")
+                            data = tf.extractfile(m).read()
+                            samples.setdefault(key, {})[ext] = data
+                    if len(samples) != 1:
+                        raise ValueError("expected one sample per shard")
+                    parts = next(iter(samples.values()))
+                    txt = parts.get("txt")
+                    png = parts.get("png")
+                    if txt is None or png is None:
+                        raise ValueError("sample missing txt/png part")
+                    txt.decode("utf-8")
+                    _w, _h, _ch, px = decode_png(png)
+                    rows.append((int(i), len(parts), len(txt), sum(px)))
+                except Exception:  # ValueError / tarfile / zlib errors
+                    rows.append((int(i), None, None, None))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "n_parts", "txt_len", "png_pixel_sum"])
+
+    return df.mapInPandas(kernel, schema=WEBDATASET_SCHEMA)
+
+
 def synthesize_media_census_column(df: DataFrame, id_col: str = "doc_id",
                                    payload_col: str = "media"
                                    ) -> DataFrame:

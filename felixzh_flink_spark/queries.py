@@ -4376,6 +4376,40 @@ def tiff_decode_stats(spark, sf_dir):
     return MM.tiff_pixel_stats(MM.synthesize_tiff_column(d))
 
 
+@q("webdataset_sample_stats", """
+WITH g AS (
+  SELECT doc_id, doc_id % 7 + 1 AS w, doc_id % 5 + 1 AS h,
+         (doc_id % 2) * 2 + 1 AS ch,
+         octet_length(encode(coalesce(text, ''))) AS tl
+  FROM documents
+)
+SELECT doc_id, CAST(2 AS INT) AS n_parts,
+       CAST(tl AS BIGINT) AS txt_len,
+       CAST(list_sum(list_transform(range(0, w * h * ch),
+            j -> (doc_id * 31 + 7 * j) % 256)) AS BIGINT)
+         AS png_pixel_sum
+FROM g
+""")
+def webdataset_sample_stats(spark, sf_dir):
+    """WebDataset shard ingestion end-to-end — the container convention
+    large multimodal training runs actually consume: per doc a real
+    `.tar.gz` shard holding a paired sample ({id}.txt = the doc's own
+    text, {id}.png = the shared closed-form PNG), built with
+    deterministic ustar members and the engine's RFC 1952 encoder,
+    then read back the WebDataset way: gzip member walk (CRC-verified)
+    → tar member iteration → SAMPLE grouping by name-up-to-first-dot →
+    per-extension decode (.txt UTF-8, .png through the real PNG codec)
+    (`multimodal.webdataset_sample_stats`). The oracle restates the
+    text byte length and the PNG pixel recipe — a reader that loses a
+    member, groups across samples, or skips the image decode cannot
+    pass. Composes three proven layers (gzip framing, archive walk,
+    image codec) into the one format that ships paired text+image
+    data. At scale the parallel unit is the shard FILE (same
+    partition-per-file split as the `felixzh_warc` source)."""
+    d = _t_wide(spark, sf_dir, "documents").select("doc_id", "text")
+    return MM.webdataset_sample_stats(MM.synthesize_webdataset_column(d))
+
+
 @q("media_format_census", """
 WITH g AS (
   SELECT doc_id, doc_id % 6 AS m FROM documents
@@ -6730,7 +6764,7 @@ _DRIVER_ORDER = [
     "gif_composite_stats", "adpcm_decode_stats", "mulaw_decode_stats",
     "tiff_decode_stats", "gzip_roundtrip_docs", "warc_extract_stats",
     "proto_roundtrip_orders", "dedup_components", "ewma_user_value",
-    "media_format_census",
+    "media_format_census", "webdataset_sample_stats",
     "robots_wildcard_paths", "url_registrable_psl", "gif_decode_stats",
     "robots_site_gate", "jpeg_decode_stats", "jpeg_color_decode_stats",
     "gif_frame_sample_stats", "avi_frame_sample_stats",
@@ -6749,8 +6783,9 @@ _DRIVER_ORDER = [
     # --- oldest driver verification (round-2-only greens)
     "cosine_topk", "decontaminated_counts", "dedup_exact_docs",
     "deterministic_split_counts", "doc_quality", "doc_repetition",
-    "dup_size_histogram", "fingerprint_docs",
+    "dup_size_histogram",
     # ---- position 50 boundary ----
+    "fingerprint_docs",
     "grouping_pricing", "lang_id_pred", "lineitem_meta_stats",
     "market_segment_stats",
     "multimodal_frame_plan", "multimodal_meta",

@@ -109,3 +109,46 @@ def test_gray_alpha_png_features_drop_alpha(spark):
     assert r["mean_rgb"] == sum(lum) / (3.0 * n)
     ls, lq = sum(lum), sum(v * v for v in lum)
     assert r["var_lum"] == (float(lq) - float(ls) * ls / n) / n
+
+
+def test_webdataset_shard_roundtrip_and_quarantine(spark):
+    """WebDataset shard: paired {id}.txt/{id}.png members recovered by
+    sample-key grouping; corrupt gzip, missing part, and multi-sample
+    shards all quarantine instead of emitting wrong rows."""
+    import io
+    import tarfile
+
+    from felixzh_flink_spark.functions.gzip_codec import \
+        encode_gzip_member
+    from felixzh_flink_spark.operators import multimodal as MM
+
+    df = spark.createDataFrame([(3, "héllo wörld"), (4, None)],
+                               "doc_id long, text string")
+    got = {r.doc_id: (r.n_parts, r.txt_len, r.png_pixel_sum)
+           for r in MM.webdataset_sample_stats(
+               MM.synthesize_webdataset_column(df)).collect()}
+    i = 3
+    w, h, ch = i % 7 + 1, i % 5 + 1, (i % 2) * 2 + 1
+    px = sum((i * 31 + 7 * j) % 256 for j in range(w * h * ch))
+    assert got[3] == (2, len("héllo wörld".encode()), px)
+    assert got[4][1] == 0                       # NULL text -> empty part
+
+    def shard(members):
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w",
+                          format=tarfile.USTAR_FORMAT) as tf:
+            for name, data in members:
+                info = tarfile.TarInfo(name)
+                info.size = len(data)
+                tf.addfile(info, io.BytesIO(data))
+        return encode_gzip_member(buf.getvalue())
+
+    bad = spark.createDataFrame(
+        [(1, bytearray(b"\x1f\x8bnot-gzip")),
+         (2, bytearray(shard([("a.txt", b"x")]))),          # missing png
+         (3, bytearray(shard([("a.txt", b"x"),              # two samples
+                              ("b.png", b"y")])))],
+        "doc_id long, shard binary")
+    rows = {r.doc_id: r.n_parts
+            for r in MM.webdataset_sample_stats(bad).collect()}
+    assert rows == {1: None, 2: None, 3: None}

@@ -113,7 +113,8 @@ def test_headline_queries_have_no_python_stages(spark):
                "gif_composite_stats", "adpcm_decode_stats",
                "mulaw_decode_stats", "tiff_decode_stats",
                "gzip_roundtrip_docs", "warc_extract_stats",
-               "proto_roundtrip_orders", "media_format_census"}
+               "proto_roundtrip_orders", "media_format_census",
+               "webdataset_sample_stats"}
     for name in bench.HEADLINE:
         if name in allowed:
             continue
