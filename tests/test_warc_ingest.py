@@ -281,3 +281,61 @@ def test_warc_source_feeds_the_corpus_pipeline(spark, tmp_path):
                 F.sum(F.length("text")).alias("chars")).collect()[0])
     assert (agg_crawl.n, agg_crawl.chars) == \
         (agg_direct.n, agg_direct.chars)
+
+
+# ------------------------------------------------- webdataset source
+
+def _write_shard(path, samples, gz=False):
+    """samples: list of (key, {ext: bytes}) — members adjacent per the
+    WebDataset convention."""
+    import io
+    import tarfile
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w",
+                      format=tarfile.USTAR_FORMAT) as tf:
+        for key, parts in samples:
+            for ext, data in parts.items():
+                info = tarfile.TarInfo(f"{key}.{ext}")
+                info.size = len(data)
+                tf.addfile(info, io.BytesIO(data))
+    raw = buf.getvalue()
+    if gz:
+        from felixzh_flink_spark.functions.gzip_codec import \
+            encode_gzip_member
+        raw = encode_gzip_member(raw)
+    path.write_bytes(raw)
+
+
+def test_webdataset_source_partitions_and_samples(spark, tmp_path):
+    from felixzh_flink_spark.sources.webdataset_source import register
+
+    for f in range(2):
+        samples = [(f"{f:02d}{s:04d}",
+                    {"txt": f"text {f}:{s} é".encode(),
+                     "png": b"\x89PNGfake" + bytes([f, s]),
+                     "json": b"{}"})
+                   for s in range(3)]
+        _write_shard(tmp_path / f"shard-{f}.tar" if f == 0
+                     else tmp_path / f"shard-{f}.tar.gz",
+                     samples, gz=(f == 1))
+    (tmp_path / "notes.txt").write_text("ignored")
+    register(spark)
+    df = (spark.read.format("felixzh_webdataset")
+          .option("path", str(tmp_path)).load())
+    rows = df.collect()
+    assert len(rows) == 6                       # 2 shards x 3 samples
+    assert df.rdd.getNumPartitions() == 2       # one per shard
+    one = [r for r in rows if r.sample_key == "010002"][0]
+    assert set(one.parts.keys()) == {"txt", "png", "json"}
+    assert bytes(one.parts["txt"]).decode() == "text 1:2 é"
+    filtered = (spark.read.format("felixzh_webdataset")
+                .option("path", str(tmp_path))
+                .option("exts", "txt").load()).collect()
+    assert all(set(r.parts.keys()) == {"txt"} for r in filtered)
+    assert len(filtered) == 6
+    capped = (spark.read.format("felixzh_webdataset")
+              .option("path", str(tmp_path))
+              .option("max_part_bytes", "2").load()).collect()
+    assert all(len(bytes(v)) <= 2 for r in capped
+               for v in r.parts.values())
