@@ -164,6 +164,9 @@ HEADLINE = [
     # round 6o: WebDataset shards — tar.gz sample grouping with
     # per-extension decode (the paired-multimodal training container)
     "webdataset_sample_stats",
+    # round 6p: mixed-compression lake — gzip/bz2/xz magic-byte
+    # dispatch with verbatim text recovery
+    "compressed_text_census",
 ]
 
 

@@ -1728,6 +1728,93 @@ def gzip_roundtrip_stats(df: DataFrame, id_col: str = "doc_id",
     return df.mapInPandas(kernel, schema=GZIP_ROUNDTRIP_SCHEMA)
 
 
+COMPRESSED_TEXT_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("codec", T.StringType(), True),
+    T.StructField("text", T.StringType(), True),
+])
+
+
+def synthesize_compressed_text_column(df: DataFrame,
+                                      id_col: str = "doc_id",
+                                      text_col: str = "text",
+                                      payload_col: str = "blob"
+                                      ) -> DataFrame:
+    """Mixed-compression fixture: each doc's UTF-8 text compressed with
+    gzip (engine RFC 1952 encoder), bz2, or xz by doc_id mod 3 — the
+    heterogeneous-codec lake a long-lived ingestion pipeline actually
+    accumulates (WET dumps gzipped, archives bzip2'd, cold storage
+    xz'd). Arrow-batched pandas UDF."""
+    import bz2
+    import lzma
+
+    from felixzh_flink_spark.functions.gzip_codec import \
+        encode_gzip_member
+
+    @F.pandas_udf("binary")
+    def _make(ids: pd.Series, texts: pd.Series) -> pd.Series:
+        out = []
+        for i, t in zip(ids, texts):
+            i = int(i)
+            raw = ("" if t is None else str(t)).encode("utf-8")
+            m = i % 3
+            if m == 0:
+                out.append(encode_gzip_member(raw))
+            elif m == 1:
+                out.append(bz2.compress(raw))
+            else:
+                out.append(lzma.compress(
+                    raw, format=lzma.FORMAT_XZ,
+                    check=lzma.CHECK_CRC64))
+        return pd.Series(out)
+
+    return df.withColumn(payload_col, _make(F.col(id_col),
+                                            F.col(text_col)))
+
+
+def compressed_text_stats(df: DataFrame, id_col: str = "doc_id",
+                          payload_col: str = "blob") -> DataFrame:
+    """Per-row compression-codec dispatch: sniff the magic bytes
+    (\\x1f\\x8b gzip / BZh bz2 / \\xfd7zXZ xz), decompress with the
+    matching codec (gzip through the engine's verifying member walk,
+    bz2/lzma via their stdlib streams), and emit the detected codec
+    name plus the recovered text VERBATIM — the oracle compares
+    against the source column, so a mis-sniffed magic or a truncated
+    inflate cannot pass. Unknown magic or corrupt streams yield a
+    null-stats quarantine row. One Arrow-batched mapInPandas
+    projection, no shuffle."""
+    import bz2
+    import lzma
+
+    from felixzh_flink_spark.functions.gzip_codec import \
+        decode_gzip_members
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    head = bytes(p[:6])
+                    if head.startswith(b"\x1f\x8b"):
+                        codec = "gzip"
+                        raw = b"".join(
+                            r for _m, r in decode_gzip_members(p))
+                    elif head.startswith(b"BZh"):
+                        codec = "bz2"
+                        raw = bz2.decompress(bytes(p))
+                    elif head.startswith(b"\xfd7zXZ"):
+                        codec = "xz"
+                        raw = lzma.decompress(bytes(p))
+                    else:
+                        raise ValueError("unknown compression magic")
+                    rows.append((int(i), codec, raw.decode("utf-8")))
+                except Exception:  # ValueError / OSError / LZMAError
+                    rows.append((int(i), None, None))
+            yield pd.DataFrame(rows, columns=["doc_id", "codec", "text"])
+
+    return df.mapInPandas(kernel, schema=COMPRESSED_TEXT_SCHEMA)
+
+
 WARC_RECORD_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType(), False),
     T.StructField("n_records", T.IntegerType(), True),

@@ -4478,6 +4478,30 @@ def gzip_roundtrip_docs(spark, sf_dir):
     return MM.gzip_roundtrip_stats(MM.synthesize_gzip_column(d))
 
 
+@q("compressed_text_census", """
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'gzip' WHEN 1 THEN 'bz2'
+            ELSE 'xz' END AS codec,
+       coalesce(text, '') AS text
+FROM documents
+""")
+def compressed_text_census(spark, sf_dir):
+    """Per-row compression-codec dispatch over REAL corpus text — the
+    heterogeneous lake a long-lived pipeline accumulates (WET dumps
+    gzipped, archives bzip2'd, cold storage xz'd): each doc's UTF-8
+    bytes compressed with gzip / bz2 / xz by doc_id mod 3, then the
+    kernel sniffs the magic per row and decompresses with the
+    matching codec — gzip through the engine's CRC-verifying member
+    walk, bz2/xz via their stdlib streams
+    (`multimodal.compressed_text_stats`). The oracle states the codec
+    assignment and compares the recovered text VERBATIM; a mis-sniffed
+    magic or truncated inflate cannot pass. One Arrow-batched
+    mapInPandas projection, no shuffle."""
+    d = _t_wide(spark, sf_dir, "documents").select("doc_id", "text")
+    return MM.compressed_text_stats(
+        MM.synthesize_compressed_text_column(d))
+
+
 @q("warc_extract_stats", """
 SELECT doc_id, CAST(2 AS INT) AS n_records,
        'http://example.com/doc/' || doc_id AS target_uri,
@@ -6765,6 +6789,7 @@ _DRIVER_ORDER = [
     "tiff_decode_stats", "gzip_roundtrip_docs", "warc_extract_stats",
     "proto_roundtrip_orders", "dedup_components", "ewma_user_value",
     "media_format_census", "webdataset_sample_stats",
+    "compressed_text_census",
     "robots_wildcard_paths", "url_registrable_psl", "gif_decode_stats",
     "robots_site_gate", "jpeg_decode_stats", "jpeg_color_decode_stats",
     "gif_frame_sample_stats", "avi_frame_sample_stats",
@@ -6783,9 +6808,8 @@ _DRIVER_ORDER = [
     # --- oldest driver verification (round-2-only greens)
     "cosine_topk", "decontaminated_counts", "dedup_exact_docs",
     "deterministic_split_counts", "doc_quality", "doc_repetition",
-    "dup_size_histogram",
     # ---- position 50 boundary ----
-    "fingerprint_docs",
+    "dup_size_histogram", "fingerprint_docs",
     "grouping_pricing", "lang_id_pred", "lineitem_meta_stats",
     "market_segment_stats",
     "multimodal_frame_plan", "multimodal_meta",

@@ -27,6 +27,7 @@ import os
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -73,9 +74,86 @@ class _WarcReader(DataSourceReader):
         return [_FilePartition(p) for p in self.files]
 
     def read(self, partition: _FilePartition):
+        yield from _WarcReaderCore(
+            self.types, self.max_block).read_file(partition.path)
+
+
+class _WarcStreamReader(DataSourceStreamReader):
+    """Continuous crawl ingestion: watch a directory for NEW `.warc(.gz)`
+    segment files and emit each exactly once. The offset is the count
+    of files consumed under the LEXICOGRAPHIC order of file names —
+    crawl dumps name segments monotonically (seg-00001, seg-00002,
+    ...), which is the documented contract: a new file must sort after
+    every consumed one, or it is skipped. Replayed (start, end) ranges
+    re-read the same files, so the source is replay-safe the same way
+    the datagen stream is; a consumed file must stay in place until
+    its batch commits."""
+
+    def __init__(self, options):
+        if "path" not in options:
+            raise ValueError("felixzh_warc requires option 'path'")
+        self.path = options["path"]
+        types = options.get("types")
+        self.types = (set(t.strip() for t in types.split(","))
+                      if types else None)
+        self.max_block = int(options.get("max_block_bytes", -1))
+        self.max_files_per_batch = int(
+            options.get("max_files_per_batch", 10))
+        self._current = 0
+
+    def _listing(self) -> "list[str]":
+        if not os.path.isdir(self.path):
+            return []
+        return sorted(
+            os.path.join(self.path, f) for f in os.listdir(self.path)
+            if f.endswith((".warc", ".warc.gz")))
+
+    def initialOffset(self):
+        return {"n": 0}
+
+    def latestOffset(self):
+        # advance by at most the per-batch file budget — the cap lives
+        # HERE, not in partitions(): an offset the engine has recorded
+        # must name exactly the files the batch read, or capped files
+        # would be marked consumed without ever being read
+        self._current = min(self._current + self.max_files_per_batch,
+                            len(self._listing()))
+        return {"n": self._current}
+
+    def partitions(self, start: dict, end: dict):
+        # restart resync: ratchet the cursor to every offset the engine
+        # shows us (same contract as the datagen stream reader)
+        self._current = max(self._current, start["n"], end["n"])
+        lo, hi = start["n"], end["n"]
+        files = self._listing()
+        if hi <= lo or lo >= len(files):
+            return [_FilePartition("")]          # empty batch
+        return [_FilePartition(p) for p in files[lo:min(hi, len(files))]]
+
+    def read(self, partition: _FilePartition):
+        if not partition.path:
+            return
+        yield from _WarcReaderCore(
+            self.types, self.max_block).read_file(partition.path)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+    def stop(self) -> None:
+        pass
+
+
+class _WarcReaderCore:
+    """The shared per-file record walk (batch reader + stream reader)."""
+
+    def __init__(self, types, max_block):
+        self.types = types
+        self.max_block = max_block
+
+    def read_file(self, path: str):
         from felixzh_flink_spark.functions.warc_codec import decode_warc
 
-        with open(partition.path, "rb") as fh:
+        with open(path, "rb") as fh:
             payload = fh.read()
         for idx, (headers, block) in enumerate(decode_warc(payload)):
             wtype = headers.get("WARC-Type")
@@ -83,7 +161,7 @@ class _WarcReader(DataSourceReader):
                 continue
             if 0 <= self.max_block < len(block):
                 block = block[:self.max_block]
-            yield (partition.path, idx, wtype,
+            yield (path, idx, wtype,
                    headers.get("WARC-Record-ID"),
                    headers.get("WARC-Target-URI"),
                    int(headers.get("Content-Length", -1)), block)
@@ -158,6 +236,9 @@ class WarcDataSource(DataSource):
 
     def reader(self, schema) -> _WarcReader:
         return _WarcReader(self.options)
+
+    def streamReader(self, schema) -> _WarcStreamReader:
+        return _WarcStreamReader(self.options)
 
     def writer(self, schema, overwrite: bool) -> _WarcWriter:
         return _WarcWriter(self.options, overwrite)

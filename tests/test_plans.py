@@ -114,7 +114,7 @@ def test_headline_queries_have_no_python_stages(spark):
                "mulaw_decode_stats", "tiff_decode_stats",
                "gzip_roundtrip_docs", "warc_extract_stats",
                "proto_roundtrip_orders", "media_format_census",
-               "webdataset_sample_stats"}
+               "webdataset_sample_stats", "compressed_text_census"}
     for name in bench.HEADLINE:
         if name in allowed:
             continue

@@ -339,3 +339,49 @@ def test_webdataset_source_partitions_and_samples(spark, tmp_path):
               .option("max_part_bytes", "2").load()).collect()
     assert all(len(bytes(v)) <= 2 for r in capped
                for v in r.parts.values())
+
+
+def test_warc_streaming_source_picks_up_new_segments(spark, tmp_path):
+    """readStream over a crawl directory: existing segments arrive in
+    the first batches, a segment added AFTER the stream started
+    arrives in a later one, nothing is duplicated, and the lexicographic
+    offset contract holds."""
+    import os
+
+    from felixzh_flink_spark.sources.warc_source import register
+
+    register(spark)
+    d = tmp_path / "crawl"
+    os.makedirs(d)
+
+    def seg(n, k):
+        recs = [({"WARC-Type": "response",
+                  "WARC-Record-ID": f"urn:s:{n}:{r}",
+                  "WARC-Target-URI": f"http://ex.com/{n}/{r}"},
+                 f"b{n}:{r}".encode()) for r in range(k)]
+        (d / f"seg-{n:05d}.warc.gz").write_bytes(
+            encode_warc(recs, gzip_per_record=True))
+
+    seg(1, 2)
+    seg(2, 3)
+    stream = (spark.readStream.format("felixzh_warc")
+              .option("path", str(d))
+              .option("max_files_per_batch", "1").load())
+    q = (stream.writeStream.format("memory").queryName("warc_s")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    try:
+        q.processAllAvailable()
+        n1 = spark.sql("SELECT count(*) c FROM warc_s").collect()[0].c
+        assert n1 == 5
+        seg(3, 1)                      # arrives AFTER the stream began
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM warc_s").collect()
+    finally:
+        q.stop()
+    assert len(rows) == 6
+    ids = sorted(r.record_id for r in rows)
+    assert ids == sorted([f"urn:s:1:{r}" for r in range(2)]
+                         + [f"urn:s:2:{r}" for r in range(3)]
+                         + ["urn:s:3:0"])
+    assert len(set(ids)) == 6          # exactly-once per record
