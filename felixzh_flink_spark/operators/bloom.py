@@ -51,13 +51,27 @@ def _to_signed64(w: int) -> int:
     return w - (1 << 64) if w >= (1 << 63) else w
 
 
+#: above this filter size, `bloom_build` switches to the word-aggregated
+#: path automatically: a 2²⁷-bit filter's distinct positions are ~1 GiB of
+#: collected rows worst-case, while its words are ≤ 16 MiB.
+WORD_AGG_THRESHOLD_BITS = 1 << 27
+
+
 def bloom_build(keys: DataFrame, key_col: str, num_bits: int,
                 num_hashes: int = 7) -> list[int]:
     """Build the bit set: one distributed pass over `keys` computing bit
     positions, then a driver collect of the DISTINCT positions — bounded by
     min(num_bits, n_keys × num_hashes), i.e. by the filter size itself,
     never by the key count. Returns ceil(num_bits/64) signed 64-bit words.
-    """
+
+    For filters ≥ `WORD_AGG_THRESHOLD_BITS` (decontamination against 10⁷+
+    key denylists at 100-TB corpus scale) this dispatches to
+    `bloom_build_words`, which ORs positions into 64-bit words inside
+    Spark first so the driver collects at most num_bits/64 rows — a 64×
+    tighter bound that also drops the wide `distinct` shuffle in favor of
+    a partial-aggregated `bit_or`."""
+    if num_bits >= WORD_AGG_THRESHOLD_BITS:
+        return bloom_build_words(keys, key_col, num_bits, num_hashes)
     pos = (keys
            .select(F.explode(F.array(*_bit_positions(F.col(key_col),
                                                      num_bits, num_hashes))).alias("p"))
@@ -68,6 +82,35 @@ def bloom_build(keys: DataFrame, key_col: str, num_bits: int,
         p = row["p"]
         words[p // 64] |= 1 << (p % 64)
     return [_to_signed64(w) for w in words]
+
+
+def bloom_build_words(keys: DataFrame, key_col: str, num_bits: int,
+                      num_hashes: int = 7) -> list[int]:
+    """Word-aggregated bloom build: positions → (word_idx, single-bit
+    word) → `groupBy(word_idx).agg(bit_or)` → collect NON-EMPTY words.
+
+    Scale shape: the per-partition partial `bit_or` collapses every
+    position a partition sees into ≤ num_bits/64 rows BEFORE the
+    shuffle (map-side combine), the final agg merges word-sized rows,
+    and the driver materializes only words with at least one set bit —
+    min(num_bits/64, n_keys × num_hashes) rows of 16 bytes. A 10⁹-bit
+    decontamination filter collects ≤ 15.6 M words ≈ 250 MB worst case
+    and typically far less, where the distinct-position path would
+    collect up to 10⁹ rows. Bit-identical output to the local path
+    (same seeds, same position math)."""
+    pos = F.explode(F.array(*_bit_positions(F.col(key_col),
+                                            num_bits, num_hashes)))
+    rows = (keys
+            .select(pos.alias("p"))
+            # positions are non-negative (pmod), so div/% are exact
+            .select(F.expr("p div 64").alias("w"),
+                    F.expr("shiftleft(1L, int(p % 64))").alias("bit"))
+            .groupBy("w").agg(F.bit_or("bit").alias("word"))
+            .collect())
+    words = [0] * ((num_bits + 63) // 64)
+    for row in rows:
+        words[row["w"]] = row["word"]  # already signed-64 from the JVM
+    return words
 
 
 def with_bloom_hit(df: DataFrame, key_col: str, words: list[int],

@@ -34,13 +34,24 @@ from pyspark.sql import DataFrame, functions as F
 def connected_components(edges: DataFrame, src: str = "src",
                          dst: str = "dst", max_iter: int = 25,
                          out_node: str = "node",
-                         out_component: str = "component") -> DataFrame:
+                         out_component: str = "component",
+                         on_nonconvergence: str = "star") -> DataFrame:
     """(node, component) for every node appearing in `edges`, where
     `component` is the SMALLEST node id in the node's connected
     component — the canonical representative real dedup keeps.
     Undirected: each input pair is symmetrized. Self-loops and
-    duplicate edges are harmless (min is idempotent). Raises if the
-    propagation has not converged after `max_iter` rounds."""
+    duplicate edges are harmless (min is idempotent).
+
+    Hash-min is the fast path (round count = component diameter, 2-4
+    rounds on real near-dup graphs). If it has not converged after
+    `max_iter` rounds — a pathological high-diameter graph — behavior
+    is governed by `on_nonconvergence`: ``"star"`` (default) switches
+    to the alternating star-contraction algorithm
+    (`connected_components_star`), which converges in O(log n) rounds
+    regardless of diameter; ``"raise"`` keeps the old hard safety
+    bound for callers that want a loud failure instead of a slower
+    per-round kernel (star contraction rewrites the edge set each
+    round where hash-min reuses one cached edge relation)."""
     e = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
          .union(edges.select(F.col(dst).alias("a"),
                              F.col(src).alias("b")))
@@ -72,11 +83,107 @@ def connected_components(edges: DataFrame, src: str = "src",
             if changed == 0:
                 return labels.select(F.col("n").alias(out_node),
                                      F.col("lbl").alias(out_component))
+        if on_nonconvergence == "star":
+            # Pathological diameter: switch algorithms. The current
+            # labels ride along as SHORTCUT edges (n → lbl never
+            # crosses a component, and each label already jumps up to
+            # max_iter hops), but the original edges must stay in the
+            # set — labels alone are not connectivity-preserving (a
+            # star's leaves all point at themselves after one round
+            # while only the center points at the min).
+            combined = e.union(
+                labels.select(F.col("n").alias("a"),
+                              F.col("lbl").alias("b")))
+            return connected_components_star(
+                combined, src="a", dst="b",
+                out_node=out_node, out_component=out_component)
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} "
             "rounds — pathological diameter; switch to star contraction")
     finally:
         e.unpersist()
+
+
+def connected_components_star(edges: DataFrame, src: str = "src",
+                              dst: str = "dst", max_iter: int = 64,
+                              out_node: str = "node",
+                              out_component: str = "component") -> DataFrame:
+    """Alternating star contraction (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC 2014): repeat
+    large-star ∘ small-star until the edge set is a fixed point, at
+    which point every surviving edge is (node, component-min) — a
+    forest of depth-1 stars centered on each component's minimum id.
+
+    Per round, large-star attaches every node's STRICTLY LARGER
+    neighbors to the minimum of its closed neighborhood, and
+    small-star re-points the node and its smaller neighbors at that
+    minimum. Both are one keyed shuffle (groupBy node for the min)
+    plus one join — the same scale shape as a hash-min round — but
+    the edge set itself is rewritten each round, which is what buys
+    O(log n) convergence on a diameter-n path (each large-star halves
+    every path) where hash-min needs n rounds. Monotone: edges only
+    ever re-point toward smaller ids, so the fixed point is unique
+    and `max_iter`=64 covers any graph that fits in an exabyte.
+
+    Used automatically as `connected_components`' fallback; callable
+    directly when the input is KNOWN to be high-diameter (e.g. chain
+    graphs from sorted-neighborhood blocking)."""
+    # Canonicalize: direct each edge large→small, drop self-loops —
+    # but remember every endpoint first so isolated/self-loop nodes
+    # still get an output row. Unlike hash-min (one fixed edge
+    # relation reused per round) the star rounds REWRITE the edge
+    # set, and each round's plan embeds the previous one several
+    # times (sym union + two joins) — persist alone leaves the
+    # logical plan growing exponentially until plan stringification
+    # itself OOMs the driver. Eager `localCheckpoint` truncates the
+    # lineage each round; on a multi-executor cluster, point
+    # `spark.sparkContext.setCheckpointDir` at shared storage and
+    # swap in `.checkpoint()` if executor loss during the (short)
+    # iteration window must be survivable.
+    nodes = (edges.select(F.col(src).alias("n"))
+             .union(edges.select(F.col(dst).alias("n")))
+             .distinct().localCheckpoint())
+    e = (edges.select(F.greatest(F.col(src), F.col(dst)).alias("a"),
+                      F.least(F.col(src), F.col(dst)).alias("b"))
+         .filter(F.col("a") != F.col("b"))
+         .distinct().localCheckpoint())
+    n_e = e.count()
+    for _round in range(max_iter):
+        # -- large-star: over the SYMMETRIZED neighborhood of v,
+        # emit (u, min(Γ⁺(v))) for every neighbor u > v. Every
+        # directed edge contributes exactly one emission, so no
+        # connected node is dropped.
+        sym = e.union(e.select(F.col("b").alias("a"),
+                               F.col("a").alias("b")))
+        mins = (sym.groupBy("a")
+                .agg(F.least(F.min("b"), F.col("a")).alias("m")))
+        large = (sym.join(mins, "a")
+                 .filter(F.col("b") > F.col("a"))
+                 .select(F.col("b").alias("a"), F.col("m").alias("b"))
+                 .distinct())
+        # -- small-star: edges are now directed large→small; each
+        # node re-points itself and its smaller neighbors at the
+        # neighborhood min.
+        smins = large.groupBy("a").agg(F.min("b").alias("m"))
+        moved = (large.join(smins, "a")
+                 .filter(F.col("b") != F.col("m"))
+                 .select(F.col("b").alias("a"), F.col("m").alias("b")))
+        new_e = (moved.union(smins.select("a", F.col("m").alias("b")))
+                 .distinct().localCheckpoint())
+        n_new = new_e.count()
+        changed = (n_new != n_e
+                   or new_e.subtract(e).limit(1).count() > 0)
+        e, n_e = new_e, n_new
+        if not changed:
+            stars = e.select(F.col("a").alias("n"),
+                             F.col("b").alias("lbl"))
+            return (nodes.join(stars, "n", "left")
+                    .select(F.col("n").alias(out_node),
+                            F.coalesce(F.col("lbl"), F.col("n"))
+                            .alias(out_component)))
+    raise RuntimeError(
+        f"connected_components_star did not converge in {max_iter} "
+        "rounds — this should be unreachable (O(log n) bound)")
 
 
 def component_sizes(components: DataFrame,

@@ -76,3 +76,45 @@ def test_bloom_words_not_inlined_as_plan_literals(spark):
     if big_word is not None:
         assert plan.count(big_word) == 0  # lives in the broadcast, not the plan
     assert "Join" in plan  # one-row broadcast relation attached
+
+
+def test_word_agg_build_bit_identical_to_local_path(spark):
+    keys = spark.createDataFrame([Row(k=f"key-{i}") for i in range(400)])
+    num_bits = bloom.sized_bits(400)
+    assert bloom.bloom_build_words(keys, "k", num_bits) == \
+        bloom.bloom_build(keys, "k", num_bits)
+
+
+def test_large_filter_dispatches_to_word_agg(spark, monkeypatch):
+    called = {}
+    real = bloom.bloom_build_words
+
+    def spy(*a, **kw):
+        called["yes"] = True
+        return real(*a, **kw)
+
+    monkeypatch.setattr(bloom, "bloom_build_words", spy)
+    keys = spark.createDataFrame([Row(k="a"), Row(k="b")])
+    words = bloom.bloom_build(keys, "k", bloom.WORD_AGG_THRESHOLD_BITS)
+    assert called.get("yes") and len(words) == \
+        bloom.WORD_AGG_THRESHOLD_BITS // 64
+
+
+def test_word_agg_build_at_1e8_bits_bounded_driver(spark):
+    """10⁸-bit filter: the collect is bounded by n_keys × num_hashes
+    non-empty WORDS (≤ 7000 rows of 16 bytes here), never by num_bits;
+    membership over the inserted keys has zero false negatives."""
+    num_bits = 1 << 27  # 1.34e8, pow-2 as sized_bits would produce
+    keys = spark.createDataFrame([Row(k=f"big-{i}") for i in range(1000)])
+    words = bloom.bloom_build_words(keys, "k", num_bits)
+    assert len(words) == num_bits // 64
+    set_words = sum(1 for w in words if w)
+    assert 0 < set_words <= 1000 * 7
+    probed = bloom.with_bloom_hit(keys, "k", words, num_bits)
+    assert probed.filter(~F.col("_bloom_hit")).count() == 0
+    # a disjoint probe set at 10 bits/key-equivalent sparsity: the FP
+    # rate at this emptiness is ~(7000/2^27)^7 ≈ 0 — expect no hits
+    other = spark.createDataFrame([Row(k=f"other-{i}") for i in range(500)])
+    fp = bloom.with_bloom_hit(other, "k", words, num_bits) \
+        .filter(F.col("_bloom_hit")).count()
+    assert fp == 0

@@ -9,6 +9,7 @@ import pytest
 from felixzh_flink_spark.operators.graph import (
     component_sizes,
     connected_components,
+    connected_components_star,
     keep_min_per_component,
 )
 
@@ -63,12 +64,52 @@ def test_min_label_is_the_component_min(spark):
     assert got[100] == got[42] == 42
 
 
-def test_convergence_bound_raises(spark):
+def test_convergence_bound_raises_when_asked(spark):
     chain = [(i, i + 1) for i in range(12)]
     with pytest.raises(RuntimeError):
         connected_components(
             spark.createDataFrame(chain, "src long, dst long"),
-            max_iter=2).collect()
+            max_iter=2, on_nonconvergence="raise").collect()
+
+
+def test_default_falls_back_to_star_on_long_chain(spark):
+    # diameter 12 ≫ max_iter=2: hash-min cannot converge; the default
+    # policy must hand off to star contraction and still return the
+    # exact min-labeling.
+    chain = [(i, i + 1) for i in range(12)]
+    got = _run(spark, chain, max_iter=2)
+    assert got == {i: 0 for i in range(13)}
+
+
+def test_star_adversarial_chain_diameter_300(spark):
+    # the adversarial case hash-min cannot touch (300 rounds needed);
+    # star contraction must converge in O(log n) — well under its
+    # 64-round bound — and label every node with the chain head.
+    chain = [(i, i + 1) for i in range(300)]
+    df = spark.createDataFrame(chain, "src long, dst long")
+    got = {r.node: r.component
+           for r in connected_components_star(df).collect()}
+    assert got == {i: 0 for i in range(301)}
+
+
+def test_star_matches_union_find_on_random_graphs(spark):
+    rnd = random.Random(23)
+    for seed_round in range(3):
+        nodes = list(range(60))
+        edges = [(rnd.choice(nodes), rnd.choice(nodes))
+                 for _ in range(40 + 10 * seed_round)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r.node: r.component
+               for r in connected_components_star(df).collect()}
+        assert got == _uf_reference(edges), f"round {seed_round}"
+
+
+def test_star_self_loops_and_two_components(spark):
+    edges = [(5, 5), (5, 6), (1, 2), (2, 3), (3, 1), (9, 9)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.component
+           for r in connected_components_star(df).collect()}
+    assert got == {5: 5, 6: 5, 1: 1, 2: 1, 3: 1, 9: 9}
 
 
 def test_sizes_and_keep_min(spark):
