@@ -178,6 +178,16 @@ def force(df) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    # scale runs (tools/gen_scale.py data): restrict to a named subset
+    # via SPARK_GRAFT_ONLY=q1_pricing_summary,revenue_by_nation,...
+    only = os.environ.get("SPARK_GRAFT_ONLY")
+    headline = HEADLINE
+    if only:
+        wanted = [n.strip() for n in only.split(",") if n.strip()]
+        unknown = [n for n in wanted if n not in QUERIES]
+        if unknown:
+            raise SystemExit(f"unknown queries in SPARK_GRAFT_ONLY: {unknown}")
+        headline = wanted
     spark = get_spark("bench")
     timings: dict[str, float] = {}
     # warmup actions so JVM/codegen startup (incl. the decimal HashAggregate
@@ -197,26 +207,35 @@ def main() -> None:
     """).collect()
     plan_s: dict[str, float] = {}
     exec_s: dict[str, float] = {}
-    for name in HEADLINE:
-        # best of 2: the first run pays per-plan codegen compile and any GC
-        # pause; the min is the stable per-query cost and is what makes
-        # round-over-round comparisons meaningful on a shared machine.
-        # plan/exec are split so expression-bloat regressions (giant literal
-        # matrices, py4j-heavy Column construction — driver-side cost that
-        # does NOT scale with data) are diagnosable separately from the
-        # distributed execution cost that does.
-        best = float("inf")
-        for _ in range(2):
+    spread_s: dict[str, float] = {}
+    runs_all: dict[str, list] = {}
+    for name in headline:
+        # MEDIAN of 3 runs (round-6 verdict: single representative runs
+        # showed unexplained round-over-round level shifts — q1 1.19→1.56,
+        # revenue_by_nation's three-round drift — with unchanged plans).
+        # Run 1 pays per-plan codegen compile + first-touch warmup, so the
+        # median naturally excludes it; the max-min spread is committed
+        # alongside so a "regression" can be told apart from machine noise
+        # (spread ≳ delta ⇒ noise). plan/exec are split so expression-bloat
+        # regressions (py4j-heavy Column construction — driver-side cost
+        # that does NOT scale with data) are diagnosable separately from
+        # the distributed execution cost that does.
+        runs = []
+        for _ in range(3):
             t0 = time.perf_counter()
             df = QUERIES[name](spark, sf_dir)
             t1 = time.perf_counter()
             force(df)
             t2 = time.perf_counter()
-            if t2 - t0 < best:
-                best = t2 - t0
-                plan_s[name] = round(t1 - t0, 3)
-                exec_s[name] = round(t2 - t1, 3)
-        timings[name] = round(best, 3)
+            runs.append((round(t2 - t0, 3), round(t1 - t0, 3),
+                         round(t2 - t1, 3)))
+        by_wall = sorted(runs)
+        med = by_wall[1]
+        timings[name] = med[0]
+        plan_s[name] = med[1]
+        exec_s[name] = med[2]
+        spread_s[name] = round(by_wall[-1][0] - by_wall[0][0], 3)
+        runs_all[name] = runs
         # isolate queries from each other: drop any cached frames a query
         # materialized and nudge the JVM to release broadcast/codegen refs
         # (ContextCleaner is GC-driven). Without this, caches accumulated
@@ -234,9 +253,12 @@ def main() -> None:
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
+        "protocol": "median-of-3 (runs = [wall, plan, exec] per run)",
         "queries": timings,
         "plan_s": plan_s,
         "exec_s": exec_s,
+        "spread_s": spread_s,
+        "runs": runs_all,
         "sf": sf,
     }
     with open(Path(__file__).resolve().parent / "bench_detail.json", "w") as fh:

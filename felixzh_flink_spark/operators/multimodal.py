@@ -1826,34 +1826,41 @@ WARC_RECORD_SCHEMA = T.StructType([
 
 def synthesize_warc_column(df: DataFrame, id_col: str = "doc_id",
                            text_col: str = "text",
-                           payload_col: str = "warc") -> DataFrame:
+                           payload_col: str = "warc",
+                           uri_col: str | None = None) -> DataFrame:
     """Deterministic `.warc.gz` fixture over REAL corpus text: per doc
     a two-record WARC — a `warcinfo` record and a `response` record
     whose block is the doc's UTF-8 text and whose WARC-Target-URI is
-    `http://example.com/doc/<id>` — each record its OWN gzip member
-    (the canonical crawl layout readers split on). Arrow-batched
-    pandas UDF."""
+    `http://example.com/doc/<id>` (or the value of `uri_col` when
+    given — the crawl-to-corpus pipeline carries per-doc crawl URLs
+    through the container) — each record its OWN gzip member (the
+    canonical crawl layout readers split on). Arrow-batched pandas
+    UDF."""
     from felixzh_flink_spark.functions.warc_codec import encode_warc
 
     @F.pandas_udf("binary")
-    def _make(ids: pd.Series, texts: pd.Series) -> pd.Series:
+    def _make(ids: pd.Series, texts: pd.Series,
+              uris: pd.Series) -> pd.Series:
         out = []
-        for i, t in zip(ids, texts):
+        for i, t, u in zip(ids, texts, uris):
             i = int(i)
             block = ("" if t is None else str(t)).encode("utf-8")
+            uri = f"http://example.com/doc/{i}" if u is None else str(u)
             out.append(encode_warc([
                 ({"WARC-Type": "warcinfo",
                   "WARC-Record-ID": f"urn:warcinfo:{i}"},
                  b"software: felixzh-flink-spark\r\n"),
                 ({"WARC-Type": "response",
                   "WARC-Record-ID": f"urn:doc:{i}",
-                  "WARC-Target-URI": f"http://example.com/doc/{i}"},
+                  "WARC-Target-URI": uri},
                  block),
             ], gzip_per_record=True))
         return pd.Series(out)
 
+    uri = (F.col(uri_col) if uri_col is not None
+           else F.lit(None).cast("string"))
     return df.withColumn(payload_col, _make(F.col(id_col),
-                                            F.col(text_col)))
+                                            F.col(text_col), uri))
 
 
 def warc_record_stats(df: DataFrame, id_col: str = "doc_id",

@@ -6758,6 +6758,222 @@ def cms_token_counts(spark, sf_dir):
         (F.col("est_cnt") >= F.col("exact_cnt")).alias("over_ok"))
 
 
+@q("crawl_to_corpus", r"""
+WITH crawl AS (
+  SELECT doc_id, source, coalesce(text, '') AS text,
+         (doc_id % 6) NOT IN (0, 2) AS allowed
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000, source, coalesce(text, ''), TRUE
+  FROM documents WHERE doc_id % 4 = 0
+  UNION ALL
+  SELECT doc_id + 20000000, source, coalesce(text, ''), TRUE
+  FROM documents WHERE doc_id % 8 = 0
+),
+h AS (
+  SELECT doc_id, allowed,
+         '<html><head><style>p{color:red}</style></head><body><h1>'
+         || source || '</h1><p>' || text
+         || '</p><script type="text/javascript">var x = 1 &amp;&amp; 2;'
+         || '</script><p>Tail &amp; more</p></body></html>' AS html
+  FROM crawl
+),
+st AS (
+  SELECT doc_id, allowed,
+    regexp_replace(regexp_replace(regexp_replace(
+      html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+            '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+            '(?s)<[^>]+>', ' ', 'g') AS t1
+  FROM h
+),
+ent AS (
+  SELECT doc_id, allowed,
+    replace(replace(replace(replace(replace(replace(
+      t1, '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+          '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS t2
+  FROM st
+),
+c AS (
+  SELECT doc_id, allowed,
+         trim(regexp_replace(t2, '\s+', ' ', 'g')) AS clean_text
+  FROM ent
+),
+g AS (
+  SELECT doc_id, allowed, clean_text,
+         list_filter(string_split(regexp_replace(trim(clean_text),
+                     '\s+', ' ', 'g'), ' '), x -> x <> '') AS toks
+  FROM c
+),
+m AS (
+  SELECT doc_id, allowed, clean_text, len(toks) AS n,
+         greatest(CAST(len(toks) AS DOUBLE), 1.0) AS nd,
+         CAST(len(regexp_replace(trim(clean_text), '\s+', '', 'g'))
+              AS DOUBLE) AS nchar,
+         len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+           AS nalpha
+  FROM g
+),
+gated AS (
+  SELECT doc_id, clean_text, n FROM m
+  WHERE allowed
+    AND n >= 50 AND n <= 100000
+    AND nchar / nd >= 3.0 AND nchar / nd <= 10.0
+    AND nalpha / nd >= 0.8
+),
+fp AS (
+  SELECT doc_id, n,
+         md5(regexp_replace(lower(trim(clean_text)), '\s+', ' ', 'g')) AS f
+  FROM gated
+),
+kept AS (
+  SELECT doc_id, n AS n_tokens FROM fp
+  QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY f)
+),
+sharded AS (
+  SELECT doc_id, n_tokens,
+         CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+              ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) / 32768.0) AS BIGINT) AS shard_id
+  FROM kept
+),
+numbered AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY shard_id ORDER BY doc_id) AS rn
+  FROM sharded
+),
+rec AS (
+  WITH RECURSIVE walk AS (
+    SELECT shard_id, doc_id, n_tokens, rn,
+           CAST(0 AS BIGINT) AS pack_seq, n_tokens AS running
+    FROM numbered WHERE rn = 1
+    UNION ALL
+    SELECT n.shard_id, n.doc_id, n.n_tokens, n.rn,
+           CASE WHEN w.running > 0 AND w.running + n.n_tokens > 512
+                THEN w.pack_seq + 1 ELSE w.pack_seq END,
+           CASE WHEN w.running > 0 AND w.running + n.n_tokens > 512
+                THEN n.n_tokens ELSE w.running + n.n_tokens END
+    FROM walk w JOIN numbered n
+      ON n.shard_id = w.shard_id AND n.rn = w.rn + 1
+  )
+  SELECT * FROM walk
+)
+SELECT doc_id, n_tokens, shard_id, pack_seq,
+       MAX(running) OVER (PARTITION BY shard_id, pack_seq) AS pack_tokens
+FROM rec
+""")
+def crawl_to_corpus(spark, sf_dir):
+    """THE composed crawl-to-corpus flagship — every proven stage of
+    the LLM-ingestion story chained end-to-end INSIDE the engine, the
+    way a production corpus build runs them:
+
+      bytes-on-disk → text:  each crawl row becomes a genuine
+        two-record `.warc.gz` (real gzip members, real WARC headers;
+        `multimodal.synthesize_warc_column` carrying the crawl URL)
+        and is parsed BACK by the real WARC walker
+        (`multimodal.warc_record_stats`) — URI and HTML must survive
+        the container roundtrip;
+      mirror crawls:  the same content is crawled at mirror hosts
+        (doc_id%4 → +1e7, doc_id%8 → +2e7, the www./m./CDN mirror
+        problem), so dedup has REAL multi-URL duplicate groups;
+      HTML → text:  `text.strip_html` (script/style subtrees, tags,
+        entities, whitespace — all codegen regexes);
+      quality gate:  Gopher rules wc/mean-word-length/alpha-fraction
+        (`text.gopher_quality_flags`; the stop-word and symbol rules
+        are structurally zero-variance on this synthetic corpus and
+        deliberately not gated);
+      robots gate:  the extracted WARC-Target-URI judged under the
+        multi-domain rules-AS-DATA table (`text.robots_gate`,
+        broadcast on registrable domain — mirror hosts have no rules
+        row and default-allow, exactly RFC 9309);
+      dedup as GROUPS:  per-fingerprint chain edges →
+        `graph.connected_components` (hash-min, star fallback) →
+        keep the minimum id per component;
+      packing:  survivors greedily first-fit packed to 512-token
+        packs in 32768-token shards (`packing.pack_greedy`, the
+        per-shard applyInPandas walk).
+
+    Every stage is a pure function of the documents table, so ONE
+    DuckDB oracle replays the entire pipeline (the dedup step
+    collapses to min-per-fingerprint because chain edges connect
+    exactly the duplicate groups — the oracle needs no recursive
+    closure; the recursive CTE it does run is the pack walk). Scale
+    shape: two Arrow-batched container projections (encode/decode),
+    scan-local gates, one broadcast robots join, one fingerprint
+    window, the CC label loop on the (tiny) duplicate-edge relation,
+    one applyInPandas pack per shard. NOTE: constructs eagerly (CC
+    iterates with actions) — correctness-window query, not a bench
+    HEADLINE entry (same policy as `dedup_components`)."""
+    import felixzh_flink_spark.operators.packing as PK
+    from felixzh_flink_spark.operators.graph import connected_components
+    from felixzh_flink_spark.operators.text import robots_gate
+
+    d = (_t_wide(spark, sf_dir, "documents")
+         .select("doc_id", "source",
+                 F.coalesce(F.col("text"), F.lit("")).alias("text")))
+    v = F.col("doc_id") % 6
+    sid = F.col("doc_id").cast("string")
+    url6 = (F.when(v == 0, F.concat(
+                F.lit("https://www.example.com/private/"), sid))
+            .when(v == 1, F.concat(
+                F.lit("https://shop.example.com/private/ok/"), sid))
+            .when(v == 2, F.concat(F.lit("http://files.net/docs/r"), sid,
+                                   F.lit(".pdf")))
+            .when(v == 3, F.concat(F.lit("https://files.net/docs/r"), sid,
+                                   F.lit(".txt")))
+            .when(v == 4, F.concat(
+                F.lit("https://x.unknown.org/anything/"), sid))
+            .otherwise(F.concat(F.lit("https://example.com/public/"), sid)))
+    orig = d.withColumn("url", url6)
+    m1 = (d.filter(F.col("doc_id") % 4 == 0)
+          .withColumn("doc_id", F.col("doc_id") + F.lit(10000000))
+          .withColumn("url", F.concat(
+              F.lit("https://mirror.example.org/d/"),
+              F.col("doc_id").cast("string"))))
+    m2 = (d.filter(F.col("doc_id") % 8 == 0)
+          .withColumn("doc_id", F.col("doc_id") + F.lit(20000000))
+          .withColumn("url", F.concat(
+              F.lit("https://mirror2.example.org/d/"),
+              F.col("doc_id").cast("string"))))
+    crawl = orig.unionByName(m1).unionByName(m2)
+    html = F.concat(
+        F.lit('<html><head><style>p{color:red}</style></head><body><h1>'),
+        F.col("source"), F.lit('</h1><p>'), F.col("text"),
+        F.lit('</p><script type="text/javascript">var x = 1 &amp;&amp; 2;'
+              '</script><p>Tail &amp; more</p></body></html>'))
+    warc = MM.synthesize_warc_column(crawl.withColumn("html", html),
+                                     text_col="html", uri_col="url")
+    rec = MM.warc_record_stats(warc)
+    stripped = rec.select(
+        "doc_id", "target_uri",
+        TX.strip_html(F.col("text"), alias="clean_text"))
+    flags = TX.gopher_quality_flags(stripped, text_col="clean_text")
+    gated = (stripped
+             .join(flags.select("doc_id", "wc_ok", "mwl_ok", "alpha_ok"),
+                   "doc_id")
+             .filter(F.col("wc_ok") & F.col("mwl_ok") & F.col("alpha_ok")))
+    rules = spark.createDataFrame(
+        [("example.com", "/private", False),
+         ("example.com", "/private/ok", True),
+         ("files.net", "/*.pdf$", False),
+         ("files.net", "/", True)],
+        "domain string, pattern string, is_allow boolean")
+    gated = (robots_gate(gated, "target_uri", rules)
+             .filter(F.col("allowed")))
+    fp = TX.fingerprint_md5(gated, "clean_text")
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    edges = (fp.select("doc_id", "fingerprint")
+             .withColumn("_prev", F.lag("doc_id").over(w))
+             .filter(F.col("_prev").isNotNull())
+             .select(F.col("_prev").alias("src"),
+                     F.col("doc_id").alias("dst")))
+    comp = connected_components(edges)
+    dropped = (comp.filter(F.col("node") != F.col("component"))
+               .select(F.col("node").alias("doc_id")))
+    survivors = fp.join(dropped, "doc_id", "left_anti")
+    return PK.pack_greedy(
+        survivors.select("doc_id", F.col("clean_text").alias("text")),
+        512, 32768)
+
+
 # =====================================================================
 # Driver-order: the correctness driver consumes QUERIES in insertion
 # order and checks a bounded window (50 entries), so ordering is part
@@ -6768,6 +6984,8 @@ def cms_token_counts(spark, sf_dir):
 # =====================================================================
 
 _DRIVER_ORDER = [
+    # --- new round-7 queries (window finalized at end of round 7)
+    "crawl_to_corpus",
     # =================================================================
     # ROUND-6 WINDOW (first 50): (a) the twenty-one new r6 queries —
     # session 3 added nine (inter-frame GIF compositing, IMA ADPCM,
@@ -6807,8 +7025,9 @@ _DRIVER_ORDER = [
     "semantic_dedup_checks",
     # --- oldest driver verification (round-2-only greens)
     "cosine_topk", "decontaminated_counts", "dedup_exact_docs",
-    "deterministic_split_counts", "doc_quality", "doc_repetition",
+    "deterministic_split_counts", "doc_quality",
     # ---- position 50 boundary ----
+    "doc_repetition",
     "dup_size_histogram", "fingerprint_docs",
     "grouping_pricing", "lang_id_pred", "lineitem_meta_stats",
     "market_segment_stats",

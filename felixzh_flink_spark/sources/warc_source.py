@@ -205,7 +205,21 @@ class _WarcWriter(DataSourceWriter):
             records.append((headers,
                             bytes(block) if block is not None else b""))
         os.makedirs(self.path, exist_ok=True)
-        out = os.path.join(self.path, f"part-{pid:05d}.warc.gz")
+        # Segment names must be (a) unique ACROSS write jobs — a fixed
+        # part-<pid> name made a second append silently clobber the
+        # first job's segments — and (b) lexicographically AFTER every
+        # previously written segment, so the streaming reader's
+        # monotonic-name offset contract picks appended batches up.
+        # A millisecond wall stamp + pid + random suffix gives both
+        # (the stamp orders jobs, the suffix de-collides concurrent
+        # writers landing in the same millisecond).
+        import time
+        import uuid
+
+        out = os.path.join(
+            self.path,
+            f"part-{int(time.time() * 1000):013d}-{pid:05d}"
+            f"-{uuid.uuid4().hex[:8]}.warc.gz")
         if records:
             with open(out, "wb") as fh:
                 fh.write(encode_warc(records, gzip_per_record=True))

@@ -1,0 +1,178 @@
+"""Crawl-to-corpus composed pipeline (queries.crawl_to_corpus) — the
+streaming twin and the batch/stream parity contract.
+
+The batch flagship is oracle-checked by the driver; here the SAME stage
+chain (WARC bytes → strip_html → Gopher gate → robots gate → dedup)
+runs as a Structured Streaming job fed by the `felixzh_warc` stream
+source, with a segment landing AFTER the stream starts. Parity target:
+(survivor count, distinct fingerprint set, total tokens) — invariant to
+WHICH member of a duplicate group survives (members share clean_text),
+which is exactly the delta between batch CC-min-id dedup and streaming
+first-seen `dropDuplicates`.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from felixzh_flink_spark.operators import text as TX
+from felixzh_flink_spark.operators.text import robots_gate
+
+
+def _rules(spark):
+    return spark.createDataFrame(
+        [("example.com", "/private", False),
+         ("example.com", "/private/ok", True),
+         ("files.net", "/*.pdf$", False),
+         ("files.net", "/", True)],
+        "domain string, pattern string, is_allow boolean")
+
+
+def _crawl_frame(spark, n_docs=60):
+    """Originals with the 6 robots URL families + %4 mirror crawls,
+    HTML-wrapped — the same synthesis recipe as the flagship query."""
+    d = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+         .orderBy("doc_id").limit(n_docs)
+         .select("doc_id", "source",
+                 F.coalesce(F.col("text"), F.lit("")).alias("text")))
+    v = F.col("doc_id") % 6
+    sid = F.col("doc_id").cast("string")
+    url6 = (F.when(v == 0, F.concat(
+                F.lit("https://www.example.com/private/"), sid))
+            .when(v == 1, F.concat(
+                F.lit("https://shop.example.com/private/ok/"), sid))
+            .when(v == 2, F.concat(F.lit("http://files.net/docs/r"), sid,
+                                   F.lit(".pdf")))
+            .when(v == 3, F.concat(F.lit("https://files.net/docs/r"), sid,
+                                   F.lit(".txt")))
+            .when(v == 4, F.concat(
+                F.lit("https://x.unknown.org/anything/"), sid))
+            .otherwise(F.concat(F.lit("https://example.com/public/"),
+                                sid)))
+    orig = d.withColumn("url", url6)
+    m1 = (d.filter(F.col("doc_id") % 4 == 0)
+          .withColumn("doc_id", F.col("doc_id") + F.lit(10000000))
+          .withColumn("url", F.concat(
+              F.lit("https://mirror.example.org/d/"),
+              F.col("doc_id").cast("string"))))
+    crawl = orig.unionByName(m1)
+    html = F.concat(
+        F.lit('<html><head><style>p{color:red}</style></head><body><h1>'),
+        F.col("source"), F.lit('</h1><p>'), F.col("text"),
+        F.lit('</p><script type="text/javascript">var x = 1 &amp;&amp; 2;'
+              '</script><p>Tail &amp; more</p></body></html>'))
+    return crawl.select(
+        "doc_id",
+        F.lit("response").alias("warc_type"),
+        F.concat(F.lit("urn:doc:"), F.col("doc_id")).alias("record_id"),
+        F.col("url").alias("target_uri"),
+        F.encode(html, "utf-8").alias("block"))
+
+
+def _stages(df, rules):
+    """strip_html → Gopher wc/mwl/alpha gate → robots gate →
+    fingerprint: identical transforms for batch and stream (every
+    stage is a projection / broadcast join, so the one definition
+    serves both engines — the U4 unified-mode discipline)."""
+    doc_id = F.regexp_extract("record_id", r"urn:doc:(\d+)", 1).cast("long")
+    stripped = df.select(
+        doc_id.alias("doc_id"), "target_uri",
+        TX.strip_html(F.decode(F.col("block"), "utf-8"),
+                      alias="clean_text"))
+    # gopher_quality_flags projects (id, flags); recompute inline so the
+    # stream side stays single-pass (no self-join on a stream)
+    flagged = stripped.select(
+        "*",
+        TX.token_count("clean_text"))
+    t = F.trim(F.col("clean_text"))
+    toks = F.filter(F.split(t, r"\s+"), lambda x: x != F.lit(""))
+    n = F.size(toks)
+    nd = F.greatest(n.cast("double"), F.lit(1.0))
+    mwl = F.length(F.regexp_replace(t, r"\s+", "")).cast("double") / nd
+    n_alpha = F.size(F.filter(toks, lambda x: x.rlike(r"[A-Za-z]")))
+    gated = flagged.filter(
+        (n >= 50) & (n <= 100_000)
+        & (mwl >= 3.0) & (mwl <= 10.0)
+        & (n_alpha.cast("double") / nd >= 0.8))
+    gated = robots_gate(gated, "target_uri", rules).filter(F.col("allowed"))
+    return TX.fingerprint_md5(gated, "clean_text")
+
+
+def test_crawl_stream_twin_matches_batch(spark, tmp_path):
+    from felixzh_flink_spark.sources.warc_source import register
+
+    register(spark)
+    seg_dir = str(tmp_path / "crawl")
+    os.makedirs(seg_dir)
+    crawl = _crawl_frame(spark)
+    early = crawl.filter(F.col("doc_id") < 10000000)   # originals
+    late = crawl.filter(F.col("doc_id") >= 10000000)   # mirrors
+    (early.drop("doc_id").repartition(2).write.format("felixzh_warc")
+     .option("path", seg_dir).mode("append").save())
+
+    rules = _rules(spark)
+    stream = (spark.readStream.format("felixzh_warc")
+              .option("path", seg_dir)
+              .option("max_files_per_batch", "1").load())
+    survivors = _stages(stream, rules).dropDuplicates(["fingerprint"])
+    q = (survivors.select("doc_id", "fingerprint", "n_tokens")
+         .writeStream.format("memory").queryName("crawl_tw")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    try:
+        q.processAllAvailable()
+        # the mirror crawl lands AFTER the stream started: its docs are
+        # duplicates of already-seen content plus duplicates of docs
+        # whose originals were robots-blocked (those must now survive)
+        (late.drop("doc_id").coalesce(1).write.format("felixzh_warc")
+         .option("path", seg_dir).mode("append").save())
+        q.processAllAvailable()
+        got = spark.sql(
+            "SELECT doc_id, fingerprint, n_tokens FROM crawl_tw").collect()
+    finally:
+        q.stop()
+
+    # batch reference over the SAME segments (late one included)
+    back = (spark.read.format("felixzh_warc")
+            .option("path", seg_dir).load())
+    fp = _stages(back, rules)
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    batch = (fp.withColumn("_rn", F.row_number().over(w))
+             .filter(F.col("_rn") == 1)
+             .select("doc_id", "fingerprint", "n_tokens").collect())
+
+    assert len(got) == len(batch)
+    assert {r.fingerprint for r in got} == {r.fingerprint for r in batch}
+    assert sum(r.n_tokens for r in got) == sum(r.n_tokens for r in batch)
+    # exactly-once across the late segment: no fingerprint twice
+    assert len({r.fingerprint for r in got}) == len(got)
+    # robots-blocked originals (families 0 and 2) surface through their
+    # allowed mirror copies: every survivor doc_id from the mirror range
+    # must correspond to a blocked-or-absent original
+    mirror_survivors = [r.doc_id for r in got if r.doc_id >= 10000000]
+    for mid in mirror_survivors:
+        assert (mid - 10000000) % 6 in (0, 2)
+
+
+def test_crawl_to_corpus_query_packs_within_budget(spark):
+    """The flagship's output obeys the packing invariants: pack totals
+    never exceed 512 unless the pack is a single over-budget doc, and
+    every survivor's tokens are accounted once."""
+    from felixzh_flink_spark.queries import QUERIES
+
+    out = QUERIES["crawl_to_corpus"](spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    assert rows
+    by_pack = {}
+    for r in rows:
+        by_pack.setdefault((r.shard_id, r.pack_seq), []).append(r)
+    for (sh, ps), members in by_pack.items():
+        total = sum(m.n_tokens for m in members)
+        assert all(m.pack_tokens == total for m in members)
+        assert total <= 512 or len(members) == 1
+    # mirrors dedup away except where the original was robots-blocked
+    mirror_ids = [r.doc_id for r in rows if r.doc_id >= 10000000]
+    for mid in mirror_ids:
+        assert (mid % 10000000) % 6 in (0, 2)
