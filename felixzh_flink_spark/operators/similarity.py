@@ -133,12 +133,18 @@ def _hyperplane_coeffs(spark, n_planes: int, dim: int) -> list[list[float]]:
     per row at scan time — pure wasted CPU on every scanned vector."""
     key = (n_planes, dim)
     if key not in _PLANE_CACHE:
+        # SQL-string lambdas, NOT Column-API lambdas: building several
+        # F.transform(..., lambda i, p=p: ...) closures in a loop and
+        # combining them in one expression collapses them to ONE plane —
+        # PySpark converts the shared lambda code object once, so every
+        # "plane" got p=0's coefficients and the LSH bucketing
+        # degenerated to {all-zeros, all-ones} (2 buckets — found by the
+        # round-7 sf1 scale run as an all-pairs blowup). The expr form
+        # carries the plane index as SQL text, so each plane is its own
+        # expression by construction.
         arr = F.array(*[
-            F.transform(
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda i, p=p: (F.xxhash64(F.lit(p), i).cast("double")
-                                / F.lit(float(2 ** 63))),
-            )
+            F.expr(f"transform(sequence(0, {dim - 1}), "
+                   f"i -> cast(xxhash64({p}, i) as double) / {float(2 ** 63)})")
             for p in range(n_planes)
         ])
         row = spark.range(1).select(arr.alias("c")).head()

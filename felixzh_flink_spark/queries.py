@@ -3279,6 +3279,42 @@ def _ivf_cell_counts(spark, sf_dir, n_centroids: int = 16) -> dict[int, int]:
     return _IVF_COUNTS_CACHE[key]
 
 
+_EMB_N_CACHE: dict[str, int] = {}
+
+
+def _embeddings_n(spark, sf_dir) -> int:
+    """Embedding-table row count — an ingest-time statistic (parquet
+    footers carry it; one metadata-only job here), cached per sf_dir."""
+    if sf_dir not in _EMB_N_CACHE:
+        _EMB_N_CACHE[sf_dir] = _t(spark, sf_dir, "embeddings").count()
+    return _EMB_N_CACHE[sf_dir]
+
+
+def _semantic_k(n_rows: int) -> int:
+    """Cell count for SemDedup-style within-cell pair search, scaled
+    from the proven sf0.1 operating point (16 cells over 2000 rows) by
+    √(n ratio) — the standard IVF compromise: with c ∝ √n both the
+    n·c assignment term and the n²/c within-cell pair term grow as
+    n^1.5 instead of one of them going quadratic. A FIXED c=16 made
+    semantic dedup 15× slower at 10× data in the round-7 sf1 scale
+    run (pair term n²/16); with this scaling sf1 runs 160-row cells
+    at c=51. Never below the 16-cell baseline, so ≤ sf0.1 behavior
+    (bench, driver window) is unchanged."""
+    return max(16, int(round(16 * (n_rows / 2000.0) ** 0.5)))
+
+
+def _near_dup_planes(n_rows: int) -> int:
+    """LSH plane count for embedding near-dup pair pruning, scaled so
+    EXPECTED bucket population stays at the sf0.1 operating point
+    (2000 rows / 2⁴ buckets = 125): one extra plane per doubling of
+    the table. Same quadratic-pair-term argument as `_semantic_k`;
+    recall per bucket is unchanged because the threshold and plane
+    geometry are unchanged — more planes only refine the partition the
+    way real LSH deployments add bits as the corpus grows."""
+    import math
+    return 4 + max(0, round(math.log2(max(1.0, n_rows / 2000.0))))
+
+
 def _query_vec(spark, sf_dir) -> list[float]:
     if sf_dir not in _VEC_CACHE:
         row = (
@@ -3649,24 +3685,34 @@ def semantic_dedup_keep(spark, sf_dir):
     the synthetic random vectors (real corpora: ~0.9+).
 
     `max_cell_size=10_000` is the hot-cell guard — a no-op on this data
-    (cells average rows/16) but bounds the within-cell pair term if
+    (cells average ~125 rows) but bounds the within-cell pair term if
     k-means ever collapses a cell at corpus scale. Cell populations are
     passed from the cached ingest-time stats (`_ivf_cell_counts`), so the
-    guard folds to a literal filter and costs the query nothing."""
+    guard folds to a literal filter and costs the query nothing.
+
+    The cell count scales with the table (`_semantic_k`: c ∝ √n from
+    the 16-cells-at-2000-rows baseline) — the round-7 sf1 run proved
+    a pinned c=16 goes quadratic in the pair term."""
     e = _t_wide(spark, sf_dir, "embeddings")
+    k = _semantic_k(_embeddings_n(spark, sf_dir))
     return SIM.semantic_dedup(e, threshold=0.5,
-                              cents=_ivf_trained(spark, sf_dir, 16),
+                              cents=_ivf_trained(spark, sf_dir, k),
                               max_cell_size=10_000,
-                              cell_counts=_ivf_cell_counts(spark, sf_dir, 16))
+                              cell_counts=_ivf_cell_counts(spark, sf_dir, k))
 
 
 @q("embedding_near_dup")  # rows-only: LSH-pruned pair generation
 def embedding_near_dup(spark, sf_dir):
     """Embedding near-dup pairs with LSH bucket pruning. Threshold 0.4 /
-    4 planes on the synthetic random vectors (no true dups exist there;
-    real corpora use ~0.95 with more planes — same plan shape)."""
+    4 planes at the sf0.1 baseline on the synthetic random vectors (no
+    true dups exist there; real corpora use ~0.95 with more planes —
+    same plan shape). Plane count scales with the table
+    (`_near_dup_planes`: +1 plane per doubling) to hold expected
+    bucket population — and therefore the within-bucket pair term —
+    constant per row."""
     e = _t_wide(spark, sf_dir, "embeddings")
-    return SIM.embedding_near_dup_pairs(e, threshold=0.4, n_planes=4)
+    planes = _near_dup_planes(_embeddings_n(spark, sf_dir))
+    return SIM.embedding_near_dup_pairs(e, threshold=0.4, n_planes=planes)
 
 
 @q("ann_ivf_checks", """
@@ -3729,10 +3775,11 @@ def semantic_dedup_checks(spark, sf_dir):
     precompute, or a nondeterministic cell assignment flips a boolean.
     DuckDB oracle is the constant-true row."""
     e = _t_wide(spark, sf_dir, "embeddings")
-    cents = _ivf_trained(spark, sf_dir, 16)
+    k = _semantic_k(_embeddings_n(spark, sf_dir))
+    cents = _ivf_trained(spark, sf_dir, k)
     res = SIM.semantic_dedup(e, threshold=0.5, cents=cents,
                              max_cell_size=10_000,
-                             cell_counts=_ivf_cell_counts(spark, sf_dir, 16))
+                             cell_counts=_ivf_cell_counts(spark, sf_dir, k))
     assigned = SIM.ivf_assign(e, cents).select(
         F.col("vec_id").alias("id"), F.col("embedding").alias("v"), "ivf_cell")
     a, b = assigned.alias("a"), assigned.alias("b")
@@ -3774,7 +3821,9 @@ def embedding_near_dup_checks(spark, sf_dir):
 
     DuckDB oracle is the constant-true row."""
     e = _t_wide(spark, sf_dir, "embeddings")
-    pairs = SIM.embedding_near_dup_pairs(e, threshold=0.4, n_planes=4)
+    pairs = SIM.embedding_near_dup_pairs(
+        e, threshold=0.4,
+        n_planes=_near_dup_planes(_embeddings_n(spark, sf_dir)))
     base = e.select(F.col("vec_id").alias("id"), F.col("embedding").alias("v"))
     pa = (pairs
           .join(base.select(F.col("id").alias("id_a"), F.col("v").alias("va")),
@@ -6984,106 +7033,103 @@ def crawl_to_corpus(spark, sf_dir):
 # =====================================================================
 
 _DRIVER_ORDER = [
-    # --- new round-7 queries (window finalized at end of round 7)
-    "crawl_to_corpus",
     # =================================================================
-    # ROUND-6 WINDOW (first 50): (a) the twenty-one new r6 queries —
-    # session 3 added nine (inter-frame GIF compositing, IMA ADPCM,
-    # G.711 mu-law, TIFF, gzip member framing, WARC extraction,
-    # protobuf wire format, connected components, order-pinned EWMA)
-    # on top of session 1-2's twelve media/robots/PSL entries; (b) the
-    # 7 r2-green queries round 5 displaced (the r5 judge's top ask);
-    # (c) every query whose CODE PATH changed in round 6 (RFC 9309
-    # wildcard robots, try_element_at URL keys, single-SQL plan folds
-    # for percentiles/psi/jaccard/cms/canal/debezium/semantic-dedup,
-    # PNG chunk-CRC verification); (d) the oldest driver verifications
-    # (round-2-only greens, alphabetical). All 50 are oracle-backed —
-    # the six rows-only probes got their driver rows in round 5 and
-    # rotate out; their assertion twins stay pinned via _PROBE_TWINS.
-    # Every r6 query was also locally verified at sf0.01 AND sf0.1.
+    # ROUND-7 WINDOW (first 50) — the round-6 verdict's top ask was to
+    # rotate the window onto the STALEST driver proofs (61 queries'
+    # last green was round 2 or 3). Composition: (a) the new r7
+    # composed flagship `crawl_to_corpus`; (b) every query whose CODE
+    # PATH changed in round 7 (graph.py star-contraction fallback →
+    # dedup_components; multimodal.synthesize_warc_column uri_col →
+    # warc_extract_stats; bloom.py word-agg dispatch →
+    # decontaminate_bloom_survivors; the sf1-scale _semantic_k /
+    # _near_dup_planes parameterization → the semantic_dedup and
+    # embedding_near_dup assertion twins, which re-derive the verdicts
+    # independently); (c) ALL 32 round-2-only greens; (d) the oldest
+    # round-3-only greens, alphabetical, filling to 50.
+    # The 15 remaining r3-stale greens lead the post-window ordering
+    # and are first in line for the round-8 rotation; this round they
+    # are re-proven by the local full-sweep (sf0.001 + sf0.01).
     # =================================================================
-    # --- new round-6 queries
-    "gif_composite_stats", "adpcm_decode_stats", "mulaw_decode_stats",
-    "tiff_decode_stats", "gzip_roundtrip_docs", "warc_extract_stats",
-    "proto_roundtrip_orders", "dedup_components", "ewma_user_value",
-    "media_format_census", "webdataset_sample_stats",
-    "compressed_text_census",
-    "robots_wildcard_paths", "url_registrable_psl", "gif_decode_stats",
-    "robots_site_gate", "jpeg_decode_stats", "jpeg_color_decode_stats",
-    "gif_frame_sample_stats", "avi_frame_sample_stats",
-    "wav_resample_stats", "image_feature_stats", "wav_segment_stats",
-    "bmp_decode_stats",
-    # --- r2-green, displaced by the round-5 rotation (judge item 1)
-    "chunk_docs", "corpus_pipeline_counts", "changelog_retract_sum",
-    "canal_decode", "avro_roundtrip_orders", "asof_purchase_view",
-    "acctbal_quartiles",
-    # --- code paths changed in round 6
-    "robots_allowed_paths", "url_domain_counts", "debezium_decode",
-    "canal_quarantine_counts", "cms_token_counts", "jaccard_join_exact",
-    "minhash_dedup_verified", "png_decode_stats", "png_thumbnail_stats",
-    "price_decile_histogram", "psi_price_drift", "winsorized_price_stats",
-    "semantic_dedup_checks",
-    # --- oldest driver verification (round-2-only greens)
-    "cosine_topk", "decontaminated_counts", "dedup_exact_docs",
-    "deterministic_split_counts", "doc_quality",
-    # ---- position 50 boundary ----
-    "doc_repetition",
-    "dup_size_histogram", "fingerprint_docs",
-    "grouping_pricing", "lang_id_pred", "lineitem_meta_stats",
-    "market_segment_stats",
-    "multimodal_frame_plan", "multimodal_meta",
-    "order_window_analytics", "pack_sequences", "profile_lineitem",
-    "q11_important_stock", "q13_customer_distribution",
-    "q16_supplier_part_counts",
-    "q19_disjunctive_revenue", "q20_part_shippers",
-    "q21_waiting_supplier", "q22_global_sales_opportunity",
-    "q2_min_cost_supplier", "q7_volume_shipping", "q8_market_share",
-    # past the window: every name below has a green CORRECTNESS row
-    # from rounds 1-5 and is re-verified by this round's full local
-    # check_correctness sweeps; ordered by verification age (r2
-    # leftovers first, then r3-only, r4, r5 greens).
-    "q9_product_profit", "quantized_embedding_checksums", "redact_docs",
-    "set_ops_nations", "source_token_stats", "stratified_sample_counts",
-    "token_counts", "token_shards", "top_bigrams",
-    "udtf_lateral", "weighted_avg_price", "abandoned_views",
-    "approx_distinct_parts", "approx_quantile_price", "attribution_last_touch",
-    "bigram_doc_nll", "boilerplate_block_removal", "content_split_counts",
+    "crawl_to_corpus", "dedup_components", "warc_extract_stats",
+    "decontaminate_bloom_survivors", "dup_size_histogram",
+    "fingerprint_docs", "grouping_pricing", "lang_id_pred",
+    "lineitem_meta_stats", "market_segment_stats", "multimodal_frame_plan",
+    "multimodal_meta", "order_window_analytics", "pack_sequences",
+    "profile_lineitem", "q11_important_stock", "q13_customer_distribution",
+    "q16_supplier_part_counts", "q19_disjunctive_revenue",
+    "q20_part_shippers", "q21_waiting_supplier",
+    "q22_global_sales_opportunity", "q2_min_cost_supplier",
+    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
+    "quantized_embedding_checksums", "redact_docs", "set_ops_nations",
+    "source_token_stats", "stratified_sample_counts", "token_counts",
+    "token_shards", "top_bigrams", "udtf_lateral", "weighted_avg_price",
+    "abandoned_views", "approx_distinct_parts", "approx_quantile_price",
+    "attribution_last_touch", "bigram_doc_nll",
+    "boilerplate_block_removal", "content_split_counts",
     "contrastive_triplet_checks", "curriculum_bins", "cut_spans_docs",
-    "decontaminate_bloom_survivors", "decontaminate_ngram_survivors", "dedup_keep_best",
-    "delta_dedup_status", "global_doc_ids", "gopher_rule_flags",
-    "heavy_hitter_langs", "length_histogram_sources", "multimodal_dims",
-    "repeated_spans", "robust_outlier_flags", "scd2_user_history",
-    "script_profile_docs", "temperature_mix_counts", "tfidf_top_terms",
-    "unigram_doc_nll", "unpivot_order_counts", "winnow_fingerprints",
-    "winnow_similar_pairs", "ann_ivf_checks", "ann_ivfpq_checks",
-    "ann_pq_checks", "audio_segment_plan", "bpe_token_counts",
-    "capped_domain_sample", "cep_times_consecutive", "cosine_topk_multi",
-    "data_quality_report", "distinct_parts_per_supplier", "edit_distance_pairs",
-    "embedding_near_dup_checks", "epoch_shuffle_docs", "event_anomaly_hours",
-    "events_hourly", "events_hourly_filled", "events_hourly_interp",
-    "events_rollup_cascade", "filter_projection", "funnel_view_click_purchase",
-    "funnel_within_window", "hll_user_rollup", "html_extract_text",
-    "image_resize_plan", "incremental_agg_view", "interleaved_training_order",
+    "decontaminate_ngram_survivors", "dedup_keep_best",
+    "semantic_dedup_checks", "embedding_near_dup_checks",
+    # ---- position 50 boundary ----
+    # past the window: remaining r3-stale first (next rotation's
+    # candidates), then r4/r5/r6 greens by verification age; the six
+    # rows-only probes (driver rows r5, assertion twins pinned via
+    # _PROBE_TWINS) close the list.
+    "delta_dedup_status", "global_doc_ids",
+    "gopher_rule_flags", "heavy_hitter_langs", "length_histogram_sources",
+    "multimodal_dims", "repeated_spans", "robust_outlier_flags",
+    "scd2_user_history", "script_profile_docs", "temperature_mix_counts",
+    "tfidf_top_terms", "unigram_doc_nll", "unpivot_order_counts",
+    "winnow_fingerprints", "winnow_similar_pairs", "ann_ivf_checks",
+    "ann_ivfpq_checks", "ann_pq_checks", "audio_segment_plan",
+    "bpe_token_counts", "capped_domain_sample", "cep_times_consecutive",
+    "cosine_topk_multi", "data_quality_report",
+    "distinct_parts_per_supplier", "edit_distance_pairs",
+    "epoch_shuffle_docs",
+    "event_anomaly_hours", "events_hourly", "events_hourly_filled",
+    "events_hourly_interp", "events_rollup_cascade", "filter_projection",
+    "funnel_view_click_purchase", "funnel_within_window",
+    "hll_user_rollup", "html_extract_text", "image_resize_plan",
+    "incremental_agg_view", "interleaved_training_order",
     "json_roundtrip_orders", "label_centroids", "mixture_pipeline_counts",
-    "nation_hierarchy_paths", "pipe_syntax_order_stats", "purchase_conversion_rate",
-    "range_join_recent_views", "repartitioned_user_counts", "salted_event_counts",
+    "nation_hierarchy_paths", "pipe_syntax_order_stats",
+    "purchase_conversion_rate", "range_join_recent_views",
+    "repartitioned_user_counts", "salted_event_counts",
     "salted_rowkey_spread", "snapshot_diff", "sql_udf_price_tiers",
     "upsert_materialize", "user_sessions", "weekly_retention_cohorts",
-    "word_count", "zorder_key_lineitem", "ann_ivf_topk",
-    "ann_ivfpq_topk", "ann_pq_topk", "argmax_order_per_segment",
+    "word_count", "zorder_key_lineitem", "argmax_order_per_segment",
     "canonical_url_dedup", "classifier_keep_rates", "classifier_scores",
-    "csv_roundtrip_part", "cube_order_status", "embedding_near_dup",
-    "event_runs_udtf", "events_json_extract", "events_sliding_windows",
-    "events_variant_extract", "hourly_top_events", "kmeans_spherical_checks",
-    "minhash_lsh_pairs", "mp4_duration_meta", "nation_customers_vs_suppliers",
-    "ngram_jaccard_pairs", "pivot_order_status", "q10_returned_items",
-    "q12_returnflag_priority", "q14_promo_revenue", "q15_top_supplier",
-    "q17_small_quantity_revenue", "q18_large_orders", "q1_pricing_summary",
-    "q3_top_unshipped", "q4_order_priority", "q5_local_supplier_volume",
-    "q6_forecast_revenue", "quantiles_by_flag", "revenue_by_nation",
-    "rolling_hour_user_value", "running_quantity_by_supplier", "scalar_concat",
-    "semantic_dedup_keep", "skewed_supplier_revenue", "sliding_count_windows",
-    "temporal_join_purchases", "top_orders_per_customer", "wav_decode_stats",
+    "csv_roundtrip_part", "cube_order_status", "event_runs_udtf",
+    "events_json_extract", "events_sliding_windows",
+    "events_variant_extract", "hourly_top_events",
+    "kmeans_spherical_checks", "mp4_duration_meta",
+    "nation_customers_vs_suppliers", "ngram_jaccard_pairs",
+    "pivot_order_status", "q10_returned_items", "q12_returnflag_priority",
+    "q14_promo_revenue", "q15_top_supplier", "q17_small_quantity_revenue",
+    "q18_large_orders", "q1_pricing_summary", "q3_top_unshipped",
+    "q4_order_priority", "q5_local_supplier_volume", "q6_forecast_revenue",
+    "quantiles_by_flag", "revenue_by_nation", "rolling_hour_user_value",
+    "running_quantity_by_supplier", "scalar_concat",
+    "skewed_supplier_revenue", "sliding_count_windows",
+    "temporal_join_purchases", "top_orders_per_customer",
+    "wav_decode_stats", "acctbal_quartiles", "adpcm_decode_stats",
+    "asof_purchase_view", "avi_frame_sample_stats",
+    "avro_roundtrip_orders", "bmp_decode_stats", "canal_decode",
+    "canal_quarantine_counts", "changelog_retract_sum", "chunk_docs",
+    "cms_token_counts", "compressed_text_census", "corpus_pipeline_counts",
+    "cosine_topk", "debezium_decode", "decontaminated_counts",
+    "dedup_exact_docs", "deterministic_split_counts", "doc_quality",
+    "doc_repetition", "ewma_user_value", "gif_composite_stats",
+    "gif_decode_stats", "gif_frame_sample_stats", "gzip_roundtrip_docs",
+    "image_feature_stats", "jaccard_join_exact", "jpeg_color_decode_stats",
+    "jpeg_decode_stats", "media_format_census", "minhash_dedup_verified",
+    "mulaw_decode_stats", "png_decode_stats", "png_thumbnail_stats",
+    "price_decile_histogram", "proto_roundtrip_orders", "psi_price_drift",
+    "robots_allowed_paths", "robots_site_gate", "robots_wildcard_paths",
+    "tiff_decode_stats", "url_domain_counts",
+    "url_registrable_psl", "wav_resample_stats", "wav_segment_stats",
+    "webdataset_sample_stats", "winsorized_price_stats", "ann_ivf_topk",
+    "ann_ivfpq_topk", "ann_pq_topk", "embedding_near_dup",
+    "minhash_lsh_pairs", "semantic_dedup_keep",
 ]
 
 assert set(_DRIVER_ORDER) == set(QUERIES), (
