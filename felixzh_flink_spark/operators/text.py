@@ -910,49 +910,65 @@ def registrable_domain_psl(df: DataFrame, host_col: str, rules,
     if not parsed:
         raise ValueError("empty PSL rule set")
     maxk = max(k for _, k in parsed)
-    rules_rows = [(key, k, "norm" in kinds, "wild" in kinds, "exc" in kinds)
-                  for (key, k), kinds in parsed.items()]
-    rules_df = spark.createDataFrame(
-        rules_rows, "key string, klab int, norm boolean, wild boolean, "
-                    "exc boolean")
 
-    h = F.lower(F.col(host_col))
-    labels = F.split(h, r"\.")
-    n = F.size(labels)
-    out = df.withColumn("__n", n)
+    # ONE parameterized spark.sql statement instead of maxk chained
+    # DataFrame joins: every DataFrame transformation analyzes its
+    # (growing) plan eagerly, so the join chain cost ~0.2 s of
+    # driver-side re-analysis per depth (the round-7 plan-time-tail
+    # finding — ~0.4 s construction for 3 depths); the SQL form is one
+    # parse + one analysis for the whole join tree. Same physical
+    # plan: one BROADCAST hash join per rule depth, host side never
+    # shuffles.
+    vals = ", ".join(
+        f"({_sql_str(key)}, {k}, "
+        f"{'true' if 'norm' in kinds else 'false'}, "
+        f"{'true' if 'wild' in kinds else 'false'}, "
+        f"{'true' if 'exc' in kinds else 'false'})"
+        for (key, k), kinds in sorted(parsed.items()))
+    hq = f"`{host_col}`"
+    joins = []
     for k in range(1, maxk + 1):
-        rk = (rules_df.filter(F.col("klab") == k)
-              .select(F.col("key").alias(f"__key_{k}"),
-                      F.col("norm").alias(f"__norm_{k}"),
-                      F.col("wild").alias(f"__wild_{k}"),
-                      F.col("exc").alias(f"__exc_{k}")))
-        sfx = F.when(F.col("__n") >= k,
-                     F.concat_ws(".", F.slice(F.split(
-                         F.lower(F.col(host_col)), r"\."), -k, k)))
-        out = out.join(F.broadcast(rk),
-                       sfx == F.col(f"__key_{k}"), "left")
-
-    nn = F.col("__n")
-    exc_ps = [F.when(F.coalesce(F.col(f"__exc_{k}"), F.lit(False)),
-                     F.lit(k - 1)) for k in range(1, maxk + 1)]
-    norm_ps = [F.when(F.coalesce(F.col(f"__norm_{k}"), F.lit(False)),
-                      F.lit(k)) for k in range(1, maxk + 1)]
-    wild_ps = [F.when(F.coalesce(F.col(f"__wild_{k}"), F.lit(False))
-                      & (nn >= k + 1), F.lit(k + 1))
+        sfx = (f"CASE WHEN size(__h.__labs) >= {k} THEN "
+               f"concat_ws('.', slice(__h.__labs, -{k}, {k})) END")
+        joins.append(
+            f"LEFT JOIN (SELECT key AS __key_{k}, norm AS __norm_{k}, "
+            f"wild AS __wild_{k}, exc AS __exc_{k} "
+            f"FROM __rules WHERE klab = {k}) __r{k} "
+            f"ON ({sfx}) = __r{k}.__key_{k}")
+    exc_ps = [f"CASE WHEN coalesce(__exc_{k}, false) THEN {k - 1} END"
+              for k in range(1, maxk + 1)]
+    norm_ps = [f"CASE WHEN coalesce(__norm_{k}, false) THEN {k} END"
+               for k in range(1, maxk + 1)]
+    wild_ps = [f"CASE WHEN coalesce(__wild_{k}, false) "
+               f"AND size(__labs) >= {k + 1} THEN {k + 1} END"
                for k in range(1, maxk + 1)]
 
-    def _greatest(cols):
-        return cols[0] if len(cols) == 1 else F.greatest(*cols)
+    def _greatest(parts):
+        return parts[0] if len(parts) == 1 else \
+            "greatest(" + ", ".join(parts) + ")"
 
-    ps = F.coalesce(_greatest(exc_ps), _greatest(norm_ps + wild_ps),
-                    F.lit(1))
-    labels2 = F.split(F.lower(F.col(host_col)), r"\.")
-    site = F.when(F.col(host_col).isNotNull() & (nn > ps),
-                  F.concat_ws(".", F.slice(labels2, -(ps + 1), ps + 1)))
-    drop = ["__n"] + [c for k in range(1, maxk + 1)
-                      for c in (f"__key_{k}", f"__norm_{k}",
-                                f"__wild_{k}", f"__exc_{k}")]
-    return out.withColumn(out_col, site).drop(*drop)
+    ps = (f"coalesce({_greatest(exc_ps)}, "
+          f"{_greatest(norm_ps + wild_ps)}, 1)")
+    hint = ", ".join(f"__r{k}" for k in range(1, maxk + 1))
+    out_cols = ", ".join(f"`{c}`" for c in df.columns)
+    sql = f"""
+WITH __rules AS (
+  SELECT * FROM VALUES {vals} AS t(key, klab, norm, wild, exc)
+),
+__h AS (
+  SELECT *, split(lower({hq}), '\\\\.') AS __labs FROM {{df}}
+)
+SELECT {out_cols},
+       CASE WHEN {hq} IS NOT NULL AND size(__labs) > __ps
+            THEN concat_ws('.', slice(__labs, -(__ps + 1), __ps + 1))
+       END AS `{out_col}`
+FROM (
+  SELECT /*+ BROADCAST({hint}) */ __h.*, {ps} AS __ps
+  FROM __h
+  {' '.join(joins)}
+)
+"""
+    return spark.sql(sql, df=df)
 
 
 def canonical_url(col, drop_prefixes: "tuple[str, ...]" = ("utm_",),

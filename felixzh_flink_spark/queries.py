@@ -118,13 +118,12 @@ def q1_pricing_summary(spark, sf_dir):
     before the shuffle."""
     l = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
     return l.groupBy("l_returnflag", "l_linestatus").agg(
         exact_sum("l_quantity", 2, "sum_qty"),
         exact_sum("l_extendedprice", 2, "sum_base_price"),
-        exact_sum(disc_price, 4, "sum_disc_price"),
-        exact_sum(charge, 6, "sum_charge"),
+        exact_sum("l_extendedprice * (1 - l_discount)", 4, "sum_disc_price"),
+        exact_sum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 6,
+                  "sum_charge"),
         (exact_sum("l_quantity", 2) / F.count("*")).alias("avg_qty"),
         (exact_sum("l_extendedprice", 2) / F.count("*")).alias("avg_price"),
         F.count("*").alias("count_order"),
