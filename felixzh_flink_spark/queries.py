@@ -6135,6 +6135,43 @@ def dedup_components(spark, sf_dir):
         F.col("component").cast("bigint").alias("component_id"))
 
 
+@q("dedup_components_star", """
+WITH mx AS (SELECT MAX(doc_id) AS m FROM documents)
+SELECT doc_id AS node,
+       CAST(doc_id - (doc_id % 64) AS BIGINT) AS component
+FROM documents, mx
+WHERE (doc_id % 64 != 63 AND doc_id < m) OR (doc_id % 64 != 0)
+""")
+def dedup_components_star(spark, sf_dir):
+    """The STAR-CONTRACTION connected-components kernel
+    (`graph.connected_components_star`, NEW round 7 — the O(log n)
+    fallback `connected_components` switches to when hash-min hits its
+    round bound) proven through the hash oracle on an adversarial
+    HIGH-DIAMETER graph: documents chained consecutively in runs of 64
+    (edge doc_id → doc_id+1 except across run boundaries), diameter 63
+    ≫ the hash-min default of 25 rounds. The alternating
+    large-star/small-star rewrite must converge in ~⌈log₂ 64⌉
+    alternations and label every node with its run head — a closed
+    form (`doc_id - doc_id % 64`) the oracle states directly, so a
+    wrong emission rule, a dropped leaf, or a non-minimal center
+    hash-mismatches. Nodes are edge endpoints only: a run head appears
+    solely via its right edge (absent when it is the table max), other
+    nodes via their left edge — the oracle's WHERE mirrors that.
+    Per-round scale shape: one keyed min + one join, edge set
+    rewritten via eager localCheckpoint (lineage truncation — the
+    iterative-plan OOM trap documented in graph.py)."""
+    from felixzh_flink_spark.operators.graph import connected_components_star
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    mx = d.agg(F.max("doc_id")).first()[0]
+    edges = (d.filter((F.col("doc_id") % 64 != 63) & (F.col("doc_id") < mx))
+             .select(F.col("doc_id").alias("src"),
+                     (F.col("doc_id") + 1).alias("dst")))
+    return connected_components_star(edges).select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("component").cast("bigint").alias("component"))
+
+
 @q("global_doc_ids", """
 SELECT doc_id, source,
        ROW_NUMBER() OVER (ORDER BY source, doc_id) AS global_id
@@ -7049,7 +7086,8 @@ _DRIVER_ORDER = [
     # and are first in line for the round-8 rotation; this round they
     # are re-proven by the local full-sweep (sf0.001 + sf0.01).
     # =================================================================
-    "crawl_to_corpus", "dedup_components", "warc_extract_stats",
+    "crawl_to_corpus", "dedup_components", "dedup_components_star",
+    "warc_extract_stats",
     "decontaminate_bloom_survivors", "dup_size_histogram",
     "fingerprint_docs", "grouping_pricing", "lang_id_pred",
     "lineitem_meta_stats", "market_segment_stats", "multimodal_frame_plan",
@@ -7066,14 +7104,14 @@ _DRIVER_ORDER = [
     "attribution_last_touch", "bigram_doc_nll",
     "boilerplate_block_removal", "content_split_counts",
     "contrastive_triplet_checks", "curriculum_bins", "cut_spans_docs",
-    "decontaminate_ngram_survivors", "dedup_keep_best",
+    "decontaminate_ngram_survivors",
     "semantic_dedup_checks", "embedding_near_dup_checks",
     # ---- position 50 boundary ----
     # past the window: remaining r3-stale first (next rotation's
     # candidates), then r4/r5/r6 greens by verification age; the six
     # rows-only probes (driver rows r5, assertion twins pinned via
     # _PROBE_TWINS) close the list.
-    "delta_dedup_status", "global_doc_ids",
+    "dedup_keep_best", "delta_dedup_status", "global_doc_ids",
     "gopher_rule_flags", "heavy_hitter_langs", "length_histogram_sources",
     "multimodal_dims", "repeated_spans", "robust_outlier_flags",
     "scd2_user_history", "script_profile_docs", "temperature_mix_counts",
