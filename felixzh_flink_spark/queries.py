@@ -2823,6 +2823,68 @@ def pack_sequences(spark, sf_dir):
     return PK.pack_greedy(_t(spark, sf_dir, "documents"), 512, 32768)
 
 
+@q("pack_efficiency", r"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+  FROM documents
+),
+sharded AS (
+  SELECT doc_id, n_tokens,
+         CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+              ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) / 32768.0) AS BIGINT) AS shard_id
+  FROM toks
+),
+numbered AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY shard_id ORDER BY doc_id) AS rn
+  FROM sharded
+),
+rec AS (
+  WITH RECURSIVE walk AS (
+    SELECT shard_id, doc_id, n_tokens, rn,
+           CAST(0 AS BIGINT) AS pack_seq, n_tokens AS running
+    FROM numbered WHERE rn = 1
+    UNION ALL
+    SELECT n.shard_id, n.doc_id, n.n_tokens, n.rn,
+           CASE WHEN w.running > 0 AND w.running + n.n_tokens > 512
+                THEN w.pack_seq + 1 ELSE w.pack_seq END,
+           CASE WHEN w.running > 0 AND w.running + n.n_tokens > 512
+                THEN n.n_tokens ELSE w.running + n.n_tokens END
+    FROM walk w JOIN numbered n
+      ON n.shard_id = w.shard_id AND n.rn = w.rn + 1
+  )
+  SELECT * FROM walk
+)
+SELECT shard_id,
+       CAST(COUNT(DISTINCT pack_seq) AS BIGINT) AS n_packs,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(COUNT(DISTINCT pack_seq) * 512 - SUM(n_tokens) AS BIGINT)
+         AS padding_waste
+FROM rec GROUP BY shard_id
+""")
+def pack_efficiency(spark, sf_dir):
+    """Packing-efficiency report — the QA readout every packing stage
+    ships with: per shard, pack count, doc count, token total, and
+    PADDING WASTE (packs × budget − real tokens: the fraction of every
+    training batch spent attending to pad tokens). Rides the proven
+    greedy walk (`packing.pack_greedy`) with one extra keyed aggregate
+    (partial-aggregated; shuffle ∝ shards, not docs); the oracle
+    replays the walk as the recursive CTE and restates the waste
+    arithmetic. At 100 TB this is the number that decides whether the
+    pack budget or the first-fit policy needs tuning."""
+    import felixzh_flink_spark.operators.packing as PK
+    packed = PK.pack_greedy(_t(spark, sf_dir, "documents"), 512, 32768)
+    return packed.groupBy("shard_id").agg(
+        F.countDistinct("pack_seq").alias("n_packs"),
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (F.countDistinct("pack_seq") * 512
+         - F.sum("n_tokens")).alias("padding_waste"))
+
+
 @q("chunk_docs", r"""
 WITH toks AS (
   SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
@@ -2911,6 +2973,53 @@ def decontaminate_bloom_survivors(spark, sf_dir):
     return clean.agg(F.count("*").alias("n_clean"),
                      F.sum("doc_id").alias("id_sum"),
                      F.sum("n_chars").alias("char_sum"))
+
+
+@q("bloom_word_agg_checks", """
+SELECT TRUE AS words_identical, TRUE AS no_false_negatives,
+       TRUE AS fp_rate_sane
+""")
+def bloom_word_agg_checks(spark, sf_dir):
+    """Assertion oracle for the WORD-AGGREGATED bloom build
+    (`bloom.bloom_build_words`, NEW round 7 — the ≥ 2²⁷-bit path whose
+    driver collect is bounded by num_bits/64 words instead of distinct
+    positions; a 100-TB decontamination filter needs it). Both build
+    paths run over the full document-fingerprint column and the checks
+    pin the contract:
+
+    - words_identical: the distributed `groupBy(word).agg(bit_or)`
+      words are BIT-IDENTICAL to the local distinct-position build
+      (same seeds, same position math — any pmod/shift/sign slip
+      flips it);
+    - no_false_negatives: every inserted fingerprint passes the
+      membership probe (the bloom guarantee that makes the exact
+      confirm join sound);
+    - fp_rate_sane: a disjoint probe set (salted fingerprints) hits at
+      ≤ 2% — at 10 bits/key with k=7 the expected rate is < 1%, so a
+      degenerate bit set (all-ones from a sign bug) cannot pass.
+
+    DuckDB oracle is the constant-true row (the bit set is
+    xxhash64-seed-specific — no exact-engine value match exists)."""
+    fp = (TX.fingerprint_md5(_t(spark, sf_dir, "documents"))
+          .select("fingerprint").distinct())
+    num_bits = BLOOM.sized_bits(fp.count())
+    words_local = BLOOM.bloom_build(fp, "fingerprint", num_bits)
+    words_agg = BLOOM.bloom_build_words(fp, "fingerprint", num_bits)
+    probed = BLOOM.with_bloom_hit(fp, "fingerprint", words_agg, num_bits)
+    nfn = probed.agg(
+        F.coalesce(F.min(F.col("_bloom_hit")), F.lit(False))
+        .alias("no_false_negatives"))
+    disjoint = fp.select(F.md5(F.concat(F.lit("probe-"),
+                                        F.col("fingerprint")))
+                         .alias("fingerprint"))
+    fpr = (BLOOM.with_bloom_hit(disjoint, "fingerprint", words_agg,
+                                num_bits)
+           .agg((F.avg(F.col("_bloom_hit").cast("double")) <= 0.02)
+                .alias("fp_rate_sane")))
+    return (nfn.crossJoin(fpr)
+            .select(F.lit(words_local == words_agg)
+                    .alias("words_identical"),
+                    "no_false_negatives", "fp_rate_sane"))
 
 
 @q("boilerplate_block_removal", r"""
@@ -7086,7 +7195,8 @@ _DRIVER_ORDER = [
     # and are first in line for the round-8 rotation; this round they
     # are re-proven by the local full-sweep (sf0.001 + sf0.01).
     # =================================================================
-    "crawl_to_corpus", "dedup_components", "dedup_components_star",
+    "crawl_to_corpus", "dedup_components_star", "pack_efficiency",
+    "bloom_word_agg_checks", "dedup_components",
     "warc_extract_stats",
     "decontaminate_bloom_survivors", "dup_size_histogram",
     "fingerprint_docs", "grouping_pricing", "lang_id_pred",
@@ -7103,14 +7213,14 @@ _DRIVER_ORDER = [
     "abandoned_views", "approx_distinct_parts", "approx_quantile_price",
     "attribution_last_touch", "bigram_doc_nll",
     "boilerplate_block_removal", "content_split_counts",
-    "contrastive_triplet_checks", "curriculum_bins", "cut_spans_docs",
-    "decontaminate_ngram_survivors",
+    "contrastive_triplet_checks", "curriculum_bins",
     "semantic_dedup_checks", "embedding_near_dup_checks",
     # ---- position 50 boundary ----
     # past the window: remaining r3-stale first (next rotation's
     # candidates), then r4/r5/r6 greens by verification age; the six
     # rows-only probes (driver rows r5, assertion twins pinned via
     # _PROBE_TWINS) close the list.
+    "cut_spans_docs", "decontaminate_ngram_survivors",
     "dedup_keep_best", "delta_dedup_status", "global_doc_ids",
     "gopher_rule_flags", "heavy_hitter_langs", "length_histogram_sources",
     "multimodal_dims", "repeated_spans", "robust_outlier_flags",
