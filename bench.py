@@ -167,6 +167,9 @@ HEADLINE = [
     # round 6p: mixed-compression lake — gzip/bz2/xz magic-byte
     # dispatch with verbatim text recovery
     "compressed_text_census",
+    # round 7: packing-efficiency report (padding-waste per shard —
+    # one extra keyed agg over the proven greedy walk)
+    "pack_efficiency",
 ]
 
 

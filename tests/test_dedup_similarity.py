@@ -710,3 +710,25 @@ def test_vector_mean_by_key_exact_and_partition_invariant(spark):
     out2 = {r["label"]: (r["n"], r["centroid"])
             for r in SIM.vector_mean_by_key(df.repartition(5), "label").collect()}
     assert out == out2
+
+
+def test_hyperplanes_distinct_and_buckets_spread(spark):
+    """Regression for the round-7 LSH finding: PySpark converts
+    loop-shared `F.transform(..., lambda i, p=p: ...)` closures ONCE,
+    so every hyperplane silently got plane 0's coefficients and the
+    bucketing collapsed to {all-zeros, all-ones}. The coefficients now
+    render as per-plane SQL lambdas; this pins (a) pairwise-distinct
+    planes and (b) a bucket histogram that actually uses the space."""
+    import felixzh_flink_spark.operators.similarity as S
+
+    planes = S._hyperplane_coeffs(spark, 6, 64)
+    assert len(planes) == 6
+    for i in range(len(planes)):
+        for j in range(i + 1, len(planes)):
+            assert planes[i] != planes[j], (i, j)
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    b = S.add_lsh_bucket(e, "embedding", 6, 64)
+    n_buckets = b.select("bucket").distinct().count()
+    # 500 random vectors over 64 buckets: expect most buckets hit; the
+    # broken form produced exactly 2
+    assert n_buckets > 16
