@@ -907,6 +907,18 @@ sets AS (SELECT id, transform(_st, s -> s.tok) AS toks, size(_st) AS n
     # from the source table (`src`) — a parquet scan + projection, no
     # freq join, no collect_list shuffle. This leaves the expensive
     # sorted-sets plan with a single consumer (the prefix explode).
+    # The verification re-join's array side (`src`: id + distinct-
+    # shingle arrays) is a BROADCAST TRAP at corpus scale: its on-disk/
+    # estimated size sits under the auto-broadcast threshold while its
+    # BUILT hash-relation size is the expanded string arrays — GBs at
+    # 500k docs (the round-7 sf10 run OOM'd the driver exactly here,
+    # twice over: va AND vb). `broadcast_vocab=False` is the caller's
+    # corpus-scale signal, so the same flag forces the verify join to
+    # shuffle-merge; at tested scales the broadcast stays (it is
+    # measurably faster there).
+    vhint = ("" if broadcast_vocab
+             else "/*+ SHUFFLE_MERGE(va), SHUFFLE_MERGE(vb) */ ")
+
     def _tail(sets_ref: str, vsets_ref: str) -> str:
         return f"""
 pref AS (
@@ -926,7 +938,7 @@ pruned AS (
   WHERE _c + LEAST(n_a - _li - 1, n_b - _lj - 1)
         >= CEIL({alpha} * (n_a + n_b) - 1e-09D)),
 verified AS (
-  SELECT p.id_a, p.id_b,
+  SELECT {vhint}p.id_a, p.id_b,
          size(array_intersect(va.toks, vb.toks)) AS o,
          p.n_a, p.n_b
   FROM pruned p JOIN {vsets_ref} va ON p.id_a = va.id

@@ -3398,6 +3398,31 @@ def _embeddings_n(spark, sf_dir) -> int:
     return _EMB_N_CACHE[sf_dir]
 
 
+_DOC_N_CACHE: dict[str, int] = {}
+
+
+def _documents_n(spark, sf_dir) -> int:
+    """Documents-table row count (ingest stat), cached per sf_dir —
+    drives the corpus-scale switches that trade a broadcast for a
+    shuffle once the data-derived side stops being broadcastable."""
+    if sf_dir not in _DOC_N_CACHE:
+        _DOC_N_CACHE[sf_dir] = _t(spark, sf_dir, "documents").count()
+    return _DOC_N_CACHE[sf_dir]
+
+
+def _jaccard_broadcast_vocab(spark, sf_dir) -> bool:
+    """The shingle-frequency table of `token_set_jaccard_join` is
+    OPEN-VOCABULARY (it grows with the corpus, ~linearly for n-gram
+    shingles), so the `/*+ BROADCAST(f) */` that is right at the
+    tested scales becomes a driver-memory cliff at corpus scale — the
+    round-7 sf10 run hit exactly that ("Not enough memory to build
+    and broadcast the table") inside `dedup_components`. Below 100k
+    docs the broadcast wins and behavior is unchanged (driver window,
+    bench); above it the frequency join falls back to the documented
+    shuffle path (`broadcast_vocab=False`)."""
+    return _documents_n(spark, sf_dir) <= 100_000
+
+
 def _semantic_k(n_rows: int) -> int:
     """Cell count for SemDedup-style within-cell pair search, scaled
     from the proven sf0.1 operating point (16 cells over 2000 rows) by
@@ -6183,7 +6208,8 @@ def jaccard_join_exact(spark, sf_dir):
     as a missing row. Jaccard is an exact small-int division —
     bit-identical across engines."""
     return DD.token_set_jaccard_join(
-        _t_wide(spark, sf_dir, "documents"), threshold=0.7, ngram=3).select(
+        _t_wide(spark, sf_dir, "documents"), threshold=0.7, ngram=3,
+        broadcast_vocab=_jaccard_broadcast_vocab(spark, sf_dir)).select(
         "id_a", "id_b", F.col("o").cast("int").alias("o"),
         F.col("n_a").cast("int").alias("n_a"),
         F.col("n_b").cast("int").alias("n_b"), "jacc")
@@ -6236,8 +6262,9 @@ def dedup_components(spark, sf_dir):
     from felixzh_flink_spark.operators.graph import connected_components
 
     pairs = DD.token_set_jaccard_join(
-        _t_wide(spark, sf_dir, "documents"), threshold=0.7,
-        ngram=3).select("id_a", "id_b")
+        _t_wide(spark, sf_dir, "documents"), threshold=0.7, ngram=3,
+        broadcast_vocab=_jaccard_broadcast_vocab(spark, sf_dir)).select(
+        "id_a", "id_b")
     comp = connected_components(pairs, src="id_a", dst="id_b")
     return comp.select(
         F.col("node").cast("bigint").alias("doc_id"),
