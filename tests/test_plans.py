@@ -100,11 +100,13 @@ def test_headline_queries_have_no_python_stages(spark):
     import bench
     PY_NODES = ("ArrowEvalPython", "FlatMapGroupsInPandas", "MapInPandas",
                 "BatchEvalPython")
-    # pack_sequences: deliberate applyInPandas packing stage;
+    # pack_sequences / pack_efficiency: deliberate applyInPandas
+    # packing stage (efficiency = one keyed agg over the same walk);
     # png/gif/wav decode stats: the codec kernels ARE the documented
     # Arrow-batched slow path (pure-Python zlib/LZW/PCM decode — no JVM
     # expression can inflate them)
-    allowed = {"pack_sequences", "png_decode_stats", "wav_decode_stats",
+    allowed = {"pack_sequences", "pack_efficiency",
+               "png_decode_stats", "wav_decode_stats",
                "png_thumbnail_stats", "gif_decode_stats",
                "jpeg_decode_stats", "jpeg_color_decode_stats",
                "gif_frame_sample_stats", "avi_frame_sample_stats",
