@@ -2885,6 +2885,82 @@ def pack_efficiency(spark, sf_dir):
          - F.sum("n_tokens")).alias("padding_waste"))
 
 
+@q("pack_manifest", r"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+  FROM documents
+),
+sharded AS (
+  SELECT doc_id, n_tokens,
+         CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+              ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) / 32768.0) AS BIGINT) AS shard_id
+  FROM toks
+),
+numbered AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY shard_id ORDER BY doc_id) AS rn
+  FROM sharded
+),
+rec AS (
+  WITH RECURSIVE walk AS (
+    SELECT shard_id, doc_id, n_tokens, rn,
+           CAST(0 AS BIGINT) AS pack_seq, n_tokens AS running
+    FROM numbered WHERE rn = 1
+    UNION ALL
+    SELECT n.shard_id, n.doc_id, n.n_tokens, n.rn,
+           CASE WHEN w.running > 0 AND w.running + n.n_tokens > 512
+                THEN w.pack_seq + 1 ELSE w.pack_seq END,
+           CASE WHEN w.running > 0 AND w.running + n.n_tokens > 512
+                THEN n.n_tokens ELSE w.running + n.n_tokens END
+    FROM walk w JOIN numbered n
+      ON n.shard_id = w.shard_id AND n.rn = w.rn + 1
+  )
+  SELECT * FROM walk
+),
+off AS (
+  SELECT shard_id, pack_seq, doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY shard_id, pack_seq ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+  FROM rec
+)
+SELECT shard_id, pack_seq,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+       string_agg(doc_id || ':' || o, ',' ORDER BY doc_id) AS manifest
+FROM off GROUP BY shard_id, pack_seq
+""")
+def pack_manifest(spark, sf_dir):
+    """Per-pack MANIFEST — the artifact a trainer actually loads:
+    for every (shard, pack), the ordered `doc_id:token_offset` list
+    that defines the pack's document boundaries (block-diagonal
+    attention masks, loss-span bookkeeping, provenance back-refs all
+    derive from it). One window for intra-pack offsets + one keyed
+    agg over the proven greedy walk; the manifest is rendered as a
+    canonical ordered string so the DuckDB oracle (same walk as a
+    recursive CTE + `string_agg ORDER BY`) hash-matches it exactly.
+    Scale shape: shuffle ∝ packs; the manifest string is bounded by
+    pack_budget/min_doc_tokens entries."""
+    import felixzh_flink_spark.operators.packing as PK
+    packed = PK.pack_greedy(_t(spark, sf_dir, "documents"), 512, 32768)
+    w = (Window.partitionBy("shard_id", "pack_seq").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    off = packed.withColumn(
+        "o", F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("bigint")))
+    return off.groupBy("shard_id", "pack_seq").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("pack_tokens"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(
+                    F.col("doc_id"), F.col("o")))),
+                lambda s: F.concat(s["doc_id"].cast("string"), F.lit(":"),
+                                   s["o"].cast("string"))),
+            ",").alias("manifest"))
+
+
 @q("chunk_docs", r"""
 WITH toks AS (
   SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
@@ -7223,7 +7299,7 @@ _DRIVER_ORDER = [
     # are re-proven by the local full-sweep (sf0.001 + sf0.01).
     # =================================================================
     "crawl_to_corpus", "dedup_components_star", "pack_efficiency",
-    "bloom_word_agg_checks", "dedup_components",
+    "pack_manifest", "bloom_word_agg_checks", "dedup_components",
     "warc_extract_stats",
     "decontaminate_bloom_survivors", "dup_size_histogram",
     "fingerprint_docs", "grouping_pricing", "lang_id_pred",
@@ -7240,14 +7316,14 @@ _DRIVER_ORDER = [
     "abandoned_views", "approx_distinct_parts", "approx_quantile_price",
     "attribution_last_touch", "bigram_doc_nll",
     "boilerplate_block_removal", "content_split_counts",
-    "contrastive_triplet_checks", "curriculum_bins",
+    "contrastive_triplet_checks",
     "semantic_dedup_checks", "embedding_near_dup_checks",
     # ---- position 50 boundary ----
     # past the window: remaining r3-stale first (next rotation's
     # candidates), then r4/r5/r6 greens by verification age; the six
     # rows-only probes (driver rows r5, assertion twins pinned via
     # _PROBE_TWINS) close the list.
-    "cut_spans_docs", "decontaminate_ngram_survivors",
+    "curriculum_bins", "cut_spans_docs", "decontaminate_ngram_survivors",
     "dedup_keep_best", "delta_dedup_status", "global_doc_ids",
     "gopher_rule_flags", "heavy_hitter_langs", "length_histogram_sources",
     "multimodal_dims", "repeated_spans", "robust_outlier_flags",
