@@ -20,6 +20,8 @@ extreme-streaming-skew case the reference targets.
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame, Window
@@ -42,13 +44,20 @@ def exact_sum(col: Column | str, scale: int = 4, alias: str | None = None) -> Co
     non-null input the cast lost and poisons the result, preserving
     plain double-sum's corruption signal.
 
-    A string argument (column name OR any SQL expression text) takes a
-    single-`F.expr` fast path: the Column-API form costs ~15 py4j
-    round-trips per call and dominated q1's plan-construction time
-    (the round-7 plan-time-tail profile — 6 exact_sums ≈ 0.2 s of
-    driver chatter); the expr form is one round-trip with the
-    identical semantics."""
+    STRING CONTRACT (ADVICE r7): a `str` argument is SQL EXPRESSION
+    TEXT, not a column name — it takes a single-`F.expr` fast path
+    (the Column-API form costs ~15 py4j round-trips per call and
+    dominated q1's plan-construction time; the expr form is one
+    round-trip with identical semantics). Strings matching a plain
+    identifier (`[A-Za-z_][A-Za-z0-9_]*`) are backtick-quoted first,
+    so simple column names — including ones shadowing SQL keywords —
+    resolve exactly as `F.col` did. Names that NEED quoting (dots
+    meaning a literal dot, spaces, hyphens) must be passed pre-quoted
+    (`` "`my col`" ``) or as `F.col("my col")`; unquoted they parse as
+    expression syntax."""
     if isinstance(col, str):
+        if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", col):
+            col = f"`{col}`"
         e = f"({col})"
         out = F.expr(
             f"CASE WHEN max({e} IS NOT NULL AND "

@@ -72,6 +72,17 @@ def bloom_build(keys: DataFrame, key_col: str, num_bits: int,
     a partial-aggregated `bit_or`."""
     if num_bits >= WORD_AGG_THRESHOLD_BITS:
         return bloom_build_words(keys, key_col, num_bits, num_hashes)
+    return bloom_build_distinct(keys, key_col, num_bits, num_hashes)
+
+
+def bloom_build_distinct(keys: DataFrame, key_col: str, num_bits: int,
+                         num_hashes: int = 7) -> list[int]:
+    """The distinct-position build path, callable directly regardless of
+    `num_bits` (the `bloom_word_agg_checks` assertion oracle needs it to
+    stay a genuine second implementation above the dispatch threshold —
+    comparing `bloom_build` to `bloom_build_words` there would compare
+    the word-agg path against itself). Production code should call
+    `bloom_build`, which picks the path by filter size."""
     pos = (keys
            .select(F.explode(F.array(*_bit_positions(F.col(key_col),
                                                      num_bits, num_hashes))).alias("p"))

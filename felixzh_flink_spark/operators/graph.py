@@ -94,9 +94,16 @@ def connected_components(edges: DataFrame, src: str = "src",
             combined = e.union(
                 labels.select(F.col("n").alias("a"),
                               F.col("lbl").alias("b")))
-            return connected_components_star(
+            result = connected_components_star(
                 combined, src="a", dst="b",
                 out_node=out_node, out_component=out_component)
+            # star's first round eagerly localCheckpoints its edge
+            # set, so `combined` is already materialized — the cached
+            # labels are dead weight from here (ADVICE r7: they were
+            # pinned for the session lifetime on this path)
+            labels.unpersist()
+            return result
+        labels.unpersist()
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} "
             "rounds — pathological diameter; switch to star contraction")

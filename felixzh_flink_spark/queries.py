@@ -3066,7 +3066,11 @@ def bloom_word_agg_checks(spark, sf_dir):
     - words_identical: the distributed `groupBy(word).agg(bit_or)`
       words are BIT-IDENTICAL to the local distinct-position build
       (same seeds, same position math — any pmod/shift/sign slip
-      flips it);
+      flips it). The local side calls `bloom_build_distinct` DIRECTLY,
+      not the dispatching `bloom_build`, so the comparison stays a
+      genuine two-implementation check even at filter sizes above the
+      word-agg dispatch threshold (ADVICE r7: via the dispatcher the
+      check became a tautology at exactly the scale it advertises);
     - no_false_negatives: every inserted fingerprint passes the
       membership probe (the bloom guarantee that makes the exact
       confirm join sound);
@@ -3079,7 +3083,7 @@ def bloom_word_agg_checks(spark, sf_dir):
     fp = (TX.fingerprint_md5(_t(spark, sf_dir, "documents"))
           .select("fingerprint").distinct())
     num_bits = BLOOM.sized_bits(fp.count())
-    words_local = BLOOM.bloom_build(fp, "fingerprint", num_bits)
+    words_local = BLOOM.bloom_build_distinct(fp, "fingerprint", num_bits)
     words_agg = BLOOM.bloom_build_words(fp, "fingerprint", num_bits)
     probed = BLOOM.with_bloom_hit(fp, "fingerprint", words_agg, num_bits)
     nfn = probed.agg(
@@ -6369,13 +6373,21 @@ def dedup_components_star(spark, sf_dir):
     hash-mismatches. Nodes are edge endpoints only: a run head appears
     solely via its right edge (absent when it is the table max), other
     nodes via their left edge — the oracle's WHERE mirrors that.
-    Per-round scale shape: one keyed min + one join, edge set
-    rewritten via eager localCheckpoint (lineage truncation — the
-    iterative-plan OOM trap documented in graph.py)."""
+    CONTIGUITY ASSUMPTION (asserted, ADVICE r7): the closed form is the
+    true component min only when doc_ids are 0-based and gap-free — a
+    gap or 1-based ids would make the real min differ from the
+    multiple-of-64 run head; the query checks min==0 and max-min+1==n
+    on the same scan that feeds the edge build rather than trusting
+    the generators silently. Per-round scale shape: one keyed min +
+    one join, edge set rewritten via eager localCheckpoint (lineage
+    truncation — the iterative-plan OOM trap documented in graph.py)."""
     from felixzh_flink_spark.operators.graph import connected_components_star
 
     d = _t(spark, sf_dir, "documents").select("doc_id")
-    mx = d.agg(F.max("doc_id")).first()[0]
+    lo, mx, n = d.agg(F.min("doc_id"), F.max("doc_id"), F.count("*")).first()
+    assert lo == 0 and mx - lo + 1 == n, (
+        f"dedup_components_star oracle assumes 0-based contiguous doc_ids; "
+        f"got min={lo} max={mx} count={n}")
     edges = (d.filter((F.col("doc_id") % 64 != 63) & (F.col("doc_id") < mx))
              .select(F.col("doc_id").alias("src"),
                      (F.col("doc_id") + 1).alias("dst")))

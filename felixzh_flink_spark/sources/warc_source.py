@@ -186,6 +186,15 @@ class _WarcWriter(DataSourceWriter):
             raise ValueError("felixzh_warc requires option 'path'")
         self.path = options["path"]
         self.overwrite = overwrite
+        # Overwrite = truncate: clear prior segments HERE (driver-side,
+        # before any partition task runs) — the unique timestamped
+        # segment names below never collide with old files, so without
+        # this a mode('overwrite') write would silently behave as
+        # append and a subsequent read would return duplicated records.
+        if overwrite and os.path.isdir(self.path):
+            for name in os.listdir(self.path):
+                if name.endswith((".warc", ".warc.gz")):
+                    os.remove(os.path.join(self.path, name))
 
     def write(self, iterator) -> _WarcCommit:
         from pyspark import TaskContext

@@ -43,6 +43,19 @@ def test_exact_sum_is_order_insensitive(spark):
     assert df.repartition(4).agg(exact_sum("v", 4, "s")).head()["s"] == 2.0
 
 
+def test_exact_sum_string_contract(spark):
+    """str = SQL expression text; plain identifiers are backtick-quoted
+    so names shadowing SQL keywords resolve as columns (ADVICE r7)."""
+    df = spark.createDataFrame([(1.5, 2.0), (2.5, 3.0)], "order double, v double")
+    # keyword-named column works via the identifier fast path
+    assert df.agg(exact_sum("order", 4, "s")).head()["s"] == 4.0
+    # non-identifier strings are expressions, not quoted names
+    assert df.agg(exact_sum("v * 2", 4, "s")).head()["s"] == 10.0
+    # Column arguments unchanged
+    from pyspark.sql import functions as F
+    assert df.agg(exact_sum(F.col("order") + F.col("v"), 4, "s")).head()["s"] == 9.0
+
+
 def test_weighted_avg_pandas_matches_expression_form(spark, sf_dir):
     from felixzh_flink_spark.operators.aggregations import (
         weighted_avg,

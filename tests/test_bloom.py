@@ -100,6 +100,18 @@ def test_large_filter_dispatches_to_word_agg(spark, monkeypatch):
         bloom.WORD_AGG_THRESHOLD_BITS // 64
 
 
+def test_distinct_path_stays_a_second_implementation_above_threshold(spark):
+    """`bloom_build_distinct` is directly callable ABOVE the word-agg
+    dispatch threshold and bit-matches `bloom_build_words` there — the
+    two-implementation comparison the `bloom_word_agg_checks` assertion
+    oracle relies on (ADVICE r7: routed through the `bloom_build`
+    dispatcher it compared the word-agg path against itself)."""
+    num_bits = bloom.WORD_AGG_THRESHOLD_BITS
+    keys = spark.createDataFrame([Row(k=f"dd-{i}") for i in range(50)])
+    assert bloom.bloom_build_distinct(keys, "k", num_bits) == \
+        bloom.bloom_build_words(keys, "k", num_bits)
+
+
 def test_word_agg_build_at_1e8_bits_bounded_driver(spark):
     """10⁸-bit filter: the collect is bounded by n_keys × num_hashes
     non-empty WORDS (≤ 7000 rows of 16 bytes here), never by num_bits;

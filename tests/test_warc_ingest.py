@@ -246,6 +246,33 @@ def test_warc_writer_roundtrip(spark, tmp_path):
     assert got == {f"urn:w:{i}": f"body-{i} é" for i in range(10)}
 
 
+def test_warc_writer_overwrite_truncates(spark, tmp_path):
+    """mode('overwrite') must clear prior segments: unique timestamped
+    segment names never collide, so without the driver-side truncate an
+    overwrite silently appended and a re-read duplicated records
+    (ADVICE r7)."""
+    from felixzh_flink_spark.sources.warc_source import register
+
+    register(spark)
+
+    def _df(tag, n):
+        rows = [("resource", f"urn:{tag}:{i}", None,
+                 bytearray(f"{tag}-{i}".encode())) for i in range(n)]
+        return spark.createDataFrame(
+            rows, "warc_type string, record_id string, target_uri string,"
+                  " block binary").repartition(2)
+
+    out = str(tmp_path / "ow")
+    _df("first", 6).write.format("felixzh_warc") \
+        .option("path", out).mode("append").save()
+    _df("second", 4).write.format("felixzh_warc") \
+        .option("path", out).mode("overwrite").save()
+    back = (spark.read.format("felixzh_warc")
+            .option("path", out).load()).collect()
+    assert len(back) == 4
+    assert {r.record_id for r in back} == {f"urn:second:{i}" for i in range(4)}
+
+
 def test_warc_source_feeds_the_corpus_pipeline(spark, tmp_path):
     """Integration: bytes-on-disk → felixzh_warc source → text ops.
     Write the documents table's own text as a crawl dump, read it back
