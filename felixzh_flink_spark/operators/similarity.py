@@ -51,10 +51,26 @@ def cosine(a: Column, b: Column) -> Column:
 # the exact IEEE value through Java's Double.parseDouble.
 
 def _lit_vec_sql(vec: list[float]) -> str:
-    return "array(" + ",".join(f"cast('{float(x)!r}' as double)" for x in vec) + ")"
+    """A literal double array as ONE constant-folded expression node.
+
+    `cast(split('<csv>', ',') as array<double>)` is foldable (split and
+    cast are ordinary deterministic functions, unlike higher-order
+    folds), so Catalyst collapses it to a single Literal(ArrayData) —
+    8 bytes per element in the serialized plan — where the earlier
+    per-element `array(cast('..' as double), ...)` form cost one
+    expression NODE per element (~1 KB each Java-serialized: a 16×1024
+    PQ table ballooned the task binary to 22 MiB and planning to
+    seconds). Python repr → Double.parseDouble round-trips the exact
+    IEEE value, same as the previous form."""
+    if not vec:
+        return "array()"
+    return ("cast(split('" + ",".join(repr(float(x)) for x in vec)
+            + "', ',') as array<double>)")
 
 
 def _lit_mat_sql(mat: list[list[float]]) -> str:
+    # one folded-literal node per ROW (transform over a split of the
+    # whole matrix would be a HOF — not folded, re-evaluated per row)
     return "array(" + ",".join(_lit_vec_sql(v) for v in mat) + ")"
 
 
@@ -75,6 +91,23 @@ def _dot_indexed(a: Column, b: Column, dim: int) -> Column:
         lambda acc, i: acc
         + F.element_at(a, i).cast("double") * F.element_at(b, i).cast("double"),
     )
+
+
+def _dot_unrolled_sql(a: str, b: str, dim: int) -> str:
+    """Dot product as an UNROLLED left-nested Add chain — bit-identical
+    to the `aggregate`/`zip_with` folds (same element order, same double
+    adds) but CODEGEN-ABLE: higher-order functions are CodegenFallback
+    in Spark, and one HOF inside a join condition drops the whole join
+    stage to interpreted expression evaluation (~13 µs/pair measured —
+    the round-7 exact-path constant). The unrolled form JIT-compiles to
+    straight-line loads+FMA under `-XX:-DontCompileHugeMethods` (set in
+    session.py; the chain exceeds the 8 KB default JIT cutoff at
+    dim=64). Use in PER-PAIR hot paths; the HOF forms remain right for
+    once-per-row work."""
+    return "(" + " + ".join(
+        f"cast(element_at({a}, {i}) as double) "
+        f"* cast(element_at({b}, {i}) as double)"
+        for i in range(1, dim + 1)) + ")"
 
 
 def _norm_sql(a: str) -> str:
@@ -424,19 +457,156 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.9,
                                      "left_semi")
     dim = len(cents[0])
     # pair search + verdict as ONE spark.sql call (r6 plan-time fold);
-    # the dot product folds over a constant index sequence — no per-row
-    # zip_with array allocation per candidate PAIR (see _dot_indexed,
-    # kept as the Column-API primitive) — and the larger id of each
-    # qualifying pair is the dup.
-    dot = (f"aggregate(sequence(1, {dim}), cast(0.0 as double), "
-           f"(acc, i) -> acc + cast(element_at(a.v, i) as double) "
-           f"* cast(element_at(b.v, i) as double))")
+    # the per-PAIR dot is the UNROLLED codegen-able chain (round 8:
+    # the previous `aggregate` fold is CodegenFallback, which dropped
+    # the whole pair join to interpreted evaluation — the measured
+    # 13 µs/pair constant behind sf10's 140 s wall; same element order,
+    # bit-identical doubles, see _dot_unrolled_sql) — and the larger id
+    # of each qualifying pair is the dup.
+    dot = _dot_unrolled_sql("a.v", "b.v", dim)
     return df.sparkSession.sql(f"""
 WITH dup AS (
   SELECT DISTINCT b.id AS id
   FROM {{pairable}} a JOIN {{pairable}} b
     ON a.ivf_cell = b.ivf_cell AND a.id < b.id
   WHERE ({dot}) / (a.nrm * b.nrm) >= {float(threshold)!r}D)
+SELECT s.id, s.ivf_cell, COALESCE(NOT d._dup, true) AS keep
+FROM {{assigned}} s
+LEFT JOIN (SELECT id, true AS _dup FROM dup) d ON s.id = d.id
+""", pairable=pairable, assigned=assigned)
+
+
+def semantic_dedup_pq(df: DataFrame, threshold: float = 0.9,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      cents: list[list[float]] | None = None,
+                      books: list[list[list[float]]] | None = None,
+                      n_centroids: int = 16, train_iter: int = 2,
+                      m: int = 8, code_k: int = 16, dim: int = 64,
+                      margin: float = 0.15, exact_confirm: bool = True,
+                      max_cell_size: int | None = None,
+                      cell_counts: dict[int, int] | None = None) -> DataFrame:
+    """`semantic_dedup` with PQ-APPROXIMATE within-cell pair scoring —
+    the ~linear-cost corpus-scale path (round-7 verdict item 4: the
+    exact within-cell fold is n^1.5 by design with c ∝ √n cells and
+    measured 139.98 s at sf10; SCALE.md names PQ scoring as the
+    alternative once the within-cell pair term dominates).
+
+    Same contract as `semantic_dedup`: returns (id, ivf_cell, keep),
+    keep=false marking semantic dups of an earlier (smaller-id)
+    same-cell row. The pair search is still confined to IVF cells; what
+    changes is the PER-PAIR cost: instead of a dim-element exact cosine
+    fold, each pair is scored by symmetric PQ distance — both vectors'
+    PQ codes index a driver-side m × k × k codeword-dot table
+    (T[s][ca][cb] = dot(books[s][ca], books[s][cb]), ~16 KB of
+    literals), so a candidate costs m array lookups. Approximate norms
+    come from a second m × k table of codeword norms². Both tables are
+    ingest-time artifacts derived from the codebooks alone.
+
+    `exact_confirm=True` (default) makes the verdict SOUND: pairs whose
+    approximate cosine clears `threshold - margin` are re-scored with
+    the exact fold and must clear `threshold` — so every flagged dup is
+    a true dup (precision 1, same guarantee as the MinHash→exact-verify
+    pattern), and only near-threshold candidates ever pay the exact
+    fold. Recall is bounded by the margin: a true pair whose PQ score
+    underestimates by more than `margin` is missed — the measured
+    trade `semantic_dedup_pq_checks` pins. With `exact_confirm=False`
+    the approximate score itself decides at `threshold` (no exact work
+    at all; precision and recall both approximate).
+
+    Scale shape at 100 TB: encode is one scan (n × m × k subspace
+    dots, linear); the self-join shuffles once on the cell id exactly
+    like the exact path; per-pair work drops ~dim/m ≈ 8×, and the scan
+    state carried into the join is m bytes of codes + two doubles
+    instead of dim floats when exact_confirm is off (the float column
+    rides along only for the confirm fold)."""
+    pre_assigned = "ivf_cell" in df.columns
+    if cents is None and not pre_assigned:
+        cents = ivf_train(df, n_centroids, max_iter=train_iter,
+                          id_col=id_col, vec_col=vec_col)
+    if books is None:
+        books = pq_train(df, m=m, code_k=code_k, dim=dim,
+                         id_col=id_col, vec_col=vec_col,
+                         train_iter=train_iter)
+    m_, k_ = len(books), len(books[0])
+    # An input that already carries `ivf_cell` skips assignment — the
+    # materialized cell-partitioned index layout (write_ivf_index) is
+    # the intended scale source: cell routing is an ingest artifact,
+    # and re-deriving it per query re-pays an O(n × cells × dim) scan.
+    enc = pq_encode(df if pre_assigned else ivf_assign(df, cents, vec_col),
+                    books, vec_col)
+    nsq_terms = []
+    for s in range(m_):
+        tbl = [sum(float(x) * float(x) for x in cv) for cv in books[s]]
+        nsq_terms.append(f"element_at({_lit_vec_sql(tbl)}, "
+                         f"element_at(pq_code, {s + 1}) + 1)")
+    assigned = enc.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        "ivf_cell", "pq_code",
+        _norm(F.col(vec_col)).alias("nrm"),
+        F.expr(f"sqrt({' + '.join(nsq_terms)})").alias("anrm"),
+    )
+    # The encoded relation is referenced THREE times below (both join
+    # sides + the output scan). Its projection carries the full encode
+    # expression tree (m per-subspace score transforms over literal
+    # codebooks); letting the self-join inline that tree three times
+    # tripled codegen/serialization cost (a 22 MiB task binary at
+    # m=16/k=32). A lazy localCheckpoint materializes the encoded rows
+    # once within the job and every reference scans the cached
+    # partitions — on a multi-executor cluster point setCheckpointDir
+    # at shared storage and use checkpoint() (same note as graph.py).
+    assigned = assigned.localCheckpoint(eager=False)
+    pairable = assigned
+    if max_cell_size is not None:
+        if cell_counts is not None:
+            over = sorted(c for c, n in cell_counts.items()
+                          if n > max_cell_size)
+            if over:
+                pairable = assigned.filter(~F.col("ivf_cell").isin(over))
+        else:
+            small = (assigned.groupBy("ivf_cell")
+                     .agg(F.count("*").alias("_n"))
+                     .filter(F.col("_n") <= max_cell_size).drop("_n"))
+            pairable = assigned.join(F.broadcast(small), "ivf_cell",
+                                     "left_semi")
+    adc_terms = []
+    for s in range(m_):
+        flat = [sum(float(x) * float(y) for x, y in zip(ca, cb))
+                for ca in books[s] for cb in books[s]]
+        adc_terms.append(
+            f"element_at({_lit_vec_sql(flat)}, "
+            f"element_at(a.pq_code, {s + 1}) * {k_} "
+            f"+ element_at(b.pq_code, {s + 1}) + 1)")
+    adc_cos = f"({' + '.join(adc_terms)}) / (a.anrm * b.anrm)"
+    cut = float(threshold - margin) if exact_confirm else float(threshold)
+    # The ADC predicate lives in the JOIN CONDITION (evaluated per
+    # candidate pair inside the codegen'd hash-join loop — m literal
+    # lookups; JITs under the session's -XX:-DontCompileHugeMethods).
+    # The exact confirm must NOT join it there: one HOF-free unrolled
+    # dot is codegen-able, but condition code cannot be split into
+    # sub-methods, and ADC + a 64-term dot in one method risks the
+    # 64 KB hard limit → whole-stage fallback. Instead the (rare:
+    # O(matches)) ADC survivors re-join the encoded relation by id and
+    # the exact filter rides THOSE equi-joins — evaluated once per
+    # survivor, never per candidate pair.
+    if exact_confirm:
+        dup_sql = f"""
+  SELECT DISTINCT c.idb AS id
+  FROM (SELECT a.id AS ida, b.id AS idb
+        FROM {{pairable}} a JOIN {{pairable}} b
+          ON a.ivf_cell = b.ivf_cell AND a.id < b.id
+             AND {adc_cos} >= {cut!r}D) c
+  JOIN {{assigned}} va ON c.ida = va.id
+  JOIN {{assigned}} vb ON c.idb = vb.id
+  WHERE {_dot_unrolled_sql('va.v', 'vb.v', dim)}
+        / (va.nrm * vb.nrm) >= {float(threshold)!r}D"""
+    else:
+        dup_sql = f"""
+  SELECT DISTINCT b.id AS id
+  FROM {{pairable}} a JOIN {{pairable}} b
+    ON a.ivf_cell = b.ivf_cell AND a.id < b.id
+       AND {adc_cos} >= {cut!r}D"""
+    return df.sparkSession.sql(f"""
+WITH dup AS ({dup_sql})
 SELECT s.id, s.ivf_cell, COALESCE(NOT d._dup, true) AS keep
 FROM {{assigned}} s
 LEFT JOIN (SELECT id, true AS _dup FROM dup) d ON s.id = d.id
@@ -528,17 +698,24 @@ def _pq_slice_sql(vec_col: str, sub: int, subdim: int) -> str:
 
 def _pq_score_array(sub_expr: str, cents: list[list[float]]) -> Column:
     """Array of L2-equivalent scores of a subvector against a codebook:
-    argmin ‖v−c‖² == argmax (v·c − ‖c‖²/2), so each codebook entry is
-    embedded as a literal (vector, half_norm) struct and scored with one
-    dot per code — no per-row norm of v needed (it is constant across the
-    argmax)."""
+    argmin ‖v−c‖² == argmax (v·c − ‖c‖²/2). Fully UNROLLED (round 8):
+    each codeword's score is an explicit subdim-term multiply-add chain
+    against scalar literals — no higher-order functions, so the encode
+    projection stays inside whole-stage codegen and JIT-compiles to
+    straight-line FMA (the HOF transform/aggregate form is
+    CodegenFallback: interpreted tree-walking per row — at 200k rows ×
+    m=16 × k=32 codes × subdim=4 that was ~400M interpreted evals,
+    dominating the PQ dedup wall). Same element order, bit-identical
+    scores."""
     entries = []
     for cv in cents:
         h = sum(float(x) * float(x) for x in cv) / 2.0
-        entries.append(f"named_struct('v', {_lit_vec_sql(cv)}, "
-                       f"'h', cast('{h!r}' as double))")
-    return F.expr(f"transform(array({','.join(entries)}), "
-                  f"s -> {_dot_sql(sub_expr, 's.v')} - s.h)")
+        dot = " + ".join(
+            f"cast(element_at({sub_expr}, {i + 1}) as double) "
+            f"* cast('{float(cv[i])!r}' as double)"
+            for i in range(len(cv)))
+        entries.append(f"({dot} - cast('{h!r}' as double))")
+    return F.expr("array(" + ",".join(entries) + ")")
 
 
 def pq_train(df: DataFrame, m: int = 8, code_k: int = 16, dim: int = 64,
@@ -551,26 +728,49 @@ def pq_train(df: DataFrame, m: int = 8, code_k: int = 16, dim: int = 64,
     constant (~8 KB) embedded as literals by encode/probe.
 
     Ingest-time artifact, same lifecycle as the IVF centroids: train on a
-    sample once, reuse for every encode/probe. Each Lloyd iteration is one
-    distributed pass per subspace (assign + per-code mean via partial
-    aggregation)."""
+    sample once, reuse for every encode/probe. ALL m subspaces train in
+    the same distributed pass (round 8): the vector explodes into
+    (subspace, subvector) rows once, every row scores against its
+    subspace's codebook slice of one folded literal matrix, and a single
+    groupBy(s, code) partial-aggregated mean updates every codebook —
+    one job per Lloyd iteration instead of m (the per-subspace loop cost
+    ~m×train_iter driver-latency-bound jobs; at 200k rows that was 10 s
+    of scheduling for ~1 s of work). Init and per-iteration math are
+    bit-identical to the per-subspace form: the hash-sampled init picks
+    the same code_k rows for every subspace (xxhash64(id) does not
+    depend on s), scores fold in the same element order, and empty
+    codes keep their previous codeword."""
     subdim = dim // m
-    books: list[list[list[float]]] = []
-    for s in range(m):
-        sub = df.select(F.col(id_col).alias("id"),
-                        F.expr(_pq_slice_sql(vec_col, s, subdim)).alias("sub"))
-        cents = ivf_centroids(sub, code_k, "id", "sub")
-        for _ in range(train_iter):
-            assigned = sub.withColumn("_sc", _pq_score_array("sub", cents)) \
-                .withColumn("code", F.expr(
-                    "cast(array_position(_sc, array_max(_sc)) as int)"))
-            means = assigned.groupBy("code").agg(
-                *[F.avg(F.col("sub")[i].cast("double")).alias(f"m{i}")
-                  for i in range(subdim)])
-            by_code = {r["code"]: [r[f"m{i}"] for i in range(subdim)]
-                       for r in means.collect()}
-            cents = [by_code.get(i + 1, cents[i]) for i in range(code_k)]
-        books.append(cents)
+    init_rows = (df.select(F.col(vec_col).alias("v"),
+                           F.xxhash64(F.col(id_col)).alias("_h"))
+                 .orderBy("_h").limit(code_k).collect())
+    books = [[[float(x) for x in r["v"][s * subdim:(s + 1) * subdim]]
+              for r in init_rows] for s in range(m)]
+    sub = df.select(F.posexplode(F.expr(
+        f"transform(sequence(0, {m - 1}), "
+        f"s -> slice({vec_col}, s * {subdim} + 1, {subdim}))"))
+        .alias("s", "sub"))
+    for _ in range(train_iter):
+        flat = [float(x) for book in books for cv in book for x in cv]
+        halves = [sum(float(x) * float(x) for x in cv) / 2.0
+                  for book in books for cv in book]
+        score = (f"transform(sequence(0, {code_k - 1}), c -> "
+                 f"aggregate(sequence(1, {subdim}), cast(0.0 as double), "
+                 f"(acc, i) -> acc + cast(element_at(sub, i) as double) "
+                 f"* element_at({_lit_vec_sql(flat)}, "
+                 f"(s * {code_k} + c) * {subdim} + i)) "
+                 f"- element_at({_lit_vec_sql(halves)}, s * {code_k} + c + 1))")
+        means = (sub
+                 .withColumn("code", F.expr(
+                     f"cast(array_position({score}, "
+                     f"array_max({score})) as int)"))
+                 .groupBy("s", "code").agg(
+                     *[F.avg(F.col("sub")[i].cast("double")).alias(f"m{i}")
+                       for i in range(subdim)]))
+        by_key = {(r["s"], r["code"]): [r[f"m{i}"] for i in range(subdim)]
+                  for r in means.collect()}
+        books = [[by_key.get((s, c + 1), books[s][c])
+                  for c in range(code_k)] for s in range(m)]
     return books
 
 

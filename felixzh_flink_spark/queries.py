@@ -3539,6 +3539,35 @@ def _jaccard_broadcast_vocab(spark, sf_dir) -> bool:
     return _documents_n(spark, sf_dir) <= 100_000
 
 
+#: per-(sf_dir) SEMANTIC-DEDUP PQ codebooks (m=16/k=32 — finer than the
+#: ANN probes' m=8/k=16 `_pq_books`: pair VERDICTS need tighter
+#: quantization than rerank-bounded top-k; measured 0.857 recall on
+#: borderline-random sf0.1 pairs vs 0.43 at m=16/k=16). Ingest-time
+#: artifact like the IVF centroids.
+_PQ_SEM_BOOKS_CACHE: dict[str, list] = {}
+
+
+def _pq_books_semantic(spark, sf_dir):
+    if sf_dir not in _PQ_SEM_BOOKS_CACHE:
+        e = _t(spark, sf_dir, "embeddings")
+        _PQ_SEM_BOOKS_CACHE[sf_dir] = SIM.pq_train(e, m=16, code_k=32,
+                                                   dim=64, train_iter=2)
+    return _PQ_SEM_BOOKS_CACHE[sf_dir]
+
+
+def _semantic_use_pq(n_rows: int) -> bool:
+    """Corpus-scale switch for semantic dedup's within-cell scoring
+    (round-7 verdict item 4): below ~100k embeddings the exact
+    dim-element fold is cheap and the verdicts stay exact (driver
+    window, bench, sf1 — unchanged); above it the n^1.5 pair term's
+    CONSTANT dominates wall (measured 139.98 s at sf10) and scoring
+    switches to PQ-ADC with exact confirm — per-pair cost drops ~4×
+    (m=16 table lookups vs a 64-element fold) at the measured recall
+    trade `semantic_dedup_pq_checks` pins. Same dispatch pattern as
+    `_jaccard_broadcast_vocab`."""
+    return n_rows > 100_000
+
+
 def _semantic_k(n_rows: int) -> int:
     """Cell count for SemDedup-style within-cell pair search, scaled
     from the proven sf0.1 operating point (16 cells over 2000 rows) by
@@ -3598,6 +3627,25 @@ def _ivf_index_path(spark, sf_dir, n_centroids: int = 16) -> str:
                             _ivf_index(spark, sf_dir, n_centroids))
         _IVF_INDEX_PATH[key] = path
     return _IVF_INDEX_PATH[key]
+
+
+#: per-(sf_dir, k) materialized TRAINED-centroid cell layout (vs
+#: `_ivf_index_path`'s hash-sampled ANN layout) — the ingest artifact
+#: the PQ semantic-dedup path scans so cell routing is never re-derived
+#: at query time (the O(n × cells × dim) assignment pass dominated the
+#: sf10 wall once pair scoring was fixed).
+_IVF_TRAINED_INDEX_PATH: dict[tuple[str, int], str] = {}
+
+
+def _ivf_trained_index_path(spark, sf_dir, k: int) -> str:
+    key = (sf_dir, k)
+    if key not in _IVF_TRAINED_INDEX_PATH:
+        import tempfile
+        path = tempfile.mkdtemp(prefix="spark_graft_ivft_")
+        SIM.write_ivf_index(_t(spark, sf_dir, "embeddings"), path,
+                            _ivf_trained(spark, sf_dir, k))
+        _IVF_TRAINED_INDEX_PATH[key] = path
+    return _IVF_TRAINED_INDEX_PATH[key]
 
 
 @q("cosine_topk", """
@@ -3941,9 +3989,24 @@ def semantic_dedup_keep(spark, sf_dir):
 
     The cell count scales with the table (`_semantic_k`: c ∝ √n from
     the 16-cells-at-2000-rows baseline) — the round-7 sf1 run proved
-    a pinned c=16 goes quadratic in the pair term."""
+    a pinned c=16 goes quadratic in the pair term. Above 100k rows
+    (`_semantic_use_pq`) the within-cell SCORING also switches, from
+    the exact dim-element fold to PQ-ADC lookups with exact confirm
+    (`semantic_dedup_pq` — round-7 verdict item 4; sound: every
+    flagged dup is exact-confirmed; recall trade pinned by
+    `semantic_dedup_pq_checks`)."""
     e = _t_wide(spark, sf_dir, "embeddings")
-    k = _semantic_k(_embeddings_n(spark, sf_dir))
+    n = _embeddings_n(spark, sf_dir)
+    k = _semantic_k(n)
+    if _semantic_use_pq(n):
+        # scan the materialized trained-cell index (ivf_cell rides as a
+        # partition column → semantic_dedup_pq skips assignment)
+        idx = spark.read.parquet(_ivf_trained_index_path(spark, sf_dir, k))
+        return SIM.semantic_dedup_pq(
+            idx, threshold=0.5,
+            books=_pq_books_semantic(spark, sf_dir),
+            margin=0.15, max_cell_size=10_000,
+            cell_counts=_ivf_cell_counts(spark, sf_dir, k))
     return SIM.semantic_dedup(e, threshold=0.5,
                               cents=_ivf_trained(spark, sf_dir, k),
                               max_cell_size=10_000,
@@ -4049,6 +4112,80 @@ def semantic_dedup_checks(spark, sf_dir):
     return chk.crossJoin(total).select(
         "dedup_matches_independent_recompute",
         (F.col("_n_out") == F.col("_n_total")).alias("rows_complete"))
+
+
+@q("semantic_dedup_pq_checks", """
+SELECT TRUE AS rows_complete, TRUE AS planted_all_found,
+       TRUE AS dups_sound, TRUE AS recall_ok
+""")
+def semantic_dedup_pq_checks(spark, sf_dir):
+    """Assertion oracle for the PQ-scored semantic-dedup path
+    (`semantic_dedup_pq` — the >100k-row corpus-scale switch behind
+    `semantic_dedup_keep`, round-7 verdict item 4). The base table is
+    augmented with PLANTED near-duplicates — one jittered copy of every
+    10th vector (deterministic hash-keyed ±0.006 jitter, cosine ≈
+    0.9999: the nearly-identical shape real semantic dups have) — so
+    the recall claim is exercised on realistic dups at every sf, not
+    just on whatever borderline-random pairs the synthetic data happens
+    to contain. Centroids and codebooks are trained on the planted
+    corpus inside the query (ingest artifacts in production; here the
+    corpus differs from the base table so the session caches don't
+    apply). Checks:
+
+    - rows_complete: both paths label every corpus row exactly once
+      (full outer join has no dangling side, cardinality = corpus);
+    - planted_all_found: every planted copy is flagged keep=false by
+      the PQ path — near-identical vectors share PQ codes, so their
+      ADC score is ≈1 structurally and missing one means the pair
+      search, not the quantization, is broken;
+    - dups_sound: every PQ-flagged dup is also an exact-path dup
+      (precision 1 — the exact_confirm guarantee);
+    - recall_ok: PQ finds ≥ 80% of the exact path's dups (planted +
+      natural; measured 6/7 naturals at sf0.1 with margin 0.15 —
+      borderline-random pairs at threshold 0.5 are PQ's documented
+      adversarial case; real corpora dedup at ~0.9+ where dups look
+      like the planted ones).
+
+    DuckDB oracle is the constant-true row (cells/codebooks are
+    hash-seed-specific)."""
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = e.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.expr("cast(transform(embedding, (x, i) -> cast(x as double)"
+               " + (pmod(xxhash64(vec_id, i), 7) - 3) * 0.002)"
+               " as array<float>)").alias("embedding"))
+    corpus = e.unionByName(planted)
+    k = _semantic_k(_embeddings_n(spark, sf_dir))
+    cents = SIM.ivf_train(corpus, k, max_iter=2)
+    books = SIM.pq_train(corpus, m=16, code_k=32, dim=64, train_iter=2)
+    exact = SIM.semantic_dedup(corpus, threshold=0.5, cents=cents)
+    pq = SIM.semantic_dedup_pq(corpus, threshold=0.5, cents=cents,
+                               books=books, margin=0.15)
+    j = (pq.select("id", F.col("keep").alias("pq_keep"))
+         .join(exact.select("id", F.col("keep").alias("ex_keep")),
+               "id", "full"))
+    agg = j.agg(
+        F.count("*").alias("_n_out"),
+        F.sum(F.when(F.col("pq_keep").isNull()
+                     | F.col("ex_keep").isNull(), 1).otherwise(0))
+        .alias("_dangling"),
+        F.coalesce(F.min(F.when(F.col("id") >= 1_000_000,
+                                ~F.col("pq_keep"))), F.lit(False))
+        .alias("planted_all_found"),
+        F.coalesce(F.min(F.when(~F.col("pq_keep"), ~F.col("ex_keep"))),
+                   F.lit(True)).alias("dups_sound"),
+        F.sum(F.when(~F.col("pq_keep") & ~F.col("ex_keep"), 1)
+              .otherwise(0)).alias("_both_dup"),
+        F.sum(F.when(~F.col("ex_keep"), 1).otherwise(0)).alias("_ex_dup"),
+    )
+    total = corpus.agg(F.count("*").alias("_n_total"))
+    return agg.crossJoin(total).select(
+        ((F.col("_n_out") == F.col("_n_total"))
+         & (F.col("_dangling") == 0)).alias("rows_complete"),
+        "planted_all_found", "dups_sound",
+        ((F.col("_ex_dup") == 0)
+         | (F.col("_both_dup") >= 0.8 * F.col("_ex_dup")))
+        .alias("recall_ok"))
 
 
 @q("embedding_near_dup_checks", """
@@ -7365,7 +7502,8 @@ _DRIVER_ORDER = [
     "attribution_last_touch", "bigram_doc_nll",
     "boilerplate_block_removal", "content_split_counts",
     "contrastive_triplet_checks",
-    "semantic_dedup_checks", "embedding_near_dup_checks",
+    "semantic_dedup_checks", "semantic_dedup_pq_checks",
+    "embedding_near_dup_checks",
     # ---- position 50 boundary ----
     # past the window: remaining r3-stale first (next rotation's
     # candidates), then r4/r5/r6 greens by verification age; the six

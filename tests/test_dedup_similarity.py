@@ -191,6 +191,59 @@ def test_semantic_dedup_drops_known_dups(spark):
     assert len(out) == 7
 
 
+def test_semantic_dedup_pq_sound_and_finds_near_identicals(spark):
+    """The PQ-scored path (corpus-scale switch, round-8): identical /
+    near-identical vectors share PQ codes so their ADC score is ~1 and
+    they are flagged; exact_confirm makes every flagged dup a true dup
+    (precision 1); contract shape matches `semantic_dedup` (one row per
+    id, same columns)."""
+    import random
+    rng = random.Random(7)
+    base = [rng.uniform(-1, 1) for _ in range(8)]
+    other = [rng.uniform(-1, 1) for _ in range(8)]
+    rows = ([(1, base), (2, base), (3, [x * 1.0001 for x in base])]
+            + [(10, other), (11, [x * (1 + 1e-5) for x in other])]
+            + [(50, [rng.uniform(-1, 1) for _ in range(8)])])
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [base, [rng.uniform(-1, 1) for _ in range(8)]]
+    books = SIM.pq_train(df, m=4, code_k=4, dim=8, train_iter=1)
+    out = {r["id"]: r["keep"] for r in
+           SIM.semantic_dedup_pq(df, threshold=0.999, cents=cents,
+                                 books=books, dim=8, margin=0.05).collect()}
+    assert out[1] is True and out[2] is False and out[3] is False
+    assert out[10] is True and out[11] is False
+    assert out[50] is True
+    assert len(out) == 6
+    # soundness: every PQ-flagged dup is a dup under the exact path
+    exact = {r["id"]: r["keep"] for r in
+             SIM.semantic_dedup(df, threshold=0.999, cents=cents).collect()}
+    for i, keep in out.items():
+        if keep is False:
+            assert exact[i] is False
+    # exact_confirm=False still finds the code-identical dups
+    approx = {r["id"]: r["keep"] for r in
+              SIM.semantic_dedup_pq(df, threshold=0.999, cents=cents,
+                                    books=books, dim=8,
+                                    exact_confirm=False).collect()}
+    assert approx[2] is False and approx[1] is True
+
+
+def test_pq_train_one_pass_matches_per_subspace_math(spark):
+    """The single-exploded-pass trainer must reproduce the per-subspace
+    loop exactly: same hash-sampled init rows for every subspace, same
+    assignments, same means (here: two well-separated clusters per
+    subspace recover the cluster means as codewords)."""
+    rows = [(i, ([1.0] * 4 if i % 2 == 0 else [5.0] * 4)
+             + ([2.0] * 4 if i % 2 == 0 else [9.0] * 4)) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = SIM.pq_train(df, m=2, code_k=2, dim=8, train_iter=2)
+    assert len(books) == 2 and all(len(b) == 2 for b in books)
+    got0 = sorted(tuple(round(x, 9) for x in cv) for cv in books[0])
+    got1 = sorted(tuple(round(x, 9) for x in cv) for cv in books[1])
+    assert got0 == [(1.0,) * 4, (5.0,) * 4]
+    assert got1 == [(2.0,) * 4, (9.0,) * 4]
+
+
 def test_semantic_dedup_hot_cell_guard(spark):
     """`max_cell_size`: a degenerate cell (every vector identical → one
     k-means cell) is excluded from the pair search — its rows come back
