@@ -56,25 +56,38 @@ def _exclusive_cumsum(df: DataFrame, val_col: str, order_col: str | list[str],
     splits land."""
     order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     nparts = max(df.sparkSession.sparkContext.defaultParallelism, 1)
-    ranged = (df.repartitionByRange(nparts, *[F.col(c) for c in order_cols])
-              .withColumn("_pid", F.spark_partition_id()))
-    w = (Window.partitionBy("_pid").orderBy(*order_cols)
-         .rowsBetween(Window.unboundedPreceding, -1))
-    local = ranged.withColumn(
-        "_local", F.coalesce(F.sum(val_col).over(w), F.lit(0).cast("bigint")))
-    # numPartitions rows: the only global window runs over ~dozens of rows
-    wo = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = (
-        local.groupBy("_pid").agg(F.sum(val_col).alias("_ptot"))
-        .withColumn("_off", F.coalesce(F.sum("_ptot").over(wo),
-                                       F.lit(0).cast("bigint")))
-        .select("_pid", "_off")
-    )
-    return (
-        local.join(F.broadcast(offsets), "_pid")
-        .withColumn(out, (F.col("_local") + F.col("_off")).cast("bigint"))
-        .drop("_pid", "_local", "_off")
-    )
+    ob = ", ".join(f"`{c}`" for c in order_cols)
+    # Two spark.sql calls instead of ~14 incremental DataFrame ops
+    # (round-8 plan-time fold — this helper rides under half a dozen
+    # headline queries, each paying its py4j chatter per call). Same
+    # plan: range exchange, post-exchange spark_partition_id, local
+    # exclusive window, numPartitions-row offsets window (the only
+    # global window), broadcast join. `local` crosses a
+    # DataFrame-parameter boundary on purpose — as a pure-SQL CTE a
+    # nondeterministic (spark_partition_id) subtree referenced twice
+    # gets wrapped in an extra REBALANCE exchange (the
+    # exact_percentiles_frame lesson); a substituted frame resolves
+    # like the former Column form.
+    local = df.sparkSession.sql(f"""
+SELECT *, COALESCE(SUM(`{val_col}`) OVER (PARTITION BY _pid ORDER BY {ob}
+       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       CAST(0 AS BIGINT)) AS _local
+FROM (SELECT ranged.*, spark_partition_id() AS _pid
+      FROM (SELECT /*+ REPARTITION_BY_RANGE({nparts}, {ob}) */ *
+            FROM {{df}}) ranged)
+""", df=df)
+    cols = ", ".join(f"l.`{c}`" for c in df.columns)
+    return df.sparkSession.sql(f"""
+WITH offsets AS (
+  SELECT _pid, COALESCE(SUM(_ptot) OVER (ORDER BY _pid
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         CAST(0 AS BIGINT)) AS _off
+  FROM (SELECT _pid, SUM(`{val_col}`) AS _ptot FROM {{local}}
+        GROUP BY _pid))
+SELECT /*+ BROADCAST(o) */ {cols},
+       CAST(l._local + o._off AS BIGINT) AS `{out}`
+FROM {{local}} l JOIN offsets o ON l._pid = o._pid
+""", local=local)
 
 
 def assign_token_shards(df: DataFrame, shard_budget: int,

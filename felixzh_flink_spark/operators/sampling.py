@@ -268,31 +268,39 @@ def interleave_sources(df: DataFrame, key: str, source_col: str,
     offset — NOT a `Window.partitionBy(source)` row_number, which would
     funnel each source's entire corpus through one task. The per-source
     start offsets are a source-cardinality-sized aggregate."""
-    h = F.md5(F.concat(F.lit(f"{seed}-"), F.col(key).cast("string")))
     from felixzh_flink_spark.operators.transforms import assign_global_ids
 
     ranked = assign_global_ids(
-        df.select(key, source_col).withColumn("_h", h),
+        df.selectExpr(
+            f"`{key}`", f"`{source_col}`",
+            f"md5(concat('{seed}-', cast(`{key}` as string))) AS _h"),
         [source_col, "_h", key], alias="_gid")
-    counts = (df.groupBy(source_col).agg(F.count("*").alias("_n")))
-    wo = Window.orderBy(source_col).rowsBetween(
-        Window.unboundedPreceding, -1)
-    offsets = counts.select(
-        source_col,
-        F.coalesce(F.sum("_n").over(wo), F.lit(0).cast("bigint"))
-        .alias("_start"))
-    w_map = F.create_map(*[x for s, w in sorted(weights.items())
-                           for x in (F.lit(s), F.lit(float(w)))])
-    rank = (F.col("_gid") - F.col("_start")).alias("rank_in_source")
-    # a source absent from `weights` must fail LOUDLY at execution, not
-    # produce NULL pos rows that silently vanish from pos-ordered
-    # consumers — raise_error fires on the first unweighted row
-    weight = w_map[F.col(source_col)]
-    pos = (F.col("_gid") - F.col("_start") - F.lit(0.5)) / weight
-    pos = F.when(weight.isNull(), F.raise_error(F.concat(
-        F.lit("interleave_sources: source has no weight: "),
-        F.col(source_col).cast("string")))).otherwise(pos)
-    return (
-        ranked.join(F.broadcast(offsets), source_col)
-        .select(key, source_col, rank, pos.alias("pos"))
-    )
+    # Everything after the prefix-sum ranks is ONE spark.sql call
+    # (round 8 plan-time fold: the Column-API form — 40 F.lit calls for
+    # the weight map alone, a Window builder, a join chain — cost
+    # ~0.22 s of py4j round-trips per call; the SQL text is the same
+    # plan: source-count offsets window over a source-cardinality
+    # aggregate, broadcast join, literal weight map). A source absent
+    # from `weights` must fail LOUDLY at execution, not produce NULL
+    # pos rows that silently vanish from pos-ordered consumers —
+    # raise_error fires on the first unweighted row.
+    entries = ", ".join(f"'{s}', {float(w)!r}D"
+                        for s, w in sorted(weights.items()))
+    return df.sparkSession.sql(f"""
+WITH offsets AS (
+  SELECT `{source_col}`,
+         COALESCE(SUM(_n) OVER (ORDER BY `{source_col}`
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           CAST(0 AS BIGINT)) AS _start
+  FROM (SELECT `{source_col}`, COUNT(*) AS _n FROM {{df}}
+        GROUP BY `{source_col}`))
+SELECT /*+ BROADCAST(o) */ r.`{key}`, r.`{source_col}`,
+       r._gid - o._start AS rank_in_source,
+       CASE WHEN try_element_at(map({entries}), r.`{source_col}`) IS NULL
+            THEN raise_error(concat(
+                 'interleave_sources: source has no weight: ',
+                 cast(r.`{source_col}` AS string)))
+            ELSE (r._gid - o._start - 0.5D)
+                 / try_element_at(map({entries}), r.`{source_col}`) END AS pos
+FROM {{ranked}} r JOIN offsets o ON r.`{source_col}` = o.`{source_col}`
+""", df=df, ranked=ranked)
