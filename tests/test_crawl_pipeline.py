@@ -176,3 +176,114 @@ def test_crawl_to_corpus_query_packs_within_budget(spark):
     mirror_ids = [r.doc_id for r in rows if r.doc_id >= 10000000]
     for mid in mirror_ids:
         assert (mid % 10000000) % 6 in (0, 2)
+
+
+def _manifests(df):
+    """Per-(key, pack_seq) manifest strings from (key, doc_id, n_tokens,
+    pack_seq) rows — the same window-offset + ordered-agg construction
+    as queries.pack_manifest, shared by both sides of the parity test."""
+    w = (Window.partitionBy("key", "pack_seq").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    off = df.withColumn(
+        "o", F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("bigint")))
+    rows = off.groupBy("key", "pack_seq").agg(
+        F.sum("n_tokens").alias("pack_tokens"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(
+                    F.col("doc_id"), F.col("o")))),
+                lambda s: F.concat(s["doc_id"].cast("string"), F.lit(":"),
+                                   s["o"].cast("string"))),
+            ",").alias("manifest")).collect()
+    return {(r.key, r.pack_seq): (r.pack_tokens, r.manifest) for r in rows}
+
+
+def test_crawl_stream_packs_to_same_manifests_as_batch(spark, tmp_path):
+    """Round-8 (r7 verdict item 6): the streaming crawl pipeline extended
+    through the PACKING stage. Stage A streams WARC segments through the
+    proven crawl stages (strip_html → Gopher → robots → fingerprint
+    dedup) into a parquet survivors dir; stage B streams that dir through
+    `streaming/packing.pack_stream` (applyInPandasWithState, O(1) state
+    per key, pack_seq continuing across micro-batches and across the
+    late-landing mirror segment). Parity: the per-pack document-boundary
+    MANIFESTS (ordered doc_id:token_offset — exactly the `pack_manifest`
+    artifact) must equal the batch greedy walk over the batch survivors
+    in doc_id order, including the still-open final pack."""
+    from felixzh_flink_spark.operators.packing import greedy_walk
+    from felixzh_flink_spark.sources.warc_source import register
+    from felixzh_flink_spark.streaming.packing import pack_stream
+
+    register(spark)
+    seg_dir = str(tmp_path / "crawl")
+    os.makedirs(seg_dir)
+    crawl = _crawl_frame(spark)
+    early = crawl.filter(F.col("doc_id") < 10000000)
+    late = crawl.filter(F.col("doc_id") >= 10000000)
+    (early.drop("doc_id").repartition(2).write.format("felixzh_warc")
+     .option("path", seg_dir).mode("append").save())
+
+    rules = _rules(spark)
+    surv_dir = str(tmp_path / "survivors")
+    stream = (spark.readStream.format("felixzh_warc")
+              .option("path", seg_dir)
+              .option("max_files_per_batch", "1").load())
+    survivors = (_stages(stream, rules).dropDuplicates(["fingerprint"])
+                 .select("doc_id", F.lit("all").alias("source"),
+                         "clean_text"))
+    qa = (survivors.writeStream.format("parquet")
+          .option("path", surv_dir)
+          .option("checkpointLocation", str(tmp_path / "cka"))
+          .outputMode("append").start())
+    qb = None
+    try:
+        # drain stage A BEFORE starting stage B: B polls as soon as it
+        # starts, and catching A mid-commit would split the early
+        # survivors across B-triggers — a different (arrival) walk
+        # order than the batch reference's doc_id order
+        qa.processAllAvailable()
+        packed_stream = pack_stream(
+            spark.readStream.schema(
+                "doc_id long, source string, clean_text string")
+            .parquet(surv_dir),
+            pack_budget=512, key_col="source", text_col="clean_text")
+        qb = (packed_stream.writeStream.format("memory")
+              .queryName("pk_tw")
+              .option("checkpointLocation", str(tmp_path / "ckb"))
+              .outputMode("append").start())
+        (late.drop("doc_id").coalesce(1).write.format("felixzh_warc")
+         .option("path", seg_dir).mode("append").save())
+        qa.processAllAvailable()
+        qb.processAllAvailable()
+        got = spark.sql(
+            "SELECT key, doc_id, n_tokens, pack_seq FROM pk_tw")
+        stream_manifests = _manifests(got)
+    finally:
+        qa.stop()
+        if qb is not None:
+            qb.stop()
+
+    # batch reference: same survivors (first-seen per fingerprint in
+    # doc_id order = the streaming dedup's arrival order here, since
+    # originals land before mirrors), greedy-walked in doc_id order
+    back = (spark.read.format("felixzh_warc")
+            .option("path", seg_dir).load())
+    fp = _stages(back, rules)
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    batch_surv = (fp.withColumn("_rn", F.row_number().over(w))
+                  .filter(F.col("_rn") == 1)
+                  .select("doc_id", "n_tokens")
+                  .orderBy("doc_id").collect())
+    seqs, _tot = greedy_walk([r.n_tokens for r in batch_surv], 512)
+    ref = spark.createDataFrame(
+        [("all", r.doc_id, r.n_tokens, int(s))
+         for r, s in zip(batch_surv, seqs)],
+        "key string, doc_id long, n_tokens long, pack_seq long")
+    batch_manifests = _manifests(ref)
+
+    assert stream_manifests == batch_manifests
+    assert len(stream_manifests) > 1          # the walk actually packed
+    # every pack except possibly the last is within budget or a
+    # single oversized doc (greedy first-fit invariant)
+    for (key, seq), (tokens, manifest) in stream_manifests.items():
+        n_docs = manifest.count(":")
+        assert tokens <= 512 or n_docs == 1
