@@ -93,23 +93,6 @@ def _dot_indexed(a: Column, b: Column, dim: int) -> Column:
     )
 
 
-def _dot_unrolled_sql(a: str, b: str, dim: int) -> str:
-    """Dot product as an UNROLLED left-nested Add chain — bit-identical
-    to the `aggregate`/`zip_with` folds (same element order, same double
-    adds) but CODEGEN-ABLE: higher-order functions are CodegenFallback
-    in Spark, and one HOF inside a join condition drops the whole join
-    stage to interpreted expression evaluation (~13 µs/pair measured —
-    the round-7 exact-path constant). The unrolled form JIT-compiles to
-    straight-line loads+FMA under `-XX:-DontCompileHugeMethods` (set in
-    session.py; the chain exceeds the 8 KB default JIT cutoff at
-    dim=64). Use in PER-PAIR hot paths; the HOF forms remain right for
-    once-per-row work."""
-    return "(" + " + ".join(
-        f"cast(element_at({a}, {i}) as double) "
-        f"* cast(element_at({b}, {i}) as double)"
-        for i in range(1, dim + 1)) + ")"
-
-
 def _norm_sql(a: str) -> str:
     return (f"sqrt(aggregate(transform({a}, x -> cast(x as double) * "
             f"cast(x as double)), cast(0.0 as double), (acc, x) -> acc + x))")
@@ -457,13 +440,18 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.9,
                                      "left_semi")
     dim = len(cents[0])
     # pair search + verdict as ONE spark.sql call (r6 plan-time fold);
-    # the per-PAIR dot is the UNROLLED codegen-able chain (round 8:
-    # the previous `aggregate` fold is CodegenFallback, which dropped
-    # the whole pair join to interpreted evaluation — the measured
-    # 13 µs/pair constant behind sf10's 140 s wall; same element order,
-    # bit-identical doubles, see _dot_unrolled_sql) — and the larger id
-    # of each qualifying pair is the dup.
-    dot = _dot_unrolled_sql("a.v", "b.v", dim)
+    # the dot product folds over a constant index sequence — no per-row
+    # zip_with array allocation per candidate PAIR (see _dot_indexed,
+    # kept as the Column-API primitive) — and the larger id of each
+    # qualifying pair is the dup. The HOF fold is CodegenFallback
+    # (interpreted, ~13 µs/pair), which is the documented cost model of
+    # THIS exact path; the corpus-scale alternative is
+    # `semantic_dedup_pq`, whose bit-packed ADC condition stays inside
+    # JIT'd codegen (an unrolled 64-term dot here would exceed the JVM's
+    # 8 KB JIT cutoff and run as interpreted bytecode — ~4× WORSE).
+    dot = (f"aggregate(sequence(1, {dim}), cast(0.0 as double), "
+           f"(acc, i) -> acc + cast(element_at(a.v, i) as double) "
+           f"* cast(element_at(b.v, i) as double))")
     return df.sparkSession.sql(f"""
 WITH dup AS (
   SELECT DISTINCT b.id AS id
@@ -528,20 +516,47 @@ def semantic_dedup_pq(df: DataFrame, threshold: float = 0.9,
                          id_col=id_col, vec_col=vec_col,
                          train_iter=train_iter)
     m_, k_ = len(books), len(books[0])
-    # An input that already carries `ivf_cell` skips assignment — the
-    # materialized cell-partitioned index layout (write_ivf_index) is
-    # the intended scale source: cell routing is an ingest artifact,
-    # and re-deriving it per query re-pays an O(n × cells × dim) scan.
-    enc = pq_encode(df if pre_assigned else ivf_assign(df, cents, vec_col),
-                    books, vec_col)
+    # An input that already carries `ivf_cell` skips assignment, and one
+    # that already carries `pq_code` skips encoding — the materialized
+    # cell-partitioned PQ index layout (write_ivf_index with books) is
+    # the intended scale source: cell routing AND codes are ingest
+    # artifacts, and re-deriving either per query re-pays an
+    # O(n × cells × dim) / O(n × m × k) scan.
+    if "pq_code" in df.columns:
+        enc = df
+    else:
+        enc = pq_encode(
+            df if pre_assigned else ivf_assign(df, cents, vec_col),
+            books, vec_col)
     nsq_terms = []
     for s in range(m_):
         tbl = [sum(float(x) * float(x) for x in cv) for cv in books[s]]
         nsq_terms.append(f"element_at({_lit_vec_sql(tbl)}, "
                          f"element_at(pq_code, {s + 1}) + 1)")
+    # Bit-pack the m codes into ⌈m/per_word⌉ BIGINT words (round 8):
+    # inside the pair-join condition a packed code costs one
+    # shift+mask on a long instead of a null-checked array element_at,
+    # which keeps the whole m-term ADC condition under HotSpot's 8 KB
+    # DontCompileHugeMethods bytecode cutoff — over it, the generated
+    # join loop runs as INTERPRETED BYTECODE (measured 55 µs/pair vs
+    # ~25 ns JIT'd: a 94× cliff, the round-8 sf10 finding). Join
+    # conditions cannot be split into sub-methods the way Project
+    # expressions are, so small condition code is the only robust fix
+    # (the JVM flag that lifts the cutoff was measured to 2-3× driver
+    # plan time across the whole inventory).
+    bits = max(1, (k_ - 1).bit_length())
+    per_word = 63 // bits
+    n_words = (m_ + per_word - 1) // per_word
+    pk_cols = []
+    for w in range(n_words):
+        subs = range(w * per_word, min((w + 1) * per_word, m_))
+        packed = " + ".join(
+            f"cast(element_at(pq_code, {s + 1}) as bigint) "
+            f"* {1 << (bits * (s - w * per_word))}L" for s in subs)
+        pk_cols.append(F.expr(packed).alias(f"_pk{w}"))
     assigned = enc.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-        "ivf_cell", "pq_code",
+        "ivf_cell", *pk_cols,
         _norm(F.col(vec_col)).alias("nrm"),
         F.expr(f"sqrt({' + '.join(nsq_terms)})").alias("anrm"),
     )
@@ -568,26 +583,35 @@ def semantic_dedup_pq(df: DataFrame, threshold: float = 0.9,
                      .filter(F.col("_n") <= max_cell_size).drop("_n"))
             pairable = assigned.join(F.broadcast(small), "ivf_cell",
                                      "left_semi")
+    mask = (1 << bits) - 1
+
+    def _code(side: str, s: int) -> str:
+        w, j = s // per_word, s % per_word
+        return (f"(shiftright({side}._pk{w}, {bits * j}) & {mask}L)")
+
     adc_terms = []
     for s in range(m_):
         flat = [sum(float(x) * float(y) for x, y in zip(ca, cb))
                 for ca in books[s] for cb in books[s]]
         adc_terms.append(
             f"element_at({_lit_vec_sql(flat)}, "
-            f"element_at(a.pq_code, {s + 1}) * {k_} "
-            f"+ element_at(b.pq_code, {s + 1}) + 1)")
+            f"cast({_code('a', s)} * {k_} + {_code('b', s)} + 1 as int))")
     adc_cos = f"({' + '.join(adc_terms)}) / (a.anrm * b.anrm)"
     cut = float(threshold - margin) if exact_confirm else float(threshold)
     # The ADC predicate lives in the JOIN CONDITION (evaluated per
-    # candidate pair inside the codegen'd hash-join loop — m literal
-    # lookups; JITs under the session's -XX:-DontCompileHugeMethods).
-    # The exact confirm must NOT join it there: one HOF-free unrolled
-    # dot is codegen-able, but condition code cannot be split into
-    # sub-methods, and ADC + a 64-term dot in one method risks the
-    # 64 KB hard limit → whole-stage fallback. Instead the (rare:
-    # O(matches)) ADC survivors re-join the encoded relation by id and
-    # the exact filter rides THOSE equi-joins — evaluated once per
-    # survivor, never per candidate pair.
+    # candidate pair inside the codegen'd hash-join loop — m folded
+    # literal lookups indexed by shift/mask; small enough to JIT, see
+    # the packing note above). The exact confirm must NOT live there:
+    # the dim-element fold is a higher-order function (CodegenFallback),
+    # and ONE such expression in the condition drops the whole pair
+    # join to interpreted expression evaluation (the round-7 13 µs/pair
+    # constant). Instead the (rare: O(matches)) ADC survivors re-join
+    # the encoded relation by id and the exact filter rides THOSE
+    # equi-joins — evaluated once per survivor, never per candidate
+    # pair, so its interpreted cost is bounded by the match count.
+    exact_dot = (f"aggregate(sequence(1, {dim}), cast(0.0 as double), "
+                 f"(acc, i) -> acc + cast(element_at(va.v, i) as double) "
+                 f"* cast(element_at(vb.v, i) as double))")
     if exact_confirm:
         dup_sql = f"""
   SELECT DISTINCT c.idb AS id
@@ -597,8 +621,7 @@ def semantic_dedup_pq(df: DataFrame, threshold: float = 0.9,
              AND {adc_cos} >= {cut!r}D) c
   JOIN {{assigned}} va ON c.ida = va.id
   JOIN {{assigned}} vb ON c.idb = vb.id
-  WHERE {_dot_unrolled_sql('va.v', 'vb.v', dim)}
-        / (va.nrm * vb.nrm) >= {float(threshold)!r}D"""
+  WHERE ({exact_dot}) / (va.nrm * vb.nrm) >= {float(threshold)!r}D"""
     else:
         dup_sql = f"""
   SELECT DISTINCT b.id AS id
@@ -614,14 +637,20 @@ LEFT JOIN (SELECT id, true AS _dup FROM dup) d ON s.id = d.id
 
 
 def write_ivf_index(df: DataFrame, path: str, cents: list[list[float]],
-                    vec_col: str = "embedding") -> None:
+                    vec_col: str = "embedding",
+                    books: list[list[list[float]]] | None = None) -> None:
     """Materialize the IVF index: the table written directory-partitioned
     by nearest-centroid cell. This is the ingest step the probe docstrings
     promise — after it, `ivf_topk_from_index` probes become partition
     pruning (only the probed cells' directories are opened), not a filter
-    over a full scan."""
-    ivf_assign(df, cents, vec_col).write.mode("overwrite") \
-        .partitionBy("ivf_cell").parquet(path)
+    over a full scan. With `books`, PQ codes are encoded into the layout
+    too (a `pq_code` column) — real IVF-PQ systems store codes in the
+    index, and `semantic_dedup_pq` then skips both assignment and
+    encoding at query time."""
+    assigned = ivf_assign(df, cents, vec_col)
+    if books is not None:
+        assigned = pq_encode(assigned, books, vec_col)
+    assigned.write.mode("overwrite").partitionBy("ivf_cell").parquet(path)
 
 
 def ivf_topk_from_index(spark, path: str, cents: list[list[float]],

@@ -3680,7 +3680,8 @@ def _ivf_trained_index_path(spark, sf_dir, k: int) -> str:
         import tempfile
         path = tempfile.mkdtemp(prefix="spark_graft_ivft_")
         SIM.write_ivf_index(_t(spark, sf_dir, "embeddings"), path,
-                            _ivf_trained(spark, sf_dir, k))
+                            _ivf_trained(spark, sf_dir, k),
+                            books=_pq_books_semantic(spark, sf_dir))
         _IVF_TRAINED_INDEX_PATH[key] = path
     return _IVF_TRAINED_INDEX_PATH[key]
 

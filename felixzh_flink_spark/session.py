@@ -52,20 +52,16 @@ def get_spark(
         # TIMESTAMP(NANOS) parquet (the events table) reads as raw long;
         # catalog.load_table also sets this at runtime for foreign sessions.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # Wide generated methods (an unrolled 64-term dot product, a
-        # 16-term PQ-ADC join condition) exceed HotSpot's 8 KB
-        # DontCompileHugeMethods bytecode cutoff; by default the JVM
-        # then runs them as INTERPRETED BYTECODE — measured 55 µs/pair
-        # vs 25 ns/pair JIT-compiled (round 8: the PQ semantic-dedup
-        # join was ~94× slower without this). Join conditions cannot be
-        # split into sub-methods the way Project expressions are, so
-        # the flag is the supported fix; on a real cluster set it in
-        # spark.executor.extraJavaOptions too (local mode: driver JVM
-        # IS the executor).
-        .config("spark.driver.extraJavaOptions",
-                "-XX:-DontCompileHugeMethods")
-        .config("spark.executor.extraJavaOptions",
-                "-XX:-DontCompileHugeMethods")
+        # NOTE (round 8): generated methods over HotSpot's 8 KB
+        # DontCompileHugeMethods cutoff run as interpreted bytecode
+        # (measured 55 µs/pair vs ~25 ns JIT'd on a 16-term join
+        # condition). -XX:-DontCompileHugeMethods fixes that — but was
+        # measured to 2-3× DRIVER plan-construction time across the
+        # whole inventory (C2 spends its cycles chewing Catalyst's own
+        # huge methods), so it is deliberately NOT set. The engine
+        # keeps hot per-pair join conditions under the 8 KB cutoff
+        # instead (bit-packed PQ codes, shift/mask lookups —
+        # similarity.semantic_dedup_pq).
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
