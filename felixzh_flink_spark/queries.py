@@ -7508,83 +7508,90 @@ def crawl_to_corpus(spark, sf_dir):
 
 _DRIVER_ORDER = [
     # =================================================================
-    # ROUND-7 WINDOW (first 50) — the round-6 verdict's top ask was to
-    # rotate the window onto the STALEST driver proofs (61 queries'
-    # last green was round 2 or 3). Composition: (a) the new r7
-    # composed flagship `crawl_to_corpus`; (b) every query whose CODE
-    # PATH changed in round 7 (graph.py star-contraction fallback →
-    # dedup_components; multimodal.synthesize_warc_column uri_col →
-    # warc_extract_stats; bloom.py word-agg dispatch →
-    # decontaminate_bloom_survivors; the sf1-scale _semantic_k /
-    # _near_dup_planes parameterization → the semantic_dedup and
-    # embedding_near_dup assertion twins, which re-derive the verdicts
-    # independently); (c) ALL 32 round-2-only greens; (d) the oldest
-    # round-3-only greens, alphabetical, filling to 50.
-    # The 15 remaining r3-stale greens lead the post-window ordering
-    # and are first in line for the round-8 rotation; this round they
-    # are re-proven by the local full-sweep (sf0.001 + sf0.01).
+    # ROUND-8 WINDOW (first 50) — composition per the r7 verdict:
+    # (a) the new r8 assertion oracle `semantic_dedup_pq_checks` (the
+    # PQ-scored corpus-scale semantic-dedup switch) and EVERY query
+    # whose CODE PATH changed in round 8: the folded-literal
+    # `_lit_vec_sql` + unrolled `_pq_score_array` ride under all
+    # IVF/PQ/LSH/cosine paths (ann_*_checks, cosine_topk*,
+    # label_centroids, kmeans_spherical_checks,
+    # contrastive_triplet_checks, quantized_embedding_checksums,
+    # semantic_dedup_checks, embedding_near_dup_checks); the
+    # bloom_build_distinct de-tautology (bloom_word_agg_checks,
+    # decontaminate_bloom_survivors); the graph.py labels-unpersist +
+    # star contiguity assert (dedup_components, dedup_components_star);
+    # the WARC overwrite fix (warc_extract_stats); the SQL-folded
+    # `_exclusive_cumsum` under token_shards / global_doc_ids /
+    # interleaved_training_order / pack_* / crawl_to_corpus; the psi
+    # edges cache (psi_price_drift); exact_sum identifier quoting
+    # (q1_pricing_summary as the 6-exact_sum representative);
+    # (b) ALL 20 remaining round-3-stale greens (the r7 verdict's top
+    # ask — after this window no query's last driver proof predates
+    # round 4); (c) event_runs_udtf (udtf family) + the oldest r4
+    # greens filling to 50. The heavy recursive-CTE oracles
+    # (crawl_to_corpus, pack_efficiency, pack_manifest,
+    # dedup_components*) stay at driver sf only per the r7 verdict.
     # =================================================================
-    "crawl_to_corpus", "dedup_components_star", "pack_efficiency",
-    "pack_manifest", "bloom_word_agg_checks", "dedup_components",
-    "warc_extract_stats",
-    "decontaminate_bloom_survivors", "dup_size_histogram",
-    "fingerprint_docs", "grouping_pricing", "lang_id_pred",
-    "lineitem_meta_stats", "market_segment_stats", "multimodal_frame_plan",
-    "multimodal_meta", "order_window_analytics", "pack_sequences",
+    "semantic_dedup_pq_checks", "semantic_dedup_checks",
+    "embedding_near_dup_checks", "ann_ivf_checks", "ann_pq_checks",
+    "ann_ivfpq_checks", "cosine_topk", "cosine_topk_multi",
+    "label_centroids", "kmeans_spherical_checks",
+    "contrastive_triplet_checks", "quantized_embedding_checksums",
+    "bloom_word_agg_checks", "decontaminate_bloom_survivors",
+    "dedup_components_star", "dedup_components", "warc_extract_stats",
+    "token_shards", "interleaved_training_order", "pack_sequences",
+    "pack_manifest", "pack_efficiency", "psi_price_drift",
+    "q1_pricing_summary", "crawl_to_corpus", "global_doc_ids",
+    "curriculum_bins", "cut_spans_docs", "decontaminate_ngram_survivors",
+    "dedup_keep_best", "delta_dedup_status", "gopher_rule_flags",
+    "heavy_hitter_langs", "length_histogram_sources", "multimodal_dims",
+    "repeated_spans", "robust_outlier_flags", "scd2_user_history",
+    "script_profile_docs", "temperature_mix_counts", "tfidf_top_terms",
+    "unigram_doc_nll", "unpivot_order_counts", "winnow_fingerprints",
+    "winnow_similar_pairs", "event_runs_udtf", "audio_segment_plan",
+    "bpe_token_counts", "capped_domain_sample", "cep_times_consecutive",
+    # ---- position 50 boundary ----
+    # past the window: remaining entries in verification-age order
+    # (r7-window greens last-proven r7; r4/r5/r6 greens by age; the
+    # six rows-only probes close the list, their assertion twins
+    # pinned via _PROBE_TWINS).
+    "dup_size_histogram", "fingerprint_docs", "grouping_pricing",
+    "lang_id_pred", "lineitem_meta_stats", "market_segment_stats",
+    "multimodal_frame_plan", "multimodal_meta", "order_window_analytics",
     "profile_lineitem", "q11_important_stock", "q13_customer_distribution",
     "q16_supplier_part_counts", "q19_disjunctive_revenue",
     "q20_part_shippers", "q21_waiting_supplier",
     "q22_global_sales_opportunity", "q2_min_cost_supplier",
     "q7_volume_shipping", "q8_market_share", "q9_product_profit",
-    "quantized_embedding_checksums", "redact_docs", "set_ops_nations",
-    "source_token_stats", "stratified_sample_counts", "token_counts",
-    "token_shards", "top_bigrams", "udtf_lateral", "weighted_avg_price",
-    "abandoned_views", "approx_distinct_parts", "approx_quantile_price",
+    "redact_docs", "set_ops_nations", "source_token_stats",
+    "stratified_sample_counts", "token_counts", "top_bigrams",
+    "udtf_lateral", "weighted_avg_price", "abandoned_views",
+    "approx_distinct_parts", "approx_quantile_price",
     "attribution_last_touch", "bigram_doc_nll",
     "boilerplate_block_removal", "content_split_counts",
-    "contrastive_triplet_checks",
-    "semantic_dedup_checks", "semantic_dedup_pq_checks",
-    "embedding_near_dup_checks",
-    # ---- position 50 boundary ----
-    # past the window: remaining r3-stale first (next rotation's
-    # candidates), then r4/r5/r6 greens by verification age; the six
-    # rows-only probes (driver rows r5, assertion twins pinned via
-    # _PROBE_TWINS) close the list.
-    "curriculum_bins", "cut_spans_docs", "decontaminate_ngram_survivors",
-    "dedup_keep_best", "delta_dedup_status", "global_doc_ids",
-    "gopher_rule_flags", "heavy_hitter_langs", "length_histogram_sources",
-    "multimodal_dims", "repeated_spans", "robust_outlier_flags",
-    "scd2_user_history", "script_profile_docs", "temperature_mix_counts",
-    "tfidf_top_terms", "unigram_doc_nll", "unpivot_order_counts",
-    "winnow_fingerprints", "winnow_similar_pairs", "ann_ivf_checks",
-    "ann_ivfpq_checks", "ann_pq_checks", "audio_segment_plan",
-    "bpe_token_counts", "capped_domain_sample", "cep_times_consecutive",
-    "cosine_topk_multi", "data_quality_report",
-    "distinct_parts_per_supplier", "edit_distance_pairs",
-    "epoch_shuffle_docs",
-    "event_anomaly_hours", "events_hourly", "events_hourly_filled",
-    "events_hourly_interp", "events_rollup_cascade", "filter_projection",
+    "data_quality_report", "distinct_parts_per_supplier",
+    "edit_distance_pairs", "epoch_shuffle_docs", "event_anomaly_hours",
+    "events_hourly", "events_hourly_filled", "events_hourly_interp",
+    "events_rollup_cascade", "filter_projection",
     "funnel_view_click_purchase", "funnel_within_window",
     "hll_user_rollup", "html_extract_text", "image_resize_plan",
-    "incremental_agg_view", "interleaved_training_order",
-    "json_roundtrip_orders", "label_centroids", "mixture_pipeline_counts",
-    "nation_hierarchy_paths", "pipe_syntax_order_stats",
-    "purchase_conversion_rate", "range_join_recent_views",
-    "repartitioned_user_counts", "salted_event_counts",
-    "salted_rowkey_spread", "snapshot_diff", "sql_udf_price_tiers",
-    "upsert_materialize", "user_sessions", "weekly_retention_cohorts",
-    "word_count", "zorder_key_lineitem", "argmax_order_per_segment",
-    "canonical_url_dedup", "classifier_keep_rates", "classifier_scores",
-    "csv_roundtrip_part", "cube_order_status", "event_runs_udtf",
-    "events_json_extract", "events_sliding_windows",
-    "events_variant_extract", "hourly_top_events",
-    "kmeans_spherical_checks", "mp4_duration_meta",
+    "incremental_agg_view", "json_roundtrip_orders",
+    "mixture_pipeline_counts", "nation_hierarchy_paths",
+    "pipe_syntax_order_stats", "purchase_conversion_rate",
+    "range_join_recent_views", "repartitioned_user_counts",
+    "salted_event_counts", "salted_rowkey_spread", "snapshot_diff",
+    "sql_udf_price_tiers", "upsert_materialize", "user_sessions",
+    "weekly_retention_cohorts", "word_count", "zorder_key_lineitem",
+    "argmax_order_per_segment", "canonical_url_dedup",
+    "classifier_keep_rates", "classifier_scores", "csv_roundtrip_part",
+    "cube_order_status", "events_json_extract", "events_sliding_windows",
+    "events_variant_extract", "hourly_top_events", "mp4_duration_meta",
     "nation_customers_vs_suppliers", "ngram_jaccard_pairs",
     "pivot_order_status", "q10_returned_items", "q12_returnflag_priority",
     "q14_promo_revenue", "q15_top_supplier", "q17_small_quantity_revenue",
-    "q18_large_orders", "q1_pricing_summary", "q3_top_unshipped",
-    "q4_order_priority", "q5_local_supplier_volume", "q6_forecast_revenue",
-    "quantiles_by_flag", "revenue_by_nation", "rolling_hour_user_value",
+    "q18_large_orders", "q3_top_unshipped", "q4_order_priority",
+    "q5_local_supplier_volume", "q6_forecast_revenue", "quantiles_by_flag",
+    "revenue_by_nation", "rolling_hour_user_value",
     "running_quantity_by_supplier", "scalar_concat",
     "skewed_supplier_revenue", "sliding_count_windows",
     "temporal_join_purchases", "top_orders_per_customer",
@@ -7593,16 +7600,15 @@ _DRIVER_ORDER = [
     "avro_roundtrip_orders", "bmp_decode_stats", "canal_decode",
     "canal_quarantine_counts", "changelog_retract_sum", "chunk_docs",
     "cms_token_counts", "compressed_text_census", "corpus_pipeline_counts",
-    "cosine_topk", "debezium_decode", "decontaminated_counts",
-    "dedup_exact_docs", "deterministic_split_counts", "doc_quality",
-    "doc_repetition", "ewma_user_value", "gif_composite_stats",
-    "gif_decode_stats", "gif_frame_sample_stats", "gzip_roundtrip_docs",
-    "image_feature_stats", "jaccard_join_exact", "jpeg_color_decode_stats",
-    "jpeg_decode_stats", "media_format_census", "minhash_dedup_verified",
-    "mulaw_decode_stats", "png_decode_stats", "png_thumbnail_stats",
-    "price_decile_histogram", "proto_roundtrip_orders", "psi_price_drift",
-    "robots_allowed_paths", "robots_site_gate", "robots_wildcard_paths",
-    "tiff_decode_stats", "url_domain_counts",
+    "debezium_decode", "decontaminated_counts", "dedup_exact_docs",
+    "deterministic_split_counts", "doc_quality", "doc_repetition",
+    "ewma_user_value", "gif_composite_stats", "gif_decode_stats",
+    "gif_frame_sample_stats", "gzip_roundtrip_docs", "image_feature_stats",
+    "jaccard_join_exact", "jpeg_color_decode_stats", "jpeg_decode_stats",
+    "media_format_census", "minhash_dedup_verified", "mulaw_decode_stats",
+    "png_decode_stats", "png_thumbnail_stats", "price_decile_histogram",
+    "proto_roundtrip_orders", "robots_allowed_paths", "robots_site_gate",
+    "robots_wildcard_paths", "tiff_decode_stats", "url_domain_counts",
     "url_registrable_psl", "wav_resample_stats", "wav_segment_stats",
     "webdataset_sample_stats", "winsorized_price_stats", "ann_ivf_topk",
     "ann_ivfpq_topk", "ann_pq_topk", "embedding_near_dup",
