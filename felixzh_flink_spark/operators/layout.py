@@ -31,10 +31,22 @@ def zorder_value(bucketed: list[Column], bits: int = 8) -> Column:
     bit b of column i lands at position b·n + i. Static expression tree
     of bits × n shifts/masks — whole-stage codegen, no UDF.
 
-    Total key width = bits × len(bucketed) ≤ 63 (bigint)."""
+    Total key width = bits × len(bucketed) ≤ 63 (bigint).
+
+    String entries in `bucketed` are treated as column NAMES and the
+    whole interleave folds to ONE F.expr (r8 plan-time fold: the
+    Column-API form cost bits × n × ~5 py4j round-trips per call);
+    Column entries keep the incremental form (a Column cannot be
+    rendered into SQL text). Identical integer arithmetic either way."""
     n = len(bucketed)
     if bits * n > 63:
         raise ValueError(f"{bits} bits x {n} cols exceeds bigint range")
+    if all(isinstance(c, str) for c in bucketed):
+        terms = " + ".join(
+            f"(shiftrightunsigned(cast(`{c}` as bigint), {b}) & 1L) "
+            f"* {1 << (b * n + i)}L"
+            for b in range(bits) for i, c in enumerate(bucketed))
+        return F.expr(f"cast(0 as bigint) + {terms}")
     z = F.lit(0).cast("bigint")
     for b in range(bits):
         for i, c in enumerate(bucketed):

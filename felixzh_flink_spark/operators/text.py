@@ -644,15 +644,19 @@ def bigram_array(text_col: str = "text"):
     conditioning contexts of a bigram LM. Tokenization matches
     `doc_terms` (whitespace split, empty terms dropped) so unigram and
     bigram models score the same token stream. zip_with of two shifted
-    slices — O(tokens), codegen."""
-    t = F.split(F.lower(F.trim(F.col(text_col))), TOKEN_RE)
-    t = F.filter(t, lambda x: x != F.lit(""))
-    n = F.size(t)
-    return F.when(
-        n >= 2,
-        F.zip_with(F.slice(t, 1, n - 1), F.slice(t, 2, n - 1),
-                   lambda a, b: F.concat_ws(" ", a, b)),
-    ).otherwise(F.array().cast("array<string>"))
+    slices — O(tokens), codegen. ONE F.expr (r8 plan-time fold: the
+    Column form cost ~15 py4j round-trips and rides under two headline
+    queries twice each); the SQL text is the identical expression tree
+    — note the regex backslash is doubled because Spark SQL string
+    literals process escapes."""
+    sql_re = TOKEN_RE.replace("\\", "\\\\")
+    t = (f"filter(split(lower(trim(`{text_col}`)), '{sql_re}'), "
+         f"x -> x != '')")
+    return F.expr(
+        f"CASE WHEN size({t}) >= 2 THEN "
+        f"zip_with(slice({t}, 1, size({t}) - 1), "
+        f"slice({t}, 2, size({t}) - 1), (a, b) -> concat_ws(' ', a, b)) "
+        f"ELSE cast(array() as array<string>) END")
 
 
 def train_bigram_lm(df: DataFrame, text_col: str = "text") -> DataFrame:

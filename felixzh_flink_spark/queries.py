@@ -820,7 +820,7 @@ def zorder_key_lineitem(spark, sf_dir):
         range_bucket(F.col("l_suppkey"), 0, F.col("ms"), 6).alias("bb"))
     return b.select(
         "l_orderkey", "l_linenumber",
-        zorder_value([F.col("ba"), F.col("bb")], bits=6).alias("z"))
+        zorder_value(["ba", "bb"], bits=6).alias("z"))
 
 
 @q("cep_times_consecutive", """
