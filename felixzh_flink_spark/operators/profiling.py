@@ -539,7 +539,8 @@ def psi_drift(ref: DataFrame, cur: DataFrame, col: str,
 
 
 def winsorize(df: DataFrame, col: str, p_low: float = 0.01,
-              p_high: float = 0.99, approx: bool = False) -> DataFrame:
+              p_high: float = 0.99, approx: bool = False,
+              fences: DataFrame | None = None) -> DataFrame:
     """Winsorize a numeric column: clamp values outside the [p_low,
     p_high] percentile band to the band edges — the standard robust
     pre-processing step before scaling/featurizing (outliers move to the
@@ -553,13 +554,19 @@ def winsorize(df: DataFrame, col: str, p_low: float = 0.01,
     execution. approx=True swaps in `approx_percentile` (t-digest-style
     mergeable sketch) — same clamp, sketch-grade fences, one aggregate
     instead of the rank machinery."""
-    if approx:
-        fences = df.agg(F.expr(
-            f"approx_percentile({col}, array({p_low!r}, {p_high!r}))")
-            .cast("array<double>").alias("_fq"))
-    else:
-        fences = exact_percentiles_frame(df, col, [p_low, p_high],
-                                         alias="_fq")
+    if fences is None:
+        # callers may pass a pre-built LAZY fences frame (1 row, array
+        # column `_fq`) — an ingest-artifact cache slot: the exact
+        # two-phase rank plan costs ~0.2 s of Catalyst CONSTRUCTION per
+        # call (nothing is collected either way; r8 plan-time fold,
+        # same pattern as queries._psi_edges)
+        if approx:
+            fences = df.agg(F.expr(
+                f"approx_percentile({col}, array({p_low!r}, {p_high!r}))")
+                .cast("array<double>").alias("_fq"))
+        else:
+            fences = exact_percentiles_frame(df, col, [p_low, p_high],
+                                             alias="_fq")
     lo, hi = F.col("_fq")[0], F.col("_fq")[1]
     clamped = F.least(F.greatest(F.col(col), lo), hi)
     flag = (F.when(F.col(col) < lo, F.lit(-1))

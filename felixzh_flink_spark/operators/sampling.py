@@ -84,11 +84,20 @@ def cap_per_group(df: DataFrame, key: str, group_col: str, cap: int,
     `key` must be unique per row (it is the row's identity): rows sharing
     a key share the full (hash, key) sort key, so WHICH of them survives
     a cap boundary would be partitioning-dependent."""
-    ks = F.coalesce(F.col(key).cast("string"), F.lit("\x00null"))
-    h = F.md5(F.concat(F.lit(seed), F.lit("-"), ks))
-    w = Window.partitionBy(group_col).orderBy(h, F.col(key))
-    return (df.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= cap).drop("_rn"))
+    # ONE spark.sql call (r8 plan-time fold; identical window plan).
+    # char(0) mirrors hash_bucket's NULL-key sentinel.
+    cols = ", ".join(f"`{c}`" for c in df.columns)
+    seed_sql = seed.replace("\\", "\\\\").replace("'", "\\'")
+    return df.sparkSession.sql(f"""
+SELECT {cols} FROM (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY `{group_col}`
+      ORDER BY md5(concat('{seed_sql}', '-',
+                   coalesce(cast(`{key}` AS string),
+                            concat(char(0), 'null')))), `{key}`) AS _rn
+  FROM {{df}})
+WHERE _rn <= {int(cap)}
+""", df=df)
 
 
 def epoch_shuffle(df: DataFrame, key: str, seed: str,
@@ -153,37 +162,34 @@ def temperature_resample(df: DataFrame, key: str, domain_col: str,
     a scan-local filter — no shuffle of the corpus itself. `target_total ·
     buckets · s_d` stays in int64 for any corpus below ~2^63/buckets
     tokens — beyond that, lower `buckets`."""
-    counts = df.groupBy(domain_col).agg(F.count("*").alias("_n"))
-    weights = counts.withColumn(
-        "_s", F.floor(F.sqrt(F.col("_n"))).cast("bigint"))
-    # total derives from weights, so the cross join is a self-join — alias
-    # both sides to keep `_s` references unambiguous
-    total = weights.agg(F.sum("_s").alias("_S"))
-    thresholds = (
-        weights.alias("w").crossJoin(F.broadcast(total).alias("t"))
-        .select(
-            f"w.{domain_col}",
-            F.least(
-                # bigint casts: the literal product target_total × buckets
-                # is folded as int32 × int32 otherwise and overflows at
-                # ≥ 2^31 (ANSI: plan-time ARITHMETIC_OVERFLOW; non-ANSI:
-                # silent negative threshold that keeps zero rows)
-                F.expr(f"(cast({target_total} as bigint)"
-                       f" * cast({buckets} as bigint) * w._s)"
-                       " div (t._S * w._n)"),
-                F.lit(buckets).cast("bigint"),
-            ).alias("_thresh"),
-        )
-    )
-    # null-safe join: the counts stage groups NULL domains into their own
-    # stratum, so the threshold lookup must match them too — a plain
-    # equi-join would silently drop every null-domain row
-    t = F.broadcast(thresholds).withColumnRenamed(domain_col, "_dom")
-    return (
-        df.join(t, F.col(domain_col).eqNullSafe(F.col("_dom")))
-        .filter(hash_bucket(F.col(key), buckets) < F.col("_thresh"))
-        .drop("_thresh", "_dom")
-    )
+    # ONE spark.sql call (r8 plan-time fold — the Column form cost
+    # ~0.18 s of per-op analysis under two headline queries). Identical
+    # plan and math: partial-aggregated domain counts, integer isqrt
+    # weights, scalar-subquery Σs, broadcast threshold table, null-safe
+    # domain join (NULL domains form their own stratum — a plain
+    # equi-join would silently drop them), scan-local md5-bucket keep
+    # decision. The bigint casts on target_total × buckets stop the
+    # folded int32 product overflowing at ≥ 2^31; the char(0) sentinel
+    # is hash_bucket's NULL-key funnel.
+    cols = ", ".join(f"d.`{c}`" for c in df.columns)
+    return df.sparkSession.sql(f"""
+WITH counts AS (
+  SELECT `{domain_col}` AS _dom, COUNT(*) AS _n
+  FROM {{df}} GROUP BY `{domain_col}`),
+w AS (SELECT _dom, _n, CAST(FLOOR(SQRT(_n)) AS BIGINT) AS _s FROM counts),
+t AS (
+  SELECT _dom,
+         LEAST((CAST({target_total} AS BIGINT)
+                * CAST({buckets} AS BIGINT) * _s)
+               div ((SELECT SUM(_s) FROM w) * _n),
+               CAST({buckets} AS BIGINT)) AS _thresh
+  FROM w)
+SELECT /*+ BROADCAST(t) */ {cols}
+FROM {{df}} d JOIN t ON d.`{domain_col}` <=> t._dom
+WHERE CAST(conv(substring(md5(coalesce(cast(d.`{key}` AS string),
+                                       concat(char(0), 'null'))), 1, 8),
+               16, 10) AS BIGINT) % {buckets} < t._thresh
+""", df=df)
 
 
 def content_split(df: DataFrame, text_col: str = "text",

@@ -796,6 +796,18 @@ def bpe_apply(word: Column, merges: list[tuple[str, str]],
     recreate an earlier rule's pattern, which trained tables avoid by
     construction)."""
     s = BPE_SEP
+    if isinstance(word, str):
+        # single-F.expr fast path for a column NAME (r8 plan-time fold:
+        # the Column chain cost ~3 py4j round-trips per merge×pass)
+        def q(lit: str) -> str:
+            return lit.replace("\\", "\\\\").replace("'", "\\'")
+        expr = (f"concat('{q(s)}', regexp_replace("
+                f"replace(`{word}`, '{q(s)}', ''), '(.)', '$1{q(s)}'))")
+        for a, b in merges:
+            pat, rep = q(f"{s}{a}{s}{b}{s}"), q(f"{s}{a}{b}{s}")
+            for _ in range(passes):
+                expr = f"replace({expr}, '{pat}', '{rep}')"
+        return F.expr(expr)
     clean = F.replace(word, F.lit(s), F.lit(""))
     out = F.concat(F.lit(s), F.regexp_replace(clean, "(.)", f"$1{s}"))
     for a, b in merges:
@@ -813,7 +825,7 @@ def bpe_token_counts(df: DataFrame, merges: list[tuple[str, str]],
     under-estimate by the subword ratio). One explode + one per-doc
     shuffle; the replace chain stays in codegen."""
     words = doc_terms(df, text_col, id_col)
-    applied = bpe_apply(F.col("term"), merges)
+    applied = bpe_apply("term", merges)
     # subtokens = sentinel count − 1 (every subtoken is ·-wrapped)
     subs = (F.length(applied)
             - F.length(F.replace(applied, F.lit(BPE_SEP), F.lit(""))) - 1)

@@ -3593,6 +3593,29 @@ def _near_dup_planes(n_rows: int) -> int:
     return 4 + max(0, round(math.log2(max(1.0, n_rows / 2000.0))))
 
 
+_WINSOR_FENCES_CACHE: dict[tuple[str, bool], object] = {}
+
+
+def _winsor_fences(spark, sf_dir):
+    """Lazy [p01, p99] fences frame for `winsorized_price_stats`, cached
+    per sf_dir (same plan-construction-cost rationale as `_psi_edges`;
+    still zero collects — the fences ride the plan as a broadcast)."""
+    approx = _sf_of(sf_dir) >= 1
+    key = (sf_dir, approx)
+    if key not in _WINSOR_FENCES_CACHE:
+        from felixzh_flink_spark.operators.profiling import (
+            exact_percentiles_frame)
+        l = _t(spark, sf_dir, "lineitem")
+        if approx:
+            _WINSOR_FENCES_CACHE[key] = l.agg(F.expr(
+                "approx_percentile(l_extendedprice, array(0.01, 0.99))")
+                .cast("array<double>").alias("_fq"))
+        else:
+            _WINSOR_FENCES_CACHE[key] = exact_percentiles_frame(
+                l, "l_extendedprice", [0.01, 0.99], alias="_fq")
+    return _WINSOR_FENCES_CACHE[key]
+
+
 _PSI_EDGES_CACHE: dict[tuple[str, bool], object] = {}
 
 
@@ -7010,7 +7033,8 @@ def winsorized_price_stats(spark, sf_dir):
     and contracts bit parity."""
     from felixzh_flink_spark.operators.profiling import winsorize
     l = _t(spark, sf_dir, "lineitem")
-    w = winsorize(l, "l_extendedprice", approx=_sf_of(sf_dir) >= 1)
+    w = winsorize(l, "l_extendedprice", approx=_sf_of(sf_dir) >= 1,
+                  fences=_winsor_fences(spark, sf_dir))
     return w.agg(
         F.sum(F.when(F.col("l_extendedprice_clamped") == -1, 1)
               .otherwise(0)).cast("bigint").alias("n_low"),
