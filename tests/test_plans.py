@@ -303,3 +303,54 @@ def test_dynamic_partition_pruning_prunes_fact_scan(spark, tmp_path):
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower()
     assert j.count() == 2_000
+
+
+def test_literal_vectors_constant_fold_to_single_nodes(spark):
+    """`similarity._lit_vec_sql` must emit a form Catalyst constant-folds
+    to ONE Literal node: the per-element cast form cost ~1 KB PER
+    ELEMENT in the serialized plan (a 16×1024 PQ table ballooned task
+    binaries to 22 MiB — round 8). Folding leaves no `split(` in the
+    optimized plan; a regression reintroduces it."""
+    from felixzh_flink_spark.operators.similarity import _lit_vec_sql
+    from pyspark.sql import functions as F
+
+    vec = [float(i) * 0.5 for i in range(64)]
+    df = spark.range(5).select(
+        F.expr(f"element_at({_lit_vec_sql(vec)}, cast(id % 64 + 1 as int))")
+        .alias("x"))
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "split(" not in opt
+    got = [r["x"] for r in df.collect()]
+    assert got == vec[0:5]          # element_at is 1-based
+
+
+def test_pq_pair_condition_is_jit_safe(spark):
+    """The PQ semantic-dedup pair-join condition must stay HOF-free and
+    read codes via shift/mask on packed BIGINT words: one higher-order
+    function in a join condition drops the whole pair loop to
+    interpreted expression evaluation (~13 µs/pair), and per-pair array
+    element_at chains push the generated method over HotSpot's 8 KB
+    JIT cutoff (measured 94× — SCALE.md round-8 section). The exact
+    confirm fold may appear only in the survivors' id-join, never in
+    the cell-pair join."""
+    import re
+
+    from felixzh_flink_spark.operators import similarity as SIM
+
+    rows = [(i, [float((i * 7 + j) % 5) for j in range(8)])
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [rows[0][1], rows[3][1]]
+    books = SIM.pq_train(df, m=4, code_k=4, dim=8, train_iter=1)
+    out = SIM.semantic_dedup_pq(df, threshold=0.9, cents=cents,
+                                books=books, dim=8)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # the cell-pair join condition: packed-word shifts, no HOF fold
+    pair_cond = [ln for ln in plan.splitlines()
+                 if "ivf_cell" in ln and "Join" in ln]
+    assert pair_cond, plan
+    for ln in pair_cond:
+        assert "aggregate(" not in ln, ln[:400]
+        assert "shiftright" in ln
+    # exact confirm exists, but only in the id-equi-join branch
+    assert "aggregate(" in plan
