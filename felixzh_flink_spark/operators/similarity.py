@@ -560,16 +560,22 @@ def semantic_dedup_pq(df: DataFrame, threshold: float = 0.9,
         _norm(F.col(vec_col)).alias("nrm"),
         F.expr(f"sqrt({' + '.join(nsq_terms)})").alias("anrm"),
     )
-    # The encoded relation is referenced THREE times below (both join
-    # sides + the output scan). Its projection carries the full encode
-    # expression tree (m per-subspace score transforms over literal
-    # codebooks); letting the self-join inline that tree three times
-    # tripled codegen/serialization cost (a 22 MiB task binary at
-    # m=16/k=32). A lazy localCheckpoint materializes the encoded rows
-    # once within the job and every reference scans the cached
-    # partitions — on a multi-executor cluster point setCheckpointDir
-    # at shared storage and use checkpoint() (same note as graph.py).
-    assigned = assigned.localCheckpoint(eager=False)
+    # The encoded relation is referenced up to FIVE times below (both
+    # pair-join sides, two confirm sides, the output scan). When the
+    # codes are derived IN-PLAN (no pq_code input column), each
+    # reference would inline the full encode expression tree (m
+    # per-subspace score arrays over literal codebooks) — measured as a
+    # 22 MiB task binary at m=16/k=32 — so a lazy localCheckpoint
+    # materializes the encoded rows once (on a multi-executor cluster
+    # point setCheckpointDir at shared storage and use checkpoint(),
+    # same note as graph.py). When the input is the PRE-ENCODED index
+    # there is no expression tree to protect, and the checkpoint would
+    # actively HURT: it materializes all columns, blocking column
+    # pruning — the pair join would drag the dim-float vectors it never
+    # reads; un-checkpointed, each reference prunes its own index scan
+    # (the pair side reads id/cell/codes only).
+    if "pq_code" not in df.columns:
+        assigned = assigned.localCheckpoint(eager=False)
     pairable = assigned
     if max_cell_size is not None:
         if cell_counts is not None:
