@@ -193,6 +193,79 @@ def connected_components_star(edges: DataFrame, src: str = "src",
         "rounds — this should be unreachable (O(log n) bound)")
 
 
+def pagerank(nodes: DataFrame, edges: DataFrame, n_nodes: int,
+             iterations: int = 8, damping: float = 0.85,
+             node: str = "node", src: str = "src", dst: str = "dst",
+             out_rank: str = "rank", quantize: int = 12) -> DataFrame:
+    """Damped PageRank with dangling-mass redistribution — the
+    crawl-graph QUALITY PRIOR real pretraining pipelines attach to
+    documents (Common Crawl publishes exactly this as its host-level
+    rank; quality-weighted sampling and source mixing consume it).
+
+    Power iteration over (nodes, edges): each round every node's rank
+    is split evenly across its out-edges, summed at the destination,
+    damped, and topped up with the teleport term plus an equal share
+    of the mass parked on DANGLING nodes (no out-edges) — without the
+    dangling term the ranks leak and no longer sum to 1. Self-loops
+    and parallel edges are honored as given (a parallel edge is a
+    double vote), matching the standard matrix formulation.
+
+    Scale shape: the edge relation (with its precomputed out-degree)
+    is persisted ONCE and reused every round; a round is one keyed
+    shuffle (contributions grouped by destination) plus a broadcast
+    one-row dangling-mass fence — rank state is localCheckpoint'd per
+    round exactly like `connected_components_star` (swap in
+    `.checkpoint()` on a multi-executor cluster). Round count is the
+    FIXED iteration budget, independent of data size; at crawl scale
+    the edge scan from cache dominates and nothing is ever collected
+    to the driver.
+
+    Determinism (the oracle contract): per-edge contributions are
+    exact-summed as DECIMAL(38,18) — order-independent, so partial
+    aggregation cannot perturb the doubles — and each round's rank is
+    quantized to `quantize` decimal digits, so cross-engine drift
+    cannot compound across rounds. A double can never land exactly ON
+    a decimal rounding tie (an exact tie at digit k needs a factor
+    5^(k+1) in the denominator; doubles are dyadic), so half-up vs
+    half-even engines agree on every quantization.
+    """
+    n = nodes.select(F.col(node).alias("v"))
+    deg = edges.groupBy(F.col(src).alias("v")) \
+               .agg(F.count("*").alias("outdeg"))
+    e = (edges.select(F.col(src).alias("esrc"), F.col(dst).alias("edst"))
+         .join(deg, F.col("esrc") == deg.v)
+         .select("esrc", "edst", "outdeg").persist())
+    dangling = n.join(deg, "v", "left_anti").persist()
+    teleport = (1.0 - damping) / n_nodes
+    ranks = n.withColumn(out_rank, F.lit(1.0 / n_nodes)).localCheckpoint()
+    try:
+        for _round in range(iterations):
+            contrib = (e.join(ranks, e.esrc == ranks.v)
+                       .groupBy(F.col("edst").alias("cv"))
+                       .agg(F.sum((F.col(out_rank) / F.col("outdeg"))
+                                  .cast("decimal(38,18)"))
+                            .cast("double").alias("contrib")))
+            mass = (ranks.join(dangling, "v", "left_semi")
+                    .agg(F.coalesce(
+                        F.sum(F.col(out_rank).cast("decimal(38,18)"))
+                        .cast("double"), F.lit(0.0)).alias("mass")))
+            ranks = (n.join(contrib, n.v == F.col("cv"), "left")
+                     .crossJoin(F.broadcast(mass))
+                     .select(
+                         F.col("v"),
+                         F.round(
+                             F.lit(teleport)
+                             + F.lit(damping)
+                             * (F.coalesce(F.col("contrib"), F.lit(0.0))
+                                + F.col("mass") / F.lit(float(n_nodes))),
+                             quantize).alias(out_rank))
+                     .localCheckpoint())
+        return ranks.select(F.col("v").alias(node), F.col(out_rank))
+    finally:
+        e.unpersist()
+        dangling.unpersist()
+
+
 def component_sizes(components: DataFrame,
                     component_col: str = "component") -> DataFrame:
     """(component, n_members) — the cluster-size histogram dedup

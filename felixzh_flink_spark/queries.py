@@ -3775,6 +3775,64 @@ def cosine_topk_multi(spark, sf_dir):
     return SIM.cosine_topk_multi(e, _query_vecs3(spark, sf_dir), k=10)
 
 
+def _rp_oracle(out_dim: int = 16, in_dim: int = 64) -> str:
+    """rp_projection_topk's oracle: the fixed Rademacher matrix is a pure
+    function of its shape (`similarity.rademacher_planes`), so it inlines
+    as a ±1.0 literal list-of-lists; both engines left-fold the projection
+    and the projected-space cosine in identical element order (Spark
+    `aggregate` ≡ DuckDB `list_reduce`), so the doubles are bit-equal."""
+    import math as _math
+
+    planes = SIM.rademacher_planes(out_dim, in_dim)
+    mat = "[" + ",".join(
+        "[" + ",".join("1.0" if s > 0 else "-1.0" for s in row) + "]"
+        for row in planes) + "]"
+    scale = repr(1.0 / _math.sqrt(out_dim))
+
+    def proj(src: str) -> str:
+        return (f"list_transform({mat}, row -> list_reduce("
+                f"list_transform(generate_series(1, {in_dim}), "
+                f"i -> CAST({src}[i] AS DOUBLE) * row[i]), "
+                f"(x, y) -> x + y) * CAST('{scale}' AS DOUBLE))")
+
+    d = out_dim
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+qp AS (SELECT {proj('q.qv')} AS pv FROM q),
+p AS (SELECT e.vec_id AS id, {proj('e.embedding')} AS proj
+      FROM embeddings e),
+s AS (SELECT p.id,
+      list_reduce(list_transform(generate_series(1, {d}),
+          i -> p.proj[i] * qp.pv[i]), (x, y) -> x + y)
+      / (sqrt(list_reduce(list_transform(generate_series(1, {d}),
+             i -> p.proj[i] * p.proj[i]), (x, y) -> x + y))
+         * sqrt(list_reduce(list_transform(generate_series(1, {d}),
+             i -> qp.pv[i] * qp.pv[i]), (x, y) -> x + y))) AS rp_cosine
+      FROM p, qp)
+SELECT id, rp_cosine FROM s ORDER BY rp_cosine DESC, id LIMIT 10
+"""
+
+
+@q("rp_projection_topk", _rp_oracle())
+def rp_projection_topk(spark, sf_dir):
+    """Johnson-Lindenstrauss RANDOM PROJECTION pre-ranking
+    (`similarity.random_projection` / `rp_topk`): embeddings projected
+    64→16 dims through a deterministic Rademacher ±1 matrix (Achlioptas
+    2003 — JL distortion bound without Gaussian sampling), then cosine
+    top-10 in PROJECTED space. This is the cheap first stage ahead of
+    exact re-ranking: at 100 TB it cuts per-row flops and any
+    projected-space shuffle 4×, with no model state to broadcast (the
+    matrix is a pure function of its shape — any executor or engine
+    rebuilds it bit-for-bit, which is exactly how the oracle proves it:
+    DuckDB replays projection AND projected cosine from the inlined ±1
+    literals, identical fold order, hash-equal doubles). Distance
+    preservation itself is unit-pinned (JL distortion on real corpus
+    pairs, tests/test_similarity_rp.py)."""
+    e = _t_wide(spark, sf_dir, "embeddings")
+    return SIM.rp_topk(e, _query_vec(spark, sf_dir), k=10,
+                       out_dim=16, in_dim=64)
+
+
 @q("ann_ivf_topk")  # rows-only: approximate by construction
 def ann_ivf_topk(spark, sf_dir):
     """IVF approximate top-10 against the MATERIALIZED cell-partitioned
@@ -6641,6 +6699,85 @@ def dedup_components_star(spark, sf_dir):
         F.col("component").cast("bigint").alias("component"))
 
 
+def _pagerank_oracle(iterations: int = 8) -> str:
+    """The PageRank oracle UNROLLS the power iteration as chained CTEs
+    (one contribution/dangling-mass/rank triple per round) — recursive
+    CTEs cannot aggregate in the recursive term, and a fixed iteration
+    budget is the semantics anyway. Arithmetic mirrors
+    `graph.pagerank` op-for-op: DECIMAL(38,18) exact sums (order-free),
+    explicit DOUBLE casts on every literal (a bare DuckDB `0.85` is a
+    DECIMAL — decimal arithmetic would diverge from Spark's doubles),
+    `(1.0 - 0.85)` as an IEEE subtraction exactly like the Python-side
+    `1.0 - damping`, and a per-round ROUND(.., 12) quantization so
+    drift cannot compound."""
+    parts = ["""WITH nodes AS (SELECT doc_id AS v FROM documents),
+nn AS (SELECT COUNT(*) AS n FROM documents),
+deg AS (SELECT v, CASE WHEN v % 17 = 0 THEN 0 ELSE 1 + v % 3 END AS outdeg
+        FROM nodes),
+edges AS (SELECT v AS src, (v * 131 + k * 97) % (SELECT n FROM nn) AS dst,
+                 outdeg
+          FROM deg, UNNEST(range(1, outdeg + 1)) AS t(k)),
+r0 AS (SELECT v, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank
+       FROM nodes)"""]
+    for t in range(1, iterations + 1):
+        p = t - 1
+        parts.append(f""",
+c{t} AS (SELECT e.dst AS v,
+         CAST(SUM(CAST(r.rank / e.outdeg AS DECIMAL(38,18))) AS DOUBLE)
+           AS contrib
+         FROM edges e JOIN r{p} r ON r.v = e.src GROUP BY e.dst),
+m{t} AS (SELECT COALESCE(CAST(SUM(CAST(r.rank AS DECIMAL(38,18))) AS DOUBLE),
+                         CAST(0.0 AS DOUBLE)) AS mass
+         FROM r{p} r JOIN deg d ON d.v = r.v WHERE d.outdeg = 0),
+r{t} AS (SELECT nodes.v,
+         ROUND((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+                 / (SELECT n FROM nn)
+               + CAST(0.85 AS DOUBLE)
+                 * (COALESCE(c{t}.contrib, CAST(0.0 AS DOUBLE))
+                    + m{t}.mass / (SELECT n FROM nn)), 12) AS rank
+         FROM nodes LEFT JOIN c{t} ON c{t}.v = nodes.v CROSS JOIN m{t})""")
+    parts.append(f"""
+SELECT v AS doc_id, ROUND(rank, 9) AS pagerank FROM r{iterations}""")
+    return "".join(parts)
+
+
+@q("pagerank_scores", _pagerank_oracle())
+def pagerank_scores(spark, sf_dir):
+    """Crawl-graph QUALITY PRIOR (`graph.pagerank`): damped PageRank
+    with dangling-mass redistribution — the host/domain centrality
+    score real pretraining pipelines attach to documents for
+    quality-weighted sampling (Common Crawl publishes exactly this
+    rank for its host graph). Proven through the hash oracle on a
+    deterministic synthetic link graph both engines derive identically
+    from doc_ids: out-degree 1 + doc_id % 3, every 17th document
+    DANGLING (no out-links — exercising the mass-conservation term a
+    naive implementation leaks), targets (doc_id*131 + k*97) mod N.
+    8 damped (0.85) power-iteration rounds, DECIMAL(38,18)-exact
+    contribution sums, per-round 1e-12 quantization — the oracle
+    unrolls the identical arithmetic, so a dropped dangling share, a
+    wrong out-degree split, or an extra/missing round hash-mismatches.
+    Parity holds for ANY id set (both sides drop contributions to
+    absent targets the same way); N rides the parquet footer, no
+    count() job. Scale shape: per graph.pagerank — edge relation
+    persisted once, one keyed shuffle + one broadcast fence per round,
+    fixed round count, rank state localCheckpoint'd."""
+    from felixzh_flink_spark.operators.graph import pagerank
+
+    n = _documents_n(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    deg = F.lit(1) + F.col("doc_id") % 3
+    edges = (d.filter(F.col("doc_id") % 17 != 0)
+             .select(F.col("doc_id").alias("src"),
+                     F.explode(F.sequence(F.lit(1), deg)).alias("k"))
+             .select("src",
+                     ((F.col("src") * 131 + F.col("k") * 97) % n)
+                     .alias("dst")))
+    ranks = pagerank(d.select(F.col("doc_id").alias("node")), edges,
+                     n_nodes=n, iterations=8, damping=0.85)
+    return ranks.select(F.col("node").alias("doc_id"),
+                        F.round(F.col("rank"), 9).alias("pagerank"))
+
+
 @q("global_doc_ids", """
 SELECT doc_id, source,
        ROW_NUMBER() OVER (ORDER BY source, doc_id) AS global_id
@@ -7565,8 +7702,12 @@ _DRIVER_ORDER = [
     # (q1_pricing_summary as the 6-exact_sum representative);
     # (b) ALL 20 remaining round-3-stale greens (the r7 verdict's top
     # ask — after this window no query's last driver proof predates
-    # round 4); (c) event_runs_udtf (udtf family) + the oldest r4
-    # greens filling to 50. The heavy recursive-CTE oracles
+    # round 4); (c) the BRAND-NEW r8 hard-oracle operators
+    # pagerank_scores (crawl-graph quality prior, graph.pagerank) and
+    # rp_projection_topk (JL Rademacher projection pre-ranking,
+    # similarity.rp_topk) — first driver proof; (d) event_runs_udtf
+    # (udtf family) + the oldest r4 greens filling to 50. The heavy
+    # recursive-CTE oracles
     # (crawl_to_corpus, pack_efficiency, pack_manifest,
     # dedup_components*) stay at driver sf only per the r7 verdict.
     # =================================================================
@@ -7586,9 +7727,10 @@ _DRIVER_ORDER = [
     "repeated_spans", "robust_outlier_flags", "scd2_user_history",
     "script_profile_docs", "temperature_mix_counts", "tfidf_top_terms",
     "unigram_doc_nll", "unpivot_order_counts", "winnow_fingerprints",
-    "winnow_similar_pairs", "event_runs_udtf", "audio_segment_plan",
-    "bpe_token_counts", "capped_domain_sample", "cep_times_consecutive",
+    "winnow_similar_pairs", "event_runs_udtf", "pagerank_scores",
+    "rp_projection_topk", "audio_segment_plan", "bpe_token_counts",
     # ---- position 50 boundary ----
+    "capped_domain_sample", "cep_times_consecutive",
     # past the window: remaining entries in verification-age order
     # (r7-window greens last-proven r7; r4/r5/r6 greens by age; the
     # six rows-only probes close the list, their assertion twins

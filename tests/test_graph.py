@@ -1,8 +1,11 @@
 """Connected components (operators/graph) — min-label propagation vs a
-naive union-find reference (oracle twin: `dedup_components`).
+naive union-find reference (oracle twin: `dedup_components`) — and
+PageRank vs a single-machine power-iteration reference (oracle twin:
+`pagerank_scores`).
 """
 
 import random
+from collections import defaultdict
 
 import pytest
 
@@ -11,6 +14,7 @@ from felixzh_flink_spark.operators.graph import (
     connected_components,
     connected_components_star,
     keep_min_per_component,
+    pagerank,
 )
 
 
@@ -110,6 +114,89 @@ def test_star_self_loops_and_two_components(spark):
     got = {r.node: r.component
            for r in connected_components_star(df).collect()}
     assert got == {5: 5, 6: 5, 1: 1, 2: 1, 3: 1, 9: 9}
+
+
+# ----------------------------------------------------------- pagerank
+
+def _pr_reference(nodes, edges, iterations=8, damping=0.85):
+    """Single-machine power iteration with the same semantics: even
+    split across out-edges (parallel edges = double votes, self-loops
+    honored), dangling mass redistributed uniformly, contributions to
+    ids outside `nodes` dropped. Plain float sums — the engine's
+    decimal-exact sums and 1e-12 quantization stay within ~1e-10."""
+    out = defaultdict(list)
+    for s, d in edges:
+        out[s].append(d)
+    n = len(nodes)
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(iterations):
+        contrib = defaultdict(float)
+        mass = 0.0
+        for v in nodes:
+            if out[v]:
+                share = r[v] / len(out[v])
+                for d in out[v]:
+                    contrib[d] += share
+            else:
+                mass += r[v]
+        r = {v: (1 - damping) / n + damping * (contrib[v] + mass / n)
+             for v in nodes}
+    return r
+
+
+def _run_pr(spark, nodes, edges, **kw):
+    ndf = spark.createDataFrame([(v,) for v in nodes], "node long")
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    got = pagerank(ndf, edf, n_nodes=len(nodes), **kw)
+    return {r.node: r.rank for r in got.collect()}
+
+
+def test_pagerank_ring_is_uniform(spark):
+    # symmetric graph: stationary distribution is exactly uniform
+    nodes = list(range(12))
+    edges = [(i, (i + 1) % 12) for i in nodes]
+    got = _run_pr(spark, nodes, edges)
+    for v in nodes:
+        assert got[v] == pytest.approx(1.0 / 12, abs=1e-10)
+
+
+def test_pagerank_dangling_mass_is_conserved(spark):
+    # node 3 has no out-edges: without redistribution ranks leak and
+    # the total drops below 1 round over round
+    nodes = [0, 1, 2, 3]
+    edges = [(0, 1), (1, 2), (2, 3), (0, 3)]
+    got = _run_pr(spark, nodes, edges)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    ref = _pr_reference(nodes, edges)
+    for v in nodes:
+        assert got[v] == pytest.approx(ref[v], abs=1e-10)
+
+
+def test_pagerank_matches_reference_on_random_graph(spark):
+    rnd = random.Random(7)
+    nodes = list(range(30))
+    # parallel edges, self-loops, several dangling nodes, and edges to
+    # ids OUTSIDE the node set (dropped by both implementations)
+    edges = [(rnd.choice(nodes), rnd.choice(nodes + [99, 100]))
+             for _ in range(70)]
+    dangling = {25, 26, 27}
+    edges = [e for e in edges if e[0] not in dangling]
+    got = _run_pr(spark, nodes, edges)
+    ref = _pr_reference(nodes, edges)
+    # NOTE: no sum≈1 here — shares sent to out-of-set targets leak by
+    # design (both engines drop them identically); only CLOSED graphs
+    # conserve mass (test_pagerank_dangling_mass_is_conserved)
+    for v in nodes:
+        assert got[v] == pytest.approx(ref[v], abs=1e-9), v
+
+
+def test_pagerank_hub_outranks_leaves_and_is_deterministic(spark):
+    nodes = list(range(9))
+    edges = [(i, 0) for i in range(1, 9)] + [(0, 1)]
+    a = _run_pr(spark, nodes, edges)
+    b = _run_pr(spark, nodes, edges)
+    assert a == b  # exact: quantized decimal pipeline, no run noise
+    assert a[0] > max(a[v] for v in range(2, 9)) * 3
 
 
 def test_sizes_and_keep_min(spark):

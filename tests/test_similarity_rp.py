@@ -1,0 +1,108 @@
+"""Johnson-Lindenstrauss random projection (operators/similarity:
+rademacher_planes / random_projection_sql / project_vec / rp_topk —
+oracle twin: `rp_projection_topk`).
+
+The hash-oracle proves cross-engine bit-parity of the projection; these
+units pin the properties the oracle cannot see: that the sign matrix is
+actually a GOOD JL matrix (near-orthogonal rows — the original
+multiplicative-hash construction produced row pairs agreeing on 62/64
+entries and 2× the ideal distortion), and that distances on the real
+corpus are preserved within the JL envelope.
+"""
+
+import math
+import random
+
+import duckdb
+
+from pyspark.sql import functions as F
+
+from felixzh_flink_spark.operators.similarity import (
+    project_vec,
+    rademacher_planes,
+    random_projection,
+    random_projection_sql,
+    rp_topk,
+)
+
+OUT, IN = 16, 64
+
+
+def test_matrix_is_deterministic_signed_and_near_orthogonal():
+    m = rademacher_planes(OUT, IN)
+    assert m == rademacher_planes(OUT, IN)
+    assert len(m) == OUT and all(len(r) == IN for r in m)
+    assert all(x in (1.0, -1.0) for r in m for x in r)
+    # near-orthogonality: iid signs give |<r_j, r_k>| ~ sqrt(64)=8;
+    # the broken multiplicative-hash matrix had pairs at 60+
+    dots = [abs(sum(a * b for a, b in zip(m[j], m[k])))
+            for j in range(OUT) for k in range(j + 1, OUT)]
+    assert max(dots) <= 32, max(dots)
+    # and no near-duplicate/near-negated rows at all
+    assert len({tuple(r) for r in m}) == OUT
+
+
+def test_driver_projection_is_bit_equal_to_sql_projection(spark):
+    rnd = random.Random(3)
+    vecs = [[rnd.uniform(-1, 1) for _ in range(IN)] for _ in range(5)]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vecs)],
+                               "vec_id long, embedding array<float>")
+    rows = (df.select("vec_id",
+                      F.expr(random_projection_sql("embedding", OUT, IN))
+                      .alias("p"))
+            .collect())
+    for r in rows:
+        # parquet/DataFrame floats upcast exactly; folds share order
+        py = project_vec([float(x) for x in
+                          df.filter(F.col("vec_id") == r.vec_id)
+                          .head()["embedding"]], OUT)
+        assert list(r.p) == py
+
+
+def test_jl_distortion_envelope_on_real_corpus():
+    rows = duckdb.sql(
+        "SELECT embedding FROM "
+        "'/root/testdata/sf0.001/embeddings.parquet' LIMIT 60").fetchall()
+    vecs = [[float(x) for x in r[0]] for r in rows]
+    projs = [project_vec(v, OUT) for v in vecs]
+
+    def d2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    rnd = random.Random(1)
+    ratios = []
+    for _ in range(300):
+        a, b = rnd.sample(range(len(vecs)), 2)
+        ratios.append(d2(projs[a], projs[b]) / d2(vecs[a], vecs[b]))
+    ratios.sort()
+    med = ratios[len(ratios) // 2]
+    # JL with k=16: sq-distance ratios concentrate around 1 with
+    # stdev ≈ sqrt(2/k) ≈ 0.35; measured quartiles 0.71/0.90/1.18
+    assert 0.75 < med < 1.25, med
+    assert ratios[0] > 0.1 and ratios[-1] < 4.0, (ratios[0], ratios[-1])
+    # ≥80% of pairs within ±60% — loose envelope, generous vs measured
+    inside = sum(1 for r in ratios if 0.4 < r < 1.6)
+    assert inside / len(ratios) >= 0.8, inside
+
+
+def test_rp_topk_shape_order_and_self_similarity(spark):
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = [float(x)
+         for x in e.filter(F.col("vec_id") == 0).head()["embedding"]]
+    got = rp_topk(e, q, k=10).collect()
+    assert len(got) == 10
+    sims = [r.rp_cosine for r in got]
+    assert sims == sorted(sims, reverse=True)
+    # the query vector itself projects to itself: cosine exactly-ish 1
+    assert got[0].id == 0 and got[0].rp_cosine > 0.999999
+    ids = {r["vec_id"] for r in e.select("vec_id").collect()}
+    assert all(r.id in ids for r in got)
+
+
+def test_random_projection_output_shape(spark):
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    row = random_projection(e.limit(3), OUT, IN).head()
+    assert len(row["proj"]) == OUT
+    # norms shrink ~sqrt(out/in) on average but never explode
+    n = math.sqrt(sum(x * x for x in row["proj"]))
+    assert 0.0 < n < 100.0
