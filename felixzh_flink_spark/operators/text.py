@@ -721,7 +721,8 @@ BPE_DEMO_MERGES = [
 
 def bpe_train_merges(df: DataFrame, text_col: str = "text",
                      n_merges: int = 20, max_vocab: int | None = 100_000,
-                     min_freq: int = 1) -> list[tuple[str, str]]:
+                     min_freq: int = 1, return_counts: bool = False
+                     ) -> list[tuple[str, str]] | list[tuple[str, str, int]]:
     """Learn a BPE merge table (Sennrich et al. 2016): repeatedly merge
     the most frequent adjacent symbol pair, weighted by word frequency.
     The CORPUS-SCALE part — aggregating the word-frequency table — is
@@ -737,7 +738,12 @@ def bpe_train_merges(df: DataFrame, text_col: str = "text",
     open-vocabulary 100-TB corpus collects ≤ max_vocab rows no matter
     how many distinct terms it has (the standard trainer truncation;
     sub-max_vocab tail terms can't win a merge vote against the head
-    in practice). `max_vocab=None` restores the unbounded collect."""
+    in practice). `max_vocab=None` restores the unbounded collect.
+
+    `return_counts=True` appends each selected pair's weighted count —
+    the value the oracle (`bpe_learned_merges`) replays, so a wrong
+    frequency weighting fails the hash even when the winning PAIR
+    happens to coincide."""
     tf = (doc_terms(df, text_col).groupBy("term")
           .agg(F.count("*").alias("n")))
     if min_freq > 1:
@@ -746,7 +752,7 @@ def bpe_train_merges(df: DataFrame, text_col: str = "text",
         tf = tf.orderBy(F.col("n").desc(), F.col("term")).limit(max_vocab)
     freqs = {r["term"]: r["n"] for r in tf.collect()}
     vocab = {tuple(w): n for w, n in freqs.items()}
-    merges: list[tuple[str, str]] = []
+    merges: list = []
     for _ in range(n_merges):
         pairs: dict[tuple[str, str], int] = {}
         for sym, n in vocab.items():
@@ -758,7 +764,7 @@ def bpe_train_merges(df: DataFrame, text_col: str = "text",
                                                     p[0], p[1])))
         # deterministic: max count, then shortest/lexicographic pair
         best = min((p for p in pairs if pairs[p] == pairs[best]))
-        merges.append(best)
+        merges.append(best + (pairs[best],) if return_counts else best)
         merged = best[0] + best[1]
         new_vocab = {}
         for sym, n in vocab.items():

@@ -6976,6 +6976,94 @@ def bpe_token_counts_docs(spark, sf_dir):
                             BPE_DEMO_MERGES)
 
 
+def _bpe_train_oracle(n_merges: int = 12, max_vocab: int = 4096,
+                      min_freq: int = 2) -> str:
+    """bpe_learned_merges' oracle: replays the TRAINER round-for-round.
+    Round t: adjacent-pair counts weighted by word frequency → winner
+    by (count DESC, lhs, rhs) → greedy merge application. The merge is
+    an exact greedy left fold over each word's symbols with a STRING
+    accumulator (`list_reduce` acc type must equal element type — both
+    are VARCHAR here): acc ending '·L·' followed by R replaces its
+    tail symbol with LR, anything else appends — the ·-sentinels make
+    a match possible only at true symbol boundaries, and because a
+    merged symbol LR can never itself equal L (R is nonempty), a fresh
+    merge is never re-merged: identical semantics to the trainer's
+    i+=2 scan, with NO multi-pass replace approximation. Every
+    round CTE is MATERIALIZED — v{t} references v{t-1} twice (pair
+    count + apply), so DuckDB's default inlined CTEs would re-evaluate
+    v0 2^rounds times (the same exponential-lineage trap
+    graph.py's localCheckpoint breaks on the Spark side)."""
+    s = "·"
+    head = rf"""WITH words AS (
+  SELECT unnest(string_split(regexp_replace(lower(trim(replace(text,
+           '{s}', ''))), '\s+', ' ', 'g'), ' ')) AS term
+  FROM documents
+),
+tf0 AS (SELECT term, COUNT(*) AS n FROM words WHERE term <> ''
+        GROUP BY term),
+tf AS (SELECT term, n FROM tf0 WHERE n >= {min_freq}
+       ORDER BY n DESC, term LIMIT {max_vocab}),
+v0 AS MATERIALIZED (SELECT '{s}' || regexp_replace(term, '(.)',
+       '\1{s}', 'g') AS w, n FROM tf)"""
+    parts = [head]
+    for t in range(1, n_merges + 1):
+        p = t - 1
+        parts.append(f""",
+p{t} AS (SELECT toks[i] AS lhs, toks[i+1] AS rhs,
+                CAST(SUM(n) AS BIGINT) AS cnt
+         FROM (SELECT list_filter(string_split(w, '{s}'),
+                        x -> x <> '') AS toks, n FROM v{p}),
+              UNNEST(range(1, len(toks))) AS u(i)
+         GROUP BY toks[i], toks[i+1]),
+b{t} AS MATERIALIZED (SELECT {t} AS step, lhs, rhs, cnt FROM p{t}
+         ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+v{t} AS MATERIALIZED (SELECT list_reduce(
+           list_concat([''], list_filter(string_split(w, '{s}'),
+                                         x -> x <> '')),
+           (acc, tkn) -> CASE
+             WHEN acc = '' THEN '{s}' || tkn || '{s}'
+             WHEN ends_with(acc, '{s}' || b.lhs || '{s}')
+                  AND tkn = b.rhs
+               THEN substr(acc, 1, len(acc) - len(b.lhs) - 1)
+                    || b.lhs || b.rhs || '{s}'
+             ELSE acc || tkn || '{s}' END) AS w, n
+         FROM v{p}, b{t} b)""")
+    parts.append("\nSELECT CAST(step AS INTEGER) AS step, lhs, rhs, cnt"
+                 " FROM (" + " UNION ALL ".join(
+                     f"SELECT * FROM b{t}" for t in range(1, n_merges + 1))
+                 + ") ORDER BY step")
+    return "".join(parts)
+
+
+@q("bpe_learned_merges", _bpe_train_oracle())
+def bpe_learned_merges(spark, sf_dir):
+    """Distributed BPE tokenizer TRAINING (`text.bpe_train_merges`,
+    Sennrich et al. 2016) with its LEARNED MERGE TABLE as the checked
+    artifact — the missing half of the BPE story (`bpe_token_counts`
+    proves APPLICATION under a pinned table; this proves the trainer
+    that produces such tables). The corpus-scale stage is the
+    word-frequency aggregate (one partial-aggregated shuffle, output ≤
+    max_vocab rows via distributed TakeOrdered with (freq, term)
+    tiebreak); merge learning then runs over that vocab-bounded table
+    driver-side — training state is O(vocab), not O(corpus), exactly
+    how sentencepiece/HF trainers work. 12 rounds, min_freq 2, vocab
+    cap 4096; winners tie-break (count DESC, pair lexicographic). The
+    oracle replays all 12 rounds in SQL, including greedy merge
+    application as an exact string left fold (see `_bpe_train_oracle`)
+    — a wrong frequency weighting, tiebreak, truncation order, or a
+    non-greedy apply all hash-mismatch. The ·-sentinel is stripped
+    from input on BOTH sides (it cannot occur inside a symbol)."""
+    from felixzh_flink_spark.operators.text import bpe_train_merges
+
+    d = _t_wide(spark, sf_dir, "documents").select(
+        F.translate(F.col("text"), "·", "").alias("text"))
+    merges = bpe_train_merges(d, n_merges=12, max_vocab=4096,
+                              min_freq=2, return_counts=True)
+    return spark.createDataFrame(
+        [(i + 1, a, b, int(c)) for i, (a, b, c) in enumerate(merges)],
+        "step int, lhs string, rhs string, cnt bigint")
+
+
 @q("abandoned_views", """
 WITH e AS (
   SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
@@ -7703,10 +7791,13 @@ _DRIVER_ORDER = [
     # (b) ALL 20 remaining round-3-stale greens (the r7 verdict's top
     # ask — after this window no query's last driver proof predates
     # round 4); (c) the BRAND-NEW r8 hard-oracle operators
-    # pagerank_scores (crawl-graph quality prior, graph.pagerank) and
+    # pagerank_scores (crawl-graph quality prior, graph.pagerank),
     # rp_projection_topk (JL Rademacher projection pre-ranking,
-    # similarity.rp_topk) — first driver proof; (d) event_runs_udtf
-    # (udtf family) + the oldest r4 greens filling to 50. The heavy
+    # similarity.rp_topk), and bpe_learned_merges (distributed BPE
+    # tokenizer TRAINING, text.bpe_train_merges — the trainer's merge
+    # table replayed round-for-round by the oracle) — first driver
+    # proof; (d) event_runs_udtf (udtf family) + bpe_token_counts
+    # (same BPE family, r4 green) filling to 50. The heavy
     # recursive-CTE oracles
     # (crawl_to_corpus, pack_efficiency, pack_manifest,
     # dedup_components*) stay at driver sf only per the r7 verdict.
@@ -7728,9 +7819,9 @@ _DRIVER_ORDER = [
     "script_profile_docs", "temperature_mix_counts", "tfidf_top_terms",
     "unigram_doc_nll", "unpivot_order_counts", "winnow_fingerprints",
     "winnow_similar_pairs", "event_runs_udtf", "pagerank_scores",
-    "rp_projection_topk", "audio_segment_plan", "bpe_token_counts",
+    "rp_projection_topk", "bpe_learned_merges", "bpe_token_counts",
     # ---- position 50 boundary ----
-    "capped_domain_sample", "cep_times_consecutive",
+    "audio_segment_plan", "capped_domain_sample", "cep_times_consecutive",
     # past the window: remaining entries in verification-age order
     # (r7-window greens last-proven r7; r4/r5/r6 greens by age; the
     # six rows-only probes close the list, their assertion twins

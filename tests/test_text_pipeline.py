@@ -349,6 +349,32 @@ def test_bpe_train_driver_collect_is_vocab_bounded(spark):
     assert bpe_train_merges(d, n_merges=3, min_freq=2) == full
 
 
+def test_bpe_train_counts_and_closed_form(spark):
+    from felixzh_flink_spark.operators.text import bpe_train_merges
+    # closed-form corpus: 'abab' x3 + 'ab' x2 → pair (a,b) count 8
+    # (two per 'abab', one per 'ab'); after merging, ('ab','ab') in
+    # the three 'abab' words → count 3; greedy scan must count the
+    # abab word as ONE (ab,ab) adjacency, not two overlapping
+    d = spark.createDataFrame(
+        [(1, "abab abab abab ab ab")], "doc_id long, text string")
+    m = bpe_train_merges(d, n_merges=2, return_counts=True)
+    assert m == [("a", "b", 8), ("ab", "ab", 3)]
+    # and return_counts=False keeps the legacy 2-tuple shape
+    assert bpe_train_merges(d, n_merges=2) == [("a", "b"), ("ab", "ab")]
+
+
+def test_bpe_train_greedy_run_semantics(spark):
+    from felixzh_flink_spark.operators.text import bpe_train_merges
+    # 'aaaa': greedy (a,a) count = 3 adjacencies... the TRAINER counts
+    # raw adjacencies (3 in 'aaaa'), then APPLIES greedily: aaaa →
+    # (aa)(aa), so round 2's top pair is (aa,aa), not (aa,a)
+    d = spark.createDataFrame(
+        [(1, "aaaa aaaa aaaa bb")], "doc_id long, text string")
+    m = bpe_train_merges(d, n_merges=2, return_counts=True)
+    assert m[0] == ("a", "a", 9)      # 3 adjacencies × 3 words
+    assert m[1] == ("aa", "aa", 3)    # greedy pairing, one per word
+
+
 def test_robots_empty_rule_value_is_a_noop(spark):
     """RFC 9309 §2.2.2: a bare 'Disallow:' (empty value) means
     allow-all — it must not compile to a match-everything prefix that
