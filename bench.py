@@ -171,11 +171,13 @@ HEADLINE = [
     # one extra keyed agg over the proven greedy walk)
     "pack_efficiency",
     # round 8: JL random-projection pre-ranking (one scan, 16 codegen'd
-    # folds per row). PageRank stays out like the other ITERATIVE
+    # folds per row) and the two-stage projected-scan → exact-re-rank
+    # retrieval shape. PageRank stays out like the other ITERATIVE
     # kernels (dedup_components*, crawl_to_corpus) — fixed per-round
     # job overhead dominates at bench sf and measures the scheduler,
     # not the operator; its scale rows live in SCALE.md.
     "rp_projection_topk",
+    "rp_rerank_topk",
 ]
 
 

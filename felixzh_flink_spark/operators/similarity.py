@@ -232,6 +232,38 @@ def rp_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     return scored.orderBy(F.desc("rp_cosine"), F.asc("id")).limit(k)
 
 
+def rp_rerank_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+                   prek: int = 50, out_dim: int = 16, in_dim: int = 64,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """TWO-STAGE retrieval — the production serving shape: stage 1
+    ranks the corpus by PROJECTED cosine (out_dim folds per row, the
+    cheap scan) and keeps the top `prek` candidates; stage 2 re-scores
+    only those `prek` rows with the EXACT in_dim cosine and returns the
+    final top `k`. At 100 TB the full-precision fold runs over prek
+    rows instead of the corpus — stage 1 is where the flops go, and it
+    is 4× narrower (and in a real deployment reads a MATERIALIZED
+    projected column, making stage 1 a narrow-column scan).
+
+    Deterministic end-to-end (both stages tie-break on id, the
+    projection is a pure function of shape), so the whole pipeline —
+    candidate set included — is hash-oracle-able. Returns
+    (id, cosine_sim): exact scores, ordered desc, ties by id."""
+    qp = project_vec(query_vec, out_dim, in_dim)
+    stage1 = (df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.expr(random_projection_sql(vec_col, out_dim, in_dim))
+        .alias("_proj"))
+        .select(id_col, vec_col,
+                cosine_to_literal("_proj", qp).alias("_rp"))
+        .orderBy(F.desc("_rp"), F.asc(id_col)).limit(prek))
+    return (stage1.select(
+        F.col(id_col).alias("id"),
+        cosine_to_literal(vec_col, query_vec).alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), F.asc("id")).limit(k))
+
+
 # ------------------------------------------------------- hyperplane LSH
 
 #: (n_planes, dim) → list of per-plane coefficient lists, computed once

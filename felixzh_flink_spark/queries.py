@@ -3833,6 +3833,71 @@ def rp_projection_topk(spark, sf_dir):
                        out_dim=16, in_dim=64)
 
 
+def _rp_rerank_oracle(k: int = 10, prek: int = 50, out_dim: int = 16,
+                      in_dim: int = 64) -> str:
+    """rp_rerank_topk's oracle: replay BOTH retrieval stages — the
+    projected-cosine candidate ranking (top `prek` by rp desc, id) and
+    the exact re-rank of exactly those candidates. Identical fold
+    order throughout, so the candidate SET (not just the final ten)
+    must match bit-for-bit."""
+    import math as _math
+
+    planes = SIM.rademacher_planes(out_dim, in_dim)
+    mat = "[" + ",".join(
+        "[" + ",".join("1.0" if s > 0 else "-1.0" for s in row) + "]"
+        for row in planes) + "]"
+    scale = repr(1.0 / _math.sqrt(out_dim))
+
+    def proj(src: str) -> str:
+        return (f"list_transform({mat}, row -> list_reduce("
+                f"list_transform(generate_series(1, {in_dim}), "
+                f"i -> CAST({src}[i] AS DOUBLE) * row[i]), "
+                f"(x, y) -> x + y) * CAST('{scale}' AS DOUBLE))")
+
+    def cos(a: str, b: str, d: int) -> str:
+        return (f"list_reduce(list_transform(generate_series(1, {d}), "
+                f"i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
+                f" / (sqrt(list_reduce(list_transform("
+                f"generate_series(1, {d}), i -> {a}[i] * {a}[i]), "
+                f"(x, y) -> x + y))"
+                f" * sqrt(list_reduce(list_transform("
+                f"generate_series(1, {d}), i -> {b}[i] * {b}[i]), "
+                f"(x, y) -> x + y)))")
+
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+qd AS (SELECT list_transform(q.qv, x -> CAST(x AS DOUBLE)) AS v FROM q),
+qp AS (SELECT {proj('q.qv')} AS pv FROM q),
+p AS (SELECT e.vec_id AS id,
+             list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS ev,
+             {proj('e.embedding')} AS proj
+      FROM embeddings e),
+s1 AS (SELECT p.id, p.ev, {cos('p.proj', 'qp.pv', out_dim)} AS rp
+       FROM p, qp
+       ORDER BY rp DESC, id LIMIT {prek})
+SELECT s1.id, {cos('s1.ev', 'qd.v', in_dim)} AS cosine_sim
+FROM s1, qd
+ORDER BY cosine_sim DESC, id LIMIT {k}
+"""
+
+
+@q("rp_rerank_topk", _rp_rerank_oracle())
+def rp_rerank_topk(spark, sf_dir):
+    """TWO-STAGE retrieval (`similarity.rp_rerank_topk`) — the
+    production ANN serving shape: stage 1 ranks the corpus by cosine
+    in JL-PROJECTED space (16 codegen'd folds per row — 4× narrower
+    than raw; in a real deployment a MATERIALIZED projected column)
+    and keeps the top-50 candidates; stage 2 re-scores only those 50
+    with the exact 64-dim cosine and returns the top-10. Deterministic
+    end-to-end (tie-breaks on id at both stages, the projection is a
+    pure function of shape), so the ORACLE REPLAYS BOTH STAGES — a
+    candidate-set divergence fails the hash even when the final ten
+    happen to coincide."""
+    e = _t_wide(spark, sf_dir, "embeddings")
+    return SIM.rp_rerank_topk(e, _query_vec(spark, sf_dir), k=10,
+                              prek=50, out_dim=16, in_dim=64)
+
+
 @q("ann_ivf_topk")  # rows-only: approximate by construction
 def ann_ivf_topk(spark, sf_dir):
     """IVF approximate top-10 against the MATERIALIZED cell-partitioned
@@ -7793,12 +7858,13 @@ _DRIVER_ORDER = [
     # round 4); (c) the BRAND-NEW r8 hard-oracle operators
     # pagerank_scores (crawl-graph quality prior, graph.pagerank),
     # rp_projection_topk (JL Rademacher projection pre-ranking,
-    # similarity.rp_topk), and bpe_learned_merges (distributed BPE
+    # similarity.rp_topk), rp_rerank_topk (two-stage retrieval:
+    # projected candidate scan → exact re-rank, BOTH stages replayed
+    # by the oracle), and bpe_learned_merges (distributed BPE
     # tokenizer TRAINING, text.bpe_train_merges — the trainer's merge
     # table replayed round-for-round by the oracle) — first driver
-    # proof; (d) event_runs_udtf (udtf family) + bpe_token_counts
-    # (same BPE family, r4 green) filling to 50. The heavy
-    # recursive-CTE oracles
+    # proof; (d) event_runs_udtf (udtf family) filling to 50. The
+    # heavy recursive-CTE oracles
     # (crawl_to_corpus, pack_efficiency, pack_manifest,
     # dedup_components*) stay at driver sf only per the r7 verdict.
     # =================================================================
@@ -7819,9 +7885,10 @@ _DRIVER_ORDER = [
     "script_profile_docs", "temperature_mix_counts", "tfidf_top_terms",
     "unigram_doc_nll", "unpivot_order_counts", "winnow_fingerprints",
     "winnow_similar_pairs", "event_runs_udtf", "pagerank_scores",
-    "rp_projection_topk", "bpe_learned_merges", "bpe_token_counts",
+    "rp_projection_topk", "rp_rerank_topk", "bpe_learned_merges",
     # ---- position 50 boundary ----
-    "audio_segment_plan", "capped_domain_sample", "cep_times_consecutive",
+    "bpe_token_counts", "audio_segment_plan", "capped_domain_sample",
+    "cep_times_consecutive",
     # past the window: remaining entries in verification-age order
     # (r7-window greens last-proven r7; r4/r5/r6 greens by age; the
     # six rows-only probes close the list, their assertion twins

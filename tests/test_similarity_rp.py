@@ -14,6 +14,7 @@ import math
 import random
 
 import duckdb
+import pytest
 
 from pyspark.sql import functions as F
 
@@ -22,6 +23,7 @@ from felixzh_flink_spark.operators.similarity import (
     rademacher_planes,
     random_projection,
     random_projection_sql,
+    rp_rerank_topk,
     rp_topk,
 )
 
@@ -97,6 +99,33 @@ def test_rp_topk_shape_order_and_self_similarity(spark):
     assert got[0].id == 0 and got[0].rp_cosine > 0.999999
     ids = {r["vec_id"] for r in e.select("vec_id").collect()}
     assert all(r.id in ids for r in got)
+
+
+def test_rp_rerank_is_exact_rerank_of_rp_candidates(spark):
+    """Two-stage contract: the final ranking must equal an independent
+    exact-cosine re-rank (python reference) of exactly the stage-1
+    candidate set."""
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = [float(x)
+         for x in e.filter(F.col("vec_id") == 0).head()["embedding"]]
+    cand = [r.id for r in rp_topk(e, q, k=50).collect()]
+    vecs = {r["vec_id"]: [float(x) for x in r["embedding"]]
+            for r in e.collect()}
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(y * y for y in b))
+        return dot / (na * nb)
+
+    ref = sorted(((cos(vecs[i], q), i) for i in cand),
+                 key=lambda t: (-t[0], t[1]))[:10]
+    got = rp_rerank_topk(e, q, k=10, prek=50).collect()
+    assert [r.id for r in got] == [i for _, i in ref]
+    # exact scores, not projected ones: the self-hit is cosine 1
+    assert got[0].id == 0 and got[0].cosine_sim > 0.9999999
+    for r, (sim, _) in zip(got, ref):
+        assert r.cosine_sim == pytest.approx(sim, abs=1e-12)
 
 
 def test_random_projection_output_shape(spark):
