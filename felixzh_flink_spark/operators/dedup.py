@@ -205,33 +205,34 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     xxhash64(s, i)))` — no explode, no groupBy. Identical values to the
     explode+groupBy formulation (min over the same multiset), stream-safe
     (pure per-row expressions), and the whole signature job is one scan.
-    Built as ONE SQL string — 64 separate Column builds pay a py4j
-    roundtrip each (~1 ms/call of plan-construction wall time)."""
+    Built as ONE folded SQL expression — `transform(sequence(0, p-1), ...)`
+    carries 2 lambdas through analysis instead of `num_perm` unrolled
+    `array_min` trees (the unrolled form's 64-subtree analysis was the
+    last >0.2 s plan-construction tail in the committed bench; values are
+    identical — `xxhash64(s, i)` hashes the slot index as an ordinary int
+    column either way, and sequence() of literals constant-folds)."""
     return with_shingle_array(df, text_col, id_col, n).select(
         "id", F.expr(_sig_array_sql(num_perm)).alias("sig"))
 
 
 def _sig_array_sql(num_perm: int, sh_col: str = "sh") -> str:
-    mins = ",".join(
-        f"array_min(transform({sh_col}, s -> xxhash64(s, {i})))"
-        for i in range(num_perm))
-    return f"array({mins})"
+    return (f"transform(sequence(0, {num_perm - 1}), "
+            f"i -> array_min(transform({sh_col}, s -> xxhash64(s, i))))")
 
 
 def band_explode_sql(num_perm: int, bands: int, sig_col: str = "sig") -> str:
-    """`explode(array(struct(band, bucket), ...))` over a signature column —
-    one (band, bucket) row per band; bucket = xxhash64 of the band's slice.
-    Shared by the batch candidate join and the streaming near-dup keying."""
+    """`explode(transform(sequence(...)))` over a signature column — one
+    (band, bucket) row per band; bucket = xxhash64 of the band's SLICE,
+    hashed as an array value directly (no per-slot string cast + concat —
+    the old stringified form built bands×rows string expressions at plan
+    time and materialized bands strings per row at exec time; bucket
+    VALUES differ but candidate pairs depend only on bucket equality,
+    which any injective keying preserves). Shared by the batch candidate
+    join and the streaming near-dup keying."""
     rows = num_perm // bands
-    band_structs = ",".join(
-        "named_struct('band', {b}, 'bucket', xxhash64(concat_ws(',', {parts})))".format(
-            b=b,
-            parts=",".join(f"cast({sig_col}[{b * rows + r}] as string)"
-                           for r in range(rows)),
-        )
-        for b in range(bands)
-    )
-    return f"explode(array({band_structs}))"
+    return (f"explode(transform(sequence(0, {bands - 1}), "
+            f"b -> named_struct('band', b, 'bucket', "
+            f"xxhash64(slice({sig_col}, b * {rows} + 1, {rows})))))")
 
 
 def minhash_lsh_candidates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",

@@ -210,6 +210,12 @@ def pagerank(nodes: DataFrame, edges: DataFrame, n_nodes: int,
     dangling term the ranks leak and no longer sum to 1. Self-loops
     and parallel edges are honored as given (a parallel edge is a
     double vote), matching the standard matrix formulation.
+    Conservation holds only for graphs CLOSED over `nodes`: shares
+    sent to edge targets absent from `nodes` are dropped (the
+    contribution join is on the node set), so on open graphs mass
+    leaks and the ranks sum below 1 by design — identically in any
+    reference implementation that drops out-of-set targets (the
+    oracle does).
 
     Scale shape: the edge relation (with its precomputed out-degree)
     is persisted ONCE and reused every round; a round is one keyed
@@ -230,11 +236,19 @@ def pagerank(nodes: DataFrame, edges: DataFrame, n_nodes: int,
     Determinism (the oracle contract): per-edge contributions are
     exact-summed as DECIMAL(38,18) — order-independent, so partial
     aggregation cannot perturb the doubles — and each round's rank is
-    quantized to `quantize` decimal digits, so cross-engine drift
-    cannot compound across rounds. A double can never land exactly ON
-    a decimal rounding tie (an exact tie at digit k needs a factor
-    5^(k+1) in the denominator; doubles are dyadic), so half-up vs
-    half-even engines agree on every quantization.
+    quantized to the 10^-`quantize` grid as
+    ``floor(x * 10^q + 0.5) / 10^q``. Every step of that expression
+    (multiply, add, floor, divide) is a single correctly-rounded IEEE
+    double operation that every engine computes bit-identically, so
+    cross-engine parity is exact BY CONSTRUCTION at any scale. A
+    decimal ROUND would not be: each engine picks its own
+    double→decimal route (Spark rounds the shortest-repr BigDecimal;
+    DuckDB multiplies by a 10^k double), and for values carrying ~17
+    significant digits those routes disagree near grid half-boundaries
+    with probability ~1e-7 per value per round — a latent hash flake
+    that grows with nodes × rounds (ADVICE r8). The floor form rounds
+    half-up on the value the engines SHARE (the double itself), not on
+    an engine-private decimalization.
     """
     n = nodes.select(F.col(node).alias("v"))
     deg = edges.groupBy(F.col(src).alias("v")) \
@@ -256,16 +270,17 @@ def pagerank(nodes: DataFrame, edges: DataFrame, n_nodes: int,
                     .agg(F.coalesce(
                         F.sum(F.col(out_rank).cast("decimal(38,18)"))
                         .cast("double"), F.lit(0.0)).alias("mass")))
+            grid = float(10.0 ** quantize)
+            raw = (F.lit(teleport)
+                   + F.lit(damping)
+                   * (F.coalesce(F.col("contrib"), F.lit(0.0))
+                      + F.col("mass") / F.lit(float(n_nodes))))
             ranks = (n.join(contrib, n.v == F.col("cv"), "left")
                      .crossJoin(F.broadcast(mass))
                      .select(
                          F.col("v"),
-                         F.round(
-                             F.lit(teleport)
-                             + F.lit(damping)
-                             * (F.coalesce(F.col("contrib"), F.lit(0.0))
-                                + F.col("mass") / F.lit(float(n_nodes))),
-                             quantize).alias(out_rank)))
+                         (F.floor(raw * F.lit(grid) + F.lit(0.5))
+                          / F.lit(grid)).alias(out_rank)))
             if (_round + 1) % max(1, checkpoint_every) == 0 \
                     or _round == iterations - 1:
                 ranks = ranks.localCheckpoint()

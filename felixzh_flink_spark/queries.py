@@ -6764,28 +6764,41 @@ def dedup_components_star(spark, sf_dir):
         F.col("component").cast("bigint").alias("component"))
 
 
-def _pagerank_oracle(iterations: int = 8) -> str:
-    """The PageRank oracle UNROLLS the power iteration as chained CTEs
-    (one contribution/dangling-mass/rank triple per round) — recursive
-    CTEs cannot aggregate in the recursive term, and a fixed iteration
-    budget is the semantics anyway. Arithmetic mirrors
-    `graph.pagerank` op-for-op: DECIMAL(38,18) exact sums (order-free),
-    explicit DOUBLE casts on every literal (a bare DuckDB `0.85` is a
-    DECIMAL — decimal arithmetic would diverge from Spark's doubles),
-    `(1.0 - 0.85)` as an IEEE subtraction exactly like the Python-side
-    `1.0 - damping`, and a per-round ROUND(.., 12) quantization so
-    drift cannot compound."""
-    parts = ["""WITH nodes AS (SELECT doc_id AS v FROM documents),
-nn AS (SELECT COUNT(*) AS n FROM documents),
-deg AS (SELECT v, CASE WHEN v % 17 = 0 THEN 0 ELSE 1 + v % 3 END AS outdeg
-        FROM nodes),
-edges AS (SELECT v AS src, (v * 131 + k * 97) % (SELECT n FROM nn) AS dst,
-                 outdeg
-          FROM deg, UNNEST(range(1, outdeg + 1)) AS t(k)),
-r0 AS (SELECT v, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank
-       FROM nodes)"""]
+#: the IEEE grid-quantization SQL shared by every pagerank oracle:
+#: floor(x·10^q + 0.5)/10^q — multiply, add, floor, divide are each ONE
+#: correctly-rounded IEEE double op every engine computes bit-identically,
+#: so cross-engine parity is exact BY CONSTRUCTION (graph.pagerank
+#: docstring has the full argument; a decimal ROUND is engine-routed —
+#: Spark rounds the shortest-repr BigDecimal, DuckDB multiplies by a
+#: 10^k double — and flakes near half-boundaries at ~1e-7/value·round,
+#: the ADVICE r8 finding).
+def _ieee_quant_sql(expr: str, digits: int) -> str:
+    grid = f"CAST(1e{digits} AS DOUBLE)"
+    return (f"FLOOR(({expr}) * {grid} + CAST(0.5 AS DOUBLE)) / {grid}")
+
+
+def _pagerank_rounds_sql(iterations: int, quantize: int = 12) -> str:
+    """Per-round CTE text (one contribution/dangling-mass/rank triple
+    per round, t = 1..iterations) appended after prelude CTEs that must
+    define `nodes(v)`, `deg(v, outdeg)`, `edges(src, dst, outdeg)`,
+    `nn(n)`, and `r0(v, rank)`. UNROLLED because recursive CTEs cannot
+    aggregate in the recursive term, and a fixed iteration budget is
+    the semantics anyway. Arithmetic mirrors `graph.pagerank`
+    op-for-op: DECIMAL(38,18) exact sums (order-free), explicit DOUBLE
+    casts on every literal (a bare DuckDB `0.85` is a DECIMAL — decimal
+    arithmetic would diverge from Spark's doubles), `(1.0 - 0.85)` as
+    an IEEE subtraction exactly like the Python-side `1.0 - damping`,
+    and the per-round IEEE grid quantization (`_ieee_quant_sql`) so
+    drift cannot compound. Shared by `pagerank_scores` (doc graph) and
+    `crawl_rank_weighted` (host graph)."""
+    parts = []
     for t in range(1, iterations + 1):
         p = t - 1
+        raw = (f"""(CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+                 / (SELECT n FROM nn)
+               + CAST(0.85 AS DOUBLE)
+                 * (COALESCE(c{t}.contrib, CAST(0.0 AS DOUBLE))
+                    + m{t}.mass / (SELECT n FROM nn))""")
         parts.append(f""",
 c{t} AS (SELECT e.dst AS v,
          CAST(SUM(CAST(r.rank / e.outdeg AS DECIMAL(38,18))) AS DOUBLE)
@@ -6794,16 +6807,27 @@ c{t} AS (SELECT e.dst AS v,
 m{t} AS (SELECT COALESCE(CAST(SUM(CAST(r.rank AS DECIMAL(38,18))) AS DOUBLE),
                          CAST(0.0 AS DOUBLE)) AS mass
          FROM r{p} r JOIN deg d ON d.v = r.v WHERE d.outdeg = 0),
-r{t} AS (SELECT nodes.v,
-         ROUND((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
-                 / (SELECT n FROM nn)
-               + CAST(0.85 AS DOUBLE)
-                 * (COALESCE(c{t}.contrib, CAST(0.0 AS DOUBLE))
-                    + m{t}.mass / (SELECT n FROM nn)), 12) AS rank
+r{t} AS (SELECT nodes.v, {_ieee_quant_sql(raw, quantize)} AS rank
          FROM nodes LEFT JOIN c{t} ON c{t}.v = nodes.v CROSS JOIN m{t})""")
-    parts.append(f"""
-SELECT v AS doc_id, ROUND(rank, 9) AS pagerank FROM r{iterations}""")
     return "".join(parts)
+
+
+def _pagerank_oracle(iterations: int = 8) -> str:
+    """`pagerank_scores` oracle: the synthetic doc-graph prelude (same
+    closed-form degree/target rules the Spark side derives from
+    doc_ids) + the shared unrolled rounds (`_pagerank_rounds_sql`)."""
+    prelude = """WITH nodes AS (SELECT doc_id AS v FROM documents),
+nn AS (SELECT COUNT(*) AS n FROM documents),
+deg AS (SELECT v, CASE WHEN v % 17 = 0 THEN 0 ELSE 1 + v % 3 END AS outdeg
+        FROM nodes),
+edges AS (SELECT v AS src, (v * 131 + k * 97) % (SELECT n FROM nn) AS dst,
+                 outdeg
+          FROM deg, UNNEST(range(1, outdeg + 1)) AS t(k)),
+r0 AS (SELECT v, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank
+       FROM nodes)"""
+    return (prelude + _pagerank_rounds_sql(iterations) + f"""
+SELECT v AS doc_id, {_ieee_quant_sql('rank', 9)} AS pagerank
+FROM r{iterations}""")
 
 
 @q("pagerank_scores", _pagerank_oracle())
@@ -6818,9 +6842,11 @@ def pagerank_scores(spark, sf_dir):
     DANGLING (no out-links — exercising the mass-conservation term a
     naive implementation leaks), targets (doc_id*131 + k*97) mod N.
     8 damped (0.85) power-iteration rounds, DECIMAL(38,18)-exact
-    contribution sums, per-round 1e-12 quantization — the oracle
-    unrolls the identical arithmetic, so a dropped dangling share, a
-    wrong out-degree split, or an extra/missing round hash-mismatches.
+    contribution sums, per-round IEEE grid quantization (floor form —
+    exact cross-engine parity by construction, `_ieee_quant_sql`) — the
+    oracle unrolls the identical arithmetic, so a dropped dangling
+    share, a wrong out-degree split, or an extra/missing round
+    hash-mismatches.
     Parity holds for ANY id set (both sides drop contributions to
     absent targets the same way); N rides the parquet footer, no
     count() job. Scale shape: per graph.pagerank — edge relation
@@ -6839,8 +6865,10 @@ def pagerank_scores(spark, sf_dir):
                      .alias("dst")))
     ranks = pagerank(d.select(F.col("doc_id").alias("node")), edges,
                      n_nodes=n, iterations=8, damping=0.85)
-    return ranks.select(F.col("node").alias("doc_id"),
-                        F.round(F.col("rank"), 9).alias("pagerank"))
+    return ranks.select(
+        F.col("node").alias("doc_id"),
+        (F.floor(F.col("rank") * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9))
+        .alias("pagerank"))
 
 
 @q("global_doc_ids", """
