@@ -264,6 +264,55 @@ def rp_rerank_topk(df: DataFrame, query_vec: list[float], k: int = 10,
         .orderBy(F.desc("cosine_sim"), F.asc("id")).limit(k))
 
 
+def write_rp_index(df: DataFrame, path: str, out_dim: int = 16,
+                   in_dim: int = 64, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> None:
+    """Materialize the two-stage retrieval index: (id, proj, vec)
+    parquet with the JL projection as its OWN TOP-LEVEL column. This is
+    the ingest artifact `rp_rerank_topk`'s docstring promises a real
+    deployment scans: stage 1 then COLUMN-PRUNES to (id, proj) — a
+    16-double read instead of the 64-float raw vector, 4× narrower at
+    the I/O level, not just in flops (plan-asserted in
+    tests/test_plans.py) — and the raw vectors page in only for the
+    `prek` re-rank candidates. Same lifecycle as `write_ivf_index`:
+    project once at ingest, never per query. The stored projection is
+    `random_projection_sql`'s exact left-fold doubles (parquet
+    round-trips bits), so index-path results stay hash-oracle-able."""
+    df.select(
+        F.col(id_col),
+        F.expr(random_projection_sql(vec_col, out_dim, in_dim))
+        .alias("proj"),
+        F.col(vec_col),
+    ).write.mode("overwrite").parquet(path)
+
+
+def rp_rerank_topk_from_index(spark, path: str, query_vec: list[float],
+                              k: int = 10, prek: int = 50,
+                              out_dim: int = 16, in_dim: int = 64,
+                              id_col: str = "vec_id",
+                              vec_col: str = "embedding") -> DataFrame:
+    """Two-stage retrieval against a MATERIALIZED `write_rp_index`
+    layout: stage 1 scans ONLY (id, proj) — the narrow column read —
+    ranks by projected cosine and keeps `prek` candidates; stage 2
+    fetches raw vectors for exactly those rows (broadcast semi-join of
+    the prek ids against the (id, vec) columns — at 100 TB with an
+    id-sorted/bucketed layout this is the point-lookup side) and
+    re-scores with the exact in_dim cosine. Identical fold order to the
+    inline `rp_rerank_topk`, so results — candidate set included — are
+    bit-equal to it and to the two-stage oracle replay."""
+    qp = project_vec(query_vec, out_dim, in_dim)
+    idx = spark.read.parquet(path)
+    stage1 = (idx.select(F.col(id_col),
+                         cosine_to_literal("proj", qp).alias("_rp"))
+              .orderBy(F.desc("_rp"), F.asc(id_col)).limit(prek))
+    fetch = idx.select(id_col, vec_col).join(
+        F.broadcast(stage1.select(id_col)), id_col, "left_semi")
+    return (fetch.select(
+        F.col(id_col).alias("id"),
+        cosine_to_literal(vec_col, query_vec).alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), F.asc("id")).limit(k))
+
+
 # ------------------------------------------------------- hyperplane LSH
 
 #: (n_planes, dim) → list of per-plane coefficient lists, computed once

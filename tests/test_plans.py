@@ -136,6 +136,27 @@ def test_headline_ann_probe_is_partition_pruned(spark):
     assert "Exchange" not in p          # probe is scan→project→top-k
 
 
+def test_rp_index_stage1_scan_is_narrow(spark):
+    """Two-stage retrieval against the MATERIALIZED write_rp_index
+    layout: stage 1's FileScan must read ONLY (vec_id, proj) — the
+    4×-narrower column read the index exists for — and the raw
+    embedding column must page in on a SEPARATE scan whose rows are
+    gated by the broadcast prek-candidate semi-join, never alongside
+    proj in one wide read. At 100 TB stage 1 is the whole-corpus scan,
+    so its width IS the query's I/O bill."""
+    import re
+    p = plan_of(spark, "rp_rerank_indexed")
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+    stage1 = [s for s in schemas if "proj" in s and "embedding" not in s]
+    fetch = [s for s in schemas if "embedding" in s and "proj" not in s]
+    wide = [s for s in schemas if "embedding" in s and "proj" in s]
+    assert stage1, f"no narrow (id, proj) scan in plan: {schemas}"
+    assert fetch, f"no (id, embedding) fetch scan in plan: {schemas}"
+    assert not wide, f"a scan reads proj AND embedding together: {wide}"
+    # the fetch side is gated by the broadcast candidate ids
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p
+
+
 def test_time_partitioned_scan_prunes_directories(spark, tmp_path, sf_dir):
     """Directory partitioning by day: a one-day predicate reaches the scan
     as a PartitionFilter and only that day's files are read — the scan-side

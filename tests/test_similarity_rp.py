@@ -135,3 +135,25 @@ def test_random_projection_output_shape(spark):
     # norms shrink ~sqrt(out/in) on average but never explode
     n = math.sqrt(sum(x * x for x in row["proj"]))
     assert 0.0 < n < 100.0
+
+
+def test_materialized_index_path_is_bit_equal_to_inline(spark, tmp_path):
+    """write_rp_index + rp_rerank_topk_from_index must return exactly the
+    inline rp_rerank_topk rows — ids, order, AND double-exact scores: the
+    stored projection is the same left-fold and parquet round-trips bits,
+    so the serving path cannot drift from the proven inline semantics."""
+    from felixzh_flink_spark.operators.similarity import (
+        rp_rerank_topk_from_index,
+        write_rp_index,
+    )
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = [float(x)
+         for x in e.filter(F.col("vec_id") == 0).head()["embedding"]]
+    path = str(tmp_path / "rp_index")
+    write_rp_index(e, path, OUT, IN)
+    inline = [(r.id, r.cosine_sim)
+              for r in rp_rerank_topk(e, q, k=10, prek=50).collect()]
+    indexed = [(r.id, r.cosine_sim)
+               for r in rp_rerank_topk_from_index(
+                   spark, path, q, k=10, prek=50).collect()]
+    assert indexed == inline
