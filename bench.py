@@ -186,8 +186,11 @@ HEADLINE = [
     "rp_rerank_topk",
     # round 9: two-stage retrieval served from the MATERIALIZED
     # (id, proj, vec) index — stage 1 is the narrow column scan, the
-    # index build lands in the construction run like the IVF/PQ builds
+    # index build lands in the construction run like the IVF/PQ builds —
+    # and Okapi BM25 lexical retrieval (zero-shuffle scan + stats
+    # broadcast + TakeOrdered)
     "rp_rerank_indexed",
+    "bm25_topk_docs",
 ]
 
 #: ITER lane (round-8 verdict item 2): the iterative / composed kernels
@@ -206,6 +209,9 @@ ITER = [
     "dedup_components_star",
     "semantic_dedup_pq_checks",
     "crawl_rank_weighted",
+    # round 9: full-batch GD classifier training (8 eager gradient jobs
+    # at construction time — the same driver-loop shape as BPE)
+    "lr_quality_weights",
 ]
 
 
@@ -214,7 +220,7 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def _measure(spark, names, sf_dir):
+def _measure(spark, names, sf_dir, gc_between_runs=False):
     """Per-query protocol — MEDIAN of 3 runs (round-6 verdict: single
     representative runs showed unexplained round-over-round level shifts
     — q1 1.19→1.56, revenue_by_nation's three-round drift — with
@@ -248,6 +254,15 @@ def _measure(spark, names, sf_dir):
         construction_run = time.perf_counter() - t0
         runs = []
         for _ in range(3):
+            if gc_between_runs:
+                # iterative kernels localCheckpoint per round; without a
+                # GC between runs the discarded checkpoint RDDs of run
+                # k-1 survive into run k (ContextCleaner is GC-driven)
+                # and the medians drift monotonically (crawl_to_corpus
+                # measured 32→35→50 s across 3 runs, spread 17.7 —
+                # unusable as a regression signal)
+                spark.catalog.clearCache()
+                spark.sparkContext._jvm.System.gc()
             t0 = time.perf_counter()
             df = QUERIES[name](spark, sf_dir)
             t1 = time.perf_counter()
@@ -279,6 +294,10 @@ def main() -> None:
     # scale runs (tools/gen_scale.py data): restrict to a named subset
     # via SPARK_GRAFT_ONLY=q1_pricing_summary,revenue_by_nation,...
     only = os.environ.get("SPARK_GRAFT_ONLY")
+    # SPARK_GRAFT_LANE=headline|iter runs one lane standalone (e.g. to
+    # refresh bench_iter.json on an idle box without paying the 97-query
+    # headline); default runs both — the driver's per-round contract.
+    lane = os.environ.get("SPARK_GRAFT_LANE", "")
     headline = HEADLINE
     if only:
         wanted = [n.strip() for n in only.split(",") if n.strip()]
@@ -303,8 +322,12 @@ def main() -> None:
         SELECT COUNT(*) FROM (
           SELECT k, ROW_NUMBER() OVER (PARTITION BY k ORDER BY v) rn FROM _warm)
     """).collect()
-    timings, plan_s, exec_s, spread_s, construction_s, runs_all = \
-        _measure(spark, headline, sf_dir)
+    if lane != "iter":
+        timings, plan_s, exec_s, spread_s, construction_s, runs_all = \
+            _measure(spark, headline, sf_dir)
+    else:
+        timings = plan_s = exec_s = spread_s = construction_s = {}
+        runs_all = {}
     total = round(sum(timings.values()), 3)
     # the driver captures only the LAST ~2000 chars of output (round-3's
     # line with plan_s/exec_s inline overflowed that and went unparsed),
@@ -330,17 +353,18 @@ def main() -> None:
     # *.scratch.json so they never dirty the worktree with partial data.
     full_run = only is None and abs(sf - 0.1) < 1e-12
     here = Path(__file__).resolve().parent
-    detail_name = "bench_detail.json" if full_run \
-        else "bench_detail.scratch.json"
-    with open(here / detail_name, "w") as fh:
-        json.dump(detail, fh)
+    if lane != "iter":
+        detail_name = "bench_detail.json" if full_run \
+            else "bench_detail.scratch.json"
+        with open(here / detail_name, "w") as fh:
+            json.dump(detail, fh)
     # ITER lane: committed per-round record for the iterative/composed
     # kernels (skipped on SPARK_GRAFT_ONLY subset runs — those already
     # target specific queries via the scale tooling)
     iter_totals: dict[str, float] = {}
-    if only is None:
+    if only is None and lane != "headline":
         (iter_totals, _ip, _ie, iter_spread, iter_constr,
-         iter_runs) = _measure(spark, ITER, sf_dir)
+         iter_runs) = _measure(spark, ITER, sf_dir, gc_between_runs=True)
         iter_detail = {
             "metric": "iter_queries_total_wall",
             "value": round(sum(iter_totals.values()), 3),
@@ -357,6 +381,13 @@ def main() -> None:
             else "bench_iter.scratch.json"
         with open(here / iter_name, "w") as fh:
             json.dump(iter_detail, fh)
+    if lane == "iter":
+        # standalone iter refresh: the one JSON line is the iter record
+        print(json.dumps(
+            {k: v for k, v in iter_detail.items() if k != "runs"},
+            separators=(",", ":")))
+        spark.stop()
+        return
     # exec_total is the round-over-round comparable (the r3 verdict
     # compared exec_s sums); value stays the honest full wall including
     # driver-side plan construction

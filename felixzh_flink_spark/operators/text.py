@@ -219,6 +219,79 @@ def tf_idf_top_terms(df: DataFrame, k: int = 3, text_col: str = "text",
     )
 
 
+def bm25_topk(df: DataFrame, query_terms: list[str], k: int = 10,
+              k1: float = 1.2, b: float = 0.75, text_col: str = "text",
+              id_col: str = "doc_id", n_docs: int | None = None,
+              quantize: int = 9) -> DataFrame:
+    """Okapi BM25 retrieval: top-k documents for a bag of query terms —
+    the classic lexical ranker every retrieval/RAG corpus pipeline needs
+    next to the vector paths (rp/IVF/PQ). Scoring follows Robertson &
+    Zaragoza 2009:  score(d) = sum_t idf_t * tf_td*(k1+1) /
+    (tf_td + k1*(1 - b + b*dl_d/avgdl)),  idf_t = ln(1 + (N - df_t +
+    0.5)/(df_t + 0.5)).
+
+    Scale shape — ZERO wide shuffles, two scans: per-row expressions
+    compute dl and the per-query-term tf from one tokenization (no
+    explode — query terms are a literal handful, so tf_t is
+    `size(filter(toks, = t))` per row); corpus statistics (df_t, sum dl)
+    come from ONE partial-aggregated job (a handful of numbers per
+    partition) and ride a broadcast; the final ranking is a distributed
+    TakeOrdered. At 100 TB this is scan-bound like the projection
+    pre-ranker — and df/avgdl are ingest-artifact statistics a real
+    deployment would precompute.
+
+    Determinism: per-row tf/dl are integers; all double arithmetic is
+    fixed-order (the per-document term sum is a LEFT-ASSOCIATIVE chain
+    over the literal query terms, never a row aggregate); ln() is
+    within-1-ulp across engines (same contract as tf_idf_top_terms), so
+    the emitted score is grid-quantized (pure-IEEE floor form) and the
+    RANKING uses the quantized value with an id tie-break — a
+    cross-engine flip would need two docs within an ulp of the same
+    grid boundary. N rides the parquet footer when the caller passes
+    `n_docs` (no count() job)."""
+    terms = list(query_terms)
+    t = F.trim(F.coalesce(F.col(text_col), F.lit("")))
+    toks = F.filter(F.split(F.lower(t), TOKEN_RE),
+                    lambda x: x != F.lit(""))
+    def _tf(term):
+        # NOTE: a two-parameter lambda would be read by F.filter as the
+        # (element, index) form — the closure must stay single-arg
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    per = df.select(
+        F.col(id_col),
+        F.size(toks).alias("dl"),
+        *[_tf(term).alias(f"tf{i}") for i, term in enumerate(terms)])
+    if n_docs is None:
+        n_docs = df.count()
+    stats = per.agg(
+        F.sum("dl").alias("sdl"),
+        *[F.sum((F.col(f"tf{i}") > 0).cast("bigint")).alias(f"df{i}")
+          for i in range(len(terms))])
+    scored = per.crossJoin(F.broadcast(stats))
+    avgdl = F.col("sdl").cast("double") / F.lit(float(n_docs))
+    dl_d = F.col("dl").cast("double")
+    norm = (F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * (dl_d / avgdl)))
+    score = None
+    hit = None
+    for i in range(len(terms)):
+        tf_d = F.col(f"tf{i}").cast("double")
+        df_d = F.col(f"df{i}").cast("double")
+        idf = F.log(F.lit(1.0)
+                    + (F.lit(float(n_docs)) - df_d + F.lit(0.5))
+                    / (df_d + F.lit(0.5)))
+        contrib = idf * (tf_d * F.lit(k1 + 1.0)) / (tf_d + norm)
+        score = contrib if score is None else score + contrib
+        h = F.col(f"tf{i}") > 0
+        hit = h if hit is None else (hit | h)
+    grid = float(10.0 ** quantize)
+    bm25 = F.floor(score * F.lit(grid) + F.lit(0.5)) / F.lit(grid)
+    return (scored.filter(hit)
+            .select(F.col(id_col), bm25.alias("bm25"))
+            .orderBy(F.desc("bm25"), F.asc(id_col)).limit(k))
+
+
 def punct_ratio(text: Column | str, alias: str = "punct_ratio") -> Column:
     """Punctuation chars / total chars (0 for empty docs)."""
     c = F.col(text) if isinstance(text, str) else text

@@ -7045,6 +7045,209 @@ def crawl_rank_weighted(spark, sf_dir):
             .select("doc_id", "host", "host_rank", "n_dups"))
 
 
+def _lr_features_col():
+    """Spark feature expressions for the quality-classifier trainer —
+    the exact fragments the crawl/gopher oracles already prove
+    bit-identical in DuckDB (same regexes, same greatest() guard)."""
+    t = F.trim(F.coalesce(F.col("text"), F.lit("")))
+    toks = F.filter(F.split(t, r"\s+"), lambda x: x != F.lit(""))
+    wc = F.size(toks)
+    nd = F.greatest(wc.cast("double"), F.lit(1.0))
+    mwl = F.length(F.regexp_replace(t, r"\s+", "")).cast("double") / nd
+    alpha = (F.size(F.filter(toks, lambda x: x.rlike(r"[A-Za-z]")))
+             .cast("double") / nd)
+    return [
+        (wc.cast("double") / F.lit(100.0)).alias("x1"),
+        (mwl / F.lit(10.0)).alias("x2"),
+        alpha.alias("x3"),
+        F.when(wc >= 56, F.lit(1.0)).otherwise(F.lit(0.0)).alias("y"),
+    ]
+
+
+def _lr_oracle(iterations: int = 8, lr: str = "2.0") -> str:
+    """lr_quality_weights' oracle: features as a MATERIALIZED CTE (each
+    round scans them — inlining would re-derive the tokenization 8
+    times), then one (z/err → decimal-exact grads → quantized update)
+    CTE triple per unrolled round — the same no-recursive-aggregate
+    unroll discipline as `_pagerank_rounds_sql`, with the same IEEE
+    floor quantization. The algebraic-sigmoid forward pass is +,-,*,
+    /,abs only, so every per-row double is bit-identical cross-engine
+    (operators/training.py has the no-exp() rationale)."""
+    sig = ("(CAST(0.5 AS DOUBLE) + z / (CAST(2.0 AS DOUBLE) "
+           "* (CAST(1.0 AS DOUBLE) + abs(z))))")
+    parts = [f"""WITH f AS MATERIALIZED (
+  SELECT CAST(wc AS DOUBLE) / CAST(100.0 AS DOUBLE) AS x1,
+         (nchar / nd) / CAST(10.0 AS DOUBLE) AS x2,
+         nalpha / nd AS x3,
+         CASE WHEN wc >= 56 THEN CAST(1.0 AS DOUBLE)
+              ELSE CAST(0.0 AS DOUBLE) END AS y
+  FROM (
+    SELECT len(toks) AS wc,
+           greatest(CAST(len(toks) AS DOUBLE), 1.0) AS nd,
+           CAST(len(regexp_replace(trim(coalesce(text, '')),
+                                   '\\s+', '', 'g')) AS DOUBLE) AS nchar,
+           CAST(len(list_filter(toks,
+                x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) AS nalpha
+    FROM (SELECT text,
+                 list_filter(string_split(regexp_replace(
+                     trim(coalesce(text, '')), '\\s+', ' ', 'g'), ' '),
+                     x -> x <> '') AS toks
+          FROM documents) t0) t1
+),
+nn AS (SELECT COUNT(*) AS n FROM documents),
+w0 AS (SELECT CAST(0.0 AS DOUBLE) AS w0, CAST(0.0 AS DOUBLE) AS w1,
+              CAST(0.0 AS DOUBLE) AS w2, CAST(0.0 AS DOUBLE) AS w3)"""]
+    for t in range(1, iterations + 1):
+        p = t - 1
+        upd = {
+            j: _ieee_quant_sql(
+                f"w.w{j} - CAST({lr} AS DOUBLE) "
+                f"* (g.g{j} / (SELECT n FROM nn))", 12)
+            for j in range(4)
+        }
+        parts.append(f""",
+z{t} AS (SELECT x1, x2, x3, y,
+                w.w0 + w.w1 * x1 + w.w2 * x2 + w.w3 * x3 AS z
+         FROM f CROSS JOIN w{p} w),
+g{t} AS (SELECT
+  CAST(SUM(CAST({sig} - y AS DECIMAL(38,18))) AS DOUBLE) AS g0,
+  CAST(SUM(CAST(x1 * ({sig} - y) AS DECIMAL(38,18))) AS DOUBLE) AS g1,
+  CAST(SUM(CAST(x2 * ({sig} - y) AS DECIMAL(38,18))) AS DOUBLE) AS g2,
+  CAST(SUM(CAST(x3 * ({sig} - y) AS DECIMAL(38,18))) AS DOUBLE) AS g3
+  FROM z{t}),
+w{t} AS (SELECT {upd[0]} AS w0, {upd[1]} AS w1,
+                {upd[2]} AS w2, {upd[3]} AS w3
+         FROM w{p} w CROSS JOIN g{t} g)""")
+    parts.append(f""",
+zf AS (SELECT y, w.w0 + w.w1 * x1 + w.w2 * x2 + w.w3 * x3 AS z
+       FROM f CROSS JOIN w{iterations} w)
+SELECT w.w0, w.w1, w.w2, w.w3, a.n_correct, a.n_docs
+FROM w{iterations} w CROSS JOIN (
+  SELECT CAST(COUNT(*) FILTER (
+           (CASE WHEN z >= 0 THEN CAST(1.0 AS DOUBLE)
+                 ELSE CAST(0.0 AS DOUBLE) END) = y) AS BIGINT) AS n_correct,
+         CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM zf) a""")
+    return "".join(parts)
+
+
+#: BM25 query bag — mid/high-frequency corpus terms so tf/dl variation
+#: (not term rarity alone) drives the ranking at every sf.
+_BM25_TERMS = ["vector", "stream", "window"]
+
+
+def _bm25_oracle(terms=None, k: int = 10, k1: float = 1.2,
+                 b: float = 0.75, quantize: int = 9) -> str:
+    """bm25_topk_docs' oracle: same one-tokenization per-row tf/dl, same
+    single stats aggregate, same left-associative fixed-order term sum
+    and literal constants (k1+1 and 1-b are computed in PYTHON and
+    injected as repr() literals on BOTH engines, so neither side depends
+    on its own parser's constant folding), same IEEE floor quantization
+    of the emitted AND ranking score."""
+    terms = _BM25_TERMS if terms is None else terms
+    tf_cols = ",\n            ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(terms))
+    df_cols = ",\n         ".join(
+        f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(terms)))
+    avgdl = "(CAST(st.sdl AS DOUBLE) / (SELECT CAST(n AS DOUBLE) FROM nn))"
+    norm = (f"CAST({k1!r} AS DOUBLE) * (CAST({1.0 - b!r} AS DOUBLE) "
+            f"+ CAST({b!r} AS DOUBLE) * (CAST(dl AS DOUBLE) / {avgdl}))")
+    contribs = []
+    for i in range(len(terms)):
+        idf = (f"ln(CAST(1.0 AS DOUBLE) "
+               f"+ ((SELECT CAST(n AS DOUBLE) FROM nn) "
+               f"- CAST(st.df{i} AS DOUBLE) + CAST(0.5 AS DOUBLE)) "
+               f"/ (CAST(st.df{i} AS DOUBLE) + CAST(0.5 AS DOUBLE)))")
+        contribs.append(
+            f"{idf} * (CAST(tf{i} AS DOUBLE) "
+            f"* CAST({k1 + 1.0!r} AS DOUBLE)) "
+            f"/ (CAST(tf{i} AS DOUBLE) + {norm})")
+    score = " + ".join(contribs)
+    hits = " + ".join(f"tf{i}" for i in range(len(terms)))
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split(regexp_replace(
+             lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g'), ' '),
+             x -> x <> '') AS toks
+  FROM documents
+),
+per AS (SELECT doc_id, len(toks) AS dl,
+            {tf_cols}
+        FROM base),
+nn AS (SELECT COUNT(*) AS n FROM documents),
+st AS (SELECT SUM(dl) AS sdl,
+         {df_cols}
+       FROM per)
+SELECT doc_id, {_ieee_quant_sql(score, quantize)} AS bm25
+FROM per CROSS JOIN st
+WHERE {hits} > 0
+ORDER BY bm25 DESC, doc_id
+LIMIT {k}"""
+
+
+@q("bm25_topk_docs", _bm25_oracle())
+def bm25_topk_docs(spark, sf_dir):
+    """Okapi BM25 lexical retrieval (`text.bm25_topk`) — the classic
+    sparse ranker beside the dense paths (rp/IVF/PQ): top-10 documents
+    for a three-term query bag, scored with the Robertson-Zaragoza
+    formula (k1=1.2, b=0.75, idf = ln(1+(N-df+0.5)/(df+0.5))). ZERO
+    wide shuffles: per-row tf/dl from one tokenization (query terms are
+    literals — no explode), corpus stats (df_t, sum dl) from one
+    partial-aggregated broadcast, distributed TakeOrdered ranking on
+    the IEEE-grid-quantized score with id tie-break. N rides the
+    parquet footer. The oracle replays tokenization, stats, the
+    fixed-order term sum, and the quantized ranking."""
+    n = _documents_n(spark, sf_dir)
+    return TX.bm25_topk(_t_wide(spark, sf_dir, "documents"), _BM25_TERMS,
+                        k=10, k1=1.2, b=0.75, n_docs=n)
+
+
+@q("lr_quality_weights", _lr_oracle())
+def lr_quality_weights(spark, sf_dir):
+    """Distributed QUALITY-CLASSIFIER TRAINING (`training.lr_train_gd`)
+    — the fastText/CCNet-style pipeline step upstream of the shipped
+    classifier-inference queries: a linear model with an ALGEBRAIC
+    sigmoid link (0.5 + z/(2(1+|z|)) — monotone, no transcendentals)
+    trained by 8 full-batch gradient-descent rounds to mimic a
+    word-count quality rule from (scaled wc, mean-word-length,
+    alpha-fraction) features. Each round's dataset-scale work is ONE
+    partial-aggregated scan producing 4 DECIMAL(38,18)-exact gradient
+    sums (order-free — partial aggregation cannot perturb them); the
+    model lives on the driver (O(features) state — the parameter-server
+    layout); weights are grid-quantized per round with the same
+    pure-IEEE floor form as `graph.pagerank`, so the DuckDB oracle
+    replays all 8 rounds bit-for-bit: a wrong gradient term, a dropped
+    bias, a learning-rate drift, or an extra round hash-mismatches.
+    exp() is deliberately absent from forward pass AND inference
+    (decision boundary z>=0 is exact) — JVM/libm exp differ in ulps,
+    which compound inside iterative training (training.py docstring).
+    Output: the learned weights + training accuracy counts (the
+    weights separate on wc as the label rule demands — asserted in
+    tests/test_training.py)."""
+    from felixzh_flink_spark.operators.training import (
+        lr_predictions,
+        lr_train_gd,
+    )
+
+    n = _documents_n(spark, sf_dir)
+    feats = (_t_wide(spark, sf_dir, "documents")
+             .select(*_lr_features_col())
+             .localCheckpoint(eager=True))
+    w = lr_train_gd(feats, n, iterations=8, lr=2.0)
+    pred = lr_predictions(feats, w)
+    agg = pred.agg(
+        F.count(F.when(F.col("pred") == F.col("y"), 1))
+        .cast("bigint").alias("n_correct"),
+        F.count("*").cast("bigint").alias("n_docs"))
+    return agg.select(
+        F.lit(w[0]).alias("w0"), F.lit(w[1]).alias("w1"),
+        F.lit(w[2]).alias("w2"), F.lit(w[3]).alias("w3"),
+        "n_correct", "n_docs")
+
+
 @q("global_doc_ids", """
 SELECT doc_id, source,
        ROW_NUMBER() OVER (ORDER BY source, doc_id) AS global_id
@@ -8039,20 +8242,26 @@ def crawl_to_corpus(spark, sf_dir):
 _DRIVER_ORDER = [
     # =================================================================
     # ROUND-9 WINDOW (first 50) — composition per the r8 verdict:
-    # (a) the BRAND-NEW composed operators: rp_rerank_indexed (two-
-    # stage retrieval against the MATERIALIZED write_rp_index layout —
+    # (a) the BRAND-NEW operators: rp_rerank_indexed (two-stage
+    # retrieval against the MATERIALIZED write_rp_index layout —
     # a HARD oracle: the same two-stage DuckDB replay that proves the
     # inline path, so index≡inline parity is proven through oracle
-    # equality) and crawl_rank_weighted (host graph from the crawl
+    # equality), crawl_rank_weighted (host graph from the crawl
     # URLs → graph.pagerank quality prior → rank-weighted keep-best
-    # dedup, the r8 verdict item 6 composition) — first driver proof;
+    # dedup, the r8 verdict item 6 composition), bm25_topk_docs
+    # (Okapi BM25 lexical retrieval — zero-shuffle scan shape, stats
+    # broadcast, quantized-rank oracle), and lr_quality_weights
+    # (distributed quality-classifier TRAINING: 8 full-batch GD rounds
+    # with an algebraic-sigmoid link, decimal-exact gradient sums,
+    # IEEE-quantized weights — the oracle unrolls every round) —
+    # first driver proof;
     # (b) every query whose CODE PATH changed in round 9:
     # pagerank_scores (per-round quantization moved to the pure-IEEE
     # floor form on both engines — the ADVICE r8 half-boundary fix),
     # minhash_dedup_verified + minhash_lsh_pairs (signature/band SQL
     # folded to 2-lambda transforms, band buckets hash the slice
     # array directly);
-    # (c) the 45 OLDEST stale greens (all last proven round 7 —
+    # (c) the 43 OLDEST stale greens (all last proven round 7 —
     # after this window no query's last driver proof predates r7's
     # own rotation floor; the queue from the r8 list's positions 51+
     # is consumed in order). The heavy recursive-CTE oracles
@@ -8060,7 +8269,8 @@ _DRIVER_ORDER = [
     # dedup_components*) stay at driver sf only per the r7 verdict —
     # they were just re-proven in the r8 window.
     # =================================================================
-    "rp_rerank_indexed", "crawl_rank_weighted", "pagerank_scores",
+    "rp_rerank_indexed", "crawl_rank_weighted", "bm25_topk_docs",
+    "lr_quality_weights", "pagerank_scores",
     "minhash_dedup_verified", "minhash_lsh_pairs",
     "bpe_token_counts", "audio_segment_plan", "capped_domain_sample",
     "cep_times_consecutive", "dup_size_histogram", "fingerprint_docs",
@@ -8078,7 +8288,7 @@ _DRIVER_ORDER = [
     "attribution_last_touch", "bigram_doc_nll",
     "boilerplate_block_removal", "content_split_counts",
     "data_quality_report", "distinct_parts_per_supplier",
-    "edit_distance_pairs", "epoch_shuffle_docs", "event_anomaly_hours",
+    "edit_distance_pairs",
     # ---- position 50 boundary ----
     # past the window: remaining entries in verification-age order —
     # r4-r7 greens by age first, then the 49 r8-window greens (the
@@ -8086,6 +8296,7 @@ _DRIVER_ORDER = [
     # closing the list (their assertion twins pinned via
     # _PROBE_TWINS; minhash_lsh_pairs moved into the window with its
     # changed code path).
+    "epoch_shuffle_docs", "event_anomaly_hours",
     "events_hourly", "events_hourly_filled", "events_hourly_interp",
     "events_rollup_cascade", "filter_projection",
     "funnel_view_click_purchase", "funnel_within_window",

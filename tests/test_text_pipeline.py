@@ -437,3 +437,45 @@ def test_url_path_and_host_keep_query_on_no_path_urls(spark):
     assert got["https://x.com/"] == ("/", "x.com")
     assert got["https://x.com"] == ("/", "x.com")
     assert got["https://user@x.com:8080?t=1"] == ("/?t=1", "x.com")
+
+
+def test_bm25_matches_hand_reference(spark):
+    """BM25 against an independently computed single-machine reference
+    (same Robertson-Zaragoza formula, plain floats) on a small corpus —
+    scores to 1e-9, ranking exact."""
+    import math
+
+    from felixzh_flink_spark.operators.text import bm25_topk
+
+    docs = [
+        (1, "spark joins hash tables fast"),
+        (2, "hash hash hash everywhere hash"),
+        (3, "tables of data and more data in tables"),
+        (4, "nothing relevant here at all"),
+        (5, "hash tables hash tables"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    terms, k1, b = ["hash", "tables"], 1.2, 0.75
+    got = bm25_topk(df, terms, k=5, k1=k1, b=b, n_docs=len(docs))
+    rows = [(r.doc_id, r.bm25) for r in got.collect()]
+
+    toks = {i: t.lower().split() for i, t in docs}
+    n = len(docs)
+    avgdl = sum(len(v) for v in toks.values()) / n
+
+    def score(i):
+        s = 0.0
+        for t in terms:
+            tf = toks[i].count(t)
+            dfr = sum(1 for v in toks.values() if t in v)
+            idf = math.log(1 + (n - dfr + 0.5) / (dfr + 0.5))
+            s += idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * len(toks[i]) / avgdl))
+        return s
+
+    ref = sorted(((score(i), i) for i in toks if score(i) > 0),
+                 key=lambda x: (-x[0], x[1]))
+    assert [i for _, i in ref] == [i for i, _ in rows]
+    for (i, got_s), (ref_s, _) in zip(rows, ref):
+        assert abs(got_s - ref_s) < 1e-9, (i, got_s, ref_s)
+    # doc 4 matches no term: excluded
+    assert 4 not in [i for i, _ in rows]
