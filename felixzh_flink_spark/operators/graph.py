@@ -197,7 +197,8 @@ def pagerank(nodes: DataFrame, edges: DataFrame, n_nodes: int,
              iterations: int = 8, damping: float = 0.85,
              node: str = "node", src: str = "src", dst: str = "dst",
              out_rank: str = "rank", quantize: int = 12,
-             checkpoint_every: int = 2) -> DataFrame:
+             checkpoint_every: int = 2,
+             weight: str | None = None) -> DataFrame:
     """Damped PageRank with dangling-mass redistribution — the
     crawl-graph QUALITY PRIOR real pretraining pipelines attach to
     documents (Common Crawl publishes exactly this as its host-level
@@ -210,6 +211,20 @@ def pagerank(nodes: DataFrame, edges: DataFrame, n_nodes: int,
     dangling term the ranks leak and no longer sum to 1. Self-loops
     and parallel edges are honored as given (a parallel edge is a
     double vote), matching the standard matrix formulation.
+
+    `weight` names an INTEGER edge-multiplicity column — the
+    PRE-AGGREGATED form of the same multigraph (out-degree becomes
+    Σweights, a w-weighted edge votes w times). This is the 100 TB
+    form: a crawl host graph carries millions of doc-level links
+    between a few hosts, and aggregating them to (src, dst, weight)
+    once at ingest shrinks every round's edge scan from O(links) to
+    O(host pairs). Semantically ≡ the parallel-edge multigraph; numerically
+    within one IEEE multiply per edge (the weighted addend
+    (r/outdeg)·w rounds once where the multigraph decimal-sums w
+    identical addends — a ≤1-ulp-scale difference absorbed by the
+    per-round quantization except within ~1e-16 of a grid boundary;
+    property-tested to 1e-9). Each form is exactly reproducible by an
+    oracle replaying its own arithmetic.
     Conservation holds only for graphs CLOSED over `nodes`: shares
     sent to edge targets absent from `nodes` are dropped (the
     contribution join is on the node set), so on open graphs mass
@@ -251,20 +266,31 @@ def pagerank(nodes: DataFrame, edges: DataFrame, n_nodes: int,
     an engine-private decimalization.
     """
     n = nodes.select(F.col(node).alias("v"))
-    deg = edges.groupBy(F.col(src).alias("v")) \
-               .agg(F.count("*").alias("outdeg"))
-    e = (edges.select(F.col(src).alias("esrc"), F.col(dst).alias("edst"))
-         .join(deg, F.col("esrc") == deg.v)
-         .select("esrc", "edst", "outdeg").persist())
+    if weight is None:
+        deg = edges.groupBy(F.col(src).alias("v")) \
+                   .agg(F.count("*").alias("outdeg"))
+        e = (edges.select(F.col(src).alias("esrc"),
+                          F.col(dst).alias("edst"))
+             .join(deg, F.col("esrc") == deg.v)
+             .select("esrc", "edst", "outdeg").persist())
+    else:
+        deg = edges.groupBy(F.col(src).alias("v")) \
+                   .agg(F.sum(weight).alias("outdeg"))
+        e = (edges.select(F.col(src).alias("esrc"),
+                          F.col(dst).alias("edst"),
+                          F.col(weight).alias("ew"))
+             .join(deg, F.col("esrc") == deg.v)
+             .select("esrc", "edst", "ew", "outdeg").persist())
     dangling = n.join(deg, "v", "left_anti").persist()
     teleport = (1.0 - damping) / n_nodes
     ranks = n.withColumn(out_rank, F.lit(1.0 / n_nodes)).localCheckpoint()
     try:
         for _round in range(iterations):
+            share = (F.col(out_rank) / F.col("outdeg"))
+            addend = share if weight is None else share * F.col("ew")
             contrib = (e.join(ranks, e.esrc == ranks.v)
                        .groupBy(F.col("edst").alias("cv"))
-                       .agg(F.sum((F.col(out_rank) / F.col("outdeg"))
-                                  .cast("decimal(38,18)"))
+                       .agg(F.sum(addend.cast("decimal(38,18)"))
                             .cast("double").alias("contrib")))
             mass = (ranks.join(dangling, "v", "left_semi")
                     .agg(F.coalesce(

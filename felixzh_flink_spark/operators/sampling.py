@@ -46,6 +46,36 @@ def train_test_split(df: DataFrame, key: str, test_pct: int = 10,
     return df.filter(b >= test_pct), df.filter(b < test_pct)
 
 
+def leakage_safe_split(df: DataFrame, fingerprint_col: str,
+                       id_col: str = "doc_id", test_pct: int = 10,
+                       buckets: int = 100,
+                       alias: str = "split") -> DataFrame:
+    """DEDUP-AWARE train/test split: the split key is the duplicate
+    GROUP, not the document — every member of a fingerprint group lands
+    on the same side, so no held-out document has a training-set
+    duplicate. This is the eval-LEAKAGE guard real pipelines need on
+    top of a per-doc split: `train_test_split(doc_id)` is leakage-free
+    only for DISTINCT keys, but a corpus with mirror/boilerplate
+    duplicates puts copy A in train and copy B in test, silently
+    inflating held-out metrics (the published decontamination concern,
+    applied to the split itself).
+
+    Group key = MIN(id) over the fingerprint partition (one keyed
+    window shuffle — the same exchange a dedup pass already pays);
+    assignment = the stable md5 `hash_bucket` of the group key, so the
+    split is a pure function of content + ids: engine-, run-, and
+    partitioning-stable, and oracle-checkable. Returns df +
+    (group_key, split) — disjoint and exhaustive by construction.
+    Callers with NEAR-dup groups pass the connected-component label as
+    `fingerprint_col` instead (same contract)."""
+    w = Window.partitionBy(fingerprint_col)
+    g = F.min(F.col(id_col)).over(w)
+    b = hash_bucket(g, buckets)
+    return (df.withColumn("group_key", g)
+            .withColumn(alias, F.when(b < test_pct, F.lit("test"))
+                               .otherwise(F.lit("train"))))
+
+
 def stratified_sample(df: DataFrame, key: str, strata_col: str,
                       fractions: dict[str, float],
                       default_fraction: float = 0.0,

@@ -6217,6 +6217,42 @@ def deterministic_split_counts(spark, sf_dir):
     ).groupBy("split").agg(F.count("*").alias("n"))
 
 
+@q("leakage_safe_split_docs", r"""
+WITH fp AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(coalesce(text, ''))),
+                            '\s+', ' ', 'g')) AS f
+  FROM documents
+),
+g AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY f) AS group_key
+      FROM fp)
+SELECT doc_id, group_key,
+       CASE WHEN CAST(('0x' || substr(md5(CAST(group_key AS VARCHAR)), 1, 8))
+                 AS BIGINT) % 100 < 10
+            THEN 'test' ELSE 'train' END AS split
+FROM g
+""")
+def leakage_safe_split_docs(spark, sf_dir):
+    """DEDUP-AWARE train/test split (`sampling.leakage_safe_split`) —
+    the eval-leakage guard on the split itself: exact-duplicate groups
+    (md5 fingerprint, `text.fingerprint_md5`) are assigned to train or
+    test AS GROUPS (split key = min doc_id per group through the same
+    stable md5 hash_bucket as `train_test_split`), so no held-out doc
+    has a training-set duplicate — the failure mode a per-doc hash
+    split cannot prevent on a corpus with mirror/boilerplate copies.
+    One keyed window shuffle + scan-local hashing; fully deterministic,
+    so the oracle replays fingerprint → group key → bucket → side for
+    every document."""
+    from felixzh_flink_spark.operators.sampling import leakage_safe_split
+
+    d = (_t_wide(spark, sf_dir, "documents")
+         .select("doc_id",
+                 F.coalesce(F.col("text"), F.lit("")).alias("text")))
+    fp = TX.fingerprint_md5(d, "text")
+    return leakage_safe_split(fp, "fingerprint").select(
+        "doc_id", "group_key", "split")
+
+
 @q("profile_lineitem", """
 SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS l_quantity_nulls,
@@ -6812,7 +6848,8 @@ def _ieee_quant_sql(expr: str, digits: int) -> str:
     return (f"FLOOR(({expr}) * {grid} + CAST(0.5 AS DOUBLE)) / {grid}")
 
 
-def _pagerank_rounds_sql(iterations: int, quantize: int = 12) -> str:
+def _pagerank_rounds_sql(iterations: int, quantize: int = 12,
+                         weighted: bool = False) -> str:
     """Per-round CTE text (one contribution/dangling-mass/rank triple
     per round, t = 1..iterations) appended after prelude CTEs that must
     define `nodes(v)`, `deg(v, outdeg)`, `edges(src, dst, outdeg)`,
@@ -6824,8 +6861,13 @@ def _pagerank_rounds_sql(iterations: int, quantize: int = 12) -> str:
     arithmetic would diverge from Spark's doubles), `(1.0 - 0.85)` as
     an IEEE subtraction exactly like the Python-side `1.0 - damping`,
     and the per-round IEEE grid quantization (`_ieee_quant_sql`) so
-    drift cannot compound. Shared by `pagerank_scores` (doc graph) and
-    `crawl_rank_weighted` (host graph)."""
+    drift cannot compound. Shared by `pagerank_scores` (doc multigraph)
+    and `crawl_rank_weighted` (pre-aggregated WEIGHTED host graph —
+    `weighted=True` makes the contribution addend (rank/outdeg)·w with
+    `edges(src, dst, w, outdeg)` and outdeg = Σw, mirroring
+    graph.pagerank's weight path op-for-op)."""
+    addend = ("(r.rank / e.outdeg) * e.w" if weighted
+              else "r.rank / e.outdeg")
     parts = []
     for t in range(1, iterations + 1):
         p = t - 1
@@ -6836,7 +6878,7 @@ def _pagerank_rounds_sql(iterations: int, quantize: int = 12) -> str:
                     + m{t}.mass / (SELECT n FROM nn))""")
         parts.append(f""",
 c{t} AS (SELECT e.dst AS v,
-         CAST(SUM(CAST(r.rank / e.outdeg AS DECIMAL(38,18))) AS DOUBLE)
+         CAST(SUM(CAST({addend} AS DECIMAL(38,18))) AS DOUBLE)
            AS contrib
          FROM edges e JOIN r{p} r ON r.v = e.src GROUP BY e.dst),
 m{t} AS (SELECT COALESCE(CAST(SUM(CAST(r.rank AS DECIMAL(38,18))) AS DOUBLE),
@@ -6953,14 +6995,18 @@ links AS (
   WHERE (doc_id % 10000000) % 17 <> 0
 ),
 edges0 AS (SELECT src, {host_t} AS dst FROM links),
-hdeg AS (SELECT src AS v, COUNT(*) AS outdeg FROM edges0 GROUP BY src),
+he AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
+       FROM edges0 GROUP BY src, dst),
+hdeg AS (SELECT src AS v, CAST(SUM(w) AS BIGINT) AS outdeg
+         FROM he GROUP BY src),
 deg AS (SELECT nodes.v, COALESCE(hdeg.outdeg, 0) AS outdeg
         FROM nodes LEFT JOIN hdeg ON hdeg.v = nodes.v),
-edges AS (SELECT e.src, e.dst, d.outdeg
-          FROM edges0 e JOIN deg d ON d.v = e.src),
+edges AS (SELECT e.src, e.dst, e.w, d.outdeg
+          FROM he e JOIN deg d ON d.v = e.src),
 r0 AS (SELECT v, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank
        FROM nodes)"""
-    return (prelude + _pagerank_rounds_sql(iterations) + f""",
+    return (prelude + _pagerank_rounds_sql(iterations, weighted=True)
+            + f""",
 hr AS (SELECT v AS host, {_ieee_quant_sql('rank', 9)} AS host_rank
        FROM r{iterations}),
 fp AS (SELECT doc_id, host,
@@ -6986,9 +7032,11 @@ def crawl_rank_weighted(spark, sf_dir):
         (6-way host CASE + the two mirror hosts) keyed per doc; each
         doc's synthetic outlinks ((b*131 + k*97) mod N, out-degree
         1 + b%3, every 17th doc dangling — the proven pagerank_scores
-        link rule) aggregate to HOST-level edges, parallel edges kept
-        as weights (a host pair linked by many docs is a stronger
-        endorsement; `graph.pagerank` honors multiplicity);
+        link rule) PRE-AGGREGATE to weighted (src, dst, w) host edges
+        — one keyed agg at build time, after which every pagerank
+        round scans O(host-pairs) rows instead of O(doc-links): the
+        100 TB form (a w-weighted edge votes w times,
+        `graph.pagerank(weight=...)`);
       quality prior:  8 damped rounds over the 7-host graph
         (`graph.pagerank` — mirror hosts emit links but never receive
         them, so they earn teleport-level rank: unendorsed);
@@ -7003,9 +7051,9 @@ def crawl_rank_weighted(spark, sf_dir):
     hash-mismatches. Scale shape: the host relation is tiny by
     construction (hosts ≪ docs — CC: ~90M hosts vs billions of pages),
     so rank join and dangling fence are broadcasts; the doc-level link
-    relation feeds one keyed agg per round (at production scale,
-    pre-aggregate to (src, dst, weight) — multiplicity semantics are
-    identical); keep-best is one fingerprint-keyed window shuffle."""
+    relation is touched ONCE (the weighted-edge aggregation) and each
+    of the 8 rounds then scans only the ≤hosts² weighted edge rows;
+    keep-best is one fingerprint-keyed window shuffle."""
     from felixzh_flink_spark.operators.graph import pagerank
 
     n = _documents_n(spark, sf_dir)
@@ -7027,8 +7075,10 @@ def crawl_rank_weighted(spark, sf_dir):
              .select("src",
                      _host6_col((F.col("b") * 131 + F.col("k") * 97) % n)
                      .alias("dst")))
+    hedges = links.groupBy("src", "dst").agg(F.count("*").alias("w"))
     hosts = crawl.select(F.col("host").alias("node")).distinct()
-    ranks = pagerank(hosts, links, n_nodes=7, iterations=8, damping=0.85)
+    ranks = pagerank(hosts, hedges, n_nodes=7, iterations=8,
+                     damping=0.85, weight="w")
     hr = ranks.select(
         F.col("node").alias("host"),
         (F.floor(F.col("rank") * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9))
@@ -8253,7 +8303,9 @@ _DRIVER_ORDER = [
     # broadcast, quantized-rank oracle), and lr_quality_weights
     # (distributed quality-classifier TRAINING: 8 full-batch GD rounds
     # with an algebraic-sigmoid link, decimal-exact gradient sums,
-    # IEEE-quantized weights — the oracle unrolls every round) —
+    # IEEE-quantized weights — the oracle unrolls every round), and
+    # leakage_safe_split_docs (dedup-aware split: duplicate groups
+    # assigned to train/test as GROUPS, the eval-leakage guard) —
     # first driver proof;
     # (b) every query whose CODE PATH changed in round 9:
     # pagerank_scores (per-round quantization moved to the pure-IEEE
@@ -8261,7 +8313,7 @@ _DRIVER_ORDER = [
     # minhash_dedup_verified + minhash_lsh_pairs (signature/band SQL
     # folded to 2-lambda transforms, band buckets hash the slice
     # array directly);
-    # (c) the 43 OLDEST stale greens (all last proven round 7 —
+    # (c) the 42 OLDEST stale greens (all last proven round 7 —
     # after this window no query's last driver proof predates r7's
     # own rotation floor; the queue from the r8 list's positions 51+
     # is consumed in order). The heavy recursive-CTE oracles
@@ -8270,7 +8322,7 @@ _DRIVER_ORDER = [
     # they were just re-proven in the r8 window.
     # =================================================================
     "rp_rerank_indexed", "crawl_rank_weighted", "bm25_topk_docs",
-    "lr_quality_weights", "pagerank_scores",
+    "lr_quality_weights", "leakage_safe_split_docs", "pagerank_scores",
     "minhash_dedup_verified", "minhash_lsh_pairs",
     "bpe_token_counts", "audio_segment_plan", "capped_domain_sample",
     "cep_times_consecutive", "dup_size_histogram", "fingerprint_docs",
@@ -8288,8 +8340,8 @@ _DRIVER_ORDER = [
     "attribution_last_touch", "bigram_doc_nll",
     "boilerplate_block_removal", "content_split_counts",
     "data_quality_report", "distinct_parts_per_supplier",
-    "edit_distance_pairs",
     # ---- position 50 boundary ----
+    "edit_distance_pairs",
     # past the window: remaining entries in verification-age order —
     # r4-r7 greens by age first, then the 49 r8-window greens (the
     # youngest proofs), then the five remaining rows-only probes

@@ -208,3 +208,35 @@ def test_sizes_and_keep_min(spark):
     assert sizes == {1: 3, 10: 2}
     kept = sorted(r.node for r in keep_min_per_component(comp).collect())
     assert kept == [1, 10]
+
+
+def test_weighted_pagerank_matches_multigraph(spark):
+    """The pre-aggregated weighted form must track the parallel-edge
+    multigraph to quantization precision (the weighted addend rounds
+    (r/outdeg)*w once where the multigraph decimal-sums w identical
+    addends — see the pagerank docstring): same ranks to 1e-9 on a
+    graph with heavy parallel edges, dangling nodes, and self-loops."""
+    rnd = random.Random(11)
+    nodes = list(range(12))
+    multi = []
+    for _ in range(25):
+        s, d = rnd.choice(nodes[:9]), rnd.choice(nodes)
+        multi.extend([(s, d)] * rnd.randint(1, 6))
+    a = _run_pr(spark, nodes, multi)
+    agg = {}
+    for s, d in multi:
+        agg[(s, d)] = agg.get((s, d), 0) + 1
+    wdf = spark.createDataFrame(
+        [(s, d, w) for (s, d), w in agg.items()],
+        "src long, dst long, w long")
+    ndf = spark.createDataFrame([(v,) for v in nodes], "node long")
+    got = pagerank(ndf, wdf, n_nodes=len(nodes), weight="w")
+    b = {r.node: r.rank for r in got.collect()}
+    assert set(a) == set(b)
+    for v in nodes:
+        assert abs(a[v] - b[v]) < 1e-9, (v, a[v], b[v])
+    # determinism of the weighted path itself
+    again = {r.node: r.rank
+             for r in pagerank(ndf, wdf, n_nodes=len(nodes),
+                               weight="w").collect()}
+    assert again == b

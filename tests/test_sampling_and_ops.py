@@ -516,3 +516,45 @@ def test_robust_zscore_flags_only_true_outliers(spark):
     # zero-IQR group: z NULL, never flagged
     b = [r for r in out if r["g"] == "b"]
     assert all(r["z"] is None and not r["is_outlier"] for r in b)
+
+
+def test_leakage_safe_split_keeps_dup_groups_together(spark):
+    """Every fingerprint group lands wholly on one side (THE guarantee);
+    split is disjoint-exhaustive and deterministic; and the per-doc hash
+    split demonstrably WOULD have leaked on the same data — the failure
+    mode this operator exists to prevent."""
+    from pyspark.sql import functions as F
+
+    from felixzh_flink_spark.operators.sampling import (
+        hash_bucket,
+        leakage_safe_split,
+    )
+    from felixzh_flink_spark.operators.text import fingerprint_md5
+
+    # 60 duplicate pairs (2i, 2i+1 share text) + 80 unique docs
+    rows = [(2 * i + j, f"dup text number {i}")
+            for i in range(60) for j in (0, 1)]
+    rows += [(1000 + i, f"unique text {i}") for i in range(80)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = leakage_safe_split(fingerprint_md5(df, "text"), "fingerprint")
+
+    # group cohesion: one split value per fingerprint
+    per_group = (out.groupBy("fingerprint")
+                 .agg(F.countDistinct("split").alias("k")).collect())
+    assert all(r.k == 1 for r in per_group)
+    # disjoint-exhaustive over the input
+    assert out.count() == len(rows)
+    assert out.filter(~F.col("split").isin("train", "test")).count() == 0
+    assert out.filter(F.col("split") == "test").count() > 0
+    # determinism
+    again = leakage_safe_split(fingerprint_md5(df, "text"), "fingerprint")
+    assert sorted(map(tuple, out.select("doc_id", "split").collect())) == \
+        sorted(map(tuple, again.select("doc_id", "split").collect()))
+    # counterfactual: the per-doc hash split leaks on this corpus
+    naive = df.withColumn(
+        "split", F.when(hash_bucket(F.col("doc_id")) < 10, "test")
+                  .otherwise("train"))
+    leaked = (fingerprint_md5(naive, "text").groupBy("fingerprint")
+              .agg(F.countDistinct("split").alias("k"))
+              .filter(F.col("k") > 1).count())
+    assert leaked > 0
