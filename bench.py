@@ -191,6 +191,8 @@ HEADLINE = [
     # broadcast + TakeOrdered)
     "rp_rerank_indexed",
     "bm25_topk_docs",
+    # batched serving twin: three queries amortize one narrow index scan
+    "rp_rerank_multi_indexed",
 ]
 
 #: ITER lane (round-8 verdict item 2): the iterative / composed kernels

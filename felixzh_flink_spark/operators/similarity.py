@@ -313,6 +313,75 @@ def rp_rerank_topk_from_index(spark, path: str, query_vec: list[float],
         .orderBy(F.desc("cosine_sim"), F.asc("id")).limit(k))
 
 
+def rp_rerank_topk_multi_from_index(spark, path: str,
+                                    queries: dict[int, list[float]],
+                                    k: int = 10, prek: int = 50,
+                                    out_dim: int = 16, in_dim: int = 64,
+                                    id_col: str = "vec_id",
+                                    vec_col: str = "embedding") -> DataFrame:
+    """BATCHED two-stage retrieval against the `write_rp_index` layout —
+    the batch-serving shape (N queries amortize ONE narrow index scan,
+    the `cosine_topk_multi` pattern composed with the projected-index
+    path): stage 1 scans only (id, proj), scores every projected query
+    per row (row norm folded once, queries ride as one literal matrix),
+    and keeps the per-query top `prek` (one keyed window — shuffle
+    volume is (id, qi, rp) tuples, the documented multi-query trade);
+    stage 2 fetches raw vectors ONCE for the distinct candidate-id
+    union (broadcast semi-join), scores the exact sims array per
+    fetched row, and re-ranks per query. Deterministic end-to-end
+    (projection pure-of-shape, id tie-breaks both stages), so the
+    oracle replays both stages PER QUERY. Returns
+    (query_id, id, cosine_sim) — per-query exact top-k."""
+    import math
+
+    qids = sorted(queries)
+    qps = [project_vec(queries[q], out_dim, in_dim) for q in qids]
+
+    def _norms(vecs):
+        out = []
+        for v in vecs:
+            acc = 0.0
+            for x in v:
+                acc += float(x) * float(x)
+            out.append(math.sqrt(acc))
+        return out
+
+    idx = spark.read.parquet(path)
+    qid_lit = "array(" + ",".join(str(int(q)) for q in qids) + ")"
+    sims1 = (f"transform(zip_with({_lit_mat_sql(qps)}, "
+             f"{_lit_vec_sql(_norms(qps))}, "
+             f"(qv, qn) -> named_struct('v', qv, 'n', qn)), "
+             f"s -> {_dot_sql('proj', 's.v')} / (__rnorm * s.n))")
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("rp"), F.asc("id"))
+    cand = (idx.select(F.col(id_col), F.col("proj"))
+            .withColumn("__rnorm", _norm(F.col("proj")))
+            .select(F.col(id_col).alias("id"),
+                    F.posexplode(F.expr(sims1)).alias("_qi", "rp"))
+            .select(F.expr(f"element_at({qid_lit}, _qi + 1)")
+                    .cast("bigint").alias("query_id"), "_qi", "id", "rp")
+            .withColumn("_rn", F.row_number().over(w1))
+            .filter(F.col("_rn") <= prek)
+            .select("query_id", "_qi", "id"))
+    raw = [[float(x) for x in queries[q]] for q in qids]
+    sims2 = (f"transform(zip_with({_lit_mat_sql(raw)}, "
+             f"{_lit_vec_sql(_norms(raw))}, "
+             f"(qv, qn) -> named_struct('v', qv, 'n', qn)), "
+             f"s -> {_dot_sql(vec_col, 's.v')} / (__rnorm * s.n))")
+    fetch = (idx.select(F.col(id_col).alias("id"), F.col(vec_col))
+             .join(F.broadcast(cand.select("id").distinct()),
+                   "id", "left_semi")
+             .withColumn("__rnorm", _norm(F.col(vec_col)))
+             .select("id", F.expr(sims2).alias("_sims")))
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("id"))
+    return (cand.join(fetch, "id")
+            .select("query_id", "id",
+                    F.expr("element_at(_sims, _qi + 1)")
+                    .alias("cosine_sim"))
+            .withColumn("_rn", F.row_number().over(w2))
+            .filter(F.col("_rn") <= k).drop("_rn"))
+
+
 # ------------------------------------------------------- hyperplane LSH
 
 #: (n_planes, dim) → list of per-plane coefficient lists, computed once

@@ -219,10 +219,38 @@ def tf_idf_top_terms(df: DataFrame, k: int = 3, text_col: str = "text",
     )
 
 
+def bm25_corpus_stats(df: DataFrame, query_terms: list[str],
+                      text_col: str = "text") -> tuple[int, list[int]]:
+    """(Σ dl, [df_t per query term]) — the EXACT-INTEGER corpus
+    statistics BM25 scoring needs. One partial-aggregated job; a real
+    deployment computes these at ingest (df/avgdl change only when the
+    corpus does), so callers cache the tuple per corpus and pass it to
+    `bm25_topk(stats=...)` — the query then plans and runs as a single
+    scan. Integers are engine-exact, so literal-embedding them cannot
+    perturb oracle parity."""
+    terms = list(query_terms)
+    t = F.trim(F.coalesce(F.col(text_col), F.lit("")))
+    toks = F.filter(F.split(F.lower(t), TOKEN_RE),
+                    lambda x: x != F.lit(""))
+
+    def _tf(term):
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    row = df.select(
+        F.size(toks).alias("dl"),
+        *[_tf(term).alias(f"tf{i}") for i, term in enumerate(terms)]
+    ).agg(
+        F.sum("dl").alias("sdl"),
+        *[F.sum((F.col(f"tf{i}") > 0).cast("bigint")).alias(f"df{i}")
+          for i in range(len(terms))]).first()
+    return int(row["sdl"]), [int(row[f"df{i}"]) for i in range(len(terms))]
+
+
 def bm25_topk(df: DataFrame, query_terms: list[str], k: int = 10,
               k1: float = 1.2, b: float = 0.75, text_col: str = "text",
               id_col: str = "doc_id", n_docs: int | None = None,
-              quantize: int = 9) -> DataFrame:
+              quantize: int = 9,
+              stats: tuple[int, list[int]] | None = None) -> DataFrame:
     """Okapi BM25 retrieval: top-k documents for a bag of query terms —
     the classic lexical ranker every retrieval/RAG corpus pipeline needs
     next to the vector paths (rp/IVF/PQ). Scoring follows Robertson &
@@ -230,15 +258,17 @@ def bm25_topk(df: DataFrame, query_terms: list[str], k: int = 10,
     (tf_td + k1*(1 - b + b*dl_d/avgdl)),  idf_t = ln(1 + (N - df_t +
     0.5)/(df_t + 0.5)).
 
-    Scale shape — ZERO wide shuffles, two scans: per-row expressions
-    compute dl and the per-query-term tf from one tokenization (no
-    explode — query terms are a literal handful, so tf_t is
-    `size(filter(toks, = t))` per row); corpus statistics (df_t, sum dl)
-    come from ONE partial-aggregated job (a handful of numbers per
-    partition) and ride a broadcast; the final ranking is a distributed
-    TakeOrdered. At 100 TB this is scan-bound like the projection
-    pre-ranker — and df/avgdl are ingest-artifact statistics a real
-    deployment would precompute.
+    Scale shape — ZERO wide shuffles: per-row expressions compute dl
+    and the per-query-term tf from one tokenization (no explode —
+    query terms are a literal handful, so tf_t is
+    `size(filter(toks, = t))` per row); corpus statistics (df_t, Σdl)
+    are ingest artifacts — pass the cached `bm25_corpus_stats` tuple
+    via `stats` and the whole query is ONE scan + distributed
+    TakeOrdered (the stats ride as exact-integer literals). Without
+    `stats` the query stays self-contained: the same statistics come
+    from one partial-aggregated subtree and ride a broadcast (two
+    corpus scans total). At 100 TB this is scan-bound like the
+    projection pre-ranker.
 
     Determinism: per-row tf/dl are integers; all double arithmetic is
     fixed-order (the per-document term sum is a LEFT-ASSOCIATIVE chain
@@ -264,12 +294,20 @@ def bm25_topk(df: DataFrame, query_terms: list[str], k: int = 10,
         *[_tf(term).alias(f"tf{i}") for i, term in enumerate(terms)])
     if n_docs is None:
         n_docs = df.count()
-    stats = per.agg(
-        F.sum("dl").alias("sdl"),
-        *[F.sum((F.col(f"tf{i}") > 0).cast("bigint")).alias(f"df{i}")
-          for i in range(len(terms))])
-    scored = per.crossJoin(F.broadcast(stats))
-    avgdl = F.col("sdl").cast("double") / F.lit(float(n_docs))
+    if stats is None:
+        st = per.agg(
+            F.sum("dl").alias("sdl"),
+            *[F.sum((F.col(f"tf{i}") > 0).cast("bigint")).alias(f"df{i}")
+              for i in range(len(terms))])
+        scored = per.crossJoin(F.broadcast(st))
+        sdl_col = F.col("sdl")
+        df_cols = [F.col(f"df{i}") for i in range(len(terms))]
+    else:
+        sdl, dfs = stats
+        scored = per
+        sdl_col = F.lit(int(sdl))
+        df_cols = [F.lit(int(d)) for d in dfs]
+    avgdl = sdl_col.cast("double") / F.lit(float(n_docs))
     dl_d = F.col("dl").cast("double")
     norm = (F.lit(k1)
             * (F.lit(1.0 - b) + F.lit(b) * (dl_d / avgdl)))
@@ -277,7 +315,7 @@ def bm25_topk(df: DataFrame, query_terms: list[str], k: int = 10,
     hit = None
     for i in range(len(terms)):
         tf_d = F.col(f"tf{i}").cast("double")
-        df_d = F.col(f"df{i}").cast("double")
+        df_d = df_cols[i].cast("double")
         idf = F.log(F.lit(1.0)
                     + (F.lit(float(n_docs)) - df_d + F.lit(0.5))
                     / (df_d + F.lit(0.5)))

@@ -157,3 +157,29 @@ def test_materialized_index_path_is_bit_equal_to_inline(spark, tmp_path):
                for r in rp_rerank_topk_from_index(
                    spark, path, q, k=10, prek=50).collect()]
     assert indexed == inline
+
+
+def test_multi_query_index_path_matches_per_query_inline(spark, tmp_path):
+    """The batched index path must return, for EVERY query in the batch,
+    exactly the single-query inline rp_rerank_topk rows (ids, order,
+    bit-equal scores) — batching may only amortize the scan, never
+    change results."""
+    from felixzh_flink_spark.operators.similarity import (
+        rp_rerank_topk_multi_from_index,
+        write_rp_index,
+    )
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    vecs = {int(r["vec_id"]): [float(x) for x in r["embedding"]]
+            for r in e.filter(F.col("vec_id").isin(0, 1, 2)).collect()}
+    path = str(tmp_path / "rp_index")
+    write_rp_index(e, path, OUT, IN)
+    got = rp_rerank_topk_multi_from_index(
+        spark, path, vecs, k=10, prek=50)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r.query_id, []).append((r.id, r.cosine_sim))
+    assert set(by_q) == {0, 1, 2}
+    for q, v in vecs.items():
+        inline = [(r.id, r.cosine_sim)
+                  for r in rp_rerank_topk(e, v, k=10, prek=50).collect()]
+        assert by_q[q] == inline, q
