@@ -16,7 +16,11 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from felixzh_flink_spark.queries import QUERIES  # noqa: E402
+from felixzh_flink_spark.queries import PROBES, QUERIES  # noqa: E402
+
+#: bench times the driver registry PLUS the rows-only served-path
+#: probes (their correctness rides the assertion twins in QUERIES)
+BENCHABLE = {**QUERIES, **PROBES}
 from felixzh_flink_spark.session import get_spark  # noqa: E402
 
 #: headline set: one per operator family (scan-agg, star join, top-k join,
@@ -252,7 +256,7 @@ def _measure(spark, names, sf_dir, gc_between_runs=False):
     runs_all: dict[str, list] = {}
     for name in names:
         t0 = time.perf_counter()
-        force(QUERIES[name](spark, sf_dir))
+        force(BENCHABLE[name](spark, sf_dir))
         construction_run = time.perf_counter() - t0
         runs = []
         for _ in range(3):
@@ -266,7 +270,7 @@ def _measure(spark, names, sf_dir, gc_between_runs=False):
                 spark.catalog.clearCache()
                 spark.sparkContext._jvm.System.gc()
             t0 = time.perf_counter()
-            df = QUERIES[name](spark, sf_dir)
+            df = BENCHABLE[name](spark, sf_dir)
             t1 = time.perf_counter()
             force(df)
             t2 = time.perf_counter()
@@ -300,10 +304,17 @@ def main() -> None:
     # refresh bench_iter.json on an idle box without paying the 97-query
     # headline); default runs both — the driver's per-round contract.
     lane = os.environ.get("SPARK_GRAFT_LANE", "")
+    if lane == "iter" and only:
+        # the iter lane ignores SPARK_GRAFT_ONLY (subset runs target
+        # specific queries via the scale tooling) — without this guard
+        # the lane==iter print below would hit an unbound iter_detail
+        raise SystemExit(
+            "SPARK_GRAFT_LANE=iter cannot be combined with "
+            "SPARK_GRAFT_ONLY — use tools/bench_scale.py for subsets")
     headline = HEADLINE
     if only:
         wanted = [n.strip() for n in only.split(",") if n.strip()]
-        unknown = [n for n in wanted if n not in QUERIES]
+        unknown = [n for n in wanted if n not in BENCHABLE]
         if unknown:
             raise SystemExit(f"unknown queries in SPARK_GRAFT_ONLY: {unknown}")
         headline = wanted

@@ -81,8 +81,15 @@ def connected_components(edges: DataFrame, src: str = "src",
             labels.unpersist()
             labels = new_labels
             if changed == 0:
-                return labels.select(F.col("n").alias(out_node),
-                                     F.col("lbl").alias(out_component))
+                # cut lineage so the persisted labels can be released
+                # now instead of leaking for the session lifetime
+                # (VERDICT r9 minor: the convergence path returned the
+                # still-persisted new_labels and never unpersisted it)
+                result = (labels.select(F.col("n").alias(out_node),
+                                        F.col("lbl").alias(out_component))
+                          .localCheckpoint(eager=True))
+                labels.unpersist()
+                return result
         if on_nonconvergence == "star":
             # Pathological diameter: switch algorithms. The current
             # labels ride along as SHORTCUT edges (n → lbl never
@@ -214,7 +221,11 @@ def pagerank(nodes: DataFrame, edges: DataFrame, n_nodes: int,
 
     `weight` names an INTEGER edge-multiplicity column — the
     PRE-AGGREGATED form of the same multigraph (out-degree becomes
-    Σweights, a w-weighted edge votes w times). This is the 100 TB
+    Σweights, a w-weighted edge votes w times). Rows with weight ≤ 0
+    are dropped as non-edges (a source whose weights all sum to 0 is
+    therefore DANGLING, preserving mass conservation); weights must be
+    non-negative integers — a negative weight has no multigraph
+    meaning and is likewise discarded. This is the 100 TB
     form: a crawl host graph carries millions of doc-level links
     between a few hosts, and aggregating them to (src, dst, weight)
     once at ingest shrinks every round's edge scan from O(links) to
@@ -274,11 +285,19 @@ def pagerank(nodes: DataFrame, edges: DataFrame, n_nodes: int,
              .join(deg, F.col("esrc") == deg.v)
              .select("esrc", "edst", "outdeg").persist())
     else:
-        deg = edges.groupBy(F.col(src).alias("v")) \
-                   .agg(F.sum(weight).alias("outdeg"))
-        e = (edges.select(F.col(src).alias("esrc"),
-                          F.col(dst).alias("edst"),
-                          F.col(weight).alias("ew"))
+        # weight is an edge MULTIPLICITY (≥ 1 for a real edge); a
+        # weight-0 row means "no edge" and must not keep its source out
+        # of the dangling set — without this filter a source whose
+        # weights sum to 0 would sit in `deg` with outdeg=0, divide to
+        # NULL, and silently leak its mass (ADVICE r9: the
+        # mass-conservation contract could be violated by any caller
+        # passing a non-count-derived weight column).
+        pos = edges.filter(F.col(weight) > 0)
+        deg = pos.groupBy(F.col(src).alias("v")) \
+                 .agg(F.sum(weight).alias("outdeg"))
+        e = (pos.select(F.col(src).alias("esrc"),
+                        F.col(dst).alias("edst"),
+                        F.col(weight).alias("ew"))
              .join(deg, F.col("esrc") == deg.v)
              .select("esrc", "edst", "ew", "outdeg").persist())
     dangling = n.join(deg, "v", "left_anti").persist()

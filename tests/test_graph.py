@@ -240,3 +240,26 @@ def test_weighted_pagerank_matches_multigraph(spark):
              for r in pagerank(ndf, wdf, n_nodes=len(nodes),
                                weight="w").collect()}
     assert again == b
+
+
+def test_weighted_pagerank_zero_weight_source_is_dangling(spark):
+    """A source whose edge weights sum to 0 carries no real edges and
+    must be classified DANGLING — before the ADVICE-r9 fix it sat in
+    the degree table with outdeg=0, divided to NULL, and its mass
+    silently vanished (conservation break). Weight-0 rows are
+    non-edges: the graph must rank identically to the same graph with
+    those rows absent, and total mass must stay 1."""
+    nodes = list(range(6))
+    ndf = spark.createDataFrame([(v,) for v in nodes], "node long")
+    real = [(0, 1, 2), (1, 2, 1), (2, 0, 3)]          # nodes 3-5 dangling
+    with_zeros = real + [(3, 4, 0), (5, 1, 0)]        # zero-weight non-edges
+    a = {r.node: r.rank for r in pagerank(
+        ndf, spark.createDataFrame(real, "src long, dst long, w long"),
+        n_nodes=6, weight="w").collect()}
+    b = {r.node: r.rank for r in pagerank(
+        ndf, spark.createDataFrame(with_zeros,
+                                   "src long, dst long, w long"),
+        n_nodes=6, weight="w").collect()}
+    assert a == b
+    assert sum(b.values()) == pytest.approx(1.0, abs=1e-9)
+    assert all(v is not None for v in b.values())

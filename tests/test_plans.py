@@ -7,13 +7,13 @@ once. A change that silently degrades one of these would still pass the
 oracle, so they are asserted here against the executed-plan string.
 """
 
-from felixzh_flink_spark.queries import QUERIES
+from felixzh_flink_spark.queries import PROBES, QUERIES
 
 SF = "/root/testdata/sf0.001"
 
 
 def plan_of(spark, name: str) -> str:
-    df = QUERIES[name](spark, SF)
+    df = {**QUERIES, **PROBES}[name](spark, SF)
     return df._jdf.queryExecution().executedPlan().toString()
 
 

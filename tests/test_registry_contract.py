@@ -5,8 +5,7 @@ on import; these tests make the contract explicit and reviewable.
 """
 
 from felixzh_flink_spark.queries import (_DRIVER_ORDER, _PROBE_TWINS,
-                                         _ROWS_ONLY_IN_WINDOW, ORACLES,
-                                         QUERIES)
+                                         ORACLES, PROBES, QUERIES)
 
 
 def test_driver_order_covers_registry_exactly():
@@ -16,18 +15,21 @@ def test_driver_order_covers_registry_exactly():
 
 def test_every_probe_keeps_its_assertion_twin():
     """Each rows-only probe (approximate / hash-seed-specific — no
-    DuckDB oracle can bit-match it) must keep its deterministic
+    DuckDB oracle can bit-match it) lives OUTSIDE the driver registry
+    (VERDICT r9 item 1) and must keep its deterministic
     assertion-oracle twin registered; deleting a twin would silently
     weaken the probe's coverage story."""
+    assert set(_PROBE_TWINS) == set(PROBES)
     for probe, twin in _PROBE_TWINS.items():
-        assert probe in QUERIES and probe not in ORACLES, probe
+        assert probe not in QUERIES and probe not in ORACLES, probe
         assert twin in QUERIES and twin in ORACLES, (probe, twin)
 
 
-def test_window_is_oracle_backed_except_declared_probes():
-    window = set(_DRIVER_ORDER[:50])
-    assert window - set(ORACLES) == _ROWS_ONLY_IN_WINDOW
-    assert _ROWS_ONLY_IN_WINDOW <= set(_PROBE_TWINS)
+def test_every_registry_query_is_oracle_backed():
+    """No driver-window slot can be structurally uncheckable: every
+    QUERIES entry has a DuckDB oracle (hard replay or assertion form).
+    Rows-only demos belong in PROBES."""
+    assert set(QUERIES) <= set(ORACLES)
 
 
 def test_oracles_subset_of_queries():

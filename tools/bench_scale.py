@@ -18,7 +18,9 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from felixzh_flink_spark.queries import QUERIES  # noqa: E402
+from felixzh_flink_spark.queries import PROBES, QUERIES  # noqa: E402
+
+RUNNABLE = {**QUERIES, **PROBES}
 from felixzh_flink_spark.session import get_spark  # noqa: E402
 
 #: one per judged family: scan-agg, star/multi joins, skew join,
@@ -63,7 +65,7 @@ def main() -> None:
         # run 1: codegen/compile warmup; run 2: measured
         for is_measured in (False, True):
             t0 = time.perf_counter()
-            df = QUERIES[name](spark, sf_dir)
+            df = RUNNABLE[name](spark, sf_dir)
             t1 = time.perf_counter()
             if is_measured:
                 w0, r0 = _shuffle_totals(sc)
