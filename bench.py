@@ -197,6 +197,13 @@ HEADLINE = [
     "bm25_topk_docs",
     # batched serving twin: three queries amortize one narrow index scan
     "rp_rerank_multi_indexed",
+    # round 10: incremental index maintenance — serving from a
+    # bulk+delta-appended layout (identical query shape to
+    # rp_rerank_indexed; the delta encode lands in construction) and
+    # from an uncompacted epoch-upsert layout (the latest-wins window
+    # is the measured serving cost compaction removes)
+    "rp_rerank_delta_indexed",
+    "rp_rerank_upsert_indexed",
 ]
 
 #: ITER lane (round-8 verdict item 2): the iterative / composed kernels

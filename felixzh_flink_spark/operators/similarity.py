@@ -266,7 +266,8 @@ def rp_rerank_topk(df: DataFrame, query_vec: list[float], k: int = 10,
 
 def write_rp_index(df: DataFrame, path: str, out_dim: int = 16,
                    in_dim: int = 64, id_col: str = "vec_id",
-                   vec_col: str = "embedding") -> None:
+                   vec_col: str = "embedding",
+                   epoch: int | None = None) -> None:
     """Materialize the two-stage retrieval index: (id, proj, vec)
     parquet with the JL projection as its OWN TOP-LEVEL column. This is
     the ingest artifact `rp_rerank_topk`'s docstring promises a real
@@ -277,31 +278,102 @@ def write_rp_index(df: DataFrame, path: str, out_dim: int = 16,
     `prek` re-rank candidates. Same lifecycle as `write_ivf_index`:
     project once at ingest, never per query. The stored projection is
     `random_projection_sql`'s exact left-fold doubles (parquet
-    round-trips bits), so index-path results stay hash-oracle-able."""
-    df.select(
+    round-trips bits), so index-path results stay hash-oracle-able.
+
+    With `epoch`, rows carry an `ingest_epoch` column — the committed
+    bulk generation of an INCREMENTALLY MAINTAINED index
+    (`append_rp_index` adds later epochs; `rp_index_latest` reads
+    latest-wins). Without it the layout is the plain immutable form."""
+    _rp_index_rows(df, out_dim, in_dim, id_col, vec_col, epoch) \
+        .write.mode("overwrite").parquet(path)
+
+
+def _rp_index_rows(df: DataFrame, out_dim: int, in_dim: int,
+                   id_col: str, vec_col: str,
+                   epoch: int | None) -> DataFrame:
+    sel = [
         F.col(id_col),
         F.expr(random_projection_sql(vec_col, out_dim, in_dim))
         .alias("proj"),
         F.col(vec_col),
-    ).write.mode("overwrite").parquet(path)
+    ]
+    if epoch is not None:
+        sel.append(F.lit(int(epoch)).alias("ingest_epoch"))
+    return df.select(*sel)
 
 
-def rp_rerank_topk_from_index(spark, path: str, query_vec: list[float],
-                              k: int = 10, prek: int = 50,
-                              out_dim: int = 16, in_dim: int = 64,
-                              id_col: str = "vec_id",
-                              vec_col: str = "embedding") -> DataFrame:
-    """Two-stage retrieval against a MATERIALIZED `write_rp_index`
-    layout: stage 1 scans ONLY (id, proj) — the narrow column read —
-    ranks by projected cosine and keeps `prek` candidates; stage 2
-    fetches raw vectors for exactly those rows (broadcast semi-join of
-    the prek ids against the (id, vec) columns — at 100 TB with an
-    id-sorted/bucketed layout this is the point-lookup side) and
-    re-scores with the exact in_dim cosine. Identical fold order to the
-    inline `rp_rerank_topk`, so results — candidate set included — are
-    bit-equal to it and to the two-stage oracle replay."""
-    qp = project_vec(query_vec, out_dim, in_dim)
+def append_rp_index(df: DataFrame, path: str, out_dim: int = 16,
+                    in_dim: int = 64, id_col: str = "vec_id",
+                    vec_col: str = "embedding",
+                    epoch: int | None = None) -> None:
+    """INCREMENTAL index maintenance — the serving-side gap a
+    materialized index opens (VERDICT r9 item 6): new documents join a
+    committed `write_rp_index` without a full rebuild. Encodes ONLY the
+    delta rows (the projection is a pure function of shape, so delta
+    rows fold through the exact same ±1 matrix as the bulk — bit-equal
+    to what a full rebuild would store for them) and APPENDS them as
+    new parquet files; the bulk files are immutable, exactly the
+    epoch-manifest append discipline of the changelog upsert sinks
+    (changelog.py `upsert_sink`). At 100 TB the delta encode scans the
+    delta, never the corpus.
+
+    Two regimes:
+    - new-ids-only (no `epoch` anywhere): plain append; the combined
+      index serves bit-identical to a full rebuild by construction.
+    - upserts (`epoch` on bulk AND every delta): re-embedded ids
+      SUPERSEDE earlier rows via `rp_index_latest`'s latest-epoch-wins
+      read; `compact_rp_index` rewrites away superseded rows so the
+      serving scan regains the no-window shape."""
+    _rp_index_rows(df, out_dim, in_dim, id_col, vec_col, epoch) \
+        .write.mode("append").parquet(path)
+
+
+def rp_index_latest(spark, path: str,
+                    id_col: str = "vec_id") -> DataFrame:
+    """Read view of an incrementally maintained rp index: for
+    epoch-carrying layouts, latest-epoch-wins per id (one window over
+    the id hash — the documented cost of serving an UNCOMPACTED
+    upsert index; `compact_rp_index` removes it); plain layouts read
+    through untouched. Delta appends of genuinely NEW ids never need
+    the window — pass the plain (epoch-free) layout and this is a
+    zero-cost passthrough."""
     idx = spark.read.parquet(path)
+    if "ingest_epoch" not in idx.columns:
+        return idx
+    w = Window.partitionBy(id_col).orderBy(F.desc("ingest_epoch"))
+    return (idx.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn", "ingest_epoch"))
+
+
+def compact_rp_index(spark, path: str, id_col: str = "vec_id") -> None:
+    """Compaction: rewrite an epoch-carrying index to latest-only rows
+    WITHOUT the epoch column, restoring the plain immutable layout (and
+    the window-free serving scan). The latest view is eagerly
+    localCheckpointed before the overwrite because Spark cannot
+    overwrite a path it is still lazily reading. On a real cluster this
+    is the background job an LSM-ish index runs between epochs."""
+    latest = rp_index_latest(spark, path, id_col).localCheckpoint(eager=True)
+    latest.write.mode("overwrite").parquet(path)
+
+
+def rp_rerank_topk_from_df(idx: DataFrame, query_vec: list[float],
+                           k: int = 10, prek: int = 50,
+                           out_dim: int = 16, in_dim: int = 64,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """Two-stage retrieval over an index DATAFRAME in the
+    `write_rp_index` layout (id, proj, vec) — the serving kernel shared
+    by the path-based reader and the incremental-maintenance read views
+    (`rp_index_latest`): stage 1 scans ONLY (id, proj) — the narrow
+    column read — ranks by projected cosine and keeps `prek`
+    candidates; stage 2 fetches raw vectors for exactly those rows
+    (broadcast semi-join of the prek ids against the (id, vec) columns
+    — at 100 TB with an id-sorted/bucketed layout this is the
+    point-lookup side) and re-scores with the exact in_dim cosine.
+    Identical fold order to the inline `rp_rerank_topk`, so results —
+    candidate set included — are bit-equal to it and to the two-stage
+    oracle replay."""
+    qp = project_vec(query_vec, out_dim, in_dim)
     stage1 = (idx.select(F.col(id_col),
                          cosine_to_literal("proj", qp).alias("_rp"))
               .orderBy(F.desc("_rp"), F.asc(id_col)).limit(prek))
@@ -311,6 +383,18 @@ def rp_rerank_topk_from_index(spark, path: str, query_vec: list[float],
         F.col(id_col).alias("id"),
         cosine_to_literal(vec_col, query_vec).alias("cosine_sim"))
         .orderBy(F.desc("cosine_sim"), F.asc("id")).limit(k))
+
+
+def rp_rerank_topk_from_index(spark, path: str, query_vec: list[float],
+                              k: int = 10, prek: int = 50,
+                              out_dim: int = 16, in_dim: int = 64,
+                              id_col: str = "vec_id",
+                              vec_col: str = "embedding") -> DataFrame:
+    """Two-stage retrieval against a MATERIALIZED `write_rp_index`
+    path (see `rp_rerank_topk_from_df` for the serving shape)."""
+    return rp_rerank_topk_from_df(
+        spark.read.parquet(path), query_vec, k=k, prek=prek,
+        out_dim=out_dim, in_dim=in_dim, id_col=id_col, vec_col=vec_col)
 
 
 def rp_rerank_topk_multi_from_index(spark, path: str,
@@ -904,6 +988,28 @@ def write_ivf_index(df: DataFrame, path: str, cents: list[list[float]],
     if books is not None:
         assigned = pq_encode(assigned, books, vec_col)
     assigned.write.mode("overwrite").partitionBy("ivf_cell").parquet(path)
+
+
+def append_ivf_index(df: DataFrame, path: str, cents: list[list[float]],
+                     vec_col: str = "embedding",
+                     books: list[list[list[float]]] | None = None) -> None:
+    """INCREMENTAL IVF maintenance (VERDICT r9 item 6, the IVF face of
+    `append_rp_index`): assign ONLY the delta rows against the
+    COMMITTED centroids (the codebook is frozen at bulk-build time —
+    exactly how production IVF serves between retrains) and append
+    them into the cell-partitioned layout: each delta row lands as a
+    new file inside its cell's directory, bulk files untouched, so
+    partition-pruned probes keep working unchanged over bulk+delta.
+    With `books`, delta rows are PQ-encoded against the committed
+    codebooks too. Because assignment and encoding are pure functions
+    of (vector, committed codebooks), the appended layout is
+    row-for-row identical to what a full rebuild at the same codebooks
+    would store — the assertion oracle `ann_ivf_delta_checks` pins
+    exactly that equality."""
+    assigned = ivf_assign(df, cents, vec_col)
+    if books is not None:
+        assigned = pq_encode(assigned, books, vec_col)
+    assigned.write.mode("append").partitionBy("ivf_cell").parquet(path)
 
 
 def ivf_topk_from_index(spark, path: str, cents: list[list[float]],

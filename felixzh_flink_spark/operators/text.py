@@ -330,6 +330,99 @@ def bm25_topk(df: DataFrame, query_terms: list[str], k: int = 10,
             .orderBy(F.desc("bm25"), F.asc(id_col)).limit(k))
 
 
+def bm25_stats_sink(state_dir: str, text_col: str = "text",
+                    n_buckets: int = 8):
+    """foreachBatch writer maintaining BM25 corpus statistics
+    CONTINUOUSLY — the streaming twin of `bm25_corpus_stats` (VERDICT
+    r9 item 7, extending U4 batch/stream unification to the retrieval
+    family): each micro-batch folds into an ADDITIVE state delta —
+    per-term document frequencies (distinct docs containing the term,
+    the df_t every idf needs) plus one totals row (Σdl and doc count
+    under the reserved empty-string term, which the tokenizer can never
+    emit) — and ADDS into the stored rows, bucketed by term hash.
+    Layout/commit/replay-guard are the changelog library's crash-atomic
+    bucketed machinery; the epoch skip is essential because a replayed
+    ADD would double-count (the `cms_sketch_sink` contract).
+
+    Tokenization is expression-for-expression `bm25_corpus_stats`'s
+    (lower → TOKEN_RE split → drop empties), so streamed statistics are
+    INTEGER-EXACT equal to a one-shot batch pass over the union of all
+    micro-batches — `bm25_topk(stats=bm25_stats_read(...))` then serves
+    bit-identically to the batch path (the parity e2e pins this).
+    State size is O(vocabulary), never O(corpus); at 100 TB the
+    per-batch delta is one partial-aggregated shuffle of the BATCH."""
+    from felixzh_flink_spark.functions.changelog import (
+        _BUCKET_COL,
+        _bucket_expr,
+        _commit_touched_buckets,
+        _read_manifest,
+    )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        man = _read_manifest(spark, state_dir)
+        if epoch_id <= man.get("last_epoch", -(2 ** 62)):
+            return
+        t = F.trim(F.coalesce(F.col(text_col), F.lit("")))
+        toks = F.filter(F.split(F.lower(t), TOKEN_RE),
+                        lambda x: x != F.lit(""))
+        per = batch_df.select(F.size(toks).alias("dl"),
+                              F.array_distinct(toks).alias("_terms"))
+        df_delta = (per.select(F.explode("_terms").alias("term"))
+                    .groupBy("term")
+                    .agg(F.count("*").alias("df"))
+                    .select("term", "df", F.lit(0).cast("bigint").alias("sdl"),
+                            F.lit(0).cast("bigint").alias("ndocs")))
+        tot_delta = per.agg(
+            F.lit("").alias("term"),
+            F.lit(0).cast("bigint").alias("df"),
+            F.coalesce(F.sum("dl").cast("bigint"), F.lit(0)).alias("sdl"),
+            F.count("*").cast("bigint").alias("ndocs"))
+        delta = (df_delta.unionByName(tot_delta)
+                 .withColumn(_BUCKET_COL, _bucket_expr(["term"], n_buckets)))
+        touched = sorted(r[_BUCKET_COL]
+                         for r in delta.select(_BUCKET_COL).distinct().collect())
+        if not touched:
+            return
+        man["last_epoch"] = epoch_id
+        old_paths = [man["buckets"][str(b)]["path"] for b in touched
+                     if man["buckets"].get(str(b), {}).get("path")]
+        merged = delta.drop(_BUCKET_COL)
+        if old_paths:
+            merged = merged.unionByName(
+                spark.read.parquet(*old_paths).drop(_BUCKET_COL))
+        new_state = (
+            merged.groupBy("term")
+            .agg(F.sum("df").alias("df"), F.sum("sdl").alias("sdl"),
+                 F.sum("ndocs").alias("ndocs"))
+            .withColumn(_BUCKET_COL, _bucket_expr(["term"], n_buckets)))
+        _commit_touched_buckets(state_dir, new_state, touched, epoch_id, man)
+
+    return sink
+
+
+def bm25_stats_read(spark, state_dir: str,
+                    query_terms: list[str]) -> tuple[tuple[int, list[int]],
+                                                     int]:
+    """Read back continuously maintained BM25 statistics for a query:
+    ((Σdl, [df_t per term]), n_docs) — the first element is exactly the
+    tuple `bm25_topk(stats=...)` takes, the second its `n_docs`. Only
+    the totals row and the |query| term rows are fetched (a handful of
+    rows out of O(vocabulary) state — point lookups, never a scan of
+    raw documents)."""
+    from felixzh_flink_spark.functions.changelog import read_upsert_state
+
+    st = read_upsert_state(spark, state_dir)
+    rows = st.filter(F.col("term").isin([""] + list(query_terms))).collect()
+    by_term = {r["term"]: r for r in rows}
+    tot = by_term.get("")
+    sdl = int(tot["sdl"]) if tot is not None else 0
+    n_docs = int(tot["ndocs"]) if tot is not None else 0
+    dfs = [int(by_term[t]["df"]) if t in by_term else 0
+           for t in query_terms]
+    return (sdl, dfs), n_docs
+
+
 def punct_ratio(text: Column | str, alias: str = "punct_ratio") -> Column:
     """Punctuation chars / total chars (0 for empty docs)."""
     c = F.col(text) if isinstance(text, str) else text

@@ -3953,6 +3953,90 @@ def rp_rerank_indexed(spark, sf_dir):
         k=10, prek=50, out_dim=16, in_dim=64)
 
 
+#: per-sf_dir path of an INCREMENTALLY BUILT rp index: bulk build over
+#: 80% of the corpus (vec_id % 5 != 4), then `append_rp_index` encodes
+#: ONLY the remaining 20% delta and appends its files — the committed
+#: bulk generation is never rewritten (VERDICT r9 item 6).
+_RP_DELTA_INDEX_PATH: dict[str, str] = {}
+
+
+def _rp_delta_index_path(spark, sf_dir) -> str:
+    if sf_dir not in _RP_DELTA_INDEX_PATH:
+        import tempfile
+        path = tempfile.mkdtemp(prefix="spark_graft_rpd_")
+        e = _t(spark, sf_dir, "embeddings")
+        SIM.write_rp_index(e.filter(F.col("vec_id") % 5 != 4), path,
+                           out_dim=16, in_dim=64)
+        SIM.append_rp_index(e.filter(F.col("vec_id") % 5 == 4), path,
+                            out_dim=16, in_dim=64)
+        _RP_DELTA_INDEX_PATH[sf_dir] = path
+    return _RP_DELTA_INDEX_PATH[sf_dir]
+
+
+@q("rp_rerank_delta_indexed", _rp_rerank_oracle())
+def rp_rerank_delta_indexed(spark, sf_dir):
+    """INCREMENTAL index maintenance, new-documents regime
+    (`similarity.append_rp_index` — VERDICT r9 item 6): the serving
+    index is built as bulk(80% of ids) + delta-append(the other 20%),
+    with the delta encode scanning ONLY the delta (the JL projection is
+    a pure function of shape, so delta rows fold through the same ±1
+    matrix the bulk did — bit-equal to a full rebuild's rows for them),
+    then queried through the UNCHANGED two-stage serving path. HARD
+    oracle: the same full-corpus two-stage DuckDB replay that proves the
+    inline and bulk-indexed paths — equality proves
+    (bulk + delta append) ≡ full rebuild ≡ inline, candidate set
+    included. At 100 TB this is the difference between re-projecting
+    the corpus per ingest batch and touching only the batch."""
+    return SIM.rp_rerank_topk_from_index(
+        spark, _rp_delta_index_path(spark, sf_dir),
+        _query_vec(spark, sf_dir), k=10, prek=50, out_dim=16, in_dim=64)
+
+
+#: per-sf_dir path of an UPSERT-maintained rp index: the bulk build
+#: (epoch 0) carries deliberately STALE vectors for ids ≡ 3 (mod 7)
+#: (element-reversed — detectably wrong if served), and epoch 1 appends
+#: the true re-embeddings of exactly those ids. Serving must read
+#: latest-epoch-wins (`rp_index_latest`).
+_RP_UPSERT_INDEX_PATH: dict[str, str] = {}
+
+
+def _rp_upsert_index_path(spark, sf_dir) -> str:
+    if sf_dir not in _RP_UPSERT_INDEX_PATH:
+        import tempfile
+        path = tempfile.mkdtemp(prefix="spark_graft_rpu_")
+        e = _t(spark, sf_dir, "embeddings")
+        stale = e.withColumn(
+            "embedding",
+            F.when(F.col("vec_id") % 7 == 3, F.reverse("embedding"))
+            .otherwise(F.col("embedding")))
+        SIM.write_rp_index(stale, path, out_dim=16, in_dim=64, epoch=0)
+        SIM.append_rp_index(e.filter(F.col("vec_id") % 7 == 3), path,
+                            out_dim=16, in_dim=64, epoch=1)
+        _RP_UPSERT_INDEX_PATH[sf_dir] = path
+    return _RP_UPSERT_INDEX_PATH[sf_dir]
+
+
+@q("rp_rerank_upsert_indexed", _rp_rerank_oracle())
+def rp_rerank_upsert_indexed(spark, sf_dir):
+    """INCREMENTAL index maintenance, re-embedding (UPSERT) regime: the
+    bulk epoch-0 index deliberately stores STALE (element-reversed)
+    vectors for every id ≡ 3 (mod 7); epoch 1 appends the true
+    re-embeddings of exactly those ids (`append_rp_index(epoch=1)` —
+    encode the delta, never rewrite the bulk). Serving reads
+    latest-epoch-wins (`similarity.rp_index_latest`, one window over
+    the id hash — the documented cost of an uncompacted upsert index;
+    `compact_rp_index` restores the window-free scan and is unit-proven
+    equivalent). HARD oracle: the full-corpus two-stage replay over the
+    TRUE vectors — if a single superseded row leaked into stage 1's
+    candidate ranking or stage 2's re-score, the hash fails (the stale
+    vectors are reversed precisely so leakage is detectable, not
+    cosine-invariant)."""
+    idx = SIM.rp_index_latest(spark, _rp_upsert_index_path(spark, sf_dir))
+    return SIM.rp_rerank_topk_from_df(
+        idx, _query_vec(spark, sf_dir), k=10, prek=50,
+        out_dim=16, in_dim=64)
+
+
 def _rp_rerank_multi_oracle(k: int = 10, prek: int = 50,
                             out_dim: int = 16, in_dim: int = 64) -> str:
     """rp_rerank_multi_indexed's oracle: the two-stage replay of
@@ -4381,6 +4465,68 @@ def ann_ivf_checks(spark, sf_dir):
     diff = pa.exceptAll(pb).unionAll(pb.exceptAll(pa)).agg(
         (F.count("*") == 0).alias("probe_matches_inline"))
     return agg.crossJoin(diff)
+
+
+#: per-sf_dir path of an INCREMENTALLY BUILT IVF index: bulk build over
+#: 80% of ids against the committed centroids, then `append_ivf_index`
+#: assigns ONLY the 20% delta against the SAME frozen centroids and
+#: appends into the cell directories (VERDICT r9 item 6, IVF face).
+_IVF_DELTA_INDEX_PATH: dict[str, str] = {}
+
+
+def _ivf_delta_index_path(spark, sf_dir) -> str:
+    if sf_dir not in _IVF_DELTA_INDEX_PATH:
+        import tempfile
+        path = tempfile.mkdtemp(prefix="spark_graft_ivfd_")
+        cents = _ivf_index(spark, sf_dir, 16)
+        e = _t(spark, sf_dir, "embeddings")
+        SIM.write_ivf_index(e.filter(F.col("vec_id") % 5 != 4), path, cents)
+        SIM.append_ivf_index(e.filter(F.col("vec_id") % 5 == 4), path, cents)
+        _IVF_DELTA_INDEX_PATH[sf_dir] = path
+    return _IVF_DELTA_INDEX_PATH[sf_dir]
+
+
+@q("ann_ivf_delta_checks", """
+SELECT TRUE AS k_rows_ok, TRUE AS layout_matches_rebuild,
+       TRUE AS probe_matches_rebuild
+""")
+def ann_ivf_delta_checks(spark, sf_dir):
+    """Assertion oracle for INCREMENTAL IVF maintenance
+    (`similarity.append_ivf_index`): an index built as bulk(80%) +
+    delta-append(20%) against the COMMITTED centroids must be
+    indistinguishable from a full rebuild at the same centroids —
+    cell assignment is a pure function of (vector, frozen codebook),
+    so the equality is structural, never approximation luck:
+
+    - k_rows_ok: the delta-built index's probe returns exactly k rows.
+    - layout_matches_rebuild: the (vec_id, ivf_cell) row multiset of
+      the appended layout equals the full rebuild's — no delta row
+      landed in a wrong cell, none was dropped or duplicated.
+    - probe_matches_rebuild: the partition-pruned top-k over the
+      delta-built index is row-for-row the rebuild index's top-k
+      (exact sims included).
+
+    DuckDB oracle is the constant-true row (IVF output itself is
+    approximate by construction — the hard oracles on this family ride
+    the rp/cosine paths)."""
+    cents = _ivf_index(spark, sf_dir, 16)
+    delta_path = _ivf_delta_index_path(spark, sf_dir)
+    full_path = _ivf_index_path(spark, sf_dir, 16)
+    qv = _query_vec(spark, sf_dir)
+    a = spark.read.parquet(delta_path).select(
+        "vec_id", F.col("ivf_cell").cast("int").alias("cell"))
+    b = spark.read.parquet(full_path).select(
+        "vec_id", F.col("ivf_cell").cast("int").alias("cell"))
+    layout = a.exceptAll(b).unionAll(b.exceptAll(a)).agg(
+        (F.count("*") == 0).alias("layout_matches_rebuild"))
+    pa = SIM.ivf_topk_from_index(spark, delta_path, cents, qv,
+                                 k=10, n_probe=4).select("id", "cosine_sim")
+    pb = SIM.ivf_topk_from_index(spark, full_path, cents, qv,
+                                 k=10, n_probe=4).select("id", "cosine_sim")
+    k_ok = pa.agg((F.count("*") == 10).alias("k_rows_ok"))
+    probe = pa.exceptAll(pb).unionAll(pb.exceptAll(pa)).agg(
+        (F.count("*") == 0).alias("probe_matches_rebuild"))
+    return k_ok.crossJoin(layout).crossJoin(probe)
 
 
 @q("semantic_dedup_checks", """
@@ -8409,69 +8555,41 @@ def crawl_to_corpus(spark, sf_dir):
 
 _DRIVER_ORDER = [
     # =================================================================
-    # ROUND-9 WINDOW (first 50) — composition per the r8 verdict:
-    # (a) the BRAND-NEW operators: rp_rerank_indexed (two-stage
-    # retrieval against the MATERIALIZED write_rp_index layout —
-    # a HARD oracle: the same two-stage DuckDB replay that proves the
-    # inline path, so index≡inline parity is proven through oracle
-    # equality), rp_rerank_multi_indexed (the BATCHED serving twin —
-    # N queries amortize one narrow index scan, per-query two-stage
-    # oracle replay), crawl_rank_weighted (host graph from the crawl
-    # URLs → graph.pagerank quality prior → rank-weighted keep-best
-    # dedup, the r8 verdict item 6 composition), bm25_topk_docs
-    # (Okapi BM25 lexical retrieval — zero-shuffle scan shape, stats
-    # broadcast, quantized-rank oracle), and lr_quality_weights
-    # (distributed quality-classifier TRAINING: 8 full-batch GD rounds
-    # with an algebraic-sigmoid link, decimal-exact gradient sums,
-    # IEEE-quantized weights — the oracle unrolls every round), and
-    # leakage_safe_split_docs (dedup-aware split: duplicate groups
-    # assigned to train/test as GROUPS, the eval-leakage guard) —
-    # first driver proof;
-    # (b) every query whose CODE PATH changed in round 9:
-    # pagerank_scores (per-round quantization moved to the pure-IEEE
-    # floor form on both engines — the ADVICE r8 half-boundary fix),
-    # minhash_dedup_verified + minhash_lsh_pairs (signature/band SQL
-    # folded to 2-lambda transforms, band buckets hash the slice
-    # array directly);
-    # (c) the 41 OLDEST stale greens (all last proven round 7 —
-    # after this window no query's last driver proof predates r7's
-    # own rotation floor; the queue from the r8 list's positions 51+
-    # is consumed in order). The heavy recursive-CTE oracles
-    # (crawl_to_corpus, pack_efficiency, pack_manifest,
-    # dedup_components*) stay at driver sf only per the r7 verdict —
-    # they were just re-proven in the r8 window.
+    # ROUND-10 WINDOW (first 50) — composition per the r9 verdict:
+    # (a) the BRAND-NEW incremental-index-maintenance operators
+    # (VERDICT r9 item 6): rp_rerank_delta_indexed (bulk 80% +
+    # append_rp_index 20% delta — HARD oracle: the same full-corpus
+    # two-stage replay that proves the inline/bulk paths, so
+    # bulk+delta ≡ rebuild ≡ inline is proven through oracle
+    # equality), rp_rerank_upsert_indexed (epoch-0 bulk with
+    # deliberately stale reversed vectors, epoch-1 delta re-embeds,
+    # latest-epoch-wins serving — a leaked superseded row fails the
+    # hash), ann_ivf_delta_checks (assertion oracle: appended IVF
+    # layout row-set AND partition-pruned probe ≡ full rebuild);
+    # (b) every query whose CODE PATH changed in round 10:
+    # rp_rerank_indexed + rp_rerank_multi_indexed (write_rp_index
+    # refactored through _rp_index_rows for epoch support; the
+    # single-query serving path now delegates to
+    # rp_rerank_topk_from_df), crawl_to_corpus (the WARC decode chain
+    # is localCheckpointed so it runs ONCE — VERDICT r9 item 3 — and
+    # rides the changed connected_components convergence path),
+    # dedup_components (connected_components now releases its
+    # converged labels), crawl_rank_weighted (weighted pagerank drops
+    # weight≤0 non-edges so zero-weight sources are dangling — ADVICE
+    # r9);
+    # (c) the 42 OLDEST stale greens (the r9 queue heads, last proven
+    # ≤ r7, consumed in queue order). The six rows-only probes left
+    # the registry entirely this round (VERDICT r9 item 1 — they live
+    # in PROBES; their assertion twins stay here), so every window
+    # row below is oracle-backed and structurally provable.
     # =================================================================
-    "rp_rerank_indexed", "rp_rerank_multi_indexed", "crawl_rank_weighted",
-    "bm25_topk_docs", "lr_quality_weights", "leakage_safe_split_docs",
-    "pagerank_scores", "minhash_dedup_verified",
-    "bpe_token_counts", "audio_segment_plan", "capped_domain_sample",
-    "cep_times_consecutive", "dup_size_histogram", "fingerprint_docs",
-    "grouping_pricing", "lang_id_pred", "lineitem_meta_stats",
-    "market_segment_stats", "multimodal_frame_plan", "multimodal_meta",
-    "order_window_analytics", "profile_lineitem", "q11_important_stock",
-    "q13_customer_distribution", "q16_supplier_part_counts",
-    "q19_disjunctive_revenue", "q20_part_shippers", "q21_waiting_supplier",
-    "q22_global_sales_opportunity", "q2_min_cost_supplier",
-    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
-    "redact_docs", "set_ops_nations", "source_token_stats",
-    "stratified_sample_counts", "token_counts", "top_bigrams",
-    "udtf_lateral", "weighted_avg_price", "abandoned_views",
-    "approx_distinct_parts", "approx_quantile_price",
-    "attribution_last_touch", "bigram_doc_nll",
-    "boilerplate_block_removal", "content_split_counts",
-    "data_quality_report",
-    # ---- position 50 boundary ----
+    "rp_rerank_delta_indexed", "rp_rerank_upsert_indexed",
+    "ann_ivf_delta_checks", "rp_rerank_indexed", "rp_rerank_multi_indexed",
+    "crawl_to_corpus", "dedup_components", "crawl_rank_weighted",
     "distinct_parts_per_supplier", "edit_distance_pairs",
-    # past the window: remaining entries in verification-age order —
-    # r4-r7 greens by age first, then the 49 r8-window greens (the
-    # youngest proofs), then the five remaining rows-only probes
-    # closing the list (their assertion twins pinned via
-    # _PROBE_TWINS; minhash_lsh_pairs moved into the window with its
-    # changed code path).
-    "epoch_shuffle_docs", "event_anomaly_hours",
-    "events_hourly", "events_hourly_filled", "events_hourly_interp",
-    "events_rollup_cascade", "filter_projection",
-    "funnel_view_click_purchase", "funnel_within_window",
+    "epoch_shuffle_docs", "event_anomaly_hours", "events_hourly",
+    "events_hourly_filled", "events_hourly_interp", "events_rollup_cascade",
+    "filter_projection", "funnel_view_click_purchase", "funnel_within_window",
     "hll_user_rollup", "html_extract_text", "image_resize_plan",
     "incremental_agg_view", "json_roundtrip_orders",
     "mixture_pipeline_counts", "nation_hierarchy_paths",
@@ -8484,6 +8602,12 @@ _DRIVER_ORDER = [
     "classifier_keep_rates", "classifier_scores", "csv_roundtrip_part",
     "cube_order_status", "events_json_extract", "events_sliding_windows",
     "events_variant_extract", "hourly_top_events", "mp4_duration_meta",
+    # ---- position 50 boundary ----
+    # past the window: remaining entries in verification-age
+    # order — pre-r8 greens by age first, then the r8-window
+    # greens, then the 46 r9-window greens (the youngest
+    # driver proofs) closing the list.
+   
     "nation_customers_vs_suppliers", "ngram_jaccard_pairs",
     "pivot_order_status", "q10_returned_items", "q12_returnflag_priority",
     "q14_promo_revenue", "q15_top_supplier", "q17_small_quantity_revenue",
@@ -8492,42 +8616,55 @@ _DRIVER_ORDER = [
     "revenue_by_nation", "rolling_hour_user_value",
     "running_quantity_by_supplier", "scalar_concat",
     "skewed_supplier_revenue", "sliding_count_windows",
-    "temporal_join_purchases", "top_orders_per_customer",
-    "wav_decode_stats", "acctbal_quartiles", "adpcm_decode_stats",
-    "asof_purchase_view", "avi_frame_sample_stats",
-    "avro_roundtrip_orders", "bmp_decode_stats", "canal_decode",
-    "canal_quarantine_counts", "changelog_retract_sum", "chunk_docs",
-    "cms_token_counts", "compressed_text_census", "corpus_pipeline_counts",
-    "debezium_decode", "decontaminated_counts", "dedup_exact_docs",
-    "deterministic_split_counts", "doc_quality", "doc_repetition",
-    "ewma_user_value", "gif_composite_stats", "gif_decode_stats",
-    "gif_frame_sample_stats", "gzip_roundtrip_docs", "image_feature_stats",
-    "jaccard_join_exact", "jpeg_color_decode_stats", "jpeg_decode_stats",
-    "media_format_census", "mulaw_decode_stats",
+    "temporal_join_purchases", "top_orders_per_customer", "wav_decode_stats",
+    "acctbal_quartiles", "adpcm_decode_stats", "asof_purchase_view",
+    "avi_frame_sample_stats", "avro_roundtrip_orders", "bmp_decode_stats",
+    "canal_decode", "canal_quarantine_counts", "changelog_retract_sum",
+    "chunk_docs", "cms_token_counts", "compressed_text_census",
+    "corpus_pipeline_counts", "debezium_decode", "decontaminated_counts",
+    "dedup_exact_docs", "deterministic_split_counts", "doc_quality",
+    "doc_repetition", "ewma_user_value", "gif_composite_stats",
+    "gif_decode_stats", "gif_frame_sample_stats", "gzip_roundtrip_docs",
+    "image_feature_stats", "jaccard_join_exact", "jpeg_color_decode_stats",
+    "jpeg_decode_stats", "media_format_census", "mulaw_decode_stats",
     "png_decode_stats", "png_thumbnail_stats", "price_decile_histogram",
     "proto_roundtrip_orders", "robots_allowed_paths", "robots_site_gate",
     "robots_wildcard_paths", "tiff_decode_stats", "url_domain_counts",
     "url_registrable_psl", "wav_resample_stats", "wav_segment_stats",
     "webdataset_sample_stats", "winsorized_price_stats",
-    # r8-window greens (proven round 8 — the youngest driver proofs)
     "semantic_dedup_pq_checks", "semantic_dedup_checks",
     "embedding_near_dup_checks", "ann_ivf_checks", "ann_pq_checks",
-    "ann_ivfpq_checks", "cosine_topk", "cosine_topk_multi",
-    "label_centroids", "kmeans_spherical_checks",
-    "contrastive_triplet_checks", "quantized_embedding_checksums",
-    "bloom_word_agg_checks", "decontaminate_bloom_survivors",
-    "dedup_components_star", "dedup_components", "warc_extract_stats",
-    "token_shards", "interleaved_training_order", "pack_sequences",
-    "pack_manifest", "pack_efficiency", "psi_price_drift",
-    "q1_pricing_summary", "crawl_to_corpus", "global_doc_ids",
-    "curriculum_bins", "cut_spans_docs", "decontaminate_ngram_survivors",
-    "dedup_keep_best", "delta_dedup_status", "gopher_rule_flags",
-    "heavy_hitter_langs", "length_histogram_sources", "multimodal_dims",
-    "repeated_spans", "robust_outlier_flags", "scd2_user_history",
-    "script_profile_docs", "temperature_mix_counts", "tfidf_top_terms",
-    "unigram_doc_nll", "unpivot_order_counts", "winnow_fingerprints",
-    "winnow_similar_pairs", "event_runs_udtf",
-    "rp_projection_topk", "rp_rerank_topk", "bpe_learned_merges",
+    "ann_ivfpq_checks", "cosine_topk", "cosine_topk_multi", "label_centroids",
+    "kmeans_spherical_checks", "contrastive_triplet_checks",
+    "quantized_embedding_checksums", "bloom_word_agg_checks",
+    "decontaminate_bloom_survivors", "dedup_components_star",
+    "warc_extract_stats", "token_shards", "interleaved_training_order",
+    "pack_sequences", "pack_manifest", "pack_efficiency", "psi_price_drift",
+    "q1_pricing_summary", "global_doc_ids", "curriculum_bins",
+    "cut_spans_docs", "decontaminate_ngram_survivors", "dedup_keep_best",
+    "delta_dedup_status", "gopher_rule_flags", "heavy_hitter_langs",
+    "length_histogram_sources", "multimodal_dims", "repeated_spans",
+    "robust_outlier_flags", "scd2_user_history", "script_profile_docs",
+    "temperature_mix_counts", "tfidf_top_terms", "unigram_doc_nll",
+    "unpivot_order_counts", "winnow_fingerprints", "winnow_similar_pairs",
+    "event_runs_udtf", "rp_projection_topk", "rp_rerank_topk",
+    "bpe_learned_merges", "bm25_topk_docs", "lr_quality_weights",
+    "leakage_safe_split_docs", "pagerank_scores", "minhash_dedup_verified",
+    "bpe_token_counts", "audio_segment_plan", "capped_domain_sample",
+    "cep_times_consecutive", "dup_size_histogram", "fingerprint_docs",
+    "grouping_pricing", "lang_id_pred", "lineitem_meta_stats",
+    "market_segment_stats", "multimodal_frame_plan", "multimodal_meta",
+    "order_window_analytics", "profile_lineitem", "q11_important_stock",
+    "q13_customer_distribution", "q16_supplier_part_counts",
+    "q19_disjunctive_revenue", "q20_part_shippers", "q21_waiting_supplier",
+    "q22_global_sales_opportunity", "q2_min_cost_supplier",
+    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
+    "redact_docs", "set_ops_nations", "source_token_stats",
+    "stratified_sample_counts", "token_counts", "top_bigrams", "udtf_lateral",
+    "weighted_avg_price", "abandoned_views", "approx_distinct_parts",
+    "approx_quantile_price", "attribution_last_touch", "bigram_doc_nll",
+    "boilerplate_block_removal", "content_split_counts",
+    "data_quality_report",
 ]
 
 assert set(_DRIVER_ORDER) == set(QUERIES), (

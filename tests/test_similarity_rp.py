@@ -183,3 +183,144 @@ def test_multi_query_index_path_matches_per_query_inline(spark, tmp_path):
         inline = [(r.id, r.cosine_sim)
                   for r in rp_rerank_topk(e, v, k=10, prek=50).collect()]
         assert by_q[q] == inline, q
+
+
+def test_delta_append_index_is_bit_equal_to_full_rebuild(spark, tmp_path):
+    """Incremental maintenance, new-ids regime: an index built as
+    bulk(80%) + append_rp_index(20% delta) must serve bit-identically
+    to the inline path over the full table — the delta encode touches
+    only the delta, yet the combined layout is indistinguishable from
+    a rebuild (projection is a pure function of shape)."""
+    from felixzh_flink_spark.operators.similarity import (
+        append_rp_index,
+        rp_rerank_topk_from_index,
+        write_rp_index,
+    )
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = [float(x) for x in
+         e.filter(F.col("vec_id") == 0).head()["embedding"]]
+    path = str(tmp_path / "rp_delta")
+    write_rp_index(e.filter(F.col("vec_id") % 5 != 4), path, OUT, IN)
+    append_rp_index(e.filter(F.col("vec_id") % 5 == 4), path, OUT, IN)
+    inline = [(r.id, r.cosine_sim)
+              for r in rp_rerank_topk(e, q, k=10, prek=50).collect()]
+    got = [(r.id, r.cosine_sim)
+           for r in rp_rerank_topk_from_index(
+               spark, path, q, k=10, prek=50).collect()]
+    assert got == inline
+    # layout parity: the appended files hold exactly a rebuild's rows
+    full = str(tmp_path / "rp_full")
+    write_rp_index(e, full, OUT, IN)
+    a = spark.read.parquet(path).select("vec_id", "proj")
+    b = spark.read.parquet(full).select("vec_id", "proj")
+    assert a.exceptAll(b).unionAll(b.exceptAll(a)).count() == 0
+
+
+def test_upsert_index_latest_wins_and_stale_leak_is_detectable(spark,
+                                                               tmp_path):
+    """Upsert regime: epoch-0 bulk stores stale (reversed) vectors for
+    ids ≡ 3 (mod 7); epoch-1 appends their true re-embeddings.
+    rp_index_latest must serve the inline full-table result exactly —
+    and the NEGATIVE control pins that serving the raw (no latest-wins)
+    layout would NOT (i.e. the test could actually fail on leakage)."""
+    from felixzh_flink_spark.operators.similarity import (
+        append_rp_index,
+        rp_index_latest,
+        rp_rerank_topk_from_df,
+        write_rp_index,
+    )
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = [float(x) for x in
+         e.filter(F.col("vec_id") == 0).head()["embedding"]]
+    stale = e.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") % 7 == 3, F.reverse("embedding"))
+        .otherwise(F.col("embedding")))
+    path = str(tmp_path / "rp_upsert")
+    write_rp_index(stale, path, OUT, IN, epoch=0)
+    append_rp_index(e.filter(F.col("vec_id") % 7 == 3), path, OUT, IN,
+                    epoch=1)
+    inline = [(r.id, r.cosine_sim)
+              for r in rp_rerank_topk(e, q, k=10, prek=50).collect()]
+    latest = rp_index_latest(spark, path)
+    got = [(r.id, r.cosine_sim)
+           for r in rp_rerank_topk_from_df(
+               latest, q, k=10, prek=50).collect()]
+    assert got == inline
+    # negative control: raw read (stale rows visible, duplicate ids)
+    raw = spark.read.parquet(path).drop("ingest_epoch")
+    leaked = [(r.id, r.cosine_sim)
+              for r in rp_rerank_topk_from_df(
+                  raw, q, k=10, prek=50).collect()]
+    assert leaked != inline
+
+
+def test_compact_rp_index_restores_plain_layout(spark, tmp_path):
+    """Compaction rewrites an epoch-carrying index to latest-only rows
+    without the epoch column; serving results are unchanged and the
+    row count returns to one per id."""
+    from felixzh_flink_spark.operators.similarity import (
+        append_rp_index,
+        compact_rp_index,
+        rp_rerank_topk_from_index,
+        write_rp_index,
+    )
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = [float(x) for x in
+         e.filter(F.col("vec_id") == 0).head()["embedding"]]
+    stale = e.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") % 7 == 3, F.reverse("embedding"))
+        .otherwise(F.col("embedding")))
+    path = str(tmp_path / "rp_compact")
+    write_rp_index(stale, path, OUT, IN, epoch=0)
+    append_rp_index(e.filter(F.col("vec_id") % 7 == 3), path, OUT, IN,
+                    epoch=1)
+    n_ids = e.count()
+    assert spark.read.parquet(path).count() > n_ids
+    compact_rp_index(spark, path)
+    after = spark.read.parquet(path)
+    assert "ingest_epoch" not in after.columns
+    assert after.count() == n_ids
+    inline = [(r.id, r.cosine_sim)
+              for r in rp_rerank_topk(e, q, k=10, prek=50).collect()]
+    got = [(r.id, r.cosine_sim)
+           for r in rp_rerank_topk_from_index(
+               spark, path, q, k=10, prek=50).collect()]
+    assert got == inline
+
+
+def test_append_ivf_index_matches_full_rebuild(spark, tmp_path):
+    """IVF face of incremental maintenance: delta rows assigned against
+    the COMMITTED centroids and appended into the cell directories give
+    a layout row-for-row identical to a full rebuild (cells AND pq
+    codes), and the partition-pruned probe returns identical top-k."""
+    from felixzh_flink_spark.operators.similarity import (
+        append_ivf_index,
+        ivf_centroids,
+        ivf_topk_from_index,
+        pq_train,
+        write_ivf_index,
+    )
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = [float(x) for x in
+         e.filter(F.col("vec_id") == 0).head()["embedding"]]
+    cents = ivf_centroids(e, 16)
+    books = pq_train(e, m=8, code_k=16)
+    delta = str(tmp_path / "ivf_delta")
+    write_ivf_index(e.filter(F.col("vec_id") % 5 != 4), delta, cents,
+                    books=books)
+    append_ivf_index(e.filter(F.col("vec_id") % 5 == 4), delta, cents,
+                     books=books)
+    full = str(tmp_path / "ivf_full")
+    write_ivf_index(e, full, cents, books=books)
+    a = spark.read.parquet(delta).select("vec_id", "ivf_cell", "pq_code")
+    b = spark.read.parquet(full).select("vec_id", "ivf_cell", "pq_code")
+    assert a.exceptAll(b).unionAll(b.exceptAll(a)).count() == 0
+    pa = [(r.id, r.cosine_sim)
+          for r in ivf_topk_from_index(spark, delta, cents, q,
+                                       k=10, n_probe=4).collect()]
+    pb = [(r.id, r.cosine_sim)
+          for r in ivf_topk_from_index(spark, full, cents, q,
+                                       k=10, n_probe=4).collect()]
+    assert pa == pb and len(pa) == 10

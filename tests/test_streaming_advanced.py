@@ -1010,3 +1010,57 @@ def test_hybrid_count_timeout_trigger_tws_matches_classic(spark, tmp_path):
             spark.conf.unset(provider_key)
         else:
             spark.conf.set(provider_key, old_provider)
+
+
+def test_bm25_stats_sink_streaming_matches_batch(spark, tmp_path):
+    """Streaming retrieval twin (U4 unification for the retrieval
+    family): BM25 corpus statistics maintained continuously across
+    micro-batches must be INTEGER-EXACT equal to the one-shot
+    `bm25_corpus_stats` over the union of all batches — and
+    `bm25_topk(stats=streamed)` must then serve bit-identically to the
+    self-contained batch query. Also pins the replay-skip epoch guard
+    (a replayed ADD would double-count)."""
+    from felixzh_flink_spark.operators.text import (
+        bm25_corpus_stats, bm25_stats_read, bm25_stats_sink, bm25_topk)
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("text", T.StringType())])
+    b1 = [(1, "spark shuffles data across executors"),
+          (2, "the catalyst optimizer prunes columns"),
+          (3, "spark spark spark everywhere")]
+    b2 = [(4, "executors spill when partitions exceed memory"),
+          (5, "columns and partitions and spark"),
+          (6, None), (7, "   ")]                    # null/blank docs count
+    spark.createDataFrame(b1, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+    stream = file_stream_source(spark, src, schema, max_files_per_trigger=1)
+    sink = bm25_stats_sink(state)
+    q = (stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", str(tmp_path / "ckpt")).start())
+    q.processAllAvailable()
+    spark.createDataFrame(b2, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+
+    terms = ["spark", "partitions", "nosuchterm"]
+    batch = spark.createDataFrame(b1 + b2, schema)
+    got_stats, got_n = bm25_stats_read(spark, state, terms)
+    exp_stats = bm25_corpus_stats(batch, terms)
+    assert got_stats == exp_stats
+    assert got_n == batch.count()
+
+    served = [(r.doc_id, r.bm25) for r in
+              bm25_topk(batch, terms, k=5, stats=got_stats,
+                        n_docs=got_n).collect()]
+    inline = [(r.doc_id, r.bm25) for r in
+              bm25_topk(batch, terms, k=5).collect()]
+    assert served == inline and served
+
+    # replay-skip: re-applying an already-committed epoch is a no-op
+    before = got_stats
+    sink(batch, epoch_id=0)
+    after, _ = bm25_stats_read(spark, state, terms)
+    assert after == before
