@@ -356,6 +356,63 @@ def compact_rp_index(spark, path: str, id_col: str = "vec_id") -> None:
     latest.write.mode("overwrite").parquet(path)
 
 
+def rp_index_stream_sink(state_dir: str, out_dim: int = 16,
+                         in_dim: int = 64, id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         n_buckets: int = 8):
+    """foreachBatch writer maintaining the two-stage retrieval index
+    CONTINUOUSLY — streaming index maintenance, the U4 unification of
+    `write_rp_index`/`append_rp_index`: each micro-batch of documents is
+    projected (the same pure-of-shape JL fold the batch builders use —
+    only the BATCH is ever scanned) and MERGED into the bucketed index
+    state keyed on id, latest micro-batch wins per id, so inserts,
+    re-embeddings, and (via an `op` column carrying -D) deletions all
+    maintain the served layout. Storage/merge/commit ride the changelog
+    library's crash-atomic bucketed machinery (`changelog_upsert_sink` —
+    a batch rewrites O(touched buckets), not O(index); upsert replays
+    are idempotent, so no epoch guard is needed, unlike the additive
+    BM25-stats sink). Read back with `rp_index_stream_read` and serve
+    with `rp_rerank_topk_from_df` — the parity e2e pins streamed-index
+    results ≡ the inline path over the latest corpus."""
+    from felixzh_flink_spark.functions.changelog import (
+        OP_INSERT,
+        changelog_upsert_sink,
+    )
+
+    inner = changelog_upsert_sink(state_dir, pk=[id_col],
+                                  order_col="ingest_epoch",
+                                  n_buckets=n_buckets)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        op = (F.col("op") if "op" in batch_df.columns
+              else F.lit(OP_INSERT))
+        delta = batch_df.select(
+            F.col(id_col),
+            F.expr(random_projection_sql(vec_col, out_dim, in_dim))
+            .alias("proj"),
+            F.col(vec_col),
+            F.lit(int(epoch_id)).alias("ingest_epoch"),
+            op.alias("op"))
+        inner(delta, epoch_id)
+
+    return sink
+
+
+def rp_index_stream_read(spark, state_dir: str,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """The continuously maintained index in the `write_rp_index` serving
+    layout (id, proj, vec) — feed to `rp_rerank_topk_from_df`. Reading
+    the committed manifest state needs no latest-wins window: the sink
+    already merged per id at write time (that cost is paid per
+    micro-batch over touched buckets, not per query — the streaming
+    analog of a compacted index)."""
+    from felixzh_flink_spark.functions.changelog import read_upsert_state
+
+    return read_upsert_state(spark, state_dir).select(
+        id_col, "proj", vec_col)
+
+
 def rp_rerank_topk_from_df(idx: DataFrame, query_vec: list[float],
                            k: int = 10, prek: int = 50,
                            out_dim: int = 16, in_dim: int = 64,

@@ -1064,3 +1064,54 @@ def test_bm25_stats_sink_streaming_matches_batch(spark, tmp_path):
     sink(batch, epoch_id=0)
     after, _ = bm25_stats_read(spark, state, terms)
     assert after == before
+
+
+def test_rp_index_stream_sink_serves_like_inline(spark, tmp_path):
+    """Streaming index maintenance: an rp index maintained across
+    micro-batches (inserts, a re-embedding upsert, and a deletion) must
+    serve bit-identically to the inline two-stage path over the LATEST
+    corpus — extending U4 unification to index maintenance itself."""
+    from felixzh_flink_spark.operators.similarity import (
+        rp_index_stream_read,
+        rp_index_stream_sink,
+        rp_rerank_topk,
+        rp_rerank_topk_from_df,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    q = [float(x) for x in
+         e.filter(F.col("vec_id") == 0).head()["embedding"]]
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    # batch 1: first 60% of ids, but ids ≡ 3 (mod 7) carry STALE
+    # (reversed) vectors that batch 2 re-embeds
+    b1 = e.filter(F.col("vec_id") % 5 != 4).withColumn(
+        "embedding",
+        F.when(F.col("vec_id") % 7 == 3, F.reverse("embedding"))
+        .otherwise(F.col("embedding"))).withColumn("op", F.lit("+I"))
+    # batch 2: the remaining ids, the re-embeddings, and a DELETE of
+    # vec_id 1
+    b2 = (e.filter((F.col("vec_id") % 5 == 4) | (F.col("vec_id") % 7 == 3))
+          .withColumn("op", F.lit("+I"))
+          .unionByName(e.filter(F.col("vec_id") == 1)
+                       .withColumn("op", F.lit("-D"))))
+    b1.coalesce(1).write.mode("append").parquet(src)
+    stream = file_stream_source(spark, src, b1.schema,
+                                max_files_per_trigger=1)
+    sink = rp_index_stream_sink(state)
+    sq = (stream.writeStream.foreachBatch(sink)
+          .option("checkpointLocation", str(tmp_path / "ckpt")).start())
+    sq.processAllAvailable()
+    b2.coalesce(1).write.mode("append").parquet(src)
+    sq.processAllAvailable()
+    sq.stop()
+
+    final_corpus = e.filter(F.col("vec_id") != 1)   # latest truth
+    inline = [(r.id, r.cosine_sim) for r in
+              rp_rerank_topk(final_corpus, q, k=10, prek=50).collect()]
+    idx = rp_index_stream_read(spark, state)
+    assert idx.count() == final_corpus.count()
+    got = [(r.id, r.cosine_sim) for r in
+           rp_rerank_topk_from_df(idx, q, k=10, prek=50).collect()]
+    assert got == inline
