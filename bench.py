@@ -308,7 +308,7 @@ def main() -> None:
     # via SPARK_GRAFT_ONLY=q1_pricing_summary,revenue_by_nation,...
     only = os.environ.get("SPARK_GRAFT_ONLY")
     # SPARK_GRAFT_LANE=headline|iter runs one lane standalone (e.g. to
-    # refresh bench_iter.json on an idle box without paying the 97-query
+    # refresh bench_iter.json on an idle box without paying the 101-query
     # headline); default runs both — the driver's per-round contract.
     lane = os.environ.get("SPARK_GRAFT_LANE", "")
     if lane == "iter" and only:
