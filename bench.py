@@ -204,6 +204,10 @@ HEADLINE = [
     # is the measured serving cost compaction removes)
     "rp_rerank_delta_indexed",
     "rp_rerank_upsert_indexed",
+    # hybrid sparse+dense retrieval: RRF fusion of the BM25 top-50 and
+    # the two-stage rp-rerank top-50 — fusion cost is constant-size,
+    # the wall is the two rankers' scans
+    "hybrid_rrf_topk",
 ]
 
 #: ITER lane (round-8 verdict item 2): the iterative / composed kernels

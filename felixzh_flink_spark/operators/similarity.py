@@ -356,6 +356,38 @@ def compact_rp_index(spark, path: str, id_col: str = "vec_id") -> None:
     latest.write.mode("overwrite").parquet(path)
 
 
+def rrf_fuse(ranked_a: DataFrame, ranked_b: DataFrame,
+             score_a: str, score_b: str, id_a: str, id_b: str,
+             k: int = 10, k0: int = 60) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009)
+    of two rankers — THE standard hybrid-retrieval combiner (lexical
+    BM25 + dense vector top-k): each candidate scores
+    Σ 1/(k0 + rank_i) over the rankers that returned it, k0=60 the
+    published constant. Operates on the rankers' top-k OUTPUTS (both
+    ≤ a constant number of rows by construction), so the rank windows
+    and the full-outer merge are constant-size at any corpus scale —
+    the corpus-scale work lives entirely inside the two rankers.
+
+    Deterministic: ranks are row_number over (score desc, id asc) —
+    both input rankers' scores are already cross-engine stable
+    (quantized BM25 / exact cosine) — and the fused score is two IEEE
+    divisions on exact integers plus one add, bit-identical in any
+    engine; ties fall to the id. Returns (id, rrf) desc."""
+    wa = Window.orderBy(F.desc(score_a), F.asc(id_a))
+    wb = Window.orderBy(F.desc(score_b), F.asc(id_b))
+    a = ranked_a.select(F.col(id_a).alias("id"),
+                        F.row_number().over(wa).alias("_ra"))
+    b = ranked_b.select(F.col(id_b).alias("id"),
+                        F.row_number().over(wb).alias("_rb"))
+    fused = (a.join(b, "id", "full_outer")
+             .select("id",
+                     (F.coalesce(F.lit(1.0) / (F.lit(k0) + F.col("_ra")),
+                                 F.lit(0.0))
+                      + F.coalesce(F.lit(1.0) / (F.lit(k0) + F.col("_rb")),
+                                   F.lit(0.0))).alias("rrf")))
+    return fused.orderBy(F.desc("rrf"), F.asc("id")).limit(k)
+
+
 def rp_index_stream_sink(state_dir: str, out_dim: int = 16,
                          in_dim: int = 64, id_col: str = "vec_id",
                          vec_col: str = "embedding",

@@ -7511,6 +7511,58 @@ def bm25_topk_docs(spark, sf_dir):
                         stats=_bm25_stats(spark, sf_dir))
 
 
+def _hybrid_rrf_oracle(k: int = 10, k0: int = 60) -> str:
+    """hybrid_rrf_topk's oracle: replay BOTH rankers in full — the BM25
+    oracle at k=50 and the two-stage rp-rerank oracle at k=50/prek=100
+    as subqueries — then rank each (row_number over score desc, id) and
+    fuse with CAST-to-DOUBLE reciprocal ranks. Every fused score is two
+    IEEE divisions on exact integers plus one add — bit-identical in
+    both engines — so the hash proves the rankers, the ranks, AND the
+    fusion arithmetic."""
+    b_sql = _bm25_oracle(k=50)
+    v_sql = _rp_rerank_oracle(k=50, prek=100)
+    return f"""
+WITH b AS (SELECT * FROM ({b_sql})),
+     v AS (SELECT * FROM ({v_sql})),
+     br AS (SELECT doc_id AS id,
+                   ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS ra
+            FROM b),
+     vr AS (SELECT id,
+                   ROW_NUMBER() OVER (ORDER BY cosine_sim DESC, id) AS rb
+            FROM v),
+     f AS (SELECT COALESCE(br.id, vr.id) AS id,
+                  COALESCE(CAST(1.0 AS DOUBLE) / ({k0} + br.ra),
+                           CAST(0.0 AS DOUBLE))
+                  + COALESCE(CAST(1.0 AS DOUBLE) / ({k0} + vr.rb),
+                             CAST(0.0 AS DOUBLE)) AS rrf
+           FROM br FULL OUTER JOIN vr ON br.id = vr.id)
+SELECT id, rrf FROM f ORDER BY rrf DESC, id LIMIT {k}
+"""
+
+
+@q("hybrid_rrf_topk", _hybrid_rrf_oracle())
+def hybrid_rrf_topk(spark, sf_dir):
+    """HYBRID retrieval (`similarity.rrf_fuse` — reciprocal-rank fusion,
+    Cormack et al. 2009, k0=60): the lexical BM25 top-50 (cached
+    exact-integer corpus stats, one scan) and the dense two-stage
+    rp-rerank top-50 (prek=100) fused by Σ 1/(60+rank) — the standard
+    RAG-stack combiner of sparse and dense retrieval, missing side
+    contributing 0. The fusion stage operates on the two CONSTANT-SIZE
+    top-k outputs, so its windows and full-outer merge never see the
+    corpus — scale cost is exactly the two rankers' (one narrow scan
+    each). The oracle replays both rankers, both rank assignments, and
+    the fusion arithmetic; a drift anywhere in either retrieval stack
+    flips the hash."""
+    docs = _t_wide(spark, sf_dir, "documents")
+    b = TX.bm25_topk(docs, _BM25_TERMS, k=50, k1=1.2, b=0.75,
+                     n_docs=_documents_n(spark, sf_dir),
+                     stats=_bm25_stats(spark, sf_dir))
+    e = _t_wide(spark, sf_dir, "embeddings")
+    v = SIM.rp_rerank_topk(e, _query_vec(spark, sf_dir), k=50, prek=100)
+    return SIM.rrf_fuse(b, v, score_a="bm25", score_b="cosine_sim",
+                        id_a="doc_id", id_b="id", k=10)
+
+
 @q("lr_quality_weights", _lr_oracle())
 def lr_quality_weights(spark, sf_dir):
     """Distributed QUALITY-CLASSIFIER TRAINING (`training.lr_train_gd`)
@@ -8577,14 +8629,19 @@ _DRIVER_ORDER = [
     # converged labels), crawl_rank_weighted (weighted pagerank drops
     # weight≤0 non-edges so zero-weight sources are dangling — ADVICE
     # r9);
-    # (c) the 42 OLDEST stale greens (the r9 queue heads, last proven
+    # (c) hybrid_rrf_topk — NEW: reciprocal-rank fusion of the BM25
+    # top-50 and the dense rp-rerank top-50 (similarity.rrf_fuse),
+    # the oracle replaying both rankers, both rank assignments, and
+    # the fusion arithmetic;
+    # (d) the 41 OLDEST stale greens (the r9 queue heads, last proven
     # ≤ r7, consumed in queue order). The six rows-only probes left
     # the registry entirely this round (VERDICT r9 item 1 — they live
     # in PROBES; their assertion twins stay here), so every window
     # row below is oracle-backed and structurally provable.
     # =================================================================
     "rp_rerank_delta_indexed", "rp_rerank_upsert_indexed",
-    "ann_ivf_delta_checks", "rp_rerank_indexed", "rp_rerank_multi_indexed",
+    "ann_ivf_delta_checks", "hybrid_rrf_topk",
+    "rp_rerank_indexed", "rp_rerank_multi_indexed",
     "crawl_to_corpus", "dedup_components", "crawl_rank_weighted",
     "distinct_parts_per_supplier", "edit_distance_pairs",
     "epoch_shuffle_docs", "event_anomaly_hours", "events_hourly",
@@ -8601,13 +8658,13 @@ _DRIVER_ORDER = [
     "argmax_order_per_segment", "canonical_url_dedup",
     "classifier_keep_rates", "classifier_scores", "csv_roundtrip_part",
     "cube_order_status", "events_json_extract", "events_sliding_windows",
-    "events_variant_extract", "hourly_top_events", "mp4_duration_meta",
+    "events_variant_extract", "hourly_top_events",
     # ---- position 50 boundary ----
     # past the window: remaining entries in verification-age
     # order — pre-r8 greens by age first, then the r8-window
     # greens, then the 46 r9-window greens (the youngest
     # driver proofs) closing the list.
-   
+    "mp4_duration_meta",
     "nation_customers_vs_suppliers", "ngram_jaccard_pairs",
     "pivot_order_status", "q10_returned_items", "q12_returnflag_priority",
     "q14_promo_revenue", "q15_top_supplier", "q17_small_quantity_revenue",

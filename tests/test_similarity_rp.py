@@ -324,3 +324,35 @@ def test_append_ivf_index_matches_full_rebuild(spark, tmp_path):
           for r in ivf_topk_from_index(spark, full, cents, q,
                                        k=10, n_probe=4).collect()]
     assert pa == pb and len(pa) == 10
+
+
+def test_rrf_fuse_semantics(spark):
+    """RRF fusion laws on hand-built rankers: a doc in both lists sums
+    both reciprocal ranks, one-sided docs contribute a single term with
+    0.0 for the missing side, ranks come from (score desc, id asc), and
+    ties in the fused score fall to the id."""
+    from felixzh_flink_spark.operators.similarity import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(10, 3.0), (20, 2.0), (30, 1.0)], "doc_id long, bm25 double")
+    b = spark.createDataFrame(
+        [(20, 0.9), (40, 0.8), (10, 0.7)], "id long, cosine_sim double")
+    got = {r.id: r.rrf for r in
+           rrf_fuse(a, b, "bm25", "cosine_sim", "doc_id", "id",
+                    k=10).collect()}
+    assert got == {
+        10: 1.0 / 61 + 1.0 / 63,     # rank 1 lexical, rank 3 dense
+        20: 1.0 / 62 + 1.0 / 61,     # rank 2 lexical, rank 1 dense
+        30: 1.0 / 63 + 0.0,          # lexical only
+        40: 0.0 + 1.0 / 62,          # dense only
+    }
+    # equal scores tie-break on id DETERMINISTICALLY: row_number gives
+    # the lower id the better rank in BOTH rankers, so the fused order
+    # is fixed — never engine- or partitioning-dependent
+    t1 = spark.createDataFrame([(2, 1.0), (1, 1.0)],
+                               "doc_id long, bm25 double")
+    t2 = spark.createDataFrame([(2, 1.0), (1, 1.0)],
+                               "id long, cosine_sim double")
+    rows = rrf_fuse(t1, t2, "bm25", "cosine_sim",
+                    "doc_id", "id", k=2).collect()
+    assert [(r.id, r.rrf) for r in rows] == [(1, 2.0 / 61), (2, 2.0 / 62)]
