@@ -208,6 +208,12 @@ HEADLINE = [
     # the two-stage rp-rerank top-50 — fusion cost is constant-size,
     # the wall is the two rankers' scans
     "hybrid_rrf_topk",
+    # batched lexical serving: three term-bags amortize one corpus scan
+    # (union-term tf sharing + per-query window top-k)
+    "bm25_topk_multi_docs",
+    # filtered vector search: metadata pre-filter (25% of the corpus)
+    # semi-joined onto the narrow index scan BEFORE stage-1 ranking
+    "rp_rerank_filtered",
 ]
 
 #: ITER lane (round-8 verdict item 2): the iterative / composed kernels

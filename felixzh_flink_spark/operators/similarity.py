@@ -356,6 +356,29 @@ def compact_rp_index(spark, path: str, id_col: str = "vec_id") -> None:
     latest.write.mode("overwrite").parquet(path)
 
 
+def rp_rerank_topk_prefiltered(idx: DataFrame, allowed_ids: DataFrame,
+                               query_vec: list[float], k: int = 10,
+                               prek: int = 50, out_dim: int = 16,
+                               in_dim: int = 64, id_col: str = "vec_id",
+                               vec_col: str = "embedding") -> DataFrame:
+    """FILTERED vector search with PRE-filter semantics — the
+    metadata-constrained ANN query every production vector store serves
+    ("top-k among documents WHERE <predicate>"): the filter restricts
+    the corpus BEFORE stage-1 ranking (a left-semi join of the index
+    against the allowed-id relation), so the returned k are the best of
+    the FILTERED set. Post-filtering a global top-k instead would drop
+    recall exactly when the filter is selective — the oracle pins
+    pre-filter semantics by injecting the same predicate into the
+    candidate CTE, where a post-filter implementation returns different
+    rows and fails the hash. At scale the semi-join is one id-hash
+    shuffle (or a broadcast when the predicate is selective); both
+    stages then run unchanged on the survivor set."""
+    filtered = idx.join(allowed_ids.select(id_col), id_col, "left_semi")
+    return rp_rerank_topk_from_df(filtered, query_vec, k=k, prek=prek,
+                                  out_dim=out_dim, in_dim=in_dim,
+                                  id_col=id_col, vec_col=vec_col)
+
+
 def rrf_fuse(ranked_a: DataFrame, ranked_b: DataFrame,
              score_a: str, score_b: str, id_a: str, id_b: str,
              k: int = 10, k0: int = 60) -> DataFrame:

@@ -330,6 +330,100 @@ def bm25_topk(df: DataFrame, query_terms: list[str], k: int = 10,
             .orderBy(F.desc("bm25"), F.asc(id_col)).limit(k))
 
 
+def bm25_topk_multi(df: DataFrame, queries: dict[int, list[str]],
+                    k: int = 10, k1: float = 1.2, b: float = 0.75,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    n_docs: int | None = None, quantize: int = 9,
+                    stats: tuple[int, list[int]] | None = None) -> DataFrame:
+    """BATCHED Okapi BM25: top-k documents for N query term-bags in ONE
+    corpus scan — the lexical twin of `rp_rerank_topk_multi_from_index`
+    (N queries amortize the tokenization and the scan; at 100 TB the
+    scan IS the query cost, so batching divides it by N). Per row, tf
+    is computed once per term in the UNION of all bags (shared terms
+    are shared work); each query's score is the same left-associative
+    fixed-order chain over ITS terms as single-query `bm25_topk`, so
+    per-query results are bit-equal to N single-query runs — the unit
+    pins that, and the oracle replays every query independently.
+    Scores posexplode to (query_id, doc, bm25) and one keyed window
+    takes each query's top k on the quantized score with id tie-break
+    (Spark 4's window group-limit keeps the shuffle at
+    tasks × queries × k rows — the proven multi-query trade).
+
+    `stats` is the cached `bm25_corpus_stats(df, union_terms)` tuple
+    over the SORTED union of all bags' terms (the ingest artifact —
+    with it the whole batch is one scan + one small keyed window).
+    Returns (query_id, doc_id, bm25), per-query top-k."""
+    qids = sorted(queries)
+    terms = sorted({t for q in qids for t in queries[q]})
+    tidx = {t: i for i, t in enumerate(terms)}
+    t = F.trim(F.coalesce(F.col(text_col), F.lit("")))
+    toks = F.filter(F.split(F.lower(t), TOKEN_RE),
+                    lambda x: x != F.lit(""))
+
+    def _tf(term):
+        # single-arg closure — the (element, index) two-param trap
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    per = df.select(
+        F.col(id_col),
+        F.size(toks).alias("dl"),
+        *[_tf(term).alias(f"tf{i}") for i, term in enumerate(terms)])
+    if n_docs is None:
+        n_docs = df.count()
+    if stats is None:
+        st = per.agg(
+            F.sum("dl").alias("sdl"),
+            *[F.sum((F.col(f"tf{i}") > 0).cast("bigint")).alias(f"df{i}")
+              for i in range(len(terms))])
+        scored = per.crossJoin(F.broadcast(st))
+        sdl_col = F.col("sdl")
+        df_cols = [F.col(f"df{i}") for i in range(len(terms))]
+    else:
+        sdl, dfs = stats
+        scored = per
+        sdl_col = F.lit(int(sdl))
+        df_cols = [F.lit(int(d)) for d in dfs]
+    avgdl = sdl_col.cast("double") / F.lit(float(n_docs))
+    norm = (F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b)
+               * (F.col("dl").cast("double") / avgdl)))
+    grid = float(10.0 ** quantize)
+    q_scores, q_hits = [], []
+    for q in qids:
+        score = None
+        hit = None
+        for term in queries[q]:
+            i = tidx[term]
+            tf_d = F.col(f"tf{i}").cast("double")
+            df_d = df_cols[i].cast("double")
+            idf = F.log(F.lit(1.0)
+                        + (F.lit(float(n_docs)) - df_d + F.lit(0.5))
+                        / (df_d + F.lit(0.5)))
+            contrib = idf * (tf_d * F.lit(k1 + 1.0)) / (tf_d + norm)
+            score = contrib if score is None else score + contrib
+            h = F.col(f"tf{i}") > 0
+            hit = h if hit is None else (hit | h)
+        q_scores.append(F.floor(score * F.lit(grid) + F.lit(0.5))
+                        / F.lit(grid))
+        q_hits.append(hit)
+    qid_lit = F.array(*[F.lit(int(q)) for q in qids])
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("bm25"), F.asc(id_col))
+    return (scored
+            .select(F.col(id_col),
+                    F.array(*q_scores).alias("_scores"),
+                    F.array(*q_hits).alias("_hits"))
+            .select(F.col(id_col),
+                    F.posexplode("_scores").alias("_qi", "bm25"),
+                    F.col("_hits"))
+            .filter(F.element_at("_hits", F.col("_qi") + 1))
+            .select(F.element_at(qid_lit, F.col("_qi") + 1)
+                    .cast("bigint").alias("query_id"),
+                    id_col, "bm25")
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k).drop("_rn"))
+
+
 def bm25_stats_sink(state_dir: str, text_col: str = "text",
                     n_buckets: int = 8):
     """foreachBatch writer maintaining BM25 corpus statistics

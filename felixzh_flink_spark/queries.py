@@ -3854,12 +3854,15 @@ def rp_projection_topk(spark, sf_dir):
 
 
 def _rp_rerank_oracle(k: int = 10, prek: int = 50, out_dim: int = 16,
-                      in_dim: int = 64) -> str:
+                      in_dim: int = 64, where: str = "") -> str:
     """rp_rerank_topk's oracle: replay BOTH retrieval stages — the
     projected-cosine candidate ranking (top `prek` by rp desc, id) and
     the exact re-rank of exactly those candidates. Identical fold
     order throughout, so the candidate SET (not just the final ten)
-    must match bit-for-bit."""
+    must match bit-for-bit. `where` injects a corpus PRE-filter into
+    the candidate CTE (the filtered-search oracle: stage 1 must rank
+    only the filtered set — post-filtering top-k would return
+    different rows and fail the hash)."""
     import math as _math
 
     planes = SIM.rademacher_planes(out_dim, in_dim)
@@ -3891,7 +3894,7 @@ qp AS (SELECT {proj('q.qv')} AS pv FROM q),
 p AS (SELECT e.vec_id AS id,
              list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS ev,
              {proj('e.embedding')} AS proj
-      FROM embeddings e),
+      FROM embeddings e {where}),
 s1 AS (SELECT p.id, p.ev, {cos('p.proj', 'qp.pv', out_dim)} AS rp
        FROM p, qp
        ORDER BY rp DESC, id LIMIT {prek})
@@ -4034,6 +4037,35 @@ def rp_rerank_upsert_indexed(spark, sf_dir):
     idx = SIM.rp_index_latest(spark, _rp_upsert_index_path(spark, sf_dir))
     return SIM.rp_rerank_topk_from_df(
         idx, _query_vec(spark, sf_dir), k=10, prek=50,
+        out_dim=16, in_dim=64)
+
+
+_RP_FILTER_SOURCES = "('src0','src1','src2','src3','src4')"
+
+
+@q("rp_rerank_filtered", _rp_rerank_oracle(where=(
+    "WHERE e.vec_id IN (SELECT doc_id FROM documents "
+    f"WHERE source IN {_RP_FILTER_SOURCES})")))
+def rp_rerank_filtered(spark, sf_dir):
+    """FILTERED vector search (`similarity.rp_rerank_topk_prefiltered`)
+    — "top-10 among documents from these 5 sources": the metadata
+    predicate (a documents-table join — 25% of the corpus) restricts
+    the MATERIALIZED index BEFORE stage-1 ranking, so the returned k
+    are the best of the filtered set — PRE-filter semantics, the
+    correctness property post-filtering silently breaks when the
+    predicate is selective. HARD oracle: the two-stage replay with the
+    same predicate injected into the candidate CTE — a post-filter
+    implementation (or a filter applied only at stage 2) returns
+    different candidates and fails the hash. Scale shape: one id
+    semi-join on the narrow index scan, then the proven two-stage
+    serving path over the survivors."""
+    idx = spark.read.parquet(_rp_index_path(spark, sf_dir))
+    allowed = (_t_wide(spark, sf_dir, "documents")
+               .filter(F.col("source").isin(
+                   [f"src{i}" for i in range(5)]))
+               .select(F.col("doc_id").alias("vec_id")))
+    return SIM.rp_rerank_topk_prefiltered(
+        idx, allowed, _query_vec(spark, sf_dir), k=10, prek=50,
         out_dim=16, in_dim=64)
 
 
@@ -7511,6 +7543,60 @@ def bm25_topk_docs(spark, sf_dir):
                         stats=_bm25_stats(spark, sf_dir))
 
 
+#: the batched-BM25 query bags — overlapping terms on purpose (the
+#: union-tf sharing is the point of batching)
+_BM25_QUERY_BAGS = {
+    0: ["vector", "stream", "window"],
+    1: ["join", "hash", "merge"],
+    2: ["scan", "filter", "vector"],
+}
+
+_BM25_MULTI_STATS_CACHE: dict[str, tuple[int, list[int]]] = {}
+
+
+def _bm25_multi_stats(spark, sf_dir):
+    if sf_dir not in _BM25_MULTI_STATS_CACHE:
+        union_terms = sorted(
+            {t for bag in _BM25_QUERY_BAGS.values() for t in bag})
+        _BM25_MULTI_STATS_CACHE[sf_dir] = TX.bm25_corpus_stats(
+            _t_wide(spark, sf_dir, "documents"), union_terms)
+    return _BM25_MULTI_STATS_CACHE[sf_dir]
+
+
+def _bm25_multi_oracle(k: int = 10) -> str:
+    """bm25_topk_multi_docs' oracle: every query bag replayed
+    INDEPENDENTLY through the proven single-query BM25 oracle (same
+    tokenization, same fixed-order term chain, same quantized ranking)
+    and unioned with its query_id — batching may only amortize the
+    scan, never change any query's rows."""
+    parts = [
+        f"SELECT {qid} AS query_id, doc_id, bm25 FROM "
+        f"({_bm25_oracle(terms=bag, k=k)})"
+        for qid, bag in sorted(_BM25_QUERY_BAGS.items())]
+    return "\nUNION ALL\n".join(parts)
+
+
+@q("bm25_topk_multi_docs", _bm25_multi_oracle())
+def bm25_topk_multi_docs(spark, sf_dir):
+    """BATCHED BM25 lexical retrieval (`text.bm25_topk_multi`) — three
+    query term-bags (overlapping terms) served from ONE corpus scan:
+    per-row tf computed once per UNION term, per-query fixed-order
+    score chains, one keyed window for the per-query top-10 (group-
+    limit pushdown keeps the shuffle at tasks × queries × k rows — the
+    `rp_rerank_multi_indexed` trade applied to the lexical ranker).
+    Corpus stats for the union terms are the cached exact-integer
+    ingest artifact, so the batch plans as one scan + one small keyed
+    window. The oracle replays every bag independently through the
+    proven single-query BM25 SQL — per-query rows must equal N
+    single-query runs exactly (also unit-pinned against
+    `text.bm25_topk` itself)."""
+    n = _documents_n(spark, sf_dir)
+    return TX.bm25_topk_multi(
+        _t_wide(spark, sf_dir, "documents"), _BM25_QUERY_BAGS,
+        k=10, k1=1.2, b=0.75, n_docs=n,
+        stats=_bm25_multi_stats(spark, sf_dir))
+
+
 def _hybrid_rrf_oracle(k: int = 10, k0: int = 60) -> str:
     """hybrid_rrf_topk's oracle: replay BOTH rankers in full — the BM25
     oracle at k=50 and the two-stage rp-rerank oracle at k=50/prek=100
@@ -8640,7 +8726,8 @@ _DRIVER_ORDER = [
     # row below is oracle-backed and structurally provable.
     # =================================================================
     "rp_rerank_delta_indexed", "rp_rerank_upsert_indexed",
-    "ann_ivf_delta_checks", "hybrid_rrf_topk",
+    "ann_ivf_delta_checks", "hybrid_rrf_topk", "bm25_topk_multi_docs",
+    "rp_rerank_filtered",
     "rp_rerank_indexed", "rp_rerank_multi_indexed",
     "crawl_to_corpus", "dedup_components", "crawl_rank_weighted",
     "distinct_parts_per_supplier", "edit_distance_pairs",
@@ -8658,13 +8745,12 @@ _DRIVER_ORDER = [
     "argmax_order_per_segment", "canonical_url_dedup",
     "classifier_keep_rates", "classifier_scores", "csv_roundtrip_part",
     "cube_order_status", "events_json_extract", "events_sliding_windows",
-    "events_variant_extract", "hourly_top_events",
     # ---- position 50 boundary ----
     # past the window: remaining entries in verification-age
     # order — pre-r8 greens by age first, then the r8-window
     # greens, then the 46 r9-window greens (the youngest
     # driver proofs) closing the list.
-    "mp4_duration_meta",
+    "events_variant_extract", "hourly_top_events", "mp4_duration_meta",
     "nation_customers_vs_suppliers", "ngram_jaccard_pairs",
     "pivot_order_status", "q10_returned_items", "q12_returnflag_priority",
     "q14_promo_revenue", "q15_top_supplier", "q17_small_quantity_revenue",

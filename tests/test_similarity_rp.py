@@ -356,3 +356,41 @@ def test_rrf_fuse_semantics(spark):
     rows = rrf_fuse(t1, t2, "bm25", "cosine_sim",
                     "doc_id", "id", k=2).collect()
     assert [(r.id, r.rrf) for r in rows] == [(1, 2.0 / 61), (2, 2.0 / 62)]
+
+
+def test_prefiltered_rerank_semantics(spark, tmp_path):
+    """Filtered vector search: every returned id satisfies the filter,
+    the result equals the inline two-stage run over the pre-filtered
+    corpus, and the NEGATIVE control shows post-filtering a global
+    top-k returns different rows — the recall bug pre-filter semantics
+    exist to prevent."""
+    from felixzh_flink_spark.operators.similarity import (
+        rp_rerank_topk,
+        rp_rerank_topk_prefiltered,
+        write_rp_index,
+    )
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = [float(x) for x in
+         e.filter(F.col("vec_id") == 0).head()["embedding"]]
+    path = str(tmp_path / "rp_idx")
+    write_rp_index(e, path, OUT, IN)
+    idx = spark.read.parquet(path)
+    allowed = e.filter(F.col("vec_id") % 4 == 1) \
+        .select("vec_id")                      # 25%, excludes id 0
+    got = [(r.id, r.cosine_sim)
+           for r in rp_rerank_topk_prefiltered(
+               idx, allowed, q, k=10, prek=20).collect()]
+    assert got and all(i % 4 == 1 for i, _ in got)
+    inline = [(r.id, r.cosine_sim)
+              for r in rp_rerank_topk(
+                  e.filter(F.col("vec_id") % 4 == 1), q,
+                  k=10, prek=20).collect()]
+    assert got == inline
+    # negative control: post-filtering the GLOBAL top-k is different —
+    # with a selective filter the global candidate list barely overlaps
+    # the allowed set, so the post-filter result is a strict subset of
+    # fewer/different rows
+    post = [(r.id, r.cosine_sim)
+            for r in rp_rerank_topk(e, q, k=10, prek=20).collect()
+            if r.id % 4 == 1]
+    assert post != got

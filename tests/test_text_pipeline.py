@@ -479,3 +479,28 @@ def test_bm25_matches_hand_reference(spark):
         assert abs(got_s - ref_s) < 1e-9, (i, got_s, ref_s)
     # doc 4 matches no term: excluded
     assert 4 not in [i for i, _ in rows]
+
+
+def test_bm25_topk_multi_equals_single_query_runs(spark):
+    """Batched BM25 must return, for EVERY bag, exactly the single-query
+    bm25_topk rows (ids, order, bit-equal quantized scores) — batching
+    may only amortize the scan. Bags overlap on purpose (shared-term tf
+    reuse is the point) and one bag has a term absent from the corpus
+    (its contribution rides the same chain; df=0 → idf=ln(1+(N+0.5)/0.5),
+    tf=0 → 0 contribution — never a crash or a dropped doc)."""
+    from felixzh_flink_spark.operators.text import bm25_topk, bm25_topk_multi
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bags = {0: ["vector", "stream", "window"],
+            1: ["join", "hash", "merge"],
+            2: ["scan", "nosuchtermever", "vector"]}
+    got = {}
+    for r in bm25_topk_multi(docs, bags, k=7).collect():
+        got.setdefault(r.query_id, []).append((r.doc_id, r.bm25))
+    for q in got:
+        got[q].sort(key=lambda p: (-p[1], p[0]))
+    assert set(got) == set(bags)
+    for q, terms in bags.items():
+        single = [(r.doc_id, r.bm25)
+                  for r in bm25_topk(docs, terms, k=7).collect()]
+        assert got[q] == single, q
