@@ -214,6 +214,8 @@ HEADLINE = [
     # filtered vector search: metadata pre-filter (25% of the corpus)
     # semi-joined onto the narrow index scan BEFORE stage-1 ranking
     "rp_rerank_filtered",
+    # image near-dup: PNG decode -> integer aHash -> banded Hamming join
+    "image_ahash_neardup",
 ]
 
 #: ITER lane (round-8 verdict item 2): the iterative / composed kernels

@@ -448,6 +448,127 @@ def png_pixel_stats(df: DataFrame, id_col: str = "doc_id",
     return df.mapInPandas(kernel, schema=PNG_STATS_SCHEMA)
 
 
+AHASH_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("cell_sums", T.ArrayType(T.LongType()), True),
+    T.StructField("cell_counts", T.ArrayType(T.LongType()), True),
+    T.StructField("lum_total", T.LongType(), True),
+    T.StructField("npx", T.LongType(), True),
+])
+
+
+def image_ahash_cells(df: DataFrame, id_col: str = "doc_id",
+                      payload_col: str = "png",
+                      grid: int = 4) -> DataFrame:
+    """Stage 1 of PERCEPTUAL image hashing (average hash, the classic
+    pHash-family member): REAL pixel decode (`functions/png_codec`) →
+    per-pixel integer luminance (channel sum; grayscale scaled ×3 so
+    both channel layouts live on one scale — per-image uniform scaling
+    cannot move an aHash bit) → a grid×grid box-downsample as INTEGER
+    cell sums: pixel (x, y) lands in cell (y·grid div h, x·grid div w),
+    the floor mapping every resizer uses, so each cell's sum and pixel
+    count come out exact — no float resampling, no rounding policy to
+    match across engines. Emits (cell_sums, cell_counts, total, npx)
+    per image; bit derivation stays JVM-side (`image_ahash_bits`) so
+    the Arrow kernel moves O(grid²) ints per image, never pixels.
+    Undecodable payloads yield null rows (quarantine, don't crash)."""
+    from felixzh_flink_spark.functions.png_codec import decode_png
+
+    g = int(grid)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    w, h, ch, px = decode_png(p)
+                    sums = [0] * (g * g)
+                    counts = [0] * (g * g)
+                    for y in range(h):
+                        row_off = y * w * ch
+                        cy = y * g // h
+                        for x in range(w):
+                            o = row_off + x * ch
+                            if ch == 1:
+                                lum = 3 * px[o]
+                            else:
+                                lum = px[o] + px[o + 1] + px[o + 2]
+                            c = cy * g + (x * g // w)
+                            sums[c] += lum
+                            counts[c] += 1
+                    rows.append((int(i), w, h, sums, counts,
+                                 sum(sums), w * h))
+                except Exception:   # truncated / non-png payloads
+                    rows.append((int(i), None, None, None, None,
+                                 None, None))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "width", "height", "cell_sums", "cell_counts",
+                "lum_total", "npx"])
+
+    return df.mapInPandas(kernel, schema=AHASH_SCHEMA)
+
+
+def image_ahash_bits(cells_df: DataFrame, grid: int = 4) -> DataFrame:
+    """Stage 2: aHash bits from the integer cell stats, pure JVM
+    expressions — bit_c = 1 iff the cell's MEAN luminance exceeds the
+    image mean, decided by exact integer cross-multiplication
+    (cell_sum·npx > total·cell_count — no divisions, so cross-engine
+    parity is unconditional; empty cells of tiny images get bit 0 from
+    0 > 0). Adds `bits` (array of grid² ints, row-major) and `ahash`
+    (the bits packed big-endian into one integer)."""
+    n = int(grid) * int(grid)
+    bit = (
+        f"transform(sequence(0, {n - 1}), c -> CAST("
+        "element_at(cell_sums, c + 1) * npx > "
+        "lum_total * element_at(cell_counts, c + 1) AS INT))")
+    return (cells_df
+            .withColumn("bits", F.expr(bit))
+            .withColumn("ahash", F.expr(
+                "aggregate(bits, CAST(0 AS BIGINT), "
+                "(acc, b) -> acc * 2 + b)")))
+
+
+def image_neardup_pairs(hashed: DataFrame, grid: int = 4,
+                        bands: int = 4, max_hamming: int = 2,
+                        id_col: str = "doc_id") -> DataFrame:
+    """Stage 3: perceptual NEAR-DUP pairs — the image face of the
+    banded-LSH discipline every dedup path in this engine follows
+    (never all-pairs): the grid² hash bits split into `bands`
+    contiguous bands; by pigeonhole two hashes within Hamming distance
+    < bands must agree on ≥ 1 whole band, so the candidate join is an
+    EQUI-join on (band_index, band_value) and exact Hamming (Σ|bitᵃ −
+    bitᵇ|, pure integers) verifies only collisions. At fixture scale
+    (4×4 = 16-bit hashes over ≤ 7×5 images) band values are 4-bit and
+    buckets are coarse; production images take grid=8 (64-bit hash,
+    16-bit bands), where the same plan's buckets turn selective — the
+    operator is parameterized for exactly that. Returns
+    (id_a, id_b, hamming), id_a < id_b, each verified pair once."""
+    n = int(grid) * int(grid)
+    assert n % bands == 0
+    bw = n // bands
+    band_val = (f"transform(sequence(0, {bands - 1}), b -> "
+                f"aggregate(slice(bits, b * {bw} + 1, {bw}), "
+                "CAST(0 AS BIGINT), (acc, x) -> acc * 2 + x))")
+    e = (hashed.filter(F.col("bits").isNotNull())
+         .select(F.col(id_col).alias("id"), "bits",
+                 F.posexplode(F.expr(band_val)).alias("band", "bval")))
+    a = e.select(F.col("id").alias("id_a"), F.col("bits").alias("_ba"),
+                 "band", "bval")
+    b = e.select(F.col("id").alias("id_b"), F.col("bits").alias("_bb"),
+                 "band", "bval")
+    cand = (a.join(b, ["band", "bval"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "_ba", "_bb")
+            .dropDuplicates(["id_a", "id_b"]))
+    ham = F.expr("aggregate(zip_with(_ba, _bb, (x, y) -> abs(x - y)), "
+                 "0, (acc, d) -> acc + d)")
+    return (cand.withColumn("hamming", ham)
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))
+
+
 def synthesize_wav_column(df: DataFrame, id_col: str = "doc_id",
                           payload_col: str = "wav") -> DataFrame:
     """Deterministic WAV fixture generator (`png` analog for audio):

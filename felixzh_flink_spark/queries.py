@@ -7543,6 +7543,104 @@ def bm25_topk_docs(spark, sf_dir):
                         stats=_bm25_stats(spark, sf_dir))
 
 
+_AHASH_ORACLE = """
+WITH d AS (
+  SELECT doc_id AS id, doc_id % 7 + 1 AS w, doc_id % 5 + 1 AS h,
+         (doc_id % 2) * 2 + 1 AS ch
+  FROM documents WHERE doc_id < 500
+),
+px AS (
+  SELECT id, w, h, ch, unnest(range(0, w * h)) AS j FROM d
+),
+lum AS (
+  SELECT id,
+         ((j // w) * 4 // h) * 4 + ((j % w) * 4 // w) AS cell,
+         CASE WHEN ch = 1 THEN 3 * ((id * 31 + 7 * j) % 256)
+              ELSE (id * 31 + 7 * (3 * j)) % 256
+                 + (id * 31 + 7 * (3 * j + 1)) % 256
+                 + (id * 31 + 7 * (3 * j + 2)) % 256 END AS v
+  FROM px
+),
+cells AS (
+  SELECT id, cell, SUM(v) AS cs, COUNT(*) AS cc FROM lum GROUP BY id, cell
+),
+tot AS (SELECT id, SUM(v) AS total, COUNT(*) AS npx FROM lum GROUP BY id),
+allc AS (
+  SELECT d.id, g.c AS cell
+  FROM d, (SELECT unnest(range(0, 16)) AS c) g
+),
+bit AS (
+  SELECT a.id, a.cell,
+         CASE WHEN COALESCE(cells.cs, 0) * tot.npx
+                   > tot.total * COALESCE(cells.cc, 0)
+              THEN 1 ELSE 0 END AS b
+  FROM allc a
+  JOIN tot ON tot.id = a.id
+  LEFT JOIN cells ON cells.id = a.id AND cells.cell = a.cell
+),
+hv AS (SELECT id, list(b ORDER BY cell) AS bits FROM bit GROUP BY id),
+bands AS (
+  SELECT id, g.bnd,
+         8 * bits[4 * g.bnd + 1] + 4 * bits[4 * g.bnd + 2]
+         + 2 * bits[4 * g.bnd + 3] + bits[4 * g.bnd + 4] AS bval
+  FROM hv, (SELECT unnest(range(0, 4)) AS bnd) g
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b
+    ON a.bnd = b.bnd AND a.bval = b.bval AND a.id < b.id
+)
+SELECT c.id_a, c.id_b,
+       CAST(list_sum(list_transform(range(1, 17),
+            i -> abs(ha.bits[i] - hb.bits[i]))) AS BIGINT) AS hamming
+FROM cand c
+JOIN hv ha ON ha.id = c.id_a
+JOIN hv hb ON hb.id = c.id_b
+WHERE list_sum(list_transform(range(1, 17),
+      i -> abs(ha.bits[i] - hb.bits[i]))) <= 1
+"""
+
+
+@q("image_ahash_neardup", _AHASH_ORACLE)
+def image_ahash_neardup(spark, sf_dir):
+    """PERCEPTUAL image near-dup detection — the IMAGE face of the
+    corpus-dedup story (text has exact/MinHash/SimHash; embeddings have
+    semantic dedup; this closes the modality gap with the classic
+    average-hash): real encoded PNGs (the closed-form fixture recipe,
+    both channel layouts, all five scanline filters) are pixel-DECODED
+    (`multimodal.image_ahash_cells`, Arrow kernel emitting integer 4×4
+    box-downsample cell sums — O(grid²) ints per image cross the Arrow
+    boundary, never pixels), hashed JVM-side by exact integer
+    cross-multiplication (`image_ahash_bits` — no divisions, no floats
+    anywhere in the pipeline), and paired by the banded-LSH discipline
+    (`image_neardup_pairs`: pigeonhole band equi-join, exact Hamming ≤ 1
+    verify on collisions only — never all-pairs, same contract as every
+    other dedup path). HARD oracle: DuckDB replays luminance, the floor
+    cell mapping, the bit rule, the banding, and the Hamming verify
+    from the fixture recipe alone — it cannot decode a PNG, so a
+    decoder bug (wrong unfilter, wrong channel walk, shuffled
+    scanlines) flips cell sums → bits → the pair set and fails the
+    hash. Fixture scale uses grid=4 (16-bit hashes — band buckets are
+    deliberately coarse on 7×5 images); production takes grid=8 for
+    64-bit hashes with 16-bit bands, the operator is parameterized for
+    exactly that."""
+    d = (_t_wide(spark, sf_dir, "documents")
+         .filter(F.col("doc_id") < 500).select("doc_id"))
+    png = MM.synthesize_png_column(d)
+    # both sides of the banded self-join derive from the hashed
+    # relation — without a cut the encode+decode Arrow chain runs
+    # TWICE (the crawl_to_corpus double-decode class, VERDICT r9);
+    # eager localCheckpoint materializes the tiny (id, bits) relation
+    # once. In production the hash column is an ingest artifact like
+    # write_rp_index and this cut is the index build.
+    hashed = MM.image_ahash_bits(MM.image_ahash_cells(png, grid=4),
+                                 grid=4).localCheckpoint(eager=True)
+    return (MM.image_neardup_pairs(hashed, grid=4, bands=4,
+                                   max_hamming=1)
+            .select("id_a", "id_b",
+                    F.col("hamming").cast("bigint").alias("hamming")))
+
+
 #: the batched-BM25 query bags — overlapping terms on purpose (the
 #: union-tf sharing is the point of batching)
 _BM25_QUERY_BAGS = {
@@ -8727,7 +8825,7 @@ _DRIVER_ORDER = [
     # =================================================================
     "rp_rerank_delta_indexed", "rp_rerank_upsert_indexed",
     "ann_ivf_delta_checks", "hybrid_rrf_topk", "bm25_topk_multi_docs",
-    "rp_rerank_filtered",
+    "rp_rerank_filtered", "image_ahash_neardup",
     "rp_rerank_indexed", "rp_rerank_multi_indexed",
     "crawl_to_corpus", "dedup_components", "crawl_rank_weighted",
     "distinct_parts_per_supplier", "edit_distance_pairs",
@@ -8744,13 +8842,14 @@ _DRIVER_ORDER = [
     "weekly_retention_cohorts", "word_count", "zorder_key_lineitem",
     "argmax_order_per_segment", "canonical_url_dedup",
     "classifier_keep_rates", "classifier_scores", "csv_roundtrip_part",
-    "cube_order_status", "events_json_extract", "events_sliding_windows",
+    "cube_order_status", "events_json_extract",
     # ---- position 50 boundary ----
     # past the window: remaining entries in verification-age
     # order — pre-r8 greens by age first, then the r8-window
     # greens, then the 46 r9-window greens (the youngest
     # driver proofs) closing the list.
-    "events_variant_extract", "hourly_top_events", "mp4_duration_meta",
+    "events_sliding_windows", "events_variant_extract",
+    "hourly_top_events", "mp4_duration_meta",
     "nation_customers_vs_suppliers", "ngram_jaccard_pairs",
     "pivot_order_status", "q10_returned_items", "q12_returnflag_priority",
     "q14_promo_revenue", "q15_top_supplier", "q17_small_quantity_revenue",

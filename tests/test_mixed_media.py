@@ -152,3 +152,41 @@ def test_webdataset_shard_roundtrip_and_quarantine(spark):
     rows = {r.doc_id: r.n_parts
             for r in MM.webdataset_sample_stats(bad).collect()}
     assert rows == {1: None, 2: None, 3: None}
+
+
+def test_image_ahash_and_neardup_pairs(spark):
+    """aHash pipeline on CRAFTED images (not the fixture recipe): a
+    bright-left/dark-right image, a near-duplicate differing by one
+    pixel (same hash or Hamming 1), and its inversion (Hamming = 16 —
+    all bits flip). The banded join must return the near-dup pair and
+    must NOT return the inverted pair; hashes computed through the real
+    PNG encode→decode roundtrip."""
+    from felixzh_flink_spark.functions.png_codec import encode_png
+    from felixzh_flink_spark.operators.multimodal import (
+        image_ahash_bits,
+        image_ahash_cells,
+        image_neardup_pairs,
+    )
+
+    w, h = 8, 8
+    base = bytes(250 if x < 4 else 5 for _ in range(h) for x in range(w))
+    tweak = bytearray(base)
+    tweak[0] = 240                              # one-pixel change
+    inv = bytes(255 - v for v in base)
+    rows = [(1, encode_png(w, h, base, 1)),
+            (2, encode_png(w, h, bytes(tweak), 1)),
+            (3, encode_png(w, h, inv, 1))]
+    df = spark.createDataFrame(rows, "doc_id long, png binary")
+    hashed = image_ahash_bits(image_ahash_cells(df, grid=4), grid=4)
+    by_id = {r.doc_id: (list(r.bits), r.ahash) for r in hashed.collect()}
+    # left half bright → bits 1 on cells 0-1 of each row (big-endian
+    # packing: rows of 1100 → 0xCCCC)
+    assert by_id[1][0] == [1, 1, 0, 0] * 4
+    assert by_id[1][1] == 0xCCCC
+    assert by_id[3][0] == [0, 0, 1, 1] * 4      # inversion flips all
+    ham12 = sum(abs(a - b) for a, b in zip(by_id[1][0], by_id[2][0]))
+    assert ham12 <= 1
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in image_neardup_pairs(hashed, max_hamming=1).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == ham12
+    assert (1, 3) not in pairs and (2, 3) not in pairs

@@ -106,6 +106,7 @@ def test_headline_queries_have_no_python_stages(spark):
     # Arrow-batched slow path (pure-Python zlib/LZW/PCM decode — no JVM
     # expression can inflate them)
     allowed = {"pack_sequences", "pack_efficiency",
+               "image_ahash_neardup",   # PNG encode+decode Arrow kernels
                "png_decode_stats", "wav_decode_stats",
                "png_thumbnail_stats", "gif_decode_stats",
                "jpeg_decode_stats", "jpeg_color_decode_stats",
