@@ -216,6 +216,9 @@ HEADLINE = [
     "rp_rerank_filtered",
     # image near-dup: PNG decode -> integer aHash -> banded Hamming join
     "image_ahash_neardup",
+    # audio content dedup: PCM decode -> window-energy fingerprint ->
+    # the same banded Hamming machinery
+    "audio_fingerprint_neardup",
 ]
 
 #: ITER lane (round-8 verdict item 2): the iterative / composed kernels

@@ -510,6 +510,56 @@ def image_ahash_cells(df: DataFrame, id_col: str = "doc_id",
     return df.mapInPandas(kernel, schema=AHASH_SCHEMA)
 
 
+def audio_fingerprint_cells(df: DataFrame, id_col: str = "doc_id",
+                            payload_col: str = "wav",
+                            windows: int = 16) -> DataFrame:
+    """AUDIO fingerprinting, stage 1 — the WAV analog of
+    `image_ahash_cells` (one hash/band machinery, per-modality decode
+    kernels): REAL PCM decode (`functions/wav_codec`) → interleaved
+    channels mixed down to integer mono frames → the frame sequence
+    box-partitioned into `windows` time windows (frame f of L lands in
+    window f·windows div L — the same floor mapping as the image grid)
+    → exact integer window ENERGIES (Σ mono², the energy envelope a
+    Shazam-style fingerprint thresholds). Emits the SAME schema as the
+    image kernel (cell_sums = window energies, cell_counts = frames
+    per window, lum_total = total energy, npx = frames), so
+    `image_ahash_bits` (energy-above-mean bit per window, exact integer
+    cross-multiplication) and `image_neardup_pairs` (banded Hamming
+    join) apply UNCHANGED — text, embeddings, images, and audio all
+    dedup through one discipline. Undecodable payloads yield nulls."""
+    from felixzh_flink_spark.functions.wav_codec import decode_wav
+
+    nw = int(windows)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    rate, ch, bits, samples = decode_wav(p)
+                    frames = len(samples) // ch
+                    sums = [0] * nw
+                    counts = [0] * nw
+                    total = 0
+                    for f in range(frames):
+                        mono = sum(samples[f * ch:(f + 1) * ch])
+                        e = mono * mono
+                        w = f * nw // frames
+                        sums[w] += e
+                        counts[w] += 1
+                        total += e
+                    rows.append((int(i), None, None, sums, counts,
+                                 total, frames))
+                except Exception:   # truncated / non-wav payloads
+                    rows.append((int(i), None, None, None, None,
+                                 None, None))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "width", "height", "cell_sums", "cell_counts",
+                "lum_total", "npx"])
+
+    return df.mapInPandas(kernel, schema=AHASH_SCHEMA)
+
+
 def image_ahash_bits(cells_df: DataFrame, grid: int = 4) -> DataFrame:
     """Stage 2: aHash bits from the integer cell stats, pure JVM
     expressions — bit_c = 1 iff the cell's MEAN luminance exceeds the

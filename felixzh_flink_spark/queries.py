@@ -7641,6 +7641,93 @@ def image_ahash_neardup(spark, sf_dir):
                     F.col("hamming").cast("bigint").alias("hamming")))
 
 
+_AUDIO_FP_ORACLE = """
+WITH d AS (
+  SELECT doc_id AS id, doc_id % 2 + 1 AS ch, doc_id % 25 + 4 AS L
+  FROM documents WHERE doc_id < 200
+),
+fr AS (SELECT id, ch, L, unnest(range(0, L)) AS f FROM d),
+mono AS (
+  SELECT id, L, f * 16 // L AS w,
+         CASE WHEN ch = 1 THEN ((id * 37 + 11 * f) % 65536) - 32768
+              ELSE (((id * 37 + 11 * (2 * f)) % 65536) - 32768)
+                 + (((id * 37 + 11 * (2 * f + 1)) % 65536) - 32768)
+         END AS m
+  FROM fr
+),
+en AS (SELECT id, w, SUM(m * m) AS es, COUNT(*) AS ec
+       FROM mono GROUP BY id, w),
+tot AS (SELECT id, SUM(m * m) AS total, COUNT(*) AS nf
+        FROM mono GROUP BY id),
+allw AS (
+  SELECT d.id, g.w FROM d, (SELECT unnest(range(0, 16)) AS w) g
+),
+bit AS (
+  SELECT a.id, a.w,
+         CASE WHEN COALESCE(en.es, 0) * tot.nf
+                   > tot.total * COALESCE(en.ec, 0)
+              THEN 1 ELSE 0 END AS b
+  FROM allw a
+  JOIN tot ON tot.id = a.id
+  LEFT JOIN en ON en.id = a.id AND en.w = a.w
+),
+hv AS (SELECT id, list(b ORDER BY w) AS bits FROM bit GROUP BY id),
+bands AS (
+  SELECT id, g.bnd,
+         8 * bits[4 * g.bnd + 1] + 4 * bits[4 * g.bnd + 2]
+         + 2 * bits[4 * g.bnd + 3] + bits[4 * g.bnd + 4] AS bval
+  FROM hv, (SELECT unnest(range(0, 4)) AS bnd) g
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b
+    ON a.bnd = b.bnd AND a.bval = b.bval AND a.id < b.id
+)
+SELECT c.id_a, c.id_b,
+       CAST(list_sum(list_transform(range(1, 17),
+            i -> abs(ha.bits[i] - hb.bits[i]))) AS BIGINT) AS hamming
+FROM cand c
+JOIN hv ha ON ha.id = c.id_a
+JOIN hv hb ON hb.id = c.id_b
+WHERE list_sum(list_transform(range(1, 17),
+      i -> abs(ha.bits[i] - hb.bits[i]))) <= 0
+"""
+
+
+@q("audio_fingerprint_neardup", _AUDIO_FP_ORACLE)
+def audio_fingerprint_neardup(spark, sf_dir):
+    """AUDIO content dedup (`multimodal.audio_fingerprint_cells`) —
+    the fourth dedup modality (text exact/MinHash/SimHash, embedding
+    semantic, image aHash, now audio): real WAV fixtures are
+    PCM-decoded, interleaved channels mix down to integer mono frames,
+    the frame sequence box-partitions into 16 time windows whose exact
+    integer ENERGIES (Σ mono² — the envelope a Shazam-style fingerprint
+    thresholds) feed the SAME energy-above-mean bit rule, banding, and
+    Hamming machinery as the image path (`image_ahash_bits` /
+    `image_neardup_pairs` applied verbatim — one dedup discipline, four
+    modalities). Hamming 0 here: exact fingerprint-duplicate groups
+    (on this synthetic corpus the clips are homogeneous max-amplitude
+    noise, so collisions are legitimately dense — a fixture property;
+    the crafted-audio unit proves discrimination: loud→quiet vs
+    quiet→loud clips land in different groups, a re-gained copy in the
+    same one). HARD oracle: DuckDB replays mixdown, windowing, energy
+    sums, bits, banding, and Hamming from the closed-form recipe — it
+    cannot parse RIFF, so a decode bug (wrong chunk walk, channel
+    deinterleave, sign handling) moves energies → bits → the pair set
+    and fails the hash. The hashed relation localCheckpoints for the
+    same double-decode reason as the image query."""
+    d = (_t_wide(spark, sf_dir, "documents")
+         .filter(F.col("doc_id") < 200).select("doc_id"))
+    wav = MM.synthesize_wav_column(d)
+    hashed = MM.image_ahash_bits(
+        MM.audio_fingerprint_cells(wav, windows=16), grid=4) \
+        .localCheckpoint(eager=True)
+    return (MM.image_neardup_pairs(hashed, grid=4, bands=4,
+                                   max_hamming=0)
+            .select("id_a", "id_b",
+                    F.col("hamming").cast("bigint").alias("hamming")))
+
+
 #: the batched-BM25 query bags — overlapping terms on purpose (the
 #: union-tf sharing is the point of batching)
 _BM25_QUERY_BAGS = {
@@ -8826,6 +8913,7 @@ _DRIVER_ORDER = [
     "rp_rerank_delta_indexed", "rp_rerank_upsert_indexed",
     "ann_ivf_delta_checks", "hybrid_rrf_topk", "bm25_topk_multi_docs",
     "rp_rerank_filtered", "image_ahash_neardup",
+    "audio_fingerprint_neardup",
     "rp_rerank_indexed", "rp_rerank_multi_indexed",
     "crawl_to_corpus", "dedup_components", "crawl_rank_weighted",
     "distinct_parts_per_supplier", "edit_distance_pairs",
@@ -8842,12 +8930,13 @@ _DRIVER_ORDER = [
     "weekly_retention_cohorts", "word_count", "zorder_key_lineitem",
     "argmax_order_per_segment", "canonical_url_dedup",
     "classifier_keep_rates", "classifier_scores", "csv_roundtrip_part",
-    "cube_order_status", "events_json_extract",
+    "cube_order_status",
     # ---- position 50 boundary ----
     # past the window: remaining entries in verification-age
     # order — pre-r8 greens by age first, then the r8-window
     # greens, then the 46 r9-window greens (the youngest
     # driver proofs) closing the list.
+    "events_json_extract",
     "events_sliding_windows", "events_variant_extract",
     "hourly_top_events", "mp4_duration_meta",
     "nation_customers_vs_suppliers", "ngram_jaccard_pairs",

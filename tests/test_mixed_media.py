@@ -190,3 +190,39 @@ def test_image_ahash_and_neardup_pairs(spark):
              for r in image_neardup_pairs(hashed, max_hamming=1).collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] == ham12
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_audio_fingerprint_discriminates_envelopes(spark):
+    """Audio fingerprint on CRAFTED clips (not the fixture recipe): a
+    loud→quiet clip, its regained copy (every sample halved — the
+    envelope SHAPE is identical, so the energy-above-mean bits match
+    exactly), and the reversed quiet→loud clip (bits flip — different
+    group). Decoded through the real WAV encode→decode roundtrip;
+    stereo mixdown exercised via a 2-channel variant of the loud→quiet
+    clip landing in the same group as its mono twin."""
+    from felixzh_flink_spark.functions.wav_codec import encode_wav
+    from felixzh_flink_spark.operators.multimodal import (
+        audio_fingerprint_cells,
+        image_ahash_bits,
+        image_neardup_pairs,
+    )
+
+    loud_quiet = [20000] * 32 + [100] * 32
+    regained = [v // 2 for v in loud_quiet]
+    quiet_loud = list(reversed(loud_quiet))
+    stereo = [v for s in loud_quiet for v in (s // 2, s - s // 2)]
+    rows = [(1, encode_wav(loud_quiet, 8000, 1, 16)),
+            (2, encode_wav(regained, 8000, 1, 16)),
+            (3, encode_wav(quiet_loud, 8000, 1, 16)),
+            (4, encode_wav(stereo, 8000, 2, 16))]
+    df = spark.createDataFrame(rows, "doc_id long, wav binary")
+    hashed = image_ahash_bits(audio_fingerprint_cells(df), grid=4)
+    bits = {r.doc_id: list(r.bits) for r in hashed.collect()}
+    assert bits[1] == [1] * 8 + [0] * 8          # loud half then quiet
+    assert bits[3] == [0] * 8 + [1] * 8          # reversed envelope
+    assert bits[2] == bits[1]                    # gain-invariant
+    assert bits[4] == bits[1]                    # stereo mixdown twin
+    pairs = {(r.id_a, r.id_b)
+             for r in image_neardup_pairs(hashed, max_hamming=0).collect()}
+    assert (1, 2) in pairs and (1, 4) in pairs and (2, 4) in pairs
+    assert all(3 not in p for p in pairs)

@@ -107,6 +107,7 @@ def test_headline_queries_have_no_python_stages(spark):
     # expression can inflate them)
     allowed = {"pack_sequences", "pack_efficiency",
                "image_ahash_neardup",   # PNG encode+decode Arrow kernels
+               "audio_fingerprint_neardup",  # WAV encode+decode kernels
                "png_decode_stats", "wav_decode_stats",
                "png_thumbnail_stats", "gif_decode_stats",
                "jpeg_decode_stats", "jpeg_color_decode_stats",
