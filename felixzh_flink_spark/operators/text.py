@@ -359,14 +359,28 @@ def bm25_topk_multi(df: DataFrame, queries: dict[int, list[str]],
     t = F.trim(F.coalesce(F.col(text_col), F.lit("")))
     toks = F.filter(F.split(F.lower(t), TOKEN_RE),
                     lambda x: x != F.lit(""))
+    # ONE pass over the token array keeps only union-set matches; the
+    # per-term counts then walk the (tiny) match list instead of the
+    # whole document — without this, |union| separate
+    # size(filter(toks, =t)) expressions each materialize a filtered
+    # array over EVERY token, and the sf10 decade run showed that per-
+    # row cost eating the batching win (SCALE.md r10). Counts are
+    # bit-identical either way.
+    union_lit = F.array(*[F.lit(x) for x in terms])
+    hits_arr = F.filter(toks,
+                        lambda x: F.array_contains(union_lit, x))
 
     def _tf(term):
         # single-arg closure — the (element, index) two-param trap
-        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+        return F.size(F.filter(F.col("_hits"),
+                               lambda x: x == F.lit(term)))
 
     per = df.select(
         F.col(id_col),
         F.size(toks).alias("dl"),
+        hits_arr.alias("_hits"),
+    ).select(
+        F.col(id_col), "dl",
         *[_tf(term).alias(f"tf{i}") for i, term in enumerate(terms)])
     if n_docs is None:
         n_docs = df.count()
