@@ -283,14 +283,24 @@ def bm25_topk(df: DataFrame, query_terms: list[str], k: int = 10,
     t = F.trim(F.coalesce(F.col(text_col), F.lit("")))
     toks = F.filter(F.split(F.lower(t), TOKEN_RE),
                     lambda x: x != F.lit(""))
+    # one pass keeps only query-term matches; per-term counts walk the
+    # tiny match list instead of the whole document (the batched-path
+    # finding, SCALE.md r10 — counts are bit-identical either way)
+    qset = F.array(*[F.lit(x) for x in terms])
+    hits_arr = F.filter(toks, lambda x: F.array_contains(qset, x))
+
     def _tf(term):
         # NOTE: a two-parameter lambda would be read by F.filter as the
         # (element, index) form — the closure must stay single-arg
-        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+        return F.size(F.filter(F.col("_hits"),
+                               lambda x: x == F.lit(term)))
 
     per = df.select(
         F.col(id_col),
         F.size(toks).alias("dl"),
+        hits_arr.alias("_hits"),
+    ).select(
+        F.col(id_col), "dl",
         *[_tf(term).alias(f"tf{i}") for i, term in enumerate(terms)])
     if n_docs is None:
         n_docs = df.count()
