@@ -491,9 +491,9 @@ def image_ahash_cells(df: DataFrame, id_col: str = "doc_id",
                         cy = y * g // h
                         for x in range(w):
                             o = row_off + x * ch
-                            if ch == 1:
+                            if ch <= 2:   # gray / gray+alpha: drop alpha
                                 lum = 3 * px[o]
-                            else:
+                            else:         # rgb / rgba: alpha dropped
                                 lum = px[o] + px[o + 1] + px[o + 2]
                             c = cy * g + (x * g // w)
                             sums[c] += lum
@@ -567,17 +567,21 @@ def image_ahash_bits(cells_df: DataFrame, grid: int = 4) -> DataFrame:
     (cell_sum·npx > total·cell_count — no divisions, so cross-engine
     parity is unconditional; empty cells of tiny images get bit 0 from
     0 > 0). Adds `bits` (array of grid² ints, row-major) and `ahash`
-    (the bits packed big-endian into one integer)."""
+    (the bits packed big-endian into one integer; null when grid² > 63
+    bits — a signed BIGINT cannot hold the 64-bit grid=8 pack, and
+    under Spark 4 ANSI mode the overflow would throw mid-query.
+    Downstream near-dup joins consume `bits`, never `ahash`, so the
+    gate costs nothing at production grid=8)."""
     n = int(grid) * int(grid)
     bit = (
         f"transform(sequence(0, {n - 1}), c -> CAST("
         "element_at(cell_sums, c + 1) * npx > "
         "lum_total * element_at(cell_counts, c + 1) AS INT))")
+    pack = ("aggregate(bits, CAST(0 AS BIGINT), (acc, b) -> acc * 2 + b)"
+            if n <= 63 else "CAST(NULL AS BIGINT)")
     return (cells_df
             .withColumn("bits", F.expr(bit))
-            .withColumn("ahash", F.expr(
-                "aggregate(bits, CAST(0 AS BIGINT), "
-                "(acc, b) -> acc * 2 + b)")))
+            .withColumn("ahash", F.expr(pack)))
 
 
 def image_neardup_pairs(hashed: DataFrame, grid: int = 4,
@@ -597,6 +601,9 @@ def image_neardup_pairs(hashed: DataFrame, grid: int = 4,
     (id_a, id_b, hamming), id_a < id_b, each verified pair once."""
     n = int(grid) * int(grid)
     assert n % bands == 0
+    assert max_hamming < bands, (
+        "pigeonhole guarantee needs max_hamming < bands; a larger "
+        "max_hamming would silently drop qualifying pairs")
     bw = n // bands
     band_val = (f"transform(sequence(0, {bands - 1}), b -> "
                 f"aggregate(slice(bits, b * {bw} + 1, {bw}), "

@@ -192,6 +192,71 @@ def test_image_ahash_and_neardup_pairs(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_image_ahash_gray_alpha_drops_alpha(spark):
+    """A 2-channel (gray+alpha) PNG goes through the aHash kernel with
+    alpha DROPPED (lum = 3·gray, the image_feature_stats contract) —
+    not quarantined as null, and never reading past the pixel buffer
+    at the last pixel."""
+    from felixzh_flink_spark.functions.png_codec import encode_png
+    from felixzh_flink_spark.operators.multimodal import (
+        image_ahash_bits,
+        image_ahash_cells,
+    )
+
+    w, h = 4, 4
+    # gray bright-left / dark-right, alpha a decoy ramp that would
+    # corrupt the hash if folded into luminance
+    px = bytes(v for y in range(h) for x in range(w)
+               for v in ((250 if x < 2 else 5), (x * 60 + y) % 256))
+    gray_alpha = encode_png(w, h, px, 2)
+    gray_only = encode_png(w, h, px[0::2], 1)
+    df = spark.createDataFrame(
+        [(1, gray_alpha), (2, gray_only)], "doc_id long, png binary")
+    hashed = image_ahash_bits(image_ahash_cells(df, grid=4), grid=4)
+    by_id = {r.doc_id: (list(r.bits) if r.bits is not None else None,
+                        r.ahash) for r in hashed.collect()}
+    assert by_id[1][0] is not None, "gray+alpha must not quarantine"
+    assert by_id[1] == by_id[2], "alpha must not move any aHash bit"
+    assert by_id[1][0] == [1, 1, 0, 0] * 4
+
+
+def test_image_ahash_grid8_packs_null_but_dedups(spark):
+    """Production grid=8 yields a 64-bit hash that cannot pack into a
+    signed BIGINT: `ahash` must be NULL (not ANSI overflow), while
+    `bits` stays full-fidelity and the banded near-dup join (which
+    consumes only bits) still works at 16-bit bands."""
+    import pytest
+
+    from felixzh_flink_spark.functions.png_codec import encode_png
+    from felixzh_flink_spark.operators.multimodal import (
+        image_ahash_bits,
+        image_ahash_cells,
+        image_neardup_pairs,
+    )
+
+    w, h = 16, 16
+    base = bytes(250 if x < 8 else 5 for _ in range(h) for x in range(w))
+    tweak = bytearray(base)
+    tweak[0] = 0                                 # one-pixel change
+    inv = bytes(255 - v for v in base)
+    df = spark.createDataFrame(
+        [(1, encode_png(w, h, base, 1)),
+         (2, encode_png(w, h, bytes(tweak), 1)),
+         (3, encode_png(w, h, inv, 1))], "doc_id long, png binary")
+    hashed = image_ahash_bits(image_ahash_cells(df, grid=8), grid=8)
+    rows = {r.doc_id: (list(r.bits), r.ahash) for r in hashed.collect()}
+    assert all(v[1] is None for v in rows.values())   # no 64-bit pack
+    assert rows[1][0] == ([1] * 4 + [0] * 4) * 8      # first bit IS 1
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in image_neardup_pairs(
+                 hashed, grid=8, bands=4, max_hamming=2).collect()}
+    assert pairs.get((1, 2)) in (0, 1, 2)
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+    # pigeonhole misuse fails loudly instead of silently losing pairs
+    with pytest.raises(AssertionError):
+        image_neardup_pairs(hashed, grid=8, bands=4, max_hamming=4)
+
+
 def test_audio_fingerprint_discriminates_envelopes(spark):
     """Audio fingerprint on CRAFTED clips (not the fixture recipe): a
     loud→quiet clip, its regained copy (every sample halved — the
