@@ -280,12 +280,22 @@ def write_rp_index(df: DataFrame, path: str, out_dim: int = 16,
     `random_projection_sql`'s exact left-fold doubles (parquet
     round-trips bits), so index-path results stay hash-oracle-able.
 
-    With `epoch`, rows carry an `ingest_epoch` column — the committed
-    bulk generation of an INCREMENTALLY MAINTAINED index
-    (`append_rp_index` adds later epochs; `rp_index_latest` reads
-    latest-wins). Without it the layout is the plain immutable form."""
-    _rp_index_rows(df, out_dim, in_dim, id_col, vec_col, epoch) \
-        .write.mode("overwrite").parquet(path)
+    With `epoch`, the index is PARTITIONED BY `ingest_epoch` (one
+    directory per committed generation — the LSM-ish layout of an
+    INCREMENTALLY MAINTAINED index: `append_rp_index` adds later
+    epoch directories, `delete_from_rp_index` adds tombstones,
+    `rp_index_latest` reads latest-wins, `compact_rp_index` folds the
+    generations back to one). Epoch membership living in DIRECTORY
+    NAMES, not row data, is what makes maintenance decisions
+    filesystem-cheap at 100 TB: epoch counting, compaction triggers,
+    and the single-generation fast path all run on a directory
+    listing, never a data scan. Without `epoch` the layout is the
+    plain immutable form."""
+    w = _rp_index_rows(df, out_dim, in_dim, id_col, vec_col, epoch) \
+        .write.mode("overwrite")
+    if epoch is not None:
+        w = w.partitionBy("ingest_epoch")
+    w.parquet(path)
 
 
 def _rp_index_rows(df: DataFrame, out_dim: int, in_dim: int,
@@ -302,10 +312,26 @@ def _rp_index_rows(df: DataFrame, out_dim: int, in_dim: int,
     return df.select(*sel)
 
 
+def _rp_epochs(spark, path: str) -> list[int]:
+    """Committed epoch generations of an epoch-partitioned rp index —
+    a pure DIRECTORY LISTING (StateFS, so file:/hdfs:/s3a: alike), no
+    data scan: the listing is how `append_rp_index` validates epoch
+    monotonicity, decides compaction, and how `rp_index_latest` takes
+    the window-free single-generation fast path. [] for the plain
+    (epoch-free) layout."""
+    from felixzh_flink_spark.functions.stateio import state_fs
+
+    fs = state_fs(spark, path)
+    pre = "ingest_epoch="
+    return sorted(int(n[len(pre):]) for n in fs.listdir(path)
+                  if n.startswith(pre))
+
+
 def append_rp_index(df: DataFrame, path: str, out_dim: int = 16,
                     in_dim: int = 64, id_col: str = "vec_id",
                     vec_col: str = "embedding",
-                    epoch: int | None = None) -> None:
+                    epoch: int | None = None,
+                    compact_after: int = 4) -> None:
     """INCREMENTAL index maintenance — the serving-side gap a
     materialized index opens (VERDICT r9 item 6): new documents join a
     committed `write_rp_index` without a full rebuild. Encodes ONLY the
@@ -320,40 +346,130 @@ def append_rp_index(df: DataFrame, path: str, out_dim: int = 16,
     Two regimes:
     - new-ids-only (no `epoch` anywhere): plain append; the combined
       index serves bit-identical to a full rebuild by construction.
-    - upserts (`epoch` on bulk AND every delta): re-embedded ids
-      SUPERSEDE earlier rows via `rp_index_latest`'s latest-epoch-wins
-      read; `compact_rp_index` rewrites away superseded rows so the
-      serving scan regains the no-window shape."""
+    - upserts (`epoch` on bulk AND every delta, strictly increasing —
+      enforced against the committed directory listing so a replayed
+      or out-of-order epoch fails loudly instead of silently losing to
+      latest-wins): re-embedded ids SUPERSEDE earlier rows via
+      `rp_index_latest`'s latest-epoch-wins read.
+
+    AUTO-COMPACTION (the round-10 scale finding: an uncompacted index
+    window-shuffles O(index) per serving read, measured 8.8→87.8 MB
+    linear from sf1→sf10): once the append commits, if the live epoch
+    directories reach `compact_after`, `compact_rp_index` folds them
+    into one generation INSIDE the append call — the LSM write-amp ≤
+    index/compact_after trade that keeps serving reads permanently
+    window-free. The threshold check is a directory listing, so a
+    no-op append decision costs zero data IO."""
     _rp_index_rows(df, out_dim, in_dim, id_col, vec_col, epoch) \
-        .write.mode("append").parquet(path)
+        .write.mode("append") \
+        .partitionBy(*(["ingest_epoch"] if epoch is not None else [])) \
+        .parquet(path)
+    if epoch is not None:
+        spark = df.sparkSession
+        epochs = _rp_epochs(spark, path)
+        prior = [e for e in epochs if e != int(epoch)]
+        if prior and int(epoch) <= max(prior):
+            raise ValueError(
+                f"append epoch {epoch} is not newer than committed "
+                f"epochs {prior} under {path}; latest-wins would "
+                "silently discard this delta")
+        if len(epochs) >= int(compact_after):
+            compact_rp_index(spark, path, id_col)
+
+
+def delete_from_rp_index(ids_df: DataFrame, path: str, epoch: int,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> None:
+    """DELETION tombstones for the incrementally maintained index —
+    the op=-D of the batch upsert path (the streaming sink already
+    handles it via the changelog machinery): each deleted id appends a
+    row with NULL proj/vec at `epoch`. A real index row can never
+    carry a NULL projection (the JL fold of any vector is non-null),
+    so NULL-proj IS the tombstone marker — no schema change, and the
+    tombstone wins the latest-epoch window then drops out of the
+    served view (`rp_index_latest` filters post-window, so a
+    tombstoned id vanishes from BOTH serving stages). Compaction
+    applies tombstones physically; a later re-insert of the id at a
+    higher epoch resurrects it, exactly upsert semantics. The write
+    scans only the id relation — O(deletes), never O(index); the
+    NULL columns are typed off the committed index schema (a parquet
+    footer read), so mixed-precision vector layouts stay mergeable."""
+    idx_schema = ids_df.sparkSession.read.parquet(path).schema
+    types = {f.name: f.dataType for f in idx_schema.fields}
+    tomb = ids_df.select(
+        F.col(id_col),
+        F.lit(None).cast(types["proj"]).alias("proj"),
+        F.lit(None).cast(types[vec_col]).alias(vec_col),
+        F.lit(int(epoch)).alias("ingest_epoch"))
+    tomb.write.mode("append").partitionBy("ingest_epoch").parquet(path)
 
 
 def rp_index_latest(spark, path: str,
                     id_col: str = "vec_id") -> DataFrame:
-    """Read view of an incrementally maintained rp index: for
-    epoch-carrying layouts, latest-epoch-wins per id (one window over
-    the id hash — the documented cost of serving an UNCOMPACTED
-    upsert index; `compact_rp_index` removes it); plain layouts read
-    through untouched. Delta appends of genuinely NEW ids never need
-    the window — pass the plain (epoch-free) layout and this is a
-    zero-cost passthrough."""
+    """Read view of an incrementally maintained rp index. Three
+    shapes, decided by a DIRECTORY LISTING (never a data scan):
+
+    - plain (epoch-free) layout: zero-cost passthrough — delta appends
+      of genuinely new ids never need a window;
+    - ONE live epoch generation (a compacted index, or a bulk that
+      never saw an upsert): window-FREE read — drop the partition
+      column and serve; this is the shape `append_rp_index`'s
+      auto-compaction maintains, so steady-state serving never pays a
+      latest-wins shuffle no matter how many upsert batches ran;
+    - multiple live generations (uncompacted merge-on-read): one
+      latest-epoch-wins window over the id hash — the documented
+      between-compactions cost, bounded by compact_after generations.
+
+    Tombstones (`delete_from_rp_index`'s NULL-proj rows) are filtered
+    AFTER latest-wins, so a deletion hides every earlier version of
+    its id while a later re-insert resurrects it."""
     idx = spark.read.parquet(path)
     if "ingest_epoch" not in idx.columns:
         return idx
+    alive = F.col("proj").isNotNull()
+    if len(_rp_epochs(spark, path)) <= 1:
+        return idx.filter(alive).drop("ingest_epoch")
     w = Window.partitionBy(id_col).orderBy(F.desc("ingest_epoch"))
     return (idx.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1).drop("_rn", "ingest_epoch"))
+            .filter((F.col("_rn") == 1) & alive)
+            .drop("_rn", "ingest_epoch"))
 
 
 def compact_rp_index(spark, path: str, id_col: str = "vec_id") -> None:
-    """Compaction: rewrite an epoch-carrying index to latest-only rows
-    WITHOUT the epoch column, restoring the plain immutable layout (and
-    the window-free serving scan). The latest view is eagerly
-    localCheckpointed before the overwrite because Spark cannot
-    overwrite a path it is still lazily reading. On a real cluster this
-    is the background job an LSM-ish index runs between epochs."""
-    latest = rp_index_latest(spark, path, id_col).localCheckpoint(eager=True)
-    latest.write.mode("overwrite").parquet(path)
+    """Compaction: fold an epoch-partitioned index's generations into
+    ONE (latest-wins applied, tombstones dropped), restoring the
+    window-free serving scan while KEEPING the epoch layout so later
+    appends keep working (the pre-r11 version rewrote to the plain
+    layout, which dead-ended the append lifecycle it existed to
+    serve). CRASH-SAFE at every step, no manifest needed:
+
+    1. materialize the latest view (eager localCheckpoint — Spark
+       cannot overwrite/delete a path it is lazily reading);
+    2. append it as a FRESH generation `ingest_epoch = max+1` — a
+       crash mid-write leaves either invisible staging files
+       (`_temporary`, underscore-hidden from reads) or a committed
+       generation whose rows are value-identical duplicates of the
+       latest view, and duplicates are exactly what the latest-wins
+       window dedups, so every intermediate state reads correctly;
+    3. delete the superseded generations — a crash mid-delete leaves
+       a multi-generation layout the merge-on-read path still serves
+       correctly; the next compaction finishes the sweep.
+
+    On a real cluster this is the background job an LSM-ish index
+    runs between epochs; `append_rp_index(compact_after=)` invokes it
+    inline once enough generations accumulate."""
+    from felixzh_flink_spark.functions.stateio import state_fs
+
+    epochs = _rp_epochs(spark, path)
+    if len(epochs) <= 1:
+        return
+    latest = (rp_index_latest(spark, path, id_col)
+              .withColumn("ingest_epoch", F.lit(max(epochs) + 1))
+              .localCheckpoint(eager=True))
+    latest.write.mode("append").partitionBy("ingest_epoch").parquet(path)
+    fs = state_fs(spark, path)
+    for e in epochs:
+        fs.delete(fs.join(path, f"ingest_epoch={e}"))
 
 
 def rp_rerank_topk_prefiltered(idx: DataFrame, allowed_ids: DataFrame,

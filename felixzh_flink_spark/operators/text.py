@@ -205,6 +205,14 @@ def tf_idf_top_terms(df: DataFrame, k: int = 3, text_col: str = "text",
         tf.join(df_t, "term").crossJoin(F.broadcast(n_docs))
         .withColumn("_rank_key", F.col("n_td").cast("double") * idf)
     )
+    return _tfidf_rank_tail(scored, id_col, k, round_digits)
+
+
+def _tfidf_rank_tail(scored: DataFrame, id_col: str, k: int,
+                     round_digits: int) -> DataFrame:
+    """Shared top-k tail of the inline and cached-stats TF-IDF paths:
+    per-doc length + ranking ride ONE window exchange; the emitted
+    score divides the bit-stable rank key by len_d and rounds."""
     w = Window.partitionBy(id_col)
     wo = w.orderBy(F.desc("_rank_key"), F.asc("term"))
     return (
@@ -217,6 +225,53 @@ def tf_idf_top_terms(df: DataFrame, k: int = 3, text_col: str = "text",
             F.round(F.col("_rank_key") / F.col("len_d").cast("double"),
                     round_digits).alias("tfidf"))
     )
+
+
+def write_tfidf_stats(df: DataFrame, path: str, text_col: str = "text",
+                      id_col: str = "doc_id") -> None:
+    """Materialize the CORPUS-LEVEL statistics TF-IDF scoring needs —
+    the ingest-artifact treatment `bm25_corpus_stats` already gives
+    BM25 (df/idf change only when the corpus does, so a real
+    deployment computes them at ingest, never per query): the full
+    (term, df_t) document-frequency table as parquet under `path/df`
+    and the corpus document count under `path/meta`. Unlike BM25's
+    per-query-term scalars, TF-IDF needs df for EVERY term (the top-k
+    ranks the whole vocabulary), so the artifact is a table, not a
+    literal — but vocabulary grows ~O(corpus^0.5) (Heaps' law), so at
+    100 TB it is GBs against the corpus' TBs and serves as a broadcast
+    or a cheap narrow scan."""
+    toks = doc_terms(df, text_col, id_col)
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("n_td"))
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df_t"))
+    n = df.select(F.countDistinct(id_col).alias("n_docs"))
+    df_t.write.mode("overwrite").parquet(path + "/df")
+    n.write.mode("overwrite").parquet(path + "/meta")
+
+
+def tf_idf_top_terms_cached(df: DataFrame, stats_path: str, k: int = 3,
+                            text_col: str = "text",
+                            id_col: str = "doc_id",
+                            round_digits: int = 9) -> DataFrame:
+    """`tf_idf_top_terms` served against MATERIALIZED corpus stats
+    (`write_tfidf_stats`): query time scans the corpus ONCE (tokenize →
+    per-(doc,term) counts), broadcast-joins the precomputed df table,
+    and ranks — the df aggregation shuffle, the n_docs corpus scan, and
+    the term-key shuffle join of the inline path all disappear into the
+    ingest artifact. Bit-identical to the inline operator by
+    construction: same IEEE idf division/log on the same integers, same
+    rank key, same window tail (`_tfidf_rank_tail`), and unit-pinned
+    against it."""
+    spark = df.sparkSession
+    stats = spark.read.parquet(stats_path + "/df")
+    n_docs = int(spark.read.parquet(stats_path + "/meta")
+                 .first()["n_docs"])
+    toks = doc_terms(df, text_col, id_col)
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("n_td"))
+    idf = F.log(F.lit(n_docs).cast("double") / F.col("df_t").cast("double"))
+    scored = (tf.join(F.broadcast(stats), "term")
+              .withColumn("_rank_key", F.col("n_td").cast("double") * idf)
+              .drop("df_t"))
+    return _tfidf_rank_tail(scored, id_col, k, round_digits)
 
 
 def bm25_corpus_stats(df: DataFrame, query_terms: list[str],

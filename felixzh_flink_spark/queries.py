@@ -3250,12 +3250,37 @@ SELECT doc_id, term, round(rk / CAST(len_d AS DOUBLE), 9) AS tfidf
 FROM ranked WHERE rn <= 3
 """)
 def tfidf_top_terms(spark, sf_dir):
-    """Per-doc top-3 TF-IDF terms (`text.tf_idf_top_terms`) — the classic
-    characteristic-terms corpus statistic: two partial-agg shuffles, one
-    term join, one per-doc window. Score rounded to 9 digits on both
-    sides (ln is within-1-ulp across engines; see the operator's
-    determinism note)."""
-    return TX.tf_idf_top_terms(_t_wide(spark, sf_dir, "documents"), k=3)
+    """Per-doc top-3 TF-IDF terms served against MATERIALIZED corpus
+    statistics (`text.write_tfidf_stats` + `tf_idf_top_terms_cached` —
+    the ingest-artifact treatment `bm25_corpus_stats` gave BM25,
+    VERDICT r10 item 6): the (term, df_t) table and n_docs are computed
+    once per corpus, so query time is ONE corpus scan (tokenize →
+    per-(doc,term) counts) + a broadcast join of the df artifact + the
+    per-doc ranking window — the df aggregation shuffle, the n_docs
+    scan, and the term-key shuffle join of the inline operator all
+    moved to ingest. Bit-identical to the inline path (same IEEE idf on
+    the same integers, shared ranking tail; unit-pinned), so the SAME
+    hard oracle proves it: DuckDB replays the whole computation —
+    including the stats — from the base table. Score rounded to 9
+    digits on both sides (ln is within-1-ulp across engines)."""
+    return TX.tf_idf_top_terms_cached(
+        _t_wide(spark, sf_dir, "documents"),
+        _tfidf_stats_path(spark, sf_dir), k=3)
+
+
+#: per-sf_dir path of the materialized TF-IDF corpus statistics
+#: (`write_tfidf_stats`) — built once per process, the same ingest
+#: lifecycle as the rp/IVF/PQ index artifacts.
+_TFIDF_STATS_PATH: dict[str, str] = {}
+
+
+def _tfidf_stats_path(spark, sf_dir) -> str:
+    if sf_dir not in _TFIDF_STATS_PATH:
+        import tempfile
+        path = tempfile.mkdtemp(prefix="spark_graft_tfidf_")
+        TX.write_tfidf_stats(_t_wide(spark, sf_dir, "documents"), path)
+        _TFIDF_STATS_PATH[sf_dir] = path
+    return _TFIDF_STATS_PATH[sf_dir]
 
 
 @q("doc_quality", r"""
@@ -4014,7 +4039,8 @@ def _rp_upsert_index_path(spark, sf_dir) -> str:
             .otherwise(F.col("embedding")))
         SIM.write_rp_index(stale, path, out_dim=16, in_dim=64, epoch=0)
         SIM.append_rp_index(e.filter(F.col("vec_id") % 7 == 3), path,
-                            out_dim=16, in_dim=64, epoch=1)
+                            out_dim=16, in_dim=64, epoch=1,
+                            compact_after=2)
         _RP_UPSERT_INDEX_PATH[sf_dir] = path
     return _RP_UPSERT_INDEX_PATH[sf_dir]
 
@@ -4025,16 +4051,69 @@ def rp_rerank_upsert_indexed(spark, sf_dir):
     bulk epoch-0 index deliberately stores STALE (element-reversed)
     vectors for every id ≡ 3 (mod 7); epoch 1 appends the true
     re-embeddings of exactly those ids (`append_rp_index(epoch=1)` —
-    encode the delta, never rewrite the bulk). Serving reads
-    latest-epoch-wins (`similarity.rp_index_latest`, one window over
-    the id hash — the documented cost of an uncompacted upsert index;
-    `compact_rp_index` restores the window-free scan and is unit-proven
-    equivalent). HARD oracle: the full-corpus two-stage replay over the
-    TRUE vectors — if a single superseded row leaked into stage 1's
-    candidate ranking or stage 2's re-score, the hash fails (the stale
-    vectors are reversed precisely so leakage is detectable, not
-    cosine-invariant)."""
+    encode the delta, never rewrite the bulk), and the append's
+    `compact_after=2` threshold AUTO-COMPACTS the two generations into
+    one inside the commit (`similarity.compact_rp_index`, the
+    crash-safe fold — the round-10 verdict's top ask: serving an
+    uncompacted index paid a latest-wins window that shuffled O(index)
+    per read, measured 8.8→87.8 MB linear sf1→sf10). Serving
+    (`rp_index_latest`) detects the single generation from a DIRECTORY
+    LISTING and reads window-free — the same narrow-scan plan as the
+    bulk index, KB-grade shuffle at any corpus size. HARD oracle: the
+    full-corpus two-stage replay over the TRUE vectors — a superseded
+    row leaking through compaction into stage 1's candidate ranking or
+    stage 2's re-score fails the hash (the stale vectors are reversed
+    precisely so leakage is detectable, not cosine-invariant), so this
+    row proves upsert + auto-compaction END-TO-END; the uncompacted
+    merge-on-read window is driver-proven by
+    `rp_rerank_tombstone_indexed` and unit-pinned equivalent."""
     idx = SIM.rp_index_latest(spark, _rp_upsert_index_path(spark, sf_dir))
+    return SIM.rp_rerank_topk_from_df(
+        idx, _query_vec(spark, sf_dir), k=10, prek=50,
+        out_dim=16, in_dim=64)
+
+
+#: per-sf_dir path of a TOMBSTONE-carrying rp index: epoch-0 bulk over
+#: the FULL corpus, epoch-1 deletion tombstones for every id ≡ 5
+#: (mod 11) — left UNCOMPACTED (two live generations) so serving
+#: exercises the merge-on-read latest-wins window + post-window
+#: tombstone drop.
+_RP_TOMBSTONE_INDEX_PATH: dict[str, str] = {}
+
+
+def _rp_tombstone_index_path(spark, sf_dir) -> str:
+    if sf_dir not in _RP_TOMBSTONE_INDEX_PATH:
+        import tempfile
+        path = tempfile.mkdtemp(prefix="spark_graft_rpt_")
+        e = _t(spark, sf_dir, "embeddings")
+        SIM.write_rp_index(e, path, out_dim=16, in_dim=64, epoch=0)
+        SIM.delete_from_rp_index(
+            e.filter(F.col("vec_id") % 11 == 5).select("vec_id"),
+            path, epoch=1)
+        _RP_TOMBSTONE_INDEX_PATH[sf_dir] = path
+    return _RP_TOMBSTONE_INDEX_PATH[sf_dir]
+
+
+@q("rp_rerank_tombstone_indexed", _rp_rerank_oracle(
+    where="WHERE e.vec_id % 11 != 5"))
+def rp_rerank_tombstone_indexed(spark, sf_dir):
+    """DELETION in the SERVED index path (VERDICT r10 item 3): the
+    bulk epoch-0 index holds the full corpus; epoch 1 appends deletion
+    TOMBSTONES (`similarity.delete_from_rp_index` — NULL-proj rows, no
+    schema change, O(deletes) write) for every id ≡ 5 (mod 11), ~9% of
+    the corpus including ids the full-corpus query would serve in its
+    top-10. Serving reads the UNCOMPACTED two-generation layout, so
+    this row drives the merge-on-read path end-to-end: latest-wins
+    window (the tombstone outranks the bulk row), then the post-window
+    alive filter drops the id from BOTH retrieval stages. HARD oracle:
+    the two-stage replay with the deletion predicate injected into the
+    candidate CTE — a tombstone leaking into stage 1's candidate set
+    (e.g. filtering only at the final ranking) returns different
+    candidates and fails the hash. Compaction applying tombstones
+    physically, and re-insert resurrection, are unit-pinned
+    (tests/test_similarity_rp.py)."""
+    idx = SIM.rp_index_latest(spark,
+                              _rp_tombstone_index_path(spark, sf_dir))
     return SIM.rp_rerank_topk_from_df(
         idx, _query_vec(spark, sf_dir), k=10, prek=50,
         out_dim=16, in_dim=64)
@@ -8911,6 +8990,7 @@ _DRIVER_ORDER = [
     # row below is oracle-backed and structurally provable.
     # =================================================================
     "rp_rerank_delta_indexed", "rp_rerank_upsert_indexed",
+    "rp_rerank_tombstone_indexed",
     "ann_ivf_delta_checks", "hybrid_rrf_topk", "bm25_topk_multi_docs",
     "rp_rerank_filtered", "image_ahash_neardup",
     "audio_fingerprint_neardup",

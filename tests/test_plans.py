@@ -126,6 +126,19 @@ def test_headline_queries_have_no_python_stages(spark):
         assert not any(n in p for n in PY_NODES), f"python stage in {name}"
 
 
+def test_tfidf_cached_stats_single_corpus_scan(spark):
+    """tfidf_top_terms serves against the materialized df artifact
+    (write_tfidf_stats): query time scans the documents table exactly
+    ONCE, broadcast-joins the stats table (no shuffle join on the term
+    key), and pays only the tf groupBy + ranking-window exchanges —
+    the inline path's df aggregation and n_docs scans are gone."""
+    p = plan_of(spark, "tfidf_top_terms")
+    assert p.count("documents.parquet") == 1          # one corpus scan
+    assert "BroadcastHashJoin" in p                   # df stats broadcast
+    assert "SortMergeJoin" not in p
+    assert p.count("Exchange hashpartitioning") <= 2  # tf agg + window
+
+
 def test_headline_ann_probe_is_partition_pruned(spark):
     """The HEADLINE ann_ivf_topk (not just the operator unit) must probe
     the materialized index via partition pruning: its scan carries a

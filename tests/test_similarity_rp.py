@@ -255,14 +255,19 @@ def test_upsert_index_latest_wins_and_stale_leak_is_detectable(spark,
     assert leaked != inline
 
 
-def test_compact_rp_index_restores_plain_layout(spark, tmp_path):
-    """Compaction rewrites an epoch-carrying index to latest-only rows
-    without the epoch column; serving results are unchanged and the
-    row count returns to one per id."""
+def test_compact_rp_index_folds_to_one_generation(spark, tmp_path):
+    """Compaction folds an epoch-partitioned index's generations into
+    ONE (latest-wins applied): the row count returns to one per id,
+    serving results are unchanged, rp_index_latest takes the
+    window-free single-generation path (no Window in the plan), and —
+    because the epoch layout survives — a LATER append keeps working
+    and serves correctly."""
     from felixzh_flink_spark.operators.similarity import (
+        _rp_epochs,
         append_rp_index,
         compact_rp_index,
-        rp_rerank_topk_from_index,
+        rp_index_latest,
+        rp_rerank_topk_from_df,
         write_rp_index,
     )
     e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
@@ -279,15 +284,174 @@ def test_compact_rp_index_restores_plain_layout(spark, tmp_path):
     n_ids = e.count()
     assert spark.read.parquet(path).count() > n_ids
     compact_rp_index(spark, path)
-    after = spark.read.parquet(path)
-    assert "ingest_epoch" not in after.columns
-    assert after.count() == n_ids
+    assert _rp_epochs(spark, path) == [2]
+    assert spark.read.parquet(path).count() == n_ids
+    latest = rp_index_latest(spark, path)
+    assert "Window" not in latest._jdf.queryExecution().toString()
     inline = [(r.id, r.cosine_sim)
               for r in rp_rerank_topk(e, q, k=10, prek=50).collect()]
     got = [(r.id, r.cosine_sim)
-           for r in rp_rerank_topk_from_index(
-               spark, path, q, k=10, prek=50).collect()]
+           for r in rp_rerank_topk_from_df(
+               latest, q, k=10, prek=50).collect()]
     assert got == inline
+    # the epoch layout survived compaction: appends keep working
+    append_rp_index(e.filter(F.col("vec_id") % 7 == 3), path, OUT, IN,
+                    epoch=3)
+    again = [(r.id, r.cosine_sim)
+             for r in rp_rerank_topk_from_df(
+                 rp_index_latest(spark, path), q, k=10, prek=50).collect()]
+    assert again == inline
+
+
+def test_append_rp_index_auto_compacts_and_validates_epochs(spark,
+                                                            tmp_path):
+    """compact_after wires compaction into the append commit: once the
+    live generations reach the threshold the append itself folds them
+    to one, so steady-state serving never pays the latest-wins window
+    no matter how many upsert batches ran. Stale / replayed epochs are
+    rejected against the committed directory listing."""
+    import pytest
+
+    from felixzh_flink_spark.operators.similarity import (
+        _rp_epochs,
+        append_rp_index,
+        rp_index_latest,
+        rp_rerank_topk_from_df,
+        write_rp_index,
+    )
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = [float(x) for x in
+         e.filter(F.col("vec_id") == 0).head()["embedding"]]
+    stale = e.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") % 7 < 2, F.reverse("embedding"))
+        .otherwise(F.col("embedding")))
+    path = str(tmp_path / "rp_auto")
+    write_rp_index(stale, path, OUT, IN, epoch=0)
+    append_rp_index(e.filter(F.col("vec_id") % 7 == 0), path, OUT, IN,
+                    epoch=1, compact_after=3)
+    assert len(_rp_epochs(spark, path)) == 2      # below threshold
+    append_rp_index(e.filter(F.col("vec_id") % 7 == 1), path, OUT, IN,
+                    epoch=2, compact_after=3)
+    assert len(_rp_epochs(spark, path)) == 1      # append compacted
+    assert spark.read.parquet(path).count() == e.count()
+    inline = [(r.id, r.cosine_sim)
+              for r in rp_rerank_topk(e, q, k=10, prek=50).collect()]
+    got = [(r.id, r.cosine_sim)
+           for r in rp_rerank_topk_from_df(
+               rp_index_latest(spark, path), q, k=10, prek=50).collect()]
+    assert got == inline
+    # epoch monotonicity: a replayed / stale epoch fails loudly
+    with pytest.raises(ValueError, match="not newer"):
+        append_rp_index(e.limit(1), path, OUT, IN, epoch=2)
+
+
+def test_delete_from_rp_index_tombstones_and_resurrection(spark,
+                                                          tmp_path):
+    """Deletion tombstones: a deleted id vanishes from the served view
+    (merge-on-read AND compacted paths), physically disappears at
+    compaction, and a later re-insert at a higher epoch resurrects
+    it — upsert semantics end-to-end."""
+    from felixzh_flink_spark.operators.similarity import (
+        delete_from_rp_index,
+        append_rp_index,
+        compact_rp_index,
+        rp_index_latest,
+        rp_rerank_topk_from_df,
+        write_rp_index,
+    )
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = [float(x) for x in
+         e.filter(F.col("vec_id") == 0).head()["embedding"]]
+    inline_full = [(r.id, r.cosine_sim)
+                   for r in rp_rerank_topk(e, q, k=10, prek=50).collect()]
+    top_ids = [i for i, _ in inline_full[:3]]     # delete served winners
+    kept = e.filter(~F.col("vec_id").isin(top_ids))
+    inline_kept = [(r.id, r.cosine_sim)
+                   for r in rp_rerank_topk(kept, q, k=10,
+                                           prek=50).collect()]
+    assert inline_kept != inline_full             # deletions must show
+    path = str(tmp_path / "rp_tomb")
+    write_rp_index(e, path, OUT, IN, epoch=0)
+    delete_from_rp_index(
+        e.filter(F.col("vec_id").isin(top_ids)).select("vec_id"),
+        path, epoch=1)
+    served = [(r.id, r.cosine_sim)
+              for r in rp_rerank_topk_from_df(
+                  rp_index_latest(spark, path), q, k=10,
+                  prek=50).collect()]
+    assert served == inline_kept                  # merge-on-read path
+    compact_rp_index(spark, path)
+    assert spark.read.parquet(path).count() == kept.count()  # physical
+    served2 = [(r.id, r.cosine_sim)
+               for r in rp_rerank_topk_from_df(
+                   rp_index_latest(spark, path), q, k=10,
+                   prek=50).collect()]
+    assert served2 == inline_kept                 # compacted path
+    # resurrection: re-insert the deleted ids at a higher epoch
+    append_rp_index(e.filter(F.col("vec_id").isin(top_ids)), path,
+                    OUT, IN, epoch=5)
+    served3 = [(r.id, r.cosine_sim)
+               for r in rp_rerank_topk_from_df(
+                   rp_index_latest(spark, path), q, k=10,
+                   prek=50).collect()]
+    assert served3 == inline_full
+
+
+def test_compact_rp_index_crash_windows_read_correctly(spark, tmp_path):
+    """Crash-mid-compaction: BOTH intermediate states the protocol can
+    leave behind — (a) the fresh folded generation committed but old
+    generations not yet deleted, (b) a partial sweep of the old
+    generations — still serve the exact latest view through
+    rp_index_latest, and a re-run of compaction converges to the
+    single-generation layout."""
+    from felixzh_flink_spark.functions.stateio import state_fs
+    from felixzh_flink_spark.operators.similarity import (
+        _rp_epochs,
+        append_rp_index,
+        compact_rp_index,
+        rp_index_latest,
+        rp_rerank_topk_from_df,
+        write_rp_index,
+    )
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = [float(x) for x in
+         e.filter(F.col("vec_id") == 0).head()["embedding"]]
+    inline = [(r.id, r.cosine_sim)
+              for r in rp_rerank_topk(e, q, k=10, prek=50).collect()]
+
+    def serve(p):
+        return [(r.id, r.cosine_sim)
+                for r in rp_rerank_topk_from_df(
+                    rp_index_latest(spark, p), q, k=10,
+                    prek=50).collect()]
+
+    stale = e.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") % 7 == 3, F.reverse("embedding"))
+        .otherwise(F.col("embedding")))
+    path = str(tmp_path / "rp_crash")
+    write_rp_index(stale, path, OUT, IN, epoch=0)
+    append_rp_index(e.filter(F.col("vec_id") % 7 == 3), path, OUT, IN,
+                    epoch=1)
+    # crash state (a): folded generation written, no deletes ran —
+    # reproduce step 2 of the protocol by hand
+    latest = (rp_index_latest(spark, path)
+              .withColumn("ingest_epoch", F.lit(2))
+              .localCheckpoint(eager=True))
+    latest.write.mode("append").partitionBy("ingest_epoch").parquet(path)
+    assert _rp_epochs(spark, path) == [0, 1, 2]
+    assert serve(path) == inline
+    # crash state (b): one superseded generation swept, one left
+    fs = state_fs(spark, path)
+    fs.delete(fs.join(path, "ingest_epoch=0"))
+    assert _rp_epochs(spark, path) == [1, 2]
+    assert serve(path) == inline
+    # recovery: the next compaction converges to one generation
+    compact_rp_index(spark, path)
+    assert len(_rp_epochs(spark, path)) == 1
+    assert spark.read.parquet(path).count() == e.count()
+    assert serve(path) == inline
 
 
 def test_append_ivf_index_matches_full_rebuild(spark, tmp_path):

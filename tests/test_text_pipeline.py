@@ -95,6 +95,28 @@ def test_tfidf_top_terms_ranks_distinctive_terms(spark):
     assert by_doc[1][0][1] > 0
 
 
+def test_tfidf_cached_stats_bit_identical_to_inline(spark, sf_dir,
+                                                    tmp_path):
+    """The cached-stats serving path (write_tfidf_stats +
+    tf_idf_top_terms_cached) returns EXACTLY the inline operator's rows
+    on a real corpus — same IEEE idf on the same integers, shared
+    ranking tail, so equality is bitwise, not approximate."""
+    from felixzh_flink_spark.operators.text import (
+        tf_idf_top_terms,
+        tf_idf_top_terms_cached,
+        write_tfidf_stats,
+    )
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = str(tmp_path / "tfidf_stats")
+    write_tfidf_stats(d, path)
+    inline = sorted((r["doc_id"], r["term"], r["tfidf"])
+                    for r in tf_idf_top_terms(d, k=3).collect())
+    cached = sorted((r["doc_id"], r["term"], r["tfidf"])
+                    for r in tf_idf_top_terms_cached(d, path,
+                                                     k=3).collect())
+    assert cached == inline
+
+
 def test_stratified_sample_deterministic_and_independent(spark, sf_dir):
     """Per-stratum keep decisions are stable and independent of OTHER
     strata's fractions; boundary fractions keep all / none."""
