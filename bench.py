@@ -219,6 +219,16 @@ HEADLINE = [
     # audio content dedup: PCM decode -> window-energy fingerprint ->
     # the same banded Hamming machinery
     "audio_fingerprint_neardup",
+    # round 11: tombstone-carrying upsert index served UNCOMPACTED
+    # (the bounded merge-on-read window between compactions — the
+    # auto-compacted steady state is rp_rerank_upsert_indexed above),
+    # the production-parameter multimodal dedups (64-bit hashes,
+    # 16-bit bands), and paired-modality WebDataset dedup (shard walk
+    # -> perceptual hash -> keep-best caption)
+    "rp_rerank_tombstone_indexed",
+    "image_ahash_neardup_grid8",
+    "audio_fingerprint_neardup_w64",
+    "webdataset_pair_dedup",
 ]
 
 #: ITER lane (round-8 verdict item 2): the iterative / composed kernels

@@ -1814,19 +1814,28 @@ WEBDATASET_SCHEMA = T.StructType([
 
 def synthesize_webdataset_column(df: DataFrame, id_col: str = "doc_id",
                                  text_col: str = "text",
-                                 payload_col: str = "shard") -> DataFrame:
+                                 payload_col: str = "shard",
+                                 image_group: int = 1) -> DataFrame:
     """WebDataset-style shard fixture: per doc a REAL `.tar.gz` holding
     a SAMPLE — `{doc_id}.txt` (the doc's UTF-8 text) and `{doc_id}.png`
     (the shared closed-form PNG) as adjacent tar members, the layout
     the WebDataset convention uses to ship paired multimodal training
     data (sample key = member name up to the first dot). Deterministic
     ustar members (mtime 0, fixed mode/uid) gzipped with the engine's
-    own RFC 1952 encoder. Arrow-batched pandas UDF."""
+    own RFC 1952 encoder. Arrow-batched pandas UDF.
+
+    `image_group` > 1 makes consecutive groups of that many samples
+    share ONE image (png id = doc_id div image_group) under DISTINCT
+    captions — the scraped-web reality (the same image recaptioned
+    across pages) that paired-modality dedup exists to clean up
+    (`webdataset_pair_dedup`)."""
     import io
     import tarfile
 
     from felixzh_flink_spark.functions.gzip_codec import \
         encode_gzip_member
+
+    grp = int(image_group)
 
     @F.pandas_udf("binary")
     def _make(ids: pd.Series, texts: pd.Series) -> pd.Series:
@@ -1839,7 +1848,8 @@ def synthesize_webdataset_column(df: DataFrame, id_col: str = "doc_id",
                 for name, data in ((f"{i:08d}.txt",
                                     ("" if t is None else str(t))
                                     .encode("utf-8")),
-                                   (f"{i:08d}.png", _png_payload(i))):
+                                   (f"{i:08d}.png",
+                                    _png_payload(i // grp))):
                     info = tarfile.TarInfo(name)
                     info.size = len(data)
                     info.mtime = 0
@@ -1850,6 +1860,61 @@ def synthesize_webdataset_column(df: DataFrame, id_col: str = "doc_id",
 
     return df.withColumn(payload_col, _make(F.col(id_col),
                                             F.col(text_col)))
+
+
+WEBDATASET_PAIR_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("caption_len", T.LongType(), True),
+    T.StructField("png", T.BinaryType(), True),
+])
+
+
+def webdataset_pairs(df: DataFrame, id_col: str = "doc_id",
+                     payload_col: str = "shard") -> DataFrame:
+    """Extract the (caption, image) PAIR from each WebDataset shard —
+    the ingestion step of paired-modality dedup: gunzip (CRC-verified),
+    walk the tar, group members into the sample by name-up-to-first-dot,
+    decode the `.txt` part to UTF-8 (emitting its CHARACTER length, the
+    keep-best quality signal) and pass the `.png` part through as raw
+    bytes for the downstream perceptual-hash kernel — this kernel never
+    decodes pixels, so the shard walk and the image hash stay separate
+    Arrow stages with only (id, len, png bytes) crossing between them.
+    Malformed shards (bad gzip, missing part, multi-sample) quarantine
+    as null rows. One mapInPandas projection, no shuffle; at scale the
+    parallel unit is the shard file."""
+    import io
+    import tarfile
+
+    from felixzh_flink_spark.functions.gzip_codec import \
+        decode_gzip_members
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    raw = b"".join(r for _m, r in decode_gzip_members(p))
+                    samples: dict = {}
+                    with tarfile.open(fileobj=io.BytesIO(raw)) as tf:
+                        for m in tf.getmembers():
+                            if not m.isfile():
+                                continue
+                            key, _, ext = m.name.partition(".")
+                            samples.setdefault(key, {})[ext] = \
+                                tf.extractfile(m).read()
+                    if len(samples) != 1:
+                        raise ValueError("expected one sample per shard")
+                    parts = next(iter(samples.values()))
+                    if "txt" not in parts or "png" not in parts:
+                        raise ValueError("sample missing txt/png part")
+                    cap = parts["txt"].decode("utf-8")
+                    rows.append((int(i), len(cap), parts["png"]))
+                except Exception:  # ValueError / tarfile / zlib errors
+                    rows.append((int(i), None, None))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "caption_len", "png"])
+
+    return df.mapInPandas(kernel, schema=WEBDATASET_PAIR_SCHEMA)
 
 
 def webdataset_sample_stats(df: DataFrame, id_col: str = "doc_id",

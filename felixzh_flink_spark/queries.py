@@ -5426,6 +5426,100 @@ def webdataset_sample_stats(spark, sf_dir):
     return MM.webdataset_sample_stats(MM.synthesize_webdataset_column(d))
 
 
+@q("webdataset_pair_dedup", """
+WITH d AS (
+  SELECT doc_id AS id, doc_id // 4 AS g,
+         CAST(length(coalesce(text, '')) AS BIGINT) AS caption_len
+  FROM documents WHERE doc_id < 500
+),
+dim AS (SELECT id, g, caption_len, g % 7 + 1 AS w, g % 5 + 1 AS h,
+               (g % 2) * 2 + 1 AS ch
+        FROM d),
+px AS (SELECT id, g, w, h, ch, unnest(range(0, w * h)) AS j FROM dim),
+lum AS (
+  SELECT id,
+         ((j // w) * 4 // h) * 4 + ((j % w) * 4 // w) AS cell,
+         CASE WHEN ch = 1 THEN 3 * ((g * 31 + 7 * j) % 256)
+              ELSE (g * 31 + 7 * (3 * j)) % 256
+                 + (g * 31 + 7 * (3 * j + 1)) % 256
+                 + (g * 31 + 7 * (3 * j + 2)) % 256 END AS v
+  FROM px
+),
+cells AS (SELECT id, cell, SUM(v) AS cs, COUNT(*) AS cc
+          FROM lum GROUP BY id, cell),
+tot AS (SELECT id, SUM(v) AS total, COUNT(*) AS npx FROM lum GROUP BY id),
+allc AS (SELECT dim.id, c.c AS cell
+         FROM dim, (SELECT unnest(range(0, 16)) AS c) c),
+bit AS (
+  SELECT a.id, a.cell,
+         CASE WHEN COALESCE(cells.cs, 0) * tot.npx
+                   > tot.total * COALESCE(cells.cc, 0)
+              THEN 1 ELSE 0 END AS b
+  FROM allc a
+  JOIN tot ON tot.id = a.id
+  LEFT JOIN cells ON cells.id = a.id AND cells.cell = a.cell
+),
+hv AS (SELECT id, array_to_string(list(b ORDER BY cell), '')
+              AS fingerprint
+       FROM bit GROUP BY id),
+jn AS (SELECT hv.id, hv.fingerprint, d.caption_len
+       FROM hv JOIN d ON d.id = hv.id),
+sz AS (SELECT fingerprint, CAST(COUNT(*) AS BIGINT) AS n_members
+       FROM jn GROUP BY fingerprint),
+best AS (
+  SELECT fingerprint, id, caption_len,
+         ROW_NUMBER() OVER (PARTITION BY fingerprint
+                            ORDER BY caption_len DESC, id ASC) AS rn
+  FROM jn
+)
+SELECT b.fingerprint, b.id AS keep_id, sz.n_members, b.caption_len
+FROM best b JOIN sz ON sz.fingerprint = b.fingerprint
+WHERE b.rn = 1
+""")
+def webdataset_pair_dedup(spark, sf_dir):
+    """PAIRED-MODALITY dedup over a WebDataset corpus (VERDICT r10
+    item 7) — the clean-up every VLM training pipeline needs: the same
+    image recurs across scraped pages under different captions, and
+    the pipeline must dedup BY IMAGE CONTENT while keeping the best
+    caption. Composes three proven layers end-to-end: WebDataset shard
+    ingestion (`multimodal.webdataset_pairs` — gunzip → tar walk →
+    sample grouping → caption decode, the image passing through as
+    bytes), perceptual hashing (`image_ahash_cells`/`image_ahash_bits`
+    on the extracted image column), and the keep-best walk
+    (`dedup.keep_best_per_cluster` keyed on the hash fingerprint,
+    quality = caption character length, ties to min id). The fixture
+    plants the workload: groups of 4 samples share one image under
+    the 4 docs' own texts (`synthesize_webdataset_column(
+    image_group=4)`), and 16-bit hashes over tiny images also collide
+    ACROSS groups — both cluster shapes replayed exactly by the
+    oracle, which recomputes fingerprint (pixel recipe → luminance →
+    cells → bits), cluster sizes, and the keep-best choice from the
+    base table. The extracted pair relation localCheckpoints so the
+    shard walk runs once (hash and caption branches both read it).
+    Scale shape: two Arrow stages (shard walk, pixel decode) then one
+    fingerprint-keyed window — dedup at 100 TB is the window on the
+    hash, never pairwise."""
+    d = (_t_wide(spark, sf_dir, "documents")
+         .filter(F.col("doc_id") < 500).select("doc_id", "text"))
+    shards = MM.synthesize_webdataset_column(d, image_group=4)
+    pairs = (MM.webdataset_pairs(shards)
+             .filter(F.col("png").isNotNull())
+             .localCheckpoint(eager=True))
+    hashed = MM.image_ahash_bits(
+        MM.image_ahash_cells(pairs, payload_col="png", grid=4), grid=4)
+    scored = (hashed
+              .select("doc_id",
+                      F.array_join("bits", "").alias("fingerprint"))
+              .join(pairs.select("doc_id", "caption_len"), "doc_id"))
+    sizes = scored.groupBy("fingerprint").agg(
+        F.count("*").alias("n_members"))
+    best = DD.keep_best_per_cluster(scored, "fingerprint",
+                                    "caption_len")
+    return (best.join(sizes, "fingerprint")
+            .select("fingerprint", F.col("doc_id").alias("keep_id"),
+                    "n_members", "caption_len"))
+
+
 @q("media_format_census", """
 WITH g AS (
   SELECT doc_id, doc_id % 6 AS m FROM documents
@@ -9184,6 +9278,7 @@ _DRIVER_ORDER = [
     "rp_rerank_delta_indexed", "rp_rerank_upsert_indexed",
     "rp_rerank_tombstone_indexed",
     "image_ahash_neardup_grid8", "audio_fingerprint_neardup_w64",
+    "webdataset_pair_dedup",
     "ann_ivf_delta_checks", "hybrid_rrf_topk", "bm25_topk_multi_docs",
     "rp_rerank_filtered", "image_ahash_neardup",
     "audio_fingerprint_neardup",

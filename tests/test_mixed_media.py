@@ -192,6 +192,30 @@ def test_image_ahash_and_neardup_pairs(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_webdataset_pairs_extracts_and_quarantines(spark):
+    """webdataset_pairs recovers (caption_len, png bytes) per shard —
+    with image_group=4 the group's four samples carry IDENTICAL image
+    bytes under their own captions (the paired-dedup workload) — and
+    malformed shards quarantine as null rows."""
+    from felixzh_flink_spark.operators import multimodal as MM
+
+    df = spark.createDataFrame(
+        [(8, "a caption"), (9, "a much longer caption"), (10, None),
+         (11, "x")], "doc_id long, text string")
+    got = {r.doc_id: (r.caption_len, bytes(r.png))
+           for r in MM.webdataset_pairs(
+               MM.synthesize_webdataset_column(df, image_group=4))
+           .collect()}
+    assert got[8][0] == 9 and got[9][0] == 21
+    assert got[10][0] == 0 and got[11][0] == 1    # null text → ""
+    pngs = {v[1] for v in got.values()}
+    assert len(pngs) == 1                          # shared group image
+    bad = spark.createDataFrame([(1, b"not a shard")],
+                                "doc_id long, shard binary")
+    q = MM.webdataset_pairs(bad).collect()[0]
+    assert q.caption_len is None and q.png is None
+
+
 def test_image_ahash_gray_alpha_drops_alpha(spark):
     """A 2-channel (gray+alpha) PNG goes through the aHash kernel with
     alpha DROPPED (lum = 3·gray, the image_feature_stats contract) —

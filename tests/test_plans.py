@@ -108,6 +108,9 @@ def test_headline_queries_have_no_python_stages(spark):
     allowed = {"pack_sequences", "pack_efficiency",
                "image_ahash_neardup",   # PNG encode+decode Arrow kernels
                "audio_fingerprint_neardup",  # WAV encode+decode kernels
+               "image_ahash_neardup_grid8",   # production-grid twins
+               "audio_fingerprint_neardup_w64",
+               "webdataset_pair_dedup",  # shard walk + pixel decode
                "png_decode_stats", "wav_decode_stats",
                "png_thumbnail_stats", "gif_decode_stats",
                "jpeg_decode_stats", "jpeg_color_decode_stats",
