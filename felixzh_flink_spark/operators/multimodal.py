@@ -653,20 +653,30 @@ def image_neardup_pairs(hashed: DataFrame, grid: int = 4,
     band_val = (f"transform(sequence(0, {bands - 1}), b -> "
                 f"aggregate(slice(bits, b * {bw} + 1, {bw}), "
                 "CAST(0 AS BIGINT), (acc, x) -> acc * 2 + x))")
-    e = (hashed.filter(F.col("bits").isNotNull())
-         .select(F.col(id_col).alias("id"), "bits",
-                 F.posexplode(F.expr(band_val)).alias("band", "bval")))
-    a = e.select(F.col("id").alias("id_a"), F.col("bits").alias("_ba"),
-                 "band", "bval")
-    b = e.select(F.col("id").alias("id_b"), F.col("bits").alias("_bb"),
-                 "band", "bval")
-    cand = (a.join(b, ["band", "bval"])
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", "_ba", "_bb")
+    alive = hashed.filter(F.col("bits").isNotNull())
+    # the band join moves ONLY (id, band, bval) tuples — the r11 sf1
+    # measurement caught the earlier form carrying both 64-element bit
+    # arrays through the explode AND the candidate dedup (1.34 GB
+    # shuffle at 50k images; ~26 MB this way): candidates dedup as
+    # bare id pairs, then the bit vectors join back ONCE each for the
+    # Hamming verify — bits cross the wire per IMAGE, not per
+    # (band × collision)
+    e = (alive.select(F.col(id_col).alias("id"),
+                      F.posexplode(F.expr(band_val))
+                      .alias("band", "bval")))
+    cand = (e.alias("a").join(e.alias("b"), ["band", "bval"])
+            .filter(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b"))
             .dropDuplicates(["id_a", "id_b"]))
+    ha = alive.select(F.col(id_col).alias("id_a"),
+                      F.col("bits").alias("_ba"))
+    hb = alive.select(F.col(id_col).alias("id_b"),
+                      F.col("bits").alias("_bb"))
     ham = F.expr("aggregate(zip_with(_ba, _bb, (x, y) -> abs(x - y)), "
                  "0, (acc, d) -> acc + d)")
-    return (cand.withColumn("hamming", ham)
+    return (cand.join(ha, "id_a").join(hb, "id_b")
+            .withColumn("hamming", ham)
             .filter(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming"))
 
