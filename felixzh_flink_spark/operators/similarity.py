@@ -416,9 +416,18 @@ def rp_index_latest(spark, path: str,
       column and serve; this is the shape `append_rp_index`'s
       auto-compaction maintains, so steady-state serving never pays a
       latest-wins shuffle no matter how many upsert batches ran;
-    - multiple live generations (uncompacted merge-on-read): one
-      latest-epoch-wins window over the id hash — the documented
-      between-compactions cost, bounded by compact_after generations.
+    - multiple live generations (uncompacted merge-on-read): the
+      latest-epoch-wins resolution is DELTA-PRUNED — the bulk (oldest)
+      generation's rows pass through untouched unless their id appears
+      in a delta (a broadcast anti-join: no shuffle), and only the
+      contested slice (bulk rows superseded or deleted by a delta,
+      plus the deltas themselves) pays the window. Serving an
+      uncompacted index therefore shuffles O(delta), never O(index) —
+      the between-compactions cost is proportional to what changed,
+      bounded by compact_after generations of deltas. (The delta id
+      set is distinct'd and broadcast; deltas between compactions are
+      bounded by compact_after × batch size, the same smallness
+      assumption every merge-on-read table makes.)
 
     Tombstones (`delete_from_rp_index`'s NULL-proj rows) are filtered
     AFTER latest-wins, so a deletion hides every earlier version of
@@ -427,12 +436,21 @@ def rp_index_latest(spark, path: str,
     if "ingest_epoch" not in idx.columns:
         return idx
     alive = F.col("proj").isNotNull()
-    if len(_rp_epochs(spark, path)) <= 1:
+    epochs = _rp_epochs(spark, path)
+    if len(epochs) <= 1:
         return idx.filter(alive).drop("ingest_epoch")
+    bulk = idx.filter(F.col("ingest_epoch") == epochs[0])  # pruned scan
+    deltas = idx.filter(F.col("ingest_epoch") != epochs[0])
+    delta_ids = deltas.select(id_col).distinct()
+    settled = (bulk.join(F.broadcast(delta_ids), id_col, "left_anti")
+               .filter(alive).drop("ingest_epoch"))
+    contested = (bulk.join(F.broadcast(delta_ids), id_col, "left_semi")
+                 .unionByName(deltas))
     w = Window.partitionBy(id_col).orderBy(F.desc("ingest_epoch"))
-    return (idx.withColumn("_rn", F.row_number().over(w))
-            .filter((F.col("_rn") == 1) & alive)
-            .drop("_rn", "ingest_epoch"))
+    resolved = (contested.withColumn("_rn", F.row_number().over(w))
+                .filter((F.col("_rn") == 1) & alive)
+                .drop("_rn", "ingest_epoch"))
+    return settled.unionByName(resolved)
 
 
 def compact_rp_index(spark, path: str, id_col: str = "vec_id") -> None:
