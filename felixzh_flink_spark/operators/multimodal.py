@@ -405,26 +405,54 @@ def synthesize_png_column(df: DataFrame, id_col: str = "doc_id",
     return df.withColumn(payload_col, _make(F.col(id_col)))
 
 
+def _image_envelope_bits(doc_id: int, grid: int = 8) -> list[int]:
+    """Closed-form planted 64-bit CELL ENVELOPE for the grid=8 image
+    fixture (the image face of `_envelope_bits`): per group
+    (g = id div 4), each 16-cell band b draws its own 16-bit pattern
+    p_b = ((g + b·7919)·40503 + 12345) mod 2¹⁶ (odd multiplier → per
+    band a bijection in g, and the b·7919 shear decorrelates bands),
+    cell c bright iff bit c mod 16 of p_(c div 16); cell 0 forced
+    bright, the last cell forced dark (no degenerate all-one/all-zero
+    hash); members 0,1 exact, member 2 flips cell 1, member 3 flips
+    cells 1+2 — planted Hamming 0/1/2 confined to band 0 while bands
+    1-3 stay group-unique. The r11 sf10 run showed WHY uniformity
+    matters: the earlier near-uniform-mean pixel recipe made cell
+    bits clustered near-ties, band buckets went quadratic at 500k
+    images, and the candidate join OOM'd — hash uniformity is a
+    property of the CONTENT the operator is honest about, so the
+    fixture must supply it the way real image corpora do."""
+    g, m = doc_id // 4, doc_id % 4
+    n = grid * grid
+    bits = []
+    for b in range((n + 15) // 16):
+        p = ((g + b * 7919) * 40503 + 12345) % 65536
+        bits.extend((p >> w) & 1 for w in range(min(16, n - 16 * b)))
+    bits[0], bits[n - 1] = 1, 0
+    if m == 2:
+        bits[1] ^= 1
+    elif m == 3:
+        bits[1] ^= 1
+        bits[2] ^= 1
+    return bits
+
+
 def synthesize_png_large_column(df: DataFrame, id_col: str = "doc_id",
                                 payload_col: str = "png") -> DataFrame:
     """PRODUCTION-GRID image fixture for the grid=8 (64-bit hash)
-    near-dup path: images come in GROUPS of 4 (g = id div 4) at
-    dimensions that fill every grid=8 cell — width = g%9+8 (8..16),
-    height = g%7+8 (8..14), channels 1 or 3 by group parity — with
-    the closed-form base byte t = (g·31 + 7t) mod 256 shared by the
-    group and the scanline FILTER varying per member (id%5: identical
-    pixels, different PNG encodings — two members are byte-different
-    files that must hash identically). Members PLANT near-dups the
-    aHash way: members 0,1 keep the base (an exact perceptual dup
-    pair), member 2 BRIGHTENS the pixels of hash cell 1
-    (v → min(v+128, 255) — the cell mean jumps ~96 so its bit pins to
-    1), member 3 brightens cells 1 and 2. Base cell bits are
-    ~coin-flips, so planted pair distances land on 0/1/2 (+ the odd
-    mean-shift side flip), giving the banded join a diverse
-    population with guaranteed candidates (patches confine to band 0;
-    bands 1-3 still collide within a group). Closed form end-to-end:
-    the oracle replays base byte → patch → luminance → floor cell map
-    → bit rule without decoding a PNG."""
+    near-dup path: images fill every grid=8 cell — width = g%9+8
+    (8..16), height = g%7+8 (8..14), channels 1 or 3 by group parity,
+    scanline FILTER varying per member (id%5: identical pixels,
+    byte-different PNG files that must hash identically) — and the
+    pixel content realizes the planted cell envelope
+    (`_image_envelope_bits`): bytes of a bright cell sit at
+    192 + ripple, dark cells at 64 + ripple (ripple = t mod 7 − 3, so
+    the decode is not constant-folding anything), a 128-level
+    separation the cell-mean bit rule recovers EXACTLY. Fingerprint
+    Hamming distance therefore equals envelope distance by
+    construction — planted 0/1/2 within groups, uniform 64-bit hashes
+    across groups (selective 16-bit band buckets at any corpus size).
+    Closed form end-to-end: the oracle replays envelope → byte value →
+    luminance → floor cell map → bit rule without decoding a PNG."""
     from felixzh_flink_spark.functions.png_codec import encode_png
 
     @F.pandas_udf("binary")
@@ -432,18 +460,16 @@ def synthesize_png_large_column(df: DataFrame, id_col: str = "doc_id",
         out = []
         for i in ids:
             i = int(i)
-            g, m = i // 4, i % 4
+            g = i // 4
             w, h, ch = g % 9 + 8, g % 7 + 8, (g % 2) * 2 + 1
-            patched = {1} if m == 2 else {1, 2} if m == 3 else set()
+            bits = _image_envelope_bits(i, 8)
             px = bytearray()
             for q in range(w * h):
                 cell = ((q // w) * 8 // h) * 8 + ((q % w) * 8 // w)
+                base = 192 if bits[cell] else 64
                 for c in range(ch):
                     t = q * ch + c
-                    v = (g * 31 + 7 * t) % 256
-                    if cell in patched:
-                        v = min(v + 128, 255)
-                    px.append(v)
+                    px.append(base + t % 7 - 3)
             out.append(encode_png(w, h, bytes(px), ch, filter_type=i % 5))
         return pd.Series(out)
 

@@ -7921,37 +7921,41 @@ dim AS (
          (g % 2) * 2 + 1 AS ch
   FROM d
 ),
-px AS (SELECT id, g, m, w, h, ch, unnest(range(0, w * h)) AS q FROM dim),
+-- the planted 64-bit cell envelope (multimodal._image_envelope_bits):
+-- band b draws p_b = ((g + b*7919)*40503 + 12345) mod 2^16, cell 0
+-- forced bright / 63 dark, member 2 flips cell 1, member 3 cells 1+2
+cb AS (
+  SELECT dim.id, c.c AS cell,
+         CASE WHEN c.c = 0 THEN 1
+              WHEN c.c = 63 THEN 0
+              WHEN (dim.m = 2 AND c.c = 1)
+                OR (dim.m = 3 AND c.c IN (1, 2))
+                THEN 1 - ((((dim.g + (c.c // 16) * 7919) * 40503
+                            + 12345) % 65536
+                           // (1 << (c.c % 16))) % 2)
+              ELSE (((dim.g + (c.c // 16) * 7919) * 40503
+                     + 12345) % 65536
+                    // (1 << (c.c % 16))) % 2
+         END AS eb
+  FROM dim, (SELECT unnest(range(0, 64)) AS c) c
+),
+px AS (SELECT id, w, h, ch, unnest(range(0, w * h)) AS q FROM dim),
 cl AS (
-  SELECT id, g, m, ch, q,
+  SELECT id, ch, q,
          ((q // w) * 8 // h) * 8 + ((q % w) * 8 // w) AS cell
   FROM px
 ),
-pv AS (
-  SELECT id, g, ch, q, cell,
-         CASE WHEN (m = 2 AND cell = 1)
-                OR (m = 3 AND cell IN (1, 2))
-              THEN 1 ELSE 0 END AS pat
-  FROM cl
-),
+-- decoded byte t = (192 if bright else 64) + t mod 7 - 3
 lum AS (
-  SELECT id, cell,
-         CASE WHEN ch = 1 THEN
-           3 * CASE WHEN pat = 1
-                    THEN LEAST((g * 31 + 7 * q) % 256 + 128, 255)
-                    ELSE (g * 31 + 7 * q) % 256 END
-         ELSE
-             CASE WHEN pat = 1
-                  THEN LEAST((g * 31 + 7 * (3 * q)) % 256 + 128, 255)
-                  ELSE (g * 31 + 7 * (3 * q)) % 256 END
-           + CASE WHEN pat = 1
-                  THEN LEAST((g * 31 + 7 * (3 * q + 1)) % 256 + 128, 255)
-                  ELSE (g * 31 + 7 * (3 * q + 1)) % 256 END
-           + CASE WHEN pat = 1
-                  THEN LEAST((g * 31 + 7 * (3 * q + 2)) % 256 + 128, 255)
-                  ELSE (g * 31 + 7 * (3 * q + 2)) % 256 END
+  SELECT cl.id, cl.cell,
+         CASE WHEN cl.ch = 1
+              THEN 3 * (CASE WHEN cb.eb = 1 THEN 192 ELSE 64 END
+                        + cl.q % 7 - 3)
+              ELSE 3 * (CASE WHEN cb.eb = 1 THEN 192 ELSE 64 END)
+                   + (3 * cl.q) % 7 + (3 * cl.q + 1) % 7
+                   + (3 * cl.q + 2) % 7 - 9
          END AS v
-  FROM pv
+  FROM cl JOIN cb ON cb.id = cl.id AND cb.cell = cl.cell
 ),
 cells AS (SELECT id, cell, SUM(v) AS cs, COUNT(*) AS cc
           FROM lum GROUP BY id, cell),
@@ -7991,23 +7995,29 @@ def image_ahash_neardup_grid8(spark, sf_dir):
     item 4: the r10 row was fixture-bounded at grid=4/16-bit hashes;
     this drives the advertised production shape): grid=8 → 64-bit
     aHashes over images that fill every cell
-    (`synthesize_png_large_column`, 8..16 × 8..14 px, groups of 4 with
-    planted exact-dup/brightened-cell members and per-member scanline
-    FILTERS — byte-different PNG files that must hash identically),
-    16-bit bands (the selective regime), exact Hamming ≤ 2 verify on
+    (`synthesize_png_large_column`, 8..16 × 8..14 px, groups of 4
+    realizing a planted 64-bit cell envelope at a 128-level brightness
+    separation — members at Hamming 0/1/2, per-member scanline FILTERS
+    so byte-different PNG files must hash identically, and UNIFORM
+    hashes across groups: the first fixture cut had near-uniform pixel
+    means whose tie-driven bits clustered across groups and sent the
+    sf10 candidate join quadratic — see `_image_envelope_bits`), 16-bit
+    bands (the selective regime), exact Hamming ≤ 2 verify on
     collisions only. Same machinery as `image_ahash_neardup` —
     `image_ahash_cells`/`image_ahash_bits`/`image_neardup_pairs` with
     different parameters, the whole point of parameterization (note
     the 64-bit `ahash` pack is NULL by the ANSI-overflow gate; the
-    join consumes `bits`). HARD oracle: DuckDB replays base byte →
-    brighten patch → luminance → floor cell map → integer bit rule →
-    16-bit banding → Hamming, decoding nothing. Runs over the FULL
-    documents table so the same query measures the decade curve at
-    sf1/sf10 (SCALE.md)."""
+    join consumes `bits`, and only (id, bits) is checkpointed — the
+    O(grid²) cell-stat arrays stay out of the cached relation). HARD
+    oracle: DuckDB replays envelope → byte value → luminance → floor
+    cell map → integer bit rule → 16-bit banding → Hamming, decoding
+    nothing. Runs over the FULL documents table so the same query
+    measures the decade curve at sf1/sf10 (SCALE.md)."""
     d = _t_wide(spark, sf_dir, "documents").select("doc_id")
     png = MM.synthesize_png_large_column(d)
-    hashed = MM.image_ahash_bits(MM.image_ahash_cells(png, grid=8),
-                                 grid=8).localCheckpoint(eager=True)
+    hashed = (MM.image_ahash_bits(MM.image_ahash_cells(png, grid=8),
+                                  grid=8)
+              .select("doc_id", "bits").localCheckpoint(eager=True))
     return (MM.image_neardup_pairs(hashed, grid=8, bands=4,
                                    max_hamming=2)
             .select("id_a", "id_b",
@@ -8084,9 +8094,9 @@ def audio_fingerprint_neardup_w64(spark, sf_dir):
     same query measures the decade curve at sf1/sf10 (SCALE.md)."""
     d = _t_wide(spark, sf_dir, "documents").select("doc_id")
     wav = MM.synthesize_wav_envelope_column(d, windows=64)
-    hashed = MM.image_ahash_bits(
-        MM.audio_fingerprint_cells(wav, windows=64), grid=8) \
-        .localCheckpoint(eager=True)
+    hashed = (MM.image_ahash_bits(
+        MM.audio_fingerprint_cells(wav, windows=64), grid=8)
+        .select("doc_id", "bits").localCheckpoint(eager=True))
     return (MM.image_neardup_pairs(hashed, grid=8, bands=4,
                                    max_hamming=2)
             .select("id_a", "id_b",
