@@ -1258,13 +1258,108 @@ def append_ivf_index(df: DataFrame, path: str, cents: list[list[float]],
     assigned.write.mode("append").partitionBy("ivf_cell").parquet(path)
 
 
+def delete_from_ivf_index(ids_df: DataFrame, path: str, epoch: int,
+                          id_col: str = "vec_id") -> None:
+    """DELETION tombstones for the IVF index — the IVF face of
+    `delete_from_rp_index`, solving the problem cell partitioning
+    creates: a deleted (or re-embedded) vector lives in SOME cell
+    directory, and finding it to rewrite would need an id→cell lookup.
+    Instead each deleted id appends (id, tomb_epoch) to a SIDECAR
+    under `path/_tombstones` (the underscore prefix hides it from the
+    main parquet read, the same convention Spark uses for its own
+    metadata): O(deletes) write, no index data touched, probes stay
+    partition-pruned and apply the tombstone set as a broadcast
+    anti-condition (eval sets of deletions between compactions are
+    small — the same merge-on-read smallness assumption as the rp
+    delta set). A row survives a tombstone iff its ingest epoch is ≥
+    the tombstone's, so an `upsert_ivf_index` re-insert at the same
+    epoch (possibly in a DIFFERENT cell) wins over its own delete."""
+    (ids_df.select(F.col(id_col), F.lit(int(epoch)).alias("tomb_epoch"))
+        .write.mode("append").parquet(path + "/_tombstones"))
+
+
+def upsert_ivf_index(df: DataFrame, path: str, cents: list[list[float]],
+                     epoch: int, vec_col: str = "embedding",
+                     id_col: str = "vec_id",
+                     books: list[list[list[float]]] | None = None) -> None:
+    """RE-EMBEDDING upserts for the cell-partitioned IVF index: the new
+    vector may belong to a DIFFERENT cell than the row it supersedes,
+    so an in-place latest-wins (the rp index's discipline) cannot work
+    per cell directory. The standard LSM move instead: tombstone the
+    ids at `epoch` (sidecar — no cell lookup needed), then assign the
+    NEW vectors against the committed centroids and append them
+    carrying `ingest_epoch = epoch` into their (possibly new) cells.
+    The survive-iff-epoch-≥-tombstone rule makes the pair atomic in
+    effect: the old row dies, the new one lives, wherever each sits.
+    Scans only the delta; bulk files immutable."""
+    delete_from_ivf_index(df.select(id_col), path, epoch, id_col)
+    assigned = ivf_assign(df, cents, vec_col)
+    if books is not None:
+        assigned = pq_encode(assigned, books, vec_col)
+    assigned.withColumn("ingest_epoch", F.lit(int(epoch))) \
+        .write.mode("append").partitionBy("ivf_cell").parquet(path)
+
+
+def _ivf_apply_tombstones(spark, path: str, rows: DataFrame,
+                          id_col: str) -> DataFrame:
+    """Filter an IVF index relation to its ALIVE rows: anti-join the
+    (broadcast) per-id max tombstone epoch, keeping rows whose ingest
+    epoch (0 for pre-upsert bulk rows) is ≥ it. Zero cost when the
+    sidecar doesn't exist — the check is a directory listing."""
+    from felixzh_flink_spark.functions.stateio import state_fs
+
+    fs = state_fs(spark, path)
+    if not fs.exists(fs.join(path, "_tombstones")):
+        return rows
+    tomb = (spark.read.parquet(path + "/_tombstones")
+            .groupBy(id_col).agg(F.max("tomb_epoch").alias("_te")))
+    re = (F.coalesce(F.col("ingest_epoch"), F.lit(0))
+          if "ingest_epoch" in rows.columns else F.lit(0))
+    return (rows.withColumn("_re", re.cast("long"))
+            .join(F.broadcast(tomb), id_col, "left")
+            .filter(F.col("_te").isNull() | (F.col("_re") >= F.col("_te")))
+            .drop("_te", "_re"))
+
+
+def compact_ivf_index(spark, path: str, id_col: str = "vec_id") -> None:
+    """Apply the tombstone sidecar physically: rewrite the cell layout
+    to alive rows only (epoch column dropped — the survivors are the
+    resolved state) and clear the sidecar, restoring the plain
+    tombstone-free probe path. Tombstone application is IDEMPOTENT, so
+    a crash after the rewrite but before the sidecar delete re-applies
+    a no-op on the next read/compaction; the rewrite itself stands in
+    for the transactional OPTIMIZE/MERGE a lakehouse table format
+    provides at production (the same note as the changelog sink —
+    serving correctness never depends on compaction, which is why the
+    read-path tombstone filter stays correct forever)."""
+    from felixzh_flink_spark.functions.stateio import state_fs
+
+    alive = ivf_read_alive(spark, path, id_col).drop("ingest_epoch") \
+        .localCheckpoint(eager=True)
+    alive.write.mode("overwrite").partitionBy("ivf_cell").parquet(path)
+    fs = state_fs(spark, path)
+    fs.delete(fs.join(path, "_tombstones"))
+
+
+def ivf_read_alive(spark, path: str, id_col: str = "vec_id") -> DataFrame:
+    """The materialized IVF index's ALIVE rows (tombstones applied;
+    mergeSchema because pre-upsert bulk files lack `ingest_epoch`)."""
+    rows = spark.read.option("mergeSchema", "true").parquet(path)
+    return _ivf_apply_tombstones(spark, path, rows, id_col)
+
+
 def ivf_topk_from_index(spark, path: str, cents: list[list[float]],
                         query_vec: list[float], k: int = 10, n_probe: int = 4,
                         id_col: str = "vec_id",
                         vec_col: str = "embedding") -> DataFrame:
     """IVF top-k against a materialized index: the `ivf_cell IN (probes)`
     predicate is a PARTITION filter on the index layout (plan-asserted in
-    tests), so non-probed cells are never read."""
+    tests), so non-probed cells are never read. Deletion tombstones
+    (`delete_from_ivf_index` / `upsert_ivf_index`), when present, are
+    applied AFTER the cell filter as a broadcast anti-condition — the
+    probe reads the same pruned directories either way, and the check
+    for the sidecar is a filesystem listing (zero cost on
+    tombstone-free indexes)."""
 
     def cos(a: list[float], b: list[float]) -> float:
         dot = sum(x * y for x, y in zip(a, b))
@@ -1274,7 +1369,9 @@ def ivf_topk_from_index(spark, path: str, cents: list[list[float]],
 
     ranked = sorted(range(len(cents)), key=lambda i: -cos(query_vec, cents[i]))
     probe = [i + 1 for i in ranked[:n_probe]]
-    cand = spark.read.parquet(path).filter(F.col("ivf_cell").isin(probe))
+    cand = (spark.read.option("mergeSchema", "true").parquet(path)
+            .filter(F.col("ivf_cell").isin(probe)))
+    cand = _ivf_apply_tombstones(spark, path, cand, id_col)
     scored = cand.select(
         F.col(id_col).alias("id"),
         cosine_to_literal(vec_col, query_vec).alias("cosine_sim"),

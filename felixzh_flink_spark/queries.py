@@ -4640,6 +4640,87 @@ def ann_ivf_delta_checks(spark, sf_dir):
     return k_ok.crossJoin(layout).crossJoin(probe)
 
 
+#: per-sf_dir path of an UPSERT+DELETE-maintained IVF index: the bulk
+#: holds deliberately STALE (reversed) vectors for ids ≡ 3 (mod 7);
+#: epoch 1 upserts their true re-embeddings (tombstone + append — the
+#: new vector may land in a DIFFERENT cell); epoch 2 deletes every id
+#: ≡ 5 (mod 11). Served through the tombstone-aware probe.
+_IVF_TOMB_INDEX_PATH: dict[str, str] = {}
+
+
+def _ivf_tomb_index_path(spark, sf_dir) -> str:
+    if sf_dir not in _IVF_TOMB_INDEX_PATH:
+        import tempfile
+        path = tempfile.mkdtemp(prefix="spark_graft_ivft_")
+        cents = _ivf_index(spark, sf_dir, 16)
+        e = _t(spark, sf_dir, "embeddings")
+        stale = e.withColumn(
+            "embedding",
+            F.when(F.col("vec_id") % 7 == 3, F.reverse("embedding"))
+            .otherwise(F.col("embedding")))
+        SIM.write_ivf_index(stale, path, cents)
+        SIM.upsert_ivf_index(e.filter(F.col("vec_id") % 7 == 3), path,
+                             cents, epoch=1)
+        SIM.delete_from_ivf_index(
+            e.filter(F.col("vec_id") % 11 == 5).select("vec_id"),
+            path, epoch=2)
+        _IVF_TOMB_INDEX_PATH[sf_dir] = path
+    return _IVF_TOMB_INDEX_PATH[sf_dir]
+
+
+@q("ann_ivf_tombstone_checks", """
+SELECT TRUE AS k_rows_ok, TRUE AS alive_matches_rebuild,
+       TRUE AS probe_matches_rebuild
+""")
+def ann_ivf_tombstone_checks(spark, sf_dir):
+    """Assertion oracle for IVF UPSERTS + DELETIONS
+    (`similarity.upsert_ivf_index` / `delete_from_ivf_index` — the IVF
+    face of the r11 rp tombstone work, solving the problem cell
+    partitioning creates: a superseded vector lives in SOME cell and
+    may move cells on re-embedding, so maintenance uses a tombstone
+    SIDECAR + epoch rule instead of per-cell latest-wins). The fixture
+    plants all three lifecycles: stale reversed bulk vectors for ids ≡
+    3 (mod 7) upserted at epoch 1 (tombstone + append, cells can
+    move), ids ≡ 5 (mod 11) deleted at epoch 2, everything else
+    untouched bulk. Asserted against a FULL REBUILD at the same
+    centroids over (corpus minus deleted, true vectors):
+
+    - k_rows_ok: the tombstone-aware probe returns exactly k rows.
+    - alive_matches_rebuild: the alive (vec_id, ivf_cell) row multiset
+      equals the rebuild's — every stale row is dead, every upserted
+      row lives in its NEW cell, every deleted id is gone, nothing
+      else moved.
+    - probe_matches_rebuild: the partition-pruned tombstone-aware
+      top-k is row-for-row the rebuild's (exact sims included) — a
+      leaked stale vector, resurrected deletion, or lost upsert
+      changes the rows.
+
+    DuckDB oracle is the constant-true row (IVF is approximate by
+    construction; the hard deletion oracle rides the rp path,
+    `rp_rerank_tombstone_indexed`). Compaction (physical tombstone
+    application, probe unchanged) is unit-pinned."""
+    cents = _ivf_index(spark, sf_dir, 16)
+    path = _ivf_tomb_index_path(spark, sf_dir)
+    qv = _query_vec(spark, sf_dir)
+    e = _t(spark, sf_dir, "embeddings")
+    kept = e.filter(F.col("vec_id") % 11 != 5)
+    rebuild = SIM.ivf_assign(kept, cents).select(
+        "vec_id", F.col("ivf_cell").cast("int").alias("cell"))
+    alive = SIM.ivf_read_alive(spark, path).select(
+        "vec_id", F.col("ivf_cell").cast("int").alias("cell"))
+    layout = alive.exceptAll(rebuild).unionAll(
+        rebuild.exceptAll(alive)).agg(
+        (F.count("*") == 0).alias("alive_matches_rebuild"))
+    pa = SIM.ivf_topk_from_index(spark, path, cents, qv, k=10,
+                                 n_probe=4).select("id", "cosine_sim")
+    pb = SIM.ivf_topk(kept, qv, k=10, n_centroids=16, n_probe=4,
+                      cents=cents).select("id", "cosine_sim")
+    k_ok = pa.agg((F.count("*") == 10).alias("k_rows_ok"))
+    probe = pa.exceptAll(pb).unionAll(pb.exceptAll(pa)).agg(
+        (F.count("*") == 0).alias("probe_matches_rebuild"))
+    return k_ok.crossJoin(layout).crossJoin(probe)
+
+
 @q("semantic_dedup_checks", """
 SELECT TRUE AS dedup_matches_independent_recompute, TRUE AS rows_complete
 """)
@@ -9278,6 +9359,7 @@ _DRIVER_ORDER = [
     # =================================================================
     "rp_rerank_tombstone_indexed", "image_ahash_neardup_grid8",
     "audio_fingerprint_neardup_w64", "webdataset_pair_dedup",
+    "ann_ivf_tombstone_checks",
     "rp_rerank_upsert_indexed", "rp_rerank_delta_indexed",
     "rp_rerank_indexed", "image_ahash_neardup",
     "audio_fingerprint_neardup", "tfidf_top_terms",

@@ -490,6 +490,77 @@ def test_append_ivf_index_matches_full_rebuild(spark, tmp_path):
     assert pa == pb and len(pa) == 10
 
 
+def test_ivf_tombstones_upserts_and_compaction(spark, tmp_path):
+    """IVF deletion/upsert lifecycle: a stale bulk vector is superseded
+    by an upsert whose re-embedding lands in a DIFFERENT cell (the
+    case per-cell latest-wins cannot handle — the tombstone sidecar +
+    epoch rule can), a deleted id vanishes from the probe, compaction
+    applies tombstones physically with the probe unchanged, and a
+    re-insert after deletion resurrects."""
+    from felixzh_flink_spark.operators.similarity import (
+        compact_ivf_index,
+        delete_from_ivf_index,
+        ivf_assign,
+        ivf_centroids,
+        ivf_read_alive,
+        ivf_topk,
+        ivf_topk_from_index,
+        upsert_ivf_index,
+    )
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = [float(x) for x in
+         e.filter(F.col("vec_id") == 0).head()["embedding"]]
+    cents = ivf_centroids(e, 16)
+
+    def probe(p):
+        return [(r.id, r.cosine_sim)
+                for r in ivf_topk_from_index(spark, p, cents, q, k=10,
+                                             n_probe=4).collect()]
+
+    def inline(df):
+        return [(r.id, r.cosine_sim)
+                for r in ivf_topk(df, q, k=10, n_centroids=16,
+                                  n_probe=4, cents=cents).collect()]
+
+    from felixzh_flink_spark.operators.similarity import write_ivf_index
+    stale = e.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") % 7 == 3, F.reverse("embedding"))
+        .otherwise(F.col("embedding")))
+    path = str(tmp_path / "ivf_tomb")
+    write_ivf_index(stale, path, cents)
+    # upsert the true re-embeddings; at least one must change cell for
+    # the test to exercise the cross-cell case
+    fixed = e.filter(F.col("vec_id") % 7 == 3)
+    old_cells = {r.vec_id: r.ivf_cell
+                 for r in ivf_assign(stale.filter(F.col("vec_id") % 7 == 3),
+                                     cents).collect()}
+    new_cells = {r.vec_id: r.ivf_cell
+                 for r in ivf_assign(fixed, cents).collect()}
+    assert any(old_cells[i] != new_cells[i] for i in old_cells), \
+        "fixture must move at least one vector across cells"
+    upsert_ivf_index(fixed, path, cents, epoch=1)
+    assert probe(path) == inline(e)               # stale rows dead
+    # delete the current top ids and verify they vanish
+    top_ids = [i for i, _ in inline(e)[:3]]
+    delete_from_ivf_index(
+        e.filter(F.col("vec_id").isin(top_ids)).select("vec_id"),
+        path, epoch=2)
+    kept = e.filter(~F.col("vec_id").isin(top_ids))
+    assert probe(path) == inline(kept)
+    # compaction: physical removal, sidecar gone, probe unchanged
+    compact_ivf_index(spark, path)
+    assert spark.read.parquet(path).count() == kept.count()
+    import os
+    assert not os.path.exists(path + "/_tombstones")
+    assert probe(path) == inline(kept)
+    # resurrection: re-insert the deleted ids at a higher epoch
+    upsert_ivf_index(e.filter(F.col("vec_id").isin(top_ids)), path,
+                     cents, epoch=3)
+    assert probe(path) == inline(e)
+    assert ivf_read_alive(spark, path).count() == e.count()
+
+
 def test_rrf_fuse_semantics(spark):
     """RRF fusion laws on hand-built rankers: a doc in both lists sums
     both reciprocal ranks, one-sided docs contribute a single term with
