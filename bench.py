@@ -229,6 +229,9 @@ HEADLINE = [
     "image_ahash_neardup_grid8",
     "audio_fingerprint_neardup_w64",
     "webdataset_pair_dedup",
+    # embedding-space eval-leakage gate: broadcast bench, one
+    # zero-shuffle anti-join pass over the corpus
+    "decontaminate_semantic_survivors",
 ]
 
 #: ITER lane (round-8 verdict item 2): the iterative / composed kernels

@@ -899,6 +899,22 @@ def ivf_assign(df: DataFrame, cents: list[list[float]],
     )
 
 
+def _probe_cells(cents: list[list[float]], query_vec: list[float],
+                 n_probe: int) -> list[int]:
+    """Driver-side probe choice shared by every IVF serving path: the
+    `n_probe` 1-based cell ids whose centroids are most cosine-similar
+    to the query — n_centroids dot products on the driver, never a
+    distributed job."""
+    def cos(a: list[float], b: list[float]) -> float:
+        dot = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(y * y for y in b) ** 0.5
+        return dot / (na * nb) if na and nb else 0.0
+
+    ranked = sorted(range(len(cents)), key=lambda i: -cos(query_vec, cents[i]))
+    return [i + 1 for i in ranked[:n_probe]]
+
+
 def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
              n_centroids: int = 16, n_probe: int = 4,
              id_col: str = "vec_id", vec_col: str = "embedding",
@@ -913,15 +929,7 @@ def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     work — real IVF deployments never re-derive centroids per search."""
     if cents is None:
         cents = ivf_centroids(df, n_centroids, id_col, vec_col)
-
-    def cos(a: list[float], b: list[float]) -> float:
-        dot = sum(x * y for x, y in zip(a, b))
-        na = sum(x * x for x in a) ** 0.5
-        nb = sum(y * y for y in b) ** 0.5
-        return dot / (na * nb) if na and nb else 0.0
-
-    ranked = sorted(range(len(cents)), key=lambda i: -cos(query_vec, cents[i]))
-    probe = [i + 1 for i in ranked[:n_probe]]  # 1-based cells
+    probe = _probe_cells(cents, query_vec, n_probe)  # 1-based cells
     assigned = ivf_assign(df, cents, vec_col)
     cand = assigned.filter(F.col("ivf_cell").isin(probe))
     scored = cand.select(
@@ -955,6 +963,55 @@ def quantized_cosine(qa: Column, qb: Column) -> Column:
     cos(sa·qa, sb·qb) = cos(qa, qb), so no scale columns are needed —
     cheap integer multiplies until the final normalize."""
     return cosine(qa, qb)
+
+
+def decontaminate_semantic(corpus: DataFrame, benchmark: DataFrame,
+                           threshold: float = 0.9,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           bench_vec_col: str | None = None,
+                           dim: int | None = None) -> DataFrame:
+    """EMBEDDING-space decontamination — the semantic member of the
+    eval-leakage family (`text.decontaminate` exact fingerprints,
+    `text.decontaminate_ngrams` 13-gram overlap, `bloom` runtime
+    filters): drop every corpus row whose embedding reaches cosine ≥
+    `threshold` against ANY benchmark embedding, catching the
+    paraphrased / re-rendered / translated eval leakage that lexical
+    fingerprints structurally miss. Returns the SURVIVORS with their
+    original columns.
+
+    Scale shape: the benchmark side is an EVAL SUITE — MB-grade by
+    construction — so it rides a single broadcast; the corpus side is
+    ONE pass with ZERO shuffle (a BroadcastNestedLoopJoin LeftAnti
+    whose join condition is the exact cosine test: each corpus row
+    checks bench vectors and SHORT-CIRCUITS on the first hit, so the
+    common clean row pays the full O(|bench|·dim) only when truly
+    clean, and no candidate relation, id set, or re-join ever
+    materializes). Exact by construction — deliberately NO projected
+    prefilter, because JL projections give no completeness bound at a
+    fixed cosine threshold (a pruned-then-verified variant could
+    silently keep contaminated rows; wrong tool for a leakage gate).
+
+    Per-pair cost discipline: both side's norms are computed ONCE per
+    row (corpus norm as a pre-join column, bench norms inside the
+    broadcast) and the join condition is the allocation-free indexed
+    dot (`_dot_indexed` — no per-pair zip_with array), so a corpus row
+    × bench row check is exactly dim fused multiply-adds + one divide.
+
+    Determinism: the indexed dot left-folds per element exactly like
+    the DuckDB replay (list_reduce), and `_norm` is the same fold +
+    correctly-rounded sqrt, so the doubles compared against
+    `threshold` are bit-identical cross-engine."""
+    bvec = bench_vec_col or vec_col
+    b = benchmark.select(F.col(bvec).alias("_bvec"),
+                         _norm(F.col(bvec)).alias("_bnorm"))
+    if dim is None:  # one-row construction probe when not supplied
+        dim = benchmark.select(F.size(F.col(bvec)).alias("d")).head()["d"]
+    cond = (_dot_indexed(F.col(vec_col), F.col("_bvec"), int(dim))
+            / (F.col("_cnorm") * F.col("_bnorm"))
+            ) >= F.lit(float(threshold))
+    return (corpus.withColumn("_cnorm", _norm(F.col(vec_col)))
+            .join(F.broadcast(b), cond, "left_anti").drop("_cnorm"))
 
 
 def semantic_dedup(df: DataFrame, threshold: float = 0.9,
@@ -1360,15 +1417,7 @@ def ivf_topk_from_index(spark, path: str, cents: list[list[float]],
     probe reads the same pruned directories either way, and the check
     for the sidecar is a filesystem listing (zero cost on
     tombstone-free indexes)."""
-
-    def cos(a: list[float], b: list[float]) -> float:
-        dot = sum(x * y for x, y in zip(a, b))
-        na = sum(x * x for x in a) ** 0.5
-        nb = sum(y * y for y in b) ** 0.5
-        return dot / (na * nb) if na and nb else 0.0
-
-    ranked = sorted(range(len(cents)), key=lambda i: -cos(query_vec, cents[i]))
-    probe = [i + 1 for i in ranked[:n_probe]]
+    probe = _probe_cells(cents, query_vec, n_probe)
     cand = (spark.read.option("mergeSchema", "true").parquet(path)
             .filter(F.col("ivf_cell").isin(probe)))
     cand = _ivf_apply_tombstones(spark, path, cand, id_col)
@@ -1377,6 +1426,97 @@ def ivf_topk_from_index(spark, path: str, cents: list[list[float]],
         cosine_to_literal(vec_col, query_vec).alias("cosine_sim"),
     )
     return scored.orderBy(F.desc("cosine_sim"), F.asc("id")).limit(k)
+
+
+def ivf_topk_from_df(idx: DataFrame, cents: list[list[float]],
+                     query_vec: list[float], k: int = 10, n_probe: int = 4,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """IVF top-k over an index DATAFRAME whose rows already carry
+    `ivf_cell` (the streaming-maintained state, or any pre-assigned
+    relation): trusts the stored assignment — no per-query re-assign
+    pass — filters to the probed cells and exact-cosine ranks within
+    them. Same probe choice and fold order as `ivf_topk`, so results
+    over the same alive rows are bit-equal to the inline path."""
+    probe = _probe_cells(cents, query_vec, n_probe)
+    scored = idx.filter(F.col("ivf_cell").isin(probe)).select(
+        F.col(id_col).alias("id"),
+        cosine_to_literal(vec_col, query_vec).alias("cosine_sim"))
+    return scored.orderBy(F.desc("cosine_sim"), F.asc("id")).limit(k)
+
+
+def ivf_index_stream_sink(state_dir: str, cents: list[list[float]],
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          n_buckets: int = 8,
+                          books: list[list[list[float]]] | None = None):
+    """foreachBatch writer maintaining the IVF index CONTINUOUSLY — the
+    cell-partitioned twin of `rp_index_stream_sink`, completing the
+    {rp, ivf} × {batch, stream} maintenance matrix: each micro-batch is
+    assigned against the FROZEN centroids (only the batch is scanned;
+    centroids are the ingest artifact every real IVF deployment pins
+    between retrainings) and MERGED into the bucketed state keyed on
+    id, latest micro-batch wins per id. Because the state is keyed by
+    id — not laid out by cell — a re-embedding that MOVES CELLS is just
+    an ordinary upsert (the replaced row carries the new cell), and
+    op=-D deletions drop the row: the streaming path never needs the
+    batch layout's tombstone sidecar. Storage/merge/commit ride the
+    changelog library's crash-atomic bucketed machinery
+    (`changelog_upsert_sink` — O(touched buckets) per batch, idempotent
+    replays). Serve with `ivf_topk_from_df` over
+    `ivf_index_stream_read`; `materialize_ivf_index` hands the state
+    back to the partition-pruned batch layout."""
+    from felixzh_flink_spark.functions.changelog import (
+        OP_INSERT,
+        changelog_upsert_sink,
+    )
+
+    inner = changelog_upsert_sink(state_dir, pk=[id_col],
+                                  order_col="ingest_epoch",
+                                  n_buckets=n_buckets)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        op = (F.col("op") if "op" in batch_df.columns
+              else F.lit(OP_INSERT))
+        assigned = ivf_assign(
+            batch_df.select(F.col(id_col), F.col(vec_col),
+                            op.alias("op")),
+            cents, vec_col)
+        if books is not None:
+            assigned = pq_encode(assigned, books, vec_col)
+        inner(assigned.withColumn("ingest_epoch", F.lit(int(epoch_id))),
+              epoch_id)
+
+    return sink
+
+
+def ivf_index_stream_read(spark, state_dir: str,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> DataFrame:
+    """The continuously maintained IVF state as an (id, ivf_cell, vec)
+    relation — feed to `ivf_topk_from_df`. No latest-wins window and no
+    tombstone filter: the sink merged per id at write time (per
+    micro-batch over touched buckets), so the committed state IS the
+    resolved index."""
+    from felixzh_flink_spark.functions.changelog import read_upsert_state
+
+    return read_upsert_state(spark, state_dir).select(
+        id_col, "ivf_cell", vec_col)
+
+
+def materialize_ivf_index(spark, state_dir: str, path: str,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> None:
+    """Flush the streaming-maintained state into the cell-PARTITIONED
+    batch layout (`write_ivf_index`'s): the stream→batch handoff. The
+    streaming state is bucketed by pk hash (the crash-atomic merge
+    needs that layout), so its probes FILTER the state scan rather than
+    prune directories; a periodic materialize restores the
+    partition-pruned scan shape `ivf_topk_from_index` serves — the
+    background job that, on a real cluster, turns the live ingest tail
+    into the cold probe-optimal layout."""
+    idx = ivf_index_stream_read(spark, state_dir, id_col, vec_col)
+    idx.write.mode("overwrite").partitionBy("ivf_cell").parquet(path)
 
 
 def cosine_topk_multi(df: DataFrame, queries: dict[int, list[float]],

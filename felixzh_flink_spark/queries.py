@@ -3789,6 +3789,74 @@ def cosine_topk(spark, sf_dir):
 
 
 
+@q("decontaminate_semantic_survivors", """
+WITH b AS (
+  SELECT list_transform(generate_series(1, 64),
+             i -> embedding[i]::DOUBLE) AS bv
+  FROM embeddings WHERE vec_id % 31 = 3
+  UNION ALL
+  SELECT list_transform(generate_series(1, 64),
+             i -> CASE WHEN i = 1 THEN embedding[i]::DOUBLE + 0.3
+                  ELSE embedding[i]::DOUBLE END) AS bv
+  FROM embeddings WHERE vec_id % 23 = 7
+),
+bad AS (
+  SELECT DISTINCT e.vec_id
+  FROM embeddings e, b
+  WHERE list_reduce(list_transform(generate_series(1, 64),
+            i -> e.embedding[i]::DOUBLE * b.bv[i]), (x, y) -> x + y)
+        / (sqrt(list_reduce(list_transform(generate_series(1, 64),
+              i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE),
+              (x, y) -> x + y))
+           * sqrt(list_reduce(list_transform(b.bv, x -> x * x),
+                              (x, y) -> x + y)))
+        >= 0.9
+)
+SELECT vec_id FROM embeddings
+WHERE vec_id NOT IN (SELECT vec_id FROM bad)
+ORDER BY vec_id
+""")
+def decontaminate_semantic_survivors(spark, sf_dir):
+    """SEMANTIC decontamination (`similarity.decontaminate_semantic`) —
+    the embedding-space member of the eval-leakage family
+    (fingerprint / 13-gram / Bloom are its lexical siblings): corpus
+    rows whose embedding reaches cosine ≥ 0.9 against ANY benchmark
+    embedding are dropped; the query returns the SURVIVING ids. The
+    benchmark plants BOTH leak classes the gate exists for, at any sf:
+    the vec_id ≡ 3 (mod 31) slice verbatim (exact leakage — these
+    corpus rows die at cosine 1.0) and the vec_id ≡ 7 (mod 23) slice
+    with its first element shifted +0.3 (a RE-EMBEDDED PARAPHRASE —
+    its corpus original dies at cosine ≈ 0.99 < 1, the case lexical
+    decontamination structurally cannot see; the table's cross-row
+    cosines top out near 0.51, so nothing else reaches 0.9).
+
+    Scale shape: the benchmark broadcasts (eval suites are MB-grade);
+    the corpus pays ONE zero-shuffle pass — a BroadcastNestedLoopJoin
+    LeftAnti whose condition is the exact cosine test (allocation-free
+    indexed dot, both norms precomputed once per row), short-circuiting
+    on the first contaminated hit. Plan-asserted shuffle-free in units.
+
+    Hard oracle: DuckDB replays the benchmark construction (float →
+    double is exact; the +0.3 add is one IEEE op) and every corpus ×
+    benchmark cosine with the identical left fold (list_reduce ≡
+    F.aggregate), so a single leaked or over-dropped row changes the
+    id list."""
+    e = _t_wide(spark, sf_dir, "embeddings")
+    as_double = F.transform(F.col("embedding"),
+                            lambda x: x.cast("double"))
+    exact = e.filter(F.col("vec_id") % 31 == 3) \
+        .select(as_double.alias("bv"))
+    paraphrased = e.filter(F.col("vec_id") % 23 == 7).select(
+        F.transform(F.col("embedding"),
+                    lambda x, i: F.when(i == 0, x.cast("double") + 0.3)
+                    .otherwise(x.cast("double"))).alias("bv"))
+    bench = exact.unionByName(paraphrased)
+    return (SIM.decontaminate_semantic(e, bench, threshold=0.9,
+                                       vec_col="embedding",
+                                       bench_vec_col="bv", dim=64)
+            .select("vec_id").orderBy("vec_id"))
+
+
 @q("cosine_topk_multi", """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv
            FROM embeddings WHERE vec_id IN (0, 1, 2)),
@@ -9359,7 +9427,7 @@ _DRIVER_ORDER = [
     # =================================================================
     "rp_rerank_tombstone_indexed", "image_ahash_neardup_grid8",
     "audio_fingerprint_neardup_w64", "webdataset_pair_dedup",
-    "ann_ivf_tombstone_checks",
+    "ann_ivf_tombstone_checks", "decontaminate_semantic_survivors",
     "rp_rerank_upsert_indexed", "rp_rerank_delta_indexed",
     "rp_rerank_indexed", "image_ahash_neardup",
     "audio_fingerprint_neardup", "tfidf_top_terms",

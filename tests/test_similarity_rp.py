@@ -629,3 +629,45 @@ def test_prefiltered_rerank_semantics(spark, tmp_path):
             for r in rp_rerank_topk(e, q, k=10, prek=20).collect()
             if r.id % 4 == 1]
     assert post != got
+
+
+def test_decontaminate_semantic_matches_bruteforce(spark):
+    """Semantic decontamination: survivors are exactly the corpus rows
+    whose max cosine against the benchmark set is below threshold —
+    replayed brute-force in Python with the same left-fold element
+    order — benchmark self-matches (cosine 1.0) always drop, and the
+    plan is the zero-shuffle broadcast anti shape."""
+    from felixzh_flink_spark.operators.similarity import (
+        decontaminate_semantic,
+    )
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    bench = e.filter(F.col("vec_id") % 23 == 7)
+    surv = decontaminate_semantic(e, bench, threshold=0.9)
+    got = sorted(r.vec_id for r in surv.select("vec_id").collect())
+
+    rows = {r.vec_id: [float(x) for x in r.embedding]
+            for r in e.collect()}
+    bvecs = [rows[i] for i in sorted(rows) if i % 23 == 7]
+
+    def cos(a, b):
+        dot = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+        na = 0.0
+        for x in a:
+            na += x * x
+        nb = 0.0
+        for y in b:
+            nb += y * y
+        return dot / (na ** 0.5 * nb ** 0.5)
+
+    want = sorted(i for i, v in rows.items()
+                  if all(cos(v, bv) < 0.9 for bv in bvecs))
+    assert got == want
+    assert all(i % 23 != 7 for i in got)        # self-matches dropped
+    assert len(got) < len(rows)                 # something was dropped
+    # scale shape: one corpus pass, broadcast bench, no shuffle
+    plan = surv._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Exchange hashpartitioning" not in plan

@@ -1115,3 +1115,83 @@ def test_rp_index_stream_sink_serves_like_inline(spark, tmp_path):
     got = [(r.id, r.cosine_sim) for r in
            rp_rerank_topk_from_df(idx, q, k=10, prek=50).collect()]
     assert got == inline
+
+
+def test_ivf_index_stream_sink_serves_like_inline(spark, tmp_path):
+    """Streaming IVF index maintenance — the cell-partitioned twin of
+    the rp stream sink, completing the {rp, ivf} × {batch, stream}
+    matrix: micro-batches of inserts, a re-embedding upsert that MOVES
+    CELLS (the case the batch path needs a tombstone sidecar for; here
+    it is an ordinary keyed upsert), and an op=-D deletion must serve
+    bit-identically to the inline IVF probe over the LATEST corpus,
+    and materializing the state back to the cell-partitioned batch
+    layout must serve identically through the partition-pruned path."""
+    from felixzh_flink_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroids,
+        ivf_index_stream_read,
+        ivf_index_stream_sink,
+        ivf_topk,
+        ivf_topk_from_df,
+        ivf_topk_from_index,
+        materialize_ivf_index,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    q = [float(x) for x in
+         e.filter(F.col("vec_id") == 0).head()["embedding"]]
+    cents = ivf_centroids(e, 16)
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    # batch 1: most ids, but ids ≡ 3 (mod 7) carry STALE (reversed)
+    # vectors; batch 2 re-embeds them (cells may move), adds the rest,
+    # and deletes vec_id 1
+    stale = e.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") % 7 == 3, F.reverse("embedding"))
+        .otherwise(F.col("embedding")))
+    b1 = stale.filter(F.col("vec_id") % 5 != 4).withColumn(
+        "op", F.lit("+I"))
+    b2 = (e.filter((F.col("vec_id") % 5 == 4) | (F.col("vec_id") % 7 == 3))
+          .withColumn("op", F.lit("+I"))
+          .unionByName(e.filter(F.col("vec_id") == 1)
+                       .withColumn("op", F.lit("-D"))))
+    # the fixture must exercise a cross-cell re-embedding
+    old_cells = {r.vec_id: r.ivf_cell for r in
+                 ivf_assign(stale.filter(F.col("vec_id") % 7 == 3),
+                            cents).collect()}
+    new_cells = {r.vec_id: r.ivf_cell for r in
+                 ivf_assign(e.filter(F.col("vec_id") % 7 == 3),
+                            cents).collect()}
+    assert any(old_cells[i] != new_cells[i] for i in old_cells)
+
+    b1.coalesce(1).write.mode("append").parquet(src)
+    stream = file_stream_source(spark, src, b1.schema,
+                                max_files_per_trigger=1)
+    sink = ivf_index_stream_sink(state, cents)
+    sq = (stream.writeStream.foreachBatch(sink)
+          .option("checkpointLocation", str(tmp_path / "ckpt")).start())
+    sq.processAllAvailable()
+    b2.coalesce(1).write.mode("append").parquet(src)
+    sq.processAllAvailable()
+    sq.stop()
+
+    final_corpus = e.filter(F.col("vec_id") != 1)   # latest truth
+    inline = [(r.id, r.cosine_sim) for r in
+              ivf_topk(final_corpus, q, k=10, n_centroids=16,
+                       n_probe=4, cents=cents).collect()]
+    idx = ivf_index_stream_read(spark, state)
+    assert idx.count() == final_corpus.count()
+    got = [(r.id, r.cosine_sim) for r in
+           ivf_topk_from_df(idx, cents, q, k=10, n_probe=4).collect()]
+    assert got == inline and got
+
+    # stream → batch handoff: the materialized cell-partitioned layout
+    # serves the same rows through the partition-pruned probe
+    batch_path = str(tmp_path / "batch")
+    materialize_ivf_index(spark, state, batch_path)
+    got2 = [(r.id, r.cosine_sim) for r in
+            ivf_topk_from_index(spark, batch_path, cents, q, k=10,
+                                n_probe=4).collect()]
+    assert got2 == inline
