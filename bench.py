@@ -232,6 +232,9 @@ HEADLINE = [
     # embedding-space eval-leakage gate: broadcast bench, one
     # zero-shuffle anti-join pass over the corpus
     "decontaminate_semantic_survivors",
+    # incrementally maintained tfidf stats (bulk + two delta appends)
+    # serving through the same cached path
+    "tfidf_top_terms_incremental",
 ]
 
 #: ITER lane (round-8 verdict item 2): the iterative / composed kernels

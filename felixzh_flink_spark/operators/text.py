@@ -248,6 +248,79 @@ def write_tfidf_stats(df: DataFrame, path: str, text_col: str = "text",
     n.write.mode("overwrite").parquet(path + "/meta")
 
 
+def _tfidf_stats_base(spark, path: str) -> str:
+    """Resolve the CURRENT stats generation: `append_tfidf_stats`
+    commits each merge as a fresh `gen=<n>` directory behind an
+    atomically-flipped `_CURRENT` pointer file; a plain
+    `write_tfidf_stats` layout (no pointer) resolves to the path
+    itself. One `exists` + one tiny read — never a data scan."""
+    from felixzh_flink_spark.functions.stateio import state_fs
+
+    fs = state_fs(spark, path)
+    cur = fs.join(path, "_CURRENT")
+    if fs.exists(cur):
+        return fs.join(path, f"gen={fs.read_text(cur).strip()}")
+    return path
+
+
+def append_tfidf_stats(delta_df: DataFrame, path: str,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> None:
+    """Additively merge a DELTA of NEW documents into a committed
+    `write_tfidf_stats` artifact without re-scanning the corpus — the
+    lexical-stats face of `append_rp_index` (and the batch face of the
+    streaming `bm25_stats_sink`): document frequency is ADDITIVE under
+    disjoint corpus union (df_t counts the docs containing a term; doc
+    counts add), so maintenance tokenizes ONLY the delta, merges the
+    (term, df_t) tables with one sum, and bumps n_docs. The rewrite is
+    O(vocabulary) — GBs against the corpus' TBs at 100 TB (Heaps'
+    law), the same ingest-grade cost as the original build's df table.
+    Precondition: delta doc ids are new (pure append) — re-ingesting
+    an existing doc double-counts its terms; for re-ingests rebuild
+    with `write_tfidf_stats` (df stats are corpus-global aggregates;
+    there is no per-doc slice to tombstone).
+
+    Crash-safe generation commit (the `compact_rp_index` discipline):
+    the merged stats land COMPLETE in a fresh `gen=<n+1>` directory
+    (df + meta), then the `_CURRENT` pointer flips atomically
+    (`replace_text` — tmp file + overwrite-rename); readers
+    (`tf_idf_top_terms_cached` via `_tfidf_stats_base`) resolve the
+    pointer, so a crash at ANY step serves either the old complete
+    generation or the new complete one — never a torn df/meta pair.
+    Superseded generations are swept after the flip; a crash mid-sweep
+    leaves unreferenced directories the next append removes."""
+    from felixzh_flink_spark.functions.stateio import state_fs
+
+    spark = delta_df.sparkSession
+    fs = state_fs(spark, path)
+    base = _tfidf_stats_base(spark, path)
+    old_df = spark.read.parquet(base + "/df")
+    old_n = int(spark.read.parquet(base + "/meta").first()["n_docs"])
+
+    toks = doc_terms(delta_df, text_col, id_col)
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("n_td"))
+    delta_dft = tf.groupBy("term").agg(F.count("*").alias("df_t"))
+    delta_n = int(delta_df.select(
+        F.countDistinct(id_col).alias("n")).first()["n"])
+
+    gens = [int(c.split("=", 1)[1]) for c in fs.listdir(path)
+            if c.startswith("gen=")]
+    nxt = (max(gens) + 1) if gens else 1
+    gen_dir = fs.join(path, f"gen={nxt}")
+    merged = (old_df.unionByName(delta_dft).groupBy("term")
+              .agg(F.sum("df_t").cast("long").alias("df_t")))
+    merged.write.mode("overwrite").parquet(gen_dir + "/df")
+    spark.range(1).select(
+        F.lit(old_n + delta_n).cast("long").alias("n_docs")
+    ).write.mode("overwrite").parquet(gen_dir + "/meta")
+    fs.replace_text(fs.join(path, "_CURRENT"), str(nxt))
+    for g in gens:                      # sweep superseded generations
+        fs.delete(fs.join(path, f"gen={g}"))
+    if base == path:                    # legacy plain layout upgraded
+        fs.delete(fs.join(path, "df"))
+        fs.delete(fs.join(path, "meta"))
+
+
 def tf_idf_top_terms_cached(df: DataFrame, stats_path: str, k: int = 3,
                             text_col: str = "text",
                             id_col: str = "doc_id",
@@ -262,8 +335,9 @@ def tf_idf_top_terms_cached(df: DataFrame, stats_path: str, k: int = 3,
     rank key, same window tail (`_tfidf_rank_tail`), and unit-pinned
     against it."""
     spark = df.sparkSession
-    stats = spark.read.parquet(stats_path + "/df")
-    n_docs = int(spark.read.parquet(stats_path + "/meta")
+    base = _tfidf_stats_base(spark, stats_path)
+    stats = spark.read.parquet(base + "/df")
+    n_docs = int(spark.read.parquet(base + "/meta")
                  .first()["n_docs"])
     toks = doc_terms(df, text_col, id_col)
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("n_td"))

@@ -3225,7 +3225,11 @@ def decontaminate_ngram_survivors(spark, sf_dir):
     return TX.decontaminate_ngrams(train, ev, n=13).select("doc_id")
 
 
-@q("tfidf_top_terms", r"""
+#: the TF-IDF hard oracle — replays the WHOLE computation (stats
+#: included) from the base table, so it proves the inline path, the
+#: cached serving path, AND any stats-maintenance history that claims
+#: to equal a full build (`tfidf_top_terms_incremental`).
+_TFIDF_ORACLE = r"""
 WITH toks AS (
   SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
   FROM documents
@@ -3248,7 +3252,10 @@ scored AS (
 )
 SELECT doc_id, term, round(rk / CAST(len_d AS DOUBLE), 9) AS tfidf
 FROM ranked WHERE rn <= 3
-""")
+"""
+
+
+@q("tfidf_top_terms", _TFIDF_ORACLE)
 def tfidf_top_terms(spark, sf_dir):
     """Per-doc top-3 TF-IDF terms served against MATERIALIZED corpus
     statistics (`text.write_tfidf_stats` + `tf_idf_top_terms_cached` —
@@ -3281,6 +3288,45 @@ def _tfidf_stats_path(spark, sf_dir) -> str:
         TX.write_tfidf_stats(_t_wide(spark, sf_dir, "documents"), path)
         _TFIDF_STATS_PATH[sf_dir] = path
     return _TFIDF_STATS_PATH[sf_dir]
+
+
+#: per-sf_dir stats artifact built INCREMENTALLY: bulk build over
+#: doc_id % 3 != 0, then two `append_tfidf_stats` deltas (% 6 == 0,
+#: % 6 == 3) — exercising the legacy-layout upgrade AND generation
+#: chaining. Serving against it must equal a full one-shot build.
+_TFIDF_INC_STATS_PATH: dict[str, str] = {}
+
+
+def _tfidf_inc_stats_path(spark, sf_dir) -> str:
+    if sf_dir not in _TFIDF_INC_STATS_PATH:
+        import tempfile
+        path = tempfile.mkdtemp(prefix="spark_graft_tfidf_inc_")
+        d = _t_wide(spark, sf_dir, "documents")
+        TX.write_tfidf_stats(d.filter(F.col("doc_id") % 3 != 0), path)
+        TX.append_tfidf_stats(d.filter(F.col("doc_id") % 6 == 0), path)
+        TX.append_tfidf_stats(d.filter(F.col("doc_id") % 6 == 3), path)
+        _TFIDF_INC_STATS_PATH[sf_dir] = path
+    return _TFIDF_INC_STATS_PATH[sf_dir]
+
+
+@q("tfidf_top_terms_incremental", _TFIDF_ORACLE)
+def tfidf_top_terms_incremental(spark, sf_dir):
+    """Per-doc top-3 TF-IDF served against INCREMENTALLY MAINTAINED
+    corpus statistics (`text.append_tfidf_stats` — the lexical-stats
+    face of `append_rp_index`, and the batch face of the streaming
+    `bm25_stats_sink`): the artifact was built from a 2/3 bulk slice
+    and grown by TWO delta appends (each tokenizing ONLY its delta;
+    df_t and n_docs are additive under disjoint corpus union), with
+    each merge committed as a fresh generation behind an atomically
+    flipped `_CURRENT` pointer (crash at any step serves a complete
+    generation, never a torn df/meta pair). The oracle is the SAME
+    full-corpus replay as `tfidf_top_terms` — DuckDB recomputes the
+    stats from the base table, so a double-counted delta, a lost term,
+    a stale generation, or a wrong n_docs shifts idf and fails the
+    hash."""
+    return TX.tf_idf_top_terms_cached(
+        _t_wide(spark, sf_dir, "documents"),
+        _tfidf_inc_stats_path(spark, sf_dir), k=3)
 
 
 @q("doc_quality", r"""
@@ -3793,12 +3839,12 @@ def cosine_topk(spark, sf_dir):
 WITH b AS (
   SELECT list_transform(generate_series(1, 64),
              i -> embedding[i]::DOUBLE) AS bv
-  FROM embeddings WHERE vec_id % 31 = 3
+  FROM embeddings WHERE vec_id % 31 = 3 AND vec_id < 500
   UNION ALL
   SELECT list_transform(generate_series(1, 64),
              i -> CASE WHEN i = 1 THEN embedding[i]::DOUBLE + 0.3
                   ELSE embedding[i]::DOUBLE END) AS bv
-  FROM embeddings WHERE vec_id % 23 = 7
+  FROM embeddings WHERE vec_id % 23 = 7 AND vec_id < 500
 ),
 bad AS (
   SELECT DISTINCT e.vec_id
@@ -3828,7 +3874,13 @@ def decontaminate_semantic_survivors(spark, sf_dir):
     with its first element shifted +0.3 (a RE-EMBEDDED PARAPHRASE —
     its corpus original dies at cosine ≈ 0.99 < 1, the case lexical
     decontamination structurally cannot see; the table's cross-row
-    cosines top out near 0.51, so nothing else reaches 0.9).
+    cosines top out near 0.51, so nothing else reaches 0.9). Both
+    slices are bounded to the base ids (vec_id < 500 — a no-op at
+    driver scales where that IS the whole table), because an eval
+    suite is FIXED-SIZE: at sf1/sf10 the scaled corpus grows while
+    the benchmark stays put, so the decade curve measures the real
+    workload shape (fixed bench × growing corpus, linear) instead of
+    a quadratic fixture artifact.
 
     Scale shape: the benchmark broadcasts (eval suites are MB-grade);
     the corpus pays ONE zero-shuffle pass — a BroadcastNestedLoopJoin
@@ -3844,9 +3896,11 @@ def decontaminate_semantic_survivors(spark, sf_dir):
     e = _t_wide(spark, sf_dir, "embeddings")
     as_double = F.transform(F.col("embedding"),
                             lambda x: x.cast("double"))
-    exact = e.filter(F.col("vec_id") % 31 == 3) \
+    exact = e.filter((F.col("vec_id") % 31 == 3)
+                     & (F.col("vec_id") < 500)) \
         .select(as_double.alias("bv"))
-    paraphrased = e.filter(F.col("vec_id") % 23 == 7).select(
+    paraphrased = e.filter((F.col("vec_id") % 23 == 7)
+                           & (F.col("vec_id") < 500)).select(
         F.transform(F.col("embedding"),
                     lambda x, i: F.when(i == 0, x.cast("double") + 0.3)
                     .otherwise(x.cast("double"))).alias("bv"))
@@ -9428,6 +9482,7 @@ _DRIVER_ORDER = [
     "rp_rerank_tombstone_indexed", "image_ahash_neardup_grid8",
     "audio_fingerprint_neardup_w64", "webdataset_pair_dedup",
     "ann_ivf_tombstone_checks", "decontaminate_semantic_survivors",
+    "tfidf_top_terms_incremental",
     "rp_rerank_upsert_indexed", "rp_rerank_delta_indexed",
     "rp_rerank_indexed", "image_ahash_neardup",
     "audio_fingerprint_neardup", "tfidf_top_terms",

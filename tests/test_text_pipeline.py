@@ -117,6 +117,56 @@ def test_tfidf_cached_stats_bit_identical_to_inline(spark, sf_dir,
     assert cached == inline
 
 
+def test_append_tfidf_stats_matches_full_rebuild(spark, sf_dir, tmp_path):
+    """Incremental stats maintenance: a bulk build plus TWO delta
+    appends (exercising generation chaining and the legacy-layout
+    upgrade) serves bit-identically to a one-shot full build and to
+    the inline operator; a staged-but-unflipped generation is
+    invisible (the crash-before-commit state); the swept layout holds
+    exactly one live generation."""
+    import os
+
+    from felixzh_flink_spark.operators.text import (
+        append_tfidf_stats,
+        tf_idf_top_terms,
+        tf_idf_top_terms_cached,
+        write_tfidf_stats,
+    )
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bulk = d.filter(F.col("doc_id") % 3 != 0)
+    d1 = d.filter(F.col("doc_id") % 6 == 0)
+    d2 = d.filter(F.col("doc_id") % 6 == 3)
+    path = str(tmp_path / "tfidf_inc")
+    write_tfidf_stats(bulk, path)                  # plain legacy layout
+    append_tfidf_stats(d1, path)                   # upgrades to gen=1
+    append_tfidf_stats(d2, path)                   # chains to gen=2
+    inline = sorted((r["doc_id"], r["term"], r["tfidf"])
+                    for r in tf_idf_top_terms(d, k=3).collect())
+    inc = sorted((r["doc_id"], r["term"], r["tfidf"])
+                 for r in tf_idf_top_terms_cached(d, path, k=3).collect())
+    assert inc == inline
+    # exactly one live generation, legacy dirs swept, pointer = 2
+    kids = sorted(c for c in os.listdir(path)
+                  if not c.startswith("."))       # Hadoop .crc sidecars
+    assert kids == ["_CURRENT", "gen=2"]
+    # crash-before-flip: a staged generation without the pointer flip
+    # is invisible — fake one by copying gen=2 to gen=3 with garbage df
+    full = str(tmp_path / "tfidf_full")
+    write_tfidf_stats(d, full)
+    one_shot = sorted((r["doc_id"], r["term"], r["tfidf"])
+                      for r in tf_idf_top_terms_cached(d, full,
+                                                       k=3).collect())
+    assert inc == one_shot
+    import shutil
+    shutil.copytree(path + "/gen=2", path + "/gen=3")
+    with open(path + "/gen=3/meta/garbage.txt", "w") as fh:
+        fh.write("staged, never committed")
+    still = sorted((r["doc_id"], r["term"], r["tfidf"])
+                   for r in tf_idf_top_terms_cached(d, path,
+                                                    k=3).collect())
+    assert still == inline
+
+
 def test_stratified_sample_deterministic_and_independent(spark, sf_dir):
     """Per-stratum keep decisions are stable and independent of OTHER
     strata's fractions; boundary fractions keep all / none."""
