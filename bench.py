@@ -235,6 +235,10 @@ HEADLINE = [
     # incrementally maintained tfidf stats (bulk + two delta appends)
     # serving through the same cached path
     "tfidf_top_terms_incremental",
+    # incremental NEAR-dup gate: delta band keys broadcast onto the
+    # committed corpus's signature scan (zero corpus shuffle), exact
+    # Jaccard verify only on colliding pairs
+    "neardup_delta_status",
 ]
 
 #: ITER lane (round-8 verdict item 2): the iterative / composed kernels

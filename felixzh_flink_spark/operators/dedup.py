@@ -582,6 +582,124 @@ def dedup_incremental(new_docs: DataFrame, corpus_fps: DataFrame,
     return out.select(id_col, "fingerprint", status.alias("status"))
 
 
+def neardup_incremental(new_docs: DataFrame, corpus_docs: DataFrame,
+                        corpus_sigs: DataFrame | None = None,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        n: int = 5, num_perm: int = 64, bands: int = 16,
+                        threshold: float = 0.8) -> DataFrame:
+    """NEAR-dup classification of a delta batch against a committed corpus —
+    `dedup_incremental`'s fuzzy sibling (that one catches byte-identical
+    re-crawls; this one catches the boilerplate-shifted / lightly-edited
+    re-crawls that dominate real web deltas). The shape that keeps fuzzy
+    dedup affordable when 100 TB grows by a day's crawl: the corpus is
+    NEVER re-paired against itself — only delta×corpus and delta×delta
+    pairs are considered.
+
+    `corpus_sigs` is the committed MinHash signature index (id, sig) — an
+    ingest-time artifact maintained alongside the fingerprint index
+    (computed here from `corpus_docs` when absent, but a real deployment
+    appends signatures at ingest exactly like `append_rp_index` appends
+    projections). `corpus_docs` is consulted only to shingle the handful
+    of corpus docs that actually collide with the delta (exact-verify
+    side; candidate-pruned scan).
+
+    Plan at scale: the delta's per-doc (sig, shingle-set) row materializes
+    from ONE scan (eager localCheckpoint — it feeds the band probe, the
+    delta-delta join, and the verify). The delta's band keys BROADCAST
+    onto the corpus signature scan (daily deltas are MB–GB; 16 band keys
+    × delta rows), so the corpus side pays a narrow pruned scan + a
+    broadcast hash join — ZERO corpus shuffle. Exact Jaccard runs only on
+    colliding pairs, with the corpus shingle sets built from a
+    candidate-semi-joined scan of `corpus_docs`. (A corpus signature
+    index stored bucketed by (band, bucket) turns the probe into a
+    bucket-pruned join when the delta outgrows broadcast; the artifact
+    layout, not this operator, decides that.)
+
+    Statuses, a pure function of the two document sets (never join order):
+      - 'neardup_of_corpus' — some committed doc reaches Jaccard ≥
+        threshold; drop (or route to keep-best).
+      - 'neardup_in_batch'  — no corpus match, but a SMALLER-id delta doc
+        reaches threshold; drop.
+      - 'new_unique'        — keep; append its signature to the index.
+    Corpus precedence is decided before batch precedence, so every copy
+    of a committed doc reports 'neardup_of_corpus' regardless of how the
+    batch orders them. Returns (id, status, n_corpus_matches,
+    best_corpus_jaccard) — the match stats make the gate auditable (and
+    give the oracle a hash surface: a single missed or phantom candidate
+    shifts a count or a max).
+    """
+    per_doc = (
+        with_shingle_array(new_docs, text_col, id_col, n)
+        .select("id", F.expr(_sig_array_sql(num_perm)).alias("sig"),
+                F.array_distinct("sh").alias("sh_set"))
+        .localCheckpoint(eager=True)
+    )
+    if corpus_sigs is None:
+        corpus_sigs = minhash_signatures(corpus_docs, text_col, id_col,
+                                         n, num_perm)
+    band_expr = band_explode_sql(num_perm, bands)
+    delta_bands = per_doc.select(
+        F.col("id").alias("delta_id"), F.expr(band_expr).alias("bk")) \
+        .select("delta_id", "bk.band", "bk.bucket")
+    corpus_bands = corpus_sigs.select(
+        F.col("id").alias("corpus_id"), F.expr(band_expr).alias("bk")) \
+        .select("corpus_id", "bk.band", "bk.bucket")
+    # materialized eagerly: the candidate set feeds BOTH the verify join
+    # and the corpus-docs pruning semi-join — without the checkpoint the
+    # probe pass over the corpus signature scan would execute twice (the
+    # expensive corpus pass at 100 TB), and candidates are delta-bounded
+    # id pairs (KB–MB), so materializing them is free
+    cand = (corpus_bands.join(F.broadcast(delta_bands), ["band", "bucket"])
+            .select("delta_id", "corpus_id").distinct()
+            .localCheckpoint(eager=True))
+    corpus_sets = (
+        with_shingle_array(
+            corpus_docs.join(
+                F.broadcast(cand.select(F.col("corpus_id").alias(id_col))
+                            .distinct()),
+                id_col, "left_semi"),
+            text_col, id_col, n)
+        .select(F.col("id").alias("corpus_id"),
+                F.array_distinct("sh").alias("sh_c")))
+    delta_sets = per_doc.select(F.col("id").alias("delta_id"),
+                                F.col("sh_set").alias("sh_d"))
+    n_inter = F.size(F.array_intersect("sh_d", "sh_c"))
+    jac = n_inter.cast("double") / (
+        F.size("sh_d") + F.size("sh_c") - n_inter).cast("double")
+    corpus_matches = (
+        cand.join(delta_sets, "delta_id").join(corpus_sets, "corpus_id")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .groupBy("delta_id")
+        .agg(F.count("*").alias("n_corpus_matches"),
+             F.max("jaccard").alias("best_corpus_jaccard")))
+    batch_pairs = lsh_candidates_from_signatures(
+        per_doc.select("id", "sig"), num_perm, bands)
+    da = per_doc.select(F.col("id").alias("id_a"),
+                        F.col("sh_set").alias("sh_a"))
+    db = per_doc.select(F.col("id").alias("id_b"),
+                        F.col("sh_set").alias("sh_b"))
+    nb = F.size(F.array_intersect("sh_a", "sh_b"))
+    bjac = nb.cast("double") / (
+        F.size("sh_a") + F.size("sh_b") - nb).cast("double")
+    batch_dups = (batch_pairs.join(da, "id_a").join(db, "id_b")
+                  .filter(bjac >= threshold)
+                  .select(F.col("id_b").alias("id")).distinct()
+                  .withColumn("_batch_dup", F.lit(True)))
+    out = (per_doc.select("id")
+           .join(corpus_matches.withColumnRenamed("delta_id", "id"),
+                 "id", "left")
+           .join(batch_dups, "id", "left"))
+    status = (
+        F.when(F.col("n_corpus_matches").isNotNull(),
+               F.lit("neardup_of_corpus"))
+        .when(F.col("_batch_dup"), F.lit("neardup_in_batch"))
+        .otherwise(F.lit("new_unique")))
+    return out.select(
+        F.col("id").alias(id_col), status.alias("status"),
+        F.coalesce("n_corpus_matches", F.lit(0)).alias("n_corpus_matches"),
+        F.col("best_corpus_jaccard"))
+
 
 def cut_repeated_spans(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", w: int = 8) -> DataFrame:

@@ -7266,6 +7266,106 @@ def delta_dedup_status(spark, sf_dir):
     return DD.dedup_incremental(new, state)
 
 
+@q("neardup_delta_status", r"""
+WITH corpus AS (SELECT doc_id AS id, text FROM documents WHERE doc_id % 10 < 8),
+delta AS (
+  SELECT doc_id + 1000000 AS id, text || ' zulu zulu zulu' AS text
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, text || ' alpha beta gamma'
+  FROM documents WHERE doc_id % 10 = 8
+  UNION ALL
+  SELECT doc_id + 3000000, text || ' delta echo foxtrot'
+  FROM documents WHERE doc_id % 10 = 8
+  UNION ALL
+  SELECT doc_id + 4000000, repeat('uniq' || CAST(doc_id AS VARCHAR) || ' ', 8)
+  FROM documents WHERE doc_id % 10 = 9
+),
+dt AS (SELECT id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM delta),
+didx AS (SELECT id, t, unnest(generate_series(1, len(t) - 4)) AS i FROM dt WHERE len(t) >= 5),
+dsh AS (
+  SELECT DISTINCT id, array_to_string(t[i:i+4], ' ') AS shingle FROM didx
+  UNION SELECT id, array_to_string(t, ' ') FROM dt WHERE len(t) < 5),
+dsz AS (SELECT id, COUNT(*) AS n FROM dsh GROUP BY id),
+ct AS (SELECT id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM corpus),
+cidx AS (SELECT id, t, unnest(generate_series(1, len(t) - 4)) AS i FROM ct WHERE len(t) >= 5),
+csh AS (
+  SELECT DISTINCT id, array_to_string(t[i:i+4], ' ') AS shingle FROM cidx
+  UNION SELECT id, array_to_string(t, ' ') FROM ct WHERE len(t) < 5),
+csz AS (SELECT id, COUNT(*) AS n FROM csh GROUP BY id),
+ci AS (
+  SELECT d.id AS did, c.id AS cid, COUNT(*) AS ni
+  FROM dsh d JOIN csh c ON d.shingle = c.shingle GROUP BY 1, 2),
+cj AS (
+  SELECT did, cid, CAST(ni AS DOUBLE) / (dz.n + cz.n - ni) AS j
+  FROM ci JOIN dsz dz ON did = dz.id JOIN csz cz ON cid = cz.id),
+cm AS (
+  SELECT did, CAST(COUNT(*) AS BIGINT) AS n_corpus_matches, MAX(j) AS best
+  FROM cj WHERE j >= 0.8 GROUP BY did),
+bi AS (
+  SELECT a.id AS ia, b.id AS ib, COUNT(*) AS ni
+  FROM dsh a JOIN dsh b ON a.shingle = b.shingle AND a.id < b.id GROUP BY 1, 2),
+bj AS (
+  SELECT ia, ib, CAST(ni AS DOUBLE) / (za.n + zb.n - ni) AS j
+  FROM bi JOIN dsz za ON ia = za.id JOIN dsz zb ON ib = zb.id),
+bd AS (SELECT DISTINCT ib AS id FROM bj WHERE j >= 0.8)
+SELECT d.id AS doc_id,
+       CASE WHEN cm.did IS NOT NULL THEN 'neardup_of_corpus'
+            WHEN bd.id IS NOT NULL THEN 'neardup_in_batch'
+            ELSE 'new_unique' END AS status,
+       COALESCE(cm.n_corpus_matches, 0) AS n_corpus_matches,
+       cm.best AS best_corpus_jaccard
+FROM delta d LEFT JOIN cm ON d.id = cm.did LEFT JOIN bd ON d.id = bd.id
+ORDER BY doc_id
+""")
+def neardup_delta_status(spark, sf_dir):
+    """Incremental NEAR-dup gate (`dedup.neardup_incremental`) — the fuzzy
+    sibling of `delta_dedup_status`: a delta batch is classified against
+    the committed corpus by banded MinHash probing + exact 5-gram Jaccard
+    verify, with the corpus NEVER re-paired against itself (delta band
+    keys broadcast onto the corpus signature scan — zero corpus shuffle;
+    the corpus text is shingled only for docs that actually collide).
+
+    The delta plants every status class as a pure function of the base
+    table, at any sf: doc_id ≡ 0 (mod 10) rows re-enter with 3 appended
+    tokens (J ≈ 0.97 against their committed original →
+    'neardup_of_corpus'); doc_id ≡ 8 rows — EXCLUDED from the corpus
+    slice — enter twice with different 3-token tails (J ≈ 0.94 against
+    each other: the larger id reads 'neardup_in_batch' unless a natural
+    corpus near-dup of the base outranks it); doc_id ≡ 9 rows enter as
+    8 repeats of a per-doc unique token (one shingle, J = 0 everywhere →
+    'new_unique').
+
+    Hard oracle: DuckDB computes the EXACT delta×corpus and delta×delta
+    Jaccard sets at the same threshold. The verify stage is exact, so
+    LSH-gated ⊆ exact always; equality holds when LSH surfaces every
+    true pair ≥ 0.8 — all planted and natural pairs here sit ≥ 0.9 where
+    the 16-band miss probability is ≈ 4e-8 (`minhash_dedup_verified`'s
+    argument). The match COUNTS and the max-Jaccard double are both in
+    the hash, so a phantom candidate or a missed collision fails the
+    row."""
+    docs = _t_wide(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 < 8).select("doc_id", "text")
+    a = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zulu zulu zulu")).alias("text"))
+    base_b = docs.filter(F.col("doc_id") % 10 == 8)
+    b1 = base_b.select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" alpha beta gamma")).alias("text"))
+    b2 = base_b.select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" delta echo foxtrot")).alias("text"))
+    c = docs.filter(F.col("doc_id") % 10 == 9).select(
+        (F.col("doc_id") + 4000000).alias("doc_id"),
+        F.expr("repeat(concat('uniq', cast(doc_id as string), ' '), 8)")
+        .alias("text"))
+    delta = a.unionByName(b1).unionByName(b2).unionByName(c)
+    return DD.neardup_incremental(delta, corpus, n=5, num_perm=64,
+                                  bands=16, threshold=0.8) \
+        .orderBy("doc_id")
+
+
 @q("curriculum_bins", r"""
 SELECT doc_id, n_chars,
        CAST(ntile(10) OVER (ORDER BY n_chars ASC, doc_id ASC) AS INT) AS bin
@@ -9479,6 +9579,7 @@ _DRIVER_ORDER = [
     # (c) the 39 OLDEST stale greens (the r10 queue heads, consumed in
     # queue order — the first ten were re-proven by the r10 judge).
     # =================================================================
+    "neardup_delta_status",
     "rp_rerank_tombstone_indexed", "image_ahash_neardup_grid8",
     "audio_fingerprint_neardup_w64", "webdataset_pair_dedup",
     "ann_ivf_tombstone_checks", "decontaminate_semantic_survivors",

@@ -785,3 +785,64 @@ def test_hyperplanes_distinct_and_buckets_spread(spark):
     # 500 random vectors over 64 buckets: expect most buckets hit; the
     # broken form produced exactly 2
     assert n_buckets > 16
+
+
+# ------------------------------------------------- incremental NEAR-dup
+
+
+def _nd_words(prefix, n=20):
+    return " ".join(f"{prefix}{i}" for i in range(n))
+
+
+def test_neardup_incremental_statuses(spark):
+    A = _nd_words("alpha")
+    B = _nd_words("beta")
+    C = _nd_words("gamma")
+    corpus = spark.createDataFrame(
+        [(1, A), (2, B)], "doc_id long, text string")
+    delta = spark.createDataFrame([
+        (10, A + " tail"),          # near-dup of committed 1 (J = 16/17)
+        (11, C),                    # first of a batch-internal pair
+        (12, C + " extra"),         # near-dup of 11 -> batch dup
+        (13, A),                    # verbatim committed copy -> corpus wins
+        (14, _nd_words("delta")),   # nothing like it anywhere
+    ], "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in DD.neardup_incremental(
+        delta, corpus, n=5, threshold=0.8).collect()}
+    assert {i: r["status"] for i, r in rows.items()} == {
+        10: "neardup_of_corpus", 11: "new_unique",
+        12: "neardup_in_batch", 13: "neardup_of_corpus",
+        14: "new_unique"}
+    assert rows[13]["n_corpus_matches"] == 1
+    assert rows[13]["best_corpus_jaccard"] == 1.0
+    assert rows[10]["n_corpus_matches"] == 1
+    assert abs(rows[10]["best_corpus_jaccard"] - 16.0 / 17.0) < 1e-12
+    assert rows[14]["n_corpus_matches"] == 0
+    assert rows[14]["best_corpus_jaccard"] is None
+
+
+def test_neardup_incremental_precomputed_sigs_path_identical(spark):
+    A = _nd_words("alpha")
+    corpus = spark.createDataFrame(
+        [(1, A), (2, _nd_words("beta"))], "doc_id long, text string")
+    delta = spark.createDataFrame(
+        [(10, A + " tail"), (11, _nd_words("gamma"))],
+        "doc_id long, text string")
+    inline = sorted(map(tuple, DD.neardup_incremental(
+        delta, corpus, n=5, threshold=0.8).collect()))
+    sigs = DD.minhash_signatures(corpus, n=5, num_perm=64)
+    via_index = sorted(map(tuple, DD.neardup_incremental(
+        delta, corpus, corpus_sigs=sigs, n=5, threshold=0.8).collect()))
+    assert inline == via_index
+
+
+def test_neardup_incremental_corpus_never_self_paired(spark):
+    # two committed docs that are near-dups of EACH OTHER must not leak
+    # into the delta report (the corpus is never re-paired against itself)
+    A = _nd_words("alpha")
+    corpus = spark.createDataFrame(
+        [(1, A), (2, A + " tail")], "doc_id long, text string")
+    delta = spark.createDataFrame(
+        [(10, _nd_words("zeta"))], "doc_id long, text string")
+    out = DD.neardup_incremental(delta, corpus, n=5, threshold=0.8).collect()
+    assert [(r["doc_id"], r["status"]) for r in out] == [(10, "new_unique")]

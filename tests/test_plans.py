@@ -393,3 +393,21 @@ def test_pq_pair_condition_is_jit_safe(spark):
         assert "shiftright" in ln
     # exact confirm exists, but only in the id-equi-join branch
     assert "aggregate(" in plan
+
+
+def test_neardup_delta_probe_broadcasts_onto_corpus_scan(spark):
+    """neardup_delta_status: the delta's band keys and candidate ids
+    BROADCAST onto the corpus side (signature scan + verify semi-join) —
+    the committed corpus never shuffles, which is the whole point of the
+    incremental gate at 100 TB. No sort-merge join and no cartesian
+    anywhere in the served plan."""
+    p = plan_of(spark, "neardup_delta_status")
+    assert "CartesianProduct" not in p
+    # band probe + corpus-docs verify semi-join are both broadcast hash
+    # (delta-sized relations may sort-merge among themselves — O(delta))
+    assert p.count("BroadcastHashJoin") >= 2
+    # the committed corpus is scanned exactly ONCE in the served plan —
+    # the candidate-pruned verify scan (the signature probe ran once at
+    # construction and its candidate ids are checkpointed; the delta
+    # fixture's own scans are likewise truncated)
+    assert p.count("documents.parquet") == 1
