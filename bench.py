@@ -239,6 +239,9 @@ HEADLINE = [
     # committed corpus's signature scan (zero corpus shuffle), exact
     # Jaccard verify only on colliding pairs
     "neardup_delta_status",
+    # typed PII profile + scrub: four regexp counts + the tagged
+    # replace chain in ONE codegen'd projection, zero shuffles
+    "pii_scrub_profile",
 ]
 
 #: ITER lane (round-8 verdict item 2): the iterative / composed kernels

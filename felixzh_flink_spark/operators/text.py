@@ -124,6 +124,52 @@ def redact_text(text: Column | str, replacement: str = "[REDACTED]") -> Column:
     return F.regexp_replace(out, REDACT_PATTERNS["email"], replacement)
 
 
+#: typed PII patterns, applied in THIS order when scrubbing (placeholders
+#: contain no digits, so later patterns can never re-match an earlier
+#: replacement). Every pattern is simultaneously valid Java regex (the
+#: Spark scan) and RE2 (the DuckDB oracle): ASCII classes only, no
+#: lookaround, no backreferences — the dual-dialect discipline the robots
+#: and redact patterns already follow.
+PII_PATTERNS: "list[tuple[str, str]]" = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ip", r"\b(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+           r"(\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}\b"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"),
+    ("phone", r"\b[0-9]{3}[ .-][0-9]{3}[ .-][0-9]{4}\b"),
+]
+
+
+def pii_scrub(text: Column | str) -> Column:
+    """Typed PII scrubbing — the production form of `redact_text`: each
+    category is replaced by its OWN placeholder (`<EMAIL>`, `<IP>`,
+    `<SSN>`, `<PHONE>`) so downstream consumers can count, filter, or
+    unmask per category instead of losing the signal to one generic
+    token (the C4/Dolma-style pretraining scrub). A regexp_replace chain
+    — codegen'd, no Python; the SSN and phone grammars are disjoint by
+    construction (a 3-2-4 digit group can never parse as 3-3-4), so the
+    chain order only matters for the digit-free placeholders, which are
+    immune to re-matching."""
+    c = F.col(text) if isinstance(text, str) else text
+    for name, pat in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, f"<{name.upper()}>")
+    return c
+
+
+def pii_profile(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id",
+                keep: "tuple[str, ...]" = ()) -> DataFrame:
+    """Per-document PII counts, one column per category, each pattern
+    scanning the RAW text independently (counts are a pure function of
+    the input — never of scrub order). Scan-local: four regexp_count
+    expressions in one projection, zero shuffles at any corpus size;
+    aggregate downstream for a corpus-level PII audit. `keep` names
+    extra columns to carry through the projection (so profile + scrub
+    compose in ONE scan instead of a self-join)."""
+    cols = [F.regexp_count(F.col(text_col), F.lit(pat)).cast("bigint")
+            .alias(f"n_{name}") for name, pat in PII_PATTERNS]
+    return df.select(F.col(id_col), *cols, *[F.col(k) for k in keep])
+
+
 def decontaminate(corpus: DataFrame, benchmark: DataFrame,
                   text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Test-set decontamination: drop corpus docs whose normalized-text

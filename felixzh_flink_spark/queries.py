@@ -3024,6 +3024,92 @@ def redact_docs(spark, sf_dir):
     return d.select("doc_id", TX.redact_text("text").alias("clean_text"))
 
 
+@q("pii_scrub_profile", r"""
+WITH planted AS (
+  SELECT doc_id, text ||
+    CASE doc_id % 4
+      WHEN 0 THEN ' reach user' || CAST(doc_id AS VARCHAR)
+               || '@example.com or admin' || CAST(doc_id AS VARCHAR)
+               || '@test.org'
+      WHEN 1 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+               || '-0199 or 555.200.'
+               || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      WHEN 2 THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR)
+               || '.0.250 and 172.16.' || CAST(doc_id % 200 AS VARCHAR)
+               || '.13'
+      ELSE ' ssn 078-05-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+    END AS t
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(t,
+    '\b(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}\b'))
+    AS BIGINT) AS n_ip,
+  CAST(len(regexp_extract_all(t,
+    '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS BIGINT) AS n_ssn,
+  CAST(len(regexp_extract_all(t,
+    '\b[0-9]{3}[ .-][0-9]{3}[ .-][0-9]{4}\b')) AS BIGINT) AS n_phone,
+  md5(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '\b(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}\b',
+          '<IP>', 'g'),
+        '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
+      '\b[0-9]{3}[ .-][0-9]{3}[ .-][0-9]{4}\b', '<PHONE>', 'g')
+  ) AS clean_md5
+FROM planted
+ORDER BY doc_id
+""")
+def pii_scrub_profile(spark, sf_dir):
+    """Typed PII detection + scrubbing (`text.pii_profile` /
+    `text.pii_scrub`) — the production form of the pretraining privacy
+    pass: per-document counts for each PII category (email / IPv4 / SSN
+    / US phone) on the RAW text, plus the md5 of the text after the
+    category-tagged scrub chain (`<EMAIL>`, `<IP>`, `<SSN>`, `<PHONE>`
+    placeholders — digit-free, so the chain can never re-match its own
+    output). Every doc plants exactly one category (doc_id mod 4, value
+    digits derived from the id), so the counts exercise all four
+    grammars — including the deliberate near-collisions: a 3-2-4 SSN
+    can never parse as a 3-3-4 phone, phone digit runs can't form valid
+    dotted quads, and the IP octet grammar (0-255, no lookahead)
+    rejects 3-digit octets above 255.
+
+    Scale shape: one projection over one scan — four regexp_count
+    expressions and a 4-deep regexp_replace chain, all codegen'd JVM
+    regex; zero shuffles at any corpus size (the ORDER BY here is
+    driver-window presentation only).
+
+    Hard oracle: the identical patterns run under DuckDB's RE2 — the
+    patterns are written in the dual-dialect subset (ASCII classes, no
+    lookaround) the robots/redact family established, so count or
+    replacement divergence between engines fails the hash."""
+    v = F.col("doc_id") % 4
+    sid = F.col("doc_id").cast("string")
+    sid3 = F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0")
+    sid4 = F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")
+    o8 = (F.col("doc_id") % 256).cast("string")
+    o200 = (F.col("doc_id") % 200).cast("string")
+    tail = (
+        F.when(v == 0, F.concat(
+            F.lit(" reach user"), sid, F.lit("@example.com or admin"),
+            sid, F.lit("@test.org")))
+        .when(v == 1, F.concat(
+            F.lit(" call 555-"), sid3, F.lit("-0199 or 555.200."), sid4))
+        .when(v == 2, F.concat(
+            F.lit(" host 10."), o8, F.lit(".0.250 and 172.16."), o200,
+            F.lit(".13")))
+        .otherwise(F.concat(F.lit(" ssn 078-05-"), sid4)))
+    planted = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.concat(F.col("text"), tail).alias("text"),
+        F.md5(TX.pii_scrub(F.concat(F.col("text"), tail))).alias("clean_md5"))
+    return TX.pii_profile(planted, keep=("clean_md5",)).orderBy("doc_id")
+
+
 @q("decontaminated_counts", r"""
 WITH bench AS (
   SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
@@ -9579,7 +9665,7 @@ _DRIVER_ORDER = [
     # (c) the 39 OLDEST stale greens (the r10 queue heads, consumed in
     # queue order — the first ten were re-proven by the r10 judge).
     # =================================================================
-    "neardup_delta_status",
+    "neardup_delta_status", "pii_scrub_profile",
     "rp_rerank_tombstone_indexed", "image_ahash_neardup_grid8",
     "audio_fingerprint_neardup_w64", "webdataset_pair_dedup",
     "ann_ivf_tombstone_checks", "decontaminate_semantic_survivors",

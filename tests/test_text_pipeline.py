@@ -576,3 +576,49 @@ def test_bm25_topk_multi_equals_single_query_runs(spark):
         single = [(r.doc_id, r.bm25)
                   for r in bm25_topk(docs, terms, k=7).collect()]
         assert got[q] == single, q
+
+
+# ---------------------------------------------------------------- PII
+
+
+def test_pii_scrub_typed_placeholders(spark):
+    from felixzh_flink_spark.operators import text as TX
+    df = spark.createDataFrame([
+        (1, "mail bob.smith+x@corp.example.co phone 555-123-4567 "
+            "ip 10.0.255.1 ssn 123-45-6789 done"),
+    ], "doc_id long, text string")
+    out = df.select(TX.pii_scrub("text").alias("t")).head()["t"]
+    assert out == ("mail <EMAIL> phone <PHONE> ip <IP> ssn <SSN> done")
+
+
+def test_pii_profile_counts_and_grammar_disjointness(spark):
+    from felixzh_flink_spark.operators import text as TX
+    df = spark.createDataFrame([
+        # 2 emails, nothing else
+        (1, "a@b.io and c.d@e-f.org say hi"),
+        # an SSN is NOT a phone (3-2-4 vs 3-3-4) and vice versa
+        (2, "ssn 078-05-1120 phone 555.840.1234"),
+        # 256 is not a valid octet; 255 is
+        (3, "bad 10.0.0.256 good 10.0.0.255"),
+        # digit runs inside longer runs don't match (word boundaries)
+        (4, "serial 12345-678-9012 not a phone"),
+        (5, None),
+    ], "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in TX.pii_profile(df).collect()}
+    assert (rows[1]["n_email"], rows[1]["n_phone"],
+            rows[1]["n_ip"], rows[1]["n_ssn"]) == (2, 0, 0, 0)
+    assert (rows[2]["n_ssn"], rows[2]["n_phone"]) == (1, 1)
+    assert rows[2]["n_ip"] == 0
+    assert rows[3]["n_ip"] == 1
+    assert rows[4]["n_phone"] == 0 and rows[4]["n_ssn"] == 0
+    assert rows[5]["n_email"] is None  # null text stays null, not 0
+
+
+def test_pii_scrub_never_rematches_placeholders(spark):
+    from felixzh_flink_spark.operators import text as TX
+    # a doc that is ALL pii collapses to placeholders only
+    df = spark.createDataFrame(
+        [(1, "x@y.zz 1.2.3.4 111-22-3333 222-333-4444")],
+        "doc_id long, text string")
+    out = df.select(TX.pii_scrub("text").alias("t")).head()["t"]
+    assert out == "<EMAIL> <IP> <SSN> <PHONE>"
