@@ -263,6 +263,9 @@ ITER = [
     # round 9: full-batch GD classifier training (8 eager gradient jobs
     # at construction time — the same driver-loop shape as BPE)
     "lr_quality_weights",
+    # round 11: href extraction -> domain edges -> pagerank, composed
+    # (the rank loop constructs eagerly like its two pagerank siblings)
+    "link_graph_pagerank",
 ]
 
 

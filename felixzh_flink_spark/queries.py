@@ -7710,15 +7710,22 @@ def _pagerank_rounds_sql(iterations: int, quantize: int = 12,
                + CAST(0.85 AS DOUBLE)
                  * (COALESCE(c{t}.contrib, CAST(0.0 AS DOUBLE))
                     + m{t}.mass / (SELECT n FROM nn))""")
+        # MATERIALIZED: each round references r{p} twice (contribution
+        # join + dangling fence), so inlined CTEs re-evaluate the whole
+        # prior-round chain ~2^t times — the SQL twin of the
+        # exponential-lineage trap the Spark side checkpoints away
+        # (same discipline as the bpe_learned_merges oracle). Values
+        # are identical; only evaluation count changes.
         parts.append(f""",
-c{t} AS (SELECT e.dst AS v,
+c{t} AS MATERIALIZED (SELECT e.dst AS v,
          CAST(SUM(CAST({addend} AS DECIMAL(38,18))) AS DOUBLE)
            AS contrib
          FROM edges e JOIN r{p} r ON r.v = e.src GROUP BY e.dst),
-m{t} AS (SELECT COALESCE(CAST(SUM(CAST(r.rank AS DECIMAL(38,18))) AS DOUBLE),
-                         CAST(0.0 AS DOUBLE)) AS mass
+m{t} AS MATERIALIZED (SELECT COALESCE(
+           CAST(SUM(CAST(r.rank AS DECIMAL(38,18))) AS DOUBLE),
+           CAST(0.0 AS DOUBLE)) AS mass
          FROM r{p} r JOIN deg d ON d.v = r.v WHERE d.outdeg = 0),
-r{t} AS (SELECT nodes.v, {_ieee_quant_sql(raw, quantize)} AS rank
+r{t} AS MATERIALIZED (SELECT nodes.v, {_ieee_quant_sql(raw, quantize)} AS rank
          FROM nodes LEFT JOIN c{t} ON c{t}.v = nodes.v CROSS JOIN m{t})""")
     return "".join(parts)
 
@@ -7927,6 +7934,123 @@ def crawl_rank_weighted(spark, sf_dir):
             .withColumn("n_dups", F.count("*").over(w_grp).cast("bigint"))
             .filter(F.col("rn") == 1)
             .select("doc_id", "host", "host_rank", "n_dups"))
+
+
+def _link_graph_oracle(iterations: int = 8) -> str:
+    """link_graph_pagerank's oracle: replay the page synthesis, the
+    href extraction (same regex under RE2), the absolute/root-relative
+    resolution CASE, the last-two-label registrable-domain key, the
+    self-edge drop + distinct, then the shared unrolled pagerank rounds
+    (`_pagerank_rounds_sql` — identical text to the other two pagerank
+    oracles)."""
+    prelude = r"""WITH pages AS (
+  SELECT 'https://www.site' || CAST(doc_id % 10 AS VARCHAR)
+         || '.example/p/' || CAST(doc_id AS VARCHAR) AS url,
+         '<html><body><p>' || text || '</p><a href="https://site'
+         || CAST((doc_id * 7 + 3) % 10 AS VARCHAR) || '.example/a/'
+         || CAST(doc_id AS VARCHAR) || '">x</a><a href="https://site'
+         || CAST((doc_id * 3 + 1) % 7 AS VARCHAR) || '.example/b/'
+         || CAST(doc_id AS VARCHAR) || '">y</a><a href="/p/self/'
+         || CAST(doc_id AS VARCHAR)
+         || '">s</a><a href="javascript:void(0)">j</a><a href="#top">t</a></body></html>'
+         AS html
+  FROM documents
+),
+hrefs AS (
+  SELECT url, unnest(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS raw
+  FROM pages
+),
+resolved AS (
+  SELECT url,
+         CASE WHEN regexp_matches(raw, '^https?://') THEN raw
+              WHEN raw LIKE '/%'
+                THEN regexp_extract(url, '^(https?://[^/]+)', 1) || raw
+         END AS link
+  FROM hrefs
+),
+e0 AS (
+  SELECT DISTINCT
+    regexp_extract(regexp_extract(url, '^https?://([^/]+)', 1),
+                   '([^.]+\.[^.]+)$', 1) AS src,
+    regexp_extract(regexp_extract(link, '^https?://([^/]+)', 1),
+                   '([^.]+\.[^.]+)$', 1) AS dst
+  FROM resolved WHERE link IS NOT NULL
+),
+e1 AS MATERIALIZED (SELECT src, dst FROM e0 WHERE src <> dst),
+nodes AS MATERIALIZED (SELECT DISTINCT v FROM
+          (SELECT src AS v FROM e1 UNION SELECT dst FROM e1)),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+deg AS MATERIALIZED (SELECT nodes.v, COALESCE(d.c, 0) AS outdeg
+        FROM nodes LEFT JOIN
+             (SELECT src, COUNT(*) AS c FROM e1 GROUP BY src) d
+             ON d.src = nodes.v),
+edges AS MATERIALIZED (SELECT e.src, e.dst, d.outdeg FROM e1 e JOIN deg d ON d.v = e.src),
+r0 AS (SELECT v, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank
+       FROM nodes)"""
+    return (prelude + _pagerank_rounds_sql(iterations) + f"""
+SELECT v AS domain, {_ieee_quant_sql('rank', 9)} AS pagerank
+FROM r{iterations} ORDER BY domain""")
+
+
+@q("link_graph_pagerank", _link_graph_oracle())
+def link_graph_pagerank(spark, sf_dir):
+    """The missing first stage of the crawl-graph story, composed end
+    to end: raw HTML → href extraction (`text.extract_links` — one
+    regexp_extract_all, no parser, no UDF) → absolute/root-relative
+    resolution against each page's own scheme://host → registrable-
+    domain edge list (`text.link_domain_edges` — distinct, self-links
+    dropped) → 8 damped PageRank rounds (`graph.pagerank`) over the
+    resulting domain graph. `crawl_rank_weighted` starts from an
+    ALREADY-KNOWN host graph; this query derives the graph from the
+    markup itself, which is what a real pipeline does with fetched
+    pages.
+
+    Pages are synthesized from the documents table (url =
+    www.site(doc_id%10).example; markup embeds two absolute cross-site
+    links with different residue rules — (7d+3)%10 a degree-1
+    bijection, (3d+1)%7 concentrating endorsement on sites 0-6 — plus
+    a root-relative self link that must RESOLVE and then be dropped as
+    intra-site, and javascript:/#fragment hrefs that must be dropped
+    at resolution). Sites 7-9 thus earn strictly less rank than their
+    rule-2-endorsed peers, so the rank vector is non-uniform and a
+    single lost or phantom edge shifts it.
+
+    Scale shape: extraction is scan-local (explode + CASE in the same
+    pass that would strip text); the distinct collapses doc-level
+    links to the tiny domain-pair relation ONCE (checkpointed — it
+    feeds node derivation and every round); each round scans O(domain
+    pairs), and the node set is domains (≪ docs), so rank state
+    broadcasts. Oracle: `_link_graph_oracle` replays every stage
+    including the unrolled rounds."""
+    from felixzh_flink_spark.operators.graph import pagerank
+
+    sid = F.col("doc_id").cast("string")
+    d10 = (F.col("doc_id") % 10).cast("string")
+    l1 = ((F.col("doc_id") * 7 + 3) % 10).cast("string")
+    l2 = ((F.col("doc_id") * 3 + 1) % 7).cast("string")
+    url = F.concat(F.lit("https://www.site"), d10, F.lit(".example/p/"),
+                   sid)
+    html = F.concat(
+        F.lit('<html><body><p>'), F.col("text"),
+        F.lit('</p><a href="https://site'), l1, F.lit('.example/a/'), sid,
+        F.lit('">x</a><a href="https://site'), l2, F.lit('.example/b/'),
+        sid, F.lit('">y</a><a href="/p/self/'), sid,
+        F.lit('">s</a><a href="javascript:void(0)">j</a>'
+              '<a href="#top">t</a></body></html>'))
+    pages = _t_wide(spark, sf_dir, "documents").select(
+        url.alias("url"), html.alias("html"))
+    links = TX.extract_links(pages, html_col="html", base_url_col="url")
+    edges = TX.link_domain_edges(links).localCheckpoint(eager=True)
+    nodes = (edges.select(F.col("src").alias("node"))
+             .union(edges.select(F.col("dst").alias("node"))).distinct())
+    n_nodes = nodes.count()  # domain count — a bounded ingest artifact
+    ranks = pagerank(nodes, edges, n_nodes=n_nodes, iterations=8,
+                     damping=0.85)
+    return (ranks.select(
+        F.col("node").alias("domain"),
+        (F.floor(F.col("rank") * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9))
+        .alias("pagerank"))
+        .orderBy("domain"))
 
 
 def _lr_features_col():
@@ -9665,7 +9789,7 @@ _DRIVER_ORDER = [
     # (c) the 39 OLDEST stale greens (the r10 queue heads, consumed in
     # queue order — the first ten were re-proven by the r10 judge).
     # =================================================================
-    "neardup_delta_status", "pii_scrub_profile",
+    "neardup_delta_status", "pii_scrub_profile", "link_graph_pagerank",
     "rp_rerank_tombstone_indexed", "image_ahash_neardup_grid8",
     "audio_fingerprint_neardup_w64", "webdataset_pair_dedup",
     "ann_ivf_tombstone_checks", "decontaminate_semantic_survivors",

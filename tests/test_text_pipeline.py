@@ -622,3 +622,41 @@ def test_pii_scrub_never_rematches_placeholders(spark):
         "doc_id long, text string")
     out = df.select(TX.pii_scrub("text").alias("t")).head()["t"]
     assert out == "<EMAIL> <IP> <SSN> <PHONE>"
+
+
+# ------------------------------------------------------- link extraction
+
+
+def test_extract_links_resolution_policy(spark):
+    from felixzh_flink_spark.operators import text as TX
+    df = spark.createDataFrame([
+        (1, "https://www.a.example/p/1",
+         '<a href="https://b.example/x">1</a>'
+         '<a href="/root/path">2</a>'
+         '<a href="rel/page.html">3</a>'
+         '<a href="javascript:void(0)">4</a>'
+         '<a href="#frag">5</a>'
+         '<a href="mailto:x@y.zz">6</a>'),
+    ], "doc_id long, url string, html string")
+    out = sorted(r["link"] for r in TX.extract_links(
+        df, html_col="html", base_url_col="url").collect())
+    assert out == ["https://b.example/x", "https://www.a.example/root/path"]
+    # without a base column only absolute links survive
+    out2 = [r["link"] for r in TX.extract_links(df, html_col="html").collect()]
+    assert out2 == ["https://b.example/x"]
+
+
+def test_link_domain_edges_distinct_and_self_drop(spark):
+    from felixzh_flink_spark.operators import text as TX
+    rows = [
+        ("https://www.a.example/1", "https://sub.b.example/x"),
+        ("https://www.a.example/2", "https://b.example/y"),   # same domain pair
+        ("https://www.a.example/3", "https://other.a.example/z"),  # self
+        ("https://c.example/1", "https://a.example/q"),
+    ]
+    df = spark.createDataFrame(rows, "url string, link string")
+    edges = sorted(map(tuple, TX.link_domain_edges(df).collect()))
+    assert edges == [("a.example", "b.example"), ("c.example", "a.example")]
+    with_self = sorted(map(tuple, TX.link_domain_edges(
+        df, drop_self=False).collect()))
+    assert ("a.example", "a.example") in with_self
