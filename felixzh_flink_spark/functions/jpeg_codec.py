@@ -104,8 +104,23 @@ def _huff_encode_table(bits: list[int], vals: list[int]) -> dict:
     return out
 
 
+#: standard luminance encode maps, built once at import (they were
+#: rebuilt for every encoded image — 4 table builds per JPEG)
+_DC_ENC = _huff_encode_table(DC_BITS, DC_VALS)
+_AC_ENC = _huff_encode_table(AC_BITS, AC_VALS)
+
+
+_DEC_TABLE_CACHE: dict[tuple, dict] = {}
+
+
 def _huff_decode_table(bits: list[int], vals: list[int]) -> dict:
-    """(length, code) → symbol."""
+    """(length, code) → symbol. Memoized on the (bits, vals) spec:
+    tables still come from each FILE's DHT segments — identical specs
+    (in practice the standard Annex-K tables) just skip the rebuild."""
+    key = (tuple(bits), tuple(vals))
+    cached = _DEC_TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     out, code, k = {}, 0, 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
@@ -113,6 +128,7 @@ def _huff_decode_table(bits: list[int], vals: list[int]) -> dict:
             code += 1
             k += 1
         code <<= 1
+    _DEC_TABLE_CACHE[key] = out
     return out
 
 
@@ -134,15 +150,19 @@ class _BitWriter:
         self.n = 0
 
     def write(self, code: int, length: int) -> None:
-        for i in range(length - 1, -1, -1):
-            self.acc = (self.acc << 1) | ((code >> i) & 1)
-            self.n += 1
-            if self.n == 8:
-                self.out.append(self.acc)
-                if self.acc == 0xFF:
-                    self.out.append(0x00)
-                self.acc = 0
-                self.n = 0
+        # whole-code shift instead of a per-bit loop (hot path: one call
+        # per Huffman symbol); byte-identical output incl. 0xFF stuffing
+        acc = (self.acc << length) | (code & ((1 << length) - 1))
+        n = self.n + length
+        out = self.out
+        while n >= 8:
+            n -= 8
+            b = (acc >> n) & 0xFF
+            out.append(b)
+            if b == 0xFF:
+                out.append(0x00)
+        self.acc = acc & ((1 << n) - 1)
+        self.n = n
 
     def finish(self) -> bytes:
         if self.n:
@@ -225,12 +245,11 @@ def encode_jpeg_gray(width: int, height: int, pixels: bytes,
     img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width)
     bh = (height + 7) // 8
     bw = (width + 7) // 8
-    # edge-replicate padding to full MCUs
-    padded = np.pad(img, ((0, bh * 8 - height), (0, bw * 8 - width)),
-                    mode="edge").astype(np.float64) - 128.0
+    # edge-replicate padding to full MCUs (skipped when already aligned)
+    padded = _pad_to_blocks(img, bh, bw)
 
-    dc_tab = _huff_encode_table(DC_BITS, DC_VALS)
-    ac_tab = _huff_encode_table(AC_BITS, AC_VALS)
+    dc_tab = _DC_ENC
+    ac_tab = _AC_ENC
     w = _BitWriter()
     chunks: list[bytes] = []
     pred = 0
@@ -243,33 +262,7 @@ def encode_jpeg_gray(width: int, height: int, pixels: bytes,
                 pred = 0
                 n_in_chunk = 0
             block = padded[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8]
-            coef = _C @ block @ _C.T
-            # round half away from zero — symmetric, engine-portable
-            qc = np.sign(coef / qm) * np.floor(np.abs(coef / qm) + 0.5)
-            zz = [int(qc.flat[ZIGZAG[i]]) for i in range(64)]
-            t, bits = _magnitude(zz[0] - pred)
-            pred = zz[0]
-            code, ln = dc_tab[t]
-            w.write(code, ln)
-            if t:
-                w.write(bits, t)
-            run = 0
-            for i in range(1, 64):
-                if zz[i] == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, ln = ac_tab[0xF0]          # ZRL
-                    w.write(code, ln)
-                    run -= 16
-                t, bits = _magnitude(zz[i])
-                code, ln = ac_tab[(run << 4) | t]
-                w.write(code, ln)
-                w.write(bits, t)
-                run = 0
-            if run:
-                code, ln = ac_tab[0x00]              # EOB
-                w.write(code, ln)
+            pred = _encode_block(w, block, pred, qm, dc_tab, ac_tab)
             n_in_chunk += 1
     chunks.append(w.finish())
 
@@ -421,8 +414,7 @@ def decode_jpeg_gray(payload: bytes) -> tuple[int, int, bytes]:
                 zz[i] = extend(r.read_bits(t), t)
                 i += 1
             coef = np.zeros(64)
-            for i in range(64):
-                coef[ZIGZAG[i]] = zz[i]
+            coef[_ZZ_NP] = zz                            # de-zigzag
             block = _C.T @ (coef.reshape(8, 8) * qm) @ _C
             out[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = block
             n_in_chunk += 1
@@ -452,48 +444,72 @@ AC_VALS_C = [
     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
 ]
 
+#: standard chrominance encode maps, built once at import
+_DC_ENC_C = _huff_encode_table(DC_BITS_C, DC_VALS_C)
+_AC_ENC_C = _huff_encode_table(AC_BITS_C, AC_VALS_C)
+
+
+#: natural-order index → zig-zag position (inverse of ZIGZAG), as an
+#: ndarray so quantizer/coefficient reordering is one fancy-index op
+_ZZ_INV = np.array([ZIGZAG.index(i) for i in range(64)], dtype=np.intp)
+_ZZ_NP = np.array(ZIGZAG, dtype=np.intp)
+
+_ZZ_MATRIX_CACHE: dict[tuple, np.ndarray] = {}
+
 
 def _zz_to_matrix(q: list[int]) -> np.ndarray:
-    """64 zig-zag-ordered quantizer entries → natural-order 8×8 matrix."""
-    return np.array([q[ZIGZAG.index(i)] for i in range(64)],
-                    dtype=np.float64).reshape(8, 8)
+    """64 zig-zag-ordered quantizer entries → natural-order 8×8 matrix.
+    Memoized: encoders pass a handful of distinct tables per process
+    (usually just the flat-lossless default) and the reorder was a
+    64-element list scan per entry."""
+    key = tuple(q)
+    m = _ZZ_MATRIX_CACHE.get(key)
+    if m is None:
+        m = np.asarray(q, dtype=np.float64)[_ZZ_INV].reshape(8, 8)
+        m.setflags(write=False)
+        _ZZ_MATRIX_CACHE[key] = m
+    return m
 
 
 def _encode_block(w: "_BitWriter", block: np.ndarray, pred: int,
                   qm: np.ndarray, dc_tab: dict, ac_tab: dict) -> int:
     """Forward-DCT + quantize + entropy-code one level-shifted 8×8
     block; returns the new DC predictor for the block's component."""
-    coef = _C @ block @ _C.T
-    qc = np.sign(coef / qm) * np.floor(np.abs(coef / qm) + 0.5)
-    zz = [int(qc.flat[ZIGZAG[i]]) for i in range(64)]
-    t, bits = _magnitude(zz[0] - pred)
+    coef = (_C @ block @ _C.T) / qm
+    qc = np.sign(coef) * np.floor(np.abs(coef) + 0.5)
+    zz = qc.take(_ZZ_NP).astype(np.int64)
+    dc = int(zz[0])
+    t, bits = _magnitude(dc - pred)
     code, ln = dc_tab[t]
     w.write(code, ln)
     if t:
         w.write(bits, t)
-    run = 0
-    for i in range(1, 64):
-        if zz[i] == 0:
-            run += 1
-            continue
+    # walk only the non-zero AC positions (blocks are sparse after
+    # quantization; fixture flat tiles are DC-only) — run lengths come
+    # from the index gaps, byte-identical to the dense 1..63 walk
+    prev = 0
+    for i in np.flatnonzero(zz[1:]) + 1:
+        run = i - prev - 1
         while run > 15:
             code, ln = ac_tab[0xF0]                      # ZRL
             w.write(code, ln)
             run -= 16
-        t, bits = _magnitude(zz[i])
+        t, bits = _magnitude(int(zz[i]))
         code, ln = ac_tab[(run << 4) | t]
         w.write(code, ln)
         w.write(bits, t)
-        run = 0
-    if run:
+        prev = i
+    if prev != 63:
         code, ln = ac_tab[0x00]                          # EOB
         w.write(code, ln)
-    return zz[0]
+    return dc
 
 
 def _pad_to_blocks(plane: np.ndarray, bh8: int, bw8: int) -> np.ndarray:
     """Edge-replicate a plane up to (bh8·8, bw8·8) and level-shift."""
     h, w = plane.shape
+    if bh8 * 8 == h and bw8 * 8 == w:                    # already aligned
+        return plane.astype(np.float64) - 128.0
     return np.pad(plane, ((0, bh8 * 8 - h), (0, bw8 * 8 - w)),
                   mode="edge").astype(np.float64) - 128.0
 
@@ -569,10 +585,10 @@ def encode_jpeg_color(width: int, height: int, y: bytes, cb: bytes,
     crp = _pad_to_blocks(
         np.frombuffer(cr, dtype=np.uint8).reshape(chh, cw), mcuy, mcux)
 
-    dcy_t = _huff_encode_table(DC_BITS, DC_VALS)
-    acy_t = _huff_encode_table(AC_BITS, AC_VALS)
-    dcc_t = _huff_encode_table(DC_BITS_C, DC_VALS_C)
-    acc_t = _huff_encode_table(AC_BITS_C, AC_VALS_C)
+    dcy_t = _DC_ENC
+    acy_t = _AC_ENC
+    dcc_t = _DC_ENC_C
+    acc_t = _AC_ENC_C
     # (plane, blocks-per-MCU-side, qmatrix, dc table, ac table)
     comps = [(yp, hy, qmy, dcy_t, acy_t), (cbp, 1, qmc, dcc_t, acc_t),
              (crp, 1, qmc, dcc_t, acc_t)]
@@ -800,8 +816,7 @@ def decode_jpeg_color(payload: bytes) -> tuple[int, int, bytes]:
                             zz[i] = extend(r.read_bits(t), t)
                             i += 1
                         coef = np.zeros(64)
-                        for i in range(64):
-                            coef[ZIGZAG[i]] = zz[i]
+                        coef[_ZZ_NP] = zz                # de-zigzag
                         block = _C.T @ (coef.reshape(8, 8) * qm) @ _C
                         r0 = (my * f + by) * 8
                         c0 = (mx * f + bx) * 8

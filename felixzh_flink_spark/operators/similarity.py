@@ -998,20 +998,57 @@ def decontaminate_semantic(corpus: DataFrame, benchmark: DataFrame,
     dot (`_dot_indexed` — no per-pair zip_with array), so a corpus row
     × bench row check is exactly dim fused multiply-adds + one divide.
 
-    Determinism: the indexed dot left-folds per element exactly like
-    the DuckDB replay (list_reduce), and `_norm` is the same fold +
-    correctly-rounded sqrt, so the doubles compared against
-    `threshold` are bit-identical cross-engine."""
+    Determinism: each literal-vector dot left-folds per element exactly
+    like the DuckDB replay (list_reduce), and the corpus norm is the
+    same fold + correctly-rounded sqrt, so the doubles compared against
+    `threshold` are bit-identical cross-engine. The bench norms are
+    computed DRIVER-side with the identical left fold + sqrt (the
+    `cosine_to_literal` precedent), so they too are bit-equal to the
+    Spark-side `_norm` the r10 join form evaluated.
+
+    (r11 optimization note: the original form was a
+    BroadcastNestedLoopJoin LeftAnti whose per-PAIR cosine condition
+    was evaluated through the join's per-pair expression machinery —
+    measured ~4.4 s at sf0.1 for 5000×38 pairs. The bench side is a
+    bounded eval suite, so it now collects once and rides the whole
+    condition as ONE literal-matrix pass per corpus row — the
+    `random_projection_sql` shape: transform over the folded-literal
+    matrix computes every bench dot in a single tight evaluator walk,
+    zip_with attaches the precomputed bench norms, and `exists` applies
+    the threshold. The per-element arithmetic and order are identical
+    to the join form (0.0 + Σ a[i]·b[i], then dot/(cnorm·bnorm) ≥ thr;
+    bench norms are the same left fold + correctly-rounded sqrt, now
+    computed driver-side like `cosine_to_literal`), so the survivor
+    set is bit-identical: a row survives iff no bench vector reaches
+    the threshold; NULL embeddings count as no-match on both forms via
+    the COALESCE.)"""
+    import math
+
     bvec = bench_vec_col or vec_col
-    b = benchmark.select(F.col(bvec).alias("_bvec"),
-                         _norm(F.col(bvec)).alias("_bnorm"))
-    if dim is None:  # one-row construction probe when not supplied
-        dim = benchmark.select(F.size(F.col(bvec)).alias("d")).head()["d"]
-    cond = (_dot_indexed(F.col(vec_col), F.col("_bvec"), int(dim))
-            / (F.col("_cnorm") * F.col("_bnorm"))
-            ) >= F.lit(float(threshold))
-    return (corpus.withColumn("_cnorm", _norm(F.col(vec_col)))
-            .join(F.broadcast(b), cond, "left_anti").drop("_cnorm"))
+    rows = benchmark.select(F.col(bvec).alias("_bvec")).collect()
+    vecs = [[float(x) for x in r["_bvec"]] for r in rows
+            if r["_bvec"] is not None]
+    if not vecs:
+        return corpus
+    thr = float(threshold)
+    orig_cols = corpus.columns
+    bnorms = []
+    for v in vecs:
+        acc = 0.0
+        for x in v:
+            acc += x * x
+        bnorms.append(math.sqrt(acc))
+    fold = (f"aggregate(zip_with({vec_col}, row, (x, y) -> "
+            f"cast(x as double) * cast(y as double)), "
+            f"cast(0.0 as double), (acc, x) -> acc + x)")
+    sims = (f"zip_with(transform({_lit_mat_sql(vecs)}, row -> {fold}), "
+            f"{_lit_vec_sql(bnorms)}, (d, n) -> d / (_cnorm * n))")
+    any_hit = F.expr(
+        f"exists({sims}, s -> s >= cast('{thr!r}' as double))")
+    return (corpus
+            .select("*", _norm(F.col(vec_col)).alias("_cnorm"))
+            .filter(~F.coalesce(any_hit, F.lit(False)))
+            .select(*orig_cols))
 
 
 def semantic_dedup(df: DataFrame, threshold: float = 0.9,

@@ -136,7 +136,7 @@ def q1_pricing_summary(spark, sf_dir):
     """TPC-H Q1 shape: the flagship scan+groupBy+multi-agg (A1-A4; filter is
     the §2.2 WHERE fill). Partial aggregation collapses 60k rows → 6 groups
     before the shuffle."""
-    l = _t(spark, sf_dir, "lineitem").filter(
+    l = _t_wide(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
     return l.groupBy("l_returnflag", "l_linestatus").agg(
         exact_sum("l_quantity", 2, "sum_qty"),
@@ -724,7 +724,7 @@ def events_variant_extract(spark, sf_dir):
     flagged as the most expensive events query; this is the
     single-parse plan). DuckDB replays the same paths with
     json_extract."""
-    e = _t(spark, sf_dir, "events")
+    e = _t_wide(spark, sf_dir, "events")
     payload = F.concat(
         F.lit('{"p": '), F.col("props"),
         F.lit(', "meta": {"type": "'), F.col("event_type"),
@@ -1874,7 +1874,7 @@ SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate FROM orders
 def json_roundtrip_orders(spark, sf_dir):
     """F6: json encode→decode roundtrip (Json2Json pipeline), incl. timestamp
     and double fidelity."""
-    o = _t(spark, sf_dir, "orders")
+    o = _t_wide(spark, sf_dir, "orders")
     return json_roundtrip(o, ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"],
                           _ORDERS_JSON_SCHEMA)
 
@@ -1923,7 +1923,7 @@ def proto_roundtrip_orders(spark, sf_dir):
     # deterministic 1/7 slice: the wire-format proof is per-row, so a
     # pushdown-filtered subset proves the same codec at bench-sane cost
     return proto_roundtrip(
-        _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0))
+        _t_wide(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0))
 
 
 @q("events_json_extract", """
@@ -3104,7 +3104,7 @@ def pii_scrub_profile(spark, sf_dir):
             F.lit(" host 10."), o8, F.lit(".0.250 and 172.16."), o200,
             F.lit(".13")))
         .otherwise(F.concat(F.lit(" ssn 078-05-"), sid4)))
-    planted = _t(spark, sf_dir, "documents").select(
+    planted = _t_wide(spark, sf_dir, "documents").select(
         "doc_id", F.concat(F.col("text"), tail).alias("text"),
         F.md5(TX.pii_scrub(F.concat(F.col("text"), tail))).alias("clean_md5"))
     return TX.pii_profile(planted, keep=("clean_md5",)).orderBy("doc_id")
