@@ -62,6 +62,29 @@ _JPEG_SOF_MARKERS = frozenset(
     m for m in range(0xC0, 0xD0) if m not in (0xC4, 0xC8, 0xCC))
 
 
+
+def _id_payloads(pdf, id_col: str, payload_col: str, synth,
+                 text_col=None):
+    """(id, payload) pairs for a media stats kernel batch.
+
+    With `synth` (a per-id payload builder, e.g. `_png_payload`) the
+    fixture bytes are generated INSIDE the same Arrow stage as the
+    decode: the encoded payload never crosses the JVM<->Python boundary
+    at all, collapsing the encode-UDF -> JVM -> decode-kernel pipeline
+    (two Python stages, payload serialized out and back in) into ONE
+    mapInPandas stage. Identical bytes reach the decoder either way --
+    the synth functions are the SAME closed-form builders the
+    `synthesize_*_column` UDFs delegate to, so oracles cannot drift.
+    Production corpora (stored payload columns) keep `synth=None` and
+    read `payload_col` exactly as before."""
+    if synth is not None:
+        if text_col is not None:       # text-derived fixtures (gzip/warc/…)
+            return ((int(i), synth(int(i), t))
+                    for i, t in zip(pdf[id_col], pdf[text_col]))
+        return ((int(i), synth(int(i))) for i in pdf[id_col])
+    return ((int(i), p) for i, p in zip(pdf[id_col], pdf[payload_col]))
+
+
 def png_dims(col) -> "F.Column":
     """(width, height) struct parsed from a PNG header with PURE
     expressions — no UDF, no codec. The IHDR chunk is mandatory-first, so
@@ -436,6 +459,24 @@ def _image_envelope_bits(doc_id: int, grid: int = 8) -> list[int]:
     return bits
 
 
+def _png_large_payload(i: int) -> bytes:
+    """The closed-form production-grid PNG fixture recipe (see
+    `synthesize_png_large_column`)."""
+    from felixzh_flink_spark.functions.png_codec import encode_png
+
+    g = i // 4
+    w, h, ch = g % 9 + 8, g % 7 + 8, (g % 2) * 2 + 1
+    bits = _image_envelope_bits(i, 8)
+    px = bytearray()
+    for q in range(w * h):
+        cell = ((q // w) * 8 // h) * 8 + ((q % w) * 8 // w)
+        base = 192 if bits[cell] else 64
+        for c in range(ch):
+            t = q * ch + c
+            px.append(base + t % 7 - 3)
+    return encode_png(w, h, bytes(px), ch, filter_type=i % 5)
+
+
 def synthesize_png_large_column(df: DataFrame, id_col: str = "doc_id",
                                 payload_col: str = "png") -> DataFrame:
     """PRODUCTION-GRID image fixture for the grid=8 (64-bit hash)
@@ -453,25 +494,9 @@ def synthesize_png_large_column(df: DataFrame, id_col: str = "doc_id",
     across groups (selective 16-bit band buckets at any corpus size).
     Closed form end-to-end: the oracle replays envelope → byte value →
     luminance → floor cell map → bit rule without decoding a PNG."""
-    from felixzh_flink_spark.functions.png_codec import encode_png
-
     @F.pandas_udf("binary")
     def _make(ids: pd.Series) -> pd.Series:
-        out = []
-        for i in ids:
-            i = int(i)
-            g = i // 4
-            w, h, ch = g % 9 + 8, g % 7 + 8, (g % 2) * 2 + 1
-            bits = _image_envelope_bits(i, 8)
-            px = bytearray()
-            for q in range(w * h):
-                cell = ((q // w) * 8 // h) * 8 + ((q % w) * 8 // w)
-                base = 192 if bits[cell] else 64
-                for c in range(ch):
-                    t = q * ch + c
-                    px.append(base + t % 7 - 3)
-            out.append(encode_png(w, h, bytes(px), ch, filter_type=i % 5))
-        return pd.Series(out)
+        return pd.Series([_png_large_payload(int(i)) for i in ids])
 
     return df.withColumn(payload_col, _make(F.col(id_col)))
 
@@ -487,7 +512,8 @@ PNG_STATS_SCHEMA = T.StructType([
 
 
 def png_pixel_stats(df: DataFrame, id_col: str = "doc_id",
-                    payload_col: str = "png") -> DataFrame:
+                    payload_col: str = "png",
+                    synth=None) -> DataFrame:
     """REAL pixel decode (no stub): inflate + unfilter each PNG payload
     with the pure-stdlib codec (`functions/png_codec`) and emit decoded
     geometry plus two pixel aggregates — pixel_sum = Σ pᵢ and the
@@ -505,7 +531,7 @@ def png_pixel_stats(df: DataFrame, id_col: str = "doc_id",
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for i, p in zip(pdf[id_col], pdf[payload_col]):
+            for i, p in _id_payloads(pdf, id_col, payload_col, synth):
                 try:
                     w, h, ch, px = decode_png(p)
                     rows.append((int(i), w, h, ch, sum(px),
@@ -532,7 +558,8 @@ AHASH_SCHEMA = T.StructType([
 
 def image_ahash_cells(df: DataFrame, id_col: str = "doc_id",
                       payload_col: str = "png",
-                      grid: int = 4) -> DataFrame:
+                      grid: int = 4,
+                      synth=None) -> DataFrame:
     """Stage 1 of PERCEPTUAL image hashing (average hash, the classic
     pHash-family member): REAL pixel decode (`functions/png_codec`) →
     per-pixel integer luminance (channel sum; grayscale scaled ×3 so
@@ -552,7 +579,7 @@ def image_ahash_cells(df: DataFrame, id_col: str = "doc_id",
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for i, p in zip(pdf[id_col], pdf[payload_col]):
+            for i, p in _id_payloads(pdf, id_col, payload_col, synth):
                 try:
                     w, h, ch, px = decode_png(p)
                     sums = [0] * (g * g)
@@ -583,7 +610,8 @@ def image_ahash_cells(df: DataFrame, id_col: str = "doc_id",
 
 def audio_fingerprint_cells(df: DataFrame, id_col: str = "doc_id",
                             payload_col: str = "wav",
-                            windows: int = 16) -> DataFrame:
+                            windows: int = 16,
+                            synth=None) -> DataFrame:
     """AUDIO fingerprinting, stage 1 — the WAV analog of
     `image_ahash_cells` (one hash/band machinery, per-modality decode
     kernels): REAL PCM decode (`functions/wav_codec`) → interleaved
@@ -605,7 +633,7 @@ def audio_fingerprint_cells(df: DataFrame, id_col: str = "doc_id",
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for i, p in zip(pdf[id_col], pdf[payload_col]):
+            for i, p in _id_payloads(pdf, id_col, payload_col, synth):
                 try:
                     rate, ch, bits, samples = decode_wav(p)
                     frames = len(samples) // ch
@@ -707,6 +735,18 @@ def image_neardup_pairs(hashed: DataFrame, grid: int = 4,
             .select("id_a", "id_b", "hamming"))
 
 
+def _wav_payload(i: int) -> bytes:
+    """The closed-form PCM-WAV fixture recipe (see
+    `synthesize_wav_column`) — shared by the column UDF and the fused
+    `synth=` kernels."""
+    from felixzh_flink_spark.functions.wav_codec import encode_wav
+
+    ch = i % 2 + 1
+    n = (i % 25 + 4) * ch
+    samples = [((i * 37 + 11 * j) % 65536) - 32768 for j in range(n)]
+    return encode_wav(samples, 8000 + (i % 3) * 4000, ch, 16)
+
+
 def synthesize_wav_column(df: DataFrame, id_col: str = "doc_id",
                           payload_col: str = "wav") -> DataFrame:
     """Deterministic WAV fixture generator (`png` analog for audio):
@@ -716,18 +756,9 @@ def synthesize_wav_column(df: DataFrame, id_col: str = "doc_id",
     oracle can predict any statistic of the DECODED samples, which is
     what lets the encode→decode audio pipeline be driver-verified
     (`wav_pcm_stats`)."""
-    from felixzh_flink_spark.functions.wav_codec import encode_wav
-
     @F.pandas_udf("binary")
     def _make(ids: pd.Series) -> pd.Series:
-        out = []
-        for i in ids:
-            i = int(i)
-            ch = i % 2 + 1
-            n = (i % 25 + 4) * ch
-            samples = [((i * 37 + 11 * j) % 65536) - 32768 for j in range(n)]
-            out.append(encode_wav(samples, 8000 + (i % 3) * 4000, ch, 16))
-        return pd.Series(out)
+        return pd.Series([_wav_payload(int(i)) for i in ids])
 
     return df.withColumn(payload_col, _make(F.col(id_col)))
 
@@ -768,6 +799,32 @@ def _envelope_bits(doc_id: int, windows: int = 16) -> list[int]:
     return bits
 
 
+def _wav_envelope_payload_fn(windows: int = 16,
+                             frames_per_window: int = 4,
+                             amp: int = 16384):
+    """Per-id builder for the planted-envelope WAV fixture (see
+    `synthesize_wav_envelope_column`) — returns a closure usable as a
+    fused `synth=` kernel argument."""
+    from felixzh_flink_spark.functions.wav_codec import encode_wav
+
+    nw, fpw, a = int(windows), int(frames_per_window), int(amp)
+
+    def _payload(i: int) -> bytes:
+        ch = i % 2 + 1
+        bits = _envelope_bits(i, nw)
+        samples: list[int] = []
+        for w in range(nw):
+            mono = a if bits[w] else 0
+            for _ in range(fpw):
+                if ch == 1:
+                    samples.append(mono)
+                else:
+                    samples.extend((mono // 2, mono - mono // 2))
+        return encode_wav(samples, 8000 + (i % 3) * 4000, ch, 16)
+
+    return _payload
+
+
 def synthesize_wav_envelope_column(df: DataFrame, id_col: str = "doc_id",
                                    payload_col: str = "wav",
                                    windows: int = 16,
@@ -782,27 +839,11 @@ def synthesize_wav_envelope_column(df: DataFrame, id_col: str = "doc_id",
     replays decoded frames → window energies → bits without decoding
     a byte, while Spark runs the REAL encode→decode chain — a decoder
     or mixdown bug changes energies and fails the hash."""
-    from felixzh_flink_spark.functions.wav_codec import encode_wav
-
-    nw, fpw, a = int(windows), int(frames_per_window), int(amp)
+    synth = _wav_envelope_payload_fn(windows, frames_per_window, amp)
 
     @F.pandas_udf("binary")
     def _make(ids: pd.Series) -> pd.Series:
-        out = []
-        for i in ids:
-            i = int(i)
-            ch = i % 2 + 1
-            bits = _envelope_bits(i, nw)
-            samples: list[int] = []
-            for w in range(nw):
-                mono = a if bits[w] else 0
-                for _ in range(fpw):
-                    if ch == 1:
-                        samples.append(mono)
-                    else:
-                        samples.extend((mono // 2, mono - mono // 2))
-            out.append(encode_wav(samples, 8000 + (i % 3) * 4000, ch, 16))
-        return pd.Series(out)
+        return pd.Series([synth(int(i)) for i in ids])
 
     return df.withColumn(payload_col, _make(F.col(id_col)))
 
@@ -818,7 +859,8 @@ WAV_STATS_SCHEMA = T.StructType([
 
 
 def wav_pcm_stats(df: DataFrame, id_col: str = "doc_id",
-                  payload_col: str = "wav") -> DataFrame:
+                  payload_col: str = "wav",
+                  synth=None) -> DataFrame:
     """REAL audio decode (no stub): walk each RIFF payload's chunks and
     unpack the PCM samples with the pure-stdlib codec
     (`functions/wav_codec`), emitting decoded format fields plus
@@ -832,7 +874,7 @@ def wav_pcm_stats(df: DataFrame, id_col: str = "doc_id",
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for i, p in zip(pdf[id_col], pdf[payload_col]):
+            for i, p in _id_payloads(pdf, id_col, payload_col, synth):
                 try:
                     rate, ch, _bits, samples = decode_wav(p)
                     rows.append((int(i), rate, ch, len(samples),
@@ -966,7 +1008,8 @@ THUMB_STATS_SCHEMA = T.StructType([
 
 def png_thumbnail_stats(df: DataFrame, out_w: int, out_h: int,
                         id_col: str = "doc_id",
-                        payload_col: str = "png") -> DataFrame:
+                        payload_col: str = "png",
+                        synth=None) -> DataFrame:
     """REAL pixel RESIZE on REAL decoded pixels — the kernel half of
     `resize_plan`'s geometry, runnable because the PNG decode is no
     longer stubbed: inflate + unfilter each payload
@@ -985,7 +1028,7 @@ def png_thumbnail_stats(df: DataFrame, out_w: int, out_h: int,
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for i, p in zip(pdf[id_col], pdf[payload_col]):
+            for i, p in _id_payloads(pdf, id_col, payload_col, synth):
                 try:
                     w, h, ch, px = decode_png(p)
                     out = []
@@ -1036,7 +1079,8 @@ GIF_STATS_SCHEMA = T.StructType([
 
 
 def gif_pixel_stats(df: DataFrame, id_col: str = "doc_id",
-                    payload_col: str = "gif") -> DataFrame:
+                    payload_col: str = "gif",
+                    synth=None) -> DataFrame:
     """REAL GIF decode (no stub): LZW-decompress each payload with the
     pure-stdlib codec (`functions/gif_codec` — variable-width codes,
     dictionary growth/reset, KwKwK, de-interlacing) and emit decoded
@@ -1051,7 +1095,7 @@ def gif_pixel_stats(df: DataFrame, id_col: str = "doc_id",
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for i, p in zip(pdf[id_col], pdf[payload_col]):
+            for i, p in _id_payloads(pdf, id_col, payload_col, synth):
                 try:
                     w, h, pal, idx = decode_gif(p)
                     rgb = sum(pal[3 * b] + pal[3 * b + 1] + pal[3 * b + 2]
@@ -1069,6 +1113,19 @@ def gif_pixel_stats(df: DataFrame, id_col: str = "doc_id",
     return df.mapInPandas(kernel, schema=GIF_STATS_SCHEMA)
 
 
+def _jpeg_payload(i: int) -> bytes:
+    """The closed-form grayscale-JPEG fixture recipe (see
+    `synthesize_jpeg_column`) — shared by the column UDF and the fused
+    `synth=` kernels."""
+    from felixzh_flink_spark.functions.jpeg_codec import encode_jpeg_gray
+
+    w, h = (i % 3 + 1) * 8, (i % 2 + 1) * 8
+    px = bytes((i * 31 + 17 * ((y // 8) * (w // 8) + x // 8)) % 256
+               for y in range(h) for x in range(w))
+    return encode_jpeg_gray(w, h, px,
+                            restart_interval=2 if i % 5 == 0 else 0)
+
+
 def synthesize_jpeg_column(df: DataFrame, id_col: str = "doc_id",
                            payload_col: str = "jpeg") -> DataFrame:
     """Deterministic baseline-JPEG fixture generator: a REAL encoded
@@ -1080,19 +1137,9 @@ def synthesize_jpeg_column(df: DataFrame, id_col: str = "doc_id",
     lossy pipeline is bit-lossless on this recipe and a SQL oracle can
     predict the DECODED pixels (`jpeg_pixel_stats` /
     `jpeg_decode_stats`). Arrow-batched pandas UDF."""
-    from felixzh_flink_spark.functions.jpeg_codec import encode_jpeg_gray
-
     @F.pandas_udf("binary")
     def _make(ids: pd.Series) -> pd.Series:
-        out = []
-        for i in ids:
-            i = int(i)
-            w, h = (i % 3 + 1) * 8, (i % 2 + 1) * 8
-            px = bytes((i * 31 + 17 * ((y // 8) * (w // 8) + x // 8)) % 256
-                       for y in range(h) for x in range(w))
-            out.append(encode_jpeg_gray(
-                w, h, px, restart_interval=2 if i % 5 == 0 else 0))
-        return pd.Series(out)
+        return pd.Series([_jpeg_payload(int(i)) for i in ids])
 
     return df.withColumn(payload_col, _make(F.col(id_col)))
 
@@ -1107,7 +1154,8 @@ JPEG_STATS_SCHEMA = T.StructType([
 
 
 def jpeg_pixel_stats(df: DataFrame, id_col: str = "doc_id",
-                     payload_col: str = "jpeg") -> DataFrame:
+                     payload_col: str = "jpeg",
+                     synth=None) -> DataFrame:
     """REAL baseline-JPEG decode (no stub, no libjpeg): Huffman-decode,
     dequantize and inverse-DCT each payload with the pure-Python+numpy
     codec (`functions/jpeg_codec`) and emit decoded geometry plus
@@ -1121,7 +1169,7 @@ def jpeg_pixel_stats(df: DataFrame, id_col: str = "doc_id",
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for i, p in zip(pdf[id_col], pdf[payload_col]):
+            for i, p in _id_payloads(pdf, id_col, payload_col, synth):
                 try:
                     w, h, px = decode_jpeg_gray(p)
                     rows.append((int(i), w, h, sum(px),
@@ -1132,6 +1180,13 @@ def jpeg_pixel_stats(df: DataFrame, id_col: str = "doc_id",
                 "doc_id", "width", "height", "pixel_sum", "pixel_wsum"])
 
     return df.mapInPandas(kernel, schema=JPEG_STATS_SCHEMA)
+
+
+def _jpeg_color_fixture_payload(i: int) -> bytes:
+    """`_jpeg_color_payload` with the fixture's restart-interval rule
+    (RSTn every 2 MCUs for ids divisible by 5) — the exact per-id
+    builder `synthesize_jpeg_color_column` emits."""
+    return _jpeg_color_payload(i, restart_interval=2 if i % 5 == 0 else 0)
 
 
 def synthesize_jpeg_color_column(df: DataFrame, id_col: str = "doc_id",
@@ -1168,7 +1223,8 @@ JPEG_COLOR_STATS_SCHEMA = T.StructType([
 
 
 def jpeg_color_stats(df: DataFrame, id_col: str = "doc_id",
-                     payload_col: str = "jpeg") -> DataFrame:
+                     payload_col: str = "jpeg",
+                     synth=None) -> DataFrame:
     """REAL color-JPEG decode (no stub, no libjpeg): Huffman-decode the
     interleaved MCU scan, dequantize, inverse-DCT all three component
     planes, upsample 4:2:0 chroma, and convert to RGB with the
@@ -1185,7 +1241,7 @@ def jpeg_color_stats(df: DataFrame, id_col: str = "doc_id",
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for i, p in zip(pdf[id_col], pdf[payload_col]):
+            for i, p in _id_payloads(pdf, id_col, payload_col, synth):
                 try:
                     w, h, rgb = decode_jpeg_color(p)
                     a = np.frombuffer(rgb, np.uint8).astype(np.int64)
@@ -1205,6 +1261,27 @@ def jpeg_color_stats(df: DataFrame, id_col: str = "doc_id",
     return df.mapInPandas(kernel, schema=JPEG_COLOR_STATS_SCHEMA)
 
 
+#: the 4-color fixture palette shared by the animated/composited GIFs
+_GIF_PAL4 = bytes(v for e in range(4)
+                  for v in ((3 * e) % 256, (5 * e + 1) % 256,
+                            (7 * e + 2) % 256))
+
+
+def _gif_anim_payload(i: int) -> bytes:
+    """The closed-form animated-GIF fixture recipe (see
+    `synthesize_gif_animation_column`)."""
+    from felixzh_flink_spark.functions.gif_codec import encode_gif_animation
+
+    w, h = i % 5 + 2, i % 4 + 2
+    n = i % 4 + 2
+    delay = (i % 3 + 1) * 40
+    frames = [(delay, bytes((i * 31 + 13 * f + 7 * j) % 4
+                            for j in range(w * h)))
+              for f in range(n)]
+    return encode_gif_animation(w, h, _GIF_PAL4, frames,
+                                interlace=(i % 7 == 0))
+
+
 def synthesize_gif_animation_column(df: DataFrame, id_col: str = "doc_id",
                                     payload_col: str = "gif") -> DataFrame:
     """Deterministic ANIMATED-GIF fixture generator: a REAL multi-frame
@@ -1217,25 +1294,9 @@ def synthesize_gif_animation_column(df: DataFrame, id_col: str = "doc_id",
     Closed-form recipe → a SQL oracle predicts any statistic of any
     SAMPLED frame without decoding (`gif_frame_sample_stats`).
     Arrow-batched pandas UDF."""
-    from felixzh_flink_spark.functions.gif_codec import encode_gif_animation
-
     @F.pandas_udf("binary")
     def _make(ids: pd.Series) -> pd.Series:
-        pal = bytes(v for e in range(4)
-                    for v in ((3 * e) % 256, (5 * e + 1) % 256,
-                              (7 * e + 2) % 256))
-        out = []
-        for i in ids:
-            i = int(i)
-            w, h = i % 5 + 2, i % 4 + 2
-            n = i % 4 + 2
-            delay = (i % 3 + 1) * 40
-            frames = [(delay, bytes((i * 31 + 13 * f + 7 * j) % 4
-                                    for j in range(w * h)))
-                      for f in range(n)]
-            out.append(encode_gif_animation(w, h, pal, frames,
-                                            interlace=(i % 7 == 0)))
-        return pd.Series(out)
+        return pd.Series([_gif_anim_payload(int(i)) for i in ids])
 
     return df.withColumn(payload_col, _make(F.col(id_col)))
 
@@ -1251,7 +1312,8 @@ GIF_FRAME_SAMPLE_SCHEMA = T.StructType([
 
 def gif_frame_sample_stats(df: DataFrame, every_ms: int = 100,
                            id_col: str = "doc_id",
-                           payload_col: str = "gif") -> DataFrame:
+                           payload_col: str = "gif",
+                           synth=None) -> DataFrame:
     """REAL frame sampling over decoded animation frames —
     `frame_sample_plan`'s geometry with the actual decode kernel the
     plan was staged for: LZW-decode every frame of each animated GIF
@@ -1268,7 +1330,7 @@ def gif_frame_sample_stats(df: DataFrame, every_ms: int = 100,
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for i, p in zip(pdf[id_col], pdf[payload_col]):
+            for i, p in _id_payloads(pdf, id_col, payload_col, synth):
                 try:
                     _, _, _, frames = decode_gif_frames(p)
                     starts = []
@@ -1308,6 +1370,27 @@ def gif_frame_sample_stats(df: DataFrame, every_ms: int = 100,
     return df.mapInPandas(kernel, schema=GIF_FRAME_SAMPLE_SCHEMA)
 
 
+def _gif_comp_payload(i: int) -> bytes:
+    """The closed-form delta-frame GIF fixture recipe (see
+    `synthesize_gif_composited_column`)."""
+    from felixzh_flink_spark.functions.gif_codec import \
+        encode_gif_composited
+
+    w, h = i % 4 + 4, i % 3 + 4
+    n = i % 4 + 2
+    delay = (i % 3 + 1) * 40
+    frames = [(delay, 0, 0, w, h,
+               bytes((i * 31 + 7 * j) % 4 for j in range(w * h)),
+               1, None)]
+    for f in range(1, n):
+        frames.append((delay, (i + 3 * f) % (w - 1),
+                       (i + 5 * f) % (h - 1), 2, 2,
+                       bytes((i * 31 + 13 * f + 7 * u) % 4
+                             for u in range(4)),
+                       1 + (i + f) % 3, (i + f) % 4))
+    return encode_gif_composited(w, h, _GIF_PAL4, i % 4, frames)
+
+
 def synthesize_gif_composited_column(df: DataFrame, id_col: str = "doc_id",
                                      payload_col: str = "gif") -> DataFrame:
     """Deterministic DELTA-FRAME animation fixture: a REAL GIF89a per
@@ -1324,31 +1407,9 @@ def synthesize_gif_composited_column(df: DataFrame, id_col: str = "doc_id",
     recipe exercises LEAVE, RESTORE-BACKGROUND and RESTORE-PREVIOUS.
     Closed-form recipe → the SQL oracle replays the compositing fold
     per pixel (`gif_composite_stats`). Arrow-batched pandas UDF."""
-    from felixzh_flink_spark.functions.gif_codec import \
-        encode_gif_composited
-
     @F.pandas_udf("binary")
     def _make(ids: pd.Series) -> pd.Series:
-        pal = bytes(v for e in range(4)
-                    for v in ((3 * e) % 256, (5 * e + 1) % 256,
-                              (7 * e + 2) % 256))
-        out = []
-        for i in ids:
-            i = int(i)
-            w, h = i % 4 + 4, i % 3 + 4
-            n = i % 4 + 2
-            delay = (i % 3 + 1) * 40
-            frames = [(delay, 0, 0, w, h,
-                       bytes((i * 31 + 7 * j) % 4 for j in range(w * h)),
-                       1, None)]
-            for f in range(1, n):
-                frames.append((delay, (i + 3 * f) % (w - 1),
-                               (i + 5 * f) % (h - 1), 2, 2,
-                               bytes((i * 31 + 13 * f + 7 * u) % 4
-                                     for u in range(4)),
-                               1 + (i + f) % 3, (i + f) % 4))
-            out.append(encode_gif_composited(w, h, pal, i % 4, frames))
-        return pd.Series(out)
+        return pd.Series([_gif_comp_payload(int(i)) for i in ids])
 
     return df.withColumn(payload_col, _make(F.col(id_col)))
 
@@ -1362,7 +1423,8 @@ GIF_COMPOSITE_SCHEMA = T.StructType([
 
 
 def gif_composite_stats(df: DataFrame, id_col: str = "doc_id",
-                        payload_col: str = "gif") -> DataFrame:
+                        payload_col: str = "gif",
+                        synth=None) -> DataFrame:
     """REAL inter-frame compositing over decoded delta frames — the
     video-coding semantic the frame-SAMPLING kernels don't reach:
     every GIF frame is LZW-decoded as a sub-rectangle patch and
@@ -1386,7 +1448,7 @@ def gif_composite_stats(df: DataFrame, id_col: str = "doc_id",
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for i, p in zip(pdf[id_col], pdf[payload_col]):
+            for i, p in _id_payloads(pdf, id_col, payload_col, synth):
                 try:
                     _, _, _, _, frames = composite_gif_frames(p)
                     for fi, (_delay, canvas) in enumerate(frames):
@@ -1401,6 +1463,25 @@ def gif_composite_stats(df: DataFrame, id_col: str = "doc_id",
     return df.mapInPandas(kernel, schema=GIF_COMPOSITE_SCHEMA)
 
 
+def _avi_payload(i: int) -> bytes:
+    """The closed-form MJPEG-AVI fixture recipe (see
+    `synthesize_mjpeg_avi_column`)."""
+    from felixzh_flink_spark.functions.avi_codec import encode_mjpeg_avi
+    from felixzh_flink_spark.functions.jpeg_codec import encode_jpeg_color
+
+    n = i % 3 + 2
+    usec = (i % 2 + 1) * 20_000
+    frames = []
+    for f in range(n):
+        yv = (i * 31 + 17 * f) % 256
+        cbv = (i * 47 + 29 * f) % 256
+        crv = (i * 59 + 43 * f) % 256
+        frames.append(encode_jpeg_color(
+            16, 16, bytes([yv]) * 256, bytes([cbv]) * 64,
+            bytes([crv]) * 64, "4:2:0"))
+    return encode_mjpeg_avi(16, 16, usec, frames)
+
+
 def synthesize_mjpeg_avi_column(df: DataFrame, id_col: str = "doc_id",
                                 payload_col: str = "video") -> DataFrame:
     """Deterministic MJPEG-AVI fixture generator: a REAL video file per
@@ -1412,26 +1493,9 @@ def synthesize_mjpeg_avi_column(df: DataFrame, id_col: str = "doc_id",
     entropy data. Closed-form recipe → a SQL oracle predicts the
     sampled frames' decoded RGB (`avi_frame_sample_stats`).
     Arrow-batched pandas UDF."""
-    from felixzh_flink_spark.functions.avi_codec import encode_mjpeg_avi
-    from felixzh_flink_spark.functions.jpeg_codec import encode_jpeg_color
-
     @F.pandas_udf("binary")
     def _make(ids: pd.Series) -> pd.Series:
-        out = []
-        for i in ids:
-            i = int(i)
-            n = i % 3 + 2
-            usec = (i % 2 + 1) * 20_000
-            frames = []
-            for f in range(n):
-                yv = (i * 31 + 17 * f) % 256
-                cbv = (i * 47 + 29 * f) % 256
-                crv = (i * 59 + 43 * f) % 256
-                frames.append(encode_jpeg_color(
-                    16, 16, bytes([yv]) * 256, bytes([cbv]) * 64,
-                    bytes([crv]) * 64, "4:2:0"))
-            out.append(encode_mjpeg_avi(16, 16, usec, frames))
-        return pd.Series(out)
+        return pd.Series([_avi_payload(int(i)) for i in ids])
 
     return df.withColumn(payload_col, _make(F.col(id_col)))
 
@@ -1450,7 +1514,8 @@ AVI_FRAME_SAMPLE_SCHEMA = T.StructType([
 
 def avi_frame_sample_stats(df: DataFrame, every_ms: int = 30,
                            id_col: str = "doc_id",
-                           payload_col: str = "video") -> DataFrame:
+                           payload_col: str = "video",
+                           synth=None) -> DataFrame:
     """REAL video frame sampling WITH pixel decode — the full path a
     training pipeline runs on video: parse the AVI container
     (`functions/avi_codec`), build the timeline from the container's
@@ -1470,7 +1535,7 @@ def avi_frame_sample_stats(df: DataFrame, every_ms: int = 30,
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for i, p in zip(pdf[id_col], pdf[payload_col]):
+            for i, p in _id_payloads(pdf, id_col, payload_col, synth):
                 try:
                     w, h, usec, frames = parse_mjpeg_avi(p)
                     # timeline math stays in MICROSECONDS: real MJPEG
@@ -1516,7 +1581,8 @@ WAV_RESAMPLE_SCHEMA = T.StructType([
 
 def wav_resample_stats(df: DataFrame, target_rate: int = 16_000,
                        id_col: str = "doc_id",
-                       payload_col: str = "wav") -> DataFrame:
+                       payload_col: str = "wav",
+                       synth=None) -> DataFrame:
     """REAL audio resampling on decoded PCM — the audio analog of
     `png_thumbnail_stats`: decode each WAV (`functions/wav_codec`),
     de-interleave channels, linear-resample every channel to
@@ -1533,7 +1599,7 @@ def wav_resample_stats(df: DataFrame, target_rate: int = 16_000,
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for i, p in zip(pdf[id_col], pdf[payload_col]):
+            for i, p in _id_payloads(pdf, id_col, payload_col, synth):
                 try:
                     rate, ch, _bits, samples = decode_wav(p)
                     out = resample_linear(samples, ch, rate, target_rate)
@@ -1549,6 +1615,12 @@ def wav_resample_stats(df: DataFrame, target_rate: int = 16_000,
     return df.mapInPandas(kernel, schema=WAV_RESAMPLE_SCHEMA)
 
 
+def _mixed_media_payload(i: int) -> bytes:
+    """The three-way mixed-media fixture dispatch (see
+    `synthesize_mixed_media_column`)."""
+    return [_png_payload, _gif_payload, _jpeg_color_payload][i % 3](i)
+
+
 def synthesize_mixed_media_column(df: DataFrame, id_col: str = "doc_id",
                                   payload_col: str = "media") -> DataFrame:
     """Deterministic MIXED-FORMAT media fixture: one binary column
@@ -1561,8 +1633,7 @@ def synthesize_mixed_media_column(df: DataFrame, id_col: str = "doc_id",
     per-row fact discovered from magic bytes, not a table property."""
     @F.pandas_udf("binary")
     def _make(ids: pd.Series) -> pd.Series:
-        builders = [_png_payload, _gif_payload, _jpeg_color_payload]
-        return pd.Series([builders[int(i) % 3](int(i)) for i in ids])
+        return pd.Series([_mixed_media_payload(int(i)) for i in ids])
 
     return df.withColumn(payload_col, _make(F.col(id_col)))
 
@@ -1579,7 +1650,8 @@ IMAGE_FEATURE_SCHEMA = T.StructType([
 
 
 def image_feature_stats(df: DataFrame, id_col: str = "doc_id",
-                        payload_col: str = "media") -> DataFrame:
+                        payload_col: str = "media",
+                        synth=None) -> DataFrame:
     """REAL image feature extraction over a MIXED-FORMAT media column —
     the working replacement for the PIL-stubbed `extract_features` on
     every format the engine decodes natively: sniff each payload's
@@ -1603,7 +1675,7 @@ def image_feature_stats(df: DataFrame, id_col: str = "doc_id",
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for i, p in zip(pdf[id_col], pdf[payload_col]):
+            for i, p in _id_payloads(pdf, id_col, payload_col, synth):
                 try:
                     head = bytes(p[:6])
                     if head.startswith(b"\x89PNG"):
@@ -1684,7 +1756,8 @@ WAV_SEGMENT_SCHEMA = T.StructType([
 
 def wav_segment_stats(df: DataFrame, seg_frames: int = 8,
                       id_col: str = "doc_id",
-                      payload_col: str = "wav") -> DataFrame:
+                      payload_col: str = "wav",
+                      synth=None) -> DataFrame:
     """REAL audio segmentation on decoded PCM — `audio_segment_plan`'s
     byte-range geometry joined with the actual decode kernel the plan
     was staged for: decode each WAV (`functions/wav_codec`), cut the
@@ -1701,7 +1774,7 @@ def wav_segment_stats(df: DataFrame, seg_frames: int = 8,
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for i, p in zip(pdf[id_col], pdf[payload_col]):
+            for i, p in _id_payloads(pdf, id_col, payload_col, synth):
                 try:
                     _rate, ch, _bits, samples = decode_wav(p)
                     step = seg_frames * ch
@@ -1730,6 +1803,16 @@ AUDIO_PCM_STATS_SCHEMA = T.StructType([
 ])
 
 
+def _adpcm_payload(i: int) -> bytes:
+    """The closed-form IMA-ADPCM fixture recipe (see
+    `synthesize_adpcm_wav_column`)."""
+    from felixzh_flink_spark.functions.wav_codec import \
+        encode_wav_ima_adpcm
+
+    nib = bytes((i * 7 + 3 * k) % 16 for k in range(2 * (i % 8 + 8)))
+    return encode_wav_ima_adpcm((i * 37) % 2048 - 1024, i % 89, nib)
+
+
 def synthesize_adpcm_wav_column(df: DataFrame, id_col: str = "doc_id",
                                 payload_col: str = "wav") -> DataFrame:
     """Deterministic IMA-ADPCM fixture: a REAL compressed-audio WAV
@@ -1740,25 +1823,16 @@ def synthesize_adpcm_wav_column(df: DataFrame, id_col: str = "doc_id",
     recipe → the SQL oracle re-runs the decoder's predictor/step-index
     recurrence as a recursive CTE (`adpcm_decode_stats`).
     Arrow-batched pandas UDF."""
-    from felixzh_flink_spark.functions.wav_codec import \
-        encode_wav_ima_adpcm
-
     @F.pandas_udf("binary")
     def _make(ids: pd.Series) -> pd.Series:
-        out = []
-        for i in ids:
-            i = int(i)
-            nib = bytes((i * 7 + 3 * k) % 16
-                        for k in range(2 * (i % 8 + 8)))
-            out.append(encode_wav_ima_adpcm(
-                (i * 37) % 2048 - 1024, i % 89, nib))
-        return pd.Series(out)
+        return pd.Series([_adpcm_payload(int(i)) for i in ids])
 
     return df.withColumn(payload_col, _make(F.col(id_col)))
 
 
 def wav_adpcm_stats(df: DataFrame, id_col: str = "doc_id",
-                    payload_col: str = "wav") -> DataFrame:
+                    payload_col: str = "wav",
+                    synth=None) -> DataFrame:
     """REAL compressed-audio decode — IMA ADPCM (WAV format tag 0x11)
     expanded to linear PCM by running the public-spec predictor/
     step-index state machine over the packed 4-bit codes
@@ -1775,7 +1849,7 @@ def wav_adpcm_stats(df: DataFrame, id_col: str = "doc_id",
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for i, p in zip(pdf[id_col], pdf[payload_col]):
+            for i, p in _id_payloads(pdf, id_col, payload_col, synth):
                 try:
                     _rate, samples = decode_wav_adpcm(p)
                     rows.append((int(i), len(samples), sum(samples),
@@ -1789,6 +1863,15 @@ def wav_adpcm_stats(df: DataFrame, id_col: str = "doc_id",
     return df.mapInPandas(kernel, schema=AUDIO_PCM_STATS_SCHEMA)
 
 
+def _mulaw_payload(i: int) -> bytes:
+    """The closed-form G.711 µ-law fixture recipe (see
+    `synthesize_mulaw_wav_column`)."""
+    from felixzh_flink_spark.functions.wav_codec import encode_wav_mulaw
+
+    return encode_wav_mulaw(
+        bytes((i * 11 + 5 * k) % 256 for k in range(i % 32 + 16)))
+
+
 def synthesize_mulaw_wav_column(df: DataFrame, id_col: str = "doc_id",
                                 payload_col: str = "wav") -> DataFrame:
     """Deterministic G.711 µ-law fixture: a REAL telephony WAV (format
@@ -1796,23 +1879,16 @@ def synthesize_mulaw_wav_column(df: DataFrame, id_col: str = "doc_id",
     bytes, byte k = (id·11+5k) mod 256. Closed-form recipe → the SQL
     oracle states the µ-law expansion directly
     (`mulaw_decode_stats`). Arrow-batched pandas UDF."""
-    from felixzh_flink_spark.functions.wav_codec import encode_wav_mulaw
-
     @F.pandas_udf("binary")
     def _make(ids: pd.Series) -> pd.Series:
-        out = []
-        for i in ids:
-            i = int(i)
-            out.append(encode_wav_mulaw(
-                bytes((i * 11 + 5 * k) % 256
-                      for k in range(i % 32 + 16))))
-        return pd.Series(out)
+        return pd.Series([_mulaw_payload(int(i)) for i in ids])
 
     return df.withColumn(payload_col, _make(F.col(id_col)))
 
 
 def wav_mulaw_stats(df: DataFrame, id_col: str = "doc_id",
-                    payload_col: str = "wav") -> DataFrame:
+                    payload_col: str = "wav",
+                    synth=None) -> DataFrame:
     """REAL G.711 µ-law decode (WAV format tag 7): expand each
     companded byte to its 16-bit linear sample with the classic CCITT
     closed form (`functions/wav_codec.decode_wav_mulaw`) and emit
@@ -1826,7 +1902,7 @@ def wav_mulaw_stats(df: DataFrame, id_col: str = "doc_id",
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for i, p in zip(pdf[id_col], pdf[payload_col]):
+            for i, p in _id_payloads(pdf, id_col, payload_col, synth):
                 try:
                     _rate, _ch, samples = decode_wav_mulaw(p)
                     rows.append((int(i), len(samples), sum(samples),
@@ -1848,6 +1924,37 @@ WEBDATASET_SCHEMA = T.StructType([
 ])
 
 
+def _webdataset_payload_fn(image_group: int = 1):
+    """Per-(id, text) builder for the WebDataset shard fixture (see
+    `synthesize_webdataset_column`) — returns a closure usable as a
+    fused `synth=` kernel argument."""
+    import io
+    import tarfile
+
+    from felixzh_flink_spark.functions.gzip_codec import \
+        encode_gzip_member
+
+    grp = int(image_group)
+
+    def _payload(i: int, t) -> bytes:
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w",
+                          format=tarfile.USTAR_FORMAT) as tf:
+            for name, data in ((f"{i:08d}.txt",
+                                ("" if t is None else str(t))
+                                .encode("utf-8")),
+                               (f"{i:08d}.png",
+                                _png_payload(i // grp))):
+                info = tarfile.TarInfo(name)
+                info.size = len(data)
+                info.mtime = 0
+                info.mode = 0o644
+                tf.addfile(info, io.BytesIO(data))
+        return encode_gzip_member(buf.getvalue())
+
+    return _payload
+
+
 def synthesize_webdataset_column(df: DataFrame, id_col: str = "doc_id",
                                  text_col: str = "text",
                                  payload_col: str = "shard",
@@ -1865,34 +1972,12 @@ def synthesize_webdataset_column(df: DataFrame, id_col: str = "doc_id",
     captions — the scraped-web reality (the same image recaptioned
     across pages) that paired-modality dedup exists to clean up
     (`webdataset_pair_dedup`)."""
-    import io
-    import tarfile
-
-    from felixzh_flink_spark.functions.gzip_codec import \
-        encode_gzip_member
-
-    grp = int(image_group)
+    synth = _webdataset_payload_fn(image_group)
 
     @F.pandas_udf("binary")
     def _make(ids: pd.Series, texts: pd.Series) -> pd.Series:
-        out = []
-        for i, t in zip(ids, texts):
-            i = int(i)
-            buf = io.BytesIO()
-            with tarfile.open(fileobj=buf, mode="w",
-                              format=tarfile.USTAR_FORMAT) as tf:
-                for name, data in ((f"{i:08d}.txt",
-                                    ("" if t is None else str(t))
-                                    .encode("utf-8")),
-                                   (f"{i:08d}.png",
-                                    _png_payload(i // grp))):
-                    info = tarfile.TarInfo(name)
-                    info.size = len(data)
-                    info.mtime = 0
-                    info.mode = 0o644
-                    tf.addfile(info, io.BytesIO(data))
-            out.append(encode_gzip_member(buf.getvalue()))
-        return pd.Series(out)
+        return pd.Series([synth(int(i), t)
+                          for i, t in zip(ids, texts)])
 
     return df.withColumn(payload_col, _make(F.col(id_col),
                                             F.col(text_col)))
@@ -1906,7 +1991,8 @@ WEBDATASET_PAIR_SCHEMA = T.StructType([
 
 
 def webdataset_pairs(df: DataFrame, id_col: str = "doc_id",
-                     payload_col: str = "shard") -> DataFrame:
+                     payload_col: str = "shard",
+                     synth=None, synth_text_col=None) -> DataFrame:
     """Extract the (caption, image) PAIR from each WebDataset shard —
     the ingestion step of paired-modality dedup: gunzip (CRC-verified),
     walk the tar, group members into the sample by name-up-to-first-dot,
@@ -1927,7 +2013,8 @@ def webdataset_pairs(df: DataFrame, id_col: str = "doc_id",
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for i, p in zip(pdf[id_col], pdf[payload_col]):
+            for i, p in _id_payloads(pdf, id_col, payload_col, synth,
+                                          synth_text_col):
                 try:
                     raw = b"".join(r for _m, r in decode_gzip_members(p))
                     samples: dict = {}
@@ -1954,7 +2041,8 @@ def webdataset_pairs(df: DataFrame, id_col: str = "doc_id",
 
 
 def webdataset_sample_stats(df: DataFrame, id_col: str = "doc_id",
-                            payload_col: str = "shard") -> DataFrame:
+                            payload_col: str = "shard",
+                            synth=None, synth_text_col=None) -> DataFrame:
     """WebDataset shard ingestion — the container convention large
     multimodal training runs consume: gunzip the shard with the
     engine's gzip member walk (CRC32/ISIZE verified), iterate the tar
@@ -1977,7 +2065,8 @@ def webdataset_sample_stats(df: DataFrame, id_col: str = "doc_id",
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for i, p in zip(pdf[id_col], pdf[payload_col]):
+            for i, p in _id_payloads(pdf, id_col, payload_col, synth,
+                                          synth_text_col):
                 try:
                     raw = b"".join(r for _m, r in decode_gzip_members(p))
                     samples: dict = {}
@@ -2006,6 +2095,23 @@ def webdataset_sample_stats(df: DataFrame, id_col: str = "doc_id",
     return df.mapInPandas(kernel, schema=WEBDATASET_SCHEMA)
 
 
+def _media_census_payload(i: int) -> bytes:
+    """The six-way census fixture dispatch incl. the junk/quarantine
+    class (see `synthesize_media_census_column`)."""
+    m = i % 6
+    if m == 0:
+        return _png_payload(i)
+    if m == 1:
+        return _gif_payload(i)
+    if m == 2:
+        return _jpeg_color_payload(i)
+    if m == 3:
+        return _bmp_payload(i)
+    if m == 4:
+        return _tiff_payload(i)
+    return b"JUNK" + str(i).encode()
+
+
 def synthesize_media_census_column(df: DataFrame, id_col: str = "doc_id",
                                    payload_col: str = "media"
                                    ) -> DataFrame:
@@ -2016,29 +2122,14 @@ def synthesize_media_census_column(df: DataFrame, id_col: str = "doc_id",
     pandas UDF."""
     @F.pandas_udf("binary")
     def _make(ids: pd.Series) -> pd.Series:
-        out = []
-        for i in ids:
-            i = int(i)
-            m = i % 6
-            if m == 0:
-                out.append(_png_payload(i))
-            elif m == 1:
-                out.append(_gif_payload(i))
-            elif m == 2:
-                out.append(_jpeg_color_payload(i))
-            elif m == 3:
-                out.append(_bmp_payload(i))
-            elif m == 4:
-                out.append(_tiff_payload(i))
-            else:
-                out.append(b"JUNK" + str(i).encode())
-        return pd.Series(out)
+        return pd.Series([_media_census_payload(int(i)) for i in ids])
 
     return df.withColumn(payload_col, _make(F.col(id_col)))
 
 
 def media_format_census(df: DataFrame, id_col: str = "doc_id",
-                        payload_col: str = "media") -> DataFrame:
+                        payload_col: str = "media",
+                        synth=None) -> DataFrame:
     """Media-lake CENSUS: sniff + decode every payload through the
     mixed-format feature kernel (`image_feature_stats` — all five
     native codecs) and aggregate per detected format: document count
@@ -2048,7 +2139,7 @@ def media_format_census(df: DataFrame, id_col: str = "doc_id",
     decode projection, then ONE keyed agg over a six-row domain —
     partial aggregation makes the shuffle negligible at any scale."""
     feats = image_feature_stats(df, id_col=id_col,
-                                payload_col=payload_col)
+                                payload_col=payload_col, synth=synth)
     return (feats
             .groupBy(F.coalesce(F.col("fmt"),
                                 F.lit("quarantine")).alias("fmt"))
@@ -2064,6 +2155,19 @@ GZIP_ROUNDTRIP_SCHEMA = T.StructType([
 ])
 
 
+def _gzip_payload(i: int, t) -> bytes:
+    """The closed-form gzip fixture recipe over a doc's text (see
+    `synthesize_gzip_column`)."""
+    from felixzh_flink_spark.functions.gzip_codec import (
+        encode_gzip_member, encode_gzip_members)
+
+    raw = ("" if t is None else str(t)).encode("utf-8")
+    if i % 2 == 0 and len(raw) >= 2:
+        cut = len(raw) // 2
+        return encode_gzip_members([raw[:cut], raw[cut:]])
+    return encode_gzip_member(raw, name=f"doc-{i}", hcrc=True)
+
+
 def synthesize_gzip_column(df: DataFrame, id_col: str = "doc_id",
                            text_col: str = "text",
                            payload_col: str = "gz") -> DataFrame:
@@ -2075,29 +2179,18 @@ def synthesize_gzip_column(df: DataFrame, id_col: str = "doc_id",
     independently instead of joining bytes first breaks); odd ids get
     one member carrying an FNAME field and a header CRC16 the walker
     must verify and skip. Arrow-batched pandas UDF."""
-    from felixzh_flink_spark.functions.gzip_codec import (
-        encode_gzip_member, encode_gzip_members)
-
     @F.pandas_udf("binary")
     def _make(ids: pd.Series, texts: pd.Series) -> pd.Series:
-        out = []
-        for i, t in zip(ids, texts):
-            i = int(i)
-            raw = ("" if t is None else str(t)).encode("utf-8")
-            if i % 2 == 0 and len(raw) >= 2:
-                cut = len(raw) // 2
-                out.append(encode_gzip_members([raw[:cut], raw[cut:]]))
-            else:
-                out.append(encode_gzip_member(raw, name=f"doc-{i}",
-                                              hcrc=True))
-        return pd.Series(out)
+        return pd.Series([_gzip_payload(int(i), t)
+                          for i, t in zip(ids, texts)])
 
     return df.withColumn(payload_col, _make(F.col(id_col),
                                             F.col(text_col)))
 
 
 def gzip_roundtrip_stats(df: DataFrame, id_col: str = "doc_id",
-                         payload_col: str = "gz") -> DataFrame:
+                         payload_col: str = "gz",
+                         synth=None, synth_text_col=None) -> DataFrame:
     """REAL gzip member walk (`functions/gzip_codec`): iterate every
     RFC 1952 member (FEXTRA/FNAME/FHCRC header fields, CRC32 + ISIZE
     trailer verification), join the decompressed byte streams, and
@@ -2113,7 +2206,8 @@ def gzip_roundtrip_stats(df: DataFrame, id_col: str = "doc_id",
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for i, p in zip(pdf[id_col], pdf[payload_col]):
+            for i, p in _id_payloads(pdf, id_col, payload_col, synth,
+                                          synth_text_col):
                 try:
                     members = decode_gzip_members(p)
                     raw = b"".join(r for _m, r in members)
@@ -2134,6 +2228,25 @@ COMPRESSED_TEXT_SCHEMA = T.StructType([
 ])
 
 
+def _compressed_text_payload(i: int, t) -> bytes:
+    """The three-codec compressed-text fixture recipe (see
+    `synthesize_compressed_text_column`)."""
+    import bz2
+    import lzma
+
+    from felixzh_flink_spark.functions.gzip_codec import \
+        encode_gzip_member
+
+    raw = ("" if t is None else str(t)).encode("utf-8")
+    m = i % 3
+    if m == 0:
+        return encode_gzip_member(raw)
+    if m == 1:
+        return bz2.compress(raw)
+    return lzma.compress(raw, format=lzma.FORMAT_XZ,
+                         check=lzma.CHECK_CRC64)
+
+
 def synthesize_compressed_text_column(df: DataFrame,
                                       id_col: str = "doc_id",
                                       text_col: str = "text",
@@ -2144,35 +2257,18 @@ def synthesize_compressed_text_column(df: DataFrame,
     heterogeneous-codec lake a long-lived ingestion pipeline actually
     accumulates (WET dumps gzipped, archives bzip2'd, cold storage
     xz'd). Arrow-batched pandas UDF."""
-    import bz2
-    import lzma
-
-    from felixzh_flink_spark.functions.gzip_codec import \
-        encode_gzip_member
-
     @F.pandas_udf("binary")
     def _make(ids: pd.Series, texts: pd.Series) -> pd.Series:
-        out = []
-        for i, t in zip(ids, texts):
-            i = int(i)
-            raw = ("" if t is None else str(t)).encode("utf-8")
-            m = i % 3
-            if m == 0:
-                out.append(encode_gzip_member(raw))
-            elif m == 1:
-                out.append(bz2.compress(raw))
-            else:
-                out.append(lzma.compress(
-                    raw, format=lzma.FORMAT_XZ,
-                    check=lzma.CHECK_CRC64))
-        return pd.Series(out)
+        return pd.Series([_compressed_text_payload(int(i), t)
+                          for i, t in zip(ids, texts)])
 
     return df.withColumn(payload_col, _make(F.col(id_col),
                                             F.col(text_col)))
 
 
 def compressed_text_stats(df: DataFrame, id_col: str = "doc_id",
-                          payload_col: str = "blob") -> DataFrame:
+                          payload_col: str = "blob",
+                          synth=None, synth_text_col=None) -> DataFrame:
     """Per-row compression-codec dispatch: sniff the magic bytes
     (\\x1f\\x8b gzip / BZh bz2 / \\xfd7zXZ xz), decompress with the
     matching codec (gzip through the engine's verifying member walk,
@@ -2191,7 +2287,8 @@ def compressed_text_stats(df: DataFrame, id_col: str = "doc_id",
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for i, p in zip(pdf[id_col], pdf[payload_col]):
+            for i, p in _id_payloads(pdf, id_col, payload_col, synth,
+                                          synth_text_col):
                 try:
                     head = bytes(p[:6])
                     if head.startswith(b"\x1f\x8b"):
@@ -2223,6 +2320,24 @@ WARC_RECORD_SCHEMA = T.StructType([
 ])
 
 
+def _warc_payload(i: int, t, u=None) -> bytes:
+    """The two-record `.warc.gz` fixture recipe (see
+    `synthesize_warc_column`); `u=None` takes the default per-id URI."""
+    from felixzh_flink_spark.functions.warc_codec import encode_warc
+
+    block = ("" if t is None else str(t)).encode("utf-8")
+    uri = f"http://example.com/doc/{i}" if u is None else str(u)
+    return encode_warc([
+        ({"WARC-Type": "warcinfo",
+          "WARC-Record-ID": f"urn:warcinfo:{i}"},
+         b"software: felixzh-flink-spark\r\n"),
+        ({"WARC-Type": "response",
+          "WARC-Record-ID": f"urn:doc:{i}",
+          "WARC-Target-URI": uri},
+         block),
+    ], gzip_per_record=True)
+
+
 def synthesize_warc_column(df: DataFrame, id_col: str = "doc_id",
                            text_col: str = "text",
                            payload_col: str = "warc",
@@ -2235,26 +2350,11 @@ def synthesize_warc_column(df: DataFrame, id_col: str = "doc_id",
     through the container) — each record its OWN gzip member (the
     canonical crawl layout readers split on). Arrow-batched pandas
     UDF."""
-    from felixzh_flink_spark.functions.warc_codec import encode_warc
-
     @F.pandas_udf("binary")
     def _make(ids: pd.Series, texts: pd.Series,
               uris: pd.Series) -> pd.Series:
-        out = []
-        for i, t, u in zip(ids, texts, uris):
-            i = int(i)
-            block = ("" if t is None else str(t)).encode("utf-8")
-            uri = f"http://example.com/doc/{i}" if u is None else str(u)
-            out.append(encode_warc([
-                ({"WARC-Type": "warcinfo",
-                  "WARC-Record-ID": f"urn:warcinfo:{i}"},
-                 b"software: felixzh-flink-spark\r\n"),
-                ({"WARC-Type": "response",
-                  "WARC-Record-ID": f"urn:doc:{i}",
-                  "WARC-Target-URI": uri},
-                 block),
-            ], gzip_per_record=True))
-        return pd.Series(out)
+        return pd.Series([_warc_payload(int(i), t, u)
+                          for i, t, u in zip(ids, texts, uris)])
 
     uri = (F.col(uri_col) if uri_col is not None
            else F.lit(None).cast("string"))
@@ -2263,7 +2363,8 @@ def synthesize_warc_column(df: DataFrame, id_col: str = "doc_id",
 
 
 def warc_record_stats(df: DataFrame, id_col: str = "doc_id",
-                      payload_col: str = "warc") -> DataFrame:
+                      payload_col: str = "warc",
+                      synth=None, synth_text_col=None) -> DataFrame:
     """REAL WARC parse (`functions/warc_codec`): walk the gzip members
     of a `.warc.gz`, parse each record's version line + header fields,
     read the block strictly by Content-Length, and emit per doc the
@@ -2279,7 +2380,8 @@ def warc_record_stats(df: DataFrame, id_col: str = "doc_id",
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for i, p in zip(pdf[id_col], pdf[payload_col]):
+            for i, p in _id_payloads(pdf, id_col, payload_col, synth,
+                                          synth_text_col):
                 try:
                     records = decode_warc(p)
                     responses = [(h, b) for h, b in records
@@ -2336,7 +2438,8 @@ BMP_STATS_SCHEMA = T.StructType([
 
 
 def bmp_pixel_stats(df: DataFrame, id_col: str = "doc_id",
-                    payload_col: str = "bmp") -> DataFrame:
+                    payload_col: str = "bmp",
+                    synth=None) -> DataFrame:
     """REAL BMP decode (no stub): un-flip the bottom-up rows, swap
     BGR→RGB and drop row padding (`functions/bmp_codec`), emitting
     per-channel sums plus the byte-order-sensitive
@@ -2349,7 +2452,7 @@ def bmp_pixel_stats(df: DataFrame, id_col: str = "doc_id",
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for i, p in zip(pdf[id_col], pdf[payload_col]):
+            for i, p in _id_payloads(pdf, id_col, payload_col, synth):
                 try:
                     w, h, rgb = decode_bmp(p)
                     rows.append((int(i), w, h, sum(rgb[0::3]),
@@ -2401,7 +2504,8 @@ def synthesize_tiff_column(df: DataFrame, id_col: str = "doc_id",
 
 
 def tiff_pixel_stats(df: DataFrame, id_col: str = "doc_id",
-                     payload_col: str = "tiff") -> DataFrame:
+                     payload_col: str = "tiff",
+                     synth=None) -> DataFrame:
     """REAL TIFF decode (no stub): walk the Image File Directory in
     EITHER byte order, resolve inline-vs-offset tag values, reassemble
     RowsPerStrip-sized strips in order, and genuinely decompress
@@ -2416,7 +2520,7 @@ def tiff_pixel_stats(df: DataFrame, id_col: str = "doc_id",
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for i, p in zip(pdf[id_col], pdf[payload_col]):
+            for i, p in _id_payloads(pdf, id_col, payload_col, synth):
                 try:
                     w, h, rgb = decode_tiff(p)
                     rows.append((int(i), w, h, sum(rgb[0::3]),

@@ -5183,7 +5183,7 @@ def png_decode_stats(spark, sf_dir):
     (`avi_frame_sample_stats`) followed in round 6 — only inter-frame
     video codecs remain stubbed (`multimodal.require_codec`)."""
     d = _t_wide(spark, sf_dir, "documents").select("doc_id")
-    return MM.png_pixel_stats(MM.synthesize_png_column(d))
+    return MM.png_pixel_stats(d, synth=MM._png_payload)
 
 
 @q("gif_decode_stats", """
@@ -5227,7 +5227,7 @@ def gif_decode_stats(spark, sf_dir):
     `avi_frame_sample_stats`); only inter-frame video codecs remain
     honestly stubbed (`multimodal.require_codec`)."""
     d = _t_wide(spark, sf_dir, "documents").select("doc_id")
-    return MM.gif_pixel_stats(MM.synthesize_gif_column(d))
+    return MM.gif_pixel_stats(d, synth=MM._gif_payload)
 
 
 @q("gif_frame_sample_stats", """
@@ -5267,7 +5267,7 @@ def gif_frame_sample_stats(spark, sf_dir):
     de-interlaces wrongly cannot pass. True video codecs (H.264 etc.)
     remain honestly gated behind `multimodal.require_codec`."""
     d = _t_wide(spark, sf_dir, "documents").select("doc_id")
-    return MM.gif_frame_sample_stats(MM.synthesize_gif_animation_column(d))
+    return MM.gif_frame_sample_stats(d, synth=MM._gif_anim_payload)
 
 
 @q("gif_composite_stats", """
@@ -5386,7 +5386,7 @@ def gif_composite_stats(spark, sf_dir):
     felixzh-flink has no codec layer; this is the LLM-pipeline
     multimodal brief made real as far as pure-stdlib formats go.)"""
     d = _t_wide(spark, sf_dir, "documents").select("doc_id")
-    return MM.gif_composite_stats(MM.synthesize_gif_composited_column(d))
+    return MM.gif_composite_stats(d, synth=MM._gif_comp_payload)
 
 
 @q("jpeg_decode_stats", """
@@ -5424,7 +5424,7 @@ def jpeg_decode_stats(spark, sf_dir):
     video frames (`avi_frame_sample_stats`); only inter-frame video
     codecs remain honestly stubbed (`multimodal.require_codec`)."""
     d = _t_wide(spark, sf_dir, "documents").select("doc_id")
-    return MM.jpeg_pixel_stats(MM.synthesize_jpeg_column(d))
+    return MM.jpeg_pixel_stats(d, synth=MM._jpeg_payload)
 
 
 @q("jpeg_color_decode_stats", """
@@ -5483,7 +5483,7 @@ def jpeg_color_decode_stats(spark, sf_dir):
     video frame decode remains honestly stubbed (ffmpeg territory);
     animation frames are covered by the GIF path."""
     d = _t_wide(spark, sf_dir, "documents").select("doc_id")
-    return MM.jpeg_color_stats(MM.synthesize_jpeg_color_column(d))
+    return MM.jpeg_color_stats(d, synth=MM._jpeg_color_fixture_payload)
 
 
 @q("avi_frame_sample_stats", """
@@ -5529,7 +5529,7 @@ def avi_frame_sample_stats(spark, sf_dir):
     per-channel sums. Inter-frame codecs (H.264) remain honestly gated
     behind `multimodal.require_codec`."""
     d = _t_wide(spark, sf_dir, "documents").select("doc_id")
-    return MM.avi_frame_sample_stats(MM.synthesize_mjpeg_avi_column(d))
+    return MM.avi_frame_sample_stats(d, synth=MM._avi_payload)
 
 
 @q("image_feature_stats", """
@@ -5604,7 +5604,7 @@ def image_feature_stats(spark, sf_dir):
     that mis-sniffs a format, swaps a palette channel, or drifts the
     variance formula hash-mismatches."""
     d = _t_wide(spark, sf_dir, "documents").select("doc_id")
-    return MM.image_feature_stats(MM.synthesize_mixed_media_column(d))
+    return MM.image_feature_stats(d, synth=MM._mixed_media_payload)
 
 
 @q("bmp_decode_stats", """
@@ -5636,7 +5636,7 @@ def bmp_decode_stats(spark, sf_dir):
     or leaks padding bytes hash-mismatches. BMP also joins the
     magic-byte dispatch in `image_feature_stats`."""
     d = _t_wide(spark, sf_dir, "documents").select("doc_id")
-    return MM.bmp_pixel_stats(MM.synthesize_bmp_column(d))
+    return MM.bmp_pixel_stats(d, synth=MM._bmp_payload)
 
 
 @q("tiff_decode_stats", """
@@ -5678,7 +5678,7 @@ def tiff_decode_stats(spark, sf_dir):
     TIFF also joins the `image_feature_stats` magic-byte dispatch.
     One Arrow-batched mapInPandas projection, no shuffle."""
     d = _t_wide(spark, sf_dir, "documents").select("doc_id")
-    return MM.tiff_pixel_stats(MM.synthesize_tiff_column(d))
+    return MM.tiff_pixel_stats(d, synth=MM._tiff_payload)
 
 
 @q("webdataset_sample_stats", """
@@ -5712,7 +5712,8 @@ def webdataset_sample_stats(spark, sf_dir):
     data. At scale the parallel unit is the shard FILE (same
     partition-per-file split as the `felixzh_warc` source)."""
     d = _t_wide(spark, sf_dir, "documents").select("doc_id", "text")
-    return MM.webdataset_sample_stats(MM.synthesize_webdataset_column(d))
+    return MM.webdataset_sample_stats(
+        d, synth=MM._webdataset_payload_fn(), synth_text_col="text")
 
 
 @q("webdataset_pair_dedup", """
@@ -5790,8 +5791,8 @@ def webdataset_pair_dedup(spark, sf_dir):
     hash, never pairwise."""
     d = (_t_wide(spark, sf_dir, "documents")
          .filter(F.col("doc_id") < 500).select("doc_id", "text"))
-    shards = MM.synthesize_webdataset_column(d, image_group=4)
-    pairs = (MM.webdataset_pairs(shards)
+    pairs = (MM.webdataset_pairs(d, synth=MM._webdataset_payload_fn(4),
+                                 synth_text_col="text")
              .filter(F.col("png").isNotNull())
              .localCheckpoint(eager=True))
     hashed = MM.image_ahash_bits(
@@ -5846,7 +5847,7 @@ def media_format_census(spark, sf_dir):
     Arrow-batched decode projection + one keyed agg over a six-row
     domain (partial aggregation makes the shuffle negligible)."""
     d = _t_wide(spark, sf_dir, "documents").select("doc_id")
-    return MM.media_format_census(MM.synthesize_media_census_column(d))
+    return MM.media_format_census(d, synth=MM._media_census_payload)
 
 
 @q("gzip_roundtrip_docs", """
@@ -5874,7 +5875,8 @@ def gzip_roundtrip_docs(spark, sf_dir):
     LLM-pipeline raw-crawl layer — `.warc.gz` = one member per record
     — done for real.)"""
     d = _t_wide(spark, sf_dir, "documents").select("doc_id", "text")
-    return MM.gzip_roundtrip_stats(MM.synthesize_gzip_column(d))
+    return MM.gzip_roundtrip_stats(d, synth=MM._gzip_payload,
+                                   synth_text_col="text")
 
 
 @q("compressed_text_census", """
@@ -5898,7 +5900,7 @@ def compressed_text_census(spark, sf_dir):
     mapInPandas projection, no shuffle."""
     d = _t_wide(spark, sf_dir, "documents").select("doc_id", "text")
     return MM.compressed_text_stats(
-        MM.synthesize_compressed_text_column(d))
+        d, synth=MM._compressed_text_payload, synth_text_col="text")
 
 
 @q("warc_extract_stats", """
@@ -5924,7 +5926,8 @@ def warc_extract_stats(spark, sf_dir):
     parser backs the `felixzh_warc` Python DataSource for reading
     `.warc.gz` FILES as a parallel Spark source."""
     d = _t_wide(spark, sf_dir, "documents").select("doc_id", "text")
-    return MM.warc_record_stats(MM.synthesize_warc_column(d))
+    return MM.warc_record_stats(d, synth=MM._warc_payload,
+                                synth_text_col="text")
 
 
 @q("png_thumbnail_stats", """
@@ -5961,7 +5964,7 @@ def png_thumbnail_stats(spark, sf_dir):
     This is `resize_plan`'s geometry plus the real kernel the plan was
     staged for."""
     d = _t_wide(spark, sf_dir, "documents").select("doc_id")
-    return MM.png_thumbnail_stats(MM.synthesize_png_column(d), 3, 2)
+    return MM.png_thumbnail_stats(d, 3, 2, synth=MM._png_payload)
 
 
 @q("wav_decode_stats", """
@@ -5996,7 +5999,7 @@ def wav_decode_stats(spark, sf_dir):
     inter-frame video codecs remain stubbed
     (`multimodal.require_codec`) — they genuinely need ffmpeg."""
     d = _t_wide(spark, sf_dir, "documents").select("doc_id")
-    return MM.wav_pcm_stats(MM.synthesize_wav_column(d))
+    return MM.wav_pcm_stats(d, synth=MM._wav_payload)
 
 
 @q("wav_resample_stats", """
@@ -6040,7 +6043,7 @@ def wav_resample_stats(spark, sf_dir):
     instead-of-interpolate, or a mis-mapped position all
     hash-mismatch."""
     d = _t_wide(spark, sf_dir, "documents").select("doc_id")
-    return MM.wav_resample_stats(MM.synthesize_wav_column(d))
+    return MM.wav_resample_stats(d, synth=MM._wav_payload)
 
 
 @q("wav_segment_stats", """
@@ -6080,7 +6083,7 @@ def wav_segment_stats(spark, sf_dir):
     frames, drops the tail, or mis-aligns channel interleaving
     hash-mismatches."""
     d = _t_wide(spark, sf_dir, "documents").select("doc_id")
-    return MM.wav_segment_stats(MM.synthesize_wav_column(d))
+    return MM.wav_segment_stats(d, synth=MM._wav_payload)
 
 
 @q("adpcm_decode_stats", """
@@ -6136,7 +6139,7 @@ def adpcm_decode_stats(spark, sf_dir):
     projection, no shuffle. (Reference treats media as opaque bytes —
     felixzh-flink has no codec layer; LLM-pipeline multimodal brief.)"""
     d = _t_wide(spark, sf_dir, "documents").select("doc_id")
-    return MM.wav_adpcm_stats(MM.synthesize_adpcm_wav_column(d))
+    return MM.wav_adpcm_stats(d, synth=MM._adpcm_payload)
 
 
 @q("mulaw_decode_stats", """
@@ -6173,7 +6176,7 @@ def mulaw_decode_stats(spark, sf_dir):
     (PCM/resample/segment cover the linear half). One Arrow-batched
     mapInPandas projection, no shuffle."""
     d = _t_wide(spark, sf_dir, "documents").select("doc_id")
-    return MM.wav_mulaw_stats(MM.synthesize_mulaw_wav_column(d))
+    return MM.wav_mulaw_stats(d, synth=MM._mulaw_payload)
 
 
 @q("mp4_duration_meta", """
@@ -8312,15 +8315,15 @@ def image_ahash_neardup(spark, sf_dir):
     exactly that."""
     d = (_t_wide(spark, sf_dir, "documents")
          .filter(F.col("doc_id") < 500).select("doc_id"))
-    png = MM.synthesize_png_column(d)
     # both sides of the banded self-join derive from the hashed
     # relation — without a cut the encode+decode Arrow chain runs
     # TWICE (the crawl_to_corpus double-decode class, VERDICT r9);
     # eager localCheckpoint materializes the tiny (id, bits) relation
     # once. In production the hash column is an ingest artifact like
     # write_rp_index and this cut is the index build.
-    hashed = MM.image_ahash_bits(MM.image_ahash_cells(png, grid=4),
-                                 grid=4).localCheckpoint(eager=True)
+    hashed = MM.image_ahash_bits(
+        MM.image_ahash_cells(d, grid=4, synth=MM._png_payload),
+        grid=4).localCheckpoint(eager=True)
     return (MM.image_neardup_pairs(hashed, grid=4, bands=4,
                                    max_hamming=1)
             .select("id_a", "id_b",
@@ -8414,9 +8417,10 @@ def audio_fingerprint_neardup(spark, sf_dir):
     (tests/test_mixed_media.py)."""
     d = (_t_wide(spark, sf_dir, "documents")
          .filter(F.col("doc_id") < 400).select("doc_id"))
-    wav = MM.synthesize_wav_envelope_column(d)
     hashed = MM.image_ahash_bits(
-        MM.audio_fingerprint_cells(wav, windows=16), grid=4) \
+        MM.audio_fingerprint_cells(
+            d, windows=16,
+            synth=MM._wav_envelope_payload_fn()), grid=4) \
         .localCheckpoint(eager=True)
     return (MM.image_neardup_pairs(hashed, grid=4, bands=4,
                                    max_hamming=2)
@@ -8527,8 +8531,8 @@ def image_ahash_neardup_grid8(spark, sf_dir):
     nothing. Runs over the FULL documents table so the same query
     measures the decade curve at sf1/sf10 (SCALE.md)."""
     d = _t_wide(spark, sf_dir, "documents").select("doc_id")
-    png = MM.synthesize_png_large_column(d)
-    hashed = (MM.image_ahash_bits(MM.image_ahash_cells(png, grid=8),
+    hashed = (MM.image_ahash_bits(
+        MM.image_ahash_cells(d, grid=8, synth=MM._png_large_payload),
                                   grid=8)
               .select("doc_id", "bits").localCheckpoint(eager=True))
     return (MM.image_neardup_pairs(hashed, grid=8, bands=4,
@@ -8606,9 +8610,10 @@ def audio_fingerprint_neardup_w64(spark, sf_dir):
     closed-form recipe. Runs over the FULL documents table so the
     same query measures the decade curve at sf1/sf10 (SCALE.md)."""
     d = _t_wide(spark, sf_dir, "documents").select("doc_id")
-    wav = MM.synthesize_wav_envelope_column(d, windows=64)
     hashed = (MM.image_ahash_bits(
-        MM.audio_fingerprint_cells(wav, windows=64), grid=8)
+        MM.audio_fingerprint_cells(
+            d, windows=64,
+            synth=MM._wav_envelope_payload_fn(windows=64)), grid=8)
         .select("doc_id", "bits").localCheckpoint(eager=True))
     return (MM.image_neardup_pairs(hashed, grid=8, bands=4,
                                    max_hamming=2)

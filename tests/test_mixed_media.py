@@ -315,3 +315,84 @@ def test_audio_fingerprint_discriminates_envelopes(spark):
              for r in image_neardup_pairs(hashed, max_hamming=0).collect()}
     assert (1, 2) in pairs and (1, 4) in pairs and (2, 4) in pairs
     assert all(3 not in p for p in pairs)
+
+
+def test_fused_synth_kernels_match_column_path(spark):
+    """The r11 `synth=` fusion (fixture synthesis inside the SAME Arrow
+    stage as the decode — the payload never crosses the JVM↔Python
+    boundary) must be bit-identical to the two-stage
+    synthesize-column → kernel path on every fused family, because the
+    synth functions ARE the builders the column UDFs delegate to. A
+    drift here would silently decouple the bench queries from the
+    oracle-proven composition."""
+    from felixzh_flink_spark.operators import multimodal as MM
+
+    ids = spark.range(0, 60).selectExpr("id AS doc_id")
+
+    cases = [
+        (MM.png_pixel_stats, MM.synthesize_png_column, MM._png_payload, {}),
+        (MM.gif_pixel_stats, MM.synthesize_gif_column, MM._gif_payload, {}),
+        (MM.jpeg_pixel_stats, MM.synthesize_jpeg_column,
+         MM._jpeg_payload, {}),
+        (MM.jpeg_color_stats, MM.synthesize_jpeg_color_column,
+         MM._jpeg_color_fixture_payload, {}),
+        (MM.avi_frame_sample_stats, MM.synthesize_mjpeg_avi_column,
+         MM._avi_payload, {}),
+        (MM.wav_pcm_stats, MM.synthesize_wav_column, MM._wav_payload, {}),
+        (MM.wav_adpcm_stats, MM.synthesize_adpcm_wav_column,
+         MM._adpcm_payload, {}),
+        (MM.wav_mulaw_stats, MM.synthesize_mulaw_wav_column,
+         MM._mulaw_payload, {}),
+        (MM.bmp_pixel_stats, MM.synthesize_bmp_column, MM._bmp_payload, {}),
+        (MM.tiff_pixel_stats, MM.synthesize_tiff_column,
+         MM._tiff_payload, {}),
+        (MM.image_feature_stats, MM.synthesize_mixed_media_column,
+         MM._mixed_media_payload, {}),
+        (MM.image_ahash_cells, MM.synthesize_png_column,
+         MM._png_payload, {"grid": 4}),
+        (MM.audio_fingerprint_cells, MM.synthesize_wav_envelope_column,
+         MM._wav_envelope_payload_fn(), {"windows": 16}),
+    ]
+    for stats, synth_col, payload_fn, kw in cases:
+        # the synth column names differ per family; detect from defaults
+        import inspect
+        pc = inspect.signature(stats).parameters["payload_col"].default
+        spc = inspect.signature(synth_col).parameters["payload_col"].default
+        two_stage = stats(synth_col(ids).withColumnRenamed(spc, pc), **kw)
+        fused = stats(ids, synth=payload_fn, **kw)
+        a = sorted(map(tuple, two_stage.collect()))
+        b = sorted(map(tuple, fused.collect()))
+        assert a == b, stats.__name__
+
+
+def test_fused_text_synth_kernels_match_column_path(spark):
+    """Text-derived fixture fusion (gzip / mixed-compression / WARC /
+    WebDataset build their payloads from each doc's text): the
+    `synth=`+`synth_text_col=` path must be bit-identical to the
+    two-stage synthesize-column → kernel composition."""
+    from felixzh_flink_spark.operators import multimodal as MM
+
+    d = spark.range(0, 40).selectExpr(
+        "id AS doc_id", "concat('text-', id, ' body words') AS text")
+
+    cases = [
+        (MM.gzip_roundtrip_stats, MM.synthesize_gzip_column,
+         MM._gzip_payload),
+        (MM.compressed_text_stats, MM.synthesize_compressed_text_column,
+         MM._compressed_text_payload),
+        (MM.warc_record_stats, MM.synthesize_warc_column,
+         MM._warc_payload),
+        (MM.webdataset_sample_stats, MM.synthesize_webdataset_column,
+         MM._webdataset_payload_fn()),
+        (MM.webdataset_pairs, MM.synthesize_webdataset_column,
+         MM._webdataset_payload_fn()),
+    ]
+    import inspect
+    for stats, synth_col, payload_fn in cases:
+        pc = inspect.signature(stats).parameters["payload_col"].default
+        spc = inspect.signature(synth_col).parameters["payload_col"].default
+        two_stage = stats(synth_col(d).withColumnRenamed(spc, pc))
+        fused = stats(d, synth=payload_fn, synth_text_col="text")
+        a = sorted(map(tuple, two_stage.collect()))
+        b = sorted(map(tuple, fused.collect()))
+        assert a == b, stats.__name__
