@@ -842,6 +842,15 @@ def winnow_similar_pairs(df: DataFrame, text_col: str = "text",
         fp = fp.withColumn(
             "_n", F.count("*").over(Window.partitionBy("h"))
         ).filter(F.col("_n") <= max_docs_per_hash).drop("_n")
+    # fp has THREE consumers below (both self-join sides + the sizes
+    # aggregate) and no cross-reference subtree sharing exists —
+    # un-materialized, the whole fingerprint pipeline (tokenize + one md5
+    # per gram + window minima) executes three times per action. fp is
+    # (id, h) — the narrow decision proxy, ~2/(w+1) of the gram count —
+    # so one lazy localCheckpoint trades a metadata-sized materialization
+    # for two full re-hash scans of the corpus (guide-§8: decide with
+    # small rows; the same fix as packing._exclusive_cumsum).
+    fp = fp.localCheckpoint(eager=False)
     sizes = fp.groupBy("id").agg(F.count("*").alias("n_fp"))
     pairs = (
         fp.alias("a")

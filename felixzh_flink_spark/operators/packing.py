@@ -76,6 +76,18 @@ FROM (SELECT ranged.*, spark_partition_id() AS _pid
       FROM (SELECT /*+ REPARTITION_BY_RANGE({nparts}, {ob}) */ *
             FROM {{df}}) ranged)
 """, df=df)
+    # `local` has TWO consumers below (the offsets aggregate and the
+    # final join) and no common-subtree sharing exists across DataFrame
+    # references — un-materialized, the whole prelude (source scan +
+    # `val_col` derivation + range exchange incl. its sampling pass +
+    # per-partition window) executes TWICE per action, and the range
+    # boundaries' cross-branch consistency rests on sampling determinism
+    # alone. One lazy localCheckpoint makes the second consumer read
+    # materialized rows instead: the frame is one narrow row per input
+    # row (order cols + val + _pid + _local — decision metadata, not
+    # payload), so materializing it is the guide-§8 trade, and at
+    # 100 TB it replaces a second full token-count scan of the corpus.
+    local = local.localCheckpoint(eager=False)
     cols = ", ".join(f"l.`{c}`" for c in df.columns)
     return df.sparkSession.sql(f"""
 WITH offsets AS (
