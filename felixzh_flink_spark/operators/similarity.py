@@ -1600,26 +1600,30 @@ def cosine_topk_multi(df: DataFrame, queries: dict[int, list[float]],
 
 # ------------------------------------------------- product quantization
 
-def _pq_slice_sql(vec_col: str, sub: int, subdim: int) -> str:
-    return f"slice({vec_col}, {sub * subdim + 1}, {subdim})"
-
-
-def _pq_score_array(sub_expr: str, cents: list[list[float]]) -> Column:
-    """Array of L2-equivalent scores of a subvector against a codebook:
+def _pq_score_array(vec_col: str, sub: int, subdim: int,
+                    cents: list[list[float]]) -> Column:
+    """Array of L2-equivalent scores of one subvector against a codebook:
     argmin ‖v−c‖² == argmax (v·c − ‖c‖²/2). Fully UNROLLED (round 8):
     each codeword's score is an explicit subdim-term multiply-add chain
     against scalar literals — no higher-order functions, so the encode
-    projection stays inside whole-stage codegen and JIT-compiles to
-    straight-line FMA (the HOF transform/aggregate form is
-    CodegenFallback: interpreted tree-walking per row — at 200k rows ×
-    m=16 × k=32 codes × subdim=4 that was ~400M interpreted evals,
-    dominating the PQ dedup wall). Same element order, bit-identical
-    scores."""
+    projection stays out of the CodegenFallback interpreted tree-walk
+    path (the HOF transform/aggregate form cost ~400M interpreted evals
+    at 200k rows × m=16 × k=32 × subdim=4, dominating the PQ dedup
+    wall). Each term indexes the FULL vector at a statically-folded
+    absolute position (round 11): the old shape re-embedded
+    `slice(vec, off, subdim)` inside every element_at — k × subdim
+    slice sub-trees per subspace, each allocating a fresh subvector
+    array per evaluation once the oversized stage falls out of
+    whole-stage codegen (m=16/k=32 busts janino's 64 KB method limit;
+    interpreted eval re-runs every slice). element_at(vec, off+i) reads
+    the same element with zero allocations and ~2.5× less plan tree.
+    Same element order, bit-identical scores."""
     entries = []
+    off = sub * subdim
     for cv in cents:
         h = sum(float(x) * float(x) for x in cv) / 2.0
         dot = " + ".join(
-            f"cast(element_at({sub_expr}, {i + 1}) as double) "
+            f"cast(element_at({vec_col}, {off + i + 1}) as double) "
             f"* cast('{float(cv[i])!r}' as double)"
             for i in range(len(cv)))
         entries.append(f"({dot} - cast('{h!r}' as double))")
@@ -1698,7 +1702,7 @@ def pq_encode(df: DataFrame, books: list[list[list[float]]],
     for s in range(m):
         tmp = f"__pq_sc{s}"
         out = out.withColumn(
-            tmp, _pq_score_array(_pq_slice_sql(vec_col, s, subdim), books[s]))
+            tmp, _pq_score_array(vec_col, s, subdim, books[s]))
         code_exprs.append(
             f"cast(array_position({tmp}, array_max({tmp})) - 1 as int)")
     out = out.withColumn(code_col, F.expr(f"array({','.join(code_exprs)})"))
