@@ -28,7 +28,7 @@ tuning knob.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def connected_components(edges: DataFrame, src: str = "src",
@@ -161,33 +161,63 @@ def connected_components_star(edges: DataFrame, src: str = "src",
                       F.least(F.col(src), F.col(dst)).alias("b"))
          .filter(F.col("a") != F.col("b"))
          .distinct().localCheckpoint())
-    n_e = e.count()
+    # Convergence signature: (row count, XOR of per-edge hashes) — a
+    # pure set function computed in ONE aggregate job over the freshly
+    # checkpointed edge set. A differing signature PROVES the set
+    # changed (skip the expensive set-difference); only a matching
+    # signature falls through to `subtract` for the collision-proof
+    # confirmation, so the anti-join runs once at the true fixed point
+    # instead of every round whose edge COUNT merely coincided (on
+    # chain graphs the count is constant from round 1 — every non-head
+    # node carries exactly one out-edge — so the old count-only guard
+    # ran the subtract every round). bit_xor cannot overflow under
+    # ANSI mode where a hash SUM would.
+    def _sig(rel: DataFrame) -> tuple[int, int]:
+        row = rel.agg(
+            F.count("*").alias("c"),
+            F.coalesce(F.expr("bit_xor(xxhash64(a, b))"),
+                       F.lit(0)).alias("x")).first()
+        return int(row.c), int(row.x)
+
+    sig_e = _sig(e)
+    wa = Window.partitionBy("a")
     for _round in range(max_iter):
         # -- large-star: over the SYMMETRIZED neighborhood of v,
         # emit (u, min(Γ⁺(v))) for every neighbor u > v. Every
         # directed edge contributes exactly one emission, so no
-        # connected node is dropped.
-        sym = e.union(e.select(F.col("b").alias("a"),
-                               F.col("a").alias("b")))
-        mins = (sym.groupBy("a")
-                .agg(F.least(F.min("b"), F.col("a")).alias("m")))
-        large = (sym.join(mins, "a")
+        # connected node is dropped. The neighborhood min is computed
+        # as a WINDOW over the one exchange the round needs anyway
+        # (round 11): the groupBy+join form paid a second exchange to
+        # re-attach the min to the rows it came from, and because the
+        # joined relation fed two consumers below, the whole
+        # symmetrize+aggregate+join subtree executed twice per round.
+        large = (e.union(e.select(F.col("b").alias("a"),
+                                  F.col("a").alias("b")))
+                 .withColumn("m", F.least(F.min("b").over(wa),
+                                          F.col("a")))
                  .filter(F.col("b") > F.col("a"))
-                 .select(F.col("b").alias("a"), F.col("m").alias("b"))
-                 .distinct())
+                 .select(F.col("b").alias("a"), F.col("m").alias("b")))
+        # no intermediate distinct: each directed sym edge emits at
+        # most one row, duplicates cannot perturb the small-star min,
+        # and the round's closing distinct dedups the set — one fewer
+        # exchange per round for a within-round volume bounded by 2|E|.
         # -- small-star: edges are now directed large→small; each
         # node re-points itself and its smaller neighbors at the
-        # neighborhood min.
-        smins = large.groupBy("a").agg(F.min("b").alias("m"))
-        moved = (large.join(smins, "a")
-                 .filter(F.col("b") != F.col("m"))
-                 .select(F.col("b").alias("a"), F.col("m").alias("b")))
-        new_e = (moved.union(smins.select("a", F.col("m").alias("b")))
+        # neighborhood min. One window pass emits BOTH the center
+        # re-point (a → m) and the moved smaller neighbors (b → m for
+        # b ≠ m) from the same row walk — the union-of-two-consumers
+        # form evaluated the large-star subtree once per branch.
+        new_e = (large.withColumn("m", F.min("b").over(wa))
+                 .select(F.explode(
+                     F.when(F.col("b") != F.col("m"),
+                            F.array(F.col("a"), F.col("b")))
+                     .otherwise(F.array(F.col("a")))).alias("a"),
+                     F.col("m").alias("b"))
                  .distinct().localCheckpoint())
-        n_new = new_e.count()
-        changed = (n_new != n_e
+        sig_new = _sig(new_e)
+        changed = (sig_new != sig_e
                    or new_e.subtract(e).limit(1).count() > 0)
-        e, n_e = new_e, n_new
+        e, sig_e = new_e, sig_new
         if not changed:
             stars = e.select(F.col("a").alias("n"),
                              F.col("b").alias("lbl"))
@@ -205,7 +235,8 @@ def pagerank(nodes: DataFrame, edges: DataFrame, n_nodes: int,
              node: str = "node", src: str = "src", dst: str = "dst",
              out_rank: str = "rank", quantize: int = 12,
              checkpoint_every: int = 2,
-             weight: str | None = None) -> DataFrame:
+             weight: str | None = None,
+             broadcast_rank_rows: int = 2_000_000) -> DataFrame:
     """Damped PageRank with dangling-mass redistribution — the
     crawl-graph QUALITY PRIOR real pretraining pipelines attach to
     documents (Common Crawl publishes exactly this as its host-level
@@ -300,18 +331,41 @@ def pagerank(nodes: DataFrame, edges: DataFrame, n_nodes: int,
                         F.col(weight).alias("ew"))
              .join(deg, F.col("esrc") == deg.v)
              .select("esrc", "edst", "ew", "outdeg").persist())
-    dangling = n.join(deg, "v", "left_anti").persist()
+    # The dangling membership is a per-node CONSTANT: materialize it
+    # once as a boolean flag riding the rank state instead of
+    # re-semi-joining a dangling relation every round (round 11 — one
+    # fewer join per round at every scale; the flag selects the
+    # identical node subset, and the DECIMAL sum is order-free, so the
+    # mass is bit-identical). Checkpointing the flagged node frame also
+    # stops the per-round rank rebuild from re-running the upstream
+    # node derivation (a table scan in every driver query) once per
+    # round.
+    nf = (n.join(deg.select("v", F.lit(True).alias("_hasout")),
+                 "v", "left")
+          .select("v", F.col("_hasout").isNull().alias("_dang"))
+          .localCheckpoint())
+    # Rank state is O(nodes): at or below `broadcast_rank_rows` it is
+    # broadcast into the contribution join and the rank rebuild, so a
+    # round's only exchange is the partial-aggregate shuffle of the
+    # contributions — the persisted edge relation is never re-shuffled
+    # (guide §3.1: ship the small side, leave the big side in place).
+    # The gate is size-based like the planner's own broadcast
+    # threshold (2M rank rows ≈ tens of MB framed); above it the
+    # exchange-based joins keep the unbounded-node-count shape. Join
+    # strategy changes row routing only, never the summed multiset.
+    bcast = n_nodes <= broadcast_rank_rows
     teleport = (1.0 - damping) / n_nodes
-    ranks = n.withColumn(out_rank, F.lit(1.0 / n_nodes)).localCheckpoint()
+    ranks = nf.withColumn(out_rank, F.lit(1.0 / n_nodes)).localCheckpoint()
     try:
         for _round in range(iterations):
             share = (F.col(out_rank) / F.col("outdeg"))
             addend = share if weight is None else share * F.col("ew")
-            contrib = (e.join(ranks, e.esrc == ranks.v)
+            rk = F.broadcast(ranks) if bcast else ranks
+            contrib = (e.join(rk, e.esrc == rk.v)
                        .groupBy(F.col("edst").alias("cv"))
                        .agg(F.sum(addend.cast("decimal(38,18)"))
                             .cast("double").alias("contrib")))
-            mass = (ranks.join(dangling, "v", "left_semi")
+            mass = (ranks.filter(F.col("_dang"))
                     .agg(F.coalesce(
                         F.sum(F.col(out_rank).cast("decimal(38,18)"))
                         .cast("double"), F.lit(0.0)).alias("mass")))
@@ -320,10 +374,11 @@ def pagerank(nodes: DataFrame, edges: DataFrame, n_nodes: int,
                    + F.lit(damping)
                    * (F.coalesce(F.col("contrib"), F.lit(0.0))
                       + F.col("mass") / F.lit(float(n_nodes))))
-            ranks = (n.join(contrib, n.v == F.col("cv"), "left")
+            ranks = (nf.join(F.broadcast(contrib) if bcast else contrib,
+                             nf.v == F.col("cv"), "left")
                      .crossJoin(F.broadcast(mass))
                      .select(
-                         F.col("v"),
+                         F.col("v"), F.col("_dang"),
                          (F.floor(raw * F.lit(grid) + F.lit(0.5))
                           / F.lit(grid)).alias(out_rank)))
             if (_round + 1) % max(1, checkpoint_every) == 0 \
@@ -332,7 +387,6 @@ def pagerank(nodes: DataFrame, edges: DataFrame, n_nodes: int,
         return ranks.select(F.col("v").alias(node), F.col(out_rank))
     finally:
         e.unpersist()
-        dangling.unpersist()
 
 
 def component_sizes(components: DataFrame,
