@@ -78,6 +78,11 @@ def _id_payloads(pdf, id_col: str, payload_col: str, synth,
     Production corpora (stored payload columns) keep `synth=None` and
     read `payload_col` exactly as before."""
     if synth is not None:
+        if isinstance(text_col, (list, tuple)):
+            # multi-column fixtures (e.g. the crawl WARC: html + URI)
+            cols = [pdf[c] for c in text_col]
+            return ((int(i), synth(int(i), *vals))
+                    for i, *vals in zip(pdf[id_col], *cols))
         if text_col is not None:       # text-derived fixtures (gzip/warc/…)
             return ((int(i), synth(int(i), t))
                     for i, t in zip(pdf[id_col], pdf[text_col]))

@@ -1697,16 +1697,21 @@ def pq_encode(df: DataFrame, books: list[list[list[float]]],
     regression)."""
     m = len(books)
     subdim = len(books[0][0])
-    out = df
-    code_exprs = []
-    for s in range(m):
-        tmp = f"__pq_sc{s}"
-        out = out.withColumn(
-            tmp, _pq_score_array(vec_col, s, subdim, books[s]))
-        code_exprs.append(
-            f"cast(array_position({tmp}, array_max({tmp})) - 1 as int)")
-    out = out.withColumn(code_col, F.expr(f"array({','.join(code_exprs)})"))
-    return out.drop(*[f"__pq_sc{s}" for s in range(m)])
+    # TWO projections total, built as single selects (round 11): every
+    # JVM-side transformation analyzes its whole plan eagerly, so the
+    # old m sequential withColumns re-analyzed a growing
+    # thousands-of-literal-nodes tree m+2 times — quadratic driver
+    # work that dominated the encode's plan construction at m=16/k=32.
+    score_cols = [
+        _pq_score_array(vec_col, s, subdim, books[s]).alias(f"__pq_sc{s}")
+        for s in range(m)]
+    code_exprs = [
+        f"cast(array_position(__pq_sc{s}, array_max(__pq_sc{s})) - 1 as int)"
+        for s in range(m)]
+    scored = df.select("*", *score_cols)
+    return scored.select(
+        *[c for c in df.columns],
+        F.expr(f"array({','.join(code_exprs)})").alias(code_col))
 
 
 def pq_topk(encoded: DataFrame, books: list[list[list[float]]],

@@ -9767,9 +9767,16 @@ def crawl_to_corpus(spark, sf_dir):
         F.col("source"), F.lit('</h1><p>'), F.col("text"),
         F.lit('</p><script type="text/javascript">var x = 1 &amp;&amp; 2;'
               '</script><p>Tail &amp; more</p></body></html>'))
-    warc = MM.synthesize_warc_column(crawl.withColumn("html", html),
-                                     text_col="html", uri_col="url")
-    rec = MM.warc_record_stats(warc)
+    # WARC encode+decode fused into ONE Arrow stage over a PRUNED
+    # (doc_id, html, url) input (batch-2 discipline: the container
+    # bytes exist only to be parsed back — un-fused, every payload
+    # crossed the JVM<->Python boundary twice, and mapInPandas shipped
+    # the un-pruned crawl frame's source/text columns besides).
+    # _warc_payload is the exact builder synthesize_warc_column
+    # delegates to, so identical bytes reach the parser.
+    rec = MM.warc_record_stats(
+        crawl.select("doc_id", html.alias("html"), "url"),
+        synth=MM._warc_payload, synth_text_col=["html", "url"])
     stripped = rec.select(
         "doc_id", "target_uri",
         TX.strip_html(F.col("text"), alias="clean_text"))
