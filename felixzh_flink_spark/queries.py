@@ -5017,7 +5017,12 @@ def semantic_dedup_pq_checks(spark, sf_dir):
         F.expr("cast(transform(embedding, (x, i) -> cast(x as double)"
                " + (pmod(xxhash64(vec_id, i), 7) - 3) * 0.002)"
                " as array<float>)").alias("embedding"))
-    corpus = e.unionByName(planted)
+    # the planted corpus feeds EVERY downstream job — centroid init, two
+    # Lloyd passes, 16-subspace PQ training, and both dedup paths' scans —
+    # and each re-evaluated the scan + union + per-element jitter chain
+    # (~8 evaluations per run). One eager materialization of the (id, vec)
+    # frame serves them all; centroids/codebooks proven bit-identical.
+    corpus = e.unionByName(planted).localCheckpoint(eager=True)
     k = _semantic_k(_embeddings_n(spark, sf_dir))
     cents = SIM.ivf_train(corpus, k, max_iter=2)
     books = SIM.pq_train(corpus, m=16, code_k=32, dim=64, train_iter=2)
