@@ -81,6 +81,10 @@ def decode_gzip_members(payload: bytes
     out: list[tuple[dict, bytes]] = []
     pos = 0
     n = len(payload)
+    # feed the decompressor through a memoryview: `payload[pos:]` copied
+    # the whole remaining stream per member — O(members × bytes) on
+    # concatenated-member files (r12 §4.5)
+    mv = memoryview(payload)
     while pos < n:
         if pos + 10 > n:
             raise ValueError("truncated gzip header")
@@ -125,7 +129,7 @@ def decode_gzip_members(payload: bytes
             pos += 2
         do = zlib.decompressobj(-15)
         try:
-            raw = do.decompress(payload[pos:])
+            raw = do.decompress(mv[pos:])
         except zlib.error as exc:
             raise ValueError(f"bad deflate stream: {exc}") from exc
         if not do.eof:

@@ -30,16 +30,18 @@ def encode_warc_record(headers: "dict[str, str]", block: bytes,
     declared = headers.get("Content-Length")
     if declared is not None and int(declared) != len(block):
         raise ValueError("Content-Length conflicts with block size")
-    out = bytearray(f"WARC/{version}".encode() + _CRLF)
+    # one join of pre-encoded parts (r12 §4.5 pass: the bytearray-append
+    # form re-allocated per header; byte layout is identical)
+    parts = [b"WARC/" + version.encode(), _CRLF]
     for k, v in headers.items():
         if k.lower() == "content-length":
             continue
         if "\r" in v or "\n" in v or ":" in k:
             raise ValueError(f"malformed header {k!r}")
-        out += f"{k}: {v}".encode() + _CRLF
-    out += f"Content-Length: {len(block)}".encode() + _CRLF
-    out += _CRLF + block + _CRLF + _CRLF
-    return bytes(out)
+        parts += (f"{k}: {v}".encode(), _CRLF)
+    parts += (b"Content-Length: %d" % len(block), _CRLF,
+              _CRLF, block, _CRLF, _CRLF)
+    return b"".join(parts)
 
 
 def encode_warc(records: "list[tuple[dict, bytes]]",
@@ -68,20 +70,23 @@ def _parse_records(payload: bytes) -> "list[tuple[dict, bytes]]":
         if version not in (b"WARC/1.0", b"WARC/1.1"):
             raise ValueError(f"bad WARC version line {version!r}")
         pos = eol + 2
+        # header lines cannot be empty (continuation folding is rejected
+        # here), so the FIRST CRLF CRLF at/after the version line's CRLF
+        # is exactly the blank-line terminator the old line-by-line walk
+        # stopped at — one find + one split replaces a find per line
+        # (r12 §4.5: the per-line scan was the parse's hottest loop)
+        hend = payload.find(_CRLF + _CRLF, eol)
+        if hend < 0:
+            raise ValueError("truncated WARC header block")
         headers: dict[str, str] = {}
-        while True:
-            eol = payload.find(_CRLF, pos)
-            if eol < 0:
-                raise ValueError("truncated WARC header block")
-            line = payload[pos:eol]
-            pos = eol + 2
-            if not line:
-                break
-            sep = line.find(b":")
-            if sep <= 0:
-                raise ValueError(f"malformed WARC header line {line!r}")
-            headers[line[:sep].decode("utf-8")] = \
-                line[sep + 1:].strip().decode("utf-8")
+        if hend > pos:
+            for line in payload[pos:hend].split(_CRLF):
+                sep = line.find(b":")
+                if sep <= 0:
+                    raise ValueError(f"malformed WARC header line {line!r}")
+                headers[line[:sep].decode("utf-8")] = \
+                    line[sep + 1:].strip().decode("utf-8")
+        pos = hend + 4
         if "Content-Length" not in headers:
             raise ValueError("missing Content-Length")
         try:

@@ -82,6 +82,21 @@ def _dot_sql(a: str, b: str) -> str:
             f"cast(y as double)), cast(0.0 as double), (acc, x) -> acc + x)")
 
 
+def _dot_idx_sql(a: str, b: str, dim: int) -> str:
+    """`_dot_sql` folded over a constant index sequence instead of a
+    zip_with — SQL-text twin of `_dot_indexed`: the zip_with form
+    allocates a dim-element product array per evaluation (per row ×
+    per centroid in the k-means assignment — the dominant allocation
+    in every Lloyd pass), the indexed fold allocates nothing. Same
+    element order and double arithmetic step-for-step (acc + aᵢ·bᵢ),
+    so results are bit-identical; requires both arrays to have exactly
+    `dim` elements (every caller's contract — embeddings are
+    fixed-width)."""
+    return (f"aggregate(sequence(1, {dim}), cast(0.0 as double), "
+            f"(acc, i) -> acc + cast(element_at({a}, i) as double) * "
+            f"cast(element_at({b}, i) as double))")
+
+
 def _dot_indexed(a: Column, b: Column, dim: int) -> Column:
     """Dot product folded over a constant index sequence — no per-row
     zip_with array allocation (matters when evaluated per candidate PAIR in
@@ -823,9 +838,14 @@ def _cell_sims(vec_col: str, cents: list[list[float]]) -> Column:
     `cos(v, c) = dot(v, ĉ) / ||v||` and `||v||` is a positive per-row
     constant, so it cannot change which centroid wins — dropping it removes
     every per-row norm fold (the old form re-folded `norm(vec)` once per
-    centroid per row). Single SQL-text expression — see `_lit_vec_sql`."""
+    centroid per row). Single SQL-text expression — see `_lit_vec_sql`.
+    The per-centroid dot is the INDEXED fold (`_dot_idx_sql`, r12): the
+    zip_with form allocated a dim-element array per (row × centroid) on
+    the interpreted HOF path every Lloyd pass and every assignment pays —
+    the indexed fold is allocation-free and bit-identical."""
+    dim = len(cents[0])
     return F.expr(f"transform({_lit_mat_sql(_normalized_cents(cents))}, "
-                  f"cv -> {_dot_sql(vec_col, 'cv')})")
+                  f"cv -> {_dot_idx_sql(vec_col, 'cv', dim)})")
 
 
 def ivf_refine_centroids(df: DataFrame, cents: list[list[float]],
@@ -853,7 +873,8 @@ def ivf_refine_centroids(df: DataFrame, cents: list[list[float]],
 
 def ivf_train(df: DataFrame, n_centroids: int = 16, max_iter: int = 10,
               tol: float = 1e-4, id_col: str = "vec_id",
-              vec_col: str = "embedding") -> list[list[float]]:
+              vec_col: str = "embedding",
+              init_cents: list[list[float]] | None = None) -> list[list[float]]:
     """Full k-means-style IVF index training: hash-sampled init, Lloyd
     iterations until the max centroid movement (L2) drops below `tol` or
     `max_iter` is hit. Each iteration is ONE distributed pass (assign +
@@ -861,8 +882,19 @@ def ivf_train(df: DataFrame, n_centroids: int = 16, max_iter: int = 10,
     (n_centroids × dim doubles) — the standard IVF build loop; at 100 TB
     you'd train on a uniform sample, which is what the hash-sampled init
     already models. Deterministic: init, assignment ties, and means are all
-    order-independent."""
-    cents = ivf_centroids(df, n_centroids, id_col, vec_col)
+    order-independent.
+
+    `init_cents` supplies the hash-sampled init rows when the caller has
+    already collected them (r12: one TakeOrdered over the corpus can seed
+    BOTH the IVF init and the PQ init — same `xxhash64(id)` ordering, a
+    prefix of the same collect — instead of two scans). Must be exactly
+    the first `n_centroids` vectors of the `ivf_centroids` ordering;
+    results are then bit-identical to the self-collected path."""
+    if init_cents is not None:
+        assert len(init_cents) == n_centroids
+        cents = [list(c) for c in init_cents]
+    else:
+        cents = ivf_centroids(df, n_centroids, id_col, vec_col)
     for _ in range(max_iter):
         new = ivf_refine_centroids(df, cents, vec_col, iterations=1)
         shift = max(
@@ -1089,10 +1121,17 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.9,
     shuffles). Without it the counts are computed here via a broadcast
     semi-join against a ≤ n_centroids-row aggregate: correct anywhere,
     but one extra evaluation of the scan+assignment."""
-    if cents is None:
+    pre_assigned = "ivf_cell" in df.columns
+    if cents is None and not pre_assigned:
         cents = ivf_train(df, n_centroids, max_iter=train_iter,
                           id_col=id_col, vec_col=vec_col)
-    assigned = ivf_assign(df, cents, vec_col).select(
+    # an input that already carries `ivf_cell` (the materialized
+    # cell-partitioned index layout, or a caller that assigned once and
+    # shares the frame with the PQ path) skips re-assignment — same
+    # contract as `semantic_dedup_pq`; the assignment is a pure function
+    # of (vec, cents), so results are identical
+    src = df if pre_assigned else ivf_assign(df, cents, vec_col)
+    assigned = src.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "ivf_cell",
         _norm(F.col(vec_col)).alias("nrm"),
     )
@@ -1109,7 +1148,10 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.9,
                      .filter(F.col("_n") <= max_cell_size).drop("_n"))
             pairable = assigned.join(F.broadcast(small), "ivf_cell",
                                      "left_semi")
-    dim = len(cents[0])
+    if cents is None:  # pre-assigned input, no centroids in hand
+        dim = len(df.select(vec_col).first()[0])
+    else:
+        dim = len(cents[0])
     # pair search + verdict as ONE spark.sql call (r6 plan-time fold);
     # the dot product folds over a constant index sequence — no per-row
     # zip_with array allocation per candidate PAIR (see _dot_indexed,
@@ -1632,7 +1674,8 @@ def _pq_score_array(vec_col: str, sub: int, subdim: int,
 
 def pq_train(df: DataFrame, m: int = 8, code_k: int = 16, dim: int = 64,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             train_iter: int = 2) -> list[list[list[float]]]:
+             train_iter: int = 2,
+             init_vecs: list[list[float]] | None = None) -> list[list[list[float]]]:
     """Train product-quantization codebooks: split each vector into `m`
     contiguous subvectors and k-means each subspace independently
     (hash-sampled init + Lloyd refinement, L2 assignment). Returns
@@ -1651,13 +1694,33 @@ def pq_train(df: DataFrame, m: int = 8, code_k: int = 16, dim: int = 64,
     bit-identical to the per-subspace form: the hash-sampled init picks
     the same code_k rows for every subspace (xxhash64(id) does not
     depend on s), scores fold in the same element order, and empty
-    codes keep their previous codeword."""
+    codes keep their previous codeword.
+
+    The HOF `transform(sequence, c -> aggregate(...))` scoring is kept
+    DELIBERATELY (r12): rewriting it as the serving encoder's unrolled
+    `_pq_score_array` projections was A/B-measured at train 6.5 → 23.1 s
+    (interleaved medians, bit-identical books) — at m=16/k=32 each Lloyd
+    iteration re-ANALYZES a fresh ~2.5k-node literal tree per projection
+    and the driver-side Catalyst cost dwarfs the interpreted-eval saving
+    at any training-sample size (training runs on a bounded sample by
+    contract, so exec never dominates here the way it does in encode).
+
+    `init_vecs` supplies the hash-sampled init vectors when the caller
+    already collected them (the first `code_k` rows of the
+    `ivf_centroids` ordering — one shared TakeOrdered seeds IVF + PQ);
+    bit-identical to the self-collected path by construction. Corpora
+    smaller than code_k seed fewer codewords, like the self-collected
+    limit(code_k)."""
     subdim = dim // m
-    init_rows = (df.select(F.col(vec_col).alias("v"),
-                           F.xxhash64(F.col(id_col)).alias("_h"))
-                 .orderBy("_h").limit(code_k).collect())
-    books = [[[float(x) for x in r["v"][s * subdim:(s + 1) * subdim]]
-              for r in init_rows] for s in range(m)]
+    if init_vecs is not None:
+        init_rows = [list(v) for v in init_vecs[:code_k]]
+    else:
+        init_rows = [list(r["v"]) for r in
+                     (df.select(F.col(vec_col).alias("v"),
+                                F.xxhash64(F.col(id_col)).alias("_h"))
+                      .orderBy("_h").limit(code_k).collect())]
+    books = [[[float(x) for x in v[s * subdim:(s + 1) * subdim]]
+              for v in init_rows] for s in range(m)]
     sub = df.select(F.posexplode(F.expr(
         f"transform(sequence(0, {m - 1}), "
         f"s -> slice({vec_col}, s * {subdim} + 1, {subdim}))"))

@@ -5024,10 +5024,22 @@ def semantic_dedup_pq_checks(spark, sf_dir):
     # frame serves them all; centroids/codebooks proven bit-identical.
     corpus = e.unionByName(planted).localCheckpoint(eager=True)
     k = _semantic_k(_embeddings_n(spark, sf_dir))
-    cents = SIM.ivf_train(corpus, k, max_iter=2)
-    books = SIM.pq_train(corpus, m=16, code_k=32, dim=64, train_iter=2)
-    exact = SIM.semantic_dedup(corpus, threshold=0.5, cents=cents)
-    pq = SIM.semantic_dedup_pq(corpus, threshold=0.5, cents=cents,
+    # ONE hash-ordered TakeOrdered seeds BOTH trainings (r12): the IVF
+    # init is the first k rows and the PQ init the first 32 rows of the
+    # same xxhash64(id) ordering — previously two separate corpus scans
+    # collected overlapping prefixes of the identical ordering.
+    init = SIM.ivf_centroids(corpus, max(k, 32))
+    cents = SIM.ivf_train(corpus, k, max_iter=2, init_cents=init[:k])
+    books = SIM.pq_train(corpus, m=16, code_k=32, dim=64, train_iter=2,
+                         init_vecs=init)
+    # assign cells ONCE and materialize (r12): both dedup paths accept a
+    # pre-assigned input (the documented index layout), so the final
+    # force no longer re-evaluates the k×dim assignment per reference —
+    # the exact path alone referenced it three times (both pair-join
+    # sides + the verdict scan).
+    assigned = SIM.ivf_assign(corpus, cents).localCheckpoint(eager=True)
+    exact = SIM.semantic_dedup(assigned, threshold=0.5, cents=cents)
+    pq = SIM.semantic_dedup_pq(assigned, threshold=0.5, cents=cents,
                                books=books, margin=0.15)
     j = (pq.select("id", F.col("keep").alias("pq_keep"))
          .join(exact.select("id", F.col("keep").alias("ex_keep")),
