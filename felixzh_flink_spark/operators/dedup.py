@@ -230,7 +230,12 @@ def band_explode_sql(num_perm: int, bands: int, sig_col: str = "sig") -> str:
     which any injective keying preserves). Shared by the batch candidate
     join and the streaming near-dup keying."""
     rows = num_perm // bands
-    return (f"explode(transform(sequence(0, {bands - 1}), "
+    # explode_OUTER (r12): the transform-over-sequence array is never
+    # null and always `bands` long, so outer emits identical rows —
+    # while the inner form lets InferFiltersFromGenerate add a
+    # size(<transform>) > 0 guard that re-evaluates the whole
+    # bands×(slice+xxhash64) array once more per row below the explode
+    return (f"explode_outer(transform(sequence(0, {bands - 1}), "
             f"b -> named_struct('band', b, 'bucket', "
             f"xxhash64(slice({sig_col}, b * {rows} + 1, {rows})))))")
 
@@ -808,9 +813,15 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
     # separate explode select looks equivalent but lets the optimizer
     # re-substitute the gram pipeline into downstream consumers —
     # measured as an O(windows × grams) per-doc blow-up at sf0.1
+    # explode_OUTER (r12): wins is always ≥ 1 element (the greatest()
+    # floor) and never null for rows passing the length filter, so
+    # outer is row-identical — and no size-guard is inferred (the
+    # inner form re-evaluated the gram+window pipeline once more per
+    # row inside the inferred filter; same class as the measured
+    # bm25_topk_multi duplication)
     return (
         base.select("id", grams.alias("_grams"))
-        .select("id", F.explode(F.array_distinct(wins)).alias("h"))
+        .select("id", F.explode_outer(F.array_distinct(wins)).alias("h"))
     )
 
 

@@ -62,24 +62,29 @@ def connected_components(edges: DataFrame, src: str = "src",
     # feed two plans per round (the join and the convergence count)
     e = e.persist()
     labels = labels.persist()
+    persisted = labels
     try:
         for _round in range(max_iter):
             neighbor_min = (e.join(labels, e.b == labels.n, "inner")
                             .groupBy("a").agg(F.min("lbl").alias("nmin")))
-            new_labels = (labels.join(neighbor_min,
-                                      labels.n == neighbor_min.a, "left")
-                          .select(F.col("n"),
-                                  F.least(F.col("lbl"),
-                                          F.coalesce(F.col("nmin"),
-                                                     F.col("lbl")))
-                                  .alias("lbl"))
-                          .persist())
-            changed = (new_labels.alias("new")
-                       .join(labels.alias("old"), "n")
-                       .filter(F.col("new.lbl") != F.col("old.lbl"))
-                       .count())
-            labels.unpersist()
-            labels = new_labels
+            # carry the OLD label through the update (r12): the
+            # convergence check is then one filter+count over the
+            # round's cached frame instead of a second join of new
+            # labels against old — the join was a full extra scan of
+            # both cached sides per round, pure fixed cost on the
+            # small label relations real dedup graphs have
+            upd = (labels.join(neighbor_min,
+                               labels.n == neighbor_min.a, "left")
+                   .select(F.col("n"), F.col("lbl").alias("_old"),
+                           F.least(F.col("lbl"),
+                                   F.coalesce(F.col("nmin"),
+                                              F.col("lbl")))
+                           .alias("lbl"))
+                   .persist())
+            changed = upd.filter(F.col("lbl") != F.col("_old")).count()
+            persisted.unpersist()
+            persisted = upd
+            labels = upd.select("n", "lbl")
             if changed == 0:
                 # cut lineage so the persisted labels can be released
                 # now instead of leaking for the session lifetime
@@ -88,7 +93,7 @@ def connected_components(edges: DataFrame, src: str = "src",
                 result = (labels.select(F.col("n").alias(out_node),
                                         F.col("lbl").alias(out_component))
                           .localCheckpoint(eager=True))
-                labels.unpersist()
+                persisted.unpersist()
                 return result
         if on_nonconvergence == "star":
             # Pathological diameter: switch algorithms. The current
@@ -108,9 +113,9 @@ def connected_components(edges: DataFrame, src: str = "src",
             # set, so `combined` is already materialized — the cached
             # labels are dead weight from here (ADVICE r7: they were
             # pinned for the session lifetime on this path)
-            labels.unpersist()
+            persisted.unpersist()
             return result
-        labels.unpersist()
+        persisted.unpersist()
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} "
             "rounds — pathological diameter; switch to star contraction")

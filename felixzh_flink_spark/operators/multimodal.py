@@ -705,22 +705,37 @@ def image_neardup_pairs(hashed: DataFrame, grid: int = 4,
     (id_a, id_b, hamming), id_a < id_b, each verified pair once."""
     n = int(grid) * int(grid)
     assert n % bands == 0
+    assert n <= 64, "packed-long hash: grid² must fit one BIGINT"
     assert max_hamming < bands, (
         "pigeonhole guarantee needs max_hamming < bands; a larger "
         "max_hamming would silently drop qualifying pairs")
     bw = n // bands
+    # r12: the whole hash packs big-endian into ONE BIGINT (shiftleft|or
+    # — pure bit ops, no ANSI overflow even at the 64-bit grid=8 pack
+    # that `ahash`'s arithmetic fold must null out). Band values come
+    # from shift/mask off the packed word (identical integers to the
+    # old per-band slice+fold: both read the same bits big-endian), and
+    # the exact verify is bit_count(xor) — identical to Σ|bitᵃ−bitᵇ|
+    # on 0/1 ints. The verify join then moves 8 BYTES per image instead
+    # of a grid² int array (the r11 sf1 band-join fix, applied to the
+    # verify side: bits crossed the wire per image as ~300-byte arrays).
+    pack = ("aggregate(bits, CAST(0 AS BIGINT), "
+            "(acc, x) -> shiftleft(acc, 1) | CAST(x AS BIGINT))")
+    alive = (hashed.filter(F.col("bits").isNotNull())
+             .select(F.col(id_col).alias("id"), F.expr(pack).alias("_pb")))
+    mask = (1 << bw) - 1
+    # shiftrightunsigned: bit 0 of the hash sits at bit n-1 of the
+    # packed word (sign bit at n=64) — an arithmetic shift would smear it
     band_val = (f"transform(sequence(0, {bands - 1}), b -> "
-                f"aggregate(slice(bits, b * {bw} + 1, {bw}), "
-                "CAST(0 AS BIGINT), (acc, x) -> acc * 2 + x))")
-    alive = hashed.filter(F.col("bits").isNotNull())
+                f"shiftrightunsigned(_pb, ({bands} - 1 - CAST(b AS INT)) "
+                f"* {bw}) & {mask}L)")
     # the band join moves ONLY (id, band, bval) tuples — the r11 sf1
     # measurement caught the earlier form carrying both 64-element bit
     # arrays through the explode AND the candidate dedup (1.34 GB
     # shuffle at 50k images; ~26 MB this way): candidates dedup as
-    # bare id pairs, then the bit vectors join back ONCE each for the
-    # Hamming verify — bits cross the wire per IMAGE, not per
-    # (band × collision)
-    e = (alive.select(F.col(id_col).alias("id"),
+    # bare id pairs, then the packed hashes join back ONCE each for the
+    # Hamming verify
+    e = (alive.select("id",
                       F.posexplode(F.expr(band_val))
                       .alias("band", "bval")))
     cand = (e.alias("a").join(e.alias("b"), ["band", "bval"])
@@ -728,12 +743,9 @@ def image_neardup_pairs(hashed: DataFrame, grid: int = 4,
             .select(F.col("a.id").alias("id_a"),
                     F.col("b.id").alias("id_b"))
             .dropDuplicates(["id_a", "id_b"]))
-    ha = alive.select(F.col(id_col).alias("id_a"),
-                      F.col("bits").alias("_ba"))
-    hb = alive.select(F.col(id_col).alias("id_b"),
-                      F.col("bits").alias("_bb"))
-    ham = F.expr("aggregate(zip_with(_ba, _bb, (x, y) -> abs(x - y)), "
-                 "0, (acc, d) -> acc + d)")
+    ha = alive.select(F.col("id").alias("id_a"), F.col("_pb").alias("_pa"))
+    hb = alive.select(F.col("id").alias("id_b"), F.col("_pb").alias("_pz"))
+    ham = F.expr("bit_count(_pa ^ _pz)")
     return (cand.join(ha, "id_a").join(hb, "id_b")
             .withColumn("hamming", ham)
             .filter(F.col("hamming") <= max_hamming)

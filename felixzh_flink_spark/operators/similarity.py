@@ -698,10 +698,13 @@ def rp_rerank_topk_multi_from_index(spark, path: str,
              f"(qv, qn) -> named_struct('v', qv, 'n', qn)), "
              f"s -> {_dot_sql('proj', 's.v')} / (__rnorm * s.n))")
     w1 = Window.partitionBy("query_id").orderBy(F.desc("rp"), F.asc("id"))
+    # posexplode_OUTER for the same reason as cosine_topk_multi (r12):
+    # literal-matrix transform is never null/empty, and the inner
+    # form's inferred size-guard re-ran all query dots per row
     cand = (idx.select(F.col(id_col), F.col("proj"))
             .withColumn("__rnorm", _norm(F.col("proj")))
             .select(F.col(id_col).alias("id"),
-                    F.posexplode(F.expr(sims1)).alias("_qi", "rp"))
+                    F.posexplode_outer(F.expr(sims1)).alias("_qi", "rp"))
             .select(F.expr(f"element_at({qid_lit}, _qi + 1)")
                     .cast("bigint").alias("query_id"), "_qi", "id", "rp")
             .withColumn("_rn", F.row_number().over(w1))
@@ -1628,10 +1631,16 @@ def cosine_topk_multi(df: DataFrame, queries: dict[int, list[float]],
     qid_lit = ("array(" + ",".join(str(int(q)) for q in qids) + ")")
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc("id"))
+    # posexplode_OUTER: the sims array is a transform over a LITERAL
+    # query matrix — never null, size always = query count — so outer
+    # emits identical rows; the inner form let
+    # InferFiltersFromGenerate push a size(<sims>) > 0 guard that
+    # re-evaluated every per-query dot once more per row below the
+    # explode (the bm25_topk_multi finding, r12)
     return (
         df.withColumn("__rnorm", _norm(F.col(vec_col)))
         .select(F.col(id_col).alias("id"),
-                F.posexplode(F.expr(sims)).alias("_qi", "cosine_sim"))
+                F.posexplode_outer(F.expr(sims)).alias("_qi", "cosine_sim"))
         .select(F.expr(f"element_at({qid_lit}, _qi + 1)")
                 .cast("bigint").alias("query_id"),
                 "id", "cosine_sim")

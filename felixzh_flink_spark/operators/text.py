@@ -608,12 +608,20 @@ def bm25_topk_multi(df: DataFrame, queries: dict[int, list[str]],
     qid_lit = F.array(*[F.lit(int(q)) for q in qids])
     w = Window.partitionBy("query_id").orderBy(
         F.desc("bm25"), F.asc(id_col))
+    # posexplode_OUTER (r12): for a CreateArray input (never null, never
+    # empty — one slot per query) the outer form emits identical rows,
+    # but the inner form lets InferFiltersFromGenerate push a
+    # size(_scores) > 0 guard below the projections — and with the alias
+    # substituted, that filter re-evaluated the ENTIRE tokenize + tf +
+    # score pipeline per row INSIDE the scan's Filter, below the spread
+    # repartition (single-core) — measured as ~70% of the query's wall
+    # (force 0.65 s → 2.3 s the moment the explode stage was added).
     return (scored
             .select(F.col(id_col),
                     F.array(*q_scores).alias("_scores"),
                     F.array(*q_hits).alias("_hits"))
             .select(F.col(id_col),
-                    F.posexplode("_scores").alias("_qi", "bm25"),
+                    F.posexplode_outer("_scores").alias("_qi", "bm25"),
                     F.col("_hits"))
             .filter(F.element_at("_hits", F.col("_qi") + 1))
             .select(F.element_at(qid_lit, F.col("_qi") + 1)

@@ -7499,23 +7499,28 @@ def neardup_delta_status(spark, sf_dir):
     argument). The match COUNTS and the max-Jaccard double are both in
     the hash, so a phantom candidate or a missed collision fails the
     row."""
-    docs = _t_wide(spark, sf_dir, "documents")
     corpus = _neardup_corpus(spark, sf_dir)
-    a = docs.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" zulu zulu zulu")).alias("text"))
-    base_b = docs.filter(F.col("doc_id") % 10 == 8)
-    b1 = base_b.select(
-        (F.col("doc_id") + 2000000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" alpha beta gamma")).alias("text"))
-    b2 = base_b.select(
-        (F.col("doc_id") + 3000000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" delta echo foxtrot")).alias("text"))
-    c = docs.filter(F.col("doc_id") % 10 == 9).select(
-        (F.col("doc_id") + 4000000).alias("doc_id"),
-        F.expr("repeat(concat('uniq', cast(doc_id as string), ' '), 8)")
-        .alias("text"))
-    delta = a.unionByName(b1).unionByName(b2).unionByName(c)
+    # the four planted delta branches as ONE scan + explode (r12): the
+    # union-of-four form scanned `documents` four times and cost ~16
+    # eagerly-analyzed transformations of pure plan construction; the
+    # same multiset of (id, text) rows comes out of one CASE over the
+    # mod class (row order differs — every downstream stat is
+    # order-insensitive: counts, MAX jaccard, per-pair divisions)
+    delta = _t_wide(spark, sf_dir, "documents").select(F.expr("""
+        explode(CASE
+          WHEN doc_id % 10 = 0 THEN array(named_struct(
+            'doc_id', doc_id + 1000000,
+            'text', concat(text, ' zulu zulu zulu')))
+          WHEN doc_id % 10 = 8 THEN array(
+            named_struct('doc_id', doc_id + 2000000,
+                         'text', concat(text, ' alpha beta gamma')),
+            named_struct('doc_id', doc_id + 3000000,
+                         'text', concat(text, ' delta echo foxtrot')))
+          WHEN doc_id % 10 = 9 THEN array(named_struct(
+            'doc_id', doc_id + 4000000,
+            'text', repeat(concat('uniq', cast(doc_id as string), ' '), 8)))
+          ELSE array()
+        END) AS r""")).select("r.doc_id", "r.text")
     return DD.neardup_incremental(
         delta, corpus, corpus_sigs=_neardup_corpus_sigs(spark, sf_dir),
         n=5, num_perm=64, bands=16, threshold=0.8) \
@@ -8380,7 +8385,14 @@ def image_ahash_neardup(spark, sf_dir):
     deliberately coarse on 7×5 images); production takes grid=8 for
     64-bit hashes with 16-bit bands, the operator is parameterized for
     exactly that."""
-    d = (_t_wide(spark, sf_dir, "documents")
+    # NO spread on this scan (r12): the fixture is a FIXED 500-row
+    # corpus at every sf (decode ≈ 50 ms of Python total), and the
+    # spread's 32-way repartition turned the eager index-build job into
+    # 32 near-empty Arrow tasks — measured as the query's dominant
+    # "plan" cost (0.55 s warm vs the decode's milliseconds). The
+    # scaling variants (grid8/w64, full documents table) keep the
+    # spread because their fixture grows with sf.
+    d = (_t(spark, sf_dir, "documents")
          .filter(F.col("doc_id") < 500).select("doc_id"))
     # both sides of the banded self-join derive from the hashed
     # relation — without a cut the encode+decode Arrow chain runs
@@ -8482,7 +8494,9 @@ def audio_fingerprint_neardup(spark, sf_dir):
     hashed relation localCheckpoints for the same double-decode reason
     as the image query; crafted-clip discrimination stays unit-pinned
     (tests/test_mixed_media.py)."""
-    d = (_t_wide(spark, sf_dir, "documents")
+    # fixed 400-row fixture — un-spread for the same reason as
+    # image_ahash_neardup (the w64 scaling variant keeps the spread)
+    d = (_t(spark, sf_dir, "documents")
          .filter(F.col("doc_id") < 400).select("doc_id"))
     hashed = MM.image_ahash_bits(
         MM.audio_fingerprint_cells(
