@@ -832,7 +832,28 @@ def gopher_quality_flags(df: DataFrame, text_col: str = "text",
     did each rule cut?"), the question a 100 TB curation run always asks.
     Mean word length uses total-non-space-chars / words — identical to
     summing per-word lengths, but computable without a second pass.
+
+    `gopher_flag_cols` exposes the same rule columns for callers that
+    want the flags IN PLACE on their frame (r12): joining this
+    projection back onto its own input re-evaluates the upstream plan
+    on both join sides — for crawl_to_corpus that meant the whole WARC
+    Arrow decode chain ran twice.
     """
+    flags = gopher_flag_cols(text_col)
+    keep = None
+    for f in flags.values():
+        keep = f if keep is None else (keep & f)
+    return df.select(
+        F.col(id_col),
+        *[v.alias(k) for k, v in flags.items()],
+        keep.alias("keep"),
+    )
+
+
+def gopher_flag_cols(text_col: str = "text") -> "dict[str, Column]":
+    """The Gopher rule booleans as plain columns over `text_col` — the
+    expression bodies `gopher_quality_flags` projects (see its
+    docstring for the rules and provenance)."""
     c = F.col(text_col)
     t = F.trim(c)
     toks = F.filter(F.split(t, TOKEN_RE), lambda x: x != F.lit(""))
@@ -854,7 +875,7 @@ def gopher_quality_flags(df: DataFrame, text_col: str = "text",
     low = F.array_distinct(F.filter(
         F.transform(toks, lambda x: F.lower(x)),
         lambda x: x.isin(*GOPHER_STOPWORDS)))
-    flags = {
+    return {
         "wc_ok": (n >= 50) & (n <= 100_000),
         "mwl_ok": (n > 0) & (mwl >= 3.0) & (mwl <= 10.0),
         "symbol_ok": (n > 0) & (n_sym.cast("double") / nd <= 0.1),
@@ -863,14 +884,6 @@ def gopher_quality_flags(df: DataFrame, text_col: str = "text",
         "alpha_ok": (n > 0) & (n_alpha.cast("double") / nd >= 0.8),
         "stop_ok": F.size(low) >= 2,
     }
-    keep = None
-    for f in flags.values():
-        keep = f if keep is None else (keep & f)
-    return df.select(
-        F.col(id_col),
-        *[v.alias(k) for k, v in flags.items()],
-        keep.alias("keep"),
-    )
 
 
 def lang_scores(text: Column | str) -> list[Column]:

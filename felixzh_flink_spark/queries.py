@@ -9811,11 +9811,14 @@ def crawl_to_corpus(spark, sf_dir):
     stripped = rec.select(
         "doc_id", "target_uri",
         TX.strip_html(F.col("text"), alias="clean_text"))
-    flags = TX.gopher_quality_flags(stripped, text_col="clean_text")
+    # Gopher flags IN PLACE (r12): the old `stripped ⋈ gopher_quality_
+    # flags(stripped)` self-join evaluated the WARC Arrow decode chain
+    # on BOTH join inputs — the single most expensive stage, run twice
+    # per action. Same rule expressions (text.gopher_flag_cols), same
+    # surviving rows, one decode.
+    gf = TX.gopher_flag_cols("clean_text")
     gated = (stripped
-             .join(flags.select("doc_id", "wc_ok", "mwl_ok", "alpha_ok"),
-                   "doc_id")
-             .filter(F.col("wc_ok") & F.col("mwl_ok") & F.col("alpha_ok")))
+             .filter(gf["wc_ok"] & gf["mwl_ok"] & gf["alpha_ok"]))
     rules = spark.createDataFrame(
         [("example.com", "/private", False),
          ("example.com", "/private/ok", True),
@@ -9833,11 +9836,18 @@ def crawl_to_corpus(spark, sf_dir):
     # pattern graph.py uses inside its iterative loops.
     fp = TX.fingerprint_md5(gated, "clean_text") \
         .localCheckpoint(eager=True)
-    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    # STAR edges (min-of-group → member) instead of lag-chain edges
+    # (r12): identical connectivity — both edge sets connect exactly
+    # the same-fingerprint duplicate groups, so the components (and
+    # the oracle's min-per-fingerprint collapse) are unchanged — but
+    # the star graph has diameter 1, so hash-min converges one round
+    # earlier (2 rounds instead of 3; each round is fixed scheduler
+    # cost on the tiny duplicate-edge relation).
+    w = Window.partitionBy("fingerprint")
     edges = (fp.select("doc_id", "fingerprint")
-             .withColumn("_prev", F.lag("doc_id").over(w))
-             .filter(F.col("_prev").isNotNull())
-             .select(F.col("_prev").alias("src"),
+             .withColumn("_min", F.min("doc_id").over(w))
+             .filter(F.col("_min") != F.col("doc_id"))
+             .select(F.col("_min").alias("src"),
                      F.col("doc_id").alias("dst")))
     comp = connected_components(edges)
     dropped = (comp.filter(F.col("node") != F.col("component"))
