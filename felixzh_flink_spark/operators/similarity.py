@@ -1073,9 +1073,11 @@ def decontaminate_semantic(corpus: DataFrame, benchmark: DataFrame,
         for x in v:
             acc += x * x
         bnorms.append(math.sqrt(acc))
-    fold = (f"aggregate(zip_with({vec_col}, row, (x, y) -> "
-            f"cast(x as double) * cast(y as double)), "
-            f"cast(0.0 as double), (acc, x) -> acc + x)")
+    # indexed fold (r12, same change as _cell_sims): the zip_with form
+    # allocated a dim-element product array per (corpus row × bench
+    # vector); the indexed fold is allocation-free and arithmetic-
+    # identical step for step (0.0 + Σ a[i]·b[i] in element order)
+    fold = _dot_idx_sql(vec_col, "row", len(vecs[0]))
     sims = (f"zip_with(transform({_lit_mat_sql(vecs)}, row -> {fold}), "
             f"{_lit_vec_sql(bnorms)}, (d, n) -> d / (_cnorm * n))")
     any_hit = F.expr(
