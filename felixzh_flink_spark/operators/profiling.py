@@ -480,26 +480,28 @@ WITH vals AS (
 ranged AS (SELECT /*+ REPARTITION_BY_RANGE({nparts}, _v) */ _v FROM vals)
 SELECT _v, spark_partition_id() AS _pid FROM ranged
 """, df=df)
+    # `_n` (the total) rides the same per-partition count relation that
+    # feeds the offsets window (r12): the old form paid a SEPARATE full
+    # scan + COUNT of the input (`nrow`) plus a crossJoin broadcast just
+    # to attach a number that is exactly SUM(_c) over the ≤ nparts count
+    # rows already in hand. One lineitem-grade scan and one broadcast
+    # exchange removed; `_n` is the identical integer, so every rank
+    # target and the interpolation are bit-identical.
     return df.sparkSession.sql(f"""
-WITH vals AS (
-  SELECT _v FROM (SELECT CAST(`{col}` AS DOUBLE) AS _v FROM {{df}})
-  WHERE _v IS NOT NULL),
-nrow AS (SELECT COUNT(*) AS _n FROM vals),
-offsets AS (
+WITH offsets AS (
   SELECT _pid, COALESCE(SUM(_c) OVER (ORDER BY _pid
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-         CAST(0 AS BIGINT)) AS _off
+         CAST(0 AS BIGINT)) AS _off,
+         SUM(_c) OVER () AS _n
   FROM (SELECT _pid, COUNT(*) AS _c FROM {{pidded}} GROUP BY _pid)),
-ranked AS (
+fenced AS (
   SELECT /*+ BROADCAST(o) */ p._v AS _v,
          ROW_NUMBER() OVER (PARTITION BY p._pid ORDER BY p._v)
-           + o._off - 1 AS _rank
-  FROM {{pidded}} p JOIN offsets o ON p._pid = o._pid),
-fenced AS (
-  SELECT /*+ BROADCAST(n) */ r._v AS _v, r._rank AS _rank, n._n AS _n
-  FROM ranked r CROSS JOIN nrow n)
+           + o._off - 1 AS _rank,
+         o._n AS _n
+  FROM {{pidded}} p JOIN offsets o ON p._pid = o._pid)
 SELECT {agg} AS `{alias}` FROM fenced WHERE {keep}
-""", df=df, pidded=pidded)
+""", pidded=pidded)
 
 
 def percentiles_frame(df: DataFrame, col: str, ps: list[float],

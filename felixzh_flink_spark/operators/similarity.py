@@ -97,6 +97,23 @@ def _dot_idx_sql(a: str, b: str, dim: int) -> str:
             f"cast(element_at({b}, i) as double))")
 
 
+def _let_sql(value: str, var: str, body: str) -> str:
+    """SQL `let` — evaluate `value` ONCE per enclosing evaluation, bind
+    it to lambda variable `var`, return `body` (r12). Implemented as
+    ``element_at(transform(array(value), var -> body), 1)``: the
+    single-element transform invokes the lambda exactly once. Why it
+    exists: a per-row subexpression (a norm fold, a float→double array
+    cast) referenced inside an inner higher-order lambda is otherwise
+    RE-EVALUATED per inner element — and hoisting it into a projected
+    alias does not survive the optimizer, which inlines deterministic
+    aliases straight back into the lambda when pushing the enclosing
+    filter (the plan dump showed `_cnorm`'s whole fold inside the
+    per-bench-vector lambda: 38 norm folds per row). The binding is
+    deterministic and self-contained, so predicate pushdown and column
+    pruning stay intact."""
+    return f"element_at(transform(array({value}), {var} -> {body}), 1)"
+
+
 def _dot_indexed(a: Column, b: Column, dim: int) -> Column:
     """Dot product folded over a constant index sequence — no per-row
     zip_with array allocation (matters when evaluated per candidate PAIR in
@@ -138,7 +155,7 @@ def cosine_to_literal(vec_col: str, query_vec: list[float]) -> Column:
     q_norm = math.sqrt(acc)
     return F.expr(
         f"({_dot_sql(vec_col, _lit_vec_sql(query_vec))} / "
-        f"({_norm_sql(vec_col)} * cast('{q_norm!r}' as double)))")
+        f"({_norm_sql(vec_col)} * {q_norm!r}D))")
 
 
 def cosine_topk_bruteforce(df: DataFrame, query_vec: list[float], k: int = 10,
@@ -202,7 +219,7 @@ def random_projection_sql(vec_col: str, out_dim: int, in_dim: int) -> str:
             f"(x, y) -> cast(x as double) * y), cast(0.0 as double), "
             f"(acc, x) -> acc + x)")
     return (f"transform({_lit_mat_sql(planes)}, "
-            f"row -> {fold} * cast('{scale!r}' as double))")
+            f"row -> {fold} * {scale!r}D)")
 
 
 def project_vec(vec: list[float], out_dim: int,
@@ -845,10 +862,19 @@ def _cell_sims(vec_col: str, cents: list[list[float]]) -> Column:
     The per-centroid dot is the INDEXED fold (`_dot_idx_sql`, r12): the
     zip_with form allocated a dim-element array per (row × centroid) on
     the interpreted HOF path every Lloyd pass and every assignment pays —
-    the indexed fold is allocation-free and bit-identical."""
+    the indexed fold is allocation-free and bit-identical. The vector
+    is cast to array<double> ONCE per row via a `_let_sql` binding
+    (r12): the per-centroid fold read the float column through a
+    per-step interpreted Cast — C × dim Cast evals per row in every
+    Lloyd pass and every assignment; widening is exact so every
+    product (and the argmax) is bit-identical."""
     dim = len(cents[0])
-    return F.expr(f"transform({_lit_mat_sql(_normalized_cents(cents))}, "
-                  f"cv -> {_dot_idx_sql(vec_col, 'cv', dim)})")
+    dot = (f"aggregate(sequence(1, {dim}), cast(0.0 as double), "
+           f"(acc, i) -> acc + element_at(__dv, i) * element_at(cv, i))")
+    return F.expr(_let_sql(
+        f"cast({vec_col} as array<double>)", "__dv",
+        f"transform({_lit_mat_sql(_normalized_cents(cents))}, "
+        f"cv -> {dot})"))
 
 
 def ivf_refine_centroids(df: DataFrame, cents: list[list[float]],
@@ -1076,14 +1102,26 @@ def decontaminate_semantic(corpus: DataFrame, benchmark: DataFrame,
     # indexed fold (r12, same change as _cell_sims): the zip_with form
     # allocated a dim-element product array per (corpus row × bench
     # vector); the indexed fold is allocation-free and arithmetic-
-    # identical step for step (0.0 + Σ a[i]·b[i] in element order)
-    fold = _dot_idx_sql(vec_col, "row", len(vecs[0]))
-    sims = (f"zip_with(transform({_lit_mat_sql(vecs)}, row -> {fold}), "
-            f"{_lit_vec_sql(bnorms)}, (d, n) -> d / (_cnorm * n))")
-    any_hit = F.expr(
-        f"exists({sims}, s -> s >= cast('{thr!r}' as double))")
+    # identical step for step (0.0 + Σ a[i]·b[i] in element order).
+    # Per-row constants ride `_let_sql` bindings (r12): the projected
+    # `_cnorm` alias was inlined into the per-bench-vector lambda by
+    # filter pushdown — 38 norm folds per row — and every fold step
+    # paid a float→double Cast eval on the interpreted HOF path. Now
+    # the double-cast corpus vector (`__dv`) and its norm (`__nn`) are
+    # bound once per row and read as lambda variables; the fold drops
+    # its per-step casts (widening is exact, products bit-identical).
+    dim_ = len(vecs[0])
+    dot = (f"aggregate(sequence(1, {dim_}), cast(0.0 as double), "
+           f"(acc, i) -> acc + element_at(__dv, i) * element_at(row, i))")
+    sims = (f"zip_with(transform({_lit_mat_sql(vecs)}, row -> {dot}), "
+            f"{_lit_vec_sql(bnorms)}, (d, n) -> d / (__nn * n))")
+    # norm from __dv: same squares, same fold order, no per-step cast
+    nfold = (f"sqrt(aggregate(__dv, cast(0.0 as double), "
+             f"(acc, x) -> acc + x * x))")
+    any_hit = F.expr(_let_sql(
+        f"cast({vec_col} as array<double>)", "__dv",
+        _let_sql(nfold, "__nn", f"exists({sims}, s -> s >= {thr!r}D)")))
     return (corpus
-            .select("*", _norm(F.col(vec_col)).alias("_cnorm"))
             .filter(~F.coalesce(any_hit, F.lit(False)))
             .select(*orig_cols))
 
@@ -1136,8 +1174,17 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.9,
     # contract as `semantic_dedup_pq`; the assignment is a pure function
     # of (vec, cents), so results are identical
     src = df if pre_assigned else ivf_assign(df, cents, vec_col)
+    # `v` is pre-cast to array<double> ONCE PER ROW (r12): the within-cell
+    # pair fold below is interpreted (HOF), and the old per-element
+    # `cast(element_at(...) as double)` paid 2·dim Cast evals PER
+    # CANDIDATE PAIR — O(pairs), the quadratic term — where the row cast
+    # is O(rows). float→double widening is exact, so every product and
+    # the fold order are bit-identical. Trade: the cell shuffle carries
+    # 8-byte elements instead of 4 — linear bytes bought back by the
+    # dominant per-pair interpreted saving.
     assigned = src.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "ivf_cell",
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"), "ivf_cell",
         _norm(F.col(vec_col)).alias("nrm"),
     )
     pairable = assigned
@@ -1168,8 +1215,7 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.9,
     # JIT'd codegen (an unrolled 64-term dot here would exceed the JVM's
     # 8 KB JIT cutoff and run as interpreted bytecode — ~4× WORSE).
     dot = (f"aggregate(sequence(1, {dim}), cast(0.0 as double), "
-           f"(acc, i) -> acc + cast(element_at(a.v, i) as double) "
-           f"* cast(element_at(b.v, i) as double))")
+           f"(acc, i) -> acc + element_at(a.v, i) * element_at(b.v, i))")
     return df.sparkSession.sql(f"""
 WITH dup AS (
   SELECT DISTINCT b.id AS id
@@ -1675,11 +1721,17 @@ def _pq_score_array(vec_col: str, sub: int, subdim: int,
     off = sub * subdim
     for cv in cents:
         h = sum(float(x) * float(x) for x in cv) / 2.0
+        # plain double-literal syntax (`1.5D`, r12): one Literal node per
+        # scalar where `cast('1.5' as double)` was Cast(Literal(string))
+        # — two nodes — through parser/analyzer/optimizer. parseDouble
+        # of the repr is the identical IEEE value either way (bit-level
+        # unit below), and at m=16/k=32 the encode tree halves, which is
+        # pure driver-side Catalyst time on every build.
         dot = " + ".join(
             f"cast(element_at({vec_col}, {off + i + 1}) as double) "
-            f"* cast('{float(cv[i])!r}' as double)"
+            f"* {float(cv[i])!r}D"
             for i in range(len(cv)))
-        entries.append(f"({dot} - cast('{h!r}' as double))")
+        entries.append(f"({dot} - {h!r}D)")
     return F.expr("array(" + ",".join(entries) + ")")
 
 

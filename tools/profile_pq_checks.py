@@ -46,16 +46,20 @@ for rep in range(2):
     corpus = e.unionByName(planted).localCheckpoint(eager=True)
     mark("corpus checkpoint")
     k = Q._semantic_k(Q._embeddings_n(spark, sf_dir))
-    cents = SIM.ivf_centroids(corpus, k)
-    mark(f"ivf init (k={k})")
+    init = SIM.ivf_centroids(corpus, max(k, 32))
+    mark(f"shared init (k={k})")
+    cents = init[:k]
     for it in range(2):
         cents = SIM.ivf_refine_centroids(corpus, cents, iterations=1)
         mark(f"lloyd pass {it}")
-    books = SIM.pq_train(corpus, m=16, code_k=32, dim=64, train_iter=2)
-    mark("pq_train (init + 2 iters)")
-    exact = SIM.semantic_dedup(corpus, threshold=0.5, cents=cents)
+    books = SIM.pq_train(corpus, m=16, code_k=32, dim=64, train_iter=2,
+                         init_vecs=init)
+    mark("pq_train (2 iters)")
+    assigned = SIM.ivf_assign(corpus, cents).localCheckpoint(eager=True)
+    mark("assign checkpoint")
+    exact = SIM.semantic_dedup(assigned, threshold=0.5, cents=cents)
     mark("semantic_dedup build (lazy)")
-    pq = SIM.semantic_dedup_pq(corpus, threshold=0.5, cents=cents,
+    pq = SIM.semantic_dedup_pq(assigned, threshold=0.5, cents=cents,
                                books=books, margin=0.15)
     mark("semantic_dedup_pq build (lazy)")
     j = (pq.select("id", F.col("keep").alias("pq_keep"))
