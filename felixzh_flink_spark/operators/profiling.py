@@ -581,7 +581,8 @@ def winsorize(df: DataFrame, col: str, p_low: float = 0.01,
 
 def psi_report(ref: DataFrame, cur: DataFrame, col: str,
                edges: "list[float] | DataFrame", eps: float = 1e-6,
-               n_edges: int | None = None) -> DataFrame:
+               n_edges: int | None = None,
+               tagged: DataFrame | None = None) -> DataFrame:
     """Population Stability Index between a reference and a current
     distribution of `col` over fixed bin `edges` — THE drift metric a
     production scoring pipeline monitors (rule of thumb: < 0.1 stable,
@@ -597,7 +598,16 @@ def psi_report(ref: DataFrame, cur: DataFrame, col: str,
     1-row frame with an array column `q` (`exact_percentiles_frame`
     output, broadcast onto each scan) — the lazy form keeps
     derive-edges-then-bin a single job with no driver round-trip;
-    `n_edges` gives the CASE ladder's static length in that case."""
+    `n_edges` gives the CASE ladder's static length in that case.
+
+    `tagged` (r12) supplies the ref∪cur rows as ONE frame carrying an
+    integer `_side` column (0 = ref, 1 = cur) in place of `ref`/`cur`
+    (pass None for both). When the two populations are partitions of
+    the SAME table — the monitoring norm: this hour vs last hour, odd
+    vs even key — the union-of-two-filtered-scans form reads the
+    column twice; the tagged form reads it once and derives the side
+    scan-locally. Per-(side, bin) counts are the identical multisets,
+    so every probability and term is bit-identical."""
     lazy = isinstance(edges, DataFrame)
     n_e = n_edges if lazy else len(edges)
     if lazy and n_edges is None:
@@ -623,11 +633,15 @@ def psi_report(ref: DataFrame, cur: DataFrame, col: str,
     else:
         srce = ""
         binned_src = "src"
+    if tagged is not None:
+        src_sql = f"SELECT _side, `{col}` FROM {{src}}"
+    else:
+        src_sql = (f"SELECT 0 AS _side, `{col}` FROM {{ref}}\n"
+                   f"  UNION ALL\n"
+                   f"  SELECT 1 AS _side, `{col}` FROM {{cur}}")
     sql = f"""
 WITH src AS (
-  SELECT 0 AS _side, `{col}` FROM {{ref}}
-  UNION ALL
-  SELECT 1 AS _side, `{col}` FROM {{cur}}),
+  {src_sql}),
 {srce}
 counts AS (
   SELECT _side, bin, COUNT(*) AS _n
@@ -652,6 +666,10 @@ SELECT b.bin,
               / COALESCE(p.p_ref, {eps_sql})) AS term
 FROM bins b LEFT JOIN pivoted p ON b.bin = p.bin
 """
+    if tagged is not None:
+        if lazy:
+            return tagged.sparkSession.sql(sql, src=tagged, edges=edges)
+        return tagged.sparkSession.sql(sql, src=tagged)
     if lazy:
         return ref.sparkSession.sql(sql, ref=ref, cur=cur, edges=edges)
     return ref.sparkSession.sql(sql, ref=ref, cur=cur)

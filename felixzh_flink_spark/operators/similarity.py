@@ -1884,8 +1884,13 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
     B-member bucket costs B² pairs — one degenerate bucket, e.g. the
     zero-vector bucket, can dominate the job at corpus scale); see the
     stop-bucket note on dedup.lsh_candidates_from_signatures."""
+    # v pre-cast to array<double> once per row (r12, same trade as
+    # semantic_dedup): the per-pair indexed dot otherwise pays 2·dim
+    # interpreted Cast evals per candidate; widening is exact so the
+    # emitted cosine is bit-identical (the checks oracle re-derives it).
     bucketed = add_lsh_bucket(df, vec_col, n_planes, dim).select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "bucket",
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"), "bucket",
         _norm(F.col(vec_col)).alias("nrm"),
     )
     if max_bucket_size is not None:

@@ -9404,18 +9404,21 @@ def psi_price_drift(spark, sf_dir):
     bins don't need exact fences at 100 TB)."""
     from felixzh_flink_spark.operators.profiling import psi_report
     l = _t(spark, sf_dir, "lineitem")
-    ref = l.filter(F.col("l_orderkey") % 2 == 0) \
-        .select(F.col("l_extendedprice").alias("v"))
-    cur = l.filter(F.col("l_orderkey") % 2 == 1) \
-        .select(F.col("l_extendedprice").alias("v"))
+    # ref and cur are the two halves of the SAME table, so they ride
+    # psi_report's single-scan `tagged` form (r12): one lineitem scan
+    # deriving _side scan-locally instead of a union of two filtered
+    # scans — per-(side, bin) counts are identical multisets, so every
+    # probability and term is bit-identical to the two-scan form.
+    tagged = l.select((F.col("l_orderkey") % 2).cast("int").alias("_side"),
+                      F.col("l_extendedprice").alias("v"))
     # The LAZY edges frame (still derive-edges-in-plan, nothing
     # collected) is cached per sf_dir: its two-phase rank plan is
     # ~0.25 s of pure Catalyst construction per call — the psi plan_s
     # tail (r7 verdict item 3). psi_report re-substitutes it fresh each
     # call, so the composed plan is identical to the uncached form.
-    return psi_report(ref, cur, "v",
+    return psi_report(None, None, "v",
                       _psi_edges(spark, sf_dir, approx=_sf_of(sf_dir) >= 1),
-                      n_edges=3)
+                      n_edges=3, tagged=tagged)
 
 
 @q("interleaved_training_order", """

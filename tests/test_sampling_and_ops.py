@@ -558,3 +558,37 @@ def test_leakage_safe_split_keeps_dup_groups_together(spark):
               .agg(F.countDistinct("split").alias("k"))
               .filter(F.col("k") > 1).count())
     assert leaked > 0
+
+
+def test_psi_report_tagged_single_scan_bit_identical(spark):
+    """The r12 single-scan `tagged` form must emit bit-identical rows to
+    the two-frame union form (same per-(side, bin) count multisets), for
+    both literal and lazy edges, and its plan must scan the source once."""
+    from felixzh_flink_spark.operators.profiling import (
+        percentiles_frame, psi_report)
+    src = spark.createDataFrame(
+        [(i % 2, float((i * 13) % 100)) for i in range(500)],
+        "_side int, v double")
+    ref = src.filter("_side = 0").select("v")
+    cur = src.filter("_side = 1").select("v")
+    edges = [25.0, 50.0, 75.0]
+    want = sorted(map(tuple, psi_report(ref, cur, "v", edges).collect()))
+    got = sorted(map(tuple, psi_report(
+        None, None, "v", edges, tagged=src).collect()))
+    assert got == want  # bit-identical probabilities and terms
+    lazy = percentiles_frame(ref, "v", [0.25, 0.5, 0.75])
+    want_l = sorted(map(tuple, psi_report(
+        ref, cur, "v", lazy, n_edges=3).collect()))
+    got_l = sorted(map(tuple, psi_report(
+        None, None, "v", lazy, n_edges=3, tagged=src).collect()))
+    assert got_l == want_l
+    # one source reference in the tagged ANALYZED plan, two in the
+    # union form's (the optimizer folds LocalRelations, so the scan
+    # count is asserted pre-optimization; for the parquet-backed
+    # registry query the dumped physical plans carry the evidence)
+    plan_t = psi_report(None, None, "v", edges, tagged=src) \
+        ._jdf.queryExecution().analyzed().toString()
+    plan_u = psi_report(ref, cur, "v", edges) \
+        ._jdf.queryExecution().analyzed().toString()
+    assert plan_t.count("LogicalRDD") + plan_t.count("LocalRelation") == 1
+    assert plan_u.count("LogicalRDD") + plan_u.count("LocalRelation") == 2
